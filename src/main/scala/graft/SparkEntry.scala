@@ -1,13 +1,108 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.functions.jmes._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a north-star
+  * extension); `oracleSql` holds the DuckDB-equivalent SQL over the same
+  * parquet tables. Column names are aligned between both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Testdata timestamps are parquet TIMESTAMP(NANOS) (pandas-written), which
+    * Spark rejects by default. Read them as longs and convert to µs
+    * timestamps — truncation matches DuckDB's ns→µs cast, keeping the oracle
+    * comparable. */
+  private val nanoTsCols = Map(
+    "events"   -> Seq("ts"),
+    "orders"   -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    var df = s.read.parquet(s"$dir/$name.parquet")
+    nanoTsCols.getOrElse(name, Nil).foreach { c =>
+      if (df.schema.fieldNames.contains(c) &&
+          df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+        df = df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+    }
+    df
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * CLI-parity pipeline (reference main.go:63-104): consume the `events`
+    * stream table, apply a JMESPath `-filter`, emit `data`-format framed
+    * records — here as a DataFrame of (event_id, line).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    table(spark, dir, "events")
+      .where(jmesTruthy(col("props"), "k > `10`"))
+      .select(col("event_id"), jmespath(col("props"), "{k: k, big: k > `50`}").as("line"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1/J2 — field access + subexpression (interpreter.go:78-83,266-271)
+    "jmes_field" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), jmespathDouble(col("props"), "k").as("k"))),
+
+    // J11 + truthiness — CLI `-filter` semantics (main.go:88-101, util.go:13-45)
+    "jmes_filter_compare" -> ((s, dir) =>
+      table(s, dir, "events")
+        .where(jmesTruthy(col("props"), "k > `50`"))
+        .select(col("event_id"), col("props"))),
+
+    // K1/K2 — `data` output format with separator framing (main.go:85-104)
+    "cli_format_data" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), concat(col("props"), lit("\n")).as("line"))),
+
+    // K1 — `sequence` / `partition-key` output formats (main.go:74-83)
+    "cli_format_sequence" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), col("event_id").cast("string").as("seq"))),
+    "cli_format_partition_key" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id").cast("string").as("pk"))),
+
+    // cross-record extension headline: aggregation (bench anchor)
+    "q1_agg" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "jmes_field" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
+    "jmes_filter_compare" ->
+      "SELECT event_id, props FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50",
+    "cli_format_data" ->
+      "SELECT event_id, props || chr(10) AS line FROM events",
+    "cli_format_sequence" ->
+      "SELECT event_id, CAST(event_id AS VARCHAR) AS seq FROM events",
+    "cli_format_partition_key" ->
+      "SELECT event_id, CAST(user_id AS VARCHAR) AS pk FROM events",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_base_price,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |  avg(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+  )
 }
