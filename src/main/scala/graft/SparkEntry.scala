@@ -45,6 +45,11 @@ object SparkEntry {
       .select(col("event_id"), jmespath(col("props"), "{k: k, big: k > `50`}").as("line"))
   }
 
+  /** Headline subset timed by [[Bench]] (driver-run at sf0.1). Kept small and
+    * representative; correctness runs the full `queries` map. */
+  def benchQueries: Seq[String] = Seq(
+    "q1_agg", "jmes_field", "jmes_filter_compare", "cli_format_data")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1/J2 — field access + subexpression (interpreter.go:78-83,266-271)

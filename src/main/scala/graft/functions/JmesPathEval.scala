@@ -111,6 +111,13 @@ case class JmesTruthy(child: Expression, expression: String)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "jmes_truthy"
+  // UnaryExpression.eval short-circuits null-in → null-out, which would break
+  // the nullable=false contract. A NULL document is "no match" (falsy), the
+  // same way the reference treats an unparsable payload in `-filter`.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) java.lang.Boolean.FALSE else nullSafeEval(v)
+  }
   override def nullSafeEval(input: Any): Any = {
     val doc = input.asInstanceOf[UTF8String].toString
     JValue.parseOpt(doc) match {

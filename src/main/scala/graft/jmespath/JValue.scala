@@ -132,9 +132,12 @@ object JValue {
         val i = s.indexOf('E')
         val mant0 = s.substring(0, i)
         val mant = if (mant0.endsWith(".0")) mant0.dropRight(2) else mant0
-        val exp = s.substring(i + 1)
-        val expFmt = if (exp.startsWith("-")) exp else "+" + exp
-        s"${mant}e$expFmt"
+        // Go strconv 'g' pads exponents to two digits: 1e+21, 1e-07
+        val exp0 = s.substring(i + 1)
+        val (sign, digits) =
+          if (exp0.startsWith("-")) ("-", exp0.drop(1)) else ("+", exp0)
+        val padded = if (digits.length < 2) "0" * (2 - digits.length) + digits else digits
+        s"${mant}e$sign$padded"
       } else s
     }
   }

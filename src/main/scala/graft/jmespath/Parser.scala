@@ -141,10 +141,16 @@ private final class Parser(tokens: Vector[Lexer.Token], expr: String) {
     FilterProjection(left, rhs, cond)
   }
 
+  /** Out-of-int-range index literals are a syntax error, matching the
+    * reference's strconv.Atoi failure mapping (parser.go:182-210). */
+  private def parseIntTok(s: String): Int =
+    try s.toInt
+    catch { case _: NumberFormatException => fail(s"invalid index number '$s'") }
+
   /** `[n]` or `[a:b:c]` — returns Index or Slice node. */
   private def parseIndexExpression(): Ast = {
     if (peek.typ == TNumber && peek2.typ == TRbracket) {
-      val n = advance().value.toInt
+      val n = parseIntTok(advance().value)
       expect(TRbracket)
       Index(n)
     } else {
@@ -157,7 +163,7 @@ private final class Parser(tokens: Vector[Lexer.Token], expr: String) {
             idx += 1
             if (idx > 2) fail("too many colons in slice")
             advance()
-          case TNumber => parts(idx) = Some(advance().value.toInt)
+          case TNumber => parts(idx) = Some(parseIntTok(advance().value))
           case other   => fail(s"unexpected token in slice: $other")
         }
       }
@@ -186,7 +192,7 @@ private final class Parser(tokens: Vector[Lexer.Token], expr: String) {
     else peek.typ match {
       case TLbracket | TFilter => expression(rbp)
       case TDot                => advance(); parseDotRHS(rbp)
-      case TLparen | TFlatten  => expression(rbp)
+      // the reference rejects e.g. `foo[*](bar)` — keep error-taxonomy parity
       case other               => fail(s"unexpected token in projection: $other")
     }
   }

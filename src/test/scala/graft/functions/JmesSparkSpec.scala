@@ -41,6 +41,17 @@ class JmesSparkSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("jmespath"))
   }
 
+  test("jmesTruthy on a NULL document column is FALSE (nullable=false contract)") {
+    import spark.implicits._
+    val df = Seq(Some("""{"k": 1}"""), None, Some("""{"j": 2}""")).toDF("doc")
+    // filter through the optimizer: with nullable=false Catalyst may rewrite
+    // around null checks, so a null row must still come out as non-matching
+    val kept = df.where(jmesTruthy($"doc", "k")).collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("""{"k": 1}"""))
+    val t = df.select(jmesTruthy($"doc", "k").as("t")).collect().map(_.getBoolean(0))
+    assert(t.toSeq == Seq(true, false, false))
+  }
+
   test("malformed JSON payload yields NULL, not an error") {
     import spark.implicits._
     val df = Seq("""not json at all""").toDF("doc")
