@@ -51,7 +51,9 @@ object SparkEntry {
     "q1_agg", "jmes_field", "jmes_filter_compare", "cli_format_data")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ JmesCoverage.queries
+
+  private def core: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1/J2 — field access + subexpression (interpreter.go:78-83,266-271)
     "jmes_field" -> ((s, dir) =>
       table(s, dir, "events")
@@ -109,5 +111,5 @@ object SparkEntry {
         |  avg(l_quantity) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-  )
+  ) ++ JmesCoverage.oracleSql
 }
