@@ -48,10 +48,14 @@ object SparkEntry {
   /** Headline subset timed by [[Bench]] (driver-run at sf0.1). Kept small and
     * representative; correctness runs the full `queries` map. */
   def benchQueries: Seq[String] = Seq(
-    "q1_agg", "jmes_field", "jmes_filter_compare", "cli_format_data")
+    "q1_agg", "jmes_field", "jmes_filter_compare", "cli_format_data",
+    "text_stats", "top_terms", "dedup_exact", "dedup_jaccard_pairs",
+    "ann_topk", "windowed_agg")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = core ++ JmesCoverage.queries
+  /** One entry per implemented operator from SURVEY.md §2 + north-star ext. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    core ++ JmesCoverage.queries ++ ext.TextAnalysis.queries ++ ext.Dedup.queries ++
+      ext.Similarity.queries ++ ext.Multimodal.queries
 
   private def core: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1/J2 — field access + subexpression (interpreter.go:78-83,266-271)
@@ -88,6 +92,15 @@ object SparkEntry {
           sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
           avg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))),
+
+    // event-time tumbling window aggregation (streaming-compatible shape:
+    // the same groupBy(window(...)) works under readStream + watermark)
+    "windowed_agg" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,5 +124,10 @@ object SparkEntry {
         |  avg(l_quantity) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-  ) ++ JmesCoverage.oracleSql
+    "windowed_agg" ->
+      """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+        |  event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+  ) ++ JmesCoverage.oracleSql ++ ext.TextAnalysis.oracleSql ++ ext.Dedup.oracleSql ++
+    ext.Similarity.oracleSql ++ ext.Multimodal.oracleSql
 }

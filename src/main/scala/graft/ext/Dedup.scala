@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+import graft.functions.vectors
+
+/** Deduplication operators for LLM-training-data pipelines over
+  * `documents` / `embeddings`:
+  *
+  *  - exact dedup: group on a 256-bit content hash (shuffling a 32-byte key,
+  *    not the document body — the 100 TB-safe variant of `groupBy(text)`);
+  *  - exact near-dup pairs: k-shingle Jaccard via an inverted-index
+  *    candidate join (EXACT for any threshold > 0: J(a,b) ≥ τ > 0 implies a
+  *    shared shingle, so candidate generation loses nothing) — never an
+  *    all-pairs cross join;
+  *  - MinHash-LSH: one-pass 64-hash signatures ([[graft.functions.MinHashSig]]),
+  *    banded bucket join for candidates, exact-Jaccard verification;
+  *  - SimHash: 64-bit fingerprints ([[graft.functions.SimHash]]), 16-bit-band
+  *    blocking (pigeonhole: hamming ≤ 3 guarantees one of the 4 bands matches
+  *    exactly, so blocking is EXACT for maxHamming ≤ 3), XOR-popcount verify;
+  *  - embedding near-dup pairs: double-precision cosine ≥ τ
+  *    ([[graft.functions.CosineSim]]); all-pairs only at oracle scale — the
+  *    scale path is the IVF route in [[Similarity]].
+  *
+  * Scale notes (100 TB): the shingle inverted index shuffles one row per
+  * (shingle, doc); hot shingles skew the join — AQE skew-join handles
+  * moderate skew, and `maxDocFreq` can drop shingles present in more than a
+  * fixed number of documents (turns the pairing approximate; off by default).
+  */
+object Dedup {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct k-word shingles of `text` (space-tokenized). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ts = split(text, " ")
+    when(size(ts) >= k,
+      array_distinct(transform(sequence(lit(0), size(ts) - k),
+        i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
+      .otherwise(array_distinct(array(concat_ws(" ", ts))))
+  }
+
+  /** Exact dedup: one representative (min doc_id) per distinct content. */
+  def exact(df: DataFrame): DataFrame =
+    df.groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** All pairs with k-shingle Jaccard ≥ tau, via inverted-index candidates.
+    * Exact for tau > 0. `maxDocFreq` (optional) drops shingles occurring in
+    * more than that many docs from candidate generation — a scale valve that
+    * makes the result approximate. */
+  def jaccardPairs(df: DataFrame, k: Int = 3, tau: Double = 0.5,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
+    val d = df.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    val inv0 = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inv = maxDocFreq match {
+      case Some(cap) =>
+        val hot = inv0.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") > cap)
+        inv0.join(hot, Seq("s"), "left_anti")
+      case None => inv0
+    }
+    val cand = inv.as("x").join(inv.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(d.as("da"), col("id_a") === col("da.doc_id"))
+      .join(d.as("db"), col("id_b") === col("db.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
+          size(array_union(col("da.sh"), col("db.sh")))).as("jac"))
+      .where(col("jac") >= tau)
+  }
+
+  /** MinHash-LSH near-dup pairs: `numHashes` signature, `bands` bands of
+    * `numHashes/bands` rows; candidates from per-band bucket equality;
+    * final exact-Jaccard filter at tau (output ⊆ exact pairs; LSH only
+    * affects recall). */
+  def minhashLsh(df: DataFrame, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                 tau: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val d = df.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", vectors.minhashSig(col("sh"), numHashes))
+    val banded = d.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(slice(sig, b * $rows + 1, $rows), b))")).as(Seq("band", "bh")))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(d.as("da"), col("id_a") === col("da.doc_id"))
+      .join(d.as("db"), col("id_b") === col("db.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("da.sig"), col("db.sig"),
+            (p, q) => (p === q).cast("int")), lit(0), (s, v) => s + v)
+          .cast("double") / numHashes).as("est_jac"),
+        (size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
+          size(array_union(col("da.sh"), col("db.sh")))).as("jac"))
+      .where(col("jac") >= tau)
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming. Blocking on
+    * four 16-bit bands is exact for maxHamming ≤ 3. */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking is only exact for hamming <= 3")
+    val d = df.select(col("doc_id"), vectors.simhash64(split(col("text"), " ")).as("sig"))
+    val banded = d.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535)")).as(Seq("band", "key")))
+    banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ tau over all pairs (oracle-scale
+    * reference; use [[Similarity.annIvf]] buckets at scale). */
+  def embeddingPairs(df: DataFrame, tau: Double): DataFrame =
+    df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        vectors.cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
+      .where(col("sim") >= tau)
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> ((s, dir) => exact(SparkEntry.table(s, dir, "documents"))),
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5)),
+    // LSH/SimHash entries have no SQL-expressible oracle (hash-dependent);
+    // the driver records rows-only, DedupSpec asserts recall vs brute force.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      minhashLsh(SparkEntry.table(s, dir, "documents"), tau = 0.5)),
+    "dedup_simhash" -> ((s, dir) =>
+      simhashPairs(SparkEntry.table(s, dir, "documents"), maxHamming = 3)),
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      embeddingPairs(SparkEntry.table(s, dir, "embeddings"), tau = 0.4)),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "dedup_jaccard_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5""".stripMargin,
+    "dedup_embedding_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+  )
+}

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** A multimodal record: opaque media bytes + typed envelope. In a real
+  * pipeline `media` holds an encoded image/audio/video payload. */
+case class MediaRecord(doc_id: Long, media: Array[Byte])
+
+/** Decoded media metadata (the output of the decode stage). */
+case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                     n_frames: Int, n_sampled_frames: Int, checksum: Long)
+
+/** Multimodal-column plumbing for LLM-data pipelines: media as opaque
+  * `binary` columns with typed metadata, decoded batch-wise in executors via
+  * `Dataset.mapPartitions` (the JVM analogue of `mapInPandas`: one iterator
+  * per partition, so a real decoder could amortize codec/model setup across
+  * the batch).
+  *
+  * The decode step itself is a STUB — image/audio codecs are not available
+  * in this environment — implemented as a deterministic fake
+  * ([[Multimodal.decodeStub]]) so the Spark-side plumbing (schema,
+  * partitioning, batch shape, encoder round-trip) is real and oracle-testable
+  * while the codec call is swappable.
+  */
+object Multimodal {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** STUB decoder: a real implementation would parse the container header
+    * (JPEG/PNG/WAV/MP4) here. This fake derives plausible metadata
+    * deterministically from the payload so results are oracle-checkable. */
+  def decodeStub(r: MediaRecord): MediaMeta = {
+    val n = r.media.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (r.media(i) & 0xff); i += 1 }
+    val frames = n / 64 + 1
+    MediaMeta(
+      doc_id = r.doc_id,
+      n_bytes = n,
+      width = 32 + n % 600,
+      height = 32 + (n * 7) % 400,
+      n_frames = frames,
+      n_sampled_frames = (frames + 3) / 4, // every-4th-frame sampling
+      checksum = sum % 997)
+  }
+
+  /** documents.text → fake media bytes (UTF-8) → batched decode. */
+  def decodeMeta(docs: DataFrame): Dataset[MediaMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition setup would open the codec once here
+        it.map(decodeStub)
+      }
+  }
+
+  val queries: Map[String, Q] = Map(
+    "multimodal_meta" -> ((s, dir) => decodeMeta(SparkEntry.table(s, dir, "documents")).toDF()),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the corpus is ASCII, so octet length == char length and the checksum is
+    // the sum of character codes
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  length(text) AS n_bytes,
+        |  32 + length(text) % 600 AS width,
+        |  32 + (length(text) * 7) % 400 AS height,
+        |  length(text) // 64 + 1 AS n_frames,
+        |  (length(text) // 64 + 1 + 3) // 4 AS n_sampled_frames,
+        |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) % 997 AS checksum
+        |FROM documents""".stripMargin,
+  )
+}

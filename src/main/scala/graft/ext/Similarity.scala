@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+import graft.functions.vectors
+
+/** A (neighbor id, similarity) pair carried through the top-k aggregation. */
+case class Scored(id: Long, score: Double)
+
+/** Typed top-k aggregator ordered by (score desc, id asc). Registered as a
+  * UDAF it gets map-side partial aggregation: each input partition reduces to
+  * ≤ k rows BEFORE the shuffle — the 100 TB-safe alternative to a global
+  * `Window.partitionBy(query)` sort that would shuffle every (query,
+  * candidate) pair. */
+class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  private val ord: Ordering[Scored] = Ordering.by(s => (-s.score, s.id))
+  override def zero: Seq[Scored] = Nil
+  override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] =
+    ((buf :+ in).sorted(ord)).take(k)
+  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+    ((a ++ b).sorted(ord)).take(k)
+  override def finish(buf: Seq[Scored]): Seq[Scored] = buf
+  override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+}
+
+/** Approximate-nearest-neighbor search over an embedding column:
+  *
+  *  - [[annTopK]]: exact brute-force cosine top-k — broadcast the (small)
+  *    query set against the full table; narrow scan, partial top-k per
+  *    partition, merge of ≤ k rows per partition at the shuffle;
+  *  - [[annIvf]]: IVF-style bucketed variant — assign every vector to its
+  *    nearest of `nCells` centroids (broadcast), probe the `nProbe` cells
+  *    nearest to each query, exact search within the probed cells only.
+  *    Scans ~nProbe/nCells of the data; recall measured in AnnSpec.
+  */
+object Similarity {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def topkUdaf(k: Int) = udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
+
+  private def explodeTopK(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("query_id"), posexplode(col("nb")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("s.score").as("sim"))
+
+  /** Exact cosine top-k for each query vector against all of `emb`. */
+  def annTopK(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val sims = emb.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosineSim(col("qe"), col("embedding")).as("sim"))
+    explodeTopK(
+      sims.groupBy("query_id")
+        .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
+  }
+
+  /** IVF-style ANN: centroids are the first `nCells` vectors by id
+    * (deterministic stand-in for trained centroids). */
+  def annIvf(emb: DataFrame, queries: DataFrame, k: Int = 5,
+             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(emb.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cent")))
+    // nearest centroid per vector via max_by partial agg (no window shuffle);
+    // tie-break to the smallest cell_id for determinism
+    val assigned = emb.crossJoin(cents)
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        vectors.cosineSim(col("embedding"), col("cent")).as("csim"))
+      .groupBy("vec_id")
+      .agg(
+        expr("max_by(cell_id, struct(csim, -cell_id))").as("cell_id"),
+        first("embedding").as("embedding"))
+    val qcells = queries.crossJoin(cents)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell_id"),
+        vectors.cosineSim(col("embedding"), col("cent")).as("csim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("csim"), asc("cell_id"))))
+      .where(col("rn") <= nProbe)
+      .select("query_id", "qe", "cell_id")
+    val sims = qcells.join(assigned, "cell_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosineSim(col("qe"), col("embedding")).as("sim"))
+    explodeTopK(
+      sims.groupBy("query_id")
+        .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ann_topk" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      annTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+    // bucketed variant: no SQL oracle (approximate); AnnSpec measures recall
+    "ann_ivf" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      annIvf(emb, emb.where(col("vec_id") < 10), k = 5)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+  )
+}

@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Text-analysis operators for LLM-training-data pipelines over the
+  * `documents` table: token counting (whitespace + a BPE-ish subword
+  * estimate), quality scoring (length / stopword ratios), language ID
+  * (marker-token voting + CJK codepoint detection), and document
+  * fingerprinting (rolling hash).
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (split/filter/aggregate/transform) — narrow, shuffle-free per-document
+  * plans that scale horizontally; `top_terms` is the one shuffling query
+  * (explode → partial-agg → global top-k with a deterministic tie-break).
+  */
+object TextAnalysis {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Toy stopword list drawn from the synthetic corpus vocabulary; a real
+    * deployment would plug a per-language list in here. */
+  val Stopwords: Seq[String] = Seq("the", "a", "data", "value")
+
+  /** Marker-token vote lists for the language-ID heuristic (a stand-in for
+    * character-n-gram profiles; the synthetic corpus is ASCII-only). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "fr" -> Seq("table", "value", "part", "line"),
+    "de" -> Seq("order", "group", "hash", "window"),
+    "es" -> Seq("data", "column", "row", "batch"))
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** doc_id + token/char/stopword counts + ratio features + quality score. */
+  def stats(df: DataFrame): DataFrame =
+    df.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        size(filter(toks, t => t.isInCollection(Stopwords))).as("n_stop"),
+        // BPE-ish subword estimate: ceil(len/4) units per word
+        aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+          .as("n_bpe_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (col("len_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        lit(0.4) * least(col("n_tokens") / lit(64.0), lit(1.0)) +
+          lit(0.3) * col("stop_ratio") +
+          lit(0.3) * least(col("avg_token_len") / lit(8.0), lit(1.0)))
+
+  /** Language-ID: CJK codepoints → zh, else marker-token argmax with a fixed
+    * tie-break order (en > fr > de > es). */
+  def langId(df: DataFrame): DataFrame = {
+    val scored = df.select(
+      col("doc_id") +:
+        LangMarkers.map { case (lang, markers) =>
+          size(filter(toks, t => t.isInCollection(markers))).as(s"s_$lang")
+        }: _*)
+    df.select(col("doc_id"), col("text")).join(scored, "doc_id")
+      .select(
+        col("doc_id"),
+        when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+          .when(col("s_en") >= greatest(col("s_fr"), col("s_de"), col("s_es")), lit("en"))
+          .when(col("s_fr") >= greatest(col("s_de"), col("s_es")), lit("fr"))
+          .when(col("s_de") >= col("s_es"), lit("de"))
+          .otherwise(lit("es")).as("lang_pred"),
+        col("s_en"), col("s_fr"), col("s_de"), col("s_es"))
+  }
+
+  /** Polynomial rolling hash over characters, mod 1e9+7 (stays exact in both
+    * long and double arithmetic — oracle-comparable). */
+  def fingerprint(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"),
+      aggregate(split(col("text"), ""), lit(0L),
+        (h, c) => (h * 31 + ascii(c)) % 1000000007L).as("fp"))
+
+  /** Global term frequencies, top 20 by (count desc, term asc) — the
+    * tie-break makes the LIMIT cut deterministic. */
+  def topTerms(df: DataFrame, k: Int = 20): DataFrame =
+    df.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("term"))
+      .limit(k)
+
+  val queries: Map[String, Q] = Map(
+    "text_stats" -> ((s, dir) => stats(SparkEntry.table(s, dir, "documents"))),
+    "lang_id" -> ((s, dir) => langId(SparkEntry.table(s, dir, "documents"))),
+    "doc_fingerprint" -> ((s, dir) => fingerprint(SparkEntry.table(s, dir, "documents"))),
+    "top_terms" -> ((s, dir) => topTerms(SparkEntry.table(s, dir, "documents"))),
+  )
+
+  private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  length(text) AS len_chars,
+         |  len(list_filter(toks, x -> x IN ($stopList))) AS n_stop,
+         |  CAST(list_sum(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens
+         |  FROM t)
+         |SELECT doc_id, n_tokens, len_chars, n_stop, n_bpe_tokens,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+         |  0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) +
+         |  0.3 * (CAST(n_stop AS DOUBLE) / n_tokens) +
+         |  0.3 * least((CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 8.0, 1.0) AS quality
+         |FROM u""".stripMargin,
+    "lang_id" -> {
+      val scoreCols = LangMarkers.map { case (lang, markers) =>
+        val lst = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($lst))) AS s_$lang"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id, text,
+         |  $scoreCols
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+         |       WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+         |       WHEN s_de >= s_es THEN 'de'
+         |       ELSE 'es' END AS lang_pred,
+         |  s_en, s_fr, s_de, s_es
+         |FROM u""".stripMargin
+    },
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+    "top_terms" ->
+      """SELECT term, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+  )
+}

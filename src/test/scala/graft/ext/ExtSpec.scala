@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+import graft.functions.vectors
+
+/** North-star-operator correctness beyond the DuckDB oracle: recall of the
+  * approximate (LSH / IVF) variants against exact brute force at sf0.001, and
+  * the vector-expression primitives. */
+class ExtSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = SparkEntry.table(spark, dir, "documents")
+  private def emb = SparkEntry.table(spark, dir, "embeddings")
+
+  test("cosine_sim matches a reference double-precision fold") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val got = df.select(vectors.cosineSim(col("a"), col("b"))).head().getDouble(0)
+    val exp = (4.0 + 10.0 + 18.0) / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(got == exp)
+    // NULL on length mismatch and zero norm
+    val df2 = Seq((Array(1f), Array(1f, 2f)), (Array(0f), Array(0f))).toDF("a", "b")
+    assert(df2.select(vectors.cosineSim(col("a"), col("b"))).collect().forall(_.isNullAt(0)))
+  }
+
+  test("simhash: near-identical token lists have small hamming distance") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog and runs far away".split(" ")
+    val t2 = (t1.dropRight(1) :+ "home") // one token changed
+    val t3 = "completely different words in this unrelated document text here now".split(" ")
+    val df = Seq(Tuple1(t1), Tuple1(t2), Tuple1(t3)).toDF("toks")
+    val sigs = df.select(vectors.simhash64(col("toks"))).collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0), sigs(1)) < ham(sigs(0), sigs(2)))
+    assert(sigs(0) == df.select(vectors.simhash64(col("toks"))).collect()(0).getLong(0)) // deterministic
+  }
+
+  test("minhash signature estimates Jaccard") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => s"sh$i").toArray
+    val b = (1 to 80).map(i => s"sh$i").toArray ++ (1 to 20).map(i => s"zz$i")
+    val df = Seq(Tuple1(a), Tuple1(b)).toDF("sh")
+    val sigs = df.select(vectors.minhashSig(col("sh"), 128)).collect()
+      .map(_.getSeq[Long](0))
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 128.0
+    val trueJ = 80.0 / 120.0
+    assert(math.abs(est - trueJ) < 0.15, s"est $est vs true $trueJ")
+  }
+
+  test("minhash-LSH near-dup pairs: exact precision, high recall vs brute force") {
+    val truth = Dedup.jaccardPairs(docs, k = 3, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh.subsetOf(truth), "exact-Jaccard verification must kill false positives")
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (found ${lsh.size}/${truth.size})")
+  }
+
+  test("simhash banding finds exactly the hamming<=3 pairs (pigeonhole exactness)") {
+    val sigs = docs.select(col("doc_id"), vectors.simhash64(split(col("text"), " ")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    val blocked = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute, s"blocking must be exact: got ${blocked.size} vs ${brute.size}")
+  }
+
+  test("IVF ANN recall@5 vs exact brute force") {
+    val queries = emb.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = pairs(Similarity.annTopK(emb, queries, k = 5))
+    val ivf = pairs(Similarity.annIvf(emb, queries, k = 5))
+    val recalls = exact.map { case (q, e) => (e & ivf.getOrElse(q, Set.empty)).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"IVF mean recall@5 $mean below 0.7 (nProbe=4/nCells=16 scans ~25%)")
+  }
+
+  test("multimodal decode plumbing: batch iterator, schema, determinism") {
+    val out = Multimodal.decodeMeta(docs)
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height", "n_frames", "n_sampled_frames", "checksum"))
+    val rows = out.collect()
+    assert(rows.length == docs.count())
+    // deterministic fake decode: n_bytes equals the text length (ASCII corpus)
+    val lens = docs.select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(m => m.n_bytes == lens(m.doc_id)))
+    assert(rows.forall(m => m.n_frames == m.n_bytes / 64 + 1))
+  }
+}
