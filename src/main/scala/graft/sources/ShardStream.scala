@@ -1,0 +1,307 @@
+package graft.sources
+
+import java.io.{BufferedReader, File, FileReader}
+import java.util.Optional
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kinesis-semantics Structured Streaming source backed by a directory of
+  * shard files (offline-friendly simulator of the reference's ingestion
+  * engine, worker/worker.go).
+  *
+  * Stream layout: `<path>/shard-<id>.jsonl`, one JSON record per line
+  * (`sequenceNumber`, `partitionKey`, `data`, `approximateArrivalTimestamp`
+  * epoch-millis), plus optional `<path>/shards.json` metadata marking closed
+  * shards. Appends to a shard file between micro-batches are picked up
+  * (simulating a live stream).
+  *
+  * Reference mapping (SURVEY.md §2.1):
+  *  - S1 shard discovery → [[ShardMicroBatchStream.discover]] lists shard
+  *    files per micro-batch (DescribeStream, worker.go:95-112);
+  *  - S2 iterator seek → `startingPosition` option resolves the initial
+  *    offset per shard: TRIM_HORIZON, LATEST, AT_SEQUENCE_NUMBER,
+  *    AFTER_SEQUENCE_NUMBER (worker.go:13-18,148-169);
+  *  - S3 micro-batch poll with BatchSize cap → admission control limits each
+  *    micro-batch to `batchSize` records per shard (GetRecords Limit,
+  *    worker.go:210-214);
+  *  - S4 per-shard fan-out → one [[ShardInputPartition]] per shard = one
+  *    Spark task per shard (worker.go:102-123);
+  *  - S5 shard merge → the partitions union into one DataFrame, per-shard
+  *    order preserved, cross-shard interleaving unspecified (worker.go:49);
+  *  - S6 rate limiting → `Trigger.ProcessingTime(sleepTime)` at query level
+  *    (worker.go:180-196);
+  *  - S7 backpressure → micro-batch pull model (inherent);
+  *  - S8 error handling → Spark task retry re-reads the partition range;
+  *  - S9 lag telemetry → [[ReportsSourceMetrics]] exposes
+  *    `recordsBehindLatest` (MillisBehindLatest analogue, worker.go:226-227);
+  *  - S10 graceful stop + checkpointed offsets → StreamingQuery.stop() and
+  *    offset JSON round-trip; restart resumes exactly-once (the reference
+  *    loses position on restart — strict improvement, SURVEY §2.1 quirks);
+  *  - closed shards (the reference nil-derefs, worker.go:233): a shard
+  *    marked closed in shards.json is drained to EOF and then simply stops
+  *    producing — handled, not crashed.
+  */
+object ShardStream {
+  val Schema: StructType = StructType(Seq(
+    StructField("data", BinaryType),
+    StructField("partitionKey", StringType),
+    StructField("sequenceNumber", StringType),
+    StructField("approximateArrivalTimestamp", TimestampType),
+    StructField("shardId", StringType)))
+
+  val TrimHorizon = "TRIM_HORIZON"
+  val Latest = "LATEST"
+  val AtSequenceNumber = "AT_SEQUENCE_NUMBER"
+  val AfterSequenceNumber = "AFTER_SEQUENCE_NUMBER"
+
+  /** Test/demo helper: write rows as a shard directory. `rows` =
+    * (shardId, sequenceNumber, partitionKey, data, arrivalMillis). */
+  def writeShardDir(dir: String, rows: Seq[(String, String, String, String, Long)],
+                    closedShards: Set[String] = Set.empty): Unit = {
+    val d = new File(dir)
+    d.mkdirs()
+    val mapper = new ObjectMapper()
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val w = new java.io.PrintWriter(new File(d, s"shard-$shard.jsonl"), "UTF-8")
+      try rs.foreach { case (_, seq, pk, data, ts) =>
+        val node = mapper.createObjectNode()
+        node.put("sequenceNumber", seq)
+        node.put("partitionKey", pk)
+        node.put("data", data)
+        node.put("approximateArrivalTimestamp", ts)
+        w.println(mapper.writeValueAsString(node))
+      } finally w.close()
+    }
+    if (closedShards.nonEmpty) {
+      val meta = closedShards.map(s => s"""{"shardId": "$s", "closed": true}""")
+        .mkString("[", ",", "]")
+      java.nio.file.Files.writeString(new File(d, "shards.json").toPath, meta)
+    }
+  }
+}
+
+class ShardStreamProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kinesiscat"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = ShardStream.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new ShardStreamTable(new CaseInsensitiveStringMap(properties))
+}
+
+class ShardStreamTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"kinesiscat(${options.get("path")})"
+  override def schema(): StructType = ShardStream.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = ShardStream.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ShardMicroBatchStream(opts)
+      }
+    }
+}
+
+/** Offset = per-shard consumed record count (sequence position). */
+case class ShardOffsets(positions: Map[String, Long]) extends Offset {
+  override def json(): String =
+    positions.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${k}":$v""" }.mkString("{", ",", "}")
+}
+
+object ShardOffsets {
+  private val mapper = new ObjectMapper()
+  def fromJson(s: String): ShardOffsets = {
+    val node = mapper.readTree(s)
+    ShardOffsets(node.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
+  }
+}
+
+class ShardMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with ReportsSourceMetrics {
+
+  private val path = Option(options.get("path"))
+    .getOrElse(throw new IllegalArgumentException("kinesiscat source requires option 'path'"))
+  /** GetRecords Limit per shard per micro-batch (reference BatchSize,
+    * worker.go:21: library default 10; we default higher for throughput). */
+  private val batchSize = options.getLong("batchSize", 10000L)
+  private val startingPosition = Option(options.get("startingPosition"))
+    .getOrElse(ShardStream.Latest).toUpperCase
+  private val startingSequenceNumber = Option(options.get("startingSequenceNumber"))
+
+  @transient private val mapper = new ObjectMapper()
+
+  /** S1: shard discovery — list shard files + closed metadata. */
+  private def discover(): Map[String, File] = {
+    val d = new File(path)
+    val files = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("shard-") && f.getName.endsWith(".jsonl"))
+    files.map(f => f.getName.stripPrefix("shard-").stripSuffix(".jsonl") -> f).toMap
+  }
+
+  private def closedShards(): Set[String] = {
+    val meta = new File(path, "shards.json")
+    if (!meta.exists()) Set.empty
+    else mapper.readTree(meta).elements().asScala
+      .filter(n => n.path("closed").asBoolean(false))
+      .map(n => n.path("shardId").asText()).toSet
+  }
+
+  private def countLines(f: File): Long = {
+    val r = new BufferedReader(new FileReader(f))
+    try Iterator.continually(r.readLine()).takeWhile(_ != null).size.toLong
+    finally r.close()
+  }
+
+  /** Position of the first record with sequenceNumber >= / > the given one
+    * (AT/AFTER semantics over the per-shard ordered file). */
+  private def seekPosition(f: File, seq: String, after: Boolean): Long = {
+    val r = new BufferedReader(new FileReader(f))
+    try {
+      var idx = 0L
+      var line = r.readLine()
+      while (line != null) {
+        val s = mapper.readTree(line).path("sequenceNumber").asText()
+        if ((after && s > seq) || (!after && s >= seq)) return idx
+        idx += 1
+        line = r.readLine()
+      }
+      idx
+    } finally r.close()
+  }
+
+  /** S2: iterator seek per shard. */
+  override def initialOffset(): Offset = {
+    val shards = discover()
+    ShardOffsets(shards.map { case (id, f) =>
+      id -> (startingPosition match {
+        case ShardStream.TrimHorizon => 0L
+        case ShardStream.Latest      => countLines(f)
+        case ShardStream.AtSequenceNumber =>
+          seekPosition(f, startingSequenceNumber.getOrElse(
+            throw new IllegalArgumentException(
+              "AT_SEQUENCE_NUMBER requires startingSequenceNumber")), after = false)
+        case ShardStream.AfterSequenceNumber =>
+          seekPosition(f, startingSequenceNumber.getOrElse(
+            throw new IllegalArgumentException(
+              "AFTER_SEQUENCE_NUMBER requires startingSequenceNumber")), after = true)
+        case other =>
+          throw new IllegalArgumentException(s"unknown startingPosition $other")
+      })
+    })
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
+
+  /** Trigger.AvailableNow support: snapshot the stream head; subsequent
+    * capped micro-batches drain up to exactly this target, then stop. */
+  @volatile private var availableNowTarget: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(reportLatestOffset().asInstanceOf[ShardOffsets].positions)
+
+  /** S3: micro-batch poll — advance each shard by at most batchSize. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startPos = start.asInstanceOf[ShardOffsets].positions
+    val shards = discover()
+    ShardOffsets(shards.map { case (id, f) =>
+      val cur = startPos.getOrElse(id, 0L) // newly discovered shard → from 0
+      val head = availableNowTarget match {
+        case Some(t) => t.getOrElse(id, 0L)
+        case None    => countLines(f)
+      }
+      id -> math.max(cur, math.min(head, cur + batchSize))
+    })
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-control latestOffset is used")
+
+  override def reportLatestOffset(): Offset = {
+    val shards = discover()
+    ShardOffsets(shards.map { case (id, f) => id -> countLines(f) })
+  }
+
+  /** S4: one partition per shard with an advancing range. Closed shards that
+    * are fully drained stop producing partitions (no reference nil-deref). */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ShardOffsets].positions
+    val e = end.asInstanceOf[ShardOffsets].positions
+    val shards = discover()
+    e.toSeq.sortBy(_._1).flatMap { case (id, endPos) =>
+      val startPos = s.getOrElse(id, 0L)
+      shards.get(id) match {
+        case Some(f) if endPos > startPos =>
+          Some(ShardInputPartition(id, f.getAbsolutePath, startPos, endPos))
+        case _ => None // drained or vanished shard (incl. closed)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ShardReaderFactory
+
+  override def deserializeOffset(json: String): Offset = ShardOffsets.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** S9: lag telemetry — records remaining behind the stream head, summed
+    * over shards (the MillisBehindLatest analogue). */
+  override def metrics(latestConsumedOffset: Optional[Offset]): java.util.Map[String, String] = {
+    val consumed: Map[String, Long] =
+      if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get.asInstanceOf[ShardOffsets].positions
+      else Map.empty
+    val shards = discover()
+    val lag = shards.map { case (id, f) =>
+      math.max(0L, countLines(f) - consumed.getOrElse(id, 0L))
+    }.sum
+    Map("recordsBehindLatest" -> lag.toString,
+        "numShards" -> shards.size.toString,
+        "numClosedShards" -> closedShards().size.toString).asJava
+  }
+}
+
+case class ShardInputPartition(shardId: String, file: String, start: Long, end: Long)
+    extends InputPartition
+
+class ShardReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardInputPartition]
+    new PartitionReader[InternalRow] {
+      private val mapper = new ObjectMapper()
+      private val reader = new BufferedReader(new FileReader(p.file))
+      private var pos = 0L
+      // seek to start (a real connector would resume an iterator token)
+      while (pos < p.start && reader.readLine() != null) pos += 1
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        if (pos >= p.end) return false
+        val line = reader.readLine()
+        if (line == null) return false
+        pos += 1
+        val n = mapper.readTree(line)
+        current = InternalRow(
+          n.path("data").asText().getBytes("UTF-8"),
+          UTF8String.fromString(n.path("partitionKey").asText()),
+          UTF8String.fromString(n.path("sequenceNumber").asText()),
+          n.path("approximateArrivalTimestamp").asLong() * 1000L, // ms → µs
+          UTF8String.fromString(p.shardId))
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}
