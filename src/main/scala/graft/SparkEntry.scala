@@ -41,16 +41,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     table(spark, dir, "events")
-      .where(jmesTruthy(col("props"), "k > `10`"))
+      .where(compile.Lowering.truthy(col("props"), "k > `10`"))
       .select(col("event_id"), jmespath(col("props"), "{k: k, big: k > `50`}").as("line"))
   }
 
   /** Headline subset timed by [[Bench]] (driver-run at sf0.1). Kept small and
     * representative; correctness runs the full `queries` map. */
   def benchQueries: Seq[String] = Seq(
-    "q1_agg", "jmes_field", "jmes_filter_compare", "cli_format_data",
-    "text_stats", "top_terms", "dedup_exact", "dedup_jaccard_pairs",
-    "ann_topk", "windowed_agg")
+    "q1_agg", "jmes_field", "jmes_filter_compare", "jmes_field_interp",
+    "jmes_filter_interp", "cli_format_data", "text_stats", "top_terms",
+    "dedup_exact", "dedup_jaccard_pairs", "ann_topk", "windowed_agg")
 
   /** One entry per implemented operator from SURVEY.md §2 + north-star ext. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -58,13 +58,25 @@ object SparkEntry {
       ext.Similarity.queries ++ ext.Multimodal.queries ++ engine.StreamingCoverage.queries
 
   private def core: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // J1/J2 — field access + subexpression (interpreter.go:78-83,266-271)
+    // J1/J2 — field access + subexpression (interpreter.go:78-83,266-271),
+    // natively lowered to the streaming JsonPathRaw extractor (compile.Lowering)
     "jmes_field" -> ((s, dir) =>
       table(s, dir, "events")
-        .select(col("event_id"), jmespathDouble(col("props"), "k").as("k"))),
+        .select(col("event_id"), compile.Lowering.double(col("props"), "k").as("k"))),
 
-    // J11 + truthiness — CLI `-filter` semantics (main.go:88-101, util.go:13-45)
+    // J11 + truthiness — CLI `-filter` semantics (main.go:88-101, util.go:13-45),
+    // natively lowered comparator + truthiness
     "jmes_filter_compare" -> ((s, dir) =>
+      table(s, dir, "events")
+        .where(compile.Lowering.truthy(col("props"), "k > `50`"))
+        .select(col("event_id"), col("props"))),
+
+    // same queries through the interpreted fallback path (kept as operator
+    // coverage for JmesPathEval itself and as a bench A/B pair)
+    "jmes_field_interp" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"), jmespathDouble(col("props"), "k").as("k"))),
+    "jmes_filter_interp" -> ((s, dir) =>
       table(s, dir, "events")
         .where(jmesTruthy(col("props"), "k > `50`"))
         .select(col("event_id"), col("props"))),
@@ -109,6 +121,10 @@ object SparkEntry {
     "jmes_field" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
     "jmes_filter_compare" ->
+      "SELECT event_id, props FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50",
+    "jmes_field_interp" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
+    "jmes_filter_interp" ->
       "SELECT event_id, props FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50",
     "cli_format_data" ->
       "SELECT event_id, props || chr(10) AS line FROM events",

@@ -1,0 +1,114 @@
+package graft.compile
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One navigation step of a lowered JMESPath field/index chain. */
+sealed trait PathStep
+final case class FieldStep(name: String) extends PathStep
+final case class IndexStep(i: Int) extends PathStep // non-negative only
+
+/** Streaming raw-JSON path extractor: returns the RAW JSON text of the value
+  * at a field/index path — numbers unchanged ("87", "1.5e3"), strings WITH
+  * their quotes ("\"abc\""), containers re-serialized compact. SQL NULL for a
+  * missing path, a JSON null, or malformed input.
+  *
+  * This is the lowering primitive for the hot JMESPath subset: unlike
+  * `get_json_object` (which erases JSON types by unquoting strings, making
+  * `"5"` and `5` indistinguishable), the raw form preserves enough type
+  * information for EXACT JMESPath comparator/truthiness semantics
+  * (reference: interpreter.go:33-65, util.go:13-45).
+  *
+  * Single SAX-style pass per record (Jackson streaming, no tree
+  * materialization) — the same execution strategy as Spark's own JSON path
+  * reader, replacing the reference's full `json.Unmarshal` per record
+  * (main.go:89-90). Duplicate object keys resolve to the LAST occurrence,
+  * matching Go map unmarshaling.
+  */
+case class JsonPathRaw(child: Expression, steps: Seq[PathStep])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_path_raw"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = JsonPathRaw.extract(input.asInstanceOf[UTF8String].toString, steps)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonPathRaw =
+    copy(child = newChild)
+}
+
+object JsonPathRaw {
+  private val factory = new JsonFactory()
+
+  /** Raw JSON text at `steps`, or null. */
+  def extract(doc: String, steps: Seq[PathStep]): String = {
+    try {
+      var current = doc
+      for (step <- steps) {
+        current = one(current, step)
+        if (current == null) return null
+      }
+      // normalize: a bare JSON null (or whitespace variants) → SQL NULL
+      val p = factory.createParser(current)
+      val t = p.nextToken()
+      if (t == null || t == JsonToken.VALUE_NULL) { p.close(); return null }
+      val sw = new java.io.StringWriter()
+      val g = factory.createGenerator(sw)
+      g.copyCurrentStructure(p)
+      g.close(); p.close()
+      sw.toString
+    } catch { case _: Exception => null }
+  }
+
+  /** Apply a single step to a raw JSON value; null if not found/mismatched. */
+  private def one(json: String, step: PathStep): String = {
+    val p = factory.createParser(json)
+    try {
+      val t = p.nextToken()
+      step match {
+        case FieldStep(name) =>
+          if (t != JsonToken.START_OBJECT) return null
+          var last: String = null
+          var ft = p.nextToken()
+          while (ft != JsonToken.END_OBJECT) {
+            val fn = p.currentName()
+            p.nextToken() // move onto the value
+            if (fn == name) last = copyCurrent(p) // last occurrence wins
+            else p.skipChildren() // no-op for scalars
+            ft = p.nextToken()
+          }
+          last
+        case IndexStep(i) =>
+          if (t != JsonToken.START_ARRAY) return null
+          var idx = 0
+          var vt = p.nextToken()
+          while (vt != JsonToken.END_ARRAY) {
+            if (idx == i) return copyCurrent(p)
+            p.skipChildren()
+            idx += 1
+            vt = p.nextToken()
+          }
+          null
+      }
+    } finally p.close()
+  }
+
+  private def copyCurrent(p: com.fasterxml.jackson.core.JsonParser): String = {
+    val sw = new java.io.StringWriter()
+    val g = factory.createGenerator(sw)
+    g.copyCurrentStructure(p)
+    g.close()
+    sw.toString
+  }
+}

@@ -1,0 +1,119 @@
+package graft.compile
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, _}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.jmespath.{Ast, JBool, JNull, JNum, JStr, JValue, Parser}
+import graft.functions.jmes
+
+/** Native Catalyst lowering of the hot JMESPath subset (SURVEY.md §4.2,
+  * build step 3): translates field/index chains, literals, comparators and
+  * boolean combinators into resolved Expression trees built on
+  * [[JsonPathRaw]], with the interpreted [[graft.functions.JmesPathEval]]
+  * family as the automatic fallback for everything else.
+  *
+  * Exactness contract (validated case-by-case against the compliance corpus
+  * in LoweringSpec):
+  *  - `double(...)`: numeric value of a path — EXACT (raw preserves JSON
+  *    types, so a quoted "5" correctly yields NULL, unlike get_json_object);
+  *  - `truthy(...)`: predicate semantics (util.go:13-45) — EXACT for the
+  *    lowered subset: comparator results that are JMESPath `null` lower to
+  *    SQL NULL→false matching null-is-falsy, and `&&`/`||`/`!` value
+  *    semantics collapse to boolean and/or/not under truthiness;
+  *  - structural equality lowers only against scalar literals; path-vs-path
+  *    equality falls back (raw text does not canonicalize object key order).
+  */
+object Lowering {
+  import Ast._
+
+  private val False = CLit(false, BooleanType)
+  private def str(s: String) = CLit(UTF8String.fromString(s), StringType)
+  private def tryCastD(e: Expression) = Cast(e, DoubleType, None, EvalMode.TRY)
+
+  /** Field/index navigation chain, if the AST is one. */
+  def pathOf(ast: Ast): Option[Seq[PathStep]] = ast match {
+    case Identity | CurrentNode => Some(Nil)
+    case Field(name)            => Some(Seq(FieldStep(name)))
+    case Subexpression(l, r)    => for (a <- pathOf(l); b <- pathOf(r)) yield a ++ b
+    case Pipe(l, r)             => for (a <- pathOf(l); b <- pathOf(r)) yield a ++ b
+    case IndexExpr(l, Index(i)) if i >= 0 => pathOf(l).map(_ :+ IndexStep(i))
+    case _                      => None
+  }
+
+  private def rawOf(doc: Expression, ast: Ast): Option[Expression] =
+    pathOf(ast).filter(_.nonEmpty).map(steps => JsonPathRaw(doc, steps))
+
+  /** Numeric (double) value of the AST; NULL for non-numbers. */
+  def numOf(doc: Expression, ast: Ast): Option[Expression] = ast match {
+    case Literal(JNum(d)) => Some(CLit(d, DoubleType))
+    case _                => rawOf(doc, ast).map(tryCastD)
+  }
+
+  /** Equality of a path against a scalar literal (canonical raw text). */
+  private def eqCol(doc: Expression, path: Ast, literal: JValue): Option[Expression] = {
+    val raw = rawOf(doc, path).getOrElse(return None)
+    literal match {
+      case JNum(d) =>
+        Some(Coalesce(Seq(EqualTo(tryCastD(raw), CLit(d, DoubleType)), False)))
+      case JStr(s) =>
+        Some(Coalesce(Seq(EqualTo(raw, str(JValue.serialize(JStr(s)))), False)))
+      case JBool(b) =>
+        Some(Coalesce(Seq(EqualTo(raw, str(if (b) "true" else "false")), False)))
+      case JNull => Some(IsNull(raw))
+      case _     => None // container literals → fallback
+    }
+  }
+
+  /** Truthiness of the AST as a non-null BooleanType Expression, or None if
+    * the AST is outside the lowered subset. */
+  def truthyOf(doc: Expression, ast: Ast): Option[Expression] = ast match {
+    case Literal(v)    => Some(CLit(v.truthy, BooleanType))
+    case AndExpr(l, r) => for (a <- truthyOf(doc, l); b <- truthyOf(doc, r)) yield And(a, b)
+    case OrExpr(l, r)  => for (a <- truthyOf(doc, l); b <- truthyOf(doc, r)) yield Or(a, b)
+    case NotExpr(c)    => truthyOf(doc, c).map(Not)
+    case Comparator(op, l, r) => op match {
+      case "==" | "!=" =>
+        val eq = (l, r) match {
+          case (p, Literal(v)) => eqCol(doc, p, v)
+          case (Literal(v), p) => eqCol(doc, p, v)
+          case _               => None
+        }
+        eq.map(e => if (op == "==") e else Not(e))
+      case _ =>
+        // ordering is numbers-only; a non-number operand → JMESPath null →
+        // falsy, which SQL NULL-propagation + coalesce reproduces exactly
+        for (a <- numOf(doc, l); b <- numOf(doc, r)) yield Coalesce(Seq(op match {
+          case "<"  => LessThan(a, b)
+          case "<=" => LessThanOrEqual(a, b)
+          case ">"  => GreaterThan(a, b)
+          case ">=" => GreaterThanOrEqual(a, b)
+        }, False))
+    }
+    case _ =>
+      rawOf(doc, ast).map { raw =>
+        CaseWhen(Seq((IsNull(raw), False)),
+          Some(Not(In(raw, Seq(str("\"\""), str("false"), str("[]"), str("{}"))))))
+      }
+  }
+
+  /** Public API: lowered-when-possible column builders (interpreted
+    * fallback otherwise — same result types as the jmes._ entry points). */
+  def truthy(doc: Column, expression: String): Column =
+    truthyOf(bridge.expression(doc), Parser.parse(expression))
+      .map(bridge.column)
+      .getOrElse(jmes.jmesTruthy(doc, expression))
+
+  def double(doc: Column, expression: String): Column =
+    numOf(bridge.expression(doc), Parser.parse(expression))
+      .map(bridge.column)
+      .getOrElse(jmes.jmespathDouble(doc, expression))
+
+  /** True if `truthy(expression)` / `double(expression)` lower natively. */
+  def lowersTruthy(expression: String): Boolean =
+    truthyOf(CLit(UTF8String.fromString(""), StringType), Parser.parse(expression)).isDefined
+  def lowersDouble(expression: String): Boolean =
+    numOf(CLit(UTF8String.fromString(""), StringType), Parser.parse(expression)).isDefined
+}

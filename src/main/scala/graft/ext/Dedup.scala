@@ -46,30 +46,31 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** All pairs with k-shingle Jaccard ≥ tau, via inverted-index candidates.
-    * Exact for tau > 0. `maxDocFreq` (optional) drops shingles occurring in
-    * more than that many docs from candidate generation — a scale valve that
-    * makes the result approximate. */
+  /** All pairs with k-shingle Jaccard ≥ tau, via inverted-index
+    * co-occurrence counting. Exact for tau > 0 (J ≥ τ > 0 implies a shared
+    * shingle). The shingle-equality self-join followed by a pair-key count
+    * computes |A∩B| directly — no pair `distinct`, no array intersection —
+    * and |A|,|B| ride along through the explode, so
+    * J = |A∩B| / (|A| + |B| − |A∩B|) falls out of one aggregation.
+    * `maxDocFreq` (optional) drops shingles occurring in more than that many
+    * docs from candidate generation — a scale valve that makes the result
+    * approximate but bounds hot-shingle blowup. */
   def jaccardPairs(df: DataFrame, k: Int = 3, tau: Double = 0.5,
                    maxDocFreq: Option[Int] = None): DataFrame = {
     val d = df.select(col("doc_id"), shingles(col("text"), k).as("sh"))
-    val inv0 = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inv0 = d.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
     val inv = maxDocFreq match {
       case Some(cap) =>
         val hot = inv0.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") > cap)
-        inv0.join(hot, Seq("s"), "left_anti")
+        inv0.join(hot.select("s"), Seq("s"), "left_anti")
       case None => inv0
     }
-    val cand = inv.as("x").join(inv.as("y"),
+    inv.as("x").join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    cand
-      .join(d.as("da"), col("id_a") === col("da.doc_id"))
-      .join(d.as("db"), col("id_b") === col("db.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"), first(col("x.n")).as("na"), first(col("y.n")).as("nb"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
-          size(array_union(col("da.sh"), col("db.sh")))).as("jac"))
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= tau)
   }
 
