@@ -55,7 +55,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 + north-star ext. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     core ++ JmesCoverage.queries ++ ext.TextAnalysis.queries ++ ext.Dedup.queries ++
-      ext.Similarity.queries ++ ext.Multimodal.queries ++ engine.StreamingCoverage.queries
+      ext.Similarity.queries ++ ext.Multimodal.queries ++ ext.Sessionize.queries ++
+      engine.StreamingCoverage.queries
 
   private def core: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1/J2 — field access + subexpression (interpreter.go:78-83,266-271),
@@ -145,5 +146,6 @@ object SparkEntry {
         |  event_type, count(*) AS n, sum(value) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
   ) ++ JmesCoverage.oracleSql ++ ext.TextAnalysis.oracleSql ++ ext.Dedup.oracleSql ++
-    ext.Similarity.oracleSql ++ ext.Multimodal.oracleSql ++ engine.StreamingCoverage.oracleSql
+    ext.Similarity.oracleSql ++ ext.Multimodal.oracleSql ++ ext.Sessionize.oracleSql ++
+    engine.StreamingCoverage.oracleSql
 }

@@ -1,0 +1,99 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.SparkEntry
+
+/** Per-user gap-based sessionization of the events stream — the stateful
+  * streaming operator family (KeyValueGroupedDataset.flatMapGroupsWithState)
+  * the reference lacks entirely (SURVEY §2.4), plus a batch window-function
+  * twin used as the driver-oracle gate.
+  *
+  * A session breaks when the gap between consecutive events of a user
+  * exceeds `gapMinutes`. Batch plan: lag + running sum over a
+  * (user_id, ts)-partitioned window — shuffles once by user_id, scales with
+  * per-user cardinality, not table size. Streaming plan: state =
+  * (start, last, count) per user; closed sessions are emitted as soon as the
+  * breaking event arrives; the open tail session stays in state.
+  */
+object Sessionize {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Batch sessionization via window functions (driver-oracle twin). */
+  def batch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(order))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "sid", "session_start", "n_events")
+  }
+
+  case class SessionState(startMs: Long, lastMs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long)
+
+  /** Streaming sessionization over the shard-source envelope
+    * (partitionKey = user id, approximateArrivalTimestamp = event time).
+    * Emits CLOSED sessions; the open tail session per user remains in state.
+    * Assumes per-user event-time order across micro-batches (holds when a
+    * user's records live on one shard — the Kinesis partition-key contract). */
+  def streaming(envelope: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = envelope.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    envelope
+      .select(col("partitionKey").cast("long").as("user_id"),
+        unix_millis(col("approximateArrivalTimestamp")).as("ts_ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, events: Iterator[(Long, Long)], state: GroupState[SessionState]) => {
+          val ts = events.map(_._2).toArray.sorted // order within the batch
+          val out = scala.collection.mutable.ListBuffer[SessionOut]()
+          var cur = state.getOption.orNull
+          for (t <- ts) {
+            if (cur == null) cur = SessionState(t, t, 1)
+            else if (t - cur.lastMs > gapMs) {
+              out += SessionOut(user, new Timestamp(cur.startMs), cur.n)
+              cur = SessionState(t, t, 1)
+            } else cur = cur.copy(lastMs = t, n = cur.n + 1)
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+        })
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sessionize" -> ((s, dir) => batch(SparkEntry.table(s, dir, "events"))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, sid, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+  )
+}
