@@ -145,6 +145,8 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    // same inverted-index co-occurrence formulation as the Spark plan (an
+    // all-pairs cross join would be a pathological baseline: >1000s at sf0.1)
     "dedup_jaccard_pairs" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -153,12 +155,14 @@ object Dedup {
         |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
         |      ELSE [text] END) AS sh
         |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jac
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.5""".stripMargin,
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |co AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+        |FROM co WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin,
     "dedup_embedding_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
