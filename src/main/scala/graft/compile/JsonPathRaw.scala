@@ -10,7 +10,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** One navigation step of a lowered JMESPath field/index chain. */
 sealed trait PathStep
 final case class FieldStep(name: String) extends PathStep
-final case class IndexStep(i: Int) extends PathStep // non-negative only
+/** Array index; negatives count from the end (single-pass ring buffer). */
+final case class IndexStep(i: Int) extends PathStep
 
 /** Streaming raw-JSON path extractor: returns the RAW JSON text of the value
   * at a field/index path — numbers unchanged ("87", "1.5e3"), strings WITH
@@ -89,7 +90,7 @@ object JsonPathRaw {
             ft = p.nextToken()
           }
           last
-        case IndexStep(i) =>
+        case IndexStep(i) if i >= 0 =>
           if (t != JsonToken.START_ARRAY) return null
           var idx = 0
           var vt = p.nextToken()
@@ -100,6 +101,18 @@ object JsonPathRaw {
             vt = p.nextToken()
           }
           null
+        case IndexStep(i) => // negative: element len+i via a ring of size -i
+          if (t != JsonToken.START_ARRAY) return null
+          val k = -i
+          val ring = new Array[String](k)
+          var cnt = 0
+          var vt = p.nextToken()
+          while (vt != JsonToken.END_ARRAY) {
+            ring(cnt % k) = copyCurrent(p)
+            cnt += 1
+            vt = p.nextToken()
+          }
+          if (cnt >= k) ring(cnt % k) else null
       }
     } finally p.close()
   }

@@ -39,7 +39,7 @@ object Lowering {
     case Field(name)            => Some(Seq(FieldStep(name)))
     case Subexpression(l, r)    => for (a <- pathOf(l); b <- pathOf(r)) yield a ++ b
     case Pipe(l, r)             => for (a <- pathOf(l); b <- pathOf(r)) yield a ++ b
-    case IndexExpr(l, Index(i)) if i >= 0 => pathOf(l).map(_ :+ IndexStep(i))
+    case IndexExpr(l, Index(i)) => pathOf(l).map(_ :+ IndexStep(i))
     case _                      => None
   }
 

@@ -10,4 +10,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register native expression builders as temp functions on a live session
+    * (the imperative twin of `spark.sql.extensions` injection). */
+  def registerFunctions(
+      spark: org.apache.spark.sql.SparkSession,
+      fns: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)]): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    fns.foreach { case (ident, _, builder) =>
+      registry.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+  }
 }
