@@ -49,8 +49,9 @@ object SparkEntry {
     * representative; correctness runs the full `queries` map. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "jmes_field", "jmes_filter_compare", "jmes_field_interp",
-    "jmes_filter_interp", "cli_format_data", "text_stats", "top_terms",
-    "dedup_exact", "dedup_jaccard_pairs", "ann_topk", "windowed_agg")
+    "jmes_filter_interp", "variant_field", "cli_format_data", "text_stats",
+    "top_terms", "dedup_exact", "dedup_jaccard_pairs", "ann_topk",
+    "windowed_agg")
 
   /** One entry per implemented operator from SURVEY.md §2 + north-star ext. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -71,6 +72,14 @@ object SparkEntry {
       table(s, dir, "events")
         .where(compile.Lowering.truthy(col("props"), "k > `50`"))
         .select(col("event_id"), col("props"))),
+
+    // SURVEY §1.2's recommended payload representation: parse once into
+    // Spark 4 VariantType, navigate with variant_get (bench A/B vs the
+    // JsonPathRaw lowering and the interpreted evaluator)
+    "variant_field" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'double')").as("k"))),
 
     // same queries through the interpreted fallback path (kept as operator
     // coverage for JmesPathEval itself and as a bench A/B pair)
@@ -123,6 +132,8 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
     "jmes_filter_compare" ->
       "SELECT event_id, props FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50",
+    "variant_field" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
     "jmes_field_interp" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
     "jmes_filter_interp" ->

@@ -12,6 +12,9 @@ case class MediaRecord(doc_id: Long, media: Array[Byte])
 case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                      n_frames: Int, n_sampled_frames: Int, checksum: Long)
 
+/** Extracted media features (the output of the feature-extract stage). */
+case class MediaFeatures(doc_id: Long, features: Array[Float])
+
 /** Multimodal-column plumbing for LLM-data pipelines: media as opaque
   * `binary` columns with typed metadata, decoded batch-wise in executors via
   * `Dataset.mapPartitions` (the JVM analogue of `mapInPandas`: one iterator
@@ -58,8 +61,43 @@ object Multimodal {
       }
   }
 
+  /** STUB feature extractor: a real implementation would run an image/audio
+    * embedding model over the decoded frames. This fake derives an 8-dim
+    * vector from byte-position sums so shape/partitioning/encoder plumbing is
+    * real and the oracle can recompute it. */
+  def extractFeaturesStub(r: MediaRecord): MediaFeatures = {
+    val dims = 8
+    val acc = new Array[Long](dims)
+    var i = 0
+    while (i < r.media.length) { acc(i % dims) += (r.media(i) & 0xff); i += 1 }
+    MediaFeatures(r.doc_id, acc.map(a => (a % 1000L) / 1000.0f))
+  }
+
+  /** documents.text → fake media bytes → batched feature extraction
+    * (embedding column ready for [[Similarity.annTopK]]). */
+  def extractFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(extractFeaturesStub)) // model loads once per partition
+  }
+
+  /** STUB resize: a real implementation re-encodes the image at the target
+    * dims; the fake truncates/pads the payload to w*h/64 bytes. */
+  def resizeStub(r: MediaRecord, w: Int, h: Int): MediaRecord = {
+    val target = math.max(1, w * h / 64)
+    MediaRecord(r.doc_id, java.util.Arrays.copyOf(r.media, target))
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_meta" -> ((s, dir) => decodeMeta(SparkEntry.table(s, dir, "documents")).toDF()),
+    "multimodal_features" -> ((s, dir) => {
+      val f = extractFeatures(SparkEntry.table(s, dir, "documents")).toDF()
+      // flatten for the oracle: one row per (doc, dim)
+      f.select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("dim"), col("v").cast("double").as("v"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -74,5 +112,14 @@ object Multimodal {
         |  (length(text) // 64 + 1 + 3) // 4 AS n_sampled_frames,
         |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) % 997 AS checksum
         |FROM documents""".stripMargin,
+    // float32 round-trip: REAL cast reproduces the stub's Float precision
+    "multimodal_features" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |  FROM documents),
+        |d AS (SELECT doc_id, (i - 1) % 8 AS dim, ascii(text[i]) AS code FROM c)
+        |SELECT doc_id, dim,
+        |  CAST(CAST((sum(code) % 1000) / 1000.0 AS REAL) AS DOUBLE) AS v
+        |FROM d GROUP BY doc_id, dim""".stripMargin,
   )
 }

@@ -102,4 +102,17 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.forall(m => m.n_bytes == lens(m.doc_id)))
     assert(rows.forall(m => m.n_frames == m.n_bytes / 64 + 1))
   }
+
+  test("multimodal feature-extract and resize stages") {
+    val feats = Multimodal.extractFeatures(docs).collect()
+    assert(feats.forall(_.features.length == 8))
+    assert(feats.forall(_.features.forall(v => v >= 0f && v < 1f)))
+    // deterministic: same doc → same vector
+    val again = Multimodal.extractFeatures(docs).collect()
+      .map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(feats.forall(f => again(f.doc_id) == f.features.toSeq))
+    // resize truncates/pads to the target byte budget
+    val r = Multimodal.resizeStub(MediaRecord(1L, Array.fill(500)(7.toByte)), 64, 64)
+    assert(r.media.length == 64 * 64 / 64)
+  }
 }
