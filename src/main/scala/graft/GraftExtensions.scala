@@ -18,8 +18,11 @@ import graft.functions.{CosineSim, JmesPathEval, JmesPathEvalDouble, JmesTruthy,
   * be foldable (literals) — they are compiled at plan time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    // auto-lower interpreted JMESPath expressions where exactly translatable
+    ext.injectOptimizerRule(_ => graft.compile.LowerJmesPathRule)
+  }
 }
 
 object GraftExtensions {

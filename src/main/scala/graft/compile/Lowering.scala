@@ -99,15 +99,25 @@ object Lowering {
       }
   }
 
+  /** [[truthyOf]] with the engine's NULL-document convention pinned
+    * (NULL doc → false, matching JmesTruthy): literal-only expressions would
+    * otherwise constant-fold and ignore the document. */
+  def truthyNullSafe(doc: Expression, ast: Ast): Option[Expression] =
+    truthyOf(doc, ast).map(e => If(IsNull(doc), False, e))
+
+  /** [[numOf]] with NULL doc → NULL pinned (matching JmesPathEvalDouble). */
+  def numNullSafe(doc: Expression, ast: Ast): Option[Expression] =
+    numOf(doc, ast).map(e => If(IsNull(doc), CLit(null, DoubleType), e))
+
   /** Public API: lowered-when-possible column builders (interpreted
     * fallback otherwise — same result types as the jmes._ entry points). */
   def truthy(doc: Column, expression: String): Column =
-    truthyOf(bridge.expression(doc), Parser.parse(expression))
+    truthyNullSafe(bridge.expression(doc), Parser.parse(expression))
       .map(bridge.column)
       .getOrElse(jmes.jmesTruthy(doc, expression))
 
   def double(doc: Column, expression: String): Column =
-    numOf(bridge.expression(doc), Parser.parse(expression))
+    numNullSafe(bridge.expression(doc), Parser.parse(expression))
       .map(bridge.column)
       .getOrElse(jmes.jmespathDouble(doc, expression))
 

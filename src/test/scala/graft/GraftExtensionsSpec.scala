@@ -42,6 +42,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 16)
   }
 
+  test("LowerJmesPathRule rewrites interpreted expressions to native plans") {
+    import spark.implicits._
+    import graft.functions.jmes._
+    import org.apache.spark.sql.functions.col
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.compile.LowerJmesPathRule
+    // parquet-backed so ConvertToLocalRelation can't fold the plan away
+    val df = Seq(Some("""{"k": 87}"""), Some("""{"k": 3}"""), None).toDF("doc")
+    val pq = java.nio.file.Files.createTempDirectory("lower").toString + "/docs"
+    df.write.parquet(pq)
+    val q = spark.read.parquet(pq).where(jmesTruthy(col("doc"), "k > `50`"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("jmes_truthy"), s"not lowered:\n$optimized")
+    assert(optimized.contains("json_path_raw"), s"expected native extractor:\n$optimized")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("""{"k": 87}"""))
+    // null-document convention preserved for constant-foldable expressions
+    val lit = df.select(jmespathDouble(col("doc"), "`5`").as("v")).collect()
+    assert(lit.map(r => Option(r.get(0))).toSeq == Seq(Some(5.0), Some(5.0), None))
+  }
+
   test("non-literal JMESPath expression argument is rejected") {
     import spark.implicits._
     Seq(("{}", "k")).toDF("doc", "e").createOrReplaceTempView("d2")
