@@ -120,6 +120,36 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components via iterative
+    * min-label propagation (each round every node adopts the smallest
+    * component id among itself and its neighbors; converges in O(diameter)
+    * rounds — near-dup clusters are small, so a handful). `localCheckpoint`
+    * cuts lineage per round so plans stay bounded; at very large scale the
+    * same loop is the core of the large-star/small-star formulation.
+    * Output: (doc_id, cluster_id = min doc_id of the component), one row per
+    * document that appears in at least one pair. */
+  def clusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ tau over all pairs (oracle-scale
     * reference; use [[Similarity.annIvf]] buckets at scale). */
   def embeddingPairs(df: DataFrame, tau: Double): DataFrame =
@@ -140,6 +170,8 @@ object Dedup {
       simhashPairs(SparkEntry.table(s, dir, "documents"), maxHamming = 3)),
     "dedup_embedding_pairs" -> ((s, dir) =>
       embeddingPairs(SparkEntry.table(s, dir, "embeddings"), tau = 0.4)),
+    "dedup_clusters" -> ((s, dir) =>
+      clusters(jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -168,5 +200,31 @@ object Dedup {
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    // transitive closure over the same exact-Jaccard pairs; cluster id = min
+    // doc_id of the connected component
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |co AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |p AS (SELECT id_a, id_b FROM co
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin,
   )
 }

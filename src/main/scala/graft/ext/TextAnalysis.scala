@@ -85,11 +85,31 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("term"))
       .limit(k)
 
+  /** Per-document top-k keywords by TF-IDF with a LINEAR idf (score =
+    * tf / df): integer division in IEEE doubles is bit-exact across engines,
+    * whereas ln-based idf can flip ranks on mathematically-equal scores
+    * (2·ln5 vs ln25 differ in the last ulp, and differently per libm).
+    * Two aggregations (term-in-doc, then document frequency) + a
+    * broadcast-size df join; per-doc ranking ties broken by term. */
+  def tfidfKeywords(df: DataFrame, k: Int = 3): DataFrame = {
+    val tf = df.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank"), col("score"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_stats" -> ((s, dir) => stats(SparkEntry.table(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => langId(SparkEntry.table(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) => fingerprint(SparkEntry.table(s, dir, "documents"))),
     "top_terms" -> ((s, dir) => topTerms(SparkEntry.table(s, dir, "documents"))),
+    "tfidf_keywords" -> ((s, dir) => tfidfKeywords(SparkEntry.table(s, dir, "documents"))),
   )
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -139,5 +159,16 @@ object TextAnalysis {
       """SELECT term, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+    "tfidf_keywords" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        |r AS (
+        |  SELECT tfc.doc_id, tfc.term, CAST(tfc.tf AS DOUBLE) / dfc.df AS score,
+        |    row_number() OVER (PARTITION BY tfc.doc_id
+        |                       ORDER BY CAST(tfc.tf AS DOUBLE) / dfc.df DESC, tfc.term) AS rank
+        |  FROM tfc JOIN dfc USING (term))
+        |SELECT doc_id, term, rank, score FROM r WHERE rank <= 3""".stripMargin,
   )
 }

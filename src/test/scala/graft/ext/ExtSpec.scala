@@ -103,6 +103,26 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.forall(m => m.n_frames == m.n_bytes / 64 + 1))
   }
 
+  test("dedup clusters: connected components of the near-dup pair graph") {
+    val pairs = Dedup.jaccardPairs(docs, k = 3, tau = 0.5)
+    val pairSet = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val comp = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair endpoint is labeled, and both ends share a component
+    assert(pairSet.forall { case (a, b) => comp(a) == comp(b) })
+    // cluster id is the component minimum (a member labels itself)
+    assert(comp.forall { case (id, c) => c <= id && comp(c) == c })
+    // transitivity witness: brute-force union-find agrees
+    val uf = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = uf.getOrElse(x, x); if (p == x) x else { val r = find(p); uf(x) = r; r } }
+    pairSet.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    assert(comp.forall { case (id, c) => find(id) == c })
+  }
+
   test("multimodal feature-extract and resize stages") {
     val feats = Multimodal.extractFeatures(docs).collect()
     assert(feats.forall(_.features.length == 8))
