@@ -39,12 +39,15 @@ object Bench {
     }
     val results = names.map { n =>
       val t0 = System.nanoTime()
-      try force(SparkEntry.queries(n)(spark, sfDir))
-      catch { case _: Throwable => () }
-      n -> (System.nanoTime() - t0) / 1e9
+      try { force(SparkEntry.queries(n)(spark, sfDir)); n -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        // a failed query must be visible as a failure, not a fast time
+        System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
+        n -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

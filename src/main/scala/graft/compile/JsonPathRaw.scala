@@ -49,10 +49,38 @@ case class JsonPathRaw(child: Expression, steps: Seq[PathStep])
     copy(child = newChild)
 }
 
+/** True iff the document parses as JSON under the SAME parser configuration
+  * the interpreted evaluator uses (JValue.parseOpt) — the guard that keeps
+  * lowered malformed-insensitive rewrites (negation, literals, null-equality)
+  * faithful to the interpreted malformed-input semantics. */
+case class JsonIsValid(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "json_is_valid"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING input, got ${child.dataType.sql}")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) java.lang.Boolean.FALSE else nullSafeEval(v)
+  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(
+      graft.jmespath.JValue.parseOpt(input.asInstanceOf[UTF8String].toString).isDefined)
+  override protected def withNewChildInternal(newChild: Expression): JsonIsValid =
+    copy(child = newChild)
+}
+
 object JsonPathRaw {
   private val factory = new JsonFactory()
 
-  /** Raw JSON text at `steps`, or null. */
+  /** Raw JSON text at `steps`, or null.
+    *
+    * Cost note: the FULL document is parsed exactly once (the first step);
+    * each later step re-parses only the previously-extracted subtree, which
+    * shrinks monotonically — the buffering is what makes duplicate-key
+    * last-wins resolution possible in a streaming pass. */
   def extract(doc: String, steps: Seq[PathStep]): String = {
     try {
       var current = doc

@@ -31,6 +31,11 @@ object Lowering {
 
   private val False = CLit(false, BooleanType)
   private def str(s: String) = CLit(UTF8String.fromString(s), StringType)
+  // Jackson-canonical string encoding: JsonPathRaw re-serializes extracted
+  // values through a Jackson generator, so literal comparisons must use the
+  // SAME escaping (JValue.writeString differs on control-char escapes)
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def jacksonString(s: String): String = jsonMapper.writeValueAsString(s)
   private def tryCastD(e: Expression) = Cast(e, DoubleType, None, EvalMode.TRY)
 
   /** Field/index navigation chain, if the AST is one. */
@@ -59,7 +64,7 @@ object Lowering {
       case JNum(d) =>
         Some(Coalesce(Seq(EqualTo(tryCastD(raw), CLit(d, DoubleType)), False)))
       case JStr(s) =>
-        Some(Coalesce(Seq(EqualTo(raw, str(JValue.serialize(JStr(s)))), False)))
+        Some(Coalesce(Seq(EqualTo(raw, str(jacksonString(s))), False)))
       case JBool(b) =>
         Some(Coalesce(Seq(EqualTo(raw, str(if (b) "true" else "false")), False)))
       case JNull => Some(IsNull(raw))
@@ -99,15 +104,43 @@ object Lowering {
       }
   }
 
-  /** [[truthyOf]] with the engine's NULL-document convention pinned
-    * (NULL doc → false, matching JmesTruthy): literal-only expressions would
-    * otherwise constant-fold and ignore the document. */
-  def truthyNullSafe(doc: Expression, ast: Ast): Option[Expression] =
-    truthyOf(doc, ast).map(e => If(IsNull(doc), False, e))
+  /** True if the lowered form could return TRUE / non-null for a MALFORMED
+    * document where the interpreted evaluator returns false/null: raw
+    * extraction yields SQL NULL for both a missing path and an unparsable
+    * document, so constructs that flip or invert the falsy default (negation,
+    * `!=`, `== null`, literal truthiness) need a parse-validity guard. Plain
+    * paths, ordering comparators, and non-null equality are falsy on NULL raw
+    * and need none. */
+  private def malformedSensitive(ast: Ast): Boolean = ast match {
+    case Literal(_)             => true
+    case NotExpr(_)             => true
+    case AndExpr(l, r)          => malformedSensitive(l) || malformedSensitive(r)
+    case OrExpr(l, r)           => malformedSensitive(l) || malformedSensitive(r)
+    case Comparator("!=", _, _) => true
+    case Comparator("==", l, r) => l == Literal(JNull) || r == Literal(JNull)
+    case _                      => false
+  }
 
-  /** [[numOf]] with NULL doc → NULL pinned (matching JmesPathEvalDouble). */
+  /** [[truthyOf]] with the engine's NULL- and malformed-document conventions
+    * pinned (both → false, matching JmesTruthy). */
+  def truthyNullSafe(doc: Expression, ast: Ast): Option[Expression] =
+    truthyOf(doc, ast).map { e =>
+      val guarded = if (malformedSensitive(ast)) And(JsonIsValid(doc), e) else e
+      If(IsNull(doc), False, guarded)
+    }
+
+  /** [[numOf]] with NULL/malformed doc → NULL pinned (matching
+    * JmesPathEvalDouble; only literal-valued expressions are sensitive —
+    * path extraction already yields NULL on malformed input). */
   def numNullSafe(doc: Expression, ast: Ast): Option[Expression] =
-    numOf(doc, ast).map(e => If(IsNull(doc), CLit(null, DoubleType), e))
+    numOf(doc, ast).map { e =>
+      val nullD = CLit(null, DoubleType)
+      val guarded = ast match {
+        case Literal(_) => If(JsonIsValid(doc), e, nullD)
+        case _          => e
+      }
+      If(IsNull(doc), nullD, guarded)
+    }
 
   /** Public API: lowered-when-possible column builders (interpreted
     * fallback otherwise — same result types as the jmes._ entry points). */

@@ -27,7 +27,10 @@ object Cli {
       batchSize: Long = 1L,                 // main.go:37 (CLI default 1)
       sleepTimeMs: Long = 1000L,            // main.go:38
       filter: Option[String] = None,        // main.go:39
-      debug: Boolean = false)               // main.go:31
+      debug: Boolean = false,               // main.go:31
+      nulSeparator: Boolean = false) {      // main.go:47-49: -0 wins over -separator
+    def effectiveSeparator: String = if (nulSeparator) "\u0000" else separator
+  }
 
   def parse(args: Seq[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
@@ -37,7 +40,7 @@ object Cli {
       case "-position" :: v :: t    => loop(t, c.copy(position = v))
       case "-format" :: v :: t      => loop(t, c.copy(format = v))
       case "-separator" :: v :: t   => loop(t, c.copy(separator = v))
-      case "-0" :: t                => loop(t, c.copy(separator = "\u0000"))
+      case "-0" :: t                => loop(t, c.copy(nulSeparator = true))
       case "-batch-size" :: v :: t  => loop(t, c.copy(batchSize = v.toLong))
       case "-sleep-time" :: v :: t  => loop(t, c.copy(sleepTimeMs = v.toLong))
       case "-filter" :: v :: t      => loop(t, c.copy(filter = Some(v)))
@@ -55,7 +58,7 @@ object Cli {
       batchSize = c.batchSize,
       sleepTimeMs = c.sleepTimeMs,
       format = OutputFormat.parse(c.format),
-      separator = c.separator,
+      separator = c.effectiveSeparator,
       filter = c.filter)
 
   def main(args: Array[String]): Unit = {

@@ -53,12 +53,14 @@ object TextAnalysis {
   /** Language-ID: CJK codepoints → zh, else marker-token argmax with a fixed
     * tie-break order (en > fr > de > es). */
   def langId(df: DataFrame): DataFrame = {
+    // chained narrow projections — no join/shuffle; the second select only
+    // references columns of the first
     val scored = df.select(
-      col("doc_id") +:
+      col("doc_id") +: col("text") +:
         LangMarkers.map { case (lang, markers) =>
           size(filter(toks, t => t.isInCollection(markers))).as(s"s_$lang")
         }: _*)
-    df.select(col("doc_id"), col("text")).join(scored, "doc_id")
+    scored
       .select(
         col("doc_id"),
         when(col("text").rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))

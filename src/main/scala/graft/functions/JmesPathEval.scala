@@ -93,6 +93,43 @@ case class JmesPathEvalDouble(child: Expression, expression: String)
     copy(child = newChild)
 }
 
+/** Combined filter+project: the serialized JMESPath result when it is
+  * JMESPath-truthy, else NULL — one parse and one tree walk per record where
+  * `when(jmesTruthy(doc, e), jmespath(doc, e))` would do two of each. Used by
+  * the framed sink's `-filter` path. */
+case class JmesPathFiltered(child: Expression, expression: String)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (child.dataType != StringType)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
+    try { Parser.parse(expression); TypeCheckResult.TypeCheckSuccess }
+    catch { case e: JmesSyntaxError =>
+      TypeCheckResult.TypeCheckFailure(s"invalid JMESPath expression: ${e.getMessage}") }
+  }
+  @transient private lazy val compiled = Parser.compile(expression)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jmespath_filtered"
+  override def nullSafeEval(input: Any): Any = {
+    val doc = input.asInstanceOf[UTF8String].toString
+    JValue.parseOpt(doc) match {
+      case None => null
+      case Some(jv) =>
+        try {
+          val r = compiled.search(jv)
+          if (!r.truthy) null
+          else r match {
+            case JStr(s) => UTF8String.fromString(s)
+            case other   => UTF8String.fromString(JValue.serializeOrdered(other))
+          }
+        } catch { case _: JmesRuntimeError => null }
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): JmesPathFiltered =
+    copy(child = newChild)
+}
+
 /** Typed variant: JMESPath truthiness of the result (reference util.go:13-45:
   * false ⇔ false/null/""/[]/{}; 0 is TRUE). Never NULL — matches `-filter`
   * predicate semantics. */
@@ -143,4 +180,8 @@ object jmes {
 
   def jmesTruthy(col: Column, expression: String): Column =
     bridge.column(JmesTruthy(bridge.expression(col), expression))
+
+  /** Serialized result when truthy, NULL otherwise (single evaluation). */
+  def jmesFiltered(col: Column, expression: String): Column =
+    bridge.column(JmesPathFiltered(bridge.expression(col), expression))
 }

@@ -43,10 +43,9 @@ object FramedSink {
   def lineCol(format: OutputFormat, filter: Option[String]): Column = format match {
     case DataFormat =>
       filter match {
-        case Some(f) =>
-          val doc = col("data").cast("string")
-          when(jmesTruthy(doc, f), jmespath(doc, f))
-        case None => col("data").cast("string")
+        // single parse + tree walk per record (result-if-truthy, else NULL)
+        case Some(f) => jmesFiltered(col("data").cast("string"), f)
+        case None    => col("data").cast("string")
       }
     case SequenceFormat     => col("sequenceNumber")
     case PartitionKeyFormat => col("partitionKey")

@@ -65,7 +65,9 @@ object ShardStream {
   val AfterSequenceNumber = "AFTER_SEQUENCE_NUMBER"
 
   /** Test/demo helper: write rows as a shard directory. `rows` =
-    * (shardId, sequenceNumber, partitionKey, data, arrivalMillis). */
+    * (shardId, sequenceNumber, partitionKey, data, arrivalMillis).
+    * Shard files are newline-terminated JSONL (every record line ends in
+    * '\n' — the head-position counter relies on it). */
   def writeShardDir(dir: String, rows: Seq[(String, String, String, String, Long)],
                     closedShards: Set[String] = Set.empty): Unit = {
     val d = new File(dir)
@@ -159,10 +161,48 @@ class ShardMicroBatchStream(options: CaseInsensitiveStringMap)
       .map(n => n.path("shardId").asText()).toSet
   }
 
-  private def countLines(f: File): Long = {
-    val r = new BufferedReader(new FileReader(f))
-    try Iterator.continually(r.readLine()).takeWhile(_ != null).size.toLong
-    finally r.close()
+  /** Per-file (byteSize, lineCount) cache: shard files are append-only
+    * newline-terminated JSONL, so when the size is unchanged the count is
+    * reused, and growth is counted incrementally from the previous byte
+    * offset — each poll costs O(new data), not O(file). */
+  @transient private lazy val lineCache =
+    scala.collection.mutable.Map[String, (Long, Long)]()
+
+  private def countLines(f: File): Long = lineCache.synchronized {
+    val size = f.length()
+    val key = f.getAbsolutePath
+    lineCache.get(key) match {
+      case Some((bytes, lines)) if bytes == size => lines
+      case prev =>
+        val (startBytes, startLines) =
+          prev.filter(_._1 <= size).getOrElse((0L, 0L)) // truncation → rescan
+        val in = new java.io.FileInputStream(f)
+        try {
+          var toSkip = startBytes
+          while (toSkip > 0) { val s = in.skip(toSkip); if (s <= 0) toSkip = 0 else toSkip -= s }
+          var lines = startLines
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i < n) { if (buf(i) == '\n') lines += 1; i += 1 }
+            n = in.read(buf)
+          }
+          lineCache(key) = (size, lines)
+          lines
+        } finally in.close()
+    }
+  }
+
+  /** Kinesis-style sequence comparison: numeric when both sides are digit
+    * strings (sequence numbers are large decimal numerics), lexicographic
+    * otherwise — so unpadded numeric sequences seek correctly. */
+  private def seqCompare(a: String, b: String): Int = {
+    def isNum(s: String) = s.nonEmpty && s.forall(_.isDigit)
+    if (isNum(a) && isNum(b)) {
+      val (sa, sb) = (a.dropWhile(_ == '0'), b.dropWhile(_ == '0'))
+      if (sa.length != sb.length) sa.length - sb.length else sa.compareTo(sb)
+    } else a.compareTo(b)
   }
 
   /** Position of the first record with sequenceNumber >= / > the given one
@@ -174,7 +214,8 @@ class ShardMicroBatchStream(options: CaseInsensitiveStringMap)
       var line = r.readLine()
       while (line != null) {
         val s = mapper.readTree(line).path("sequenceNumber").asText()
-        if ((after && s > seq) || (!after && s >= seq)) return idx
+        val c = seqCompare(s, seq)
+        if ((after && c > 0) || (!after && c >= 0)) return idx
         idx += 1
         line = r.readLine()
       }

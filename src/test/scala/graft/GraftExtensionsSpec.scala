@@ -62,6 +62,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(lit.map(r => Option(r.get(0))).toSeq == Seq(Some(5.0), Some(5.0), None))
   }
 
+  test("lowered path preserves interpreted semantics on malformed documents") {
+    import spark.implicits._
+    import graft.functions.jmes._
+    import org.apache.spark.sql.functions.col
+    spark.experimental.extraOptimizations =
+      (spark.experimental.extraOptimizations :+ graft.compile.LowerJmesPathRule).distinct
+    val df = Seq("not json at all", """{"k": 87}""").toDF("doc")
+    // negation, literal, null-equality, != — the malformed-sensitive shapes
+    for (e <- Seq("!k", "`1`", "missing == `null`", "k != `1`")) {
+      val lowered = df.select(jmesTruthy(col("doc"), e)).collect().map(_.getBoolean(0)).toSeq
+      assert(graft.compile.Lowering.lowersTruthy(e), s"$e should lower")
+      // interpreted reference: malformed doc → FALSE
+      val interp = df.collect().map(_.getString(0)).map { d =>
+        graft.jmespath.JValue.parseOpt(d) match {
+          case None     => false
+          case Some(jv) => graft.jmespath.Interpreter.search(e, jv).truthy
+        }
+      }.toSeq
+      assert(lowered == interp, s"[$e] lowered $lowered vs interpreted $interp")
+    }
+    val litNum = df.select(jmespathDouble(col("doc"), "`5`")).collect()
+      .map(r => Option(r.get(0))).toSeq
+    assert(litNum == Seq(None, Some(5.0)), "literal over malformed doc must stay NULL")
+  }
+
   test("non-literal JMESPath expression argument is rejected") {
     import spark.implicits._
     Seq(("{}", "k")).toDF("doc", "e").createOrReplaceTempView("d2")
