@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   *    expressions being benchmarked (a bare `.count()` would).
   */
 object Bench {
-  /** Forces full computation of every column; returns a checksum. */
+  /** Forces full computation of every column; returns a checksum. XOR
+    * aggregation (not sum): summing 64-bit hashes overflows under ANSI mode
+    * and would abort the query instead of timing it. */
   private def force(df: DataFrame): Long = {
     val cols = df.columns.map(col)
-    val r = df.select(xxhash64(cols: _*).as("h")).agg(sum("h")).head()
+    val r = df.select(xxhash64(cols: _*).as("h")).agg(expr("bit_xor(h)")).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 

@@ -57,7 +57,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     core ++ JmesCoverage.queries ++ ext.TextAnalysis.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Multimodal.queries ++ ext.Sessionize.queries ++
-      engine.StreamingCoverage.queries
+      ext.Curation.queries ++ engine.StreamingCoverage.queries
 
   private def core: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1/J2 — field access + subexpression (interpreter.go:78-83,266-271),
@@ -158,5 +158,5 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
   ) ++ JmesCoverage.oracleSql ++ ext.TextAnalysis.oracleSql ++ ext.Dedup.oracleSql ++
     ext.Similarity.oracleSql ++ ext.Multimodal.oracleSql ++ ext.Sessionize.oracleSql ++
-    engine.StreamingCoverage.oracleSql
+    ext.Curation.oracleSql ++ engine.StreamingCoverage.oracleSql
 }
