@@ -3,7 +3,7 @@ package graft.compile
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, _}
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{BooleanType, DoubleType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.jmespath.{Ast, JBool, JNull, JNum, JStr, JValue, Parser}
@@ -97,11 +97,47 @@ object Lowering {
           case ">=" => GreaterThanOrEqual(a, b)
         }, False))
     }
+    // (filter-)projection truthiness: non-empty result after null-dropping →
+    // a streaming element count > 0 (JsonProjectionCount); the per-element
+    // predicate mirrors the top-level comparator/truthy forms
+    case Projection(lhs, rhs) =>
+      for (base <- pathOf(lhs); sub <- pathOf(rhs))
+        yield GreaterThan(JsonProjectionCount(doc, base, None, sub), CLit(0, IntegerType))
+    case FilterProjection(lhs, rhs, cond) =>
+      for (base <- pathOf(lhs); sub <- pathOf(rhs); p <- rpredOf(cond))
+        yield GreaterThan(JsonProjectionCount(doc, base, Some(p), sub), CLit(0, IntegerType))
     case _ =>
       rawOf(doc, ast).map { raw =>
         CaseWhen(Seq((IsNull(raw), False)),
           Some(Not(In(raw, Seq(str("\"\""), str("false"), str("[]"), str("{}"))))))
       }
+  }
+
+  /** Restricted per-element predicate for lowered filter-projections. */
+  private def rpredOf(ast: Ast): Option[RPred] = ast match {
+    case Literal(v)    => Some(RConst(v.truthy))
+    case NotExpr(c)    => rpredOf(c).map(RNot)
+    case AndExpr(l, r) => for (a <- rpredOf(l); b <- rpredOf(r)) yield RAnd(a, b)
+    case OrExpr(l, r)  => for (a <- rpredOf(l); b <- rpredOf(r)) yield ROr(a, b)
+    case Comparator(op, l, r) =>
+      def scalar(v: JValue) = v match {
+        case JNum(_) | JStr(_) | JBool(_) | JNull => true
+        case _                                    => false
+      }
+      // ordering is numbers-only at the top level too (numOf on a non-number
+      // literal does not lower) — mirror that here
+      def ok(v: JValue) = if (op == "==" || op == "!=") scalar(v) else v.isInstanceOf[JNum]
+      (l, r) match {
+        case (p, Literal(v)) if ok(v) => pathOf(p).map(RCmp(_, op, v))
+        case (Literal(v), p) if ok(v) =>
+          val flipped = op match {
+            case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+            case other => other
+          }
+          pathOf(p).map(RCmp(_, flipped, v))
+        case _ => None
+      }
+    case p => pathOf(p).map(RTruthy)
   }
 
   /** True if the lowered form could return TRUE / non-null for a MALFORMED

@@ -1,0 +1,127 @@
+package graft.compile
+
+import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.jmespath.{JBool, JNull, JNum, JStr, JValue}
+
+/** Restricted per-element predicate of a lowered filter-projection —
+  * evaluated in Scala over each element's raw JSON text, mirroring EXACTLY
+  * the Catalyst forms [[Lowering]] emits at the top level (so the lowered
+  * and interpreted paths agree; elements are always valid JSON, so no
+  * malformed-document cases arise here). */
+sealed trait RPred
+final case class RConst(b: Boolean) extends RPred
+final case class RTruthy(path: Seq[PathStep]) extends RPred
+final case class RCmp(path: Seq[PathStep], op: String, lit: JValue) extends RPred
+final case class RNot(p: RPred) extends RPred
+final case class RAnd(a: RPred, b: RPred) extends RPred
+final case class ROr(a: RPred, b: RPred) extends RPred
+
+object RPred {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def numRaw(raw: String): java.lang.Double =
+    if (raw == null || raw.isEmpty || raw.charAt(0) == '"') null
+    else try java.lang.Double.valueOf(raw) catch { case _: NumberFormatException => null }
+
+  private def truthyRaw(raw: String): Boolean =
+    raw != null && raw != "\"\"" && raw != "false" && raw != "[]" && raw != "{}"
+
+  def eval(p: RPred, elemRaw: String): Boolean = p match {
+    case RConst(b)     => b
+    case RNot(q)       => !eval(q, elemRaw)
+    case RAnd(a, b)    => eval(a, elemRaw) && eval(b, elemRaw)
+    case ROr(a, b)     => eval(a, elemRaw) || eval(b, elemRaw)
+    case RTruthy(path) => truthyRaw(JsonPathRaw.extract(elemRaw, path))
+    case RCmp(path, op, lit) =>
+      val raw = JsonPathRaw.extract(elemRaw, path)
+      def eq: Boolean = lit match {
+        case JNum(d)  => val n = numRaw(raw); n != null && n.doubleValue() == d
+        case JStr(s)  => raw != null && raw == mapper.writeValueAsString(s)
+        case JBool(b) => raw != null && raw == (if (b) "true" else "false")
+        case JNull    => raw == null
+        case _        => false
+      }
+      op match {
+        case "==" => eq
+        case "!=" => !eq
+        case _ =>
+          val n = numRaw(raw)
+          lit match {
+            case JNum(d) if n != null => op match {
+              case "<"  => n < d
+              case "<=" => n <= d
+              case ">"  => n > d
+              case ">=" => n >= d
+            }
+            case _ => false // non-number operand → JMESPath null → falsy
+          }
+      }
+  }
+}
+
+/** Number of elements surviving a lowered (filter-)projection:
+  * `array-at-steps [?pred] . sub` with projection null-dropping — i.e. the
+  * count of elements where `pred` holds (if present) and the `sub` path
+  * resolves to a non-null value. 0 when the path is missing or not an array
+  * (JMESPath: projection over a non-array → null → falsy), and 0 for a NULL
+  * or malformed document. Truthiness of a projection lowers to `count > 0`.
+  * One streaming pass over the extracted array; per-element work re-parses
+  * only that element's (small) subtree. */
+case class JsonProjectionCount(child: Expression, steps: Seq[PathStep],
+                               pred: Option[RPred], sub: Seq[PathStep])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "json_projection_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) Integer.valueOf(0) else nullSafeEval(v)
+  }
+
+  override def nullSafeEval(input: Any): Any = Integer.valueOf(
+    JsonProjectionCount.count(input.asInstanceOf[UTF8String].toString, steps, pred, sub))
+
+  override protected def withNewChildInternal(newChild: Expression): JsonProjectionCount =
+    copy(child = newChild)
+}
+
+object JsonProjectionCount {
+  private val factory = new JsonFactory()
+
+  def count(doc: String, steps: Seq[PathStep], pred: Option[RPred],
+            sub: Seq[PathStep]): Int = {
+    val arrRaw = JsonPathRaw.extract(doc, steps)
+    if (arrRaw == null) return 0
+    try {
+      val p = factory.createParser(arrRaw)
+      try {
+        if (p.nextToken() != JsonToken.START_ARRAY) return 0
+        var n = 0
+        var vt = p.nextToken()
+        while (vt != JsonToken.END_ARRAY) {
+          val sw = new java.io.StringWriter()
+          val g = factory.createGenerator(sw)
+          g.copyCurrentStructure(p)
+          g.close()
+          val elemRaw = sw.toString
+          val keep = pred.forall(RPred.eval(_, elemRaw)) &&
+            JsonPathRaw.extract(elemRaw, sub) != null // projection null-drop
+          if (keep) n += 1
+          vt = p.nextToken()
+        }
+        n
+      } finally p.close()
+    } catch { case _: Exception => 0 }
+  }
+}

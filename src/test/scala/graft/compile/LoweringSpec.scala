@@ -79,12 +79,17 @@ class LoweringSpec extends AnyFunSuite {
       """{"k": 87, "s": "5", "t": "", "b": false, "arr": [1,2,3], "o": {"x": 1}}""",
       """{"k": 0, "s": "abc", "t": "x", "b": true, "arr": [], "o": {}}""",
       """{"nested": {"deep": {"v": -3.5}}}""",
-      """{"k": null}""", """{}""")
+      """{"k": null}""", """{}""",
+      """{"arr": [null, 0, "x"], "objs": [{"x": 1}, {"y": 2}, {"x": 0, "y": 3}, {"name": "a"}]}""")
     val exprs = Seq(
       "k", "s", "t", "b", "arr", "o", "missing", "nested.deep.v", "arr[0]", "arr[2]",
       "k > `50`", "k >= `0`", "k < `100`", "s == '5'", "s != '5'", "s > `3`",
       "k == `87`", "k != `87`", "b == `false`", "missing == `null`",
-      "k && s", "k || missing", "!k", "!(k > `10`)", "t && b || k >= `0`")
+      "k && s", "k || missing", "!k", "!(k > `10`)", "t && b || k >= `0`",
+      // (filter-)projections in truthy context
+      "arr[*]", "objs[*].x", "objs[*].y", "arr[?@ > `1`]", "arr[?@ >= `99`]",
+      "objs[?x > `0`].x", "objs[?x == `1` || y].y", "objs[?!x]", "missing[*]",
+      "k[*]", "objs[?x != `1`]", "objs[?name == 'a']")
     for (doc <- docs; e <- exprs) {
       val ast = Parser.parse(e)
       val jv = JValue.parse(doc)
