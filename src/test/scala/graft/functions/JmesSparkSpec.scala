@@ -59,6 +59,12 @@ class JmesSparkSpec extends AnyFunSuite {
     assert(out.head.isNullAt(0))
   }
 
+  test("SparkEntry.entry flagship query returns rows (driver smoke contract)") {
+    val rows = graft.SparkEntry.entry(spark).collect()
+    assert(rows.length > 0)
+    assert(rows.forall(!_.isNullAt(1))) // every surviving row carries a line
+  }
+
   test("complex result serializes as compact JSON") {
     import spark.implicits._
     val df = Seq("""{"people": [{"name": "b", "age": 2}, {"name": "a", "age": 1}]}""").toDF("doc")
