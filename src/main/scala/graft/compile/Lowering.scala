@@ -106,6 +106,12 @@ object Lowering {
     case FilterProjection(lhs, rhs, cond) =>
       for (base <- pathOf(lhs); sub <- pathOf(rhs); p <- rpredOf(cond))
         yield GreaterThan(JsonProjectionCount(doc, base, Some(p), sub), CLit(0, IntegerType))
+    // object-value projection (`obj.*`) — iterate field values instead
+    case ValueProjection(lhs, rhs) =>
+      for (base <- pathOf(lhs); sub <- pathOf(rhs))
+        yield GreaterThan(
+          JsonProjectionCount(doc, base, None, sub, objectValues = true),
+          CLit(0, IntegerType))
     case _ =>
       rawOf(doc, ast).map { raw =>
         CaseWhen(Seq((IsNull(raw), False)),

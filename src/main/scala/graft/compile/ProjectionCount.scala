@@ -74,7 +74,8 @@ object RPred {
   * One streaming pass over the extracted array; per-element work re-parses
   * only that element's (small) subtree. */
 case class JsonProjectionCount(child: Expression, steps: Seq[PathStep],
-                               pred: Option[RPred], sub: Seq[PathStep])
+                               pred: Option[RPred], sub: Seq[PathStep],
+                               objectValues: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
@@ -90,7 +91,8 @@ case class JsonProjectionCount(child: Expression, steps: Seq[PathStep],
   }
 
   override def nullSafeEval(input: Any): Any = Integer.valueOf(
-    JsonProjectionCount.count(input.asInstanceOf[UTF8String].toString, steps, pred, sub))
+    JsonProjectionCount.count(input.asInstanceOf[UTF8String].toString, steps, pred, sub,
+      objectValues))
 
   override protected def withNewChildInternal(newChild: Expression): JsonProjectionCount =
     copy(child = newChild)
@@ -100,16 +102,20 @@ object JsonProjectionCount {
   private val factory = new JsonFactory()
 
   def count(doc: String, steps: Seq[PathStep], pred: Option[RPred],
-            sub: Seq[PathStep]): Int = {
+            sub: Seq[PathStep], objectValues: Boolean = false): Int = {
     val arrRaw = JsonPathRaw.extract(doc, steps)
     if (arrRaw == null) return 0
     try {
       val p = factory.createParser(arrRaw)
       try {
-        if (p.nextToken() != JsonToken.START_ARRAY) return 0
+        val (open, close) =
+          if (objectValues) (JsonToken.START_OBJECT, JsonToken.END_OBJECT)
+          else (JsonToken.START_ARRAY, JsonToken.END_ARRAY)
+        if (p.nextToken() != open) return 0
         var n = 0
         var vt = p.nextToken()
-        while (vt != JsonToken.END_ARRAY) {
+        while (vt != close) {
+          if (objectValues) { p.nextToken() } // skip FIELD_NAME onto the value
           val sw = new java.io.StringWriter()
           val g = factory.createGenerator(sw)
           g.copyCurrentStructure(p)

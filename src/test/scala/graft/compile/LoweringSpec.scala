@@ -89,7 +89,8 @@ class LoweringSpec extends AnyFunSuite {
       // (filter-)projections in truthy context
       "arr[*]", "objs[*].x", "objs[*].y", "arr[?@ > `1`]", "arr[?@ >= `99`]",
       "objs[?x > `0`].x", "objs[?x == `1` || y].y", "objs[?!x]", "missing[*]",
-      "k[*]", "objs[?x != `1`]", "objs[?name == 'a']")
+      "k[*]", "objs[?x != `1`]", "objs[?name == 'a']",
+      "o.*", "nested.*", "k.*", "missing.*", "*")
     for (doc <- docs; e <- exprs) {
       val ast = Parser.parse(e)
       val jv = JValue.parse(doc)
