@@ -100,6 +100,11 @@ object Lowering {
     // (filter-)projection truthiness: non-empty result after null-dropping →
     // a streaming element count > 0 (JsonProjectionCount); the per-element
     // predicate mirrors the top-level comparator/truthy forms
+    case Projection(Flatten(inner), rhs) => // `arr[]` one-level flatten
+      for (base <- pathOf(inner); sub <- pathOf(rhs))
+        yield GreaterThan(
+          JsonProjectionCount(doc, base, None, sub, flatten = true),
+          CLit(0, IntegerType))
     case Projection(lhs, rhs) =>
       for (base <- pathOf(lhs); sub <- pathOf(rhs))
         yield GreaterThan(JsonProjectionCount(doc, base, None, sub), CLit(0, IntegerType))

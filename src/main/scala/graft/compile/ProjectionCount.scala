@@ -75,7 +75,8 @@ object RPred {
   * only that element's (small) subtree. */
 case class JsonProjectionCount(child: Expression, steps: Seq[PathStep],
                                pred: Option[RPred], sub: Seq[PathStep],
-                               objectValues: Boolean = false)
+                               objectValues: Boolean = false,
+                               flatten: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
@@ -92,7 +93,7 @@ case class JsonProjectionCount(child: Expression, steps: Seq[PathStep],
 
   override def nullSafeEval(input: Any): Any = Integer.valueOf(
     JsonProjectionCount.count(input.asInstanceOf[UTF8String].toString, steps, pred, sub,
-      objectValues))
+      objectValues, flatten))
 
   override protected def withNewChildInternal(newChild: Expression): JsonProjectionCount =
     copy(child = newChild)
@@ -102,7 +103,8 @@ object JsonProjectionCount {
   private val factory = new JsonFactory()
 
   def count(doc: String, steps: Seq[PathStep], pred: Option[RPred],
-            sub: Seq[PathStep], objectValues: Boolean = false): Int = {
+            sub: Seq[PathStep], objectValues: Boolean = false,
+            flatten: Boolean = false): Int = {
     val arrRaw = JsonPathRaw.extract(doc, steps)
     if (arrRaw == null) return 0
     try {
@@ -113,17 +115,26 @@ object JsonProjectionCount {
           else (JsonToken.START_ARRAY, JsonToken.END_ARRAY)
         if (p.nextToken() != open) return 0
         var n = 0
-        var vt = p.nextToken()
-        while (vt != close) {
-          if (objectValues) { p.nextToken() } // skip FIELD_NAME onto the value
+        def keepItem(itemRaw: String): Unit = {
+          val keep = pred.forall(RPred.eval(_, itemRaw)) &&
+            JsonPathRaw.extract(itemRaw, sub) != null // projection null-drop
+          if (keep) n += 1
+        }
+        def copyCurrent(): String = {
           val sw = new java.io.StringWriter()
           val g = factory.createGenerator(sw)
           g.copyCurrentStructure(p)
           g.close()
-          val elemRaw = sw.toString
-          val keep = pred.forall(RPred.eval(_, elemRaw)) &&
-            JsonPathRaw.extract(elemRaw, sub) != null // projection null-drop
-          if (keep) n += 1
+          sw.toString
+        }
+        var vt = p.nextToken()
+        while (vt != close) {
+          if (objectValues) { vt = p.nextToken() } // skip FIELD_NAME onto the value
+          if (flatten && vt == JsonToken.START_ARRAY) {
+            // one-level flatten: inner array elements become items
+            var it = p.nextToken()
+            while (it != JsonToken.END_ARRAY) { keepItem(copyCurrent()); it = p.nextToken() }
+          } else keepItem(copyCurrent())
           vt = p.nextToken()
         }
         n

@@ -80,7 +80,8 @@ class LoweringSpec extends AnyFunSuite {
       """{"k": 0, "s": "abc", "t": "x", "b": true, "arr": [], "o": {}}""",
       """{"nested": {"deep": {"v": -3.5}}}""",
       """{"k": null}""", """{}""",
-      """{"arr": [null, 0, "x"], "objs": [{"x": 1}, {"y": 2}, {"x": 0, "y": 3}, {"name": "a"}]}""")
+      """{"arr": [null, 0, "x"], "objs": [{"x": 1}, {"y": 2}, {"x": 0, "y": 3}, {"name": "a"}]}""",
+      """{"nest": [1, [2, null], null, [[3]]], "empties": [[], null]}""")
     val exprs = Seq(
       "k", "s", "t", "b", "arr", "o", "missing", "nested.deep.v", "arr[0]", "arr[2]",
       "k > `50`", "k >= `0`", "k < `100`", "s == '5'", "s != '5'", "s > `3`",
@@ -90,7 +91,8 @@ class LoweringSpec extends AnyFunSuite {
       "arr[*]", "objs[*].x", "objs[*].y", "arr[?@ > `1`]", "arr[?@ >= `99`]",
       "objs[?x > `0`].x", "objs[?x == `1` || y].y", "objs[?!x]", "missing[*]",
       "k[*]", "objs[?x != `1`]", "objs[?name == 'a']",
-      "o.*", "nested.*", "k.*", "missing.*", "*")
+      "o.*", "nested.*", "k.*", "missing.*", "*",
+      "nest[]", "nest[].x", "k[]", "missing[]", "empties[]")
     for (doc <- docs; e <- exprs) {
       val ast = Parser.parse(e)
       val jv = JValue.parse(doc)
