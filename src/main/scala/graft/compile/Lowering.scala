@@ -105,6 +105,12 @@ object Lowering {
         yield GreaterThan(
           JsonProjectionCount(doc, base, None, sub, flatten = true),
           CLit(0, IntegerType))
+    // slice projection (`arr[a:b:c]`) — must precede the generic arm
+    case Projection(IndexExpr(lhs, Slice(a, b, st)), rhs) =>
+      for (base <- pathOf(lhs); sub <- pathOf(rhs))
+        yield GreaterThan(
+          JsonProjectionCount(doc, base, None, sub, slice = Some((a, b, st))),
+          CLit(0, IntegerType))
     case Projection(lhs, rhs) =>
       for (base <- pathOf(lhs); sub <- pathOf(rhs))
         yield GreaterThan(JsonProjectionCount(doc, base, None, sub), CLit(0, IntegerType))
@@ -117,6 +123,15 @@ object Lowering {
         yield GreaterThan(
           JsonProjectionCount(doc, base, None, sub, objectValues = true),
           CLit(0, IntegerType))
+    // multi-selects always yield a non-empty container for a non-null,
+    // parsable input (parser requires >=1 item), so their truthiness is just
+    // input validity; under a path prefix it is path presence
+    case MultiSelectList(_) | MultiSelectHash(_) =>
+      Some(CaseWhen(Seq((IsNull(doc), False)), Some(JsonIsValid(doc))))
+    case Subexpression(l, MultiSelectList(_)) if pathOf(l).exists(_.nonEmpty) =>
+      Some(IsNotNull(JsonPathRaw(doc, pathOf(l).get)))
+    case Subexpression(l, MultiSelectHash(_)) if pathOf(l).exists(_.nonEmpty) =>
+      Some(IsNotNull(JsonPathRaw(doc, pathOf(l).get)))
     case _ =>
       rawOf(doc, ast).map { raw =>
         CaseWhen(Seq((IsNull(raw), False)),

@@ -76,7 +76,8 @@ object RPred {
 case class JsonProjectionCount(child: Expression, steps: Seq[PathStep],
                                pred: Option[RPred], sub: Seq[PathStep],
                                objectValues: Boolean = false,
-                               flatten: Boolean = false)
+                               flatten: Boolean = false,
+                               slice: Option[(Option[Int], Option[Int], Option[Int])] = None)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
@@ -93,7 +94,7 @@ case class JsonProjectionCount(child: Expression, steps: Seq[PathStep],
 
   override def nullSafeEval(input: Any): Any = Integer.valueOf(
     JsonProjectionCount.count(input.asInstanceOf[UTF8String].toString, steps, pred, sub,
-      objectValues, flatten))
+      objectValues, flatten, slice))
 
   override protected def withNewChildInternal(newChild: Expression): JsonProjectionCount =
     copy(child = newChild)
@@ -104,7 +105,8 @@ object JsonProjectionCount {
 
   def count(doc: String, steps: Seq[PathStep], pred: Option[RPred],
             sub: Seq[PathStep], objectValues: Boolean = false,
-            flatten: Boolean = false): Int = {
+            flatten: Boolean = false,
+            slice: Option[(Option[Int], Option[Int], Option[Int])] = None): Int = {
     val arrRaw = JsonPathRaw.extract(doc, steps)
     if (arrRaw == null) return 0
     try {
@@ -127,18 +129,49 @@ object JsonProjectionCount {
           g.close()
           sw.toString
         }
-        var vt = p.nextToken()
-        while (vt != close) {
-          if (objectValues) { vt = p.nextToken() } // skip FIELD_NAME onto the value
-          if (flatten && vt == JsonToken.START_ARRAY) {
-            // one-level flatten: inner array elements become items
-            var it = p.nextToken()
-            while (it != JsonToken.END_ARRAY) { keepItem(copyCurrent()); it = p.nextToken() }
-          } else keepItem(copyCurrent())
-          vt = p.nextToken()
+        slice match {
+          case Some((a, b, st)) =>
+            // slice projection: buffer element raws, apply Python slice
+            // semantics (util.go:57-138 contract), then count survivors
+            val items = scala.collection.mutable.ArrayBuffer[String]()
+            var vt = p.nextToken()
+            while (vt != close) { items += copyCurrent(); vt = p.nextToken() }
+            sliceIndices(items.length, a, b, st).foreach(i => keepItem(items(i)))
+          case None =>
+            var vt = p.nextToken()
+            while (vt != close) {
+              if (objectValues) { vt = p.nextToken() } // skip FIELD_NAME onto the value
+              if (flatten && vt == JsonToken.START_ARRAY) {
+                // one-level flatten: inner array elements become items
+                var it = p.nextToken()
+                while (it != JsonToken.END_ARRAY) { keepItem(copyCurrent()); it = p.nextToken() }
+              } else keepItem(copyCurrent())
+              vt = p.nextToken()
+            }
         }
         n
       } finally p.close()
     } catch { case _: Exception => 0 }
+  }
+
+  /** CPython slice.indices() semantics; step == 0 is rejected at parse time
+    * upstream, but guard anyway. */
+  private[compile] def sliceIndices(n: Int, start: Option[Int], stop: Option[Int],
+                                    step: Option[Int]): Seq[Int] = {
+    val st = step.getOrElse(1)
+    if (st == 0) return Nil
+    def clamp(v: Int, lo: Int, hi: Int) = math.max(lo, math.min(hi, v))
+    val (defStart, defStop) = if (st > 0) (0, n) else (n - 1, -n - 1)
+    def norm(vOpt: Option[Int], dflt: Int): Int = vOpt match {
+      case None             => dflt
+      case Some(v) if v < 0 => if (st > 0) clamp(v + n, 0, n) else clamp(v + n, -1, n - 1)
+      case Some(v)          => if (st > 0) clamp(v, 0, n) else clamp(v, -1, n - 1)
+    }
+    val s0 = norm(start, defStart)
+    val e0 = norm(stop, defStop)
+    Iterator.iterate(s0)(_ + st)
+      .takeWhile(i => if (st > 0) i < e0 else i > e0)
+      .filter(i => i >= 0 && i < n)
+      .toSeq
   }
 }

@@ -92,7 +92,9 @@ class LoweringSpec extends AnyFunSuite {
       "objs[?x > `0`].x", "objs[?x == `1` || y].y", "objs[?!x]", "missing[*]",
       "k[*]", "objs[?x != `1`]", "objs[?name == 'a']",
       "o.*", "nested.*", "k.*", "missing.*", "*",
-      "nest[]", "nest[].x", "k[]", "missing[]", "empties[]")
+      "nest[]", "nest[].x", "k[]", "missing[]", "empties[]",
+      "arr[::2]", "arr[1:]", "arr[::-1]", "arr[5:]", "arr[:0]", "k[1:]",
+      "objs[1:3].x", "[arr[0], missing]", "{a: k}", "o.[x]", "missing.[x]", "o.{v: x}")
     for (doc <- docs; e <- exprs) {
       val ast = Parser.parse(e)
       val jv = JValue.parse(doc)
