@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 /** Per-round benchmark: runs SparkEntry.benchQueries on SPARK_GRAFT_SF_DIR
   * and prints one JSON line for the driver.
   *
-  * Methodology (fixes round-1 verdict "What's wrong" #2):
+  * Methodology (fixes round-1 verdict "What's wrong" #2 and round-2 #3):
   *  - one full warm-up pass first, so session init / codegen / JIT cost is
   *    not attributed to whichever query runs first;
   *  - materialization forces EVERY output column through
   *    `xxhash64(all columns) → sum`, so Catalyst cannot prune the very
-  *    expressions being benchmarked (a bare `.count()` would).
+  *    expressions being benchmarked (a bare `.count()` would);
+  *  - MEDIAN of 3 timed runs per query, so one host-contention spike (the
+  *    round-2 driver run was ~5× inflated by a concurrent build) cannot
+  *    distort the gate.
   */
 object Bench {
   /** Forces full computation of every column; returns a checksum. XOR
@@ -39,14 +42,19 @@ object Bench {
       try force(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench/warmup] $n: ${e.getMessage}") }
     }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = names.map { n =>
-      val t0 = System.nanoTime()
-      try { force(SparkEntry.queries(n)(spark, sfDir)); n -> (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
-        // a failed query must be visible as a failure, not a fast time
-        System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
-        n -> -1.0
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { force(SparkEntry.queries(n)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          // a failed query must be visible as a failure, not a fast time
+          System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
+          -1.0
+        }
       }
+      if (times.contains(-1.0)) n -> -1.0
+      else n -> times.sorted.apply(times.size / 2) // median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -31,14 +31,12 @@ import graft.functions.vectors
 object Dedup {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct k-word shingles of `text` (space-tokenized). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ts = split(text, " ")
-    when(size(ts) >= k,
-      array_distinct(transform(sequence(lit(0), size(ts) - k),
-        i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
-      .otherwise(array_distinct(array(concat_ws(" ", ts))))
-  }
+  /** Distinct k-word shingles of `text` (space-tokenized), ascending binary
+    * order — a single-pass native expression
+    * ([[graft.functions.ShingleArray]]); set-equal to the SQL-oracle
+    * formulation `array_distinct(transform(...concat_ws(slice(split))))`. */
+  def shingles(text: Column, k: Int = 3): Column =
+    vectors.shingleArray(text, k)
 
   /** Exact dedup: one representative (min doc_id) per distinct content. */
   def exact(df: DataFrame): DataFrame =
@@ -46,29 +44,78 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** All pairs with k-shingle Jaccard ≥ tau, via inverted-index
-    * co-occurrence counting. Exact for tau > 0 (J ≥ τ > 0 implies a shared
-    * shingle). The shingle-equality self-join followed by a pair-key count
-    * computes |A∩B| directly — no pair `distinct`, no array intersection —
-    * and |A|,|B| ride along through the explode, so
-    * J = |A∩B| / (|A| + |B| − |A∩B|) falls out of one aggregation.
-    * `maxDocFreq` (optional) drops shingles occurring in more than that many
-    * docs from candidate generation — a scale valve that makes the result
-    * approximate but bounds hot-shingle blowup. */
+  /** All pairs with k-shingle Jaccard ≥ tau, via PPJoin-style prefix
+    * filtering over an inverted index. EXACT for tau > 0: a pair with
+    * J(A,B) ≥ τ must share ≥ ⌈τ·max(|A|,|B|)⌉ shingles, so under any global
+    * total order its FIRST common shingle sits within the first
+    * |X| − ⌈τ·|X|⌉ + 1 shingles of both docs (prefix-filtering lemma) —
+    * indexing only those prefixes loses no qualifying pair. The candidate
+    * join also applies the length filter (min(|A|,|B|) ≥ τ·max(|A|,|B|))
+    * and the PPJoin positional filter
+    * ((1 + min(|A|−pa, |B|−pb))·(1+τ) ≥ τ·(|A|+|B|) — an overlap upper
+    * bound given the first shared prefix position; both hold for the first
+    * common shingle of every qualifying pair, so both stay exact).
+    * Surviving candidates are verified with an exact array intersection.
+    *
+    * The global order is ascending DOCUMENT FREQUENCY (ties by value), the
+    * PPJoin ordering: rarest shingles land in the prefixes, collapsing
+    * candidate volume. This costs a df aggregation + join + per-doc window,
+    * but measured A/B (sf0.1), a cheaper value-ordered prefix (plain
+    * `sort_array` + `slice`, two fewer shuffles) is 2-3× SLOWER end-to-end:
+    * lexicographic prefixes correlate across documents sharing vocabulary,
+    * so the equality join explodes — df-ordering wins at every scale.
+    *
+    * `maxDocFreq` (optional) additionally drops shingles occurring in more
+    * than that many docs — a scale valve that makes the result approximate
+    * but bounds worst-case blowup. */
   def jaccardPairs(df: DataFrame, k: Int = 3, tau: Double = 0.5,
                    maxDocFreq: Option[Int] = None): DataFrame = {
-    val d = df.select(col("doc_id"), shingles(col("text"), k).as("sh"))
-    val inv0 = d.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val inv = maxDocFreq match {
+    import org.apache.spark.sql.expressions.Window
+    val eps = 1e-9 // slack so float rounding never prunes a boundary pair
+    // Shingling + the candidate join are CPU-bound relative to input bytes,
+    // so split-based scan parallelism underparallelizes small-file inputs
+    // (one 594 KB parquet split would run the whole index build on ONE
+    // task). Spread the corpus across the cluster first; at real scale the
+    // scan already has ≥ defaultParallelism splits and this is a no-op.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // sh is value-sorted (ShingleArray emits ascending order): verification
+    // uses set ops only, and value order makes the default prefix a plain
+    // slice
+    val d = spread.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    // true prefix length is n − ⌈τ·n⌉ + 1; the inner −eps keeps double
+    // rounding from over-ceiling an exact τ·n (which would drop a shingle
+    // the lemma needs); over-long by one is harmless
+    def prefixLen(n: Column): Column =
+      (n - ceil(lit(tau) * n - eps) + 1).cast("int")
+    val inv = d.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val pos = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s")))
+    val prefix0 = inv.join(dfreq, "s")
+      .select(col("doc_id"), col("n"), col("s"), pos.as("pos"))
+      .where(col("pos") <= prefixLen(col("n")))
+    val prefix = maxDocFreq match {
       case Some(cap) =>
-        val hot = inv0.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") > cap)
-        inv0.join(hot.select("s"), Seq("s"), "left_anti")
-      case None => inv0
+        val hot = d.select(explode(col("sh")).as("s"))
+          .groupBy("s").agg(count(lit(1)).as("df")).where(col("df") > cap)
+        prefix0.join(hot.select("s"), Seq("s"), "left_anti")
+      case None => prefix0
     }
-    inv.as("x").join(inv.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"), first(col("x.n")).as("na"), first(col("y.n")).as("nb"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.n") >= lit(tau) * col("x.n") - eps &&
+          col("x.n") >= lit(tau) * col("y.n") - eps &&
+          (lit(1) + least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos"))) *
+            lit(1.0 + tau) >= lit(tau) * (col("x.n") + col("y.n")) - eps)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(d.as("da"), col("id_a") === col("da.doc_id"))
+      .join(d.as("db"), col("id_b") === col("db.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("da.sh"), col("db.sh"))).as("inter"),
+        size(col("da.sh")).as("na"), size(col("db.sh")).as("nb"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= tau)

@@ -89,8 +89,8 @@ object Sessionize {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
         |  FROM g)
         |SELECT user_id, sid, CAST(min(ts) AS TIMESTAMP) AS session_start,
         |  count(*) AS n_events

@@ -173,6 +173,67 @@ object MinHashSig {
   }
 }
 
+/** Distinct k-word shingles of a space-separated text, ascending binary
+  * order. One pass over the UTF-8 bytes: a k-shingle re-joined with single
+  * spaces equals the SOURCE SUBSTRING spanning tokens i..i+k−1 (the corpus
+  * separator is a single 0x20, which can never occur inside a multi-byte
+  * UTF-8 sequence), so each shingle is a byte-range slice — no per-token
+  * allocation, no interpreted lambda tree. Replaces the
+  * split→transform→slice→concat_ws→array_distinct pipeline, whose
+  * interpreted higher-order evaluation dominated CPU in the near-dup
+  * operators. Texts with fewer than k tokens yield the whole text (same
+  * fallback as the SQL formulation). */
+case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_array"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${dt.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    ShingleArray.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleArray.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}
+
+object ShingleArray {
+  import org.apache.spark.unsafe.types.UTF8String
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val nBytes = text.numBytes()
+    // token start offsets (token i spans [starts(i), starts(i+1) - 1))
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < nBytes) {
+      if (text.getByte(i) == ' '.toByte) starts.add(i + 1)
+      i += 1
+    }
+    val nTokens = starts.size()
+    if (nTokens < k) return new GenericArrayData(Array[Any](text))
+    val bytes = text.getBytes
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.ArrayList[UTF8String]()
+    var t = 0
+    while (t + k <= nTokens) {
+      val from = starts.get(t)
+      val until = if (t + k < nTokens) starts.get(t + k) - 1 else nBytes
+      val slice = UTF8String.fromBytes(bytes, from, until - from)
+      if (seen.add(slice)) out.add(slice)
+      t += 1
+    }
+    val arr: Array[AnyRef] = out.toArray(new Array[UTF8String](out.size()))
+      .asInstanceOf[Array[AnyRef]]
+    java.util.Arrays.sort(arr,
+      (a: AnyRef, b: AnyRef) =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
+    new GenericArrayData(arr)
+  }
+}
+
 /** Column-API entry points. */
 object vectors {
   def cosineSim(a: Column, b: Column): Column =
@@ -181,4 +242,6 @@ object vectors {
     bridge.column(SimHash(bridge.expression(tokens)))
   def minhashSig(tokens: Column, numHashes: Int): Column =
     bridge.column(MinHashSig(bridge.expression(tokens), numHashes))
+  def shingleArray(text: Column, k: Int): Column =
+    bridge.column(ShingleArray(bridge.expression(text), k))
 }
