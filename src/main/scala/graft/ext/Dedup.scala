@@ -209,8 +209,9 @@ object Dedup {
     "dedup_exact" -> ((s, dir) => exact(SparkEntry.table(s, dir, "documents"))),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5)),
-    // LSH/SimHash entries have no SQL-expressible oracle (hash-dependent);
-    // the driver records rows-only, DedupSpec asserts recall vs brute force.
+    // LSH/SimHash outputs are xxhash64-dependent: oracles are committed
+    // fixtures from an independent Python impl (see oracleSql below);
+    // ExtSpec additionally asserts recall/exactness vs brute force.
     "dedup_minhash_lsh" -> ((s, dir) =>
       minhashLsh(SparkEntry.table(s, dir, "documents"), tau = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
@@ -224,6 +225,21 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    // xxhash64-dependent outputs can't be recomputed in DuckDB SQL; the
+    // oracle is committed fixture parquet produced by an INDEPENDENT
+    // pure-Python reimplementation (tools/gen_dedup_fixtures.py — pure-SQL
+    // xxh64 + set-based LSH, validated bit-for-bit against this engine at
+    // generation time). The `corpus` tag keys each fixture partition to the
+    // exact documents table it was generated from, so a scale-factor or
+    // data change fails loudly (empty oracle) instead of silently passing.
+    "dedup_minhash_lsh" ->
+      """SELECT id_a, id_b, est_jac, jac
+        |FROM read_parquet('/root/repo/fixtures/dedup_minhash_lsh.parquet')
+        |WHERE corpus = (SELECT md5(string_agg(text, '' ORDER BY doc_id)) FROM documents)""".stripMargin,
+    "dedup_simhash" ->
+      """SELECT id_a, id_b, hamming
+        |FROM read_parquet('/root/repo/fixtures/dedup_simhash.parquet')
+        |WHERE corpus = (SELECT md5(string_agg(text, '' ORDER BY doc_id)) FROM documents)""".stripMargin,
     // same inverted-index co-occurrence formulation as the Spark plan (an
     // all-pairs cross join would be a pathological baseline: >1000s at sf0.1)
     "dedup_jaccard_pairs" ->

@@ -96,7 +96,8 @@ object Similarity {
       val emb = SparkEntry.table(s, dir, "embeddings")
       annTopK(emb, emb.where(col("vec_id") < 10), k = 5)
     }),
-    // bucketed variant: no SQL oracle (approximate); AnnSpec measures recall
+    // bucketed variant: deterministic given the id-ordered centroid seed, so
+    // it has a full SQL oracle below; ExtSpec additionally measures recall
     "ann_ivf" -> ((s, dir) => {
       val emb = SparkEntry.table(s, dir, "embeddings")
       annIvf(emb, emb.where(col("vec_id") < 10), k = 5)
@@ -112,6 +113,37 @@ object Similarity {
         |r AS (SELECT query_id, neighbor_id, sim,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM s)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+    // annIvf is fully deterministic (centroids = first nCells ids; ties
+    // break to the smallest cell; cosine is a bit-exact double fold), so the
+    // bucketed path gets a REAL SQL oracle mirroring the algorithm —
+    // assignment, probing, and within-cell exact search — not a recall spec.
+    "ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
+        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |asg AS (
+        |  SELECT e.vec_id, e.embedding, c.cell_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent) DESC,
+        |      c.cell_id) AS rn
+        |  FROM embeddings e, cents c),
+        |assigned AS (SELECT vec_id, embedding, cell_id FROM asg WHERE rn = 1),
+        |qc AS (
+        |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cent) DESC,
+        |      c.cell_id) AS rn
+        |  FROM embeddings q, cents c WHERE q.vec_id < 10),
+        |qcells AS (SELECT query_id, qe, cell_id FROM qc WHERE rn <= 4),
+        |sims AS (
+        |  SELECT qs.query_id, a.vec_id,
+        |    list_cosine_similarity(CAST(qs.qe AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+        |  FROM qcells qs JOIN assigned a USING (cell_id)
+        |  WHERE a.vec_id <> qs.query_id),
+        |r AS (SELECT query_id, vec_id AS neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |      FROM sims)
         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""".stripMargin,
   )
 }
