@@ -19,9 +19,10 @@ import graft.functions.vectors
   *  - SimHash: 64-bit fingerprints ([[graft.functions.SimHash]]), 16-bit-band
   *    blocking (pigeonhole: hamming ≤ 3 guarantees one of the 4 bands matches
   *    exactly, so blocking is EXACT for maxHamming ≤ 3), XOR-popcount verify;
-  *  - embedding near-dup pairs: double-precision cosine ≥ τ
-  *    ([[graft.functions.CosineSim]]); all-pairs only at oracle scale — the
-  *    scale path is the IVF route in [[Similarity]].
+  *  - embedding near-dup pairs: IVF-cell-blocked candidates (narrow
+  *    nearest-centroid assignment, cell-equality bucket join) verified with
+  *    exact double-precision cosine ([[graft.functions.CosineSim]]) — the
+  *    all-pairs cross join survives only as the ExtSpec recall baseline.
   *
   * Scale notes (100 TB): the shingle inverted index shuffles one row per
   * (shingle, doc); hot shingles skew the join — AQE skew-join handles
@@ -197,9 +198,39 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
-  /** Embedding near-dup pairs: cosine ≥ tau over all pairs (oracle-scale
-    * reference; use [[Similarity.annIvf]] buckets at scale). */
-  def embeddingPairs(df: DataFrame, tau: Double): DataFrame =
+  /** Embedding near-dup pairs: candidates from IVF-cell blocking (each
+    * vector assigned to its `nAssign` nearest of `nCells` centroids, pairs
+    * sharing a cell become candidates — the same bucket-join shape as
+    * [[minhashLsh]]), then exact-cosine verification at `tau`. Never an
+    * all-pairs cross join: the candidate join is an equality join on
+    * `cell_id`, and both the assignment and the verification are narrow.
+    *
+    * The assignment is deterministic (centroids = first `nCells` ids,
+    * bit-exact cosine, ties to the smallest cell), so the SQL oracle mirrors
+    * the algorithm exactly. Recall vs the exact all-pairs reference
+    * ([[embeddingPairsExact]]) is measured in ExtSpec. At 100 TB, scale
+    * `nCells` with the corpus so per-cell population stays bounded — the
+    * candidate volume is Σ_cells |cell|², never n². */
+  def embeddingPairs(df: DataFrame, tau: Double,
+                     nCells: Int = 32, nAssign: Int = 4): DataFrame = {
+    val cents = Similarity.centroidLit(df, nCells)
+    val cells = df.select(col("vec_id"),
+      explode(Similarity.nearestCells(col("embedding"), cents, nAssign)).as("cell_id"))
+    val cand = cells.as("x").join(cells.as("y"),
+        col("x.cell_id") === col("y.cell_id") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(df.as("a"), col("id_a") === col("a.vec_id"))
+      .join(df.as("b"), col("id_b") === col("b.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        vectors.cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
+      .where(col("sim") >= tau)
+  }
+
+  /** Exact all-pairs reference for [[embeddingPairs]] — O(n²), small-scale
+    * recall baseline ONLY (ExtSpec); not part of the shipped query surface. */
+  def embeddingPairsExact(df: DataFrame, tau: Double): DataFrame =
     df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         vectors.cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
@@ -258,10 +289,28 @@ object Dedup {
         |  GROUP BY x.doc_id, y.doc_id)
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
         |FROM co WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin,
+    // mirror of the IVF-cell blocking algorithm (deterministic: id-seeded
+    // centroids, bit-exact double cosine, ties to the smallest cell) —
+    // assignment, cell-equality candidates, exact-cosine verify
     "dedup_embedding_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
+        |  FROM embeddings ORDER BY vec_id LIMIT 32),
+        |asg AS (
+        |  SELECT e.vec_id, c.cell_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent) DESC,
+        |      c.cell_id) AS rn
+        |  FROM embeddings e, cents c),
+        |cells AS (SELECT vec_id, cell_id FROM asg WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM cells x JOIN cells y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
+        |SELECT c.id_a, c.id_b,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM cand c
+        |JOIN embeddings a ON c.id_a = a.vec_id
+        |JOIN embeddings b ON c.id_b = b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
     // transitive closure over the same exact-Jaccard pairs; cluster id = min
     // doc_id of the connected component

@@ -42,6 +42,40 @@ object Similarity {
 
   private def topkUdaf(k: Int) = udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
 
+  /** Centroid seed (first `nCells` vectors by id) collected to the driver and
+    * shipped as a typed literal `array<struct<_1: cell id, _2: embedding>>` —
+    * nCells is small by construction, so per-row centroid scoring becomes a
+    * NARROW expression over this literal: zero joins, zero shuffles, in
+    * contrast to a crossJoin + groupBy argmax that would shuffle the full
+    * table (embeddings included) before the probe join. */
+  private[ext] def centroidLit(emb: DataFrame, nCells: Int): Column = {
+    val rows = emb.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toSeq
+    typedLit(rows)
+  }
+
+  /** Per-row centroid scores as `struct(csim, -cell_id)`: struct ordering
+    * makes `array_max` (and a descending sort) pick the highest cosine with
+    * ties broken to the SMALLEST cell id — the same (csim DESC, cell_id ASC)
+    * order the SQL oracle's row_number uses, and bit-exact because
+    * [[graft.functions.CosineSim]] is a sequential double fold. */
+  private[ext] def cellScores(e: Column, cents: Column): Column =
+    transform(cents, c => struct(
+      vectors.cosineSim(e, c.getField("_2")).as("csim"),
+      (-c.getField("_1")).as("ncell")))
+
+  /** Nearest-centroid id per row — narrow argmax over the centroid literal. */
+  private[ext] def nearestCell(e: Column, cents: Column): Column =
+    -array_max(cellScores(e, cents)).getField("ncell")
+
+  /** Top-`n` nearest centroid ids per row (csim DESC, cell_id ASC). */
+  private[ext] def nearestCells(e: Column, cents: Column, n: Int): Column =
+    transform(slice(reverse(array_sort(cellScores(e, cents))), 1, n),
+      s => -s.getField("ncell"))
+
   private def explodeTopK(grouped: DataFrame): DataFrame =
     grouped
       .select(col("query_id"), posexplode(col("nb")).as(Seq("pos", "s")))
@@ -60,29 +94,21 @@ object Similarity {
   }
 
   /** IVF-style ANN: centroids are the first `nCells` vectors by id
-    * (deterministic stand-in for trained centroids). */
+    * (deterministic stand-in for trained centroids).
+    *
+    * Scale shape: both cell assignment (data side) and cell probing (query
+    * side) are NARROW per-row expressions over the centroid literal — the
+    * first exchange in the plan is the broadcast of the (small) probe set;
+    * the big side is never shuffled before the probe join. */
   def annIvf(emb: DataFrame, queries: DataFrame, k: Int = 5,
              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(emb.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cent")))
-    // nearest centroid per vector via max_by partial agg (no window shuffle);
-    // tie-break to the smallest cell_id for determinism
-    val assigned = emb.crossJoin(cents)
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        vectors.cosineSim(col("embedding"), col("cent")).as("csim"))
-      .groupBy("vec_id")
-      .agg(
-        expr("max_by(cell_id, struct(csim, -cell_id))").as("cell_id"),
-        first("embedding").as("embedding"))
-    val qcells = queries.crossJoin(cents)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell_id"),
-        vectors.cosineSim(col("embedding"), col("cent")).as("csim"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(desc("csim"), asc("cell_id"))))
-      .where(col("rn") <= nProbe)
-      .select("query_id", "qe", "cell_id")
-    val sims = qcells.join(assigned, "cell_id")
+    val cents = centroidLit(emb, nCells)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      nearestCell(col("embedding"), cents).as("cell_id"))
+    val qcells = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qe"),
+      explode(nearestCells(col("embedding"), cents, nProbe)).as("cell_id"))
+    val sims = assigned.join(broadcast(qcells), "cell_id")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         vectors.cosineSim(col("qe"), col("embedding")).as("sim"))

@@ -213,8 +213,14 @@ object ShingleArray {
       i += 1
     }
     val nTokens = starts.size()
-    if (nTokens < k) return new GenericArrayData(Array[Any](text))
-    val bytes = text.getBytes
+    // Defensive copy: the input may point into a reused row/page buffer, so
+    // neither the <k fallback nor the shingle slices may alias it. getBytes
+    // copies UNLESS the string spans its entire backing array — in that case
+    // (detected by base identity; clone() has the same hole) force the copy.
+    // Exactly one copy either way; slices alias only the fresh owned array.
+    val b0 = text.getBytes
+    val bytes = if (b0.asInstanceOf[AnyRef] eq text.getBaseObject) b0.clone() else b0
+    if (nTokens < k) return new GenericArrayData(Array[Any](UTF8String.fromBytes(bytes)))
     val seen = new java.util.HashSet[UTF8String]()
     val out = new java.util.ArrayList[UTF8String]()
     var t = 0

@@ -88,6 +88,39 @@ class ExtSpec extends AnyFunSuite {
     val recalls = exact.map { case (q, e) => (e & ivf.getOrElse(q, Set.empty)).size.toDouble / e.size }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.7, s"IVF mean recall@5 $mean below 0.7 (nProbe=4/nCells=16 scans ~25%)")
+    // scale shape: cell assignment is a narrow expression — the big (streamed)
+    // side of the probe join must reach the join with NO shuffle before it
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = Similarity.annIvf(emb, queries, k = 5).queryExecution.sparkPlan
+    val bhj = plan.collectFirst { case j: BroadcastHashJoinExec => j }
+    assert(bhj.isDefined, s"probe join should be a broadcast hash join:\n$plan")
+    val streamed = bhj.get.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.get.right
+      case _                                                 => bhj.get.left
+    }
+    assert(streamed.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"no exchange may precede the probe join on the data side:\n$plan")
+  }
+
+  test("embedding near-dup blocking: exact precision, measured recall vs all-pairs") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(Dedup.embeddingPairsExact(emb, tau = 0.4))
+    val blocked = pairSet(Dedup.embeddingPairs(emb, tau = 0.4))
+    assert(truth.nonEmpty, "sf0.001 embeddings should contain cos>=0.4 pairs")
+    // exact-cosine verification: no false positives, ever
+    assert(blocked.subsetOf(truth))
+    // recall: tau=0.4 over near-uniform random vectors is the adversarial
+    // regime for any blocking scheme (real near-dups sit at cos>=0.9, where
+    // shared-nearest-cell probability approaches 1) — still require a
+    // substantial majority to be found
+    val recall = blocked.size.toDouble / truth.size
+    assert(recall >= 0.5, s"cell-blocking recall $recall below 0.5 (${blocked.size}/${truth.size})")
+    // and the plan must be a bucketed equality join, never a cartesian
+    val plan = Dedup.embeddingPairs(emb, tau = 0.4).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"embeddingPairs plan must not contain an all-pairs join:\n$plan")
   }
 
   test("multimodal decode plumbing: batch iterator, schema, determinism") {
@@ -121,6 +154,25 @@ class ExtSpec extends AnyFunSuite {
       if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
     }
     assert(comp.forall { case (id, c) => find(id) == c })
+  }
+
+  test("shingle_array output survives input-buffer reuse (no aliasing)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.ShingleArray
+    def strings(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    // normal path: text points into a larger shared buffer
+    val buf = ("aa bb cc dd" + "      ").getBytes("UTF-8")
+    val out = ShingleArray.compute(UTF8String.fromBytes(buf, 0, 11), 3)
+    val before = strings(out)
+    java.util.Arrays.fill(buf, 'z'.toByte) // simulate reader-buffer reuse
+    assert(strings(out) == before)
+    // <k-token fallback: text spans its entire backing array
+    val buf2 = "ab cd".getBytes("UTF-8")
+    val out2 = ShingleArray.compute(UTF8String.fromBytes(buf2, 0, 5), 3)
+    assert(strings(out2) == Seq("ab cd"))
+    java.util.Arrays.fill(buf2, 'z'.toByte)
+    assert(strings(out2) == Seq("ab cd"))
   }
 
   test("multimodal feature-extract and resize stages") {
