@@ -16,22 +16,53 @@ import graft.sources.ShardStream
 object StreamingCoverage {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Materialize (once per sf dir) the events table as a shard directory. */
+  /** Materialize (once per sf dir) the events table as a shard directory.
+    *
+    * Distributed write — the events table is never collected to the driver:
+    * each shard's rows are hash-partitioned to one task (`repartition` on the
+    * shard key), ordered within the task by sequence number
+    * (`sortWithinPartitions`), and streamed straight to that shard's JSONL
+    * file by `foreachPartition`. A task owns every row of each shard it
+    * writes, so files are written exactly once with no cross-task appends;
+    * the `_READY` marker is written by the driver only after the job
+    * succeeds, so a failed/retried run rewrites from scratch. */
   def shardDirFor(s: SparkSession, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val dir = new File(System.getProperty("java.io.tmpdir"), s"graft_stream_$tag")
     val ready = new File(dir, "_READY")
     if (!ready.exists()) {
-      val rows = SparkEntry.table(s, sfDir, "events")
-        .select(col("event_id"), col("user_id"), col("props"), col("ts"))
-        .collect()
-        .sortBy(_.getLong(0))
-        .map { r =>
-          val eventId = r.getLong(0); val userId = r.getLong(1)
-          ((userId % 4).toString, f"$eventId%010d", userId.toString,
-            r.getString(2), r.getTimestamp(3).getTime)
-        }.toSeq
-      ShardStream.writeShardDir(dir.toString, rows)
+      dir.mkdirs()
+      val dirPath = dir.toString
+      val nShards = 4
+      SparkEntry.table(s, sfDir, "events")
+        .select((col("user_id") % nShards).cast("string").as("shard"),
+          format_string("%010d", col("event_id")).as("seq"),
+          col("user_id").cast("string").as("pk"),
+          col("props").as("data"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .repartition(nShards, col("shard"))
+        .sortWithinPartitions(col("shard"), col("seq"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          var shard: String = null
+          var w: java.io.PrintWriter = null
+          try {
+            for (r <- rows) {
+              if (r.getString(0) != shard) { // shard-sorted → sequential runs
+                if (w != null) w.close()
+                shard = r.getString(0)
+                w = new java.io.PrintWriter(
+                  new File(dirPath, s"shard-$shard.jsonl"), "UTF-8")
+              }
+              val node = mapper.createObjectNode()
+              node.put("sequenceNumber", r.getString(1))
+              node.put("partitionKey", r.getString(2))
+              node.put("data", r.getString(3))
+              node.put("approximateArrivalTimestamp", r.getLong(4))
+              w.println(mapper.writeValueAsString(node))
+            }
+          } finally if (w != null) w.close()
+        }
       java.nio.file.Files.writeString(ready.toPath, "ok")
     }
     dir.toString
