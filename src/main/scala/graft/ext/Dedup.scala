@@ -253,24 +253,38 @@ object Dedup {
       clusters(jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5))),
   )
 
+  /** Where the committed dedup fixture parquet lives. Overridable via
+    * GRAFT_FIXTURES_DIR so a relocated checkout (or a driver running from a
+    * different cwd) still finds them; falls back to the repo checkout
+    * location, then to a cwd-relative `fixtures/`. */
+  private[ext] val fixturesDir: String =
+    sys.env.get("GRAFT_FIXTURES_DIR")
+      .orElse(Option("/root/repo/fixtures").filter(p => new java.io.File(p).isDirectory))
+      .getOrElse(new java.io.File("fixtures").getAbsolutePath)
+
+  /** Corpus fingerprint the fixture partitions are keyed by: ids AND texts,
+    * so any change to either selects no fixture rows (loud failure). */
+  private val corpusTag =
+    "(SELECT md5(string_agg(doc_id || ':' || text, '|' ORDER BY doc_id)) FROM documents)"
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
     // xxhash64-dependent outputs can't be recomputed in DuckDB SQL; the
     // oracle is committed fixture parquet produced by an INDEPENDENT
-    // pure-Python reimplementation (tools/gen_dedup_fixtures.py — pure-SQL
+    // pure-Python reimplementation (tools/gen_dedup_fixtures.py — pure-Python
     // xxh64 + set-based LSH, validated bit-for-bit against this engine at
     // generation time). The `corpus` tag keys each fixture partition to the
     // exact documents table it was generated from, so a scale-factor or
     // data change fails loudly (empty oracle) instead of silently passing.
     "dedup_minhash_lsh" ->
-      """SELECT id_a, id_b, est_jac, jac
-        |FROM read_parquet('/root/repo/fixtures/dedup_minhash_lsh.parquet')
-        |WHERE corpus = (SELECT md5(string_agg(text, '' ORDER BY doc_id)) FROM documents)""".stripMargin,
+      s"""SELECT id_a, id_b, est_jac, jac
+        |FROM read_parquet('$fixturesDir/dedup_minhash_lsh.parquet')
+        |WHERE corpus = $corpusTag""".stripMargin,
     "dedup_simhash" ->
-      """SELECT id_a, id_b, hamming
-        |FROM read_parquet('/root/repo/fixtures/dedup_simhash.parquet')
-        |WHERE corpus = (SELECT md5(string_agg(text, '' ORDER BY doc_id)) FROM documents)""".stripMargin,
+      s"""SELECT id_a, id_b, hamming
+        |FROM read_parquet('$fixturesDir/dedup_simhash.parquet')
+        |WHERE corpus = $corpusTag""".stripMargin,
     // same inverted-index co-occurrence formulation as the Spark plan (an
     // all-pairs cross join would be a pathological baseline: >1000s at sf0.1)
     "dedup_jaccard_pairs" ->

@@ -9,9 +9,11 @@ SimHash/LSH — not a dump of the Spark output. The script asserts its own
 results equal the engine's current Verify dump before writing fixtures, so
 a bug in either side fails loudly here AND in the driver gate.
 
-Fixtures carry a `corpus` tag = md5(string_agg(text, '' ORDER BY doc_id))
-so one file serves every scale factor whose expected rows were generated;
-the oracle SQL selects the partition matching the live `documents` table.
+Fixtures carry a `corpus` tag = md5(string_agg(doc_id || ':' || text, '|'
+ORDER BY doc_id)) — ids AND texts — so one file serves every scale factor
+whose expected rows were generated; the oracle SQL selects the partition
+matching the live `documents` table, and any id or text change (not just a
+text change) fails loudly with an empty oracle instead of silently passing.
 
 Usage: python3 tools/gen_dedup_fixtures.py [--check /tmp/verify_out]
 Driver-side tooling only (pandas/pyarrow/duckdb) — not part of the library.
@@ -170,7 +172,7 @@ def simhash_pairs(docs, max_hamming=3):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--sfs', nargs='*', default=['0.001', '0.01'])
+    ap.add_argument('--sfs', nargs='*', default=['0.001', '0.01', '0.1'])
     ap.add_argument('--check', help='Verify-dump dir to cross-check (same sf as its run)')
     ap.add_argument('--check-sf', default='0.01')
     ap.add_argument('--out', default=os.path.join(os.path.dirname(__file__), '..', 'fixtures'))
@@ -189,7 +191,8 @@ def main():
         docs = con.execute(
             f"SELECT doc_id, text FROM read_parquet('{path}') ORDER BY doc_id").fetchall()
         tag = con.execute(
-            f"SELECT md5(string_agg(text, '' ORDER BY doc_id)) FROM read_parquet('{path}')"
+            f"SELECT md5(string_agg(doc_id || ':' || text, '|' ORDER BY doc_id)) "
+            f"FROM read_parquet('{path}')"
         ).fetchone()[0]
         mh = minhash_lsh_pairs(docs)
         sh = simhash_pairs(docs)
