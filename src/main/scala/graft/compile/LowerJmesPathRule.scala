@@ -3,19 +3,22 @@ package graft.compile
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{JmesPathEvalDouble, JmesTruthy}
+import graft.functions.{JmesPathEval, JmesPathEvalDouble, JmesPathFiltered, JmesTruthy}
 import graft.jmespath.{JmesSyntaxError, Parser}
 
 /** Optimizer rule (SURVEY §4.2): rewrites the interpreted JMESPath
   * expressions into their native lowered forms when the compiled AST falls
   * inside [[Lowering]]'s exact subset — users write the simple
-  * `jmesTruthy`/`jmespathDouble` API and still get
-  * `Filter(coalesce(try_cast(json_path_raw(...)) ...))` plans.
+  * `jmespath`/`jmesTruthy`/`jmespathDouble`/`jmesFiltered` API and still get
+  * native `json_path_raw`/`json_path_value`/`json_projection_*` plans.
   *
   * Registered by [[graft.GraftExtensions]] (spark.sql.extensions) or
-  * appended to `spark.experimental.extraOptimizations`. JmesPathEval
-  * (string-result) is NOT rewritten: its output convention (unquoted scalar
-  * strings, compact-JSON containers) has no loss-free native equivalent yet.
+  * appended to `spark.experimental.extraOptimizations`. All four contexts
+  * lower: truthiness, numeric value, serialized VALUE output (JmesPathEval —
+  * strings unquoted, containers canonical compact JSON), and the combined
+  * filter+project form the CLI `-filter` path uses (JmesPathFiltered,
+  * FramedSink.lineCol) — the reference's flagship per-record hot path
+  * (main.go:88-101) runs fully native when the expression is lowerable.
   */
 object LowerJmesPathRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -24,6 +27,10 @@ object LowerJmesPathRule extends Rule[LogicalPlan] {
         tryLower(exprStr)(ast => Lowering.truthyNullSafe(child, ast)).getOrElse(t)
       case d @ JmesPathEvalDouble(child, exprStr) =>
         tryLower(exprStr)(ast => Lowering.numNullSafe(child, ast)).getOrElse(d)
+      case v @ JmesPathEval(child, exprStr) =>
+        tryLower(exprStr)(ast => Lowering.valueNullSafe(child, ast)).getOrElse(v)
+      case f @ JmesPathFiltered(child, exprStr) =>
+        tryLower(exprStr)(ast => Lowering.filteredNullSafe(child, ast)).getOrElse(f)
     }
 
   private def tryLower(exprStr: String)(

@@ -125,9 +125,11 @@ object Lowering {
           CLit(0, IntegerType))
     // multi-selects always yield a non-empty container for a non-null,
     // parsable input (parser requires >=1 item), so their truthiness is just
-    // input validity; under a path prefix it is path presence
+    // input validity AND the input not being the JSON `null` value (a
+    // multi-select over `null` is `null` — Interpreter MultiSelect arms);
+    // under a path prefix it is path presence
     case MultiSelectList(_) | MultiSelectHash(_) =>
-      Some(CaseWhen(Seq((IsNull(doc), False)), Some(JsonIsValid(doc))))
+      Some(CaseWhen(Seq((IsNull(doc), False)), Some(JsonIsNonNullValue(doc))))
     case Subexpression(l, MultiSelectList(_)) if pathOf(l).exists(_.nonEmpty) =>
       Some(IsNotNull(JsonPathRaw(doc, pathOf(l).get)))
     case Subexpression(l, MultiSelectHash(_)) if pathOf(l).exists(_.nonEmpty) =>
@@ -138,6 +140,136 @@ object Lowering {
           Some(Not(In(raw, Seq(str("\"\""), str("false"), str("[]"), str("{}"))))))
       }
   }
+
+  // ---------------------------------------------------------------------
+  // VALUE context (SURVEY §4.2 step 4): the serialized engine OUTPUT of the
+  // expression under JmesPathEval's convention — null → SQL NULL, strings
+  // unquoted, everything else canonical compact JSON. This is the CLI
+  // `-filter` hot path (FramedSink.lineCol), the reference's flagship use
+  // (main.go:88-101).
+  // ---------------------------------------------------------------------
+
+  private val NullStr = CLit(null, StringType)
+
+  /** Engine-output constant for a JMESPath literal. */
+  private def constValue(v: JValue): Expression = v match {
+    case JNull   => NullStr
+    case JStr(s) => str(s)
+    case other   => str(JValue.serializeOrdered(other))
+  }
+
+  private def msItemsOf(items: Seq[Ast]): Option[Seq[MSItem]] = {
+    val lowered = items.map {
+      case Literal(v) => Some(MSConst(v))
+      case p          => pathOf(p).map(MSPath)
+    }
+    if (lowered.forall(_.isDefined)) Some(lowered.map(_.get)) else None
+  }
+
+  /** Serialized engine output (StringType) of the AST, or None if outside
+    * the lowered value subset. NULL-document/malformed-document conventions
+    * are added by [[valueNullSafe]]. */
+  def valueOf(doc: Expression, ast: Ast): Option[Expression] = ast match {
+    case Literal(v) => Some(constValue(v))
+
+    // boolean-valued combinators serialize their JBool/JNull result
+    case NotExpr(c) =>
+      truthyOf(doc, c).map(t => If(t, str("false"), str("true")))
+    case Comparator(op, l, r) => op match {
+      case "==" | "!=" =>
+        // eqCol is total (Coalesce → false), matching deepEqual's JBool
+        truthyOf(doc, ast).map(t => If(t, str("true"), str("false")))
+      case _ =>
+        // ordering is numbers-only: a non-number operand → JMESPath null
+        for (a <- numOf(doc, l); b <- numOf(doc, r)) yield {
+          val cmp = op match {
+            case "<"  => LessThan(a, b)
+            case "<=" => LessThanOrEqual(a, b)
+            case ">"  => GreaterThan(a, b)
+            case ">=" => GreaterThanOrEqual(a, b)
+          }
+          CaseWhen(Seq((Or(IsNull(a), IsNull(b)), NullStr)),
+            Some(If(cmp, str("true"), str("false"))))
+        }
+    }
+
+    // `&&`/`||` return operand VALUES selected by truthiness (util.go:13-45)
+    case AndExpr(l, r) =>
+      for (lt <- truthyOf(doc, l); lv <- valueOf(doc, l); rv <- valueOf(doc, r))
+        yield If(lt, rv, lv)
+    case OrExpr(l, r) =>
+      for (lt <- truthyOf(doc, l); lv <- valueOf(doc, l); rv <- valueOf(doc, r))
+        yield If(lt, lv, rv)
+
+    // (filter-)projections: same traversal as the truthy COUNT lowering,
+    // emitting the surviving `sub` values instead of counting them
+    case Projection(Flatten(inner), rhs) =>
+      for (base <- pathOf(inner); sub <- pathOf(rhs))
+        yield JsonProjectionEmit(doc, base, None, sub, flatten = true)
+    case Projection(IndexExpr(lhs, Slice(a, b, st)), rhs) =>
+      for (base <- pathOf(lhs); sub <- pathOf(rhs))
+        yield JsonProjectionEmit(doc, base, None, sub, slice = Some((a, b, st)))
+    case Projection(lhs, rhs) =>
+      for (base <- pathOf(lhs); sub <- pathOf(rhs))
+        yield JsonProjectionEmit(doc, base, None, sub)
+    case FilterProjection(lhs, rhs, cond) =>
+      for (base <- pathOf(lhs); sub <- pathOf(rhs); p <- rpredOf(cond))
+        yield JsonProjectionEmit(doc, base, Some(p), sub)
+    case ValueProjection(lhs, rhs) =>
+      for (base <- pathOf(lhs); sub <- pathOf(rhs))
+        yield JsonProjectionEmit(doc, base, None, sub, objectValues = true)
+
+    // multi-selects (top-level or under a lowerable path prefix)
+    case MultiSelectList(items) =>
+      msItemsOf(items).map(JsonMultiSelect(doc, Nil, _, None))
+    case MultiSelectHash(pairs) =>
+      msItemsOf(pairs.map(_._2))
+        .map(JsonMultiSelect(doc, Nil, _, Some(pairs.map(_._1))))
+    case Subexpression(l, MultiSelectList(items)) =>
+      for (prefix <- pathOf(l); ms <- msItemsOf(items))
+        yield JsonMultiSelect(doc, prefix, ms, None)
+    case Subexpression(l, MultiSelectHash(pairs)) =>
+      for (prefix <- pathOf(l); ms <- msItemsOf(pairs.map(_._2)))
+        yield JsonMultiSelect(doc, prefix, ms, Some(pairs.map(_._1)))
+    case Pipe(l, MultiSelectList(items)) =>
+      for (prefix <- pathOf(l); ms <- msItemsOf(items))
+        yield JsonMultiSelect(doc, prefix, ms, None)
+    case Pipe(l, MultiSelectHash(pairs)) =>
+      for (prefix <- pathOf(l); ms <- msItemsOf(pairs.map(_._2)))
+        yield JsonMultiSelect(doc, prefix, ms, Some(pairs.map(_._1)))
+
+    // plain field/index chains (incl. identity: canonical whole document)
+    case _ => pathOf(ast).map(steps => JsonPathValue(doc, steps))
+  }
+
+  /** Forms whose lowered VALUE can be non-NULL over a malformed document
+    * where the interpreter (which fails the parse) returns null: anything
+    * producing constants or total booleans. Pure path/projection/
+    * multi-select extraction already yields NULL on malformed input. */
+  private def valueMalformedSensitive(ast: Ast): Boolean = ast match {
+    case Literal(_) | NotExpr(_) | Comparator(_, _, _) => true
+    case AndExpr(l, r) => valueMalformedSensitive(l) || valueMalformedSensitive(r)
+    case OrExpr(l, r)  => valueMalformedSensitive(l) || valueMalformedSensitive(r)
+    case _             => false
+  }
+
+  /** [[valueOf]] with the engine's NULL-document and malformed-document
+    * conventions pinned (both → NULL, matching JmesPathEval). */
+  def valueNullSafe(doc: Expression, ast: Ast): Option[Expression] =
+    valueOf(doc, ast).map { e =>
+      val guarded =
+        if (valueMalformedSensitive(ast)) If(JsonIsValid(doc), e, NullStr) else e
+      If(IsNull(doc), NullStr, guarded)
+    }
+
+  /** Lowered twin of [[graft.functions.JmesPathFiltered]]: the serialized
+    * result when JMESPath-truthy, else NULL. Evaluates the document twice
+    * (once for the gate, once for the value) — still far cheaper than one
+    * interpreted tree-walk, and Catalyst subexpression elimination can merge
+    * the shared JsonPathRaw scans where they appear verbatim. */
+  def filteredNullSafe(doc: Expression, ast: Ast): Option[Expression] =
+    for (t <- truthyNullSafe(doc, ast); v <- valueNullSafe(doc, ast))
+      yield If(t, v, NullStr)
 
   /** Restricted per-element predicate for lowered filter-projections. */
   private def rpredOf(ast: Ast): Option[RPred] = ast match {
@@ -216,9 +348,17 @@ object Lowering {
       .map(bridge.column)
       .getOrElse(jmes.jmespathDouble(doc, expression))
 
-  /** True if `truthy(expression)` / `double(expression)` lower natively. */
+  def value(doc: Column, expression: String): Column =
+    valueNullSafe(bridge.expression(doc), Parser.parse(expression))
+      .map(bridge.column)
+      .getOrElse(jmes.jmespath(doc, expression))
+
+  /** True if `truthy(expression)` / `double(expression)` / `value(expression)`
+    * lower natively. */
   def lowersTruthy(expression: String): Boolean =
     truthyOf(CLit(UTF8String.fromString(""), StringType), Parser.parse(expression)).isDefined
   def lowersDouble(expression: String): Boolean =
     numOf(CLit(UTF8String.fromString(""), StringType), Parser.parse(expression)).isDefined
+  def lowersValue(expression: String): Boolean =
+    valueOf(CLit(UTF8String.fromString(""), StringType), Parser.parse(expression)).isDefined
 }

@@ -107,20 +107,34 @@ object JsonProjectionCount {
             sub: Seq[PathStep], objectValues: Boolean = false,
             flatten: Boolean = false,
             slice: Option[(Option[Int], Option[Int], Option[Int])] = None): Int = {
+    val survivors = collect(doc, steps, pred, sub, objectValues, flatten, slice)
+    if (survivors == null) 0 else survivors.length
+  }
+
+  /** The surviving elements' `sub`-path raw texts, in projection order —
+    * one traversal serving both the truthy COUNT ([[JsonProjectionCount]])
+    * and the VALUE emission ([[JsonProjectionEmit]]). Returns `null` (the
+    * JMESPath `null` projection result) when the base path is missing, not
+    * the right container kind, or the document is malformed. */
+  def collect(doc: String, steps: Seq[PathStep], pred: Option[RPred],
+              sub: Seq[PathStep], objectValues: Boolean = false,
+              flatten: Boolean = false,
+              slice: Option[(Option[Int], Option[Int], Option[Int])] = None): Vector[String] = {
     val arrRaw = JsonPathRaw.extract(doc, steps)
-    if (arrRaw == null) return 0
+    if (arrRaw == null) return null
     try {
       val p = factory.createParser(arrRaw)
       try {
         val (open, close) =
           if (objectValues) (JsonToken.START_OBJECT, JsonToken.END_OBJECT)
           else (JsonToken.START_ARRAY, JsonToken.END_ARRAY)
-        if (p.nextToken() != open) return 0
-        var n = 0
+        if (p.nextToken() != open) return null
+        val out = Vector.newBuilder[String]
         def keepItem(itemRaw: String): Unit = {
-          val keep = pred.forall(RPred.eval(_, itemRaw)) &&
-            JsonPathRaw.extract(itemRaw, sub) != null // projection null-drop
-          if (keep) n += 1
+          if (pred.forall(RPred.eval(_, itemRaw))) {
+            val subRaw = JsonPathRaw.extract(itemRaw, sub)
+            if (subRaw != null) out += subRaw // projection null-drop
+          }
         }
         def copyCurrent(): String = {
           val sw = new java.io.StringWriter()
@@ -132,7 +146,7 @@ object JsonProjectionCount {
         slice match {
           case Some((a, b, st)) =>
             // slice projection: buffer element raws, apply Python slice
-            // semantics (util.go:57-138 contract), then count survivors
+            // semantics (util.go:57-138 contract), then keep survivors
             val items = scala.collection.mutable.ArrayBuffer[String]()
             var vt = p.nextToken()
             while (vt != close) { items += copyCurrent(); vt = p.nextToken() }
@@ -149,9 +163,9 @@ object JsonProjectionCount {
               vt = p.nextToken()
             }
         }
-        n
+        out.result()
       } finally p.close()
-    } catch { case _: Exception => 0 }
+    } catch { case _: Exception => null }
   }
 
   /** CPython slice.indices() semantics; step == 0 is rejected at parse time

@@ -62,6 +62,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(lit.map(r => Option(r.get(0))).toSeq == Seq(Some(5.0), Some(5.0), None))
   }
 
+  test("LowerJmesPathRule rewrites VALUE-context expressions to native plans") {
+    import spark.implicits._
+    import graft.functions.jmes._
+    import org.apache.spark.sql.functions.col
+    spark.experimental.extraOptimizations =
+      (spark.experimental.extraOptimizations :+ graft.compile.LowerJmesPathRule).distinct
+    val df = Seq(
+      Some("""{"k": 87, "objs": [{"x": 1}, {"y": 2}], "et": "pv"}"""),
+      Some("""{"k": 3, "objs": [], "et": ""}"""), None).toDF("doc")
+    val pq = java.nio.file.Files.createTempDirectory("lowerv").toString + "/docs"
+    df.write.parquet(pq)
+    val src = spark.read.parquet(pq)
+    // value projection, multi-select, and the CLI -filter combined form
+    val q = src.select(
+      jmespath(col("doc"), "objs[*].x").as("p"),
+      jmespath(col("doc"), "[k, et]").as("m"),
+      jmesFiltered(col("doc"), "k >= `50` && k").as("f"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("jmespath("), s"value not lowered:\n$optimized")
+    assert(!optimized.contains("jmespath_filtered"), s"filtered not lowered:\n$optimized")
+    val rows = q.collect()
+    assert(rows.map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("[1]"), Some("[]"), None))
+    assert(rows.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("""[87,"pv"]"""), Some("""[3,""]"""), None))
+    assert(rows.map(r => Option(r.getString(2))).toSeq ==
+      Seq(Some("87"), None, None))
+  }
+
   test("lowered path preserves interpreted semantics on malformed documents") {
     import spark.implicits._
     import graft.functions.jmes._

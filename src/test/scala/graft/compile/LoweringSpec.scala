@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.BoundReference
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.jmespath.{Interpreter, JNum, JValue, Parser}
+import graft.jmespath.{Interpreter, JNull, JNum, JStr, JValue, Parser}
 
 /** Re-runs the 862-case compliance corpus through the LOWERED path: every
   * case whose expression the translator accepts is evaluated natively
@@ -29,8 +29,16 @@ class LoweringSpec extends AnyFunSuite {
   private def evalCol(e: org.apache.spark.sql.catalyst.expressions.Expression, doc: String): Any =
     e.eval(InternalRow(UTF8String.fromString(doc)))
 
+  /** JmesPathEval's output convention for an interpreter result (null → SQL
+    * NULL, strings unquoted, containers canonical). */
+  private def valueConvention(v: JValue): Any = v match {
+    case JNull   => null
+    case JStr(s) => UTF8String.fromString(s)
+    case other   => UTF8String.fromString(JValue.serializeOrdered(other))
+  }
+
   test("lowered truthy/double agree with the golden corpus on all translatable cases") {
-    var loweredTruthy = 0; var loweredNum = 0
+    var loweredTruthy = 0; var loweredNum = 0; var loweredValue = 0
     val failures = scala.collection.mutable.ListBuffer[String]()
     for (file <- files) {
       val root = mapper.readTree(new java.io.File(s"$dir/$file.json"))
@@ -64,13 +72,30 @@ class LoweringSpec extends AnyFunSuite {
                   case e: Exception => failures += s"[$file/$exprStr] num threw: $e"
                 }
               }
+              // VALUE context: compare against the interpreter's own result
+              // under JmesPathEval's convention (the interpreter itself is
+              // corpus-validated in ComplianceSpec; comparing serialized text
+              // against the interpreter avoids key-order false alarms on
+              // deep-equal corpus results)
+              Lowering.valueOf(docRef, ast).foreach { col =>
+                loweredValue += 1
+                try {
+                  val got = evalCol(col, docJson)
+                  val exp = valueConvention(Interpreter.eval(ast, given))
+                  if (got != exp)
+                    failures += s"[$file/$exprStr] value: got $got expected $exp"
+                } catch {
+                  case e: Exception => failures += s"[$file/$exprStr] value threw: $e"
+                }
+              }
             }
           }
         }
       }
     }
-    info(s"lowered: $loweredTruthy truthy cases, $loweredNum numeric cases")
+    info(s"lowered: $loweredTruthy truthy, $loweredNum numeric, $loweredValue value cases")
     assert(loweredTruthy > 100, "the lowered subset should cover a substantial slice")
+    assert(loweredValue > 100, "the value subset should cover a substantial slice")
     assert(failures.isEmpty, s"\n${failures.size} failed:\n${failures.take(25).mkString("\n")}")
   }
 
@@ -81,7 +106,8 @@ class LoweringSpec extends AnyFunSuite {
       """{"nested": {"deep": {"v": -3.5}}}""",
       """{"k": null}""", """{}""",
       """{"arr": [null, 0, "x"], "objs": [{"x": 1}, {"y": 2}, {"x": 0, "y": 3}, {"name": "a"}]}""",
-      """{"nest": [1, [2, null], null, [[3]]], "empties": [[], null]}""")
+      """{"nest": [1, [2, null], null, [[3]]], "empties": [[], null]}""",
+      """null""", """42""", """"str"""", """[1, 2]""")
     val exprs = Seq(
       "k", "s", "t", "b", "arr", "o", "missing", "nested.deep.v", "arr[0]", "arr[2]",
       "k > `50`", "k >= `0`", "k < `100`", "s == '5'", "s != '5'", "s > `3`",
@@ -94,7 +120,12 @@ class LoweringSpec extends AnyFunSuite {
       "o.*", "nested.*", "k.*", "missing.*", "*",
       "nest[]", "nest[].x", "k[]", "missing[]", "empties[]",
       "arr[::2]", "arr[1:]", "arr[::-1]", "arr[5:]", "arr[:0]", "k[1:]",
-      "objs[1:3].x", "[arr[0], missing]", "{a: k}", "o.[x]", "missing.[x]", "o.{v: x}")
+      "objs[1:3].x", "[arr[0], missing]", "{a: k}", "o.[x]", "missing.[x]", "o.{v: x}",
+      // value-context shapes: identity, multi-selects with literals, operand
+      // values through &&/||, comparator serialization
+      "@", "[k, missing, `7`]", "{a: k, b: `\"lit\"`, c: `[1]`}",
+      "o | [x]", "o | {v: x}", "missing || k", "k || `\"dflt\"`",
+      "k >= `50` && k", "s == '5' || k", "nested.deep.v < `0`")
     for (doc <- docs; e <- exprs) {
       val ast = Parser.parse(e)
       val jv = JValue.parse(doc)
@@ -107,6 +138,33 @@ class LoweringSpec extends AnyFunSuite {
         val got = evalCol(col, doc)
         val exp = Interpreter.eval(ast, jv) match { case JNum(d) => d; case _ => null }
         assert(got == exp, s"num[$e] over $doc: lowered $got vs interpreted $exp")
+      }
+      Lowering.valueOf(docRef, ast).foreach { col =>
+        val got = evalCol(col, doc)
+        val exp = valueConvention(Interpreter.eval(ast, jv))
+        assert(got == exp, s"value[$e] over $doc: lowered $got vs interpreted $exp")
+      }
+    }
+  }
+
+  test("lowered filtered form agrees with JmesPathFiltered semantics") {
+    val docs = Seq(
+      """{"k": 87}""", """{"k": 3}""", """{"k": 0}""", """{"k": "x"}""",
+      """{}""", "not json", """null""")
+    // the CLI `-filter` flagship shapes (FramedSink.lineCol)
+    for (e <- Seq("k >= `50` && k", "k", "k == `3`", "[k, `1`]")) {
+      val ast = Parser.parse(e)
+      val lowered = Lowering.filteredNullSafe(docRef, ast)
+      assert(lowered.isDefined, s"$e should lower in filtered context")
+      for (doc <- docs) {
+        val got = evalCol(lowered.get, doc)
+        val exp = JValue.parseOpt(doc) match {
+          case None => null
+          case Some(jv) =>
+            val r = Interpreter.eval(ast, jv)
+            if (!r.truthy) null else valueConvention(r)
+        }
+        assert(got == exp, s"filtered[$e] over $doc: lowered $got vs interpreted $exp")
       }
     }
   }
