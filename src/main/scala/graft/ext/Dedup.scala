@@ -211,8 +211,15 @@ object Dedup {
     * ([[embeddingPairsExact]]) is measured in ExtSpec. At 100 TB, scale
     * `nCells` with the corpus so per-cell population stays bounded — the
     * candidate volume is Σ_cells |cell|², never n². */
+  // Gate parameters, interpolated into BOTH the queries-map call and the
+  // oracle SQL below so they can never silently desync.
+  private[ext] val GateEmbedTau = 0.4
+  private[ext] val GateEmbedCells = 32
+  private[ext] val GateEmbedAssign = 4
+
   def embeddingPairs(df: DataFrame, tau: Double,
-                     nCells: Int = 32, nAssign: Int = 4): DataFrame = {
+                     nCells: Int = GateEmbedCells,
+                     nAssign: Int = GateEmbedAssign): DataFrame = {
     val cents = Similarity.centroidLit(df, nCells)
     val cells = df.select(col("vec_id"),
       explode(Similarity.nearestCells(col("embedding"), cents, nAssign)).as("cell_id"))
@@ -248,7 +255,8 @@ object Dedup {
     "dedup_simhash" -> ((s, dir) =>
       simhashPairs(SparkEntry.table(s, dir, "documents"), maxHamming = 3)),
     "dedup_embedding_pairs" -> ((s, dir) =>
-      embeddingPairs(SparkEntry.table(s, dir, "embeddings"), tau = 0.4)),
+      embeddingPairs(SparkEntry.table(s, dir, "embeddings"), tau = GateEmbedTau,
+        nCells = GateEmbedCells, nAssign = GateEmbedAssign)),
     "dedup_clusters" -> ((s, dir) =>
       clusters(jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5))),
   )
@@ -307,16 +315,16 @@ object Dedup {
     // centroids, bit-exact double cosine, ties to the smallest cell) —
     // assignment, cell-equality candidates, exact-cosine verify
     "dedup_embedding_pairs" ->
-      """WITH cents AS (
+      s"""WITH cents AS (
         |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
-        |  FROM embeddings ORDER BY vec_id LIMIT 32),
+        |  FROM embeddings ORDER BY vec_id LIMIT $GateEmbedCells),
         |asg AS (
         |  SELECT e.vec_id, c.cell_id,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent) DESC,
+        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent), ${Similarity.CellSimScale}) DESC,
         |      c.cell_id) AS rn
         |  FROM embeddings e, cents c),
-        |cells AS (SELECT vec_id, cell_id FROM asg WHERE rn <= 4),
+        |cells AS (SELECT vec_id, cell_id FROM asg WHERE rn <= $GateEmbedAssign),
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
         |  FROM cells x JOIN cells y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
@@ -325,7 +333,7 @@ object Dedup {
         |FROM cand c
         |JOIN embeddings a ON c.id_a = a.vec_id
         |JOIN embeddings b ON c.id_b = b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $GateEmbedTau""".stripMargin,
     // transitive closure over the same exact-Jaccard pairs; cluster id = min
     // doc_id of the connected component
     "dedup_clusters" ->

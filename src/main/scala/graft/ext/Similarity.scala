@@ -57,14 +57,24 @@ object Similarity {
     typedLit(rows)
   }
 
-  /** Per-row centroid scores as `struct(csim, -cell_id)`: struct ordering
-    * makes `array_max` (and a descending sort) pick the highest cosine with
-    * ties broken to the SMALLEST cell id — the same (csim DESC, cell_id ASC)
-    * order the SQL oracle's row_number uses, and bit-exact because
-    * [[graft.functions.CosineSim]] is a sequential double fold. */
+  /** Decimal places the centroid-ORDERING key is quantized to, on BOTH the
+    * engine side (`round(csim, 9)`) and the oracle side (DuckDB
+    * `round(..., 9)` in the row_number ORDER BY): near-tied centroids whose
+    * similarities differ below 1e-9 collapse to equal and break to the
+    * smallest cell id on both sides, so a 1-ulp formula difference between
+    * [[graft.functions.CosineSim]] and DuckDB's list_cosine_similarity can
+    * never flip an assignment. Output `sim` values stay full precision —
+    * only the argmax ordering is quantized. */
+  private[ext] val CellSimScale = 9
+
+  /** Per-row centroid scores as `struct(round(csim, 9), -cell_id)`: struct
+    * ordering makes `array_max` (and a descending sort) pick the highest
+    * cosine with ties broken to the SMALLEST cell id — the same
+    * (round(csim, 9) DESC, cell_id ASC) order the SQL oracle's row_number
+    * uses. */
   private[ext] def cellScores(e: Column, cents: Column): Column =
     transform(cents, c => struct(
-      vectors.cosineSim(e, c.getField("_2")).as("csim"),
+      round(vectors.cosineSim(e, c.getField("_2")), CellSimScale).as("csim"),
       (-c.getField("_1")).as("ncell")))
 
   /** Nearest-centroid id per row — narrow argmax over the centroid literal. */
@@ -117,51 +127,60 @@ object Similarity {
         .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
   }
 
+  // Gate parameters, interpolated into BOTH the queries-map calls and the
+  // oracle SQL below so they can never silently desync.
+  private[ext] val GateK = 5
+  private[ext] val GateIvfCells = 16
+  private[ext] val GateIvfProbe = 4
+  private[ext] val GateQueryMaxId = 10
+
   val queries: Map[String, Q] = Map(
     "ann_topk" -> ((s, dir) => {
       val emb = SparkEntry.table(s, dir, "embeddings")
-      annTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+      annTopK(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK)
     }),
     // bucketed variant: deterministic given the id-ordered centroid seed, so
     // it has a full SQL oracle below; ExtSpec additionally measures recall
     "ann_ivf" -> ((s, dir) => {
       val emb = SparkEntry.table(s, dir, "embeddings")
-      annIvf(emb, emb.where(col("vec_id") < 10), k = 5)
+      annIvf(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
+        nCells = GateIvfCells, nProbe = GateIvfProbe)
     }),
   )
 
   val oracleSql: Map[String, String] = Map(
     "ann_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $GateQueryMaxId),
         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
         |        list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
         |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
         |r AS (SELECT query_id, neighbor_id, sim,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM s)
-        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""".stripMargin,
-    // annIvf is fully deterministic (centroids = first nCells ids; ties
-    // break to the smallest cell; cosine is a bit-exact double fold), so the
-    // bucketed path gets a REAL SQL oracle mirroring the algorithm —
-    // assignment, probing, and within-cell exact search — not a recall spec.
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
+    // annIvf is fully deterministic (centroids = first nCells ids; the
+    // assignment ORDER key is quantized to CellSimScale decimals on both
+    // sides; ties break to the smallest cell), so the bucketed path gets a
+    // REAL SQL oracle mirroring the algorithm — assignment, probing, and
+    // within-cell exact search — not a recall spec.
     "ann_ivf" ->
-      """WITH cents AS (
+      s"""WITH cents AS (
         |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
-        |  FROM embeddings ORDER BY vec_id LIMIT 16),
+        |  FROM embeddings ORDER BY vec_id LIMIT $GateIvfCells),
         |asg AS (
         |  SELECT e.vec_id, e.embedding, c.cell_id,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent) DESC,
+        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent), $CellSimScale) DESC,
         |      c.cell_id) AS rn
         |  FROM embeddings e, cents c),
         |assigned AS (SELECT vec_id, embedding, cell_id FROM asg WHERE rn = 1),
         |qc AS (
         |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell_id,
         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cent) DESC,
+        |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cent), $CellSimScale) DESC,
         |      c.cell_id) AS rn
-        |  FROM embeddings q, cents c WHERE q.vec_id < 10),
-        |qcells AS (SELECT query_id, qe, cell_id FROM qc WHERE rn <= 4),
+        |  FROM embeddings q, cents c WHERE q.vec_id < $GateQueryMaxId),
+        |qcells AS (SELECT query_id, qe, cell_id FROM qc WHERE rn <= $GateIvfProbe),
         |sims AS (
         |  SELECT qs.query_id, a.vec_id,
         |    list_cosine_similarity(CAST(qs.qe AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
@@ -170,6 +189,6 @@ object Similarity {
         |r AS (SELECT query_id, vec_id AS neighbor_id, sim,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |      FROM sims)
-        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= 5""".stripMargin,
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
   )
 }
