@@ -49,7 +49,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    loses position on restart — strict improvement, SURVEY §2.1 quirks);
   *  - closed shards (the reference nil-derefs, worker.go:233): a shard
   *    marked closed in shards.json is drained to EOF and then simply stops
-  *    producing — handled, not crashed.
+  *    producing — handled, not crashed;
+  *  - shard split/merge lineage: a child shard (parentShardId /
+  *    adjacentParentShardId in shards.json, api.go:1609-1627) is gated until
+  *    its parent(s) are fully drained, preserving per-key order across
+  *    resharding (see [[ShardMicroBatchStream.latestOffset]]).
   */
 object ShardStream {
   val Schema: StructType = StructType(Seq(
@@ -67,9 +71,16 @@ object ShardStream {
   /** Test/demo helper: write rows as a shard directory. `rows` =
     * (shardId, sequenceNumber, partitionKey, data, arrivalMillis).
     * Shard files are newline-terminated JSONL (every record line ends in
-    * '\n' — the head-position counter relies on it). */
+    * '\n' — the head-position counter relies on it).
+    *
+    * `parents` records split/merge lineage: child shard → (parentShardId,
+    * optional adjacentParentShardId), mirroring the reference Shard fields
+    * (vendor/.../kinesis/api.go:1609-1627). A split parent appears once as
+    * `parentShardId` of each child; a merge's two parents appear as
+    * `parentShardId` + `adjacentParentShardId` of the single child. */
   def writeShardDir(dir: String, rows: Seq[(String, String, String, String, Long)],
-                    closedShards: Set[String] = Set.empty): Unit = {
+                    closedShards: Set[String] = Set.empty,
+                    parents: Map[String, (String, Option[String])] = Map.empty): Unit = {
     val d = new File(dir)
     d.mkdirs()
     val mapper = new ObjectMapper()
@@ -84,9 +95,18 @@ object ShardStream {
         w.println(mapper.writeValueAsString(node))
       } finally w.close()
     }
-    if (closedShards.nonEmpty) {
-      val meta = closedShards.map(s => s"""{"shardId": "$s", "closed": true}""")
-        .mkString("[", ",", "]")
+    if (closedShards.nonEmpty || parents.nonEmpty) {
+      val ids = (closedShards ++ parents.keys).toSeq.sorted
+      val meta = ids.map { s =>
+        val node = mapper.createObjectNode()
+        node.put("shardId", s)
+        if (closedShards(s)) node.put("closed", true)
+        parents.get(s).foreach { case (p, adj) =>
+          node.put("parentShardId", p)
+          adj.foreach(a => node.put("adjacentParentShardId", a))
+        }
+        mapper.writeValueAsString(node)
+      }.mkString("[", ",", "]")
       java.nio.file.Files.writeString(new File(d, "shards.json").toPath, meta)
     }
   }
@@ -153,13 +173,23 @@ class ShardMicroBatchStream(options: CaseInsensitiveStringMap)
     files.map(f => f.getName.stripPrefix("shard-").stripSuffix(".jsonl") -> f).toMap
   }
 
-  private def closedShards(): Set[String] = {
+  /** Per-shard metadata from shards.json: closed flag + split/merge lineage
+    * (reference Shard.ParentShardId / AdjacentParentShardId,
+    * vendor/.../kinesis/api.go:1609-1627). */
+  private case class ShardMeta(closed: Boolean, parents: Seq[String])
+
+  private def shardMeta(): Map[String, ShardMeta] = {
     val meta = new File(path, "shards.json")
-    if (!meta.exists()) Set.empty
-    else mapper.readTree(meta).elements().asScala
-      .filter(n => n.path("closed").asBoolean(false))
-      .map(n => n.path("shardId").asText()).toSet
+    if (!meta.exists()) Map.empty
+    else mapper.readTree(meta).elements().asScala.map { n =>
+      val parents = Seq("parentShardId", "adjacentParentShardId")
+        .map(k => n.path(k).asText("")).filter(_.nonEmpty)
+      n.path("shardId").asText() -> ShardMeta(n.path("closed").asBoolean(false), parents)
+    }.toMap
   }
+
+  private def closedShards(): Set[String] =
+    shardMeta().collect { case (id, m) if m.closed => id }.toSet
 
   /** Per-file (byteSize, lineCount) cache: shard files are append-only
     * newline-terminated JSONL, so when the size is unchanged the count is
@@ -252,16 +282,34 @@ class ShardMicroBatchStream(options: CaseInsensitiveStringMap)
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(reportLatestOffset().asInstanceOf[ShardOffsets].positions)
 
-  /** S3: micro-batch poll — advance each shard by at most batchSize. */
+  /** S3: micro-batch poll — advance each shard by at most batchSize.
+    *
+    * Split/merge lineage: a child shard does not advance until every parent
+    * still present in the stream is fully drained (consumed offset == parent
+    * head). Kinesis guarantees a child only carries records written *after*
+    * the split/merge closed its parent(s), so parent-first draining
+    * reconstructs total per-key order across the lineage — the ordering
+    * `Sessionize.streaming` relies on. Without the gate, a parent's tail and
+    * its child's head would be read by concurrent tasks in the same
+    * micro-batch and interleave per-key (Shard.ParentShardId /
+    * AdjacentParentShardId, reference vendor/.../kinesis/api.go:1609-1627). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startPos = start.asInstanceOf[ShardOffsets].positions
     val shards = discover()
+    val meta = shardMeta()
+    def parentDrained(id: String): Boolean = shards.get(id) match {
+      case Some(f) => startPos.getOrElse(id, 0L) >= countLines(f)
+      case None    => true // expired/deleted parent file: nothing left to drain
+    }
     ShardOffsets(shards.map { case (id, f) =>
       val cur = startPos.getOrElse(id, 0L) // newly discovered shard → from 0
-      val head = availableNowTarget match {
-        case Some(t) => t.getOrElse(id, 0L)
-        case None    => countLines(f)
-      }
+      val gated = meta.get(id).exists(_.parents.exists(p => !parentDrained(p)))
+      val head =
+        if (gated) cur
+        else availableNowTarget match {
+          case Some(t) => t.getOrElse(id, 0L)
+          case None    => countLines(f)
+        }
       id -> math.max(cur, math.min(head, cur + batchSize))
     })
   }
@@ -296,20 +344,23 @@ class ShardMicroBatchStream(options: CaseInsensitiveStringMap)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  /** S9: lag telemetry — records remaining behind the stream head, summed
-    * over shards (the MillisBehindLatest analogue). */
+  /** S9: lag telemetry — records remaining behind the stream head, total plus
+    * per-shard (the reference emits WorkerState{ShardId, Lag} per shard,
+    * worker/worker.go:143-146,226-227 — the per-shard keys keep that skew
+    * signal instead of collapsing it into one sum). */
   override def metrics(latestConsumedOffset: Optional[Offset]): java.util.Map[String, String] = {
     val consumed: Map[String, Long] =
       if (latestConsumedOffset.isPresent)
         latestConsumedOffset.get.asInstanceOf[ShardOffsets].positions
       else Map.empty
     val shards = discover()
-    val lag = shards.map { case (id, f) =>
-      math.max(0L, countLines(f) - consumed.getOrElse(id, 0L))
-    }.sum
-    Map("recordsBehindLatest" -> lag.toString,
-        "numShards" -> shards.size.toString,
-        "numClosedShards" -> closedShards().size.toString).asJava
+    val perShard = shards.map { case (id, f) =>
+      id -> math.max(0L, countLines(f) - consumed.getOrElse(id, 0L))
+    }
+    (Map("recordsBehindLatest" -> perShard.values.sum.toString,
+         "numShards" -> shards.size.toString,
+         "numClosedShards" -> closedShards().size.toString) ++
+      perShard.map { case (id, l) => s"recordsBehindLatest.$id" -> l.toString }).asJava
   }
 }
 

@@ -122,6 +122,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(lags.last == 0, s"drained stream should report zero lag, got ${lags.toSeq}")
   }
 
+  test("S9: lag telemetry includes per-shard keys (WorkerState{ShardId, Lag} parity)") {
+    val dir = mkStream()
+    val name = s"t${System.nanoTime()}"
+    val q = spark.readStream.format("kinesiscat")
+      .option("path", dir).option("startingPosition", ShardStream.TrimHorizon)
+      .option("batchSize", "5")
+      .load()
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val first = q.recentProgress.filter(_.numInputRows > 0).head.sources.head.metrics
+    for (s <- Seq("a", "b", "c")) {
+      val lag = Option(first.get(s"recordsBehindLatest.$s"))
+      assert(lag.isDefined, s"missing per-shard lag for $s: ${first.asScala}")
+      assert(lag.get.toLong > 0, s"shard $s should be behind after the first capped batch")
+    }
+    assert(first.get("recordsBehindLatest").toLong ==
+      Seq("a", "b", "c").map(s => first.get(s"recordsBehindLatest.$s").toLong).sum)
+  }
+
+  test("shard split mid-stream: children gated until the parent drains (per-key order)") {
+    val dir = Files.createTempDirectory("shardstream").toString
+    // parent p00 splits into c01/c02; the same partition keys continue in the
+    // children with later sequence numbers, as Kinesis does on a split
+    val parentRows = (0 until 20).map(i =>
+      ("p00", f"$i%04d", s"pk-${i % 4}", s"""{"i": $i}""", 1700000000000L + i * 1000L))
+    val childRows = (20 until 30).flatMap(i => Seq(
+      ("c01", f"$i%04d-a", s"pk-${i % 2}", s"""{"i": $i}""", 1700000100000L + i * 1000L),
+      ("c02", f"$i%04d-b", s"pk-${2 + i % 2}", s"""{"i": $i}""", 1700000100000L + i * 1000L)))
+    ShardStream.writeShardDir(dir, parentRows ++ childRows,
+      closedShards = Set("p00"),
+      parents = Map("c01" -> ("p00", None), "c02" -> ("p00", None)))
+    // batchSize 6 → the parent needs 4 micro-batches; children must not emit
+    // a single record until batch 5
+    val got = drain(dir, Map("batchSize" -> "6"))
+    assert(got.size == 40)
+    val lastParent = got.lastIndexWhere(_._1 == "p00")
+    val firstChild = got.indexWhere(r => r._1 == "c01" || r._1 == "c02")
+    assert(lastParent >= 0 && firstChild > lastParent,
+      s"child records before the parent drained: lastParent=$lastParent firstChild=$firstChild")
+  }
+
+  test("shard merge: child gated until BOTH adjacent parents drain") {
+    val dir = Files.createTempDirectory("shardstream").toString
+    val rows =
+      (0 until 12).map(i => ("m1", f"$i%04d", s"pk-a", s"""{"i": $i}""", 1700000000000L + i)) ++
+      (0 until 18).map(i => ("m2", f"$i%04d", s"pk-b", s"""{"i": $i}""", 1700000000000L + i)) ++
+      (0 until 8).map(i => ("mc", f"z$i%04d", s"pk-a", s"""{"i": $i}""", 1700000200000L + i))
+    ShardStream.writeShardDir(dir, rows,
+      closedShards = Set("m1", "m2"),
+      parents = Map("mc" -> ("m1", Some("m2"))))
+    val got = drain(dir, Map("batchSize" -> "5"))
+    assert(got.size == 38)
+    val lastParent = math.max(got.lastIndexWhere(_._1 == "m1"), got.lastIndexWhere(_._1 == "m2"))
+    val firstChild = got.indexWhere(_._1 == "mc")
+    assert(firstChild > lastParent,
+      s"merge child read before both parents drained: lastParent=$lastParent firstChild=$firstChild")
+    // m2 (18 records at 5/batch → 4 batches) outlives m1 (3 batches): the
+    // child must wait for the slower adjacent parent, not just the first
+    val m1Last = got.lastIndexWhere(_._1 == "m1")
+    val m2Last = got.lastIndexWhere(_._1 == "m2")
+    assert(firstChild > m2Last && firstChild > m1Last)
+  }
+
   test("S10: stop + restart from checkpoint resumes exactly-once") {
     val dir = mkStream()
     val ckpt = Files.createTempDirectory("ckpt").toString
