@@ -1,0 +1,120 @@
+package graft.compile
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.jmespath.{Ast, Functions, JNull, JNum, JStr, JValue, JmesRuntimeError}
+
+/** Lowered JMESPath function-call IR (SURVEY §4.2; round-6 verdict item #2).
+  *
+  * A function call lowers when every argument is a field/index path, a
+  * literal, an expression reference (`&expr`), or a nested lowerable call.
+  * Path arguments are extracted with the streaming [[JsonPathRaw]] navigator
+  * and only the (small) extracted subtree is tree-materialized; the function
+  * itself is the SAME corpus-validated [[graft.jmespath.Functions]] dispatch
+  * the interpreter uses — so `-filter 'length(tags) > \`2\`'` no longer
+  * full-tree-parses every record (reference anti-pattern
+  * vendor/.../go-jmespath/api.go:41-48), it streams to `tags` and runs
+  * `length` on that subtree alone.
+  */
+sealed trait FnArgIR
+/** Field/index chain evaluated against the document (missing → JMESPath null). */
+final case class FnPathArg(steps: Seq[PathStep]) extends FnArgIR
+final case class FnLitArg(v: JValue) extends FnArgIR
+final case class FnNestedArg(call: FnCallIR) extends FnArgIR
+/** `&expr` — handed to the function, which interprets it per element of the
+  * (already extracted, small) argument subtree. */
+final case class FnRefArg(ast: Ast) extends FnArgIR
+
+final case class FnCallIR(name: String, args: Seq[FnArgIR])
+
+object FnCallIR {
+  /** Result of the call against a raw JSON document; path arguments are
+    * extracted streamingly. Throws [[JmesRuntimeError]] exactly like the
+    * interpreter (invalid-type / invalid-arity / unknown-function). */
+  def eval(doc: String, c: FnCallIR): JValue =
+    Functions.call(c.name, c.args.map {
+      case FnPathArg(steps) =>
+        Functions.FVal(ValueEmit.parsedOrNull(JsonPathRaw.extract(doc, steps)))
+      case FnLitArg(v)    => Functions.FVal(v)
+      case FnNestedArg(n) => Functions.FVal(eval(doc, n))
+      case FnRefArg(ast)  => Functions.FRef(ast)
+    }.toVector)
+
+  private def evalPinned(c: FnCallIR): JValue =
+    Functions.call(c.name, c.args.map {
+      case FnPathArg(_)   => Functions.FVal(JNull)
+      case FnLitArg(v)    => Functions.FVal(v)
+      case FnNestedArg(n) => Functions.FVal(evalPinned(n))
+      case FnRefArg(ast)  => Functions.FRef(ast)
+    }.toVector)
+
+  /** The lowered form's result over a MALFORMED document: every path
+    * extraction yields JMESPath null (JsonPathRaw never throws), errors
+    * collapse to null at the top — the exact runtime behavior of
+    * [[JsonFunctionEval]] on an unparsable input. Computed once at lowering
+    * time to decide whether a parse-validity guard is required (the
+    * interpreted engine returns null/false for malformed documents, so a
+    * pinned non-null/truthy result means the lowered form must be guarded). */
+  def pinned(c: FnCallIR): JValue =
+    try evalPinned(c) catch { case _: JmesRuntimeError => JNull }
+}
+
+/** Catalyst evaluation of a lowered JMESPath function call, in one of the
+  * three lowering contexts (same output conventions as the interpreted
+  * [[graft.functions.JmesPathEval]] family):
+  *  - [[JsonFunctionEval.Value]]  → StringType engine output (null → NULL,
+  *    strings unquoted, containers canonical);
+  *  - [[JsonFunctionEval.Truthy]] → non-null BooleanType truthiness;
+  *  - [[JsonFunctionEval.Num]]    → DoubleType, NULL for non-numbers.
+  * Runtime errors (invalid-type etc.) → null/false, matching JmesPathEval. */
+case class JsonFunctionEval(child: Expression, call: FnCallIR, mode: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = mode match {
+    case JsonFunctionEval.Truthy => BooleanType
+    case JsonFunctionEval.Num    => DoubleType
+    case _                       => StringType
+  }
+  override def nullable: Boolean = mode != JsonFunctionEval.Truthy
+  override def prettyName: String = s"json_function_$mode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
+
+  // truthy mode must keep its non-null contract on a NULL document (falsy),
+  // like JmesTruthy; the other modes return SQL NULL
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v != null) nullSafeEval(v)
+    else if (mode == JsonFunctionEval.Truthy) java.lang.Boolean.FALSE
+    else null
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val doc = input.asInstanceOf[UTF8String].toString
+    val r = try FnCallIR.eval(doc, call) catch { case _: JmesRuntimeError => JNull }
+    mode match {
+      case JsonFunctionEval.Truthy => java.lang.Boolean.valueOf(r.truthy)
+      case JsonFunctionEval.Num =>
+        r match { case JNum(d) => java.lang.Double.valueOf(d); case _ => null }
+      case _ => r match {
+        case JNull   => null
+        case JStr(s) => UTF8String.fromString(s)
+        case other   => UTF8String.fromString(JValue.serializeOrdered(other))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonFunctionEval =
+    copy(child = newChild)
+}
+
+object JsonFunctionEval {
+  val Value = "value"
+  val Truthy = "truthy"
+  val Num = "double"
+}

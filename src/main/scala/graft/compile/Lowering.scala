@@ -51,10 +51,48 @@ object Lowering {
   private def rawOf(doc: Expression, ast: Ast): Option[Expression] =
     pathOf(ast).filter(_.nonEmpty).map(steps => JsonPathRaw(doc, steps))
 
+  // --- function calls (round-7: the §2.3 library lowers when every argument
+  // is a path / literal / expref / nested lowerable call; path arguments are
+  // prefixed when the call sits under a pure-path Pipe/Subexpression, which
+  // is exact because field/index navigation composes) -----------------------
+
+  private def fnArgOf(ast: Ast, prefix: Seq[PathStep]): Option[FnArgIR] = ast match {
+    case Literal(v)       => Some(FnLitArg(v))
+    case ExpRef(e)        => Some(FnRefArg(e))
+    case fc: FunctionCall => fnCallOf(fc, prefix).map(FnNestedArg)
+    case p                => pathOf(p).map(steps => FnPathArg(prefix ++ steps))
+  }
+
+  private def fnCallOf(fc: FunctionCall, prefix: Seq[PathStep] = Nil): Option[FnCallIR] = {
+    val args = fc.args.map(fnArgOf(_, prefix))
+    if (args.forall(_.isDefined)) Some(FnCallIR(fc.name, args.map(_.get))) else None
+  }
+
+  /** The lowered IR of a (possibly path-prefixed) function-call AST. */
+  private def fnIROf(ast: Ast): Option[FnCallIR] = ast match {
+    case fc: FunctionCall                   => fnCallOf(fc)
+    case Subexpression(l, fc: FunctionCall) => pathOf(l).flatMap(p => fnCallOf(fc, p))
+    case Pipe(l, fc: FunctionCall)          => pathOf(l).flatMap(p => fnCallOf(fc, p))
+    case _                                  => None
+  }
+
+  /** Pinned (all paths → null) numeric result — the lowered form's value over
+    * a malformed document. Defined only for forms numOf lowers non-path-wise. */
+  private def pinnedNum(ast: Ast): Option[Double] = ast match {
+    case Literal(JNum(d)) => Some(d)
+    case _ => fnIROf(ast).flatMap(c => FnCallIR.pinned(c) match {
+      case JNum(d) => Some(d)
+      case _       => None
+    })
+  }
+
   /** Numeric (double) value of the AST; NULL for non-numbers. */
   def numOf(doc: Expression, ast: Ast): Option[Expression] = ast match {
     case Literal(JNum(d)) => Some(CLit(d, DoubleType))
-    case _                => rawOf(doc, ast).map(tryCastD)
+    case _ => fnIROf(ast) match {
+      case Some(c) => Some(JsonFunctionEval(doc, c, JsonFunctionEval.Num))
+      case None    => rawOf(doc, ast).map(tryCastD)
+    }
   }
 
   /** Equality of a path against a scalar literal (canonical raw text). */
@@ -134,11 +172,14 @@ object Lowering {
       Some(IsNotNull(JsonPathRaw(doc, pathOf(l).get)))
     case Subexpression(l, MultiSelectHash(_)) if pathOf(l).exists(_.nonEmpty) =>
       Some(IsNotNull(JsonPathRaw(doc, pathOf(l).get)))
-    case _ =>
-      rawOf(doc, ast).map { raw =>
-        CaseWhen(Seq((IsNull(raw), False)),
-          Some(Not(In(raw, Seq(str("\"\""), str("false"), str("[]"), str("{}"))))))
-      }
+    case _ => fnIROf(ast) match {
+      case Some(c) => Some(JsonFunctionEval(doc, c, JsonFunctionEval.Truthy))
+      case None =>
+        rawOf(doc, ast).map { raw =>
+          CaseWhen(Seq((IsNull(raw), False)),
+            Some(Not(In(raw, Seq(str("\"\""), str("false"), str("[]"), str("{}"))))))
+        }
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -238,19 +279,24 @@ object Lowering {
       for (prefix <- pathOf(l); ms <- msItemsOf(pairs.map(_._2)))
         yield JsonMultiSelect(doc, prefix, ms, Some(pairs.map(_._1)))
 
-    // plain field/index chains (incl. identity: canonical whole document)
-    case _ => pathOf(ast).map(steps => JsonPathValue(doc, steps))
+    // function calls (possibly under a pure-path Pipe/Subexpression prefix)
+    // and plain field/index chains (incl. identity: canonical whole document)
+    case _ => fnIROf(ast) match {
+      case Some(c) => Some(JsonFunctionEval(doc, c, JsonFunctionEval.Value))
+      case None    => pathOf(ast).map(steps => JsonPathValue(doc, steps))
+    }
   }
 
   /** Forms whose lowered VALUE can be non-NULL over a malformed document
     * where the interpreter (which fails the parse) returns null: anything
-    * producing constants or total booleans. Pure path/projection/
-    * multi-select extraction already yields NULL on malformed input. */
+    * producing constants or total booleans, and function calls whose pinned
+    * (all-paths-null) result is non-null. Pure path/projection/multi-select
+    * extraction already yields NULL on malformed input. */
   private def valueMalformedSensitive(ast: Ast): Boolean = ast match {
     case Literal(_) | NotExpr(_) | Comparator(_, _, _) => true
     case AndExpr(l, r) => valueMalformedSensitive(l) || valueMalformedSensitive(r)
     case OrExpr(l, r)  => valueMalformedSensitive(l) || valueMalformedSensitive(r)
-    case _             => false
+    case _             => fnIROf(ast).exists(c => FnCallIR.pinned(c) != JNull)
   }
 
   /** [[valueOf]] with the engine's NULL-document and malformed-document
@@ -312,7 +358,13 @@ object Lowering {
     case OrExpr(l, r)           => malformedSensitive(l) || malformedSensitive(r)
     case Comparator("!=", _, _) => true
     case Comparator("==", l, r) => l == Literal(JNull) || r == Literal(JNull)
-    case _                      => false
+    // an ordering comparator whose operands BOTH stay numeric with every path
+    // pinned to null (literals, pinned-numeric function calls) evaluates to a
+    // real boolean over a malformed document, where the interpreter is false
+    case Comparator(_, l, r)    => pinnedNum(l).isDefined && pinnedNum(r).isDefined
+    // a function call whose pinned result is truthy (e.g. `length(`"ab"`)`,
+    // `contains(`[1]`, `1`)`) is truthy-lowered non-false on malformed input
+    case _                      => fnIROf(ast).exists(c => FnCallIR.pinned(c).truthy)
   }
 
   /** [[truthyOf]] with the engine's NULL- and malformed-document conventions
@@ -330,8 +382,9 @@ object Lowering {
     numOf(doc, ast).map { e =>
       val nullD = CLit(null, DoubleType)
       val guarded = ast match {
-        case Literal(_) => If(JsonIsValid(doc), e, nullD)
-        case _          => e
+        case Literal(_)                       => If(JsonIsValid(doc), e, nullD)
+        case a if pinnedNum(a).isDefined      => If(JsonIsValid(doc), e, nullD)
+        case _                                => e
       }
       If(IsNull(doc), nullD, guarded)
     }

@@ -147,6 +147,62 @@ class LoweringSpec extends AnyFunSuite {
     }
   }
 
+  test("lowered function calls: NullSafe forms match engine semantics incl. malformed docs") {
+    import graft.jmespath.JmesRuntimeError
+    val docs = Seq(
+      """{"tags": ["a", "b", "c"], "name": "hello", "n": "42", "o": {"a": 1, "b": 2}, "objs": [{"x": 2}, {"x": 1}]}""",
+      """{"tags": [], "name": "", "n": "x", "o": {}, "objs": []}""",
+      """{"tags": "notanarray", "n": 7}""",
+      """{}""", "not json", "{broken", """null""", """[1, 2, 3]""", """42""")
+    val exprs = Seq(
+      // the flagship hot shapes
+      "length(tags)", "length(name)", "length(missing)", "length(@)",
+      "length(tags) > `2`", "length(tags) >= `3`", "length(missing) > `0`",
+      "to_number(n)", "to_number(name)", "to_number(n) > `40`",
+      "contains(tags, 'a')", "contains(name, 'ell')", "contains(`[1,2]`, `2`)",
+      "starts_with(name, 'he')", "ends_with(name, 'lo')",
+      "not_null(missing, n, `5`)", "not_null(missing)",
+      "abs(`-3`)", "ceil(`1.2`)", "floor(to_number(n))",
+      // the rest of the §2.3 library over lowered args
+      "join(', ', tags)", "keys(o)", "values(o)", "reverse(tags)", "reverse(name)",
+      "sort(tags)", "to_string(tags)", "to_string(missing)", "to_array(name)",
+      "type(tags)", "type(missing)", "max(tags)", "min(tags)",
+      "sum(`[1, 2]`)", "avg(`[2, 4]`)", """merge(o, `{"c": 3}`)""",
+      "map(&x, objs)", "sort_by(objs, &x)", "max_by(objs, &x)", "min_by(objs, &x)",
+      // nested + path-prefixed calls
+      "length(to_string(o))", "o | keys(@)", "o.a | to_string(@)",
+      "to_number(n) > `40` && name", "length(tags) || name")
+    for (doc <- docs; e <- exprs) {
+      val ast = Parser.parse(e)
+      val jvOpt = JValue.parseOpt(doc)
+      def interp: Option[JValue] = jvOpt.map { jv =>
+        try Interpreter.eval(ast, jv) catch { case _: JmesRuntimeError => JNull }
+      }
+      def interpTruthy: Boolean = jvOpt.exists { jv =>
+        try Interpreter.eval(ast, jv).truthy catch { case _: JmesRuntimeError => false }
+      }
+      Lowering.truthyNullSafe(docRef, ast).foreach { col =>
+        val got = evalCol(col, doc)
+        assert(got == interpTruthy, s"truthy[$e] over $doc: lowered $got vs $interpTruthy")
+      }
+      Lowering.numNullSafe(docRef, ast).foreach { col =>
+        val got = evalCol(col, doc)
+        val exp = interp match { case Some(JNum(d)) => d; case _ => null }
+        assert(got == exp, s"num[$e] over $doc: lowered $got vs $exp")
+      }
+      Lowering.valueNullSafe(docRef, ast).foreach { col =>
+        val got = evalCol(col, doc)
+        val exp = interp.map(valueConvention).orNull
+        assert(got == exp, s"value[$e] over $doc: lowered $got vs $exp")
+      }
+    }
+    // the headline shapes must actually lower (coverage regression guard)
+    assert(Lowering.lowersTruthy("length(tags) > `2`"))
+    assert(Lowering.lowersValue("not_null(missing, n, `5`)"))
+    assert(Lowering.lowersDouble("to_number(n)"))
+    assert(Lowering.lowersValue("sort_by(objs, &x)"))
+  }
+
   test("lowered filtered form agrees with JmesPathFiltered semantics") {
     val docs = Seq(
       """{"k": 87}""", """{"k": 3}""", """{"k": 0}""", """{"k": "x"}""",
