@@ -73,7 +73,7 @@ case class JsonIsValid(child: Expression) extends UnaryExpression with CodegenFa
 }
 
 object JsonPathRaw {
-  private val factory = new JsonFactory()
+  private[compile] val factory = new JsonFactory()
 
   /** Raw JSON text at `steps`, or null.
     *

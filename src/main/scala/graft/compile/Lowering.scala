@@ -299,23 +299,27 @@ object Lowering {
     case _             => fnIROf(ast).exists(c => FnCallIR.pinned(c) != JNull)
   }
 
-  /** [[valueOf]] with the engine's NULL-document and malformed-document
-    * conventions pinned (both → NULL, matching JmesPathEval). */
-  def valueNullSafe(doc: Expression, ast: Ast): Option[Expression] =
+  private def valueGuarded(doc: Expression, ast: Ast): Option[Expression] =
     valueOf(doc, ast).map { e =>
       val guarded =
         if (valueMalformedSensitive(ast)) If(JsonIsValid(doc), e, NullStr) else e
       If(IsNull(doc), NullStr, guarded)
     }
 
+  /** [[valueOf]] with the engine's NULL-document and malformed-document
+    * conventions pinned (both → NULL, matching JmesPathEval), and all plain
+    * path scans fused into one streaming pass ([[ScanFusion]]). */
+  def valueNullSafe(doc: Expression, ast: Ast): Option[Expression] =
+    valueGuarded(doc, ast).map(ScanFusion.fuse(doc, _))
+
   /** Lowered twin of [[graft.functions.JmesPathFiltered]]: the serialized
-    * result when JMESPath-truthy, else NULL. Evaluates the document twice
-    * (once for the gate, once for the value) — still far cheaper than one
-    * interpreted tree-walk, and Catalyst subexpression elimination can merge
-    * the shared JsonPathRaw scans where they appear verbatim. */
+    * result when JMESPath-truthy, else NULL. Gate and value are built over
+    * the SAME fused single-pass scan ([[ScanFusion.fuse]]) — one document
+    * traversal serves both, closing the double-evaluation the pre-fusion
+    * lowering paid on the CLI `-filter` hot path. */
   def filteredNullSafe(doc: Expression, ast: Ast): Option[Expression] =
-    for (t <- truthyNullSafe(doc, ast); v <- valueNullSafe(doc, ast))
-      yield If(t, v, NullStr)
+    for (t <- truthyGuarded(doc, ast); v <- valueGuarded(doc, ast))
+      yield ScanFusion.fuse(doc, If(t, v, NullStr))
 
   /** Restricted per-element predicate for lowered filter-projections. */
   private def rpredOf(ast: Ast): Option[RPred] = ast match {
@@ -367,17 +371,21 @@ object Lowering {
     case _                      => fnIROf(ast).exists(c => FnCallIR.pinned(c).truthy)
   }
 
-  /** [[truthyOf]] with the engine's NULL- and malformed-document conventions
-    * pinned (both → false, matching JmesTruthy). */
-  def truthyNullSafe(doc: Expression, ast: Ast): Option[Expression] =
+  private def truthyGuarded(doc: Expression, ast: Ast): Option[Expression] =
     truthyOf(doc, ast).map { e =>
       val guarded = if (malformedSensitive(ast)) And(JsonIsValid(doc), e) else e
       If(IsNull(doc), False, guarded)
     }
 
+  /** [[truthyOf]] with the engine's NULL- and malformed-document conventions
+    * pinned (both → false, matching JmesTruthy), scans fused. */
+  def truthyNullSafe(doc: Expression, ast: Ast): Option[Expression] =
+    truthyGuarded(doc, ast).map(ScanFusion.fuse(doc, _))
+
   /** [[numOf]] with NULL/malformed doc → NULL pinned (matching
-    * JmesPathEvalDouble; only literal-valued expressions are sensitive —
-    * path extraction already yields NULL on malformed input). */
+    * JmesPathEvalDouble; only pinned-numeric expressions — literals and
+    * pinned-numeric function calls — are sensitive: path extraction already
+    * yields NULL on malformed input). Scans fused. */
   def numNullSafe(doc: Expression, ast: Ast): Option[Expression] =
     numOf(doc, ast).map { e =>
       val nullD = CLit(null, DoubleType)
@@ -386,7 +394,7 @@ object Lowering {
         case a if pinnedNum(a).isDefined      => If(JsonIsValid(doc), e, nullD)
         case _                                => e
       }
-      If(IsNull(doc), nullD, guarded)
+      ScanFusion.fuse(doc, If(IsNull(doc), nullD, guarded))
     }
 
   /** Public API: lowered-when-possible column builders (interpreted

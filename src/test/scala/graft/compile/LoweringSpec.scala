@@ -203,6 +203,53 @@ class LoweringSpec extends AnyFunSuite {
     assert(Lowering.lowersValue("sort_by(objs, &x)"))
   }
 
+  test("scan fusion: fused NullSafe trees agree with the interpreter; fusion fires") {
+    import graft.jmespath.JmesRuntimeError
+    val docs = Seq(
+      """{"k": 87, "a": {"b": 1, "c": [1, 2, 3]}, "arr": [1, 2, 3, 4]}""",
+      """{"a": {"b": 1}, "a": {"c": 2}}""", // duplicate keys: last occurrence wins deeply
+      """{"a": {"b": {"x": 1}}, "k": 1, "a": 2}""",
+      """{"k": null, "a": null}""", """{"k": "50"}""",
+      """{"arr": []}""", """{}""", "not json", "{broken", """null""", """[5, 6]""", """42""")
+    val exprs = Seq(
+      "k >= `50` && k", "k == `87` || a.b", "a && a.b", "a.b && a.c",
+      "!k && !a", "k != `1` && k", "arr[-1] && arr[0]", "arr[-1] > arr[1]",
+      "[k, a.b, arr[-2]]", "{x: a.b, y: a.c, z: k}", "a.b || a.c || k",
+      "missing == `null` && k", "a.b == `1` && a.c[0]", "arr[0] < arr[-1] && arr")
+    for (doc <- docs; e <- exprs) {
+      val ast = Parser.parse(e)
+      val jvOpt = JValue.parseOpt(doc)
+      def interp: Option[JValue] = jvOpt.map { jv =>
+        try Interpreter.eval(ast, jv) catch { case _: JmesRuntimeError => JNull }
+      }
+      Lowering.truthyNullSafe(docRef, ast).foreach { col =>
+        val got = evalCol(col, doc)
+        val exp = interp.exists(_.truthy)
+        assert(got == exp, s"fused truthy[$e] over $doc: $got vs $exp")
+      }
+      Lowering.valueNullSafe(docRef, ast).foreach { col =>
+        val got = evalCol(col, doc)
+        val exp = interp.map(valueConvention).orNull
+        assert(got == exp, s"fused value[$e] over $doc: $got vs $exp")
+      }
+      Lowering.filteredNullSafe(docRef, ast).foreach { col =>
+        val got = evalCol(col, doc)
+        val exp = interp match {
+          case Some(r) if r.truthy => valueConvention(r)
+          case _                   => null
+        }
+        assert(got == exp, s"fused filtered[$e] over $doc: $got vs $exp")
+      }
+    }
+    // the flagship CLI shape must actually fuse into a single-pass scan
+    val fused = Lowering.filteredNullSafe(docRef, Parser.parse("k >= `50` && k")).get
+    assert(fused.isInstanceOf[JsonFusedEval], s"expected JsonFusedEval root, got ${fused.getClass}")
+    // NULL document through the fused path stays the engine convention
+    assert(evalCol(fused, null) == null)
+    val fusedTruthy = Lowering.truthyNullSafe(docRef, Parser.parse("k >= `50` && k")).get
+    assert(evalCol(fusedTruthy, null) == false)
+  }
+
   test("lowered filtered form agrees with JmesPathFiltered semantics") {
     val docs = Seq(
       """{"k": 87}""", """{"k": 3}""", """{"k": 0}""", """{"k": "x"}""",
