@@ -73,7 +73,18 @@ case class JsonIsValid(child: Expression) extends UnaryExpression with CodegenFa
 }
 
 object JsonPathRaw {
-  private[compile] val factory = new JsonFactory()
+  /** Shared parser/generator config for the whole lowered json_* family.
+    * NaN/Infinity handling matches the interpreter's JValue mapper exactly
+    * (JValue.scala:49-50): non-numeric numbers PARSE (so a document the
+    * interpreter accepts never flips to null under lowering) and are written
+    * back unquoted, so `try_cast(raw AS double)` yields NaN/Infinity just as
+    * the interpreter's JNum does. */
+  private[compile] val factory = {
+    val f = new JsonFactory()
+    f.enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS)
+    f.disable(com.fasterxml.jackson.core.JsonGenerator.Feature.QUOTE_NON_NUMERIC_NUMBERS)
+    f
+  }
 
   /** Raw JSON text at `steps`, or null.
     *

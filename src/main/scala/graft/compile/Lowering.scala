@@ -99,6 +99,10 @@ object Lowering {
   private def eqCol(doc: Expression, path: Ast, literal: JValue): Option[Expression] = {
     val raw = rawOf(doc, path).getOrElse(return None)
     literal match {
+      case JNum(d) if d.isNaN =>
+        // Go ==: NaN equals nothing (deepEqual via float64 ==); Spark's
+        // EqualTo says NaN = NaN, so pin the result instead of comparing
+        Some(False)
       case JNum(d) =>
         Some(Coalesce(Seq(EqualTo(tryCastD(raw), CLit(d, DoubleType)), False)))
       case JStr(s) =>
@@ -127,40 +131,39 @@ object Lowering {
         eq.map(e => if (op == "==") e else Not(e))
       case _ =>
         // ordering is numbers-only; a non-number operand → JMESPath null →
-        // falsy, which SQL NULL-propagation + coalesce reproduces exactly
-        for (a <- numOf(doc, l); b <- numOf(doc, r)) yield Coalesce(Seq(op match {
-          case "<"  => LessThan(a, b)
-          case "<=" => LessThanOrEqual(a, b)
-          case ">"  => GreaterThan(a, b)
-          case ">=" => GreaterThanOrEqual(a, b)
-        }, False))
+        // falsy, which SQL NULL-propagation + coalesce reproduces exactly.
+        // NaN needs a guard: Spark's SQL ordering ranks NaN above every
+        // number (NaN >= x is TRUE), but Go float64 comparisons are IEEE
+        // (always false) — interpreter semantics.
+        for (a <- numOf(doc, l); b <- numOf(doc, r)) yield
+          Coalesce(Seq(If(Or(IsNaN(a), IsNaN(b)), False, op match {
+            case "<"  => LessThan(a, b)
+            case "<=" => LessThanOrEqual(a, b)
+            case ">"  => GreaterThan(a, b)
+            case ">=" => GreaterThanOrEqual(a, b)
+          }), False))
     }
     // (filter-)projection truthiness: non-empty result after null-dropping →
-    // a streaming element count > 0 (JsonProjectionCount); the per-element
-    // predicate mirrors the top-level comparator/truthy forms
+    // any surviving element (JsonProjectionExists, streaming with first-hit
+    // early exit); the per-element predicate mirrors the top-level
+    // comparator/truthy forms
     case Projection(Flatten(inner), rhs) => // `arr[]` one-level flatten
       for (base <- pathOf(inner); sub <- pathOf(rhs))
-        yield GreaterThan(
-          JsonProjectionCount(doc, base, None, sub, flatten = true),
-          CLit(0, IntegerType))
+        yield JsonProjectionExists(doc, base, None, sub, flatten = true)
     // slice projection (`arr[a:b:c]`) — must precede the generic arm
     case Projection(IndexExpr(lhs, Slice(a, b, st)), rhs) =>
       for (base <- pathOf(lhs); sub <- pathOf(rhs))
-        yield GreaterThan(
-          JsonProjectionCount(doc, base, None, sub, slice = Some((a, b, st))),
-          CLit(0, IntegerType))
+        yield JsonProjectionExists(doc, base, None, sub, slice = Some((a, b, st)))
     case Projection(lhs, rhs) =>
       for (base <- pathOf(lhs); sub <- pathOf(rhs))
-        yield GreaterThan(JsonProjectionCount(doc, base, None, sub), CLit(0, IntegerType))
+        yield JsonProjectionExists(doc, base, None, sub)
     case FilterProjection(lhs, rhs, cond) =>
       for (base <- pathOf(lhs); sub <- pathOf(rhs); p <- rpredOf(cond))
-        yield GreaterThan(JsonProjectionCount(doc, base, Some(p), sub), CLit(0, IntegerType))
+        yield JsonProjectionExists(doc, base, Some(p), sub)
     // object-value projection (`obj.*`) — iterate field values instead
     case ValueProjection(lhs, rhs) =>
       for (base <- pathOf(lhs); sub <- pathOf(rhs))
-        yield GreaterThan(
-          JsonProjectionCount(doc, base, None, sub, objectValues = true),
-          CLit(0, IntegerType))
+        yield JsonProjectionExists(doc, base, None, sub, objectValues = true)
     // multi-selects always yield a non-empty container for a non-null,
     // parsable input (parser requires >=1 item), so their truthiness is just
     // input validity AND the input not being the JSON `null` value (a
@@ -221,14 +224,16 @@ object Lowering {
         // eqCol is total (Coalesce → false), matching deepEqual's JBool
         truthyOf(doc, ast).map(t => If(t, str("true"), str("false")))
       case _ =>
-        // ordering is numbers-only: a non-number operand → JMESPath null
+        // ordering is numbers-only: a non-number operand → JMESPath null.
+        // NaN guard as in the truthy arm: IEEE (Go) comparisons with NaN are
+        // false, Spark's SQL ordering says NaN is the largest double.
         for (a <- numOf(doc, l); b <- numOf(doc, r)) yield {
-          val cmp = op match {
+          val cmp = If(Or(IsNaN(a), IsNaN(b)), False, op match {
             case "<"  => LessThan(a, b)
             case "<=" => LessThanOrEqual(a, b)
             case ">"  => GreaterThan(a, b)
             case ">=" => GreaterThanOrEqual(a, b)
-          }
+          })
           CaseWhen(Seq((Or(IsNull(a), IsNull(b)), NullStr)),
             Some(If(cmp, str("true"), str("false"))))
         }

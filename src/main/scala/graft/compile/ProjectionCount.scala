@@ -1,10 +1,10 @@
 package graft.compile
 
-import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+import com.fasterxml.jackson.core.JsonToken
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.jmespath.{JBool, JNull, JNum, JStr, JValue}
@@ -65,23 +65,23 @@ object RPred {
   }
 }
 
-/** Number of elements surviving a lowered (filter-)projection:
-  * `array-at-steps [?pred] . sub` with projection null-dropping — i.e. the
-  * count of elements where `pred` holds (if present) and the `sub` path
-  * resolves to a non-null value. 0 when the path is missing or not an array
-  * (JMESPath: projection over a non-array → null → falsy), and 0 for a NULL
-  * or malformed document. Truthiness of a projection lowers to `count > 0`.
-  * One streaming pass over the extracted array; per-element work re-parses
-  * only that element's (small) subtree. */
-case class JsonProjectionCount(child: Expression, steps: Seq[PathStep],
-                               pred: Option[RPred], sub: Seq[PathStep],
-                               objectValues: Boolean = false,
-                               flatten: Boolean = false,
-                               slice: Option[(Option[Int], Option[Int], Option[Int])] = None)
+/** True iff at least one element survives a lowered (filter-)projection:
+  * `array-at-steps [?pred] . sub` with projection null-dropping — i.e. some
+  * element where `pred` holds (if present) and the `sub` path resolves
+  * non-null. False when the path is missing or not an array (JMESPath:
+  * projection over a non-array → null → falsy), and false for a NULL or
+  * malformed document. This is projection truthiness: one streaming pass
+  * that EARLY-EXITS at the first survivor — no element buffering (the value
+  * twin [[JsonProjectionEmit]] shares the same traversal via `collect`). */
+case class JsonProjectionExists(child: Expression, steps: Seq[PathStep],
+                                pred: Option[RPred], sub: Seq[PathStep],
+                                objectValues: Boolean = false,
+                                flatten: Boolean = false,
+                                slice: Option[(Option[Int], Option[Int], Option[Int])] = None)
     extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullable: Boolean = false
-  override def prettyName: String = "json_projection_count"
+  override def prettyName: String = "json_projection_exists"
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -89,51 +89,47 @@ case class JsonProjectionCount(child: Expression, steps: Seq[PathStep],
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) Integer.valueOf(0) else nullSafeEval(v)
+    if (v == null) java.lang.Boolean.FALSE else nullSafeEval(v)
   }
 
-  override def nullSafeEval(input: Any): Any = Integer.valueOf(
-    JsonProjectionCount.count(input.asInstanceOf[UTF8String].toString, steps, pred, sub,
+  override def nullSafeEval(input: Any): Any = java.lang.Boolean.valueOf(
+    JsonProjectionCount.exists(input.asInstanceOf[UTF8String].toString, steps, pred, sub,
       objectValues, flatten, slice))
 
-  override protected def withNewChildInternal(newChild: Expression): JsonProjectionCount =
+  override protected def withNewChildInternal(newChild: Expression): JsonProjectionExists =
     copy(child = newChild)
 }
 
 object JsonProjectionCount {
-  private val factory = new JsonFactory()
+  private def factory = JsonPathRaw.factory // one shared parser/generator config
 
-  def count(doc: String, steps: Seq[PathStep], pred: Option[RPred],
-            sub: Seq[PathStep], objectValues: Boolean = false,
-            flatten: Boolean = false,
-            slice: Option[(Option[Int], Option[Int], Option[Int])] = None): Int = {
-    val survivors = collect(doc, steps, pred, sub, objectValues, flatten, slice)
-    if (survivors == null) 0 else survivors.length
-  }
-
-  /** The surviving elements' `sub`-path raw texts, in projection order —
-    * one traversal serving both the truthy COUNT ([[JsonProjectionCount]])
-    * and the VALUE emission ([[JsonProjectionEmit]]). Returns `null` (the
-    * JMESPath `null` projection result) when the base path is missing, not
-    * the right container kind, or the document is malformed. */
-  def collect(doc: String, steps: Seq[PathStep], pred: Option[RPred],
-              sub: Seq[PathStep], objectValues: Boolean = false,
-              flatten: Boolean = false,
-              slice: Option[(Option[Int], Option[Int], Option[Int])] = None): Vector[String] = {
+  /** Stream the surviving elements' `sub`-path raw texts, in projection
+    * order, to `sink` until it returns false — ONE traversal serving both
+    * truthiness ([[JsonProjectionExists]], early-exit sink) and VALUE
+    * emission ([[JsonProjectionEmit]], buffering sink), with no buffering in
+    * the traversal itself (except slices, which need the element count
+    * first). Returns false (the JMESPath `null` projection result) when the
+    * base path is missing, not the right container kind, or the document is
+    * malformed; true otherwise. */
+  def traverse(doc: String, steps: Seq[PathStep], pred: Option[RPred],
+               sub: Seq[PathStep], objectValues: Boolean = false,
+               flatten: Boolean = false,
+               slice: Option[(Option[Int], Option[Int], Option[Int])] = None)
+              (sink: String => Boolean): Boolean = {
     val arrRaw = JsonPathRaw.extract(doc, steps)
-    if (arrRaw == null) return null
+    if (arrRaw == null) return false
     try {
       val p = factory.createParser(arrRaw)
       try {
         val (open, close) =
           if (objectValues) (JsonToken.START_OBJECT, JsonToken.END_OBJECT)
           else (JsonToken.START_ARRAY, JsonToken.END_ARRAY)
-        if (p.nextToken() != open) return null
-        val out = Vector.newBuilder[String]
+        if (p.nextToken() != open) return false
+        var more = true
         def keepItem(itemRaw: String): Unit = {
-          if (pred.forall(RPred.eval(_, itemRaw))) {
+          if (more && pred.forall(RPred.eval(_, itemRaw))) {
             val subRaw = JsonPathRaw.extract(itemRaw, sub)
-            if (subRaw != null) out += subRaw // projection null-drop
+            if (subRaw != null) more = sink(subRaw) // projection null-drop
           }
         }
         def copyCurrent(): String = {
@@ -153,7 +149,7 @@ object JsonProjectionCount {
             sliceIndices(items.length, a, b, st).foreach(i => keepItem(items(i)))
           case None =>
             var vt = p.nextToken()
-            while (vt != close) {
+            while (vt != close && more) {
               if (objectValues) { vt = p.nextToken() } // skip FIELD_NAME onto the value
               if (flatten && vt == JsonToken.START_ARRAY) {
                 // one-level flatten: inner array elements become items
@@ -162,10 +158,35 @@ object JsonProjectionCount {
               } else keepItem(copyCurrent())
               vt = p.nextToken()
             }
+          // early exit abandons the rest of the standalone subtree parse
         }
-        out.result()
+        true
       } finally p.close()
-    } catch { case _: Exception => null }
+    } catch { case _: Exception => false }
+  }
+
+  /** Projection truthiness: any survivor at all (first hit stops the scan). */
+  def exists(doc: String, steps: Seq[PathStep], pred: Option[RPred],
+             sub: Seq[PathStep], objectValues: Boolean = false,
+             flatten: Boolean = false,
+             slice: Option[(Option[Int], Option[Int], Option[Int])] = None): Boolean = {
+    var found = false
+    traverse(doc, steps, pred, sub, objectValues, flatten, slice) { _ =>
+      found = true; false
+    } && found
+  }
+
+  /** The surviving elements' `sub`-path raw texts, in projection order —
+    * `null` for the JMESPath `null` projection result. */
+  def collect(doc: String, steps: Seq[PathStep], pred: Option[RPred],
+              sub: Seq[PathStep], objectValues: Boolean = false,
+              flatten: Boolean = false,
+              slice: Option[(Option[Int], Option[Int], Option[Int])] = None): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val ok = traverse(doc, steps, pred, sub, objectValues, flatten, slice) { r =>
+      out += r; true
+    }
+    if (ok) out.result() else null
   }
 
   /** CPython slice.indices() semantics; step == 0 is rejected at parse time

@@ -25,8 +25,21 @@ object StreamingCoverage {
     * file by `foreachPartition`. A task owns every row of each shard it
     * writes, so files are written exactly once with no cross-task appends;
     * the `_READY` marker is written by the driver only after the job
-    * succeeds, so a failed/retried run rewrites from scratch. */
+    * succeeds, so a failed/retried run rewrites from scratch.
+    *
+    * PRECONDITIONS (asserted): a local master — executors must share the
+    * driver's java.io.tmpdir for the driver-side `_READY` stamp to mean
+    * anything — and speculation off, since a speculative duplicate of a
+    * partition's task would interleave writes into the same shard file. On a
+    * real cluster this helper would target a shared filesystem with
+    * per-attempt staging + atomic rename instead. */
   def shardDirFor(s: SparkSession, sfDir: String): String = {
+    require(s.sparkContext.isLocal,
+      "shardDirFor writes shard files to the driver-local java.io.tmpdir and " +
+        "requires a local[*] master; use a shared-FS variant on a cluster")
+    require(!s.sparkContext.getConf.getBoolean("spark.speculation", false),
+      "shardDirFor requires speculation off: speculative task attempts would " +
+        "append duplicate lines into the per-shard JSONL files")
     val tag = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val dir = new File(System.getProperty("java.io.tmpdir"), s"graft_stream_$tag")
     val ready = new File(dir, "_READY")

@@ -55,7 +55,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val q = spark.read.parquet(pq).where(jmesTruthy(col("doc"), "k > `50`"))
     val optimized = q.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("jmes_truthy"), s"not lowered:\n$optimized")
-    assert(optimized.contains("json_path_raw"), s"expected native extractor:\n$optimized")
+    // the comparator references the path twice (NaN guard + comparison), so
+    // scan fusion kicks in: one streaming pass feeding both uses
+    assert(optimized.contains("json_fused") || optimized.contains("json_path_raw"),
+      s"expected native extractor:\n$optimized")
     assert(q.collect().map(_.getString(0)).toSeq == Seq("""{"k": 87}"""))
     // null-document convention preserved for constant-foldable expressions
     val lit = df.select(jmespathDouble(col("doc"), "`5`").as("v")).collect()

@@ -153,6 +153,9 @@ class LoweringSpec extends AnyFunSuite {
       """{"tags": ["a", "b", "c"], "name": "hello", "n": "42", "o": {"a": 1, "b": 2}, "objs": [{"x": 2}, {"x": 1}]}""",
       """{"tags": [], "name": "", "n": "x", "o": {}, "objs": []}""",
       """{"tags": "notanarray", "n": 7}""",
+      // NaN/Infinity parse in the interpreter's JValue mapper; the lowered
+      // factory must accept them too (ADVICE r6 #3)
+      """{"n": NaN, "tags": [NaN, 1], "name": "x"}""",
       """{}""", "not json", "{broken", """null""", """[1, 2, 3]""", """42""")
     val exprs = Seq(
       // the flagship hot shapes
@@ -188,7 +191,12 @@ class LoweringSpec extends AnyFunSuite {
       Lowering.numNullSafe(docRef, ast).foreach { col =>
         val got = evalCol(col, doc)
         val exp = interp match { case Some(JNum(d)) => d; case _ => null }
-        assert(got == exp, s"num[$e] over $doc: lowered $got vs $exp")
+        // java.lang.Double.equals is NaN-aware (NaN == NaN there), unlike ==
+        val same = (got, exp) match {
+          case (g: java.lang.Double, x: java.lang.Double) => g.equals(x)
+          case _                                          => got == exp
+        }
+        assert(same, s"num[$e] over $doc: lowered $got vs $exp")
       }
       Lowering.valueNullSafe(docRef, ast).foreach { col =>
         val got = evalCol(col, doc)
@@ -210,6 +218,7 @@ class LoweringSpec extends AnyFunSuite {
       """{"a": {"b": 1}, "a": {"c": 2}}""", // duplicate keys: last occurrence wins deeply
       """{"a": {"b": {"x": 1}}, "k": 1, "a": 2}""",
       """{"k": null, "a": null}""", """{"k": "50"}""",
+      """{"k": NaN, "a": {"b": Infinity, "c": -Infinity}, "arr": [NaN, 2]}""",
       """{"arr": []}""", """{}""", "not json", "{broken", """null""", """[5, 6]""", """42""")
     val exprs = Seq(
       "k >= `50` && k", "k == `87` || a.b", "a && a.b", "a.b && a.c",
