@@ -68,6 +68,11 @@ object ShardStream {
   val AtSequenceNumber = "AT_SEQUENCE_NUMBER"
   val AfterSequenceNumber = "AFTER_SEQUENCE_NUMBER"
 
+  /** S8 fault-injection telemetry: number of reader failures injected by the
+    * `chaosFailFirstAttempt` option (test hook — local mode shares the JVM,
+    * so the retry spec can assert failures actually fired). */
+  val chaosInjectedFailures = new java.util.concurrent.atomic.AtomicLong()
+
   /** Test/demo helper: write rows as a shard directory. `rows` =
     * (shardId, sequenceNumber, partitionKey, data, arrivalMillis).
     * Shard files are newline-terminated JSONL (every record line ends in
@@ -338,7 +343,15 @@ class ShardMicroBatchStream(options: CaseInsensitiveStringMap)
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new ShardReaderFactory
+  /** S8: error handling — the reader is deterministic over its [start, end)
+    * range, so Spark task retry re-reads exactly the same records
+    * (reference worker.go retries GetRecords on error, worker.go:219-224;
+    * our failed task's partial output is discarded by Spark, making the
+    * retry exactly-once rather than at-least-once). The
+    * `chaosFailFirstAttempt` option injects a mid-range failure on every
+    * first task attempt to prove it (RetrySpec). */
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardReaderFactory(options.getBoolean("chaosFailFirstAttempt", false))
 
   override def deserializeOffset(json: String): Offset = ShardOffsets.fromJson(json)
   override def commit(end: Offset): Unit = ()
@@ -367,7 +380,8 @@ class ShardMicroBatchStream(options: CaseInsensitiveStringMap)
 case class ShardInputPartition(shardId: String, file: String, start: Long, end: Long)
     extends InputPartition
 
-class ShardReaderFactory extends PartitionReaderFactory {
+class ShardReaderFactory(chaosFailFirstAttempt: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardInputPartition]
     new PartitionReader[InternalRow] {
@@ -377,9 +391,21 @@ class ShardReaderFactory extends PartitionReaderFactory {
       // seek to start (a real connector would resume an iterator token)
       while (pos < p.start && reader.readLine() != null) pos += 1
       private var current: InternalRow = _
+      // S8 fault injection: die mid-range on the first attempt of every task
+      private val chaosAt =
+        if (chaosFailFirstAttempt &&
+            org.apache.spark.TaskContext.get() != null &&
+            org.apache.spark.TaskContext.get().attemptNumber() == 0)
+          (p.start + p.end) / 2
+        else -1L
 
       override def next(): Boolean = {
         if (pos >= p.end) return false
+        if (pos == chaosAt) {
+          ShardStream.chaosInjectedFailures.incrementAndGet()
+          throw new java.io.IOException(
+            s"injected reader failure at $pos in [${p.start}, ${p.end}) of ${p.shardId}")
+        }
         val line = reader.readLine()
         if (line == null) return false
         pos += 1
