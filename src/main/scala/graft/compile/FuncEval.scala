@@ -1,8 +1,7 @@
 package graft.compile
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -35,10 +34,10 @@ object FnCallIR {
   /** Result of the call against a raw JSON document; path arguments are
     * extracted streamingly. Throws [[JmesRuntimeError]] exactly like the
     * interpreter (invalid-type / invalid-arity / unknown-function). */
-  def eval(doc: String, c: FnCallIR): JValue =
+  def eval(doc: UTF8String, c: FnCallIR): JValue =
     Functions.call(c.name, c.args.map {
       case FnPathArg(steps) =>
-        Functions.FVal(ValueEmit.parsedOrNull(JsonPathRaw.extract(doc, steps)))
+        Functions.FVal(ValueEmit.parsedOrNull(JsonPathRaw.extractU8Raw(doc, steps)))
       case FnLitArg(v)    => Functions.FVal(v)
       case FnNestedArg(n) => Functions.FVal(eval(doc, n))
       case FnRefArg(ast)  => Functions.FRef(ast)
@@ -72,7 +71,7 @@ object FnCallIR {
   *  - [[JsonFunctionEval.Num]]    → DoubleType, NULL for non-numbers.
   * Runtime errors (invalid-type etc.) → null/false, matching JmesPathEval. */
 case class JsonFunctionEval(child: Expression, call: FnCallIR, mode: String)
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def dataType: DataType = mode match {
     case JsonFunctionEval.Truthy => BooleanType
     case JsonFunctionEval.Num    => DoubleType
@@ -85,17 +84,11 @@ case class JsonFunctionEval(child: Expression, call: FnCallIR, mode: String)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
 
-  // truthy mode must keep its non-null contract on a NULL document (falsy),
+  // truthy mode keeps its non-null contract on a NULL document (falsy),
   // like JmesTruthy; the other modes return SQL NULL
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v != null) nullSafeEval(v)
-    else if (mode == JsonFunctionEval.Truthy) java.lang.Boolean.FALSE
-    else null
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val doc = input.asInstanceOf[UTF8String].toString
+  override def compute(doc: UTF8String): Any = {
+    if (doc == null)
+      return if (mode == JsonFunctionEval.Truthy) java.lang.Boolean.FALSE else null
     val r = try FnCallIR.eval(doc, call) catch { case _: JmesRuntimeError => JNull }
     mode match {
       case JsonFunctionEval.Truthy => java.lang.Boolean.valueOf(r.truthy)

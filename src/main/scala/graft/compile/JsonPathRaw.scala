@@ -1,9 +1,8 @@
 package graft.compile
 
-import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,14 +23,15 @@ final case class IndexStep(i: Int) extends PathStep
   * information for EXACT JMESPath comparator/truthiness semantics
   * (reference: interpreter.go:33-65, util.go:13-45).
   *
-  * Single SAX-style pass per record (Jackson streaming, no tree
-  * materialization) — the same execution strategy as Spark's own JSON path
-  * reader, replacing the reference's full `json.Unmarshal` per record
+  * Single SAX-style pass per record (Jackson streaming over the document's
+  * UTF-8 bytes — the full document is never decoded to a java.lang.String),
+  * no tree materialization — the same execution strategy as Spark's own JSON
+  * path reader, replacing the reference's full `json.Unmarshal` per record
   * (main.go:89-90). Duplicate object keys resolve to the LAST occurrence,
   * matching Go map unmarshaling.
   */
 case class JsonPathRaw(child: Expression, steps: Seq[PathStep])
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_path_raw"
@@ -40,10 +40,8 @@ case class JsonPathRaw(child: Expression, steps: Seq[PathStep])
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
 
-  override def nullSafeEval(input: Any): Any = {
-    val out = JsonPathRaw.extract(input.asInstanceOf[UTF8String].toString, steps)
-    if (out == null) null else UTF8String.fromString(out)
-  }
+  override def compute(doc: UTF8String): Any =
+    if (doc == null) null else JsonPathRaw.extractU8(doc, steps)
 
   override protected def withNewChildInternal(newChild: Expression): JsonPathRaw =
     copy(child = newChild)
@@ -52,8 +50,8 @@ case class JsonPathRaw(child: Expression, steps: Seq[PathStep])
 /** True iff the document parses as JSON under the SAME parser configuration
   * the interpreted evaluator uses (JValue.parseOpt) — the guard that keeps
   * lowered malformed-insensitive rewrites (negation, literals, null-equality)
-  * faithful to the interpreted malformed-input semantics. */
-case class JsonIsValid(child: Expression) extends UnaryExpression with CodegenFallback {
+  * faithful to the interpreted malformed-input semantics. NULL → false. */
+case class JsonIsValid(child: Expression) extends JsonComputeExpr {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "json_is_valid"
@@ -61,13 +59,9 @@ case class JsonIsValid(child: Expression) extends UnaryExpression with CodegenFa
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a STRING input, got ${child.dataType.sql}")
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) java.lang.Boolean.FALSE else nullSafeEval(v)
-  }
-  override def nullSafeEval(input: Any): Any =
+  override def compute(doc: UTF8String): Any =
     java.lang.Boolean.valueOf(
-      graft.jmespath.JValue.parseOpt(input.asInstanceOf[UTF8String].toString).isDefined)
+      doc != null && graft.jmespath.JValue.parseOpt(doc.getBytes).isDefined)
   override protected def withNewChildInternal(newChild: Expression): JsonIsValid =
     copy(child = newChild)
 }
@@ -86,77 +80,91 @@ object JsonPathRaw {
     f
   }
 
-  /** Raw JSON text at `steps`, or null.
-    *
-    * Cost note: the FULL document is parsed exactly once (the first step);
+  /** Raw JSON text at `steps` in a String document, or null. */
+  def extract(doc: String, steps: Seq[PathStep]): String =
+    try extractImpl(() => factory.createParser(doc), steps)
+    catch { case _: Exception => null }
+
+  /** Raw JSON text at `steps`, parsing the document's UTF-8 bytes directly
+    * (no String decode of the document). */
+  def extractU8Raw(doc: UTF8String, steps: Seq[PathStep]): String =
+    try extractImpl(() => factory.createParser(doc.getBytes), steps)
+    catch { case _: Exception => null }
+
+  def extractU8(doc: UTF8String, steps: Seq[PathStep]): UTF8String = {
+    val out = extractU8Raw(doc, steps)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
+  /** Cost note: the FULL document is parsed exactly once (the first step);
     * each later step re-parses only the previously-extracted subtree, which
     * shrinks monotonically — the buffering is what makes duplicate-key
-    * last-wins resolution possible in a streaming pass. */
-  def extract(doc: String, steps: Seq[PathStep]): String = {
+    * last-wins resolution possible in a streaming pass. `newDocParser` is
+    * invoked exactly once. */
+  private def extractImpl(newDocParser: () => JsonParser, steps: Seq[PathStep]): String = {
+    var current: String = null // null = still at the (unbuffered) document
+    for (step <- steps) {
+      val p = if (current == null) newDocParser() else factory.createParser(current)
+      val next = try one(p, step) finally p.close()
+      if (next == null) return null
+      current = next
+    }
+    // normalize: a bare JSON null (or whitespace variants) → SQL NULL
+    val p = if (current == null) newDocParser() else factory.createParser(current)
     try {
-      var current = doc
-      for (step <- steps) {
-        current = one(current, step)
-        if (current == null) return null
-      }
-      // normalize: a bare JSON null (or whitespace variants) → SQL NULL
-      val p = factory.createParser(current)
       val t = p.nextToken()
-      if (t == null || t == JsonToken.VALUE_NULL) { p.close(); return null }
+      if (t == null || t == JsonToken.VALUE_NULL) return null
       val sw = new java.io.StringWriter()
       val g = factory.createGenerator(sw)
       g.copyCurrentStructure(p)
-      g.close(); p.close()
+      g.close()
       sw.toString
-    } catch { case _: Exception => null }
-  }
-
-  /** Apply a single step to a raw JSON value; null if not found/mismatched. */
-  private def one(json: String, step: PathStep): String = {
-    val p = factory.createParser(json)
-    try {
-      val t = p.nextToken()
-      step match {
-        case FieldStep(name) =>
-          if (t != JsonToken.START_OBJECT) return null
-          var last: String = null
-          var ft = p.nextToken()
-          while (ft != JsonToken.END_OBJECT) {
-            val fn = p.currentName()
-            p.nextToken() // move onto the value
-            if (fn == name) last = copyCurrent(p) // last occurrence wins
-            else p.skipChildren() // no-op for scalars
-            ft = p.nextToken()
-          }
-          last
-        case IndexStep(i) if i >= 0 =>
-          if (t != JsonToken.START_ARRAY) return null
-          var idx = 0
-          var vt = p.nextToken()
-          while (vt != JsonToken.END_ARRAY) {
-            if (idx == i) return copyCurrent(p)
-            p.skipChildren()
-            idx += 1
-            vt = p.nextToken()
-          }
-          null
-        case IndexStep(i) => // negative: element len+i via a ring of size -i
-          if (t != JsonToken.START_ARRAY) return null
-          val k = -i
-          val ring = new Array[String](k)
-          var cnt = 0
-          var vt = p.nextToken()
-          while (vt != JsonToken.END_ARRAY) {
-            ring(cnt % k) = copyCurrent(p)
-            cnt += 1
-            vt = p.nextToken()
-          }
-          if (cnt >= k) ring(cnt % k) else null
-      }
     } finally p.close()
   }
 
-  private def copyCurrent(p: com.fasterxml.jackson.core.JsonParser): String = {
+  /** Apply a single step from an open parser; null if not found/mismatched. */
+  private def one(p: JsonParser, step: PathStep): String = {
+    val t = p.nextToken()
+    step match {
+      case FieldStep(name) =>
+        if (t != JsonToken.START_OBJECT) return null
+        var last: String = null
+        var ft = p.nextToken()
+        while (ft != JsonToken.END_OBJECT) {
+          val fn = p.currentName()
+          p.nextToken() // move onto the value
+          if (fn == name) last = copyCurrent(p) // last occurrence wins
+          else p.skipChildren() // no-op for scalars
+          ft = p.nextToken()
+        }
+        last
+      case IndexStep(i) if i >= 0 =>
+        if (t != JsonToken.START_ARRAY) return null
+        var idx = 0
+        var vt = p.nextToken()
+        while (vt != JsonToken.END_ARRAY) {
+          if (idx == i) return copyCurrent(p)
+          p.skipChildren()
+          idx += 1
+          vt = p.nextToken()
+        }
+        null
+      case IndexStep(i) => // negative: element len+i via a ring of size -i
+        if (t != JsonToken.START_ARRAY) return null
+        val k = -i
+        val ring = new Array[String](k)
+        var cnt = 0
+        var vt = p.nextToken()
+        while (vt != JsonToken.END_ARRAY) {
+          ring(cnt % k) = copyCurrent(p)
+          cnt += 1
+          vt = p.nextToken()
+        }
+        if (cnt >= k) ring(cnt % k) else null
+    }
+  }
+
+  private def copyCurrent(p: JsonParser): String = {
     val sw = new java.io.StringWriter()
     val g = factory.createGenerator(sw)
     g.copyCurrentStructure(p)

@@ -2,8 +2,7 @@ package graft.compile
 
 import com.fasterxml.jackson.core.JsonToken
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -78,7 +77,7 @@ case class JsonProjectionExists(child: Expression, steps: Seq[PathStep],
                                 objectValues: Boolean = false,
                                 flatten: Boolean = false,
                                 slice: Option[(Option[Int], Option[Int], Option[Int])] = None)
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "json_projection_exists"
@@ -87,13 +86,8 @@ case class JsonProjectionExists(child: Expression, steps: Seq[PathStep],
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) java.lang.Boolean.FALSE else nullSafeEval(v)
-  }
-
-  override def nullSafeEval(input: Any): Any = java.lang.Boolean.valueOf(
-    JsonProjectionCount.exists(input.asInstanceOf[UTF8String].toString, steps, pred, sub,
+  override def compute(doc: UTF8String): Any = java.lang.Boolean.valueOf(
+    doc != null && JsonProjectionCount.exists(doc, steps, pred, sub,
       objectValues, flatten, slice))
 
   override protected def withNewChildInternal(newChild: Expression): JsonProjectionExists =
@@ -111,12 +105,12 @@ object JsonProjectionCount {
     * first). Returns false (the JMESPath `null` projection result) when the
     * base path is missing, not the right container kind, or the document is
     * malformed; true otherwise. */
-  def traverse(doc: String, steps: Seq[PathStep], pred: Option[RPred],
+  def traverse(doc: UTF8String, steps: Seq[PathStep], pred: Option[RPred],
                sub: Seq[PathStep], objectValues: Boolean = false,
                flatten: Boolean = false,
                slice: Option[(Option[Int], Option[Int], Option[Int])] = None)
               (sink: String => Boolean): Boolean = {
-    val arrRaw = JsonPathRaw.extract(doc, steps)
+    val arrRaw = JsonPathRaw.extractU8Raw(doc, steps)
     if (arrRaw == null) return false
     try {
       val p = factory.createParser(arrRaw)
@@ -166,7 +160,7 @@ object JsonProjectionCount {
   }
 
   /** Projection truthiness: any survivor at all (first hit stops the scan). */
-  def exists(doc: String, steps: Seq[PathStep], pred: Option[RPred],
+  def exists(doc: UTF8String, steps: Seq[PathStep], pred: Option[RPred],
              sub: Seq[PathStep], objectValues: Boolean = false,
              flatten: Boolean = false,
              slice: Option[(Option[Int], Option[Int], Option[Int])] = None): Boolean = {
@@ -178,7 +172,7 @@ object JsonProjectionCount {
 
   /** The surviving elements' `sub`-path raw texts, in projection order —
     * `null` for the JMESPath `null` projection result. */
-  def collect(doc: String, steps: Seq[PathStep], pred: Option[RPred],
+  def collect(doc: UTF8String, steps: Seq[PathStep], pred: Option[RPred],
               sub: Seq[PathStep], objectValues: Boolean = false,
               flatten: Boolean = false,
               slice: Option[(Option[Int], Option[Int], Option[Int])] = None): Vector[String] = {

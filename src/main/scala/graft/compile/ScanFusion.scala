@@ -3,10 +3,8 @@ package graft.compile
 import scala.collection.mutable
 
 import com.fasterxml.jackson.core.JsonToken
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GetArrayItem, Literal => CLit, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GetArrayItem, Literal => CLit}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
@@ -171,11 +169,11 @@ object ScanFusion {
   /** All paths extracted in one streaming pass; the validity slot (if any)
     * holds "1" iff the document parsed. A malformed document yields all-null
     * (extract() per path would also have returned null for each). */
-  private[compile] def extractAll(doc: String, root: Node, nSlots: Int,
+  private[compile] def extractAll(doc: UTF8String, root: Node, nSlots: Int,
                                   validitySlot: Int): Array[Any] = {
     val out = new Array[Any](nSlots)
     try {
-      val p = JsonPathRaw.factory.createParser(doc)
+      val p = JsonPathRaw.factory.createParser(doc.getBytes)
       try {
         val t = p.nextToken()
         if (t == null) return new Array[Any](nSlots) // empty input: invalid
@@ -193,7 +191,7 @@ object ScanFusion {
   * EXTRACTED raw JSON subtree — the fused twin of [[JsonPathValue]], fed from
   * a shared scan slot instead of re-navigating the document. */
 case class JsonValueOfRaw(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_value_of_raw"
@@ -201,8 +199,9 @@ case class JsonValueOfRaw(child: Expression)
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a STRING input, got ${child.dataType.sql}")
-  override def nullSafeEval(input: Any): Any = {
-    val out = ValueEmit.fromRaw(input.asInstanceOf[UTF8String].toString)
+  override def compute(doc: UTF8String): Any = {
+    if (doc == null) return null
+    val out = ValueEmit.fromRaw(doc.toString) // already-extracted small subtree
     if (out == null) null else UTF8String.fromString(out)
   }
   override protected def withNewChildInternal(newChild: Expression): JsonValueOfRaw =
@@ -219,7 +218,7 @@ case class JsonValueOfRaw(child: Expression)
   * rules (which traverse children only) never see or rewrite it. */
 case class JsonFusedEval(child: Expression, paths: Seq[Option[Seq[PathStep]]],
                          template: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def dataType: DataType = template.dataType
   override def nullable: Boolean = template.nullable
   override def prettyName: String = "json_fused"
@@ -230,15 +229,13 @@ case class JsonFusedEval(child: Expression, paths: Seq[Option[Seq[PathStep]]],
 
   @transient private lazy val (trieRoot, validitySlot) = ScanFusion.buildTrie(paths)
 
-  // the template must see a NULL document (slots all null) rather than the
-  // UnaryExpression null-in/null-out shortcut: the lowered tree's own
-  // IsNull(doc) arms decide the result
-  override def eval(input: InternalRow): Any = {
-    val doc = child.eval(input)
+  // the template must see a NULL document (slots all null) rather than a
+  // null-in/null-out shortcut: the lowered tree's own IsNull(doc) arms
+  // decide the result
+  override def compute(doc: UTF8String): Any = {
     val slots: Array[Any] =
       if (doc == null) new Array[Any](paths.length)
-      else ScanFusion.extractAll(doc.asInstanceOf[UTF8String].toString,
-        trieRoot, paths.length, validitySlot)
+      else ScanFusion.extractAll(doc, trieRoot, paths.length, validitySlot)
     template.eval(new GenericInternalRow(Array[Any](doc, new GenericArrayData(slots))))
   }
 

@@ -1,8 +1,7 @@
 package graft.compile
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -43,7 +42,7 @@ object ValueEmit {
   * `null` result, a NULL document, or malformed input — exactly
   * [[graft.functions.JmesPathEval]] over a lowerable path expression. */
 case class JsonPathValue(child: Expression, steps: Seq[PathStep])
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_path_value"
@@ -52,9 +51,9 @@ case class JsonPathValue(child: Expression, steps: Seq[PathStep])
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
 
-  override def nullSafeEval(input: Any): Any = {
-    val raw = JsonPathRaw.extract(input.asInstanceOf[UTF8String].toString, steps)
-    val out = ValueEmit.fromRaw(raw)
+  override def compute(doc: UTF8String): Any = {
+    if (doc == null) return null
+    val out = ValueEmit.fromRaw(JsonPathRaw.extractU8Raw(doc, steps))
     if (out == null) null else UTF8String.fromString(out)
   }
 
@@ -74,7 +73,7 @@ case class JsonProjectionEmit(child: Expression, steps: Seq[PathStep],
                               objectValues: Boolean = false,
                               flatten: Boolean = false,
                               slice: Option[(Option[Int], Option[Int], Option[Int])] = None)
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_projection_emit"
@@ -83,9 +82,10 @@ case class JsonProjectionEmit(child: Expression, steps: Seq[PathStep],
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
 
-  override def nullSafeEval(input: Any): Any = {
-    val raws = JsonProjectionCount.collect(input.asInstanceOf[UTF8String].toString,
-      steps, pred, sub, objectValues, flatten, slice)
+  override def compute(doc: UTF8String): Any = {
+    if (doc == null) return null
+    val raws = JsonProjectionCount.collect(doc, steps, pred, sub,
+      objectValues, flatten, slice)
     if (raws == null) null
     else UTF8String.fromString(
       JValue.serializeOrdered(JArr(raws.map(ValueEmit.parsedOrNull))))
@@ -108,7 +108,7 @@ final case class MSConst(v: JValue) extends MSItem
   * is `null`), or the document is NULL/malformed. */
 case class JsonMultiSelect(child: Expression, prefix: Seq[PathStep],
                            items: Seq[MSItem], hashKeys: Option[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_multi_select"
@@ -117,9 +117,9 @@ case class JsonMultiSelect(child: Expression, prefix: Seq[PathStep],
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
 
-  override def nullSafeEval(input: Any): Any = {
-    val prefixRaw =
-      JsonPathRaw.extract(input.asInstanceOf[UTF8String].toString, prefix)
+  override def compute(doc: UTF8String): Any = {
+    if (doc == null) return null
+    val prefixRaw = JsonPathRaw.extractU8Raw(doc, prefix)
     if (prefixRaw == null) return null
     val vals = items.map {
       case MSPath(steps) => ValueEmit.parsedOrNull(JsonPathRaw.extract(prefixRaw, steps))
@@ -141,7 +141,7 @@ case class JsonMultiSelect(child: Expression, prefix: Seq[PathStep],
   * `null` is `null`, hence falsy; over anything else it is a non-empty
   * container, hence truthy). */
 case class JsonIsNonNullValue(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "json_is_non_null_value"
@@ -149,13 +149,9 @@ case class JsonIsNonNullValue(child: Expression)
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a STRING input, got ${child.dataType.sql}")
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) java.lang.Boolean.FALSE else nullSafeEval(v)
-  }
-  override def nullSafeEval(input: Any): Any =
+  override def compute(doc: UTF8String): Any =
     java.lang.Boolean.valueOf(
-      JValue.parseOpt(input.asInstanceOf[UTF8String].toString).exists(_ != JNull))
+      doc != null && JValue.parseOpt(doc.getBytes).exists(_ != JNull))
   override protected def withNewChildInternal(newChild: Expression): JsonIsNonNullValue =
     copy(child = newChild)
 }

@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{DataType, StringType, DoubleType, BooleanType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graft.bridge
+
+import graft.compile.JsonComputeExpr
 
 import graft.jmespath.{Parser, JValue, JNull, JStr, JNum, JBool, JmesRuntimeError, JmesSyntaxError}
 
@@ -21,7 +22,7 @@ import graft.jmespath.{Parser, JValue, JNull, JStr, JNum, JBool, JmesRuntimeErro
   * codegen pipelines as a leaf call — the surrounding plan still codegens.
   */
 case class JmesPathEval(child: Expression, expression: String)
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def checkInputDataTypes(): TypeCheckResult = {
     if (child.dataType != StringType)
       return TypeCheckResult.TypeCheckFailure(
@@ -38,9 +39,9 @@ case class JmesPathEval(child: Expression, expression: String)
   override def nullable: Boolean = true
   override def prettyName: String = "jmespath"
 
-  override def nullSafeEval(input: Any): Any = {
-    val doc = input.asInstanceOf[UTF8String].toString
-    JValue.parseOpt(doc) match {
+  override def compute(doc: UTF8String): Any = {
+    if (doc == null) return null
+    JValue.parseOpt(doc.getBytes) match {
       case None => null // malformed payload → null, matching never-throw navigation
       case Some(jv) =>
         try {
@@ -64,7 +65,7 @@ case class JmesPathEval(child: Expression, expression: String)
 /** Typed variant: JMESPath result coerced to a double (JMESPath numbers are
   * IEEE doubles — reference functions.go:352-355); non-numeric results → NULL. */
 case class JmesPathEvalDouble(child: Expression, expression: String)
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def checkInputDataTypes(): TypeCheckResult = {
     if (child.dataType != StringType)
       return TypeCheckResult.TypeCheckFailure(
@@ -78,9 +79,9 @@ case class JmesPathEvalDouble(child: Expression, expression: String)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "jmespath_double"
-  override def nullSafeEval(input: Any): Any = {
-    val doc = input.asInstanceOf[UTF8String].toString
-    JValue.parseOpt(doc) match {
+  override def compute(doc: UTF8String): Any = {
+    if (doc == null) return null
+    JValue.parseOpt(doc.getBytes) match {
       case None => null
       case Some(jv) =>
         try compiled.search(jv) match {
@@ -98,7 +99,7 @@ case class JmesPathEvalDouble(child: Expression, expression: String)
   * `when(jmesTruthy(doc, e), jmespath(doc, e))` would do two of each. Used by
   * the framed sink's `-filter` path. */
 case class JmesPathFiltered(child: Expression, expression: String)
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def checkInputDataTypes(): TypeCheckResult = {
     if (child.dataType != StringType)
       return TypeCheckResult.TypeCheckFailure(
@@ -111,9 +112,9 @@ case class JmesPathFiltered(child: Expression, expression: String)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "jmespath_filtered"
-  override def nullSafeEval(input: Any): Any = {
-    val doc = input.asInstanceOf[UTF8String].toString
-    JValue.parseOpt(doc) match {
+  override def compute(doc: UTF8String): Any = {
+    if (doc == null) return null
+    JValue.parseOpt(doc.getBytes) match {
       case None => null
       case Some(jv) =>
         try {
@@ -134,7 +135,7 @@ case class JmesPathFiltered(child: Expression, expression: String)
   * false ⇔ false/null/""/[]/{}; 0 is TRUE). Never NULL — matches `-filter`
   * predicate semantics. */
 case class JmesTruthy(child: Expression, expression: String)
-    extends UnaryExpression with CodegenFallback {
+    extends JsonComputeExpr {
   override def checkInputDataTypes(): TypeCheckResult = {
     if (child.dataType != StringType)
       return TypeCheckResult.TypeCheckFailure(
@@ -148,16 +149,11 @@ case class JmesTruthy(child: Expression, expression: String)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "jmes_truthy"
-  // UnaryExpression.eval short-circuits null-in → null-out, which would break
-  // the nullable=false contract. A NULL document is "no match" (falsy), the
-  // same way the reference treats an unparsable payload in `-filter`.
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) java.lang.Boolean.FALSE else nullSafeEval(v)
-  }
-  override def nullSafeEval(input: Any): Any = {
-    val doc = input.asInstanceOf[UTF8String].toString
-    JValue.parseOpt(doc) match {
+  // A NULL document is "no match" (falsy, non-null result), the same way
+  // the reference treats an unparsable payload in `-filter`.
+  override def compute(doc: UTF8String): Any = {
+    if (doc == null) return java.lang.Boolean.FALSE
+    JValue.parseOpt(doc.getBytes) match {
       case None => java.lang.Boolean.FALSE
       case Some(jv) =>
         try java.lang.Boolean.valueOf(compiled.search(jv).truthy)

@@ -55,6 +55,10 @@ object JValue {
   def parseOpt(json: String): Option[JValue] =
     try Some(parse(json)) catch { case _: Exception => None }
 
+  /** Parse directly from UTF-8 bytes (no String decode of the document). */
+  def parseOpt(json: Array[Byte]): Option[JValue] =
+    try Some(fromJackson(mapper.readTree(json))) catch { case _: Exception => None }
+
   def fromJackson(n: JsonNode): JValue = n match {
     case null                  => JNull
     case _ if n.isNull         => JNull

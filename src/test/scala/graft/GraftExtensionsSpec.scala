@@ -94,6 +94,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq(Some("87"), None, None))
   }
 
+  test("json_* family code-generates (no CodegenFallback, no silent fallback)") {
+    import spark.implicits._
+    import graft.functions.jmes._
+    import org.apache.spark.sql.functions.col
+    spark.experimental.extraOptimizations =
+      (spark.experimental.extraOptimizations :+ graft.compile.LowerJmesPathRule).distinct
+    // make a janino compile error FAIL the query instead of silently
+    // reverting to interpreted execution
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // parquet-backed so ConvertToLocalRelation can't evaluate driver-side
+      val pq = java.nio.file.Files.createTempDirectory("cg").toString + "/docs"
+      Seq(
+        """{"k": 87, "tags": ["a", "b"], "o": {"x": 1}}""",
+        """{"k": 3, "tags": []}""", "bad json").toDF("doc")
+        .coalesce(1).write.parquet(pq)
+      val df = spark.read.parquet(pq).orderBy(col("doc").desc) // deterministic row order
+      val q = df.select(
+        jmespath(col("doc"), "tags[0]").as("a"),
+        jmesFiltered(col("doc"), "k >= `50` && k").as("f"),
+        jmespathDouble(col("doc"), "length(tags)").as("n"),
+        jmespath(col("doc"), "tags[*]").as("p"),
+        jmespath(col("doc"), "[k, `1`]").as("ms"),
+        jmesTruthy(col("doc"), "k > `50`").as("t"),
+        jmespath(col("doc"), "o.nope.deep").as("interp"))
+      val rows = q.collect()
+      assert(rows.length == 3)
+      assert(rows(0).getString(1) == "87" && rows(1).isNullAt(1))
+      assert(rows(0).getDouble(2) == 2.0 && rows(0).getBoolean(5))
+      assert(rows(2).isNullAt(0) && !rows(2).getBoolean(5))
+      // the generated code calls compute() directly — the JsonComputeExpr
+      // path, not CodegenFallback's references[i].eval(row)
+      val cg = org.apache.spark.sql.execution.debug.codegenString(q.queryExecution.executedPlan)
+      assert(cg.contains(".compute("), s"expected direct compute calls in codegen:\n${cg.take(2000)}")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("lowered path preserves interpreted semantics on malformed documents") {
     import spark.implicits._
     import graft.functions.jmes._
