@@ -35,11 +35,19 @@ object FnCallIR {
     * extracted streamingly. Throws [[JmesRuntimeError]] exactly like the
     * interpreter (invalid-type / invalid-arity / unknown-function). */
   def eval(doc: UTF8String, c: FnCallIR): JValue =
+    evalResolved(c, steps => JsonPathRaw.extractU8Raw(doc, steps))
+
+  /** Same, with path-argument extraction delegated to `resolve` — the fused
+    * path ([[ScanFusion]]) resolves from its shared one-pass scan slots so a
+    * function call costs zero additional document traversals. `resolve`
+    * returns the raw JSON text of the path (null for missing/malformed),
+    * exactly the extractU8Raw contract. */
+  def evalResolved(c: FnCallIR, resolve: Seq[PathStep] => String): JValue =
     Functions.call(c.name, c.args.map {
       case FnPathArg(steps) =>
-        Functions.FVal(ValueEmit.parsedOrNull(JsonPathRaw.extractU8Raw(doc, steps)))
+        Functions.FVal(ValueEmit.parsedOrNull(resolve(steps)))
       case FnLitArg(v)    => Functions.FVal(v)
-      case FnNestedArg(n) => Functions.FVal(eval(doc, n))
+      case FnNestedArg(n) => Functions.FVal(evalResolved(n, resolve))
       case FnRefArg(ast)  => Functions.FRef(ast)
     }.toVector)
 
@@ -72,11 +80,7 @@ object FnCallIR {
   * Runtime errors (invalid-type etc.) → null/false, matching JmesPathEval. */
 case class JsonFunctionEval(child: Expression, call: FnCallIR, mode: String)
     extends JsonComputeExpr {
-  override def dataType: DataType = mode match {
-    case JsonFunctionEval.Truthy => BooleanType
-    case JsonFunctionEval.Num    => DoubleType
-    case _                       => StringType
-  }
+  override def dataType: DataType = JsonFunctionEval.dataTypeOf(mode)
   override def nullable: Boolean = mode != JsonFunctionEval.Truthy
   override def prettyName: String = s"json_function_$mode"
   override def checkInputDataTypes(): TypeCheckResult =
@@ -86,21 +90,12 @@ case class JsonFunctionEval(child: Expression, call: FnCallIR, mode: String)
 
   // truthy mode keeps its non-null contract on a NULL document (falsy),
   // like JmesTruthy; the other modes return SQL NULL
-  override def compute(doc: UTF8String): Any = {
+  override def compute(doc: UTF8String): Any =
     if (doc == null)
-      return if (mode == JsonFunctionEval.Truthy) java.lang.Boolean.FALSE else null
-    val r = try FnCallIR.eval(doc, call) catch { case _: JmesRuntimeError => JNull }
-    mode match {
-      case JsonFunctionEval.Truthy => java.lang.Boolean.valueOf(r.truthy)
-      case JsonFunctionEval.Num =>
-        r match { case JNum(d) => java.lang.Double.valueOf(d); case _ => null }
-      case _ => r match {
-        case JNull   => null
-        case JStr(s) => UTF8String.fromString(s)
-        case other   => UTF8String.fromString(JValue.serializeOrdered(other))
-      }
-    }
-  }
+      JsonFunctionEval.runResolved(call, mode, null)
+    else
+      JsonFunctionEval.runResolved(call, mode,
+        steps => JsonPathRaw.extractU8Raw(doc, steps))
 
   override protected def withNewChildInternal(newChild: Expression): JsonFunctionEval =
     copy(child = newChild)
@@ -110,4 +105,31 @@ object JsonFunctionEval {
   val Value = "value"
   val Truthy = "truthy"
   val Num = "double"
+
+  def dataTypeOf(mode: String): DataType = mode match {
+    case Truthy => BooleanType
+    case Num    => DoubleType
+    case _      => StringType
+  }
+
+  /** Shared evaluation body: call result mapped to the mode's output
+    * convention. `resolve` = null means a NULL document (truthy → FALSE,
+    * other modes → NULL, matching the interpreted family). */
+  def runResolved(call: FnCallIR, mode: String,
+                  resolve: Seq[PathStep] => String): Any = {
+    if (resolve == null)
+      return if (mode == Truthy) java.lang.Boolean.FALSE else null
+    val r = try FnCallIR.evalResolved(call, resolve)
+            catch { case _: JmesRuntimeError => JNull }
+    mode match {
+      case Truthy => java.lang.Boolean.valueOf(r.truthy)
+      case Num =>
+        r match { case JNum(d) => java.lang.Double.valueOf(d); case _ => null }
+      case _ => r match {
+        case JNull   => null
+        case JStr(s) => UTF8String.fromString(s)
+        case other   => UTF8String.fromString(JValue.serializeOrdered(other))
+      }
+    }
+  }
 }

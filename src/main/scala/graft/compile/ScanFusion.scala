@@ -27,21 +27,32 @@ import org.apache.spark.unsafe.types.UTF8String
 object ScanFusion {
 
   /** Rewrite `tree` (a lowered expression over the document expression `doc`)
-    * to extract all its plain path scans in one pass. Returns the tree
-    * unchanged when fewer than two scans would be fused (nothing to share).
+    * to extract all its plain path scans in one pass and evaluate each
+    * DISTINCT function call once. Returns the tree unchanged when fewer than
+    * two scans would be fused (nothing to share).
     *
     * Slot row layout seen by the rewritten template:
-    * ordinal 0 = the document string, ordinal 1 = array<string> of scan
+    * ordinal 0 = the document string, ordinal 1 = array<string> of path scan
     * results (one per distinct path, plus "1" in the validity slot when the
-    * document parses).
-    */
+    * document parses), ordinals 2.. = one typed result per distinct
+    * (function call, mode) — a lowered gate+value pair like
+    * `length(tags) > \`2\` && name` references the same call up to 6 times
+    * (NaN guard, comparison, truthiness, value emission…); here it runs ONCE
+    * per record, with its path arguments resolved from the shared scan
+    * (zero extra document traversals). */
   def fuse(doc: Expression, tree: Expression): Expression = {
     val docRef = BoundReference(0, StringType, nullable = true)
     val scanRef = BoundReference(1, ArrayType(StringType, containsNull = true), nullable = false)
     val slots = mutable.LinkedHashMap[Option[Seq[PathStep]], Int]()
+    val fnSlots = mutable.LinkedHashMap[(FnCallIR, String), Int]()
     def slotOf(key: Option[Seq[PathStep]]): Int = slots.getOrElseUpdate(key, slots.size)
     def item(key: Option[Seq[PathStep]]): Expression =
       GetArrayItem(scanRef, CLit(slotOf(key), IntegerType))
+    def registerFnPaths(c: FnCallIR): Unit = c.args.foreach {
+      case FnPathArg(steps) => slotOf(Some(steps))
+      case FnNestedArg(n)   => registerFnPaths(n)
+      case _                => ()
+    }
     var scans = 0
 
     val replaced = tree.transformUp {
@@ -52,12 +63,18 @@ object ScanFusion {
       case JsonIsValid(d) if d.semanticEquals(doc) =>
         scans += 1
         org.apache.spark.sql.catalyst.expressions.IsNotNull(item(None))
+      case JsonFunctionEval(d, call, mode) if d.semanticEquals(doc) =>
+        scans += 1
+        registerFnPaths(call)
+        val idx = fnSlots.getOrElseUpdate((call, mode), fnSlots.size)
+        BoundReference(2 + idx, JsonFunctionEval.dataTypeOf(mode),
+          nullable = mode != JsonFunctionEval.Truthy)
     }
     if (scans < 2) return tree
     val template = replaced.transformUp {
       case e if e.semanticEquals(doc) => docRef
     }
-    JsonFusedEval(doc, slots.keys.toSeq, template)
+    JsonFusedEval(doc, slots.keys.toSeq, fnSlots.keys.toSeq, template)
   }
 
   // --- one-pass multi-path extraction -----------------------------------
@@ -210,13 +227,16 @@ case class JsonValueOfRaw(child: Expression)
 
 /** One-pass evaluation of a fused lowered tree: extracts every path slot (and
   * the validity probe) from the document in a single streaming traversal,
-  * then evaluates the rewritten template against the slot row
-  * (ordinal 0 = document, ordinal 1 = array of slot strings).
+  * evaluates each distinct function call once (arguments resolved from the
+  * shared scan), then evaluates the rewritten template against the slot row
+  * (ordinal 0 = document, ordinal 1 = array of path slot strings,
+  * ordinals 2.. = function-call results).
   *
   * `template` is deliberately NOT a child expression: it references the
   * internal slot row via BoundReference, so analyzer/optimizer expression
   * rules (which traverse children only) never see or rewrite it. */
 case class JsonFusedEval(child: Expression, paths: Seq[Option[Seq[PathStep]]],
+                         fnCalls: Seq[(FnCallIR, String)],
                          template: Expression)
     extends JsonComputeExpr {
   override def dataType: DataType = template.dataType
@@ -228,6 +248,8 @@ case class JsonFusedEval(child: Expression, paths: Seq[Option[Seq[PathStep]]],
       s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
 
   @transient private lazy val (trieRoot, validitySlot) = ScanFusion.buildTrie(paths)
+  @transient private lazy val slotIndex: Map[Seq[PathStep], Int] =
+    paths.zipWithIndex.collect { case (Some(p), i) => p -> i }.toMap
 
   // the template must see a NULL document (slots all null) rather than a
   // null-in/null-out shortcut: the lowered tree's own IsNull(doc) arms
@@ -236,7 +258,25 @@ case class JsonFusedEval(child: Expression, paths: Seq[Option[Seq[PathStep]]],
     val slots: Array[Any] =
       if (doc == null) new Array[Any](paths.length)
       else ScanFusion.extractAll(doc, trieRoot, paths.length, validitySlot)
-    template.eval(new GenericInternalRow(Array[Any](doc, new GenericArrayData(slots))))
+    val row = new Array[Any](2 + fnCalls.length)
+    row(0) = doc
+    row(1) = new GenericArrayData(slots)
+    if (fnCalls.nonEmpty) {
+      // every FnPathArg path was registered as a scan slot at fuse() time,
+      // so argument resolution is a slot lookup — no extra doc traversal
+      val resolve: Seq[PathStep] => String =
+        if (doc == null) null
+        else steps => slotIndex.get(steps) match {
+          case Some(i) => val v = slots(i); if (v == null) null else v.toString
+          case None    => JsonPathRaw.extractU8Raw(doc, steps) // defensive
+        }
+      var i = 0
+      fnCalls.foreach { case (call, mode) =>
+        row(2 + i) = JsonFunctionEval.runResolved(call, mode, resolve)
+        i += 1
+      }
+    }
+    template.eval(new GenericInternalRow(row))
   }
 
   override protected def withNewChildInternal(newChild: Expression): JsonFusedEval =
