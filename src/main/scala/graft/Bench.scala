@@ -33,17 +33,26 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // auto-lower + cross-column scan fusion, as a production session would
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // the *_interp control queries must time the interpreted evaluator
+    def lowerFor(n: String): Unit =
+      spark.conf.set(graft.compile.LowerJmesPathRule.LowerConfKey,
+        (!SparkEntry.interpretedQueries(n)).toString)
 
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // warm-up: run everything once (also primes the parquet footer cache)
     names.foreach { n =>
+      lowerFor(n)
       try force(SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench/warmup] $n: ${e.getMessage}") }
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = names.map { n =>
+      lowerFor(n)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { force(SparkEntry.queries(n)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }

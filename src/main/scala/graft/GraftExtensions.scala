@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.all.foreach(ext.injectFunction)
     // auto-lower interpreted JMESPath expressions where exactly translatable
     ext.injectOptimizerRule(_ => graft.compile.LowerJmesPathRule)
+    // then share one document parse across all lowered scans in a Project
+    ext.injectOptimizerRule(_ => graft.compile.FuseProjectScans)
   }
 }
 
@@ -91,7 +93,13 @@ object GraftExtensions {
       }),
   )
 
-  /** Imperative registration on a live session (temp functions). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Imperative registration on a live session: temp functions plus the
+    * lowering/fusion optimizer rules (the post-creation twin of the
+    * `spark.sql.extensions` injection). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graft.bridge.registerFunctions(spark, all)
+    spark.experimental.extraOptimizations =
+      (spark.experimental.extraOptimizations :+
+        graft.compile.LowerJmesPathRule :+ graft.compile.FuseProjectScans).distinct
+  }
 }

@@ -53,6 +53,13 @@ object SparkEntry {
     "top_terms", "dedup_exact", "dedup_jaccard_pairs", "ann_topk",
     "windowed_agg")
 
+  /** The interpreted-execution control group: these queries exist to cover
+    * the tree-walking evaluator itself and to anchor the lowered-vs-
+    * interpreted bench A/B, so the harness disables [[compile
+    * .LowerJmesPathRule]] (`spark.graft.jmes.lower=false`) while running
+    * them. Everything else auto-lowers where exactly translatable. */
+  val interpretedQueries: Set[String] = Set("jmes_field_interp", "jmes_filter_interp")
+
   /** One entry per implemented operator from SURVEY.md §2 + north-star ext. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     core ++ JmesCoverage.queries ++ ext.TextAnalysis.queries ++ ext.Dedup.queries ++

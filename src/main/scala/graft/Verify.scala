@@ -12,10 +12,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // auto-lower + cross-column scan fusion, as a production session would
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // the *_interp control queries must exercise the interpreted evaluator
+      spark.conf.set(graft.compile.LowerJmesPathRule.LowerConfKey,
+        (!SparkEntry.interpretedQueries(name)).toString)
       // repartition (not coalesce): keeps the upstream plan parallel and
       // only funnels to one file at the shuffle boundary
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
@@ -24,6 +29,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    spark.conf.set(graft.compile.LowerJmesPathRule.LowerConfKey, "true")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

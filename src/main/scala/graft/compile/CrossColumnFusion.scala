@@ -1,0 +1,139 @@
+package graft.compile
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference, CreateNamedStruct, Expression, GetArrayItem, GetStructField, IsNotNull, Literal => CLit, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Cross-column single-parse fusion (round-6 verdict "what's missing" #3,
+  * second half): [[ScanFusion]] gives each lowered expression ONE streaming
+  * pass over its document, but a multi-column select like
+  *
+  * {{{ df.select(jmes(doc,"a"), jmes(doc,"b"), jmes(doc,"c.d")) }}}
+  *
+  * still parses the same document once PER COLUMN. The reference parses each
+  * record exactly once regardless of how many outputs it feeds
+  * (main.go:89-90). This rule restores that property across a whole Project:
+  * every fusable lowered scan over the same document expression — in any
+  * project-list item — is merged into ONE [[JsonFusedEval]] producing a
+  * struct (one field per distinct scan), hoisted into a child Project; the
+  * original columns become `GetStructField` reads.
+  *
+  * Only pure-over-the-document nodes are hoisted (path scans, validity
+  * probes, function calls, and already-fused trees — all built by [[Lowering]]
+  * from the document and literals alone), so surrounding expressions that mix
+  * in other attributes are untouched. `CollapseProject` will not undo the
+  * hoist: the fused alias is non-cheap and referenced once per merged scan
+  * (always >= 2). Projection-traversal expressions
+  * ([[JsonProjectionExists]]/Emit/Count, [[JsonMultiSelect]]) keep their own
+  * pass — their iteration logic doesn't fit the shared trie scan.
+  */
+object FuseProjectScans extends Rule[LogicalPlan] {
+
+  private def isFusable(e: Expression): Boolean = e match {
+    case _: JsonFusedEval | _: JsonPathRaw | _: JsonPathValue | _: JsonIsValid |
+        _: JsonFunctionEval => true
+    case _ => false
+  }
+
+  /** Maximal fusable nodes in evaluation-independent (outside-in) order;
+    * fusable nodes never nest inside one another (their only child is the
+    * document), so not descending into them is exact. */
+  private def collectFusable(e: Expression, acc: mutable.ArrayBuffer[Expression]): Unit =
+    if (isFusable(e)) acc += e else e.children.foreach(collectFusable(_, acc))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projectList, child) =>
+      val found = mutable.ArrayBuffer[Expression]()
+      projectList.foreach(collectFusable(_, found))
+      // group occurrences by their document expression
+      val groups = found.groupBy(_.children.head.canonicalized)
+        .filter(_._2.length >= 2) // a lone scan has nothing to share
+      if (groups.isEmpty) p
+      else {
+        val aliases = mutable.ArrayBuffer[Alias]()
+        // per distinct-node replacement target, in group order
+        val replacements = mutable.ArrayBuffer[(Expression, Expression)]()
+        groups.values.foreach { occurrences =>
+          val doc = occurrences.head.children.head
+          val distinct = mutable.ArrayBuffer[Expression]()
+          occurrences.foreach { n =>
+            if (!distinct.exists(_.semanticEquals(n))) distinct += n
+          }
+          val merger = new ScanMerger
+          val frags = distinct.map(merger.fragment)
+          val struct = CreateNamedStruct(
+            frags.zipWithIndex.flatMap { case (f, i) =>
+              Seq(CLit(UTF8String.fromString(s"c$i"), StringType), f)
+            }.toSeq)
+          val fused = JsonFusedEval(doc, merger.pathKeys, merger.fnKeys, struct)
+          val alias = Alias(fused, "_jmes_scan")()
+          aliases += alias
+          val attr = alias.toAttribute
+          distinct.zipWithIndex.foreach { case (n, i) =>
+            replacements += ((n, GetStructField(attr, i, Some(s"c$i"))))
+          }
+        }
+        val lower = Project(child.output ++ aliases, child)
+        val newList = projectList.map { ne =>
+          ne.transformUp {
+            case n if isFusable(n) =>
+              replacements.find(_._1.semanticEquals(n)).map(_._2).getOrElse(n)
+          }.asInstanceOf[NamedExpression]
+        }
+        Project(newList, lower)
+      }
+  }
+}
+
+/** Accumulates the merged slot layout while translating each fusable node
+  * into a fragment over the shared scan row (ordinal 0 = document,
+  * ordinal 1 = path-slot array, ordinals 2.. = function-call results) —
+  * the same layout [[ScanFusion.fuse]] builds for a single tree. */
+private[compile] final class ScanMerger {
+  private val slots = mutable.LinkedHashMap[Option[Seq[PathStep]], Int]()
+  private val fnSlots = mutable.LinkedHashMap[(FnCallIR, String), Int]()
+  private val scanRef =
+    BoundReference(1, ArrayType(StringType, containsNull = true), nullable = false)
+
+  def pathKeys: Seq[Option[Seq[PathStep]]] = slots.keys.toSeq
+  def fnKeys: Seq[(FnCallIR, String)] = fnSlots.keys.toSeq
+
+  private def slotOf(key: Option[Seq[PathStep]]): Int =
+    slots.getOrElseUpdate(key, slots.size)
+  private def item(key: Option[Seq[PathStep]]): Expression =
+    GetArrayItem(scanRef, CLit(slotOf(key), IntegerType))
+  private def registerFnPaths(c: FnCallIR): Unit = c.args.foreach {
+    case FnPathArg(steps) => slotOf(Some(steps))
+    case FnNestedArg(n)   => registerFnPaths(n)
+    case _                => ()
+  }
+  private def fnRef(call: FnCallIR, mode: String): Expression = {
+    registerFnPaths(call)
+    val idx = fnSlots.getOrElseUpdate((call, mode), fnSlots.size)
+    BoundReference(2 + idx, JsonFunctionEval.dataTypeOf(mode),
+      nullable = mode != JsonFunctionEval.Truthy)
+  }
+
+  /** The node's exact semantics re-expressed over the merged slot row. */
+  def fragment(node: Expression): Expression = node match {
+    case JsonPathRaw(_, steps)   => item(Some(steps))
+    case JsonPathValue(_, steps) => JsonValueOfRaw(item(Some(steps)))
+    case JsonIsValid(_)          => IsNotNull(item(None))
+    case JsonFunctionEval(_, call, mode) => fnRef(call, mode)
+    case JsonFusedEval(_, paths, fnCalls, template) =>
+      // remap the single-tree fusion's slot ordinals into the merged layout
+      template.transformUp {
+        case GetArrayItem(b: BoundReference, CLit(i: Int, IntegerType), _)
+            if b.ordinal == 1 => item(paths(i))
+        case b: BoundReference if b.ordinal >= 2 =>
+          val (call, mode) = fnCalls(b.ordinal - 2)
+          fnRef(call, mode)
+      }
+    case other =>
+      throw new IllegalStateException(s"not a fusable scan: $other")
+  }
+}

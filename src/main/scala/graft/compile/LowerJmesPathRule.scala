@@ -21,8 +21,14 @@ import graft.jmespath.{JmesSyntaxError, Parser}
   * (main.go:88-101) runs fully native when the expression is lowerable.
   */
 object LowerJmesPathRule extends Rule[LogicalPlan] {
+  /** Session-conf opt-out (default on). The gate's `*_interp` control
+    * queries set this false so the interpreted execution path keeps real
+    * coverage and the lowered-vs-interpreted bench A/B stays meaningful. */
+  val LowerConfKey = "spark.graft.jmes.lower"
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    if (!conf.getConfString(LowerConfKey, "true").toBoolean) plan
+    else plan.transformAllExpressions {
       case t @ JmesTruthy(child, exprStr) =>
         tryLower(exprStr)(ast => Lowering.truthyNullSafe(child, ast)).getOrElse(t)
       case d @ JmesPathEvalDouble(child, exprStr) =>
