@@ -1,18 +1,21 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-record JMESPath engine micro-benchmark: isolates the hot `-filter`
   * path CPU cost from Spark's per-job scheduling floor (which dominates
   * BENCH_r*.json at small scale factors and hides per-record wins).
   *
-  * Times the SAME expression two ways over N in-memory documents:
-  *   interp  — JmesPathFiltered: full JValue tree parse + AST walk/record
+  * Times the SAME query two ways over N in-memory documents, through the
+  * PRODUCTION path (interpreted API + GraftExtensions auto-lowering, toggled
+  * per cell via spark.graft.jmes.lower):
+  *   interp  — full JValue tree parse + AST walk per record per column
   *             (the reference's execution model, go-jmespath api.go:41-48);
-  *   lowered — Lowering.filteredNullSafe: fused single-pass streaming scan
-  *             (JsonFusedEval) + native Catalyst residue, inside whole-stage
-  *             codegen via JsonComputeExpr.
+  *   lowered — LowerJmesPathRule + ScanFusion + FuseProjectScans: one fused
+  *             streaming scan per record, inside whole-stage codegen.
+  * Cells: `filter` (path comparator gate+value), `function` (length() call),
+  * `multicol` (4-column select — the cross-column fusion case).
   * Two document shapes: `small` (~100 B, 4 fields — tree parse is cheap) and
   * `wide` (~1.5 KB, 24 fields + a 40-element array — the shape where a
   * streaming scan that never materializes untouched subtrees pays off).
@@ -31,9 +34,8 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     import graft.functions.jmes
-    import org.apache.spark.sql.graft.bridge
-    import graft.jmespath.Parser
 
     val small = spark.range(n).select(format_string(
       """{"k": %d, "tags": ["a", "b", "c%d"], "name": "user-%d", "note": "fill-%d-abcdefghijklmnop"}""",
@@ -45,28 +47,34 @@ object MicroBench {
       col("id") % 100, col("id") % 7, col("id")).as("doc")).cache()
     small.count(); wide.count()
 
-    def lowered(e: String) = bridge.column(
-      graft.compile.Lowering.filteredNullSafe(
-        bridge.expression(col("doc").cast("string")), Parser.parse(e)).get)
-
-    def time(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column): Double = {
+    /** Forces every output column; lower toggles the optimizer rules so the
+      * identical DataFrame code runs interpreted vs lowered+fused. */
+    def time(df: DataFrame, cols: Seq[Column], lower: Boolean): Double = {
+      spark.conf.set(graft.compile.LowerJmesPathRule.LowerConfKey, lower.toString)
       def once(): Double = {
         val t0 = System.nanoTime()
-        df.select(c.as("v")).where(col("v").isNotNull).count()
+        df.select(xxhash64(cols: _*).as("h")).agg(expr("bit_xor(h)")).head()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up (janino + JIT)
       Seq.fill(5)(once()).min
     }
     // sacrificial first query absorbs first-stage JIT/startup cost
-    time(small, jmes.jmesFiltered(col("doc"), "k"))
+    time(small, Seq(jmes.jmesFiltered(col("doc"), "k")), lower = true)
 
     val cells = for {
       (shape, df) <- Seq("small" -> small, "wide" -> wide)
-      (expr, tag) <- Seq("k >= `50` && k" -> "filter", "length(tags) > `2` && name" -> "function")
+      (tag, cols) <- Seq[(String, Seq[Column])](
+        "filter" -> Seq(jmes.jmesFiltered(col("doc"), "k >= `50` && k")),
+        "function" -> Seq(jmes.jmesFiltered(col("doc"), "length(tags) > `2` && name")),
+        "multicol" -> Seq(
+          jmes.jmespathDouble(col("doc"), "k"),
+          jmes.jmespath(col("doc"), "name"),
+          jmes.jmespath(col("doc"), "tags[0]"),
+          jmes.jmespathDouble(col("doc"), "length(tags)")))
     } yield {
-      val ti = time(df, jmes.jmesFiltered(col("doc"), expr))
-      val tl = time(df, lowered(expr))
+      val ti = time(df, cols, lower = false)
+      val tl = time(df, cols, lower = true)
       // scalastyle:off println
       println(f"# $shape/$tag: interp $ti%.3f s, lowered $tl%.3f s, speedup ${ti / tl}%.2f")
       // scalastyle:on println

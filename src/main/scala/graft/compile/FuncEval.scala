@@ -119,17 +119,22 @@ object JsonFunctionEval {
                   resolve: Seq[PathStep] => String): Any = {
     if (resolve == null)
       return if (mode == Truthy) java.lang.Boolean.FALSE else null
-    val r = try FnCallIR.evalResolved(call, resolve)
-            catch { case _: JmesRuntimeError => JNull }
-    mode match {
-      case Truthy => java.lang.Boolean.valueOf(r.truthy)
-      case Num =>
-        r match { case JNum(d) => java.lang.Double.valueOf(d); case _ => null }
-      case _ => r match {
-        case JNull   => null
-        case JStr(s) => UTF8String.fromString(s)
-        case other   => UTF8String.fromString(JValue.serializeOrdered(other))
-      }
+    convert(try FnCallIR.evalResolved(call, resolve)
+            catch { case _: JmesRuntimeError => JNull }, mode)
+  }
+
+  /** Output convention of each mode over an already-computed call result —
+    * split out so [[JsonFusedEval]] can evaluate a call ONCE per record and
+    * project all its requested modes from the same JValue (a lowered
+    * gate+value pair references the same call in up to three modes). */
+  def convert(r: JValue, mode: String): Any = mode match {
+    case Truthy => java.lang.Boolean.valueOf(r.truthy)
+    case Num =>
+      r match { case JNum(d) => java.lang.Double.valueOf(d); case _ => null }
+    case _ => r match {
+      case JNull   => null
+      case JStr(s) => UTF8String.fromString(s)
+      case other   => UTF8String.fromString(JValue.serializeOrdered(other))
     }
   }
 }

@@ -270,9 +270,19 @@ case class JsonFusedEval(child: Expression, paths: Seq[Option[Seq[PathStep]]],
           case Some(i) => val v = slots(i); if (v == null) null else v.toString
           case None    => JsonPathRaw.extractU8Raw(doc, steps) // defensive
         }
+      // a gate+value pair references the same call in up to three modes
+      // (truthy / double / value): evaluate each DISTINCT call once and
+      // project the modes from the shared JValue result
+      val callResults = new mutable.HashMap[FnCallIR, graft.jmespath.JValue]()
       var i = 0
       fnCalls.foreach { case (call, mode) =>
-        row(2 + i) = JsonFunctionEval.runResolved(call, mode, resolve)
+        row(2 + i) =
+          if (resolve == null) JsonFunctionEval.runResolved(call, mode, null)
+          else JsonFunctionEval.convert(
+            callResults.getOrElseUpdate(call,
+              try FnCallIR.evalResolved(call, resolve)
+              catch { case _: graft.jmespath.JmesRuntimeError => graft.jmespath.JNull }),
+            mode)
         i += 1
       }
     }

@@ -79,7 +79,12 @@ object Dedup {
     // task). Spread the corpus across the cluster first; at real scale the
     // scan already has ≥ defaultParallelism splits and this is a no-op.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // detect underparallelized FILE inputs from the driver-side listing —
+    // unlike df.rdd.getNumPartitions this never materializes an RDD lineage
+    // just to read a number. Non-file sources (in-memory test relations)
+    // already parallelize to defaultParallelism.
+    val nFiles = df.inputFiles.length
+    val spread = if (nFiles > 0 && nFiles < par) df.repartition(par) else df
     // sh is value-sorted (ShingleArray emits ascending order): verification
     // uses set ops only, and value order makes the default prefix a plain
     // slice
