@@ -49,9 +49,9 @@ object SparkEntry {
     * representative; correctness runs the full `queries` map. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "jmes_field", "jmes_filter_compare", "jmes_field_interp",
-    "jmes_filter_interp", "variant_field", "cli_format_data", "text_stats",
-    "top_terms", "dedup_exact", "dedup_jaccard_pairs", "ann_topk",
-    "windowed_agg")
+    "jmes_filter_interp", "jmes_multicol", "variant_field", "cli_format_data",
+    "text_stats", "top_terms", "dedup_exact", "dedup_jaccard_pairs",
+    "ann_topk", "windowed_agg")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-
@@ -79,6 +79,19 @@ object SparkEntry {
       table(s, dir, "events")
         .where(compile.Lowering.truthy(col("props"), "k > `50`"))
         .select(col("event_id"), col("props"))),
+
+    // cross-column fusion showcase (compile.FuseProjectScans): four JMESPath
+    // outputs over the same document — the optimizer merges them into ONE
+    // streaming scan per record (verified in CrossColumnFusionSpec; the
+    // reference parses once per record regardless of output count,
+    // main.go:89-90)
+    "jmes_multicol" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          jmespathDouble(col("props"), "k").as("k"),
+          jmesTruthy(col("props"), "k > `50`").as("big"),
+          jmespath(col("props"), "[k, `1`]").as("pair"),
+          jmespath(col("props"), "{v: k}").as("obj"))),
 
     // SURVEY §1.2's recommended payload representation: parse once into
     // Spark 4 VariantType, navigate with variant_get (bench A/B vs the
@@ -137,6 +150,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "jmes_field" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
+    // exact engine serialization is reproducible because props.k is always a
+    // bare integer in the testdata (checked: 0..99, never missing/decimal)
+    "jmes_multicol" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50 AS big,
+        |  '[' || json_extract_string(props, '$.k') || ',1]' AS pair,
+        |  '{"v":' || json_extract_string(props, '$.k') || '}' AS obj
+        |FROM events""".stripMargin,
     "jmes_filter_compare" ->
       "SELECT event_id, props FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50",
     "variant_field" ->

@@ -2,8 +2,11 @@ package graft.compile
 
 import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One navigation step of a lowered JMESPath field/index chain. */
@@ -64,6 +67,62 @@ case class JsonIsValid(child: Expression) extends JsonComputeExpr {
       doc != null && graft.jmespath.JValue.parseOpt(doc.getBytes).isDefined)
   override protected def withNewChildInternal(newChild: Expression): JsonIsValid =
     copy(child = newChild)
+}
+
+/** JMESPath deep equality over two RAW-extracted JSON values (util.go:50-52
+  * reflect.DeepEqual): SQL NULL inputs mean JMESPath `null` (missing path /
+  * JSON null), so NULL == NULL is TRUE — never returns SQL NULL itself.
+  * Canonical-text equality is the fast path; otherwise both (small, already
+  * extracted) subtrees parse and compare structurally, so object key order
+  * and number formatting ("1.0" vs "1") don't produce false negatives.
+  * Composes with [[ScanFusion]]: its children are plain raw-producing
+  * expressions that the fusion rewrites onto shared scan slots. */
+case class JsonRawEquals(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "json_raw_equals"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING (raw JSON) inputs, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def eval(input: InternalRow): Any =
+    java.lang.Boolean.valueOf(JsonRawEquals.equalRaw(
+      left.eval(input).asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val cls = JsonRawEquals.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.value} = $cls.equalRaw(
+        ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JsonRawEquals =
+    copy(left = newLeft, right = newRight)
+}
+
+object JsonRawEquals {
+  import graft.jmespath.{JNull, JValue}
+  private val NaNToken = UTF8String.fromString("NaN")
+  private val InfToken = UTF8String.fromString("Infinity")
+  private def parsed(raw: UTF8String): JValue =
+    JValue.parseOpt(raw.getBytes).getOrElse(JNull)
+  def equalRaw(a: UTF8String, b: UTF8String): Boolean =
+    if (a == null || b == null) a == null && b == null // both JMESPath null
+    else if (a.equals(b) && !a.contains(NaNToken) && !a.contains(InfToken))
+      true // identical canonical text, and no non-finite token that could
+           // make textual equality diverge from Go == (NaN != NaN)
+    else JValue.deepEqual(parsed(a), parsed(b))
 }
 
 object JsonPathRaw {

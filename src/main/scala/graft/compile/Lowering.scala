@@ -6,7 +6,7 @@ import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.jmespath.{Ast, JBool, JNull, JNum, JStr, JValue, Parser}
+import graft.jmespath.{Ast, Interpreter, JBool, JNull, JNum, JStr, JValue, JmesRuntimeError, Parser}
 import graft.functions.jmes
 
 /** Native Catalyst lowering of the hot JMESPath subset (SURVEY.md §4.2,
@@ -51,6 +51,31 @@ object Lowering {
   private def rawOf(doc: Expression, ast: Ast): Option[Expression] =
     pathOf(ast).filter(_.nonEmpty).map(steps => JsonPathRaw(doc, steps))
 
+  /** Plan-time result of a LITERAL-ROOTED expression (`` `{"a":1}`.a ``,
+    * `` `[0,1,2]`[1] ``, projections/pipes over a literal): the leftmost data
+    * source is a backtick literal, so the whole evaluation is
+    * document-independent and folds to a constant via the corpus-validated
+    * interpreter. (Top-level bare literals keep their dedicated arms.) */
+  private def constOf(ast: Ast): Option[JValue] = {
+    def litRooted(a: Ast): Boolean = a match {
+      case Literal(_)                => true
+      case Subexpression(l, _)       => litRooted(l)
+      case Pipe(l, _)                => litRooted(l)
+      case IndexExpr(l, _)           => litRooted(l)
+      case Projection(l, _)          => litRooted(l)
+      case ValueProjection(l, _)     => litRooted(l)
+      case FilterProjection(l, _, _) => litRooted(l)
+      case Flatten(l)                => litRooted(l)
+      case _                         => false
+    }
+    ast match {
+      case Literal(_) => None // dedicated arms handle the bare-literal forms
+      case a if litRooted(a) =>
+        Some(try Interpreter.eval(a, JNull) catch { case _: JmesRuntimeError => JNull })
+      case _ => None
+    }
+  }
+
   // --- function calls (round-7: the §2.3 library lowers when every argument
   // is a path / literal / expref / nested lowerable call; path arguments are
   // prefixed when the call sits under a pure-path Pipe/Subexpression, which
@@ -80,6 +105,7 @@ object Lowering {
     * a malformed document. Defined only for forms numOf lowers non-path-wise. */
   private def pinnedNum(ast: Ast): Option[Double] = ast match {
     case Literal(JNum(d)) => Some(d)
+    case a if constOf(a).isDefined => constOf(a).collect { case JNum(d) => d }
     case _ => fnIROf(ast).flatMap(c => FnCallIR.pinned(c) match {
       case JNum(d) => Some(d)
       case _       => None
@@ -89,13 +115,27 @@ object Lowering {
   /** Numeric (double) value of the AST; NULL for non-numbers. */
   def numOf(doc: Expression, ast: Ast): Option[Expression] = ast match {
     case Literal(JNum(d)) => Some(CLit(d, DoubleType))
+    case a if constOf(a).isDefined => constOf(a).map {
+      case JNum(d) => CLit(d, DoubleType)
+      case _       => CLit(null, DoubleType)
+    }
     case _ => fnIROf(ast) match {
       case Some(c) => Some(JsonFunctionEval(doc, c, JsonFunctionEval.Num))
       case None    => rawOf(doc, ast).map(tryCastD)
     }
   }
 
-  /** Equality of a path against a scalar literal (canonical raw text). */
+  /** No NaN/Infinity anywhere in the value — the precondition for comparing
+    * against its canonical serialization (formatNumber maps non-finite to
+    * "null", which would not round-trip). */
+  private def allFinite(v: JValue): Boolean = v match {
+    case JNum(d)                 => !d.isNaN && !d.isInfinite
+    case graft.jmespath.JArr(xs) => xs.forall(allFinite)
+    case graft.jmespath.JObj(fs) => fs.forall(f => allFinite(f._2))
+    case _                       => true
+  }
+
+  /** Equality of a path against a scalar or (finite) container literal. */
   private def eqCol(doc: Expression, path: Ast, literal: JValue): Option[Expression] = {
     val raw = rawOf(doc, path).getOrElse(return None)
     literal match {
@@ -110,7 +150,12 @@ object Lowering {
       case JBool(b) =>
         Some(Coalesce(Seq(EqualTo(raw, str(if (b) "true" else "false")), False)))
       case JNull => Some(IsNull(raw))
-      case _     => None // container literals → fallback
+      case c if allFinite(c) =>
+        // container literal: deep equality against its canonical text
+        // (JsonRawEquals parses both sides, so key order / number formatting
+        // in the document can't produce false negatives)
+        Some(JsonRawEquals(raw, str(JValue.serializeOrdered(c))))
+      case _ => None // non-finite container literal → fallback
     }
   }
 
@@ -118,6 +163,7 @@ object Lowering {
     * the AST is outside the lowered subset. */
   def truthyOf(doc: Expression, ast: Ast): Option[Expression] = ast match {
     case Literal(v)    => Some(CLit(v.truthy, BooleanType))
+    case a if constOf(a).isDefined => constOf(a).map(v => CLit(v.truthy, BooleanType))
     case AndExpr(l, r) => for (a <- truthyOf(doc, l); b <- truthyOf(doc, r)) yield And(a, b)
     case OrExpr(l, r)  => for (a <- truthyOf(doc, l); b <- truthyOf(doc, r)) yield Or(a, b)
     case NotExpr(c)    => truthyOf(doc, c).map(Not)
@@ -126,7 +172,12 @@ object Lowering {
         val eq = (l, r) match {
           case (p, Literal(v)) => eqCol(doc, p, v)
           case (Literal(v), p) => eqCol(doc, p, v)
-          case _               => None
+          case (a, b) =>
+            // path-vs-path deep equality (`first == last`): both raws come
+            // from the same shared scan after fusion; @ lowers to the
+            // whole-document canonical raw
+            for (pa <- pathOf(a); pb <- pathOf(b))
+              yield JsonRawEquals(JsonPathRaw(doc, pa), JsonPathRaw(doc, pb))
         }
         eq.map(e => if (op == "==") e else Not(e))
       case _ =>
@@ -215,6 +266,7 @@ object Lowering {
     * are added by [[valueNullSafe]]. */
   def valueOf(doc: Expression, ast: Ast): Option[Expression] = ast match {
     case Literal(v) => Some(constValue(v))
+    case a if constOf(a).isDefined => constOf(a).map(constValue)
 
     // boolean-valued combinators serialize their JBool/JNull result
     case NotExpr(c) =>
@@ -299,6 +351,7 @@ object Lowering {
     * extraction already yields NULL on malformed input. */
   private def valueMalformedSensitive(ast: Ast): Boolean = ast match {
     case Literal(_) | NotExpr(_) | Comparator(_, _, _) => true
+    case a if constOf(a).isDefined => constOf(a).get != JNull
     case AndExpr(l, r) => valueMalformedSensitive(l) || valueMalformedSensitive(r)
     case OrExpr(l, r)  => valueMalformedSensitive(l) || valueMalformedSensitive(r)
     case _             => fnIROf(ast).exists(c => FnCallIR.pinned(c) != JNull)
@@ -333,13 +386,10 @@ object Lowering {
     case AndExpr(l, r) => for (a <- rpredOf(l); b <- rpredOf(r)) yield RAnd(a, b)
     case OrExpr(l, r)  => for (a <- rpredOf(l); b <- rpredOf(r)) yield ROr(a, b)
     case Comparator(op, l, r) =>
-      def scalar(v: JValue) = v match {
-        case JNum(_) | JStr(_) | JBool(_) | JNull => true
-        case _                                    => false
-      }
       // ordering is numbers-only at the top level too (numOf on a non-number
-      // literal does not lower) — mirror that here
-      def ok(v: JValue) = if (op == "==" || op == "!=") scalar(v) else v.isInstanceOf[JNum]
+      // literal does not lower) — mirror that here; ==/!= accept any literal
+      // (containers compare via deepEqual)
+      def ok(v: JValue) = (op == "==" || op == "!=") || v.isInstanceOf[JNum]
       (l, r) match {
         case (p, Literal(v)) if ok(v) => pathOf(p).map(RCmp(_, op, v))
         case (Literal(v), p) if ok(v) =>
@@ -348,7 +398,8 @@ object Lowering {
             case other => other
           }
           pathOf(p).map(RCmp(_, flipped, v))
-        case _ => None
+        case (a, b) => // path-vs-path within the element
+          for (pa <- pathOf(a); pb <- pathOf(b)) yield RCmpPath(pa, op, pb)
       }
     case p => pathOf(p).map(RTruthy)
   }
@@ -362,11 +413,16 @@ object Lowering {
     * and need none. */
   private def malformedSensitive(ast: Ast): Boolean = ast match {
     case Literal(_)             => true
+    case a if constOf(a).isDefined => constOf(a).get.truthy
     case NotExpr(_)             => true
     case AndExpr(l, r)          => malformedSensitive(l) || malformedSensitive(r)
     case OrExpr(l, r)           => malformedSensitive(l) || malformedSensitive(r)
     case Comparator("!=", _, _) => true
-    case Comparator("==", l, r) => l == Literal(JNull) || r == Literal(JNull)
+    case Comparator("==", l, r) => (l, r) match {
+      case (_, Literal(v)) => v == JNull
+      case (Literal(v), _) => v == JNull
+      case _               => true // path-vs-path: both-missing is TRUE
+    }
     // an ordering comparator whose operands BOTH stay numeric with every path
     // pinned to null (literals, pinned-numeric function calls) evaluates to a
     // real boolean over a malformed document, where the interpreter is false

@@ -17,6 +17,9 @@ sealed trait RPred
 final case class RConst(b: Boolean) extends RPred
 final case class RTruthy(path: Seq[PathStep]) extends RPred
 final case class RCmp(path: Seq[PathStep], op: String, lit: JValue) extends RPred
+/** Path-vs-path comparison per element (`[?first == last]`): deep equality
+  * for ==/!=, numbers-only ordering otherwise. */
+final case class RCmpPath(pathL: Seq[PathStep], op: String, pathR: Seq[PathStep]) extends RPred
 final case class RNot(p: RPred) extends RPred
 final case class RAnd(a: RPred, b: RPred) extends RPred
 final case class ROr(a: RPred, b: RPred) extends RPred
@@ -31,12 +34,34 @@ object RPred {
   private def truthyRaw(raw: String): Boolean =
     raw != null && raw != "\"\"" && raw != "false" && raw != "[]" && raw != "{}"
 
+  private def parsedOr(raw: String): JValue =
+    JValue.parseOpt(raw).getOrElse(graft.jmespath.JNull)
+
   def eval(p: RPred, elemRaw: String): Boolean = p match {
     case RConst(b)     => b
     case RNot(q)       => !eval(q, elemRaw)
     case RAnd(a, b)    => eval(a, elemRaw) && eval(b, elemRaw)
     case ROr(a, b)     => eval(a, elemRaw) || eval(b, elemRaw)
     case RTruthy(path) => truthyRaw(JsonPathRaw.extract(elemRaw, path))
+    case RCmpPath(pl, op, pr) =>
+      val ra = JsonPathRaw.extract(elemRaw, pl)
+      val rb = JsonPathRaw.extract(elemRaw, pr)
+      def eq: Boolean =
+        if (ra == null || rb == null) ra == null && rb == null // both null
+        else JValue.deepEqual(parsedOr(ra), parsedOr(rb))
+      op match {
+        case "==" => eq
+        case "!=" => !eq
+        case _ =>
+          val na = numRaw(ra); val nb = numRaw(rb)
+          // IEEE comparisons: NaN operands yield false, matching Go
+          na != null && nb != null && (op match {
+            case "<"  => na < nb
+            case "<=" => na <= nb
+            case ">"  => na > nb
+            case ">=" => na >= nb
+          })
+      }
     case RCmp(path, op, lit) =>
       val raw = JsonPathRaw.extract(elemRaw, path)
       def eq: Boolean = lit match {
@@ -44,7 +69,9 @@ object RPred {
         case JStr(s)  => raw != null && raw == mapper.writeValueAsString(s)
         case JBool(b) => raw != null && raw == (if (b) "true" else "false")
         case JNull    => raw == null
-        case _        => false
+        // container literal: structural equality against the parsed element
+        // (deepEqual is NaN-exact, no canonical-text round-trip involved)
+        case c        => raw != null && JValue.deepEqual(parsedOr(raw), c)
       }
       op match {
         case "==" => eq
