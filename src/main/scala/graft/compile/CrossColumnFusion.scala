@@ -35,7 +35,7 @@ object FuseProjectScans extends Rule[LogicalPlan] {
 
   private def isFusable(e: Expression): Boolean = e match {
     case _: JsonFusedEval | _: JsonPathRaw | _: JsonPathValue | _: JsonIsValid |
-        _: JsonFunctionEval => true
+        _: JsonFunctionEval | _: JsonSubInterp => true
     case _ => false
   }
 
@@ -69,7 +69,7 @@ object FuseProjectScans extends Rule[LogicalPlan] {
             frags.zipWithIndex.flatMap { case (f, i) =>
               Seq(CLit(UTF8String.fromString(s"c$i"), StringType), f)
             }.toSeq)
-          val fused = JsonFusedEval(doc, merger.pathKeys, merger.fnKeys, struct)
+          val fused = JsonFusedEval(doc, merger.pathKeys, merger.compKeys, struct)
           val alias = Alias(fused, "_jmes_scan")()
           aliases += alias
           val attr = alias.toAttribute
@@ -95,12 +95,12 @@ object FuseProjectScans extends Rule[LogicalPlan] {
   * the same layout [[ScanFusion.fuse]] builds for a single tree. */
 private[compile] final class ScanMerger {
   private val slots = mutable.LinkedHashMap[Option[Seq[PathStep]], Int]()
-  private val fnSlots = mutable.LinkedHashMap[(FnCallIR, String), Int]()
+  private val comp = mutable.LinkedHashMap[ComputedSlot, Int]()
   private val scanRef =
     BoundReference(1, ArrayType(StringType, containsNull = true), nullable = false)
 
   def pathKeys: Seq[Option[Seq[PathStep]]] = slots.keys.toSeq
-  def fnKeys: Seq[(FnCallIR, String)] = fnSlots.keys.toSeq
+  def compKeys: Seq[ComputedSlot] = comp.keys.toSeq
 
   private def slotOf(key: Option[Seq[PathStep]]): Int =
     slots.getOrElseUpdate(key, slots.size)
@@ -111,11 +111,14 @@ private[compile] final class ScanMerger {
     case FnNestedArg(n)   => registerFnPaths(n)
     case _                => ()
   }
-  private def fnRef(call: FnCallIR, mode: String): Expression = {
-    registerFnPaths(call)
-    val idx = fnSlots.getOrElseUpdate((call, mode), fnSlots.size)
-    BoundReference(2 + idx, JsonFunctionEval.dataTypeOf(mode),
-      nullable = mode != JsonFunctionEval.Truthy)
+  private def compRef(s: ComputedSlot): Expression = {
+    s match {
+      case FnSlot(call, _)      => registerFnPaths(call)
+      case SubSlot(prefix, _, _) => slotOf(Some(prefix))
+    }
+    val idx = comp.getOrElseUpdate(s, comp.size)
+    BoundReference(2 + idx, JsonFunctionEval.dataTypeOf(s.mode),
+      nullable = s.mode != JsonFunctionEval.Truthy)
   }
 
   /** The node's exact semantics re-expressed over the merged slot row. */
@@ -123,15 +126,16 @@ private[compile] final class ScanMerger {
     case JsonPathRaw(_, steps)   => item(Some(steps))
     case JsonPathValue(_, steps) => JsonValueOfRaw(item(Some(steps)))
     case JsonIsValid(_)          => IsNotNull(item(None))
-    case JsonFunctionEval(_, call, mode) => fnRef(call, mode)
-    case JsonFusedEval(_, paths, fnCalls, template) =>
+    case JsonFunctionEval(_, call, mode) => compRef(FnSlot(call, mode))
+    case JsonSubInterp(_, prefix, residual, mode) =>
+      compRef(SubSlot(prefix, residual, mode))
+    case JsonFusedEval(_, paths, computed, template) =>
       // remap the single-tree fusion's slot ordinals into the merged layout
       template.transformUp {
         case GetArrayItem(b: BoundReference, CLit(i: Int, IntegerType), _)
             if b.ordinal == 1 => item(paths(i))
         case b: BoundReference if b.ordinal >= 2 =>
-          val (call, mode) = fnCalls(b.ordinal - 2)
-          fnRef(call, mode)
+          compRef(computed(b.ordinal - 2))
       }
     case other =>
       throw new IllegalStateException(s"not a fusable scan: $other")

@@ -101,6 +101,59 @@ case class JsonFunctionEval(child: Expression, call: FnCallIR, mode: String)
     copy(child = newChild)
 }
 
+/** Hybrid prefix-streamed evaluation (the nested-projection tail of SURVEY
+  * §4.2): stream-extract the longest pure field/index PREFIX of the
+  * expression ([[JsonPathRaw]] / a shared scan slot), parse only that
+  * subtree, and run the corpus-validated interpreter on the RESIDUAL AST
+  * with the subtree as context. Exact by JMESPath's own evaluation rule —
+  * `eval(Subexpression(l, r), doc) = eval(r, eval(l, doc))` — including a
+  * missing prefix (context = null, NOT a pinned null result: the residual
+  * may still produce a value, e.g. a multi-select over null).
+  *
+  * This lowers `a.b.c[].d[].e`-style nested projections: the document is
+  * traversed once to `a.b.c` and only that subtree is materialized, vs the
+  * interpreter's full-document parse (go-jmespath api.go:41-48). */
+case class JsonSubInterp(child: Expression, prefix: Seq[PathStep],
+                         residual: Ast, mode: String)
+    extends JsonComputeExpr {
+  require(prefix.nonEmpty, "empty prefix would be full interpretation")
+  override def dataType: DataType = JsonFunctionEval.dataTypeOf(mode)
+  override def nullable: Boolean = mode != JsonFunctionEval.Truthy
+  override def prettyName: String = s"json_subinterp_$mode"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
+
+  override def compute(doc: UTF8String): Any =
+    JsonSubInterp.run(prefix, residual, mode,
+      if (doc == null) null else steps => JsonPathRaw.extractU8Raw(doc, steps))
+
+  override protected def withNewChildInternal(newChild: Expression): JsonSubInterp =
+    copy(child = newChild)
+}
+
+object JsonSubInterp {
+  import graft.jmespath.Interpreter
+
+  /** Residual result over the extracted-prefix context; `resolve` = null
+    * means a NULL document (truthy → FALSE, other modes → NULL). */
+  def run(prefix: Seq[PathStep], residual: Ast, mode: String,
+          resolve: Seq[PathStep] => String): Any = {
+    if (resolve == null)
+      return if (mode == JsonFunctionEval.Truthy) java.lang.Boolean.FALSE else null
+    JsonFunctionEval.convert(evalCtx(prefix, residual, resolve), mode)
+  }
+
+  /** The JValue result (shared across modes by the fused evaluator). */
+  def evalCtx(prefix: Seq[PathStep], residual: Ast,
+              resolve: Seq[PathStep] => String): JValue = {
+    val raw = resolve(prefix)
+    val ctx = if (raw == null) JNull else JValue.parseOpt(raw).getOrElse(JNull)
+    try Interpreter.eval(residual, ctx) catch { case _: JmesRuntimeError => JNull }
+  }
+}
+
 object JsonFunctionEval {
   val Value = "value"
   val Truthy = "truthy"

@@ -51,6 +51,68 @@ object Lowering {
   private def rawOf(doc: Expression, ast: Ast): Option[Expression] =
     pathOf(ast).filter(_.nonEmpty).map(steps => JsonPathRaw(doc, steps))
 
+  // --- prefix-streamed residual interpretation (nested projections etc.) ---
+
+  /** Longest pure field/index PREFIX of the expression and the residual AST
+    * with that prefix replaced by the current node. Exact by JMESPath's own
+    * evaluation rule: `eval(Subexpression(l, r), doc) = eval(r, eval(l,
+    * doc))`, and projections/flattens/filters evaluate their lhs first.
+    * `(Nil, ast)` when nothing splits. */
+  private def splitPrefix(ast: Ast): (Seq[PathStep], Ast) = ast match {
+    case Field(n) => (Seq(FieldStep(n)), CurrentNode)
+    case Subexpression(l, r) =>
+      val (p, lr) = splitPrefix(l)
+      if (p.isEmpty) (Nil, ast)
+      else if (lr == CurrentNode) {
+        val (p2, rr) = splitPrefix(r)
+        if (p2.isEmpty) (p, r) else (p ++ p2, rr)
+      } else (p, Subexpression(lr, r))
+    case Pipe(l, r) =>
+      val (p, lr) = splitPrefix(l)
+      if (p.isEmpty) (Nil, ast)
+      else if (lr == CurrentNode) (p, r) // Pipe(@, r) ≡ r over the context
+      else (p, Pipe(lr, r))
+    case IndexExpr(l, Index(i)) =>
+      val (p, lr) = splitPrefix(l)
+      if (p.isEmpty) (Nil, ast)
+      else if (lr == CurrentNode) (p :+ IndexStep(i), CurrentNode)
+      else (p, IndexExpr(lr, Index(i)))
+    case IndexExpr(l, s) =>
+      val (p, lr) = splitPrefix(l)
+      if (p.isEmpty) (Nil, ast) else (p, IndexExpr(lr, s))
+    case Projection(l, rhs) =>
+      val (p, lr) = splitPrefix(l)
+      if (p.isEmpty) (Nil, ast) else (p, Projection(lr, rhs))
+    case ValueProjection(l, rhs) =>
+      val (p, lr) = splitPrefix(l)
+      if (p.isEmpty) (Nil, ast) else (p, ValueProjection(lr, rhs))
+    case FilterProjection(l, rhs, cond) =>
+      val (p, lr) = splitPrefix(l)
+      if (p.isEmpty) (Nil, ast) else (p, FilterProjection(lr, rhs, cond))
+    case Flatten(l) =>
+      val (p, lr) = splitPrefix(l)
+      if (p.isEmpty) (Nil, ast) else (p, Flatten(lr))
+    case _ => (Nil, ast)
+  }
+
+  /** Hybrid lowering for expressions outside the fully-native subset with a
+    * non-empty pure-path prefix: stream to the prefix, interpret the
+    * residual over the (small) extracted subtree. */
+  private def subInterpOf(doc: Expression, ast: Ast, mode: String): Option[Expression] = {
+    val (p, residual) = splitPrefix(ast)
+    if (p.isEmpty) None else Some(JsonSubInterp(doc, p, residual, mode))
+  }
+
+  /** Residual result when the prefix is pinned null (malformed/absent doc):
+    * what the lowered hybrid would produce where the interpreter fails the
+    * parse and yields null. None when the AST has no splittable prefix. */
+  private def subPinned(ast: Ast): Option[JValue] = {
+    val (p, residual) = splitPrefix(ast)
+    if (p.isEmpty) None
+    else Some(try Interpreter.eval(residual, JNull)
+              catch { case _: JmesRuntimeError => JNull })
+  }
+
   /** Plan-time result of a LITERAL-ROOTED expression (`` `{"a":1}`.a ``,
     * `` `[0,1,2]`[1] ``, projections/pipes over a literal): the leftmost data
     * source is a backtick literal, so the whole evaluation is
@@ -109,11 +171,17 @@ object Lowering {
     case _ => fnIROf(ast).flatMap(c => FnCallIR.pinned(c) match {
       case JNum(d) => Some(d)
       case _       => None
-    })
+    }).orElse(
+      if (pathOf(ast).isDefined) None
+      else subPinned(ast).collect { case JNum(d) => d })
   }
 
-  /** Numeric (double) value of the AST; NULL for non-numbers. */
-  def numOf(doc: Expression, ast: Ast): Option[Expression] = ast match {
+  /** Numeric (double) value of the AST; NULL for non-numbers. Fully-native
+    * lowering first, then the prefix-streamed hybrid. */
+  def numOf(doc: Expression, ast: Ast): Option[Expression] =
+    numNative(doc, ast).orElse(subInterpOf(doc, ast, JsonFunctionEval.Num))
+
+  private def numNative(doc: Expression, ast: Ast): Option[Expression] = ast match {
     case Literal(JNum(d)) => Some(CLit(d, DoubleType))
     case a if constOf(a).isDefined => constOf(a).map {
       case JNum(d) => CLit(d, DoubleType)
@@ -160,8 +228,12 @@ object Lowering {
   }
 
   /** Truthiness of the AST as a non-null BooleanType Expression, or None if
-    * the AST is outside the lowered subset. */
-  def truthyOf(doc: Expression, ast: Ast): Option[Expression] = ast match {
+    * the AST is outside the lowered subset. Fully-native lowering first,
+    * then the prefix-streamed hybrid. */
+  def truthyOf(doc: Expression, ast: Ast): Option[Expression] =
+    truthyNative(doc, ast).orElse(subInterpOf(doc, ast, JsonFunctionEval.Truthy))
+
+  private def truthyNative(doc: Expression, ast: Ast): Option[Expression] = ast match {
     case Literal(v)    => Some(CLit(v.truthy, BooleanType))
     case a if constOf(a).isDefined => constOf(a).map(v => CLit(v.truthy, BooleanType))
     case AndExpr(l, r) => for (a <- truthyOf(doc, l); b <- truthyOf(doc, r)) yield And(a, b)
@@ -263,8 +335,12 @@ object Lowering {
 
   /** Serialized engine output (StringType) of the AST, or None if outside
     * the lowered value subset. NULL-document/malformed-document conventions
-    * are added by [[valueNullSafe]]. */
-  def valueOf(doc: Expression, ast: Ast): Option[Expression] = ast match {
+    * are added by [[valueNullSafe]]. Fully-native lowering first, then the
+    * prefix-streamed hybrid. */
+  def valueOf(doc: Expression, ast: Ast): Option[Expression] =
+    valueNative(doc, ast).orElse(subInterpOf(doc, ast, JsonFunctionEval.Value))
+
+  private def valueNative(doc: Expression, ast: Ast): Option[Expression] = ast match {
     case Literal(v) => Some(constValue(v))
     case a if constOf(a).isDefined => constOf(a).map(constValue)
 
@@ -354,7 +430,12 @@ object Lowering {
     case a if constOf(a).isDefined => constOf(a).get != JNull
     case AndExpr(l, r) => valueMalformedSensitive(l) || valueMalformedSensitive(r)
     case OrExpr(l, r)  => valueMalformedSensitive(l) || valueMalformedSensitive(r)
-    case _             => fnIROf(ast).exists(c => FnCallIR.pinned(c) != JNull)
+    case _ => fnIROf(ast) match {
+      case Some(c) => FnCallIR.pinned(c) != JNull
+      // prefix-streamed hybrid: sensitive iff the residual over a pinned-null
+      // context yields non-null (pure paths stay insensitive: residual @)
+      case None => pathOf(ast).isEmpty && subPinned(ast).exists(_ != JNull)
+    }
   }
 
   private def valueGuarded(doc: Expression, ast: Ast): Option[Expression] =
@@ -429,7 +510,10 @@ object Lowering {
     case Comparator(_, l, r)    => pinnedNum(l).isDefined && pinnedNum(r).isDefined
     // a function call whose pinned result is truthy (e.g. `length(`"ab"`)`,
     // `contains(`[1]`, `1`)`) is truthy-lowered non-false on malformed input
-    case _                      => fnIROf(ast).exists(c => FnCallIR.pinned(c).truthy)
+    case _ => fnIROf(ast) match {
+      case Some(c) => FnCallIR.pinned(c).truthy
+      case None    => pathOf(ast).isEmpty && subPinned(ast).exists(_.truthy)
+    }
   }
 
   private def truthyGuarded(doc: Expression, ast: Ast): Option[Expression] =

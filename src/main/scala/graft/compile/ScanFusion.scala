@@ -44,7 +44,7 @@ object ScanFusion {
     val docRef = BoundReference(0, StringType, nullable = true)
     val scanRef = BoundReference(1, ArrayType(StringType, containsNull = true), nullable = false)
     val slots = mutable.LinkedHashMap[Option[Seq[PathStep]], Int]()
-    val fnSlots = mutable.LinkedHashMap[(FnCallIR, String), Int]()
+    val comp = mutable.LinkedHashMap[ComputedSlot, Int]()
     def slotOf(key: Option[Seq[PathStep]]): Int = slots.getOrElseUpdate(key, slots.size)
     def item(key: Option[Seq[PathStep]]): Expression =
       GetArrayItem(scanRef, CLit(slotOf(key), IntegerType))
@@ -52,6 +52,11 @@ object ScanFusion {
       case FnPathArg(steps) => slotOf(Some(steps))
       case FnNestedArg(n)   => registerFnPaths(n)
       case _                => ()
+    }
+    def compRef(s: ComputedSlot): Expression = {
+      val idx = comp.getOrElseUpdate(s, comp.size)
+      BoundReference(2 + idx, JsonFunctionEval.dataTypeOf(s.mode),
+        nullable = s.mode != JsonFunctionEval.Truthy)
     }
     var scans = 0
 
@@ -66,15 +71,17 @@ object ScanFusion {
       case JsonFunctionEval(d, call, mode) if d.semanticEquals(doc) =>
         scans += 1
         registerFnPaths(call)
-        val idx = fnSlots.getOrElseUpdate((call, mode), fnSlots.size)
-        BoundReference(2 + idx, JsonFunctionEval.dataTypeOf(mode),
-          nullable = mode != JsonFunctionEval.Truthy)
+        compRef(FnSlot(call, mode))
+      case JsonSubInterp(d, prefix, residual, mode) if d.semanticEquals(doc) =>
+        scans += 1
+        slotOf(Some(prefix))
+        compRef(SubSlot(prefix, residual, mode))
     }
     if (scans < 2) return tree
     val template = replaced.transformUp {
       case e if e.semanticEquals(doc) => docRef
     }
-    JsonFusedEval(doc, slots.keys.toSeq, fnSlots.keys.toSeq, template)
+    JsonFusedEval(doc, slots.keys.toSeq, comp.keys.toSeq, template)
   }
 
   // --- one-pass multi-path extraction -----------------------------------
@@ -225,18 +232,28 @@ case class JsonValueOfRaw(child: Expression)
     copy(child = newChild)
 }
 
+/** A per-record computed result riding the fused scan row at
+  * `ordinal 2 + index`: a lowered function call or a prefix-streamed
+  * residual interpretation, in one of the three output modes. */
+sealed trait ComputedSlot { def mode: String }
+final case class FnSlot(call: FnCallIR, mode: String) extends ComputedSlot
+final case class SubSlot(prefix: Seq[PathStep], residual: graft.jmespath.Ast,
+                         mode: String) extends ComputedSlot
+
 /** One-pass evaluation of a fused lowered tree: extracts every path slot (and
   * the validity probe) from the document in a single streaming traversal,
-  * evaluates each distinct function call once (arguments resolved from the
-  * shared scan), then evaluates the rewritten template against the slot row
-  * (ordinal 0 = document, ordinal 1 = array of path slot strings,
-  * ordinals 2.. = function-call results).
+  * evaluates each distinct computed slot once — function calls and residual
+  * interpretations, with their path arguments/prefixes resolved from the
+  * shared scan, and each distinct call/residual evaluated ONCE across all
+  * its requested output modes — then evaluates the rewritten template
+  * against the slot row (ordinal 0 = document, ordinal 1 = array of path
+  * slot strings, ordinals 2.. = computed results).
   *
   * `template` is deliberately NOT a child expression: it references the
   * internal slot row via BoundReference, so analyzer/optimizer expression
   * rules (which traverse children only) never see or rewrite it. */
 case class JsonFusedEval(child: Expression, paths: Seq[Option[Seq[PathStep]]],
-                         fnCalls: Seq[(FnCallIR, String)],
+                         computed: Seq[ComputedSlot],
                          template: Expression)
     extends JsonComputeExpr {
   override def dataType: DataType = template.dataType
@@ -258,31 +275,40 @@ case class JsonFusedEval(child: Expression, paths: Seq[Option[Seq[PathStep]]],
     val slots: Array[Any] =
       if (doc == null) new Array[Any](paths.length)
       else ScanFusion.extractAll(doc, trieRoot, paths.length, validitySlot)
-    val row = new Array[Any](2 + fnCalls.length)
+    val row = new Array[Any](2 + computed.length)
     row(0) = doc
     row(1) = new GenericArrayData(slots)
-    if (fnCalls.nonEmpty) {
-      // every FnPathArg path was registered as a scan slot at fuse() time,
-      // so argument resolution is a slot lookup — no extra doc traversal
+    if (computed.nonEmpty) {
+      // every FnPathArg path / subinterp prefix was registered as a scan
+      // slot at fuse() time, so resolution is a slot lookup — no extra doc
+      // traversal
       val resolve: Seq[PathStep] => String =
         if (doc == null) null
         else steps => slotIndex.get(steps) match {
           case Some(i) => val v = slots(i); if (v == null) null else v.toString
           case None    => JsonPathRaw.extractU8Raw(doc, steps) // defensive
         }
-      // a gate+value pair references the same call in up to three modes
-      // (truthy / double / value): evaluate each DISTINCT call once and
-      // project the modes from the shared JValue result
-      val callResults = new mutable.HashMap[FnCallIR, graft.jmespath.JValue]()
+      // a gate+value pair references the same call/residual in up to three
+      // modes (truthy / double / value): evaluate each ONCE and project the
+      // modes from the shared JValue result
+      val cache = new mutable.HashMap[Any, graft.jmespath.JValue]()
       var i = 0
-      fnCalls.foreach { case (call, mode) =>
-        row(2 + i) =
-          if (resolve == null) JsonFunctionEval.runResolved(call, mode, null)
-          else JsonFunctionEval.convert(
-            callResults.getOrElseUpdate(call,
-              try FnCallIR.evalResolved(call, resolve)
-              catch { case _: graft.jmespath.JmesRuntimeError => graft.jmespath.JNull }),
-            mode)
+      computed.foreach { slot =>
+        row(2 + i) = slot match {
+          case FnSlot(call, mode) =>
+            if (resolve == null) JsonFunctionEval.runResolved(call, mode, null)
+            else JsonFunctionEval.convert(
+              cache.getOrElseUpdate(call,
+                try FnCallIR.evalResolved(call, resolve)
+                catch { case _: graft.jmespath.JmesRuntimeError => graft.jmespath.JNull }),
+              mode)
+          case SubSlot(prefix, residual, mode) =>
+            if (resolve == null) JsonSubInterp.run(prefix, residual, mode, null)
+            else JsonFunctionEval.convert(
+              cache.getOrElseUpdate((prefix, residual),
+                JsonSubInterp.evalCtx(prefix, residual, resolve)),
+              mode)
+        }
         i += 1
       }
     }

@@ -174,7 +174,12 @@ class LoweringSpec extends AnyFunSuite {
       "map(&x, objs)", "sort_by(objs, &x)", "max_by(objs, &x)", "min_by(objs, &x)",
       // nested + path-prefixed calls
       "length(to_string(o))", "o | keys(@)", "o.a | to_string(@)",
-      "to_number(n) > `40` && name", "length(tags) || name")
+      "to_number(n) > `40` && name", "length(tags) || name",
+      // prefix-streamed residual interpretation (JsonSubInterp): nested
+      // projections / pipes with a pure-path prefix, incl. malformed docs
+      "objs[*].x", "objs[*].x | [0]", "o.* | [1]", "objs[?x > `1`].x | [0]",
+      "objs[].x", "tags[0] | @", "o.{m: a, n: b}", "objs[*].x | length(@)",
+      "o.* | [0] > `1`", "tags[::2] | [0]")
     for (doc <- docs; e <- exprs) {
       val ast = Parser.parse(e)
       val jvOpt = JValue.parseOpt(doc)
