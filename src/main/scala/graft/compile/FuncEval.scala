@@ -41,15 +41,64 @@ object FnCallIR {
     * path ([[ScanFusion]]) resolves from its shared one-pass scan slots so a
     * function call costs zero additional document traversals. `resolve`
     * returns the raw JSON text of the path (null for missing/malformed),
-    * exactly the extractU8Raw contract. */
-  def evalResolved(c: FnCallIR, resolve: Seq[PathStep] => String): JValue =
-    Functions.call(c.name, c.args.map {
-      case FnPathArg(steps) =>
-        Functions.FVal(ValueEmit.parsedOrNull(resolve(steps)))
-      case FnLitArg(v)    => Functions.FVal(v)
-      case FnNestedArg(n) => Functions.FVal(evalResolved(n, resolve))
-      case FnRefArg(ast)  => Functions.FRef(ast)
-    }.toVector)
+    * exactly the extractU8Raw contract.
+    *
+    * The hottest single-path calls skip subtree tree-materialization
+    * entirely: `length(arr)`/`length(obj)` count delimiters in the CANONICAL
+    * raw text (our own generator emits it — compact, escapes intact), and
+    * `to_number(path)` parses a bare number token directly. String/other
+    * operands keep the generic dispatch (rune semantics, type errors). */
+  def evalResolved(c: FnCallIR, resolve: Seq[PathStep] => String): JValue = c match {
+    case FnCallIR(name @ ("length" | "to_number"), Seq(FnPathArg(steps))) =>
+      val raw = resolve(steps)
+      val fast: JValue =
+        if (raw == null || raw.isEmpty) null
+        else (name, raw.charAt(0)) match {
+          case ("length", '[') => JNum(countCanonical(raw, ','))
+          case ("length", '{') => JNum(countCanonical(raw, ':'))
+          case ("to_number", c0)
+              if c0 != '"' && c0 != '[' && c0 != '{' && c0 != 't' && c0 != 'f' =>
+            try JNum(java.lang.Double.parseDouble(raw))
+            catch { case _: NumberFormatException => null }
+          case _ => null
+        }
+      if (fast != null) fast
+      else Functions.call(name, Vector(Functions.FVal(ValueEmit.parsedOrNull(raw))))
+    case _ =>
+      Functions.call(c.name, c.args.map {
+        case FnPathArg(steps) =>
+          Functions.FVal(ValueEmit.parsedOrNull(resolve(steps)))
+        case FnLitArg(v)    => Functions.FVal(v)
+        case FnNestedArg(n) => Functions.FVal(evalResolved(n, resolve))
+        case FnRefArg(ast)  => Functions.FRef(ast)
+      }.toVector)
+  }
+
+  /** Count of top-level array elements (`delim` = ',') or object keys
+    * (`delim` = ':') in canonical compact raw JSON: occurrences of the
+    * delimiter at nesting depth 1 outside strings (+1 for the element
+    * count of a non-empty array). Exact on generator-canonical input. */
+  private def countCanonical(raw: String, delim: Char): Int = {
+    if (raw.length >= 2 && (raw.charAt(1) == ']' || raw.charAt(1) == '}')) return 0
+    var depth = 0; var inStr = false; var esc = false; var hits = 0
+    var i = 0
+    while (i < raw.length) {
+      val ch = raw.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (ch == '\\') esc = true
+        else if (ch == '"') inStr = false
+      } else ch match {
+        case '"'       => inStr = true
+        case '[' | '{' => depth += 1
+        case ']' | '}' => depth -= 1
+        case c0 if c0 == delim && depth == 1 => hits += 1
+        case _ => ()
+      }
+      i += 1
+    }
+    if (delim == ',') hits + 1 else hits
+  }
 
   private def evalPinned(c: FnCallIR): JValue =
     Functions.call(c.name, c.args.map {
