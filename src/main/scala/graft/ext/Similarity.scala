@@ -86,6 +86,56 @@ object Similarity {
     transform(slice(reverse(array_sort(cellScores(e, cents))), 1, n),
       s => -s.getField("ncell"))
 
+  /** Lloyd k-means IVF centroid trainer — closes the "cell population must
+    * be re-tuned by hand" caveat: cells adapt to the corpus instead of being
+    * the first-k seed.
+    *
+    * 100 TB shape: trains on a DETERMINISTIC stride sample (`vec_id % stride
+    * == 0`, no global sort, no random shuffle) bounded by `maxSample`;
+    * each Lloyd round is one narrow assignment pass over the sample (the
+    * broadcast-literal argmax of [[nearestCell]] — zero joins) plus one
+    * per-dimension mean aggregation; only nCells × dim doubles ever reach
+    * the driver. Empty cells keep their previous centroid. Fully
+    * deterministic: same corpus → same centroids. */
+  def trainCentroids(emb: DataFrame, nCells: Int, iters: Int = 5,
+                     maxSample: Long = 100000L): Seq[(Long, Seq[Float])] = {
+    val n = emb.count()
+    val stride = math.max(1L, n / math.max(1L, maxSample))
+    val sample = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id"), col("embedding")).cache()
+    try {
+      // seed SPREAD across the id-ordered sample (every count/nCells-th
+      // vector), not first-k: a degenerate first-k seed (e.g. all from one
+      // cluster of a sorted corpus) can leave Lloyd stuck in that cluster.
+      // The single-partition window sorts only the bounded sample.
+      val cnt = sample.count()
+      val step = math.max(1L, cnt / nCells)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      var cents: Seq[(Long, Seq[Float])] =
+        sample.withColumn("rn", row_number().over(w))
+          .where((col("rn") - 1) % step === 0)
+          .orderBy("vec_id").limit(nCells).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          .zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }.toSeq
+      for (_ <- 1 to iters) {
+        val centsLit = typedLit(cents)
+        // two-step select: a generator multi-alias (posexplode .as(Seq...))
+        // in the same projection re-resolves sibling expressions and strips
+        // the named-struct aliases inside the nearestCell lambda
+        val means = sample
+          .select(nearestCell(col("embedding"), centsLit).as("cell"), col("embedding"))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+          .select(col("cell"), expr("transform(ps, s -> CAST(s.m AS FLOAT))").as("c"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+        cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+      }
+      cents
+    } finally sample.unpersist()
+  }
+
   private def explodeTopK(grouped: DataFrame): DataFrame =
     grouped
       .select(col("query_id"), posexplode(col("nb")).as(Seq("pos", "s")))
@@ -111,8 +161,9 @@ object Similarity {
     * first exchange in the plan is the broadcast of the (small) probe set;
     * the big side is never shuffled before the probe join. */
   def annIvf(emb: DataFrame, queries: DataFrame, k: Int = 5,
-             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = centroidLit(emb, nCells)
+             nCells: Int = 16, nProbe: Int = 4,
+             centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    val cents = centroids.map(cs => typedLit(cs)).getOrElse(centroidLit(emb, nCells))
     val assigned = emb.select(col("vec_id"), col("embedding"),
       nearestCell(col("embedding"), cents).as("cell_id"))
     val qcells = queries.select(
