@@ -49,7 +49,8 @@ object SparkEntry {
     * representative; correctness runs the full `queries` map. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "jmes_field", "jmes_filter_compare", "jmes_field_interp",
-    "jmes_filter_interp", "jmes_multicol", "variant_field", "cli_format_data",
+    "jmes_filter_interp", "jmes_multicol", "variant_field", "variant_multicol",
+    "cli_format_data",
     "text_stats", "top_terms", "dedup_exact", "dedup_jaccard_pairs",
     "ann_topk", "windowed_agg")
 
@@ -100,6 +101,17 @@ object SparkEntry {
       table(s, dir, "events")
         .select(col("event_id"),
           expr("variant_get(parse_json(props), '$.k', 'double')").as("k"))),
+
+    // Variant twin of jmes_multicol: four accesses off ONE parse_json
+    // (Spark's subexpression elimination shares the Variant build, the
+    // binary-encoded analogue of our fused scan) — the §1.2 A/B pair
+    "variant_multicol" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'double')").as("k"),
+          expr("variant_get(parse_json(props), '$.k', 'double') > 50").as("big"),
+          expr("variant_get(parse_json(props), '$.k', 'string')").as("ks"),
+          expr("variant_get(parse_json(props), '$.missing', 'double')").as("m"))),
 
     // same queries through the interpreted fallback path (kept as operator
     // coverage for JmesPathEval itself and as a bench A/B pair)
@@ -163,6 +175,13 @@ object SparkEntry {
       "SELECT event_id, props FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50",
     "variant_field" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
+    "variant_multicol" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50 AS big,
+        |  json_extract_string(props, '$.k') AS ks,
+        |  CAST(NULL AS DOUBLE) AS m
+        |FROM events""".stripMargin,
     "jmes_field_interp" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
     "jmes_filter_interp" ->
