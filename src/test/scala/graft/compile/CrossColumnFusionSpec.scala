@@ -155,6 +155,34 @@ class CrossColumnFusionSpec extends AnyFunSuite {
     }
   }
 
+  test("two document columns form two independent fused scans") {
+    import org.apache.spark.sql.functions.concat
+    val two = docsDf.select(col("id"), col("doc"),
+      concat(lit("""{"w": """), col("id"), lit("}")).as("doc2"))
+    val q = two.select(
+      jmespathDouble(col("doc"), "k").as("a"),
+      jmespath(col("doc"), "name").as("b"),
+      jmespathDouble(col("doc2"), "w").as("c"),
+      jmesTruthy(col("doc2"), "w >= `5`").as("d"))
+    val fused = fusedEvals(q)
+    assert(fused.length == 2, s"one scan per document column:\n${q.queryExecution.optimizedPlan}")
+    val rows = q.collect()
+    val src = two.collect()
+    rows.zip(src).foreach { case (row, s) =>
+      val (doc, id) = (s.getAs[String]("doc"), s.getAs[Int]("id"))
+      val expA = Option(doc).flatMap(JValue.parseOpt).flatMap { jv =>
+        (try Interpreter.search("k", jv) catch { case _: JmesRuntimeError => JNull }) match {
+          case graft.jmespath.JNum(d) => Some(d) // double context: numbers only
+          case _                      => None
+        }
+      }
+      val gotA = if (row.isNullAt(0)) None else Some(row.getDouble(0))
+      assert(gotA.map(java.lang.Double.doubleToLongBits) ==
+        expA.map(java.lang.Double.doubleToLongBits), s"[k] over $doc")
+      assert(row.getDouble(2) == id.toDouble && row.getBoolean(3) == (id >= 5))
+    }
+  }
+
   test("interp opt-out conf keeps expressions interpreted") {
     spark.conf.set(LowerJmesPathRule.LowerConfKey, "false")
     try {
