@@ -49,8 +49,8 @@ object SparkEntry {
     * representative; correctness runs the full `queries` map. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "jmes_field", "jmes_filter_compare", "jmes_field_interp",
-    "jmes_filter_interp", "jmes_multicol", "variant_field", "variant_multicol",
-    "cli_format_data",
+    "jmes_filter_interp", "jmes_multicol", "jmes_wide", "variant_field",
+    "variant_multicol", "cli_format_data",
     "text_stats", "top_terms", "dedup_exact", "dedup_jaccard_pairs",
     "ann_topk", "windowed_agg")
 
@@ -80,6 +80,33 @@ object SparkEntry {
       table(s, dir, "events")
         .where(compile.Lowering.truthy(col("props"), "k > `50`"))
         .select(col("event_id"), col("props"))),
+
+    // wide-document workload (~1 KB/record): the props docs are ~12 B, where
+    // Spark's job floor hides per-record engine cost; this constructs a
+    // realistic nested document per event and runs the CLI-shaped pipeline —
+    // JMESPath filter with a function call, then fused multi-column
+    // extraction. The oracle computes every output arithmetically from the
+    // same derived columns (JmesCoverage pattern).
+    "jmes_wide" -> ((s, dir) => {
+      val pads = (1 to 20).flatMap(i => Seq(
+        lit(s""", "f$i": "pad$i-abcdefghijklmnopqrstuvwxyz0123456789"""")))
+      val doc = concat(Seq(
+        lit("{\"k\": "), col("event_id") % 100,
+        lit(", \"meta\": {\"u\": "), col("user_id"),
+        lit(", \"et\": \""), col("event_type"), lit("\"}")) ++ pads ++ Seq(
+        lit(", \"tags\": [\"a"), col("event_id") % 7,
+        lit("\", \"b"), col("user_id") % 5,
+        lit("\"], \"nums\": ["), col("event_id") % 9,
+        lit(", "), col("user_id") % 9, lit("]}")): _*)
+      table(s, dir, "events")
+        .withColumn("doc", doc)
+        .where(jmesTruthy(col("doc"), "k >= `50` && length(tags) == `2`"))
+        .select(col("event_id"),
+          jmespathDouble(col("doc"), "k").as("k"),
+          jmespath(col("doc"), "tags[0]").as("tag0"),
+          jmespathDouble(col("doc"), "meta.u").as("mu"),
+          jmespathDouble(col("doc"), "nums[-1]").as("nlast"))
+    }),
 
     // cross-column fusion showcase (compile.FuseProjectScans): four JMESPath
     // outputs over the same document — the optimizer merges them into ONE
@@ -162,6 +189,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "jmes_field" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
+    "jmes_wide" ->
+      """SELECT event_id,
+        |  CAST(event_id % 100 AS DOUBLE) AS k,
+        |  'a' || (event_id % 7) AS tag0,
+        |  CAST(user_id AS DOUBLE) AS mu,
+        |  CAST(user_id % 9 AS DOUBLE) AS nlast
+        |FROM events WHERE event_id % 100 >= 50""".stripMargin,
     // exact engine serialization is reproducible because props.k is always a
     // bare integer in the testdata (checked: 0..99, never missing/decimal)
     "jmes_multicol" ->
