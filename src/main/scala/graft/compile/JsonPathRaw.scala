@@ -173,11 +173,7 @@ object JsonPathRaw {
     try {
       val t = p.nextToken()
       if (t == null || t == JsonToken.VALUE_NULL) return null
-      val sw = new java.io.StringWriter()
-      val g = factory.createGenerator(sw)
-      g.copyCurrentStructure(p)
-      g.close()
-      sw.toString
+      CapturePool.copyCurrent(p)
     } finally p.close()
   }
 
@@ -223,11 +219,5 @@ object JsonPathRaw {
     }
   }
 
-  private def copyCurrent(p: JsonParser): String = {
-    val sw = new java.io.StringWriter()
-    val g = factory.createGenerator(sw)
-    g.copyCurrentStructure(p)
-    g.close()
-    sw.toString
-  }
+  private def copyCurrent(p: JsonParser): String = CapturePool.copyCurrent(p)
 }

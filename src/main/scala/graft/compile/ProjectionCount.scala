@@ -153,13 +153,7 @@ object JsonProjectionCount {
             if (subRaw != null) more = sink(subRaw) // projection null-drop
           }
         }
-        def copyCurrent(): String = {
-          val sw = new java.io.StringWriter()
-          val g = factory.createGenerator(sw)
-          g.copyCurrentStructure(p)
-          g.close()
-          sw.toString
-        }
+        def copyCurrent(): String = CapturePool.copyCurrent(p)
         slice match {
           case Some((a, b, st)) =>
             // slice projection: buffer element raws, apply Python slice

@@ -136,12 +136,12 @@ object ScanFusion {
     * beneath it, reproducing extract()'s last-occurrence-wins at every level. */
   private def walk(p: com.fasterxml.jackson.core.JsonParser, node: Node,
                    gens: Gens, out: Array[Any]): Unit = {
-    var myWriter: java.io.StringWriter = null
+    var myPooled: CapturePool.Pooled = null
     val capture = node != null && node.terminals.nonEmpty
     val isNullValue = p.currentToken() == JsonToken.VALUE_NULL
     if (capture) {
-      myWriter = new java.io.StringWriter()
-      gens += JsonPathRaw.factory.createGenerator(myWriter)
+      myPooled = CapturePool.acquire()
+      gens += myPooled.gen
     }
     p.currentToken() match {
       case JsonToken.START_OBJECT =>
@@ -175,9 +175,9 @@ object ScanFusion {
         copyEvent(p, gens) // scalar
     }
     if (capture) {
-      val g = gens.remove(gens.length - 1) // nested captures close stack-wise
-      g.close()
-      val raw = myWriter.toString
+      gens.remove(gens.length - 1) // nested captures close stack-wise
+      val raw = CapturePool.finish(myPooled)
+      CapturePool.release(myPooled) // raw is an immutable snapshot
       node.terminals.foreach { case (slot, residual) =>
         out(slot) =
           if (residual.isEmpty) {
