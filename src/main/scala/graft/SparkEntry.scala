@@ -52,7 +52,7 @@ object SparkEntry {
     "jmes_filter_interp", "jmes_multicol", "jmes_wide", "variant_field",
     "variant_multicol", "cli_format_data",
     "text_stats", "top_terms", "dedup_exact", "dedup_jaccard_pairs",
-    "ann_topk", "windowed_agg")
+    "ann_topk", "ann_lsh", "windowed_agg")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

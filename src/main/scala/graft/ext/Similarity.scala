@@ -136,6 +136,60 @@ object Similarity {
     } finally sample.unpersist()
   }
 
+  /** Deterministic Rademacher (±1) hyperplanes for sign-LSH: `tables` hash
+    * tables × `bits` planes × `dim` components, drawn from a fixed-seed
+    * java.util.Random (a specified, platform-stable LCG) — same corpus, same
+    * seed → same buckets, which is what lets [[annLsh]] carry a full SQL
+    * oracle (the identical ±1.0 literals are interpolated into the SQL).
+    * ±1 components are a standard choice for sign random projections
+    * (Achlioptas-style sparse/signed projections preserve the collision-
+    * probability guarantee 1 − θ/π of Charikar's SimHash). */
+  private[ext] def hyperplanes(dim: Int, tables: Int, bits: Int,
+                               seed: Long): Seq[Seq[Seq[Float]]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1f else -1f)))
+  }
+
+  /** Packed sign-LSH bucket for one table: bit j = (cos(e, plane_j) ≥ 0).
+    * Uses [[graft.functions.CosineSim]] (same sign as the raw dot product,
+    * and already proven bit-exact against DuckDB's list_cosine_similarity by
+    * the ann_topk hash gate); the ROUND(·, CellSimScale) guard collapses a
+    * sub-1e-9 |cos| to ±0.0 on both engine and oracle sides so a 1-ulp
+    * summation difference can never flip a near-orthogonal bit. */
+  private def lshBucket(e: Column, planes: Seq[Seq[Float]]): Column =
+    planes.zipWithIndex.map { case (h, j) =>
+      when(round(vectors.cosineSim(e, typedLit(h)), CellSimScale) >= 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Sign-hyperplane LSH ANN — the bucketed scale path beside [[annIvf]]:
+    * each vector lands in one `bits`-bit bucket per hash table (a NARROW
+    * per-row expression over literal hyperplanes — no shuffle of the data
+    * side), queries broadcast, candidates come from per-table bucket
+    * equality, and survivors get an exact cosine + partial top-k. Scans only
+    * colliding buckets; recall is governed by (tables, bits) — measured in
+    * ExtSpec. A pair colliding in several tables is deduped (distinct)
+    * before scoring. */
+  def annLsh(emb: DataFrame, queries: DataFrame, k: Int = 5, tables: Int = 4,
+             bits: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val planes = hyperplanes(dim, tables, bits, seed)
+    def buckets(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        posexplode(array(planes.map(tp => lshBucket(col("embedding"), tp)): _*))
+          .as(Seq("t", "bucket")))
+    val data = buckets(emb, "vec_id", "embedding")
+    val q = broadcast(buckets(queries, "query_id", "qe"))
+    val sims = data.join(q, Seq("t", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosineSim(col("qe"), col("embedding")).as("sim"))
+      .distinct()
+    explodeTopK(
+      sims.groupBy("query_id")
+        .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
+  }
+
   private def explodeTopK(grouped: DataFrame): DataFrame =
     grouped
       .select(col("query_id"), posexplode(col("nb")).as(Seq("pos", "s")))
@@ -184,6 +238,24 @@ object Similarity {
   private[ext] val GateIvfCells = 16
   private[ext] val GateIvfProbe = 4
   private[ext] val GateQueryMaxId = 10
+  private[ext] val GateLshTables = 4
+  private[ext] val GateLshBits = 8
+  private[ext] val GateLshSeed = 42L
+  private[ext] val GateLshDim = 64 // embeddings table dim (TESTDATA.md)
+
+  /** The gate's hyperplanes, shared by the queries entry and the SQL oracle
+    * (the gate-constant pattern: one source of truth, no silent desync). */
+  private lazy val gateLshPlanes: Seq[Seq[Seq[Float]]] =
+    hyperplanes(GateLshDim, GateLshTables, GateLshBits, GateLshSeed)
+
+  /** `(t, j, [±1.0, ...])` VALUES rows carrying the identical hyperplane
+    * literals into DuckDB — ±1.0 round-trips exactly through SQL text. */
+  private def lshPlanesValues: String =
+    (for {
+      (tp, t) <- gateLshPlanes.zipWithIndex
+      (h, j) <- tp.zipWithIndex
+    } yield s"($t, $j, [${h.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])")
+      .mkString(",\n  ")
 
   val queries: Map[String, Q] = Map(
     "ann_topk" -> ((s, dir) => {
@@ -196,6 +268,14 @@ object Similarity {
       val emb = SparkEntry.table(s, dir, "embeddings")
       annIvf(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
         nCells = GateIvfCells, nProbe = GateIvfProbe)
+    }),
+    // sign-hyperplane LSH variant: deterministic buckets (fixed-seed ±1
+    // planes shared with the SQL oracle), so it gets a full algorithm-mirror
+    // oracle like ann_ivf; ExtSpec additionally measures recall
+    "ann_lsh" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      annLsh(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
+        tables = GateLshTables, bits = GateLshBits, seed = GateLshSeed)
     }),
   )
 
@@ -237,6 +317,31 @@ object Similarity {
         |    list_cosine_similarity(CAST(qs.qe AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
         |  FROM qcells qs JOIN assigned a USING (cell_id)
         |  WHERE a.vec_id <> qs.query_id),
+        |r AS (SELECT query_id, vec_id AS neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |      FROM sims)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
+    // algorithm mirror of annLsh: identical ±1.0 hyperplane literals, the
+    // same ROUND(cos, CellSimScale) ≥ 0 bit rule, per-table bucket-equality
+    // candidates, exact cosine + top-k on survivors
+    "ann_lsh" ->
+      s"""WITH planes(t, j, h) AS (VALUES
+        |  $lshPlanesValues),
+        |sig AS (
+        |  SELECT e.vec_id, p.t,
+        |    SUM(CASE WHEN round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.h), $CellSimScale) >= 0
+        |             THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS bucket
+        |  FROM embeddings e, planes p GROUP BY e.vec_id, p.t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, s.vec_id
+        |  FROM sig s JOIN (SELECT * FROM sig WHERE vec_id < $GateQueryMaxId) q
+        |    ON s.t = q.t AND s.bucket = q.bucket AND s.vec_id <> q.vec_id),
+        |sims AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])) AS sim
+        |  FROM cand c
+        |  JOIN embeddings qe ON qe.vec_id = c.query_id
+        |  JOIN embeddings ce ON ce.vec_id = c.vec_id),
         |r AS (SELECT query_id, vec_id AS neighbor_id, sim,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |      FROM sims)
