@@ -50,7 +50,7 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "jmes_field", "jmes_filter_compare", "jmes_field_interp",
     "jmes_filter_interp", "jmes_multicol", "jmes_wide", "variant_field",
-    "variant_multicol", "cli_format_data",
+    "variant_multicol", "variant_wide", "cli_format_data",
     "text_stats", "top_terms", "dedup_exact", "dedup_jaccard_pairs",
     "ann_topk", "ann_lsh", "windowed_agg")
 
@@ -66,6 +66,23 @@ object SparkEntry {
     core ++ JmesCoverage.queries ++ ext.TextAnalysis.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Multimodal.queries ++ ext.Sessionize.queries ++
       ext.Curation.queries ++ engine.StreamingCoverage.queries
+
+  /** The jmes_wide/variant_wide constructed document (~1 KB/record): the
+    * props docs are ~12 B, where Spark's job floor hides per-record engine
+    * cost; this builds a realistic nested document per event so the A/B
+    * measures the engines, not the scheduler. */
+  private def wideDoc: org.apache.spark.sql.Column = {
+    val pads = (1 to 20).flatMap(i => Seq(
+      lit(s""", "f$i": "pad$i-abcdefghijklmnopqrstuvwxyz0123456789"""")))
+    concat(Seq(
+      lit("{\"k\": "), col("event_id") % 100,
+      lit(", \"meta\": {\"u\": "), col("user_id"),
+      lit(", \"et\": \""), col("event_type"), lit("\"}")) ++ pads ++ Seq(
+      lit(", \"tags\": [\"a"), col("event_id") % 7,
+      lit("\", \"b"), col("user_id") % 5,
+      lit("\"], \"nums\": ["), col("event_id") % 9,
+      lit(", "), col("user_id") % 9, lit("]}")): _*)
+  }
 
   private def core: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1/J2 — field access + subexpression (interpreter.go:78-83,266-271),
@@ -87,26 +104,32 @@ object SparkEntry {
     // JMESPath filter with a function call, then fused multi-column
     // extraction. The oracle computes every output arithmetically from the
     // same derived columns (JmesCoverage pattern).
-    "jmes_wide" -> ((s, dir) => {
-      val pads = (1 to 20).flatMap(i => Seq(
-        lit(s""", "f$i": "pad$i-abcdefghijklmnopqrstuvwxyz0123456789"""")))
-      val doc = concat(Seq(
-        lit("{\"k\": "), col("event_id") % 100,
-        lit(", \"meta\": {\"u\": "), col("user_id"),
-        lit(", \"et\": \""), col("event_type"), lit("\"}")) ++ pads ++ Seq(
-        lit(", \"tags\": [\"a"), col("event_id") % 7,
-        lit("\", \"b"), col("user_id") % 5,
-        lit("\"], \"nums\": ["), col("event_id") % 9,
-        lit(", "), col("user_id") % 9, lit("]}")): _*)
+    "jmes_wide" -> ((s, dir) =>
       table(s, dir, "events")
-        .withColumn("doc", doc)
+        .withColumn("doc", wideDoc)
         .where(jmesTruthy(col("doc"), "k >= `50` && length(tags) == `2`"))
         .select(col("event_id"),
           jmespathDouble(col("doc"), "k").as("k"),
           jmespath(col("doc"), "tags[0]").as("tag0"),
           jmespathDouble(col("doc"), "meta.u").as("mu"),
-          jmespathDouble(col("doc"), "nums[-1]").as("nlast"))
-    }),
+          jmespathDouble(col("doc"), "nums[-1]").as("nlast"))),
+
+    // Variant twin of jmes_wide — the §1.2 representation A/B at realistic
+    // document width: parse_json once (subexpression elimination shares the
+    // Variant build across the filter and all four extractions), navigate
+    // the binary encoding with variant_get. Same outputs, same oracle shape.
+    "variant_wide" -> ((s, dir) =>
+      table(s, dir, "events")
+        .withColumn("doc", wideDoc)
+        .withColumn("v", expr("parse_json(doc)"))
+        .where(expr("variant_get(v, '$.k', 'double') >= 50 AND " +
+          "array_size(variant_get(v, '$.tags', 'array<string>')) = 2"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'double')").as("k"),
+          expr("variant_get(v, '$.tags[0]', 'string')").as("tag0"),
+          expr("variant_get(v, '$.meta.u', 'double')").as("mu"),
+          expr("element_at(variant_get(v, '$.nums', 'array<double>'), -1)").as("nlast"))
+        .drop("v", "doc")),
 
     // cross-column fusion showcase (compile.FuseProjectScans): four JMESPath
     // outputs over the same document — the optimizer merges them into ONE
@@ -190,6 +213,13 @@ object SparkEntry {
     "jmes_field" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
     "jmes_wide" ->
+      """SELECT event_id,
+        |  CAST(event_id % 100 AS DOUBLE) AS k,
+        |  'a' || (event_id % 7) AS tag0,
+        |  CAST(user_id AS DOUBLE) AS mu,
+        |  CAST(user_id % 9 AS DOUBLE) AS nlast
+        |FROM events WHERE event_id % 100 >= 50""".stripMargin,
+    "variant_wide" ->
       """SELECT event_id,
         |  CAST(event_id % 100 AS DOUBLE) AS k,
         |  'a' || (event_id % 7) AS tag0,
