@@ -71,48 +71,12 @@ object Dedup {
     * but bounds worst-case blowup. */
   def jaccardPairs(df: DataFrame, k: Int = 3, tau: Double = 0.5,
                    maxDocFreq: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val eps = 1e-9 // slack so float rounding never prunes a boundary pair
-    // Shingling + the candidate join are CPU-bound relative to input bytes,
-    // so split-based scan parallelism underparallelizes small-file inputs
-    // (one 594 KB parquet split would run the whole index build on ONE
-    // task). Spread the corpus across the cluster first; at real scale the
-    // scan already has ≥ defaultParallelism splits and this is a no-op.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // detect underparallelized FILE inputs from the driver-side listing —
-    // unlike df.rdd.getNumPartitions this never materializes an RDD lineage
-    // just to read a number. Non-file sources (in-memory test relations)
-    // already parallelize to defaultParallelism.
-    val nFiles = df.inputFiles.length
-    val spread = if (nFiles > 0 && nFiles < par) df.repartition(par) else df
-    // sh is value-sorted (ShingleArray emits ascending order): verification
-    // uses set ops only, and value order makes the default prefix a plain
-    // slice
-    val d = spread.select(col("doc_id"), shingles(col("text"), k).as("sh"))
-    // true prefix length is n − ⌈τ·n⌉ + 1; the inner −eps keeps double
-    // rounding from over-ceiling an exact τ·n (which would drop a shingle
-    // the lemma needs); over-long by one is harmless
-    def prefixLen(n: Column): Column =
-      (n - ceil(lit(tau) * n - eps) + 1).cast("int")
-    // Everything from here to verification keys on h = xxhash64(shingle),
-    // not the shingle string: the df aggregation, the prefix join, the
-    // window sort, and the candidate equi-join all shuffle/compare 8 bytes
-    // instead of a ~3-word text (measured ~15% off the whole query at
-    // sf0.1, and the byte savings grow with shingle length at real scale).
-    // Exactness is unaffected: the global prefix order is (df, h, s) — a
-    // true total order because s breaks any h collision — and a hash
-    // collision in the candidate join can only ADD candidates, which the
-    // exact array-intersection verify removes.
-    val inv = d.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+    val d = shingled(df, k)
+    val inv = invRows(d)
     // df per HASH (collisions merge counts — a vanishing perturbation of the
     // frequency heuristic, not of correctness)
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
-    val pos = row_number().over(
-      Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"), col("s")))
-    val prefix0 = inv.join(dfreq, "h")
-      .select(col("doc_id"), col("n"), col("h"), pos.as("pos"))
-      .where(col("pos") <= prefixLen(col("n")))
+    val prefix0 = prefixRows(inv.join(dfreq, "h"), tau)
     val prefix = maxDocFreq match {
       case Some(cap) =>
         val hot = d.select(explode(col("sh")).as("s"))
@@ -121,23 +85,125 @@ object Dedup {
         prefix0.join(hot.select("h"), Seq("h"), "left_anti")
       case None => prefix0
     }
-    val cand = prefix.as("x").join(prefix.as("y"),
+    verifyPairs(candidates(prefix, prefix, tau, lit(true)), d, tau)
+  }
+
+  // ——— shared internals of the PPJoin family ———
+
+  private val eps = 1e-9 // slack so float rounding never prunes a boundary pair
+
+  /** Shingle arrays, spread across the cluster first: shingling + the
+    * candidate join are CPU-bound relative to input bytes, so split-based
+    * scan parallelism underparallelizes small-file inputs (one 594 KB
+    * parquet split would run the whole index build on ONE task). At real
+    * scale the scan already has ≥ defaultParallelism splits → no-op. `sh`
+    * is value-sorted (ShingleArray emits ascending order): verification
+    * uses set ops only. Detects underparallelized FILE inputs from the
+    * driver-side listing — unlike df.rdd.getNumPartitions this never
+    * materializes an RDD lineage just to read a number. */
+  private def shingled(df: DataFrame, k: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val nFiles = df.inputFiles.length
+    val spread = if (nFiles > 0 && nFiles < par) df.repartition(par) else df
+    spread.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+  }
+
+  /** Exploded inverted-index rows (doc_id, n, s, h). Everything from here
+    * to verification keys on h = xxhash64(shingle), not the shingle string:
+    * the df aggregation, the prefix join, the window sort, and the
+    * candidate equi-join all shuffle/compare 8 bytes instead of a ~3-word
+    * text (measured ~15% off the whole query at sf0.1, and the byte savings
+    * grow with shingle length at real scale). Exactness is unaffected: the
+    * global prefix order is (df, h, s) — a true total order because s
+    * breaks any h collision — and a hash collision in the candidate join
+    * can only ADD candidates, which the exact verify removes. */
+  private def invRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+
+  /** Per-doc PPJoin prefix under the (df, h, s) global order, from rows
+    * (doc_id, n, s, h, df). True prefix length is n − ⌈τ·n⌉ + 1; the inner
+    * −eps keeps double rounding from over-ceiling an exact τ·n (which would
+    * drop a shingle the lemma needs); over-long by one is harmless. */
+  private def prefixRows(withDf: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"), col("s")))
+    withDf
+      .select(col("doc_id"), col("n"), col("h"), pos.as("pos"))
+      .where(col("pos") <= (col("n") - ceil(lit(tau) * col("n") - eps) + 1).cast("int"))
+  }
+
+  /** Distinct candidate pairs from two prefix sets: h equality + the length
+    * filter (min(|A|,|B|) ≥ τ·max(|A|,|B|)) + the PPJoin positional filter,
+    * all exact for the first common shingle of every qualifying pair.
+    * `extra` restricts the pair universe (lit(true) for all pairs). */
+  private def candidates(px: DataFrame, py: DataFrame, tau: Double,
+                         extra: Column): DataFrame =
+    px.as("x").join(py.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
           col("y.n") >= lit(tau) * col("x.n") - eps &&
           col("x.n") >= lit(tau) * col("y.n") - eps &&
           (lit(1) + least(col("x.n") - col("x.pos"), col("y.n") - col("y.pos"))) *
-            lit(1.0 + tau) >= lit(tau) * (col("x.n") + col("y.n")) - eps)
+            lit(1.0 + tau) >= lit(tau) * (col("x.n") + col("y.n")) - eps &&
+          extra)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+
+  /** Exact-Jaccard verification of candidate pairs against shingle arrays. */
+  private def verifyPairs(cand: DataFrame, arrays: DataFrame, tau: Double): DataFrame =
     cand
-      .join(d.as("da"), col("id_a") === col("da.doc_id"))
-      .join(d.as("db"), col("id_b") === col("db.doc_id"))
+      .join(arrays.as("da"), col("id_a") === col("da.doc_id"))
+      .join(arrays.as("db"), col("id_b") === col("db.doc_id"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("da.sh"), col("db.sh"))).as("inter"),
         size(col("da.sh")).as("na"), size(col("db.sh")).as("nb"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= tau)
+
+  /** Frozen corpus-snapshot index for INCREMENTAL dedup: the three
+    * deterministic DataFrames a pipeline persists once per corpus snapshot
+    * (all are pure functions of the corpus, so they round-trip through
+    * parquet) and reuses for every incoming batch. At 100 TB this is the
+    * difference between re-pairing the whole corpus per batch and probing a
+    * prebuilt inverted index. */
+  case class JaccardIndex(prefix: DataFrame, arrays: DataFrame, dfreq: DataFrame)
+
+  /** Build the persistable [[JaccardIndex]] of a corpus (same k/tau must be
+    * used for the incremental probes against it). */
+  def buildJaccardIndex(corpus: DataFrame, k: Int = 3, tau: Double = 0.5): JaccardIndex = {
+    val d = shingled(corpus, k)
+    val inv = invRows(d)
+    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    JaccardIndex(prefixRows(inv.join(dfreq, "h"), tau), d, dfreq)
+  }
+
+  /** Incremental near-dup pairs: all (a, b) with J ≥ tau where AT LEAST ONE
+    * side is from `incoming` — the daily operation of a training-data
+    * pipeline (dedupe a new crawl batch against the corpus and itself)
+    * WITHOUT re-pairing the corpus with itself. Doc ids must be disjoint
+    * from the corpus.
+    *
+    * EXACT, via a frozen order: incoming shingles unseen in the corpus take
+    * df = 0 (rarest-first — maximally conservative prefixes), seen shingles
+    * take the corpus df. That extends the index's (df, h, s) order to a
+    * total order over all shingles that both sides agree on, so the
+    * prefix-filtering lemma holds for every emitted pair even though the
+    * corpus prefixes were computed before `incoming` existed. Output is
+    * therefore exactly `jaccardPairs(corpus ∪ incoming)` restricted to
+    * pairs touching `incoming`, up to the df-vs-frozen-df ordering (both
+    * orders are exact; asserted in ExtSpec). */
+  def jaccardPairsIncremental(index: JaccardIndex, incoming: DataFrame,
+                              k: Int = 3, tau: Double = 0.5): DataFrame = {
+    val dNew = shingled(incoming, k)
+    val withDf = invRows(dNew)
+      .join(index.dfreq, Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+    val prefNew = prefixRows(withDf, tau).withColumn("is_new", lit(true))
+    val all = index.prefix.withColumn("is_new", lit(false)).unionByName(prefNew)
+    val cand = candidates(all, all, tau, col("x.is_new") || col("y.is_new"))
+    verifyPairs(cand, index.arrays.unionByName(dNew), tau)
   }
 
   /** MinHash-LSH near-dup pairs: `numHashes` signature, `bands` bands of
@@ -265,6 +331,13 @@ object Dedup {
     "dedup_exact" -> ((s, dir) => exact(SparkEntry.table(s, dir, "documents"))),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5)),
+    // incremental batch-vs-corpus dedup: every 10th doc plays the incoming
+    // crawl batch, the rest the frozen corpus snapshot
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val idx = buildJaccardIndex(docs.where(col("doc_id") % 10 =!= 0), k = 3, tau = 0.5)
+      jaccardPairsIncremental(idx, docs.where(col("doc_id") % 10 === 0), k = 3, tau = 0.5)
+    }),
     // LSH/SimHash outputs are xxhash64-dependent: oracles are committed
     // fixtures from an independent Python impl (see oracleSql below);
     // ExtSpec additionally asserts recall/exactness vs brute force.
@@ -329,6 +402,26 @@ object Dedup {
         |  GROUP BY x.doc_id, y.doc_id)
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
         |FROM co WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin,
+    // the incremental result is DEFINED as the full exact pair set
+    // restricted to pairs touching the incoming batch (doc_id % 10 = 0) —
+    // the frozen-df order changes candidate generation, never the output
+    "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |co AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+        |FROM co WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+        |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin,
     // mirror of the IVF-cell blocking algorithm (deterministic: id-seeded
     // centroids, bit-exact double cosine, ties to the smallest cell) —
     // assignment, cell-equality candidates, exact-cosine verify

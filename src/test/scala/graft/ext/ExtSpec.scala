@@ -103,6 +103,30 @@ class ExtSpec extends AnyFunSuite {
       s"no exchange may precede the probe join on the data side:\n$plan")
   }
 
+  test("incremental Jaccard == full pairs restricted to the incoming batch") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val incoming = docs.where(col("doc_id") % 10 === 0)
+    val full = pairSet(Dedup.jaccardPairs(docs, k = 3, tau = 0.5))
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    val idx = Dedup.buildJaccardIndex(corpus, k = 3, tau = 0.5)
+    val inc = pairSet(Dedup.jaccardPairsIncremental(idx, incoming, k = 3, tau = 0.5))
+    assert(inc == full, s"incremental ${inc.size} pairs vs full-restricted ${full.size}")
+    assert(full.nonEmpty, "fixture split produced no cross-batch pairs — test is vacuous")
+    // the index must survive a parquet round-trip (the persist-once contract)
+    val dir = java.nio.file.Files.createTempDirectory("jacidx").toString
+    idx.prefix.write.parquet(s"$dir/prefix")
+    idx.arrays.write.parquet(s"$dir/arrays")
+    idx.dfreq.write.parquet(s"$dir/dfreq")
+    val reloaded = Dedup.JaccardIndex(
+      spark.read.parquet(s"$dir/prefix"),
+      spark.read.parquet(s"$dir/arrays"),
+      spark.read.parquet(s"$dir/dfreq"))
+    assert(pairSet(Dedup.jaccardPairsIncremental(reloaded, incoming, k = 3, tau = 0.5)) == full)
+  }
+
   test("sign-LSH ANN: deterministic buckets, recall@5 vs exact brute force") {
     val queries = emb.where(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) =
