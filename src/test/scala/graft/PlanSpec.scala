@@ -88,6 +88,26 @@ class PlanSpec extends AnyFunSuite {
     assertNoCartesian("dedup_jaccard_pairs", p)
   }
 
+  test("dedup_incremental: frozen-index probe stays an inverted-index join graph") {
+    val p = physical("dedup_incremental")
+    assertNoCartesian("dedup_incremental", p)
+  }
+
+  test("ann_lsh: bucket signatures are narrow — no cartesian, queries broadcast") {
+    val p = physical("ann_lsh")
+    assertNoCartesian("ann_lsh", p)
+    // the bucket join must be a broadcast hash join (query side broadcast),
+    // so the data side reaches it with no shuffle before the join
+    val bhj = p.collect { case j: joins.BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"bucket join should be a broadcast hash join:\n$p")
+    val streamed = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.right
+      case _ => bhj.head.left
+    }
+    assert(streamed.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"data side must not shuffle before the bucket join:\n$p")
+  }
+
   test("jmes_field: pruned scan (only event_id + props) with the extraction codegen'd") {
     val df = SparkEntry.queries("jmes_field")(spark, sfDir)
     val p = df.queryExecution.executedPlan
