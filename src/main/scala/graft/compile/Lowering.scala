@@ -241,9 +241,20 @@ object Lowering {
     case NotExpr(c)    => truthyOf(doc, c).map(Not)
     case Comparator(op, l, r) => op match {
       case "==" | "!=" =>
+        // equality of a lowerable function CALL against a NUMBER literal
+        // rides the numeric route: a null / non-numeric / erroring call can
+        // never equal a number, which Coalesce(…, False) reproduces. ONLY
+        // for `==`: under `!=` the Not would flip an erroring call (falsy
+        // for the interpreter, e.g. `length(missing) != \`2\``) to TRUE.
+        def callNumEq(a: Ast, v: JValue): Option[Expression] = (op, v) match {
+          case ("==", JNum(d)) if d.isNaN => fnIROf(a).map(_ => False) // NaN equals nothing
+          case ("==", JNum(d)) => fnIROf(a).map(c => Coalesce(Seq(EqualTo(
+            JsonFunctionEval(doc, c, JsonFunctionEval.Num), CLit(d, DoubleType)), False)))
+          case _ => None
+        }
         val eq = (l, r) match {
-          case (p, Literal(v)) => eqCol(doc, p, v)
-          case (Literal(v), p) => eqCol(doc, p, v)
+          case (p, Literal(v)) => eqCol(doc, p, v).orElse(callNumEq(p, v))
+          case (Literal(v), p) => eqCol(doc, p, v).orElse(callNumEq(p, v))
           case (a, b) =>
             // path-vs-path deep equality (`first == last`): both raws come
             // from the same shared scan after fusion; @ lowers to the
@@ -349,8 +360,18 @@ object Lowering {
       truthyOf(doc, c).map(t => If(t, str("false"), str("true")))
     case Comparator(op, l, r) => op match {
       case "==" | "!=" =>
-        // eqCol is total (Coalesce → false), matching deepEqual's JBool
-        truthyOf(doc, ast).map(t => If(t, str("true"), str("false")))
+        // eqCol is total (Coalesce → false) over PATH operands, matching
+        // deepEqual's JBool. A function-call operand must NOT lower here:
+        // its truthy equality conflates an erroring call with false — fine
+        // for truthiness (error is falsy) but the VALUE of an erroring
+        // expression is null, not false.
+        def pathOrLit(a: Ast): Boolean = a match {
+          case Literal(_) => true
+          case _          => pathOf(a).isDefined
+        }
+        if (pathOrLit(l) && pathOrLit(r))
+          truthyOf(doc, ast).map(t => If(t, str("true"), str("false")))
+        else None
       case _ =>
         // ordering is numbers-only: a non-number operand → JMESPath null.
         // NaN guard as in the truthy arm: IEEE (Go) comparisons with NaN are
@@ -500,8 +521,8 @@ object Lowering {
     case OrExpr(l, r)           => malformedSensitive(l) || malformedSensitive(r)
     case Comparator("!=", _, _) => true
     case Comparator("==", l, r) => (l, r) match {
-      case (_, Literal(v)) => v == JNull
-      case (Literal(v), _) => v == JNull
+      case (a, Literal(v)) => v == JNull || pinnedEqNum(a, v)
+      case (Literal(v), a) => v == JNull || pinnedEqNum(a, v)
       case _               => true // path-vs-path: both-missing is TRUE
     }
     // an ordering comparator whose operands BOTH stay numeric with every path
@@ -514,6 +535,14 @@ object Lowering {
       case Some(c) => FnCallIR.pinned(c).truthy
       case None    => pathOf(ast).isEmpty && subPinned(ast).exists(_.truthy)
     }
+  }
+
+  /** The call==number lowering evaluates TRUE over a malformed document iff
+    * the call's pinned (all-paths-null) result is exactly that number —
+    * the equality twin of the ordering comparator's pinnedNum guard. */
+  private def pinnedEqNum(a: Ast, v: JValue): Boolean = v match {
+    case JNum(d) => fnIROf(a).exists(c => FnCallIR.pinned(c) == JNum(d))
+    case _       => false
   }
 
   private def truthyGuarded(doc: Expression, ast: Ast): Option[Expression] =

@@ -165,6 +165,14 @@ class LoweringSpec extends AnyFunSuite {
       "contains(tags, 'a')", "contains(name, 'ell')", "contains(`[1,2]`, `2`)",
       "starts_with(name, 'he')", "ends_with(name, 'lo')",
       "not_null(missing, n, `5`)", "not_null(missing)",
+      // call == number-literal equality (the `==`-only numeric route; `!=`
+      // stays interpreted because an erroring call must not invert to TRUE)
+      "length(tags) == `3`", "length(tags) == `0`", "length(missing) == `2`",
+      "`3` == length(tags)", "to_number(n) == `42`", "to_number(name) == `0`",
+      "length(name) == `5` && length(tags) == `3`", "length(tags) != `3`",
+      // pinned-result guard: not_null(null, 2) == 2 is TRUE with all paths
+      // null, so the malformed-document guard must fire for it
+      "not_null(missing, `2`) == `2`", "sum(`[1, 1]`) == `2`",
       "abs(`-3`)", "ceil(`1.2`)", "floor(to_number(n))",
       // the rest of the §2.3 library over lowered args
       "join(', ', tags)", "keys(o)", "values(o)", "reverse(tags)", "reverse(name)",
