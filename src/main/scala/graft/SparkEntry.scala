@@ -49,7 +49,7 @@ object SparkEntry {
     * representative; correctness runs the full `queries` map. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "jmes_field", "jmes_filter_compare", "jmes_field_interp",
-    "jmes_filter_interp", "jmes_multicol", "jmes_wide", "variant_field",
+    "jmes_filter_interp", "jmes_multicol", "jmes_pipeline", "jmes_wide", "variant_field",
     "variant_multicol", "variant_wide", "cli_format_data",
     "text_stats", "top_terms", "dedup_exact", "dedup_jaccard_pairs",
     "ann_topk", "ann_lsh", "windowed_agg")
@@ -97,6 +97,18 @@ object SparkEntry {
       table(s, dir, "events")
         .where(compile.Lowering.truthy(col("props"), "k > `50`"))
         .select(col("event_id"), col("props"))),
+
+    // the full CLI pipeline shape over a stored column: `-filter` gate +
+    // multi-column extraction — FuseProjectScans merges the gate and both
+    // outputs into ONE streaming pass per record evaluated below the
+    // Filter, the reference's parse-once-filter-emit loop (main.go:89-104);
+    // plan shape pinned in PlanSpec
+    "jmes_pipeline" -> ((s, dir) =>
+      table(s, dir, "events")
+        .where(jmesTruthy(col("props"), "k > `50`"))
+        .select(col("event_id"),
+          jmespathDouble(col("props"), "k").as("k"),
+          jmespath(col("props"), "{v: k}").as("obj"))),
 
     // wide-document workload (~1 KB/record): the props docs are ~12 B, where
     // Spark's job floor hides per-record engine cost; this constructs a
@@ -237,6 +249,11 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "jmes_filter_compare" ->
       "SELECT event_id, props FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50",
+    "jmes_pipeline" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k,
+        |  '{"v":' || json_extract_string(props, '$.k') || '}' AS obj
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50""".stripMargin,
     "variant_field" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
     "variant_multicol" ->

@@ -3,7 +3,7 @@ package graft.compile
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference, CreateNamedStruct, Expression, GetArrayItem, GetStructField, IsNotNull, Literal => CLit, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * every fusable lowered scan over the same document expression — in any
   * project-list item — is merged into ONE [[JsonFusedEval]] producing a
   * struct (one field per distinct scan), hoisted into a child Project; the
-  * original columns become `GetStructField` reads.
+  * original columns become `GetStructField` reads. A Filter directly under
+  * the Project (or a bare multi-scan Filter) joins the same fusion: its gate
+  * scans merge into the shared pass, evaluated below the filter — so a
+  * CLI-shaped `-filter` + multi-column `-format` pipeline traverses each
+  * document exactly once end-to-end, like the reference.
   *
   * Only pure-over-the-document nodes are hoisted (path scans, validity
   * probes, function calls, and already-fused trees — all built by [[Lowering]]
@@ -46,46 +50,85 @@ object FuseProjectScans extends Rule[LogicalPlan] {
     if (isFusable(e)) acc += e else e.children.foreach(collectFusable(_, acc))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case p @ Project(projectList, child) =>
-      val found = mutable.ArrayBuffer[Expression]()
-      projectList.foreach(collectFusable(_, found))
-      // group occurrences by their document expression
-      val groups = found.groupBy(_.children.head.canonicalized)
-        .filter(_._2.length >= 2) // a lone scan has nothing to share
-      if (groups.isEmpty) p
-      else {
-        val aliases = mutable.ArrayBuffer[Alias]()
-        // per distinct-node replacement target, in group order
-        val replacements = mutable.ArrayBuffer[(Expression, Expression)]()
-        groups.values.foreach { occurrences =>
-          val doc = occurrences.head.children.head
-          val distinct = mutable.ArrayBuffer[Expression]()
-          occurrences.foreach { n =>
-            if (!distinct.exists(_.semanticEquals(n))) distinct += n
-          }
-          val merger = new ScanMerger
-          val frags = distinct.map(merger.fragment)
-          val struct = CreateNamedStruct(
-            frags.zipWithIndex.flatMap { case (f, i) =>
-              Seq(CLit(UTF8String.fromString(s"c$i"), StringType), f)
-            }.toSeq)
-          val fused = JsonFusedEval(doc, merger.pathKeys, merger.compKeys, struct)
-          val alias = Alias(fused, "_jmes_scan")()
-          aliases += alias
-          val attr = alias.toAttribute
-          distinct.zipWithIndex.foreach { case (n, i) =>
-            replacements += ((n, GetStructField(attr, i, Some(s"c$i"))))
-          }
-        }
-        val lower = Project(child.output ++ aliases, child)
-        val newList = projectList.map { ne =>
-          ne.transformUp {
-            case n if isFusable(n) =>
-              replacements.find(_._1.semanticEquals(n)).map(_._2).getOrElse(n)
-          }.asInstanceOf[NamedExpression]
-        }
-        Project(newList, lower)
+    // Filter + Project over the same document: the gate and the outputs
+    // merge into ONE scan evaluated BELOW the filter — exactly the
+    // reference's shape (parse once, filter, emit; main.go:89-104). Values
+    // are extracted for non-matching records too, but emission piggybacks
+    // on the single traversal the gate needs anyway, so this wins at any
+    // selectivity over paying a second traversal for the survivors.
+    case p @ Project(projectList, Filter(cond, child)) =>
+      fused(projectList, Some(cond), child) match {
+        case Some((newList, Some(newCond), lower)) =>
+          Project(newList, Filter(newCond, lower))
+        case _ => p
       }
+    // same, seeing through an order-preserving Sort (sort keys are child
+    // attributes, all still available below)
+    case p @ Project(projectList, Sort(ord, global, Filter(cond, child), hint)) =>
+      fused(projectList, Some(cond), child) match {
+        case Some((newList, Some(newCond), lower)) =>
+          Project(newList, Sort(ord, global, Filter(newCond, lower), hint))
+        case _ => p
+      }
+    case p @ Project(projectList, child) =>
+      fused(projectList, None, child) match {
+        case Some((newList, _, lower)) => Project(newList, lower)
+        case _ => p
+      }
+    // bare multi-scan filter: hoist the shared scan, restore the schema
+    case f @ Filter(cond, child) =>
+      fused(Nil, Some(cond), child) match {
+        case Some((_, Some(newCond), lower)) =>
+          Project(child.output, Filter(newCond, lower))
+        case _ => f
+      }
+  }
+
+  /** Shared-scan rewrite of a project list and/or filter condition over
+    * `child`: every document group with ≥ 2 scan occurrences collapses to
+    * one fused alias in a lower Project. Returns None if nothing fuses. */
+  private def fused(projectList: Seq[NamedExpression], cond: Option[Expression],
+                    child: LogicalPlan)
+      : Option[(Seq[NamedExpression], Option[Expression], LogicalPlan)] = {
+    val found = mutable.ArrayBuffer[Expression]()
+    projectList.foreach(collectFusable(_, found))
+    cond.foreach(collectFusable(_, found))
+    // group occurrences by their document expression
+    val groups = found.groupBy(_.children.head.canonicalized)
+      .filter(_._2.length >= 2) // a lone scan has nothing to share
+    if (groups.isEmpty) None
+    else {
+      val aliases = mutable.ArrayBuffer[Alias]()
+      // per distinct-node replacement target, in group order
+      val replacements = mutable.ArrayBuffer[(Expression, Expression)]()
+      groups.values.foreach { occurrences =>
+        val doc = occurrences.head.children.head
+        val distinct = mutable.ArrayBuffer[Expression]()
+        occurrences.foreach { n =>
+          if (!distinct.exists(_.semanticEquals(n))) distinct += n
+        }
+        val merger = new ScanMerger
+        val frags = distinct.map(merger.fragment)
+        val struct = CreateNamedStruct(
+          frags.zipWithIndex.flatMap { case (f, i) =>
+            Seq(CLit(UTF8String.fromString(s"c$i"), StringType), f)
+          }.toSeq)
+        val fusedEval = JsonFusedEval(doc, merger.pathKeys, merger.compKeys, struct)
+        val alias = Alias(fusedEval, "_jmes_scan")()
+        aliases += alias
+        val attr = alias.toAttribute
+        distinct.zipWithIndex.foreach { case (n, i) =>
+          replacements += ((n, GetStructField(attr, i, Some(s"c$i"))))
+        }
+      }
+      def rewrite(e: Expression): Expression = e.transformUp {
+        case n if isFusable(n) =>
+          replacements.find(_._1.semanticEquals(n)).map(_._2).getOrElse(n)
+      }
+      val lower = Project(child.output ++ aliases, child)
+      val newList = projectList.map(ne => rewrite(ne).asInstanceOf[NamedExpression])
+      Some((newList, cond.map(rewrite), lower))
+    }
   }
 }
 

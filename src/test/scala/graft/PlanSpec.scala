@@ -121,6 +121,21 @@ class PlanSpec extends AnyFunSuite {
     assert(inCodegen, s"json extraction not inside WholeStageCodegen:\n$p")
   }
 
+  test("jmes_pipeline: filter gate and both outputs share ONE scan below the Filter") {
+    val df = SparkEntry.queries("jmes_pipeline")(spark, sfDir)
+    val fused = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect { case j: graft.compile.JsonFusedEval => j })
+    }.flatten
+    assert(fused.length == 1,
+      s"expected one shared scan, got ${fused.length}:\n${df.queryExecution.optimizedPlan}")
+    val filters = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    assert(filters.nonEmpty &&
+      filters.forall(_.collect { case j: graft.compile.JsonFusedEval => j }.isEmpty),
+      s"filter still evaluates its own scan:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("q1_agg: partial-then-final hash aggregation, one shuffle") {
     val p = physical("q1_agg")
     assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n$p")

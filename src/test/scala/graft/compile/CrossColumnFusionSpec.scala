@@ -111,6 +111,57 @@ class CrossColumnFusionSpec extends AnyFunSuite {
     }
   }
 
+  test("filter + select over a table column share ONE scan below the filter") {
+    // the CLI pipeline shape: -filter gate + multi-column -format extraction
+    // over the same stored document column — the reference parses each
+    // record once END-TO-END (main.go:89-104), so must we
+    val df = docsDf
+    val q = df
+      .where(jmesTruthy(col("doc"), "k > `50` && length(tags) == `3`"))
+      .select(col("id"),
+        jmespathDouble(col("doc"), "k").as("k"),
+        jmespath(col("doc"), "tags[0]").as("tag0"))
+    val fused = fusedEvals(q)
+    assert(fused.length == 1,
+      s"expected one shared scan for gate+outputs, got ${fused.length}:\n${q.queryExecution.optimizedPlan}")
+    // the Filter must consume the shared scan, not run its own
+    val filters = q.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    assert(filters.nonEmpty &&
+      filters.forall(_.collect { case j: JsonFusedEval => j }.isEmpty),
+      s"filter still evaluates its own scan:\n${q.queryExecution.optimizedPlan}")
+    // semantics vs the interpreter
+    val got = q.collect().map(r => (r.getInt(0),
+      Option(if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))),
+      Option(r.getAs[String]("tag0")))).toSeq
+    val exp = docsDf.collect().toSeq.flatMap { r =>
+      val doc = r.getAs[String]("doc")
+      if (interpTruthy(doc, "k > `50` && length(tags) == `3`"))
+        Some((r.getInt(0),
+          interpValue(doc, "k").map(_.toDouble).map(java.lang.Double.valueOf),
+          interpValue(doc, "tags[0]")))
+      else None
+    }
+    assert(got == exp)
+  }
+
+  test("bare multi-scan filter hoists one shared scan and keeps the schema") {
+    val df = docsDf
+    val q = df.where(
+      jmesTruthy(col("doc"), "k > `50`") || jmesTruthy(col("doc"), "length(tags) == `3`"))
+    assert(fusedEvals(q).length == 1,
+      s"expected one shared scan:\n${q.queryExecution.optimizedPlan}")
+    assert(q.columns.toSeq == df.columns.toSeq) // schema preserved
+    val got = q.collect().map(_.getInt(0)).toSet
+    val exp = docsDf.collect().flatMap { r =>
+      val doc = r.getAs[String]("doc")
+      if (interpTruthy(doc, "k > `50`") || interpTruthy(doc, "length(tags) == `3`"))
+        Some(r.getInt(0)) else None
+    }.toSet
+    assert(got == exp)
+  }
+
   test("CollapseProject does not re-inline the hoisted scan") {
     val q = docsDf.select(
       jmespath(col("doc"), "k").as("a"),
