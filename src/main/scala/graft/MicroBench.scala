@@ -80,7 +80,34 @@ object MicroBench {
       // scalastyle:on println
       (s"$shape.$tag", ti, tl)
     }
-    val parts = cells.map { case (k, ti, tl) =>
+    // CLI pipeline shape: `-filter` gate + 2-column extraction — the
+    // cross-operator fusion case (gate + outputs in ONE pass below the
+    // Filter). Built inside the timer so each run re-optimizes under the
+    // toggled lowering conf.
+    def timeQ(mk: () => DataFrame, lower: Boolean): Double = {
+      spark.conf.set(graft.compile.LowerJmesPathRule.LowerConfKey, lower.toString)
+      def once(): Double = {
+        val q = mk()
+        val t0 = System.nanoTime()
+        q.select(xxhash64(q.columns.map(col): _*).as("h")).agg(expr("bit_xor(h)")).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      Seq.fill(5)(once()).min
+    }
+    val pipeCells = Seq("small" -> small, "wide" -> wide).map { case (shape, df) =>
+      def mk() = df
+        .where(jmes.jmesTruthy(col("doc"), "k >= `50` && length(tags) == `3`"))
+        .select(jmes.jmespathDouble(col("doc"), "k").as("k"),
+          jmes.jmespath(col("doc"), "tags[0]").as("t"))
+      val ti = timeQ(() => mk(), lower = false)
+      val tl = timeQ(() => mk(), lower = true)
+      // scalastyle:off println
+      println(f"# $shape/pipeline: interp $ti%.3f s, lowered $tl%.3f s, speedup ${ti / tl}%.2f")
+      // scalastyle:on println
+      (s"$shape.pipeline", ti, tl)
+    }
+    val parts = (cells ++ pipeCells).map { case (k, ti, tl) =>
       f""""$k":{"interp_sec":$ti%.3f,"lowered_sec":$tl%.3f,"speedup":${ti / tl}%.2f}"""
     }
     // scalastyle:off println
