@@ -31,26 +31,46 @@ object JacProfile {
       time("full") {
         ext.Dedup.jaccardPairs(docs).agg(count(lit(1))).head()
       }
-      // decomposition: shingle array build only
+      // decomposition mirrors the hash-keyed internals of Dedup.jaccardPairs
       val d = docs.repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"), ext.Dedup.shingles(col("text"), 3).as("sh"))
       time("shingles only") { d.agg(count(lit(1)), sum(size(col("sh")))).head() }
-      // inverted index + dfreq + window prefix
       val inv = d.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+        .withColumn("h", xxhash64(col("s")))
       time("explode only") { inv.agg(count(lit(1))).head() }
-      val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
       time("dfreq agg") { dfreq.agg(count(lit(1))).head() }
       val pos = row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("df"), col("s")))
-      val prefix = inv.join(dfreq, "s")
-        .select(col("doc_id"), col("n"), col("s"), pos.as("pos"))
+          .orderBy(col("df"), col("h"), col("s")))
+      val prefix = inv.join(dfreq, "h")
+        .select(col("doc_id"), col("n"), col("h"), pos.as("pos"))
         .where(col("pos") <= (col("n") - ceil(lit(0.5) * col("n") - 1e-9) + 1).cast("int"))
       time("prefix (idx+join+window)") { prefix.agg(count(lit(1))).head() }
       val cand = prefix.as("x").join(prefix.as("y"),
-          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
       time("prefix + cand join") { cand.agg(count(lit(1))).head() }
+      val verified = cand
+        .join(d.as("da"), col("id_a") === col("da.doc_id"))
+        .join(d.as("db"), col("id_b") === col("db.doc_id"))
+        .select(size(array_intersect(col("da.sh"), col("db.sh"))).as("inter"))
+      time("cand + verify joins") { verified.agg(count(lit(1))).head() }
+      // B variant: prefix via hash-agg collect_list + array_sort + slice
+      // (no window sort; only prefix rows leave the aggregation)
+      val prefixB = inv.join(dfreq, "h")
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("h"), col("s")))).as("ord"))
+        .select(col("doc_id"), size(col("ord")).as("n"),
+          posexplode(slice(col("ord"), lit(1),
+            (size(col("ord")) - ceil(lit(0.5) * size(col("ord")) - 1e-9) + 1).cast("int")))
+            .as(Seq("p0", "e")))
+        .select(col("doc_id"), col("n"), col("e.h").as("h"), (col("p0") + 1).as("pos"))
+      time("prefixB (agg+sort+slice)") { prefixB.agg(count(lit(1))).head() }
+      val candB = prefixB.as("x").join(prefixB.as("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")).distinct()
+      time("prefixB + cand join") { candB.agg(count(lit(1))).head() }
     }
     spark.stop()
   }

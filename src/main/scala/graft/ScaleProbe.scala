@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe for the dedup/ANN operators: replicates the sf0.1
+  * corpus REP× with per-replica text/embedding perturbation (so near-dup
+  * structure stays linear — replicating verbatim would square every
+  * duplicate group), then times the operators at 1× vs REP×. The point is
+  * the growth EXPONENT, not the absolute seconds: an inverted-index /
+  * bucketed design should scale near-linearly in rows at fixed parallelism,
+  * while anything accidentally quadratic (all-pairs, hot-bucket blowup)
+  * shows up immediately as a super-linear wall-time ratio.
+  *
+  * Usage: runMain graft.ScaleProbe [rep]   (default 20×) — prints one JSON
+  * line with per-operator seconds at both scales and the ratio.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val rep = if (args.nonEmpty) args(0).toInt else 20
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ×REP documents: unique ids per replica, and a replica token spliced
+    // between EVERY word pair (regexp: ' ' → ' r<k> '), so every 3-shingle
+    // contains the replica token — zero cross-replica shingles, while
+    // within-replica near-dup structure mirrors the 1× corpus (shared
+    // shingles now track shared word BIGRAMS). Total output pairs ≈ REP ×
+    // the 1× pairs — the linear-growth control the probe needs (a verbatim
+    // replica corpus would square every duplicate group instead).
+    val docs1 = SparkEntry.table(spark, sfDir, "documents").select("doc_id", "text")
+    val reps = spark.range(rep).select(col("id").as("r"))
+    val docsN = docs1.crossJoin(broadcast(reps))
+      .select((col("doc_id") + col("r") * 1000000L).as("doc_id"),
+        regexp_replace(col("text"), lit(" "), concat(lit(" r"), col("r"), lit(" ")))
+          .as("text"))
+
+    val emb1 = SparkEntry.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // ×REP embeddings: tiny deterministic per-replica rotation-ish perturb
+    // (+r*1e-3 on one dimension keeps near-neighbor structure per replica)
+    val embN = emb1.crossJoin(broadcast(reps))
+      .select((col("vec_id") + col("r") * 1000000L).as("vec_id"),
+        expr("transform(embedding, (v, i) -> CAST(v + CASE WHEN i = CAST(r % 64 AS INT) THEN r * 0.001 ELSE 0.0 END AS FLOAT))")
+          .as("embedding"))
+
+    def time(label: String)(f: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      // scalastyle:off println
+      println(f"# $label%-24s $sec%8.2f s   ($n rows)")
+      // scalastyle:on println
+      (label, sec, n)
+    }
+
+    // materialize inputs once so generation cost isn't attributed to operators
+    val d1 = docs1.cache(); val dN = docsN.cache()
+    val e1 = emb1.cache(); val eN = embN.cache()
+    d1.count(); dN.count(); e1.count(); eN.count()
+
+    val queries1 = e1.where(col("vec_id") < 10)
+    val queriesN = eN.where(col("vec_id") < 10) // same 10 queries, REP× corpus
+    // IVF operating rule: nCells ∝ √N — assignment is O(N·nCells) flops, so
+    // linear-in-N cells would make assignment quadratic; √N cells balance
+    // assignment (N^1.5 total, N^0.5 per row) against per-cell population
+    // (√N per probe). LSH rule: bits ∝ log2(N) keeps bucket population
+    // constant (candidate volume per query flat as the corpus grows).
+    val cells1 = 16
+    val cellsN = math.max(cells1, (cells1 * math.sqrt(rep)).toInt)
+    val cent1 = ext.Similarity.trainCentroids(e1, nCells = cells1, iters = 2)
+    val centN = ext.Similarity.trainCentroids(eN, nCells = cellsN, iters = 2)
+    val bitsN = 8 + (math.log(rep) / math.log(2)).round.toInt
+
+    val results = Seq(
+      time(s"jaccard_1x") { ext.Dedup.jaccardPairs(d1).count() },
+      time(s"jaccard_${rep}x") { ext.Dedup.jaccardPairs(dN).count() },
+      time(s"minhash_1x") { ext.Dedup.minhashLsh(d1).count() },
+      time(s"minhash_${rep}x") { ext.Dedup.minhashLsh(dN).count() },
+      time(s"ann_ivf_1x") {
+        ext.Similarity.annIvf(e1, queries1, nCells = cells1, centroids = Some(cent1)).count()
+      },
+      time(s"ann_ivf_${rep}x") {
+        ext.Similarity.annIvf(eN, queriesN, nCells = cellsN, centroids = Some(centN)).count()
+      },
+      time(s"ann_lsh_1x") { ext.Similarity.annLsh(e1, queries1).count() },
+      time(s"ann_lsh_${rep}x") {
+        ext.Similarity.annLsh(eN, queriesN, bits = bitsN).count()
+      })
+
+    val pairs = results.grouped(2).map { case Seq((l1, s1, _), (_, sN, _)) =>
+      val op = l1.stripSuffix("_1x")
+      f""""$op":{"sec_1x":$s1%.2f,"sec_${rep}x":$sN%.2f,"ratio":${sN / s1}%.2f}"""
+    }
+    // scalastyle:off println
+    println(s"""{"metric":"scale_probe","rep":$rep,${pairs.mkString(",")}}""")
+    // scalastyle:on println
+    spark.stop()
+  }
+}
