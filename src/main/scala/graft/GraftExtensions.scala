@@ -20,10 +20,16 @@ import graft.functions.{CosineSim, JmesPathEval, JmesPathEvalDouble, JmesTruthy,
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
-    // auto-lower interpreted JMESPath expressions where exactly translatable
-    ext.injectOptimizerRule(_ => graft.compile.LowerJmesPathRule)
-    // then share one document parse across all lowered scans in a Project
-    ext.injectOptimizerRule(_ => graft.compile.FuseProjectScans)
+    // Lowering + fusion run ONCE, after the operator-optimization fixpoint
+    // (the "Pre CBO Rules" batch). Inside the fixpoint batch,
+    // PushPredicateThroughNonJoin re-inlines the hoisted fused-scan alias
+    // into the Filter each iteration and FuseProjectScans re-hoists it under
+    // a fresh ExprId — the batch ping-pongs to its 100-iteration cap and
+    // ships a double-parse plan (round-7 verdict #1). At preCBO, predicate
+    // pushdown has settled, so the hoisted one-scan-below-Filter shape is
+    // final.
+    ext.injectPreCBORule(_ => graft.compile.LowerJmesPathRule)
+    ext.injectPreCBORule(_ => graft.compile.FuseProjectScans)
   }
 }
 

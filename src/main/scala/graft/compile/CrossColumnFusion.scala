@@ -2,10 +2,12 @@ package graft.compile
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference, CreateNamedStruct, Expression, GetArrayItem, GetStructField, IsNotNull, Literal => CLit, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference, CreateNamedStruct, Expression, GetArrayItem, GetStructField, IsNotNull, Literal => CLit, NamedExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Cross-column single-parse fusion (round-6 verdict "what's missing" #3,
@@ -35,6 +37,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[JsonProjectionExists]]/Emit/Count, [[JsonMultiSelect]]) keep their own
   * pass — their iteration logic doesn't fit the shared trie scan.
   */
+/** Pushdown barrier for the hoisted shared-scan alias. Semantically the
+  * identity on its (actually deterministic) child, but flagged
+  * `deterministic = false`: `PushPredicateThroughNonJoin` pushes a Filter
+  * through a Project — substituting the `_jmes_scan` alias back into the
+  * condition — whenever ALL project fields are deterministic (it does not
+  * require the condition to be), and the "Pushdown Filters from
+  * PartitionPruning" batch re-runs it AFTER the preCBO fusion. Wrapping the
+  * alias child makes the hoisting Project a pushdown fixed wall, so the
+  * one-scan-below-Filter shape survives to physical planning (physical
+  * `ScanOperation` alias-collection honors the same flag). Without it the
+  * re-inline re-creates the double-parse plan the fusion exists to
+  * eliminate (round-7 verdict #1). Codegen and eval delegate straight to
+  * the child. */
+case class FusedGate(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "fused_gate"
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): FusedGate =
+    copy(child = newChild)
+}
+
 object FuseProjectScans extends Rule[LogicalPlan] {
 
   private def isFusable(e: Expression): Boolean = e match {
@@ -114,7 +143,10 @@ object FuseProjectScans extends Rule[LogicalPlan] {
             Seq(CLit(UTF8String.fromString(s"c$i"), StringType), f)
           }.toSeq)
         val fusedEval = JsonFusedEval(doc, merger.pathKeys, merger.compKeys, struct)
-        val alias = Alias(fusedEval, "_jmes_scan")()
+        // FusedGate pins the alias against post-fusion predicate pushdown
+        val alias = Alias(
+          if (cond.isDefined) FusedGate(fusedEval) else fusedEval,
+          "_jmes_scan")()
         aliases += alias
         val attr = alias.toAttribute
         distinct.zipWithIndex.foreach { case (n, i) =>

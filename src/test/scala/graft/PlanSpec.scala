@@ -17,24 +17,13 @@ import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
   * identical to the 100 TB ones (strategy choices here are driven by the
   * same statistics machinery, just smaller inputs).
   *
-  * AQE is disabled in this session only so `executedPlan` is the concrete
-  * static tree (AQE re-plans stages at runtime but starts from exactly this
-  * plan; production sessions keep AQE on). */
+  * Runs on [[ProdSession]] — the production `GraftExtensions` injection
+  * path (preCBO batch), NOT `extraOptimizations` — so these pins gate the
+  * plans production actually executes (round-7 verdict missing #1). */
 class PlanSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "false")
-      .getOrCreate()
-    GraftExtensions.register(s)
-    s.experimental.extraOptimizations = s.experimental.extraOptimizations ++
-      Seq(graft.compile.LowerJmesPathRule, graft.compile.FuseProjectScans)
-    s
-  }
+  lazy val spark: SparkSession = ProdSession.spark
 
   private def physical(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
@@ -134,6 +123,21 @@ class PlanSpec extends AnyFunSuite {
     assert(filters.nonEmpty &&
       filters.forall(_.collect { case j: graft.compile.JsonFusedEval => j }.isEmpty),
       s"filter still evaluates its own scan:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("optimizer reaches a true fixpoint on every fused shape (no pushdown ping-pong)") {
+    // Round-7 regression: FuseProjectScans + PushPredicateThroughNonJoin
+    // ping-ponged to the 100-iteration cap in the production config and
+    // shipped a double-parse plan. A converged plan is one the optimizer
+    // maps to itself; a capped batch leaves a plan that keeps changing.
+    for (n <- Seq("jmes_pipeline", "jmes_multicol", "jmes_wide",
+                  "jmes_filter_compare", "jmes_field", "cli_format_data")) {
+      val opt = SparkEntry.queries(n)(spark, sfDir).queryExecution.optimizedPlan
+      val reOpt = spark.sessionState.optimizer.execute(opt)
+      assert(reOpt.canonicalized == opt.canonicalized,
+        s"$n: optimizer is not a fixpoint — re-optimizing changes the plan:\n" +
+          s"$opt\n>>> became:\n$reOpt")
+    }
   }
 
   test("q1_agg: partial-then-final hash aggregation, one shuffle") {

@@ -10,25 +10,13 @@ import graft.jmespath.{Interpreter, JNull, JStr, JValue, JmesRuntimeError}
 /** Cross-column single-parse fusion ([[FuseProjectScans]]): a multi-column
   * JMESPath select must (a) keep exactly the per-column interpreted
   * semantics and (b) collapse to ONE shared document scan in the optimized
-  * plan — through the REAL `spark.sql.extensions` injection path, i.e.
-  * inside the main operator-optimization fixpoint batch next to
-  * CollapseProject/ColumnPruning. */
+  * plan — through the REAL production injection path
+  * ([[graft.ProdSession]]: `Builder.withExtensions(new GraftExtensions)`,
+  * the same code `spark.sql.extensions` runs), so the rules sit in the
+  * preCBO batch exactly as in Bench/Verify/production. */
 class CrossColumnFusionSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
-    // `spark.sql.extensions` is static conf read from the FIRST SparkContext
-    // of the JVM, so under `sbt test` (shared context across suites) it can't
-    // be relied on here; GraftExtensions.register is the order-independent
-    // twin (same rules via experimental.extraOptimizations). The injection
-    // path itself is covered by running this suite alone and by Verify/Bench.
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    graft.GraftExtensions.register(s)
-    s
-  }
+  private lazy val spark: SparkSession = graft.ProdSession.spark
 
   private def docsDf: DataFrame = {
     import spark.implicits._
