@@ -203,6 +203,34 @@ object Lowering {
     case _                       => true
   }
 
+  /** Whether evaluating this AST can raise a JmesRuntimeError at runtime
+    * (function calls: unknown name, wrong arity, invalid argument types —
+    * SURVEY §2.6.2's only runtime error sources; step-0 slices are rejected
+    * at parse time). The interpreter aborts the WHOLE expression on such an
+    * error, while the lowered forms collapse the erroring node to
+    * falsy/null — equivalent in direct/And/Or-right/comparator position,
+    * but divergent under NotExpr (collapse flips to TRUE) and in the left
+    * arm of OrExpr (the abort preempts the right arm). Those arms refuse
+    * the native route when this predicate holds (ADVICE r7 #3). */
+  private def canError(ast: Ast): Boolean = ast match {
+    case FunctionCall(_, _)        => true
+    case Subexpression(l, r)       => canError(l) || canError(r)
+    case IndexExpr(l, r)           => canError(l) || canError(r)
+    case Projection(l, r)          => canError(l) || canError(r)
+    case ValueProjection(l, r)     => canError(l) || canError(r)
+    case FilterProjection(l, r, c) => canError(l) || canError(r) || canError(c)
+    case Flatten(c)                => canError(c)
+    case MultiSelectList(items)    => items.exists(canError)
+    case MultiSelectHash(items)    => items.exists(p => canError(p._2))
+    case Comparator(_, l, r)       => canError(l) || canError(r)
+    case OrExpr(l, r)              => canError(l) || canError(r)
+    case AndExpr(l, r)             => canError(l) || canError(r)
+    case NotExpr(c)                => canError(c)
+    case Pipe(l, r)                => canError(l) || canError(r)
+    case ExpRef(c)                 => canError(c)
+    case _                         => false
+  }
+
   /** Equality of a path against a scalar or (finite) container literal. */
   private def eqCol(doc: Expression, path: Ast, literal: JValue): Option[Expression] = {
     val raw = rawOf(doc, path).getOrElse(return None)
@@ -237,7 +265,15 @@ object Lowering {
     case Literal(v)    => Some(CLit(v.truthy, BooleanType))
     case a if constOf(a).isDefined => constOf(a).map(v => CLit(v.truthy, BooleanType))
     case AndExpr(l, r) => for (a <- truthyOf(doc, l); b <- truthyOf(doc, r)) yield And(a, b)
+    // an erroring LEFT arm aborts the whole interpreted expression before
+    // the right arm can win, but the lowered error→falsy collapse would let
+    // it — refuse (an erroring RIGHT arm only runs when the left is falsy,
+    // where collapse and abort agree on falsy)
+    case OrExpr(l, r) if canError(l) => None
     case OrExpr(l, r)  => for (a <- truthyOf(doc, l); b <- truthyOf(doc, r)) yield Or(a, b)
+    // Not flips the error→falsy collapse to TRUE while the interpreter
+    // aborts to FALSE — refuse when anything below can error
+    case NotExpr(c) if canError(c) => None
     case NotExpr(c)    => truthyOf(doc, c).map(Not)
     case Comparator(op, l, r) => op match {
       case "==" | "!=" =>
@@ -356,6 +392,9 @@ object Lowering {
     case a if constOf(a).isDefined => constOf(a).map(constValue)
 
     // boolean-valued combinators serialize their JBool/JNull result
+    // (same Not/Or-left error guards as the truthy arms: the interpreter's
+    // whole-expression abort yields null, which Not would turn into "true")
+    case NotExpr(c) if canError(c) => None
     case NotExpr(c) =>
       truthyOf(doc, c).map(t => If(t, str("false"), str("true")))
     case Comparator(op, l, r) => op match {
@@ -392,6 +431,7 @@ object Lowering {
     case AndExpr(l, r) =>
       for (lt <- truthyOf(doc, l); lv <- valueOf(doc, l); rv <- valueOf(doc, r))
         yield If(lt, rv, lv)
+    case OrExpr(l, r) if canError(l) => None
     case OrExpr(l, r) =>
       for (lt <- truthyOf(doc, l); lv <- valueOf(doc, l); rv <- valueOf(doc, r))
         yield If(lt, lv, rv)

@@ -76,14 +76,22 @@ object Dedup {
     // df per HASH (collisions merge counts — a vanishing perturbation of the
     // frequency heuristic, not of correctness)
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix0 = prefixRows(inv.join(dfreq, "h"), tau)
     val prefix = maxDocFreq match {
       case Some(cap) =>
+        // count hotness by the shingle VALUE and evict on (h, s): an h-only
+        // anti-join would let a hash collision merge a cold shingle's count
+        // into a hot one's and evict the cold shingle's prefix rows too — a
+        // silent recall loss beyond the documented cap heuristic (ADVICE
+        // r7 #5). `s` is carried through the prefix window (already in its
+        // shuffle) and dropped before the candidate join, so the 8-byte
+        // join keys are unchanged.
         val hot = d.select(explode(col("sh")).as("s"))
-          .groupBy(xxhash64(col("s")).as("h")).agg(count(lit(1)).as("df"))
+          .groupBy(col("s")).agg(count(lit(1)).as("df"))
           .where(col("df") > cap)
-        prefix0.join(hot.select("h"), Seq("h"), "left_anti")
-      case None => prefix0
+          .select(xxhash64(col("s")).as("h"), col("s"))
+        prefixRows(inv.join(dfreq, "h"), tau, keepShingle = true)
+          .join(hot, Seq("h", "s"), "left_anti").drop("s")
+      case None => prefixRows(inv.join(dfreq, "h"), tau)
     }
     verifyPairs(candidates(prefix, prefix, tau, lit(true)), d, tau)
   }
@@ -125,12 +133,15 @@ object Dedup {
     * (doc_id, n, s, h, df). True prefix length is n − ⌈τ·n⌉ + 1; the inner
     * −eps keeps double rounding from over-ceiling an exact τ·n (which would
     * drop a shingle the lemma needs); over-long by one is harmless. */
-  private def prefixRows(withDf: DataFrame, tau: Double): DataFrame = {
+  private def prefixRows(withDf: DataFrame, tau: Double,
+                         keepShingle: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = row_number().over(
       Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"), col("s")))
+    val cols = Seq(col("doc_id"), col("n"), col("h")) ++
+      (if (keepShingle) Seq(col("s")) else Nil) :+ pos.as("pos")
     withDf
-      .select(col("doc_id"), col("n"), col("h"), pos.as("pos"))
+      .select(cols: _*)
       .where(col("pos") <= (col("n") - ceil(lit(tau) * col("n") - eps) + 1).cast("int"))
   }
 
@@ -432,7 +443,7 @@ object Dedup {
         |asg AS (
         |  SELECT e.vec_id, c.cell_id,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent), ${Similarity.CellSimScale}) DESC,
+        |      ${Similarity.quantSimSql(s"list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent)")} DESC,
         |      c.cell_id) AS rn
         |  FROM embeddings e, cents c),
         |cells AS (SELECT vec_id, cell_id FROM asg WHERE rn <= $GateEmbedAssign),

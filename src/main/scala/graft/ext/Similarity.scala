@@ -57,24 +57,31 @@ object Similarity {
     typedLit(rows)
   }
 
-  /** Decimal places the centroid-ORDERING key is quantized to, on BOTH the
-    * engine side (`round(csim, 9)`) and the oracle side (DuckDB
-    * `round(..., 9)` in the row_number ORDER BY): near-tied centroids whose
-    * similarities differ below 1e-9 collapse to equal and break to the
-    * smallest cell id on both sides, so a 1-ulp formula difference between
-    * [[graft.functions.CosineSim]] and DuckDB's list_cosine_similarity can
-    * never flip an assignment. Output `sim` values stay full precision —
-    * only the argmax ordering is quantized. */
-  private[ext] val CellSimScale = 9
+  /** Shared INTEGER quantization of a cosine similarity, identical by
+    * construction in both dialects (round-7 verdict #5 / ADVICE r7 #2):
+    * `floor(csim * 1e9 + 0.5)` — an IEEE double multiply, add, and floor,
+    * each bit-identical between Spark and DuckDB for the same input —
+    * instead of each dialect's own `round(x, 9)` (Spark rounds HALF_UP on
+    * the decimal string, DuckDB on the binary double: the two can disagree
+    * at any x.5e-9 boundary, a standing gate-flake risk). Near-tied
+    * centroids within 1e-9 still collapse to the same integer and break to
+    * the smallest cell id on both sides, and the +0.5 keeps the LSH sign
+    * rule collapsing near-ZERO cosines to the same bit (a plain floor would
+    * split ±1e-17 across the 0/-1 boundary). Output `sim` values stay full
+    * precision — only ordering keys and sign bits are quantized. */
+  private[ext] def quantSim(c: Column): Column =
+    floor(c * lit(1e9) + lit(0.5)) // LongType for a DoubleType input
+  private[ext] def quantSimSql(e: String): String =
+    s"floor(($e) * 1e9 + 0.5)"
 
-  /** Per-row centroid scores as `struct(round(csim, 9), -cell_id)`: struct
+  /** Per-row centroid scores as `struct(quantSim(csim), -cell_id)`: struct
     * ordering makes `array_max` (and a descending sort) pick the highest
     * cosine with ties broken to the SMALLEST cell id — the same
-    * (round(csim, 9) DESC, cell_id ASC) order the SQL oracle's row_number
+    * (quantSim(csim) DESC, cell_id ASC) order the SQL oracle's row_number
     * uses. */
   private[ext] def cellScores(e: Column, cents: Column): Column =
     transform(cents, c => struct(
-      round(vectors.cosineSim(e, c.getField("_2")), CellSimScale).as("csim"),
+      quantSim(vectors.cosineSim(e, c.getField("_2"))).as("csim"),
       (-c.getField("_1")).as("ncell")))
 
   /** Nearest-centroid id per row — narrow argmax over the centroid literal. */
@@ -136,6 +143,27 @@ object Similarity {
     } finally sample.unpersist()
   }
 
+  /** Persist centroids (trained or seeded) as parquet
+    * `(cell_id LONG, centroid ARRAY<FLOAT>)` — the durable half of the IVF
+    * state (round-7 verdict #6, the [[graft.ext.Dedup.buildJaccardIndex]]
+    * pattern): train once on a corpus sample, reload for every subsequent
+    * batch/query session instead of re-training. Floats round-trip parquet
+    * bit-exactly, so a loaded index reproduces the exact assignments of the
+    * in-memory one (pinned by ExtSpec and the `ann_ivf_trained` oracle
+    * row). */
+  def saveCentroids(spark: SparkSession, cents: Seq[(Long, Seq[Float])],
+                    path: String): Unit = {
+    import spark.implicits._
+    cents.toDF("cell_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load centroids persisted by [[saveCentroids]], id-ordered. nCells is
+    * small by construction, so the driver-side collect is bounded. */
+  def loadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] =
+    spark.read.parquet(path).orderBy("cell_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
   /** Deterministic Rademacher (±1) hyperplanes for sign-LSH: `tables` hash
     * tables × `bits` planes × `dim` components, drawn from a fixed-seed
     * java.util.Random (a specified, platform-stable LCG) — same corpus, same
@@ -153,12 +181,13 @@ object Similarity {
   /** Packed sign-LSH bucket for one table: bit j = (cos(e, plane_j) ≥ 0).
     * Uses [[graft.functions.CosineSim]] (same sign as the raw dot product,
     * and already proven bit-exact against DuckDB's list_cosine_similarity by
-    * the ann_topk hash gate); the ROUND(·, CellSimScale) guard collapses a
-    * sub-1e-9 |cos| to ±0.0 on both engine and oracle sides so a 1-ulp
-    * summation difference can never flip a near-orthogonal bit. */
+    * the ann_topk hash gate); the shared [[quantSim]] integer guard
+    * collapses a sub-1e-9 |cos| to the same integer on both engine and
+    * oracle sides so a 1-ulp summation difference can never flip a
+    * near-orthogonal bit. */
   private def lshBucket(e: Column, planes: Seq[Seq[Float]]): Column =
     planes.zipWithIndex.map { case (h, j) =>
-      when(round(vectors.cosineSim(e, typedLit(h)), CellSimScale) >= 0,
+      when(quantSim(vectors.cosineSim(e, typedLit(h))) >= 0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -171,9 +200,18 @@ object Similarity {
     * ExtSpec. A pair colliding in several tables is deduped (distinct)
     * before scoring. */
   def annLsh(emb: DataFrame, queries: DataFrame, k: Int = 5, tables: Int = 4,
-             bits: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val planes = hyperplanes(dim, tables, bits, seed)
+             bits: Int = 8, seed: Long = 42L, dim: Option[Int] = None): DataFrame = {
+    // prefer the caller-supplied dimension: probing it from the data costs a
+    // Spark job at plan-CONSTRUCTION time and throws on an empty input
+    // (ADVICE r7 #4)
+    val d = dim.getOrElse {
+      val probe = emb.select(size(col("embedding"))).head(1)
+      require(probe.nonEmpty,
+        "annLsh: cannot infer the embedding dimension from an empty " +
+          "DataFrame — pass dim explicitly")
+      probe(0).getInt(0)
+    }
+    val planes = hyperplanes(d, tables, bits, seed)
     def buckets(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
         posexplode(array(planes.map(tp => lshBucket(col("embedding"), tp)): _*))
@@ -275,9 +313,58 @@ object Similarity {
     "ann_lsh" -> ((s, dir) => {
       val emb = SparkEntry.table(s, dir, "embeddings")
       annLsh(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
-        tables = GateLshTables, bits = GateLshBits, seed = GateLshSeed)
+        tables = GateLshTables, bits = GateLshBits, seed = GateLshSeed,
+        dim = Some(GateLshDim))
+    }),
+    // the persistence path (round-7 verdict #6): centroids are SAVED to
+    // parquet and RELOADED before querying, so the row proves the durable
+    // IVF state round-trips bit-exactly (any corruption breaks the hash
+    // gate). The gate uses the deterministic id-seed so the full ann_ivf
+    // SQL oracle applies; TRAINED centroids go through the same save/load
+    // (ExtSpec pins trained-roundtrip equality — Lloyd means are not
+    // SQL-mirrorable without summation-order flake risk).
+    "ann_ivf_trained" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      val seed = emb.orderBy("vec_id").limit(GateIvfCells)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cents_${math.abs(dir.hashCode.toLong)}"
+      saveCentroids(s, seed, path)
+      val loaded = loadCentroids(s, path)
+      annIvf(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
+        nCells = GateIvfCells, nProbe = GateIvfProbe, centroids = Some(loaded))
     }),
   )
+
+  /** Shared by `ann_ivf` and `ann_ivf_trained` (identical result contract;
+    * the latter differs only in taking the centroid save/load round-trip). */
+  private lazy val annIvfOracleSql: String =
+    s"""WITH cents AS (
+      |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
+      |  FROM embeddings ORDER BY vec_id LIMIT $GateIvfCells),
+      |asg AS (
+      |  SELECT e.vec_id, e.embedding, c.cell_id,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ${quantSimSql(s"list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent)")} DESC,
+      |      c.cell_id) AS rn
+      |  FROM embeddings e, cents c),
+      |assigned AS (SELECT vec_id, embedding, cell_id FROM asg WHERE rn = 1),
+      |qc AS (
+      |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell_id,
+      |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      ${quantSimSql(s"list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cent)")} DESC,
+      |      c.cell_id) AS rn
+      |  FROM embeddings q, cents c WHERE q.vec_id < $GateQueryMaxId),
+      |qcells AS (SELECT query_id, qe, cell_id FROM qc WHERE rn <= $GateIvfProbe),
+      |sims AS (
+      |  SELECT qs.query_id, a.vec_id,
+      |    list_cosine_similarity(CAST(qs.qe AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+      |  FROM qcells qs JOIN assigned a USING (cell_id)
+      |  WHERE a.vec_id <> qs.query_id),
+      |r AS (SELECT query_id, vec_id AS neighbor_id, sim,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      |      FROM sims)
+      |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ann_topk" ->
@@ -290,46 +377,25 @@ object Similarity {
         |      FROM s)
         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
     // annIvf is fully deterministic (centroids = first nCells ids; the
-    // assignment ORDER key is quantized to CellSimScale decimals on both
-    // sides; ties break to the smallest cell), so the bucketed path gets a
+    // assignment ORDER key is the shared quantSim integer on both sides;
+    // ties break to the smallest cell), so the bucketed path gets a
     // REAL SQL oracle mirroring the algorithm — assignment, probing, and
     // within-cell exact search — not a recall spec.
-    "ann_ivf" ->
-      s"""WITH cents AS (
-        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
-        |  FROM embeddings ORDER BY vec_id LIMIT $GateIvfCells),
-        |asg AS (
-        |  SELECT e.vec_id, e.embedding, c.cell_id,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent), $CellSimScale) DESC,
-        |      c.cell_id) AS rn
-        |  FROM embeddings e, cents c),
-        |assigned AS (SELECT vec_id, embedding, cell_id FROM asg WHERE rn = 1),
-        |qc AS (
-        |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell_id,
-        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cent), $CellSimScale) DESC,
-        |      c.cell_id) AS rn
-        |  FROM embeddings q, cents c WHERE q.vec_id < $GateQueryMaxId),
-        |qcells AS (SELECT query_id, qe, cell_id FROM qc WHERE rn <= $GateIvfProbe),
-        |sims AS (
-        |  SELECT qs.query_id, a.vec_id,
-        |    list_cosine_similarity(CAST(qs.qe AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
-        |  FROM qcells qs JOIN assigned a USING (cell_id)
-        |  WHERE a.vec_id <> qs.query_id),
-        |r AS (SELECT query_id, vec_id AS neighbor_id, sim,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
-        |      FROM sims)
-        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
+    "ann_ivf" -> annIvfOracleSql,
+    // identical result contract: ann_ivf_trained runs the same algorithm
+    // with centroids that took the parquet save/load round-trip, so the
+    // same oracle applies — a byte difference in the reloaded state would
+    // break the hash match
+    "ann_ivf_trained" -> annIvfOracleSql,
     // algorithm mirror of annLsh: identical ±1.0 hyperplane literals, the
-    // same ROUND(cos, CellSimScale) ≥ 0 bit rule, per-table bucket-equality
+    // same quantSim(cos) ≥ 0 bit rule, per-table bucket-equality
     // candidates, exact cosine + top-k on survivors
     "ann_lsh" ->
       s"""WITH planes(t, j, h) AS (VALUES
         |  $lshPlanesValues),
         |sig AS (
         |  SELECT e.vec_id, p.t,
-        |    SUM(CASE WHEN round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.h), $CellSimScale) >= 0
+        |    SUM(CASE WHEN ${quantSimSql(s"list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.h)")} >= 0
         |             THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS bucket
         |  FROM embeddings e, planes p GROUP BY e.vec_id, p.t),
         |cand AS (

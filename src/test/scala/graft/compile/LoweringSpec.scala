@@ -173,6 +173,16 @@ class LoweringSpec extends AnyFunSuite {
       // pinned-result guard: not_null(null, 2) == 2 is TRUE with all paths
       // null, so the malformed-document guard must fire for it
       "not_null(missing, `2`) == `2`", "sum(`[1, 1]`) == `2`",
+      // error-abort composition (ADVICE r7 #3): an erroring call under Not
+      // or in an Or LEFT arm aborts the whole interpreted expression; the
+      // lowered error→falsy collapse must not flip these (they refuse the
+      // native route and stay interpreted — the A/B still runs both paths)
+      "!(length(missing) == `2`)", "!length(missing)", "!(n && length(missing))",
+      "length(missing) == `2` || n", "length(missing) || name",
+      "(length(missing) == `2`) || length(tags) == `3`",
+      "!(length(missing) == `2`) && name", "length(missing) > `0` || n",
+      // right-arm / And positions stay lowerable (collapse == abort there)
+      "n || length(missing)", "length(missing) && n",
       "abs(`-3`)", "ceil(`1.2`)", "floor(to_number(n))",
       // the rest of the §2.3 library over lowered args
       "join(', ', tags)", "keys(o)", "values(o)", "reverse(tags)", "reverse(name)",
@@ -222,6 +232,14 @@ class LoweringSpec extends AnyFunSuite {
     assert(Lowering.lowersValue("not_null(missing, n, `5`)"))
     assert(Lowering.lowersDouble("to_number(n)"))
     assert(Lowering.lowersValue("sort_by(objs, &x)"))
+    // error-capable calls under Not / Or-left REFUSE the native route …
+    assert(!Lowering.lowersTruthy("!(length(missing) == `2`)"))
+    assert(!Lowering.lowersTruthy("!length(missing)"))
+    assert(!Lowering.lowersTruthy("length(missing) == `2` || n"))
+    assert(!Lowering.lowersValue("!(length(missing) == `2`)"))
+    // … while Or-right / And positions (where collapse == abort) still lower
+    assert(Lowering.lowersTruthy("n || length(missing)"))
+    assert(Lowering.lowersTruthy("length(missing) && n"))
   }
 
   test("scan fusion: fused NullSafe trees agree with the interpreter; fusion fires") {

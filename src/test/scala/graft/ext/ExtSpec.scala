@@ -213,6 +213,21 @@ class ExtSpec extends AnyFunSuite {
     assert(rTrained >= 0.5, s"trained-centroid recall $rTrained collapsed")
   }
 
+  test("trained centroids persist + reload bit-exactly; loaded state reproduces queries") {
+    val trained = Similarity.trainCentroids(emb, nCells = 16, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("cents").toString + "/ivf"
+    Similarity.saveCentroids(spark, trained, path)
+    val loaded = Similarity.loadCentroids(spark, path)
+    // floats round-trip parquet bit-exactly → identical assignments later
+    assert(loaded == trained, "parquet round-trip changed the centroids")
+    val queries = emb.where(col("vec_id") < 10)
+    val a = Similarity.annIvf(emb, queries, k = 5, centroids = Some(trained))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = Similarity.annIvf(emb, queries, k = 5, centroids = Some(loaded))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b, "loaded centroids changed the ANN result")
+  }
+
   test("k-means centroids separate a clustered corpus where a first-k seed cannot") {
     import spark.implicits._
     // 8 well-separated clusters × 60 points, dim 16, ids ordered BY CLUSTER —
