@@ -57,7 +57,7 @@ object MicroBench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up (janino + JIT)
-      Seq.fill(5)(once()).min
+      Seq.fill(9)(once()).min
     }
     // sacrificial first query absorbs first-stage JIT/startup cost
     time(small, Seq(jmes.jmesFiltered(col("doc"), "k")), lower = true)
@@ -93,7 +93,7 @@ object MicroBench {
         (System.nanoTime() - t0) / 1e9
       }
       once()
-      Seq.fill(5)(once()).min
+      Seq.fill(9)(once()).min
     }
     val pipeCells = Seq("small" -> small, "wide" -> wide).map { case (shape, df) =>
       def mk() = df

@@ -81,8 +81,38 @@ private[compile] object CapturePool {
   def release(p: Pooled): Unit = pool.get().addLast(p)
 
   /** Capture the parser's current structure as compact raw text — the pooled
-    * replacement for the `new StringWriter + createGenerator + close` idiom. */
+    * replacement for the `new StringWriter + createGenerator + close` idiom.
+    *
+    * Scalars skip the generator entirely (the dominant capture on small
+    * documents): numbers/booleans/null pass their token text through, and a
+    * string with no escape-needed characters re-quotes directly — byte-
+    * identical to Jackson's writeString for that input (Jackson escapes only
+    * `"`, `\\` and control chars by default), which the text-equality
+    * consumers (RPred string compare) rely on. */
   def copyCurrent(parser: com.fasterxml.jackson.core.JsonParser): String = {
+    import com.fasterxml.jackson.core.JsonToken._
+    parser.currentToken() match {
+      case VALUE_NUMBER_INT | VALUE_NUMBER_FLOAT => parser.getText
+      case VALUE_TRUE  => "true"
+      case VALUE_FALSE => "false"
+      case VALUE_NULL  => "null"
+      case VALUE_STRING =>
+        val t = parser.getText
+        var i = 0
+        var plain = true
+        while (plain && i < t.length) {
+          val c = t.charAt(i)
+          if (c == '"' || c == '\\' || c < 0x20) plain = false
+          i += 1
+        }
+        if (plain) new java.lang.StringBuilder(t.length + 2)
+          .append('"').append(t).append('"').toString
+        else copyViaGenerator(parser)
+      case _ => copyViaGenerator(parser)
+    }
+  }
+
+  private def copyViaGenerator(parser: com.fasterxml.jackson.core.JsonParser): String = {
     val p = acquire()
     p.gen.copyCurrentStructure(parser)
     val s = finish(p)

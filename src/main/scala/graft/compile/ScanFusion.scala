@@ -40,7 +40,11 @@ object ScanFusion {
     * (NaN guard, comparison, truthiness, value emission…); here it runs ONCE
     * per record, with its path arguments resolved from the shared scan
     * (zero extra document traversals). */
+  /** Test/bench hook: bypass fusion entirely (A/B the unfused lowered path). */
+  private[graft] var disabled = false
+
   def fuse(doc: Expression, tree: Expression): Expression = {
+    if (disabled) return tree
     val docRef = BoundReference(0, StringType, nullable = true)
     val scanRef = BoundReference(1, ArrayType(StringType, containsNull = true), nullable = false)
     val slots = mutable.LinkedHashMap[Option[Seq[PathStep]], Int]()

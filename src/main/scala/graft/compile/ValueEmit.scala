@@ -21,9 +21,37 @@ import graft.jmespath.{JArr, JNull, JObj, JStr, JValue}
   * of lowering the value path instead of wrapping the interpreter in a UDF.
   */
 object ValueEmit {
-  /** JmesPathEval output convention for a raw JSON subtree. */
+  /** Escape-free quoted string (`"…"` with no backslash): unquoting is a
+    * substring, no parse needed. */
+  private def isPlainString(raw: String): Boolean =
+    raw.length >= 2 && raw.charAt(0) == '"' && raw.indexOf('\\') < 0
+
+  /** Integer token short enough (≤ 15 digits) that the double round-trip the
+    * parse path would take is the identity — pass the text through. */
+  private def isSmallInt(raw: String): Boolean = {
+    val start = if (raw.charAt(0) == '-') 1 else 0
+    val digits = raw.length - start
+    if (digits < 1 || digits > 15) return false
+    var i = start
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c < '0' || c > '9') return false
+      i += 1
+    }
+    true
+  }
+
+  /** JmesPathEval output convention for a raw JSON subtree. The common
+    * scalar shapes (plain strings, small integers, booleans) skip the
+    * parse+reserialize round-trip — it is the identity for them, and on
+    * ~100 B documents it dominates the per-record cost of the fused scan
+    * (round-7 verdict #7). */
   def fromRaw(raw: String): String =
     if (raw == null) null
+    else if (isPlainString(raw)) raw.substring(1, raw.length - 1)
+    else if (raw == "true" || raw == "false") raw
+    else if (raw == "null") null
+    else if (isSmallInt(raw)) raw
     else JValue.parseOpt(raw) match {
       case None | Some(JNull) => null
       case Some(JStr(s))      => s
