@@ -68,7 +68,10 @@ object Dedup {
     *
     * `maxDocFreq` (optional) additionally drops shingles occurring in more
     * than that many docs — a scale valve that makes the result approximate
-    * but bounds worst-case blowup. */
+    * but bounds worst-case blowup. Size it from the candidate-pair budget
+    * the cluster can verify (`Tuning.suggestMaxDocFreq(pairBudget)`: a
+    * df-doc shingle alone contributes df·(df−1)/2 pairs), not from an
+    * absolute frequency that stops binding as the corpus grows. */
   def jaccardPairs(df: DataFrame, k: Int = 3, tau: Double = 0.5,
                    maxDocFreq: Option[Int] = None): DataFrame = {
     val d = shingled(df, k)
@@ -220,7 +223,10 @@ object Dedup {
   /** MinHash-LSH near-dup pairs: `numHashes` signature, `bands` bands of
     * `numHashes/bands` rows; candidates from per-band bucket equality;
     * final exact-Jaccard filter at tau (output ⊆ exact pairs; LSH only
-    * affects recall). */
+    * affects recall). The default 16 bands threshold the S-curve at
+    * `(1/16)^(1/4) = 0.5` — for any other tau pass
+    * `bands = Tuning.suggestMinhashBands(numHashes, tau)` so the candidate
+    * volume follows the requested threshold instead of 0.5's. */
   def minhashLsh(df: DataFrame, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  tau: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")

@@ -251,7 +251,10 @@ object Similarity {
     * Scale shape: both cell assignment (data side) and cell probing (query
     * side) are NARROW per-row expressions over the centroid literal — the
     * first exchange in the plan is the broadcast of the (small) probe set;
-    * the big side is never shuffled before the probe join. */
+    * the big side is never shuffled before the probe join. Size
+    * `nCells`/`nProbe` with the corpus via [[Tuning.suggestIvf]]
+    * (`nCells ≈ √n` keeps per-cell population and cell count both O(√n));
+    * the defaults here fit the small gate corpus only. */
   def annIvf(emb: DataFrame, queries: DataFrame, k: Int = 5,
              nCells: Int = 16, nProbe: Int = 4,
              centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {

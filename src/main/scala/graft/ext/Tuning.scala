@@ -1,0 +1,95 @@
+package graft.ext
+
+/** Corpus-size-driven parameter suggestion for the blocking/banding
+  * operators — closes the "nCells / bands / maxDocFreq must be re-tuned by
+  * hand with corpus size" caveat carried since round 6. Every formula is
+  * pure arithmetic over corpus statistics the caller already has (row
+  * count, target budget), so the suggestions cost nothing to compute and
+  * are deterministic.
+  *
+  * The 100 TB arithmetic these encode:
+  *
+  *  - IVF cells (`suggestIvf`): candidate work per query is
+  *    `nProbe/nCells` of the corpus, and per-cell population is
+  *    `n/nCells`. The classic balance point `nCells ≈ √n` makes both
+  *    `O(√n)`: at n = 10⁶ that is 1k cells of 1k vectors; at n = 10¹¹
+  *    (a 100 TB embedding corpus) 316k cells of 316k vectors — each cell
+  *    still a single-task exact scan. `nProbe = √nCells` keeps the scanned
+  *    fraction at `1/√nCells` (~0.2% at n = 10¹¹).
+  *
+  *  - MinHash bands (`suggestMinhashBands`): a (b bands × r rows)
+  *    signature collides a pair of Jaccard similarity s with probability
+  *    `1 − (1 − s^r)^b`, an S-curve whose threshold sits at
+  *    `(1/b)^(1/r)` (Leskovec/Rajaraman/Ullman, Mining of Massive
+  *    Datasets §3.4). Given the signature budget, the band count that
+  *    moves with the DESIRED tau is chosen — not a fixed 16 — so a user
+  *    asking for tau 0.8 stops paying the candidate volume of a 0.5
+  *    threshold.
+  *
+  *  - Hot-shingle cap (`suggestMaxDocFreq`): a shingle occurring in df
+  *    documents alone contributes `df·(df−1)/2` candidate pairs to the
+  *    PPJoin index. Capping per-shingle pairs at budget B bounds df at
+  *    `⌊(1+√(1+8B))/2⌋ ≈ √(2B)` — the knob is the pair BUDGET (what the
+  *    cluster can verify), which is scale-free, instead of an absolute
+  *    document frequency that silently stops binding as n grows.
+  *
+  *  - Sign-LSH bits (`suggestSignLshBits`): expected bucket population is
+  *    `n / 2^bits`; solving for a target population gives
+  *    `bits = ⌈log₂(n / target)⌉`. At n = 10¹¹ and target 4096 that is
+  *    25 bits — still one BIGINT bucket key.
+  */
+object Tuning {
+
+  /** IVF geometry for an `n`-vector corpus: `nCells ≈ √n` (per-cell
+    * population and cell count both O(√n)), `nProbe ≈ √nCells` (scanned
+    * fraction 1/√nCells). Bounds keep tiny corpora sane. */
+  final case class IvfParams(nCells: Int, nProbe: Int)
+  def suggestIvf(n: Long, minCells: Int = 4, maxCells: Int = 1 << 20): IvfParams = {
+    require(n > 0, "empty corpus")
+    // clamp in Long space: √(Long.MaxValue) ≈ 3.04e9 overflows Int
+    val root = math.round(math.sqrt(n.toDouble))
+    val cells = math.max(minCells.toLong, math.min(maxCells.toLong, root)).toInt
+    val probe = math.max(1, math.round(math.sqrt(cells.toDouble)).toInt)
+    IvfParams(cells, probe)
+  }
+
+  /** S-curve threshold of a (bands × rows) MinHash signature:
+    * the Jaccard similarity at which collision probability inflects. */
+  def minhashThreshold(bands: Int, rows: Int): Double =
+    math.pow(1.0 / bands, 1.0 / rows)
+
+  /** Collision probability of a pair with Jaccard `s` under (bands × rows). */
+  def minhashCollisionProb(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** The band count (a divisor of `numHashes`) whose S-curve threshold sits
+    * closest to — preferring at-or-below, for recall — the target `tau`. */
+  def suggestMinhashBands(numHashes: Int, tau: Double): Int = {
+    require(numHashes > 0 && tau > 0 && tau < 1)
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+    // score: distance of the threshold from tau, half-weighted when the
+    // threshold is BELOW tau (a low threshold over-generates candidates,
+    // which exact verification removes; a high threshold LOSES pairs)
+    def score(b: Int): Double = {
+      val t = minhashThreshold(b, numHashes / b)
+      if (t <= tau) (tau - t) * 0.5 else (t - tau) * 1.0
+    }
+    candidates.minBy(score)
+  }
+
+  /** Hot-shingle document-frequency cap from a per-shingle candidate-pair
+    * budget: df·(df−1)/2 ≤ budget ⇒ df ≤ (1+√(1+8·budget))/2. */
+  def suggestMaxDocFreq(pairBudgetPerShingle: Long): Int = {
+    require(pairBudgetPerShingle > 0)
+    math.floor((1.0 + math.sqrt(1.0 + 8.0 * pairBudgetPerShingle.toDouble)) / 2.0).toInt
+  }
+
+  /** Sign-LSH bucket width for an `n`-vector corpus and a target expected
+    * bucket population: `bits = ⌈log₂(n / target)⌉`, clamped to [4, 48]
+    * (48 bits × any table count still packs in the BIGINT bucket key). */
+  def suggestSignLshBits(n: Long, targetBucketPop: Long = 4096L): Int = {
+    require(n > 0 && targetBucketPop > 0)
+    val raw = math.ceil(math.log(n.toDouble / targetBucketPop) / math.log(2.0)).toInt
+    math.max(4, math.min(48, raw))
+  }
+}
