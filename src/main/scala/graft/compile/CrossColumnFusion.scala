@@ -2,7 +2,7 @@ package graft.compile
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference, CreateNamedStruct, Expression, GetArrayItem, GetStructField, IsNotNull, Literal => CLit, NamedExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BoundReference, CreateNamedStruct, ExprId, Expression, GetArrayItem, GetStructField, IsNotNull, Literal => CLit, NamedExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Sort}
@@ -79,6 +79,22 @@ object FuseProjectScans extends Rule[LogicalPlan] {
     if (isFusable(e)) acc += e else e.children.foreach(collectFusable(_, acc))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // CONSTRUCTED-document pipeline (gate + extraction over a document the
+    // plan itself builds): by preCBO, predicate pushdown has substituted
+    // the doc alias into the gate and pushed the Filter below the
+    // doc-defining Project, leaving
+    //   Project(extractions over docAttr) <- Project(doc := expr)
+    //     <- Filter(gate over expr-inline) <- child
+    // — which would ship TWO parses (gate on all rows, extraction on
+    // survivors) and TWO evaluations of the doc expression. Re-plan it as
+    //   Project <- Filter <- Project(+ ONE shared scan over docAttr)
+    //     <- Project(doc := expr) <- child
+    // so the construction and the parse each run once per row.
+    case p @ Project(outerList, Project(midList, Filter(cond, fchild))) =>
+      crossFused(outerList, midList, cond, fchild).orElse(
+        fused(outerList, None, Project(midList, Filter(cond, fchild))).map {
+          case (newList, _, lower) => Project(newList, lower)
+        }).getOrElse(p)
     // Filter + Project over the same document: the gate and the outputs
     // merge into ONE scan evaluated BELOW the filter — exactly the
     // reference's shape (parse once, filter, emit; main.go:89-104). Values
@@ -111,6 +127,89 @@ object FuseProjectScans extends Rule[LogicalPlan] {
           Project(child.output, Filter(newCond, lower))
         case _ => f
       }
+  }
+
+  /** The constructed-document rewrite (see the first `apply` case): fuses
+    * scans from the outer project list (over mid-defined doc attributes)
+    * with the gate's scans (over the same doc expression, inlined by
+    * pushdown) into ONE shared scan computed above the re-built mid
+    * Project and below the re-hoisted Filter. Returns None unless at least
+    * one fused group spans the gate (otherwise the move would pessimize:
+    * outer-only scans would run on all rows for no shared traversal). */
+  private def crossFused(outerList: Seq[NamedExpression],
+                         midList: Seq[NamedExpression], cond: Expression,
+                         fchild: LogicalPlan): Option[LogicalPlan] = {
+    if (!midList.forall(_.deterministic) || !cond.deterministic) return None
+    // mid alias resolution: attr -> defining child expr, and back
+    val attrChild: Map[ExprId, Expression] = midList.collect {
+      case a: Alias => a.exprId -> a.child
+    }.toMap
+    val aliasAttrByChild: Seq[(Expression, Attribute)] = midList.collect {
+      case a: Alias => a.child.canonicalized -> a.toAttribute
+    }
+    def resolveDoc(e: Expression): Expression = e match {
+      case ar: AttributeReference => attrChild.getOrElse(ar.exprId, ar)
+      case other                  => other
+    }
+    val fromOuter = mutable.ArrayBuffer[Expression]()
+    outerList.foreach(collectFusable(_, fromOuter))
+    val fromCond = mutable.ArrayBuffer[Expression]()
+    collectFusable(cond, fromCond)
+    if (fromCond.isEmpty || fromOuter.isEmpty) return None
+    val condSet = fromCond.toSet
+    val groups = (fromOuter ++ fromCond)
+      .groupBy(n => resolveDoc(n.children.head).canonicalized)
+      .filter(_._2.length >= 2)
+    if (!groups.exists(_._2.exists(condSet.contains))) return None
+
+    val newMid = Project(midList, fchild)
+    val midOut = newMid.outputSet
+    val aliases = mutable.ArrayBuffer[Alias]()
+    val replacements = mutable.ArrayBuffer[(Expression, Expression)]()
+    groups.foreach { case (docKey, occurrences) =>
+      // the scan must evaluate ABOVE newMid: its document must be an
+      // attribute newMid outputs — either a mid alias of the doc
+      // expression or a passthrough column
+      val docAttr: Option[Attribute] =
+        aliasAttrByChild.collectFirst { case (k, a) if k == docKey => a }
+          .orElse(occurrences.collectFirst {
+            case n if n.children.head.isInstanceOf[AttributeReference] &&
+              midOut.contains(n.children.head.asInstanceOf[AttributeReference]) =>
+              n.children.head.asInstanceOf[AttributeReference]
+          })
+      docAttr.foreach { doc =>
+        val distinct = mutable.ArrayBuffer[Expression]()
+        occurrences.foreach { n =>
+          if (!distinct.exists(_.semanticEquals(n))) distinct += n
+        }
+        val merger = new ScanMerger
+        val frags = distinct.map(merger.fragment)
+        val struct = CreateNamedStruct(
+          frags.zipWithIndex.flatMap { case (f, i) =>
+            Seq(CLit(UTF8String.fromString(s"c$i"), StringType), f)
+          }.toSeq)
+        val alias = Alias(
+          FusedGate(JsonFusedEval(doc, merger.pathKeys, merger.compKeys, struct)),
+          "_jmes_scan")()
+        aliases += alias
+        val attr = alias.toAttribute
+        distinct.zipWithIndex.foreach { case (n, i) =>
+          replacements += ((n, GetStructField(attr, i, Some(s"c$i"))))
+        }
+      }
+    }
+    if (aliases.isEmpty) return None
+    def rewrite(e: Expression): Expression = e.transformUp {
+      case n if isFusable(n) =>
+        replacements.find(_._1.semanticEquals(n)).map(_._2).getOrElse(n)
+    }
+    val newCond = rewrite(cond)
+    val lower = Project(newMid.output ++ aliases, newMid)
+    // the re-hoisted Filter must be closed over lower's output (a gate
+    // conjunct over a column mid pruned away would dangle)
+    if (!newCond.references.subsetOf(lower.outputSet)) return None
+    val newOuter = outerList.map(ne => rewrite(ne).asInstanceOf[NamedExpression])
+    Some(Project(newOuter, Filter(newCond, lower)))
   }
 
   /** Shared-scan rewrite of a project list and/or filter condition over

@@ -125,6 +125,25 @@ class PlanSpec extends AnyFunSuite {
       s"filter still evaluates its own scan:\n${df.queryExecution.optimizedPlan}")
   }
 
+  test("jmes_wide: constructed doc + gate + extraction share ONE scan below the Filter") {
+    // the cross-Project fusion case: the document is BUILT by the plan
+    // (concat of table columns), the gate was pushed below the doc-defining
+    // Project by Catalyst, and extraction sits above — one fused scan and
+    // one doc construction per row must survive to the optimized plan
+    val df = SparkEntry.queries("jmes_wide")(spark, sfDir)
+    val fused = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect { case j: graft.compile.JsonFusedEval => j })
+    }.flatten
+    assert(fused.length == 1,
+      s"expected one shared scan, got ${fused.length}:\n${df.queryExecution.optimizedPlan}")
+    val filters = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    assert(filters.nonEmpty &&
+      filters.forall(_.collect { case j: graft.compile.JsonFusedEval => j }.isEmpty),
+      s"filter still evaluates its own scan:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("optimizer reaches a true fixpoint on every fused shape (no pushdown ping-pong)") {
     // Round-7 regression: FuseProjectScans + PushPredicateThroughNonJoin
     // ping-ponged to the 100-iteration cap in the production config and
