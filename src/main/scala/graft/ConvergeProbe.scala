@@ -23,12 +23,8 @@ object ConvergeProbe {
       val df = SparkEntry.queries(n)(spark, sfDir)
       val opt = df.queryExecution.optimizedPlan
       val planMs = (System.nanoTime() - t0) / 1e6
-      val total = opt.collect { case p =>
-        p.expressions.flatMap(_.collect { case j: graft.compile.JsonFusedEval => j })
-      }.flatten.size
-      val inFilter = opt.collect { case f: Filter =>
-        f.condition.collect { case j: graft.compile.JsonFusedEval => j }.size
-      }.sum
+      val total = graft.compile.FusedPlanStats.totalFused(opt)
+      val inFilter = graft.compile.FusedPlanStats.filterFused(opt)
       val reOpt = spark.sessionState.optimizer.execute(opt)
       val stable = reOpt.canonicalized == opt.canonicalized
       val physFused = "json_fused".r.findAllIn(

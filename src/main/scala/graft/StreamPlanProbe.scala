@@ -33,13 +33,8 @@ object StreamPlanProbe {
     val last = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
       .streamingQuery.lastExecution
     val opt = last.optimizedPlan
-    val total = opt.collect { case p =>
-      p.expressions.flatMap(_.collect { case j: graft.compile.JsonFusedEval => j })
-    }.flatten.size
-    val inFilter = opt.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        f.condition.collect { case j: graft.compile.JsonFusedEval => j }.size
-    }.sum
+    val total = graft.compile.FusedPlanStats.totalFused(opt)
+    val inFilter = graft.compile.FusedPlanStats.filterFused(opt)
     println(s"STREAMPROBE totalFused=$total filterFused=$inFilter rows=${spark.table("probe_stream").count()}")
     println(opt.treeString.take(3000))
     spark.stop()

@@ -214,6 +214,9 @@ object Lowering {
     * the native route when this predicate holds (ADVICE r7 #3). */
   private def canError(ast: Ast): Boolean = ast match {
     case FunctionCall(_, _)        => true
+    // `[::0]` parses but throws at eval time (Interpreter.sliceVector) —
+    // the SECOND runtime error source beside calls
+    case Slice(_, _, Some(0))      => true
     case Subexpression(l, r)       => canError(l) || canError(r)
     case IndexExpr(l, r)           => canError(l) || canError(r)
     case Projection(l, r)          => canError(l) || canError(r)
@@ -320,8 +323,12 @@ object Lowering {
     case Projection(Flatten(inner), rhs) => // `arr[]` one-level flatten
       for (base <- pathOf(inner); sub <- pathOf(rhs))
         yield JsonProjectionExists(doc, base, None, sub, flatten = true)
-    // slice projection (`arr[a:b:c]`) — must precede the generic arm
-    case Projection(IndexExpr(lhs, Slice(a, b, st)), rhs) =>
+    // slice projection (`arr[a:b:c]`) — must precede the generic arm.
+    // step 0 throws at eval time in the interpreter (whole-expression
+    // abort); sliceIndices would silently yield Nil — refuse, the
+    // prefix-streamed hybrid's residual interpretation reproduces the
+    // abort exactly
+    case Projection(IndexExpr(lhs, Slice(a, b, st)), rhs) if !st.contains(0) =>
       for (base <- pathOf(lhs); sub <- pathOf(rhs))
         yield JsonProjectionExists(doc, base, None, sub, slice = Some((a, b, st)))
     case Projection(lhs, rhs) =>
@@ -441,7 +448,8 @@ object Lowering {
     case Projection(Flatten(inner), rhs) =>
       for (base <- pathOf(inner); sub <- pathOf(rhs))
         yield JsonProjectionEmit(doc, base, None, sub, flatten = true)
-    case Projection(IndexExpr(lhs, Slice(a, b, st)), rhs) =>
+    // step 0 refused as in the truthy arm: interpreter aborts, Nil would lie
+    case Projection(IndexExpr(lhs, Slice(a, b, st)), rhs) if !st.contains(0) =>
       for (base <- pathOf(lhs); sub <- pathOf(rhs))
         yield JsonProjectionEmit(doc, base, None, sub, slice = Some((a, b, st)))
     case Projection(lhs, rhs) =>

@@ -27,8 +27,10 @@ object ValueEmit {
     raw.length >= 2 && raw.charAt(0) == '"' && raw.indexOf('\\') < 0
 
   /** Integer token short enough (≤ 15 digits) that the double round-trip the
-    * parse path would take is the identity — pass the text through. */
+    * parse path would take is the identity — pass the text through.
+    * `-0` is excluded: the parse path emits `0` ((-0.0).toLong), not `-0`. */
   private def isSmallInt(raw: String): Boolean = {
+    if (raw == "-0") return false
     val start = if (raw.charAt(0) == '-') 1 else 0
     val digits = raw.length - start
     if (digits < 1 || digits > 15) return false

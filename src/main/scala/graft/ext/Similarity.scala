@@ -69,10 +69,17 @@ object Similarity {
     * rule collapsing near-ZERO cosines to the same bit (a plain floor would
     * split ±1e-17 across the 0/-1 boundary). Output `sim` values stay full
     * precision — only ordering keys and sign bits are quantized. */
+  // NaN (an all-Infinity embedding can produce one; zero norms yield NULL)
+  // is pinned to Long.MaxValue explicitly on BOTH sides: Spark's floor-cast
+  // sends NaN to 0L while DuckDB's floor keeps NaN (ranked greatest), so
+  // without the pin the two dialects would rank a NaN cosine differently —
+  // the round(x, 9) this replaced ranked NaN greatest on both.
   private[ext] def quantSim(c: Column): Column =
-    floor(c * lit(1e9) + lit(0.5)) // LongType for a DoubleType input
+    when(isnan(c), lit(Long.MaxValue))
+      .otherwise(floor(c * lit(1e9) + lit(0.5))) // LongType for a DoubleType input
   private[ext] def quantSimSql(e: String): String =
-    s"floor(($e) * 1e9 + 0.5)"
+    s"CASE WHEN isnan($e) THEN 9223372036854775807 " +
+      s"ELSE CAST(floor(($e) * 1e9 + 0.5) AS BIGINT) END"
 
   /** Per-row centroid scores as `struct(quantSim(csim), -cell_id)`: struct
     * ordering makes `array_max` (and a descending sort) pick the highest

@@ -110,19 +110,19 @@ class PlanSpec extends AnyFunSuite {
     assert(inCodegen, s"json extraction not inside WholeStageCodegen:\n$p")
   }
 
+  /** One shared scan in the whole plan, none inline in any Filter — the
+    * single-parse contract (counting convention shared with the probes via
+    * [[graft.compile.FusedPlanStats]]). */
+  private def assertSingleSharedScan(name: String): Unit = {
+    val opt = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+    assert(graft.compile.FusedPlanStats.totalFused(opt) == 1,
+      s"$name: expected one shared scan:\n$opt")
+    assert(graft.compile.FusedPlanStats.filterFused(opt) == 0,
+      s"$name: filter still evaluates its own scan:\n$opt")
+  }
+
   test("jmes_pipeline: filter gate and both outputs share ONE scan below the Filter") {
-    val df = SparkEntry.queries("jmes_pipeline")(spark, sfDir)
-    val fused = df.queryExecution.optimizedPlan.collect { case p =>
-      p.expressions.flatMap(_.collect { case j: graft.compile.JsonFusedEval => j })
-    }.flatten
-    assert(fused.length == 1,
-      s"expected one shared scan, got ${fused.length}:\n${df.queryExecution.optimizedPlan}")
-    val filters = df.queryExecution.optimizedPlan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }
-    assert(filters.nonEmpty &&
-      filters.forall(_.collect { case j: graft.compile.JsonFusedEval => j }.isEmpty),
-      s"filter still evaluates its own scan:\n${df.queryExecution.optimizedPlan}")
+    assertSingleSharedScan("jmes_pipeline")
   }
 
   test("jmes_wide: constructed doc + gate + extraction share ONE scan below the Filter") {
@@ -130,18 +130,7 @@ class PlanSpec extends AnyFunSuite {
     // (concat of table columns), the gate was pushed below the doc-defining
     // Project by Catalyst, and extraction sits above — one fused scan and
     // one doc construction per row must survive to the optimized plan
-    val df = SparkEntry.queries("jmes_wide")(spark, sfDir)
-    val fused = df.queryExecution.optimizedPlan.collect { case p =>
-      p.expressions.flatMap(_.collect { case j: graft.compile.JsonFusedEval => j })
-    }.flatten
-    assert(fused.length == 1,
-      s"expected one shared scan, got ${fused.length}:\n${df.queryExecution.optimizedPlan}")
-    val filters = df.queryExecution.optimizedPlan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }
-    assert(filters.nonEmpty &&
-      filters.forall(_.collect { case j: graft.compile.JsonFusedEval => j }.isEmpty),
-      s"filter still evaluates its own scan:\n${df.queryExecution.optimizedPlan}")
+    assertSingleSharedScan("jmes_wide")
   }
 
   test("optimizer reaches a true fixpoint on every fused shape (no pushdown ping-pong)") {

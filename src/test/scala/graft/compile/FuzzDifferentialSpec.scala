@@ -93,8 +93,10 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       .map { case (b, f, op, l) => s"$b[?$f $op $l]" },
     Gen.zip(pathGen, Gen.choose(-3, 3), Gen.choose(-3, 3))
       .map { case (b, x, y) => s"$b[$x:$y]" },
-    Gen.zip(pathGen, Gen.choose(-3, 3)).map { case (b, st) =>
-      s"$b[::${if (st == 0) 2 else st}]" })
+    // step 0 included deliberately: it parses but throws at eval time —
+    // the interpreter aborts the whole expression, and the lowering must
+    // refuse rather than return an empty projection
+    Gen.zip(pathGen, Gen.choose(-3, 3)).map { case (b, st) => s"$b[::$st]" })
 
   private val msGen: Gen[String] = Gen.oneOf(
     Gen.zip(pathGen, pathGen).map { case (a, b) => s"[$a, $b]" },

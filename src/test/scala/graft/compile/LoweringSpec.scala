@@ -183,6 +183,11 @@ class LoweringSpec extends AnyFunSuite {
       "!(length(missing) == `2`) && name", "length(missing) > `0` || n",
       // right-arm / And positions stay lowerable (collapse == abort there)
       "n || length(missing)", "length(missing) && n",
+      // step-0 slices: the OTHER runtime error source (parses, throws at
+      // eval) — direct use aborts via the hybrid's residual interpretation;
+      // Not/Or-left composition must refuse like erroring calls
+      "tags[::0]", "!(tags[::0])", "tags[::0] || name", "name || tags[::0]",
+      "tags[::0] && name",
       "abs(`-3`)", "ceil(`1.2`)", "floor(to_number(n))",
       // the rest of the §2.3 library over lowered args
       "join(', ', tags)", "keys(o)", "values(o)", "reverse(tags)", "reverse(name)",
@@ -240,6 +245,10 @@ class LoweringSpec extends AnyFunSuite {
     // … while Or-right / And positions (where collapse == abort) still lower
     assert(Lowering.lowersTruthy("n || length(missing)"))
     assert(Lowering.lowersTruthy("length(missing) && n"))
+    // step-0 slices are error-capable too: refused under Not, and the
+    // native slice arms never emit a silently-empty projection for them
+    assert(!Lowering.lowersTruthy("!(tags[::0])"))
+    assert(!Lowering.lowersValue("!(tags[::0])"))
   }
 
   test("scan fusion: fused NullSafe trees agree with the interpreter; fusion fires") {
