@@ -101,7 +101,16 @@ object GraftExtensions {
 
   /** Imperative registration on a live session: temp functions plus the
     * lowering/fusion optimizer rules (the post-creation twin of the
-    * `spark.sql.extensions` injection). */
+    * `spark.sql.extensions` injection).
+    *
+    * Placement caveat: a live session's optimizer is frozen, so the rules
+    * land in the trailing "User Provided Optimizers" batch here instead of
+    * the preCBO batch the conf-based injection uses. Both run after
+    * predicate pushdown has settled and both converge (nothing re-runs
+    * pushdown after either), but plan-shape GATES must use the conf path —
+    * build test sessions like [[graft.ProdSession]]
+    * (`Builder.withExtensions(new GraftExtensions()(_))`) rather than this
+    * method. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graft.bridge.registerFunctions(spark, all)
     spark.experimental.extraOptimizations =

@@ -27,16 +27,32 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // ×REP documents: unique ids per replica, and a replica token spliced
-    // between EVERY word pair (regexp: ' ' → ' r<k> '), so every 3-shingle
-    // contains the replica token — zero cross-replica shingles, while
-    // within-replica near-dup structure mirrors the 1× corpus (shared
-    // shingles now track shared word BIGRAMS). Total output pairs ≈ REP ×
-    // the 1× pairs — the linear-growth control the probe needs (a verbatim
-    // replica corpus would square every duplicate group instead).
+    // ×REP documents, two constructions:
+    //
+    //  - LINEAR control (docsN): every WORD gets a per-replica suffix
+    //    ("fox" → "fox_r5"), so each replica's shingle set is a disjoint
+    //    isomorphic copy of the 1× corpus — distinct shingles, document
+    //    frequencies, prefix sizes, and output pairs all scale exactly
+    //    REP×. This is the honest growth-exponent corpus (a verbatim
+    //    replica corpus would square every duplicate group instead).
+    //
+    //  - SKEW stress (docsSkew): a replica token spliced between every
+    //    word pair ("a b" → "a r5 b"). Measured at sf0.1 (JacScaleDiag):
+    //    this COLLAPSES the shingle space to ~960 distinct shingles per
+    //    5000-doc replica (median df 285, max 3849), so the PPJoin
+    //    candidate volume Σ_h prefixCnt(h)² inflates ~490× for 10× rows —
+    //    the degenerate-corpus regime where prefix filtering cannot prune
+    //    (every doc really does share shingles with most others). No exact
+    //    prefix-filter algorithm is linear there; the probe keeps it as a
+    //    labeled stress case to show banded MinHash-LSH stays linear on
+    //    the SAME corpus (signatures collapse, buckets stay bounded).
     val docs1 = SparkEntry.table(spark, sfDir, "documents").select("doc_id", "text")
     val reps = spark.range(rep).select(col("id").as("r"))
     val docsN = docs1.crossJoin(broadcast(reps))
+      .select((col("doc_id") + col("r") * 1000000L).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1_r"), col("r")))
+          .as("text"))
+    val docsSkew = docs1.crossJoin(broadcast(reps))
       .select((col("doc_id") + col("r") * 1000000L).as("doc_id"),
         regexp_replace(col("text"), lit(" "), concat(lit(" r"), col("r"), lit(" ")))
           .as("text"))
@@ -60,9 +76,9 @@ object ScaleProbe {
     }
 
     // materialize inputs once so generation cost isn't attributed to operators
-    val d1 = docs1.cache(); val dN = docsN.cache()
+    val d1 = docs1.cache(); val dN = docsN.cache(); val dSkew = docsSkew.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
-    d1.count(); dN.count(); e1.count(); eN.count()
+    d1.count(); dN.count(); dSkew.count(); e1.count(); eN.count()
 
     val queries1 = e1.where(col("vec_id") < 10)
     val queriesN = eN.where(col("vec_id") < 10) // same 10 queries, REP× corpus
@@ -80,6 +96,12 @@ object ScaleProbe {
     val results = Seq(
       time(s"jaccard_1x") { ext.Dedup.jaccardPairs(d1).count() },
       time(s"jaccard_${rep}x") { ext.Dedup.jaccardPairs(dN).count() },
+      // degenerate-corpus stress pair: exact PPJoin vs banded MinHash on
+      // the collapsed-shingle-space corpus (see docsSkew comment)
+      time(s"jaccard_skew_1x") { ext.Dedup.jaccardPairs(d1).count() },
+      time(s"jaccard_skew_${rep}x") { ext.Dedup.jaccardPairs(dSkew).count() },
+      time(s"minhash_skew_1x") { ext.Dedup.minhashLsh(d1).count() },
+      time(s"minhash_skew_${rep}x") { ext.Dedup.minhashLsh(dSkew).count() },
       time(s"minhash_1x") { ext.Dedup.minhashLsh(d1).count() },
       time(s"minhash_${rep}x") { ext.Dedup.minhashLsh(dN).count() },
       time(s"ann_ivf_1x") {

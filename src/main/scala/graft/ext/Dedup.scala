@@ -176,6 +176,40 @@ object Dedup {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= tau)
 
+  /** Pre-flight cost estimate for [[jaccardPairs]] — the check a 100 TB
+    * pipeline runs BEFORE launching the O(candidate-volume) join. One
+    * aggregation pass (shingle + df + prefix, the same first stages the
+    * real query runs) yields one row:
+    *
+    *  - `n_docs`, `distinct_shingles`, `max_df`: corpus shape. A healthy
+    *    text corpus has distinct_shingles ≫ n_docs; a COLLAPSED shingle
+    *    space (distinct_shingles ≲ n_docs, large max_df) is the degenerate
+    *    regime where prefix filtering cannot prune — every document really
+    *    does share shingles with most others, and candidate volume grows
+    *    ~quadratically in corpus size no matter the algorithm. Measured on
+    *    a deliberately-degenerate 10× corpus (ScaleProbe's skew variant):
+    *    ~960 distinct shingles per 5000 docs → 490× the candidate volume
+    *    of the healthy corpus at 10× the rows.
+    *  - `prefix_rows`: the join input size.
+    *  - `candidate_volume` = Σ_h prefixCnt(h)² — an upper bound on the
+    *    pairs the equi-join enumerates (before length/positional filters).
+    *
+    * Operating rule: if candidate_volume is beyond the cluster's budget,
+    * switch to [[minhashLsh]] (banded signatures keep bucket volume
+    * bounded even on degenerate corpora) or raise τ (shorter prefixes). */
+  def jaccardPreflight(df: DataFrame, k: Int = 3, tau: Double = 0.5): DataFrame = {
+    val d = shingled(df, k)
+    val inv = invRows(d)
+    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = prefixRows(inv.join(dfreq, "h"), tau)
+    val pstats = prefix.groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("candidate_volume"),
+        sum(col("c")).as("prefix_rows"))
+    val shape = dfreq.agg(count(lit(1)).as("distinct_shingles"),
+      max(col("df")).as("max_df"))
+    d.agg(count(lit(1)).as("n_docs")).crossJoin(shape).crossJoin(pstats)
+  }
+
   /** Frozen corpus-snapshot index for INCREMENTAL dedup: the three
     * deterministic DataFrames a pipeline persists once per corpus snapshot
     * (all are pure functions of the corpus, so they round-trip through

@@ -59,6 +59,31 @@ class TuningSpec extends AnyFunSuite {
     assert(Tuning.suggestSignLshBits(Long.MaxValue, 1) == 48) // ceiling clamp
   }
 
+  test("jaccard preflight separates a healthy corpus from a collapsed shingle space") {
+    val spark: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    // healthy: diverse vocabulary — shingles mostly unique to a doc pair
+    val healthy = (0 until 60).map(i =>
+      (i.toLong, (0 until 12).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    // degenerate: every doc drawn from a 6-word pool — shingle space collapses
+    val degen = (0 until 60).map(i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i + j) % 6}").mkString(" "))).toDF("doc_id", "text")
+    def row(df: org.apache.spark.sql.DataFrame) = Dedup.jaccardPreflight(df).head()
+    val h = row(healthy); val g = row(degen)
+    val hVol = h.getAs[Long]("candidate_volume")
+    val gVol = g.getAs[Long]("candidate_volume")
+    // same doc count, same text lengths — but the collapsed space must show
+    // an order-of-magnitude candidate-volume blowup and a hot max_df
+    assert(h.getAs[Long]("n_docs") == 60 && g.getAs[Long]("n_docs") == 60)
+    assert(h.getAs[Long]("distinct_shingles") > g.getAs[Long]("distinct_shingles") * 10)
+    assert(gVol > hVol * 10, s"degenerate volume $gVol vs healthy $hVol")
+    assert(g.getAs[Long]("max_df") > h.getAs[Long]("max_df") * 5)
+  }
+
   test("suggested bands preserve recall on the real corpus at the gate tau") {
     lazy val spark: SparkSession = SparkSession.builder()
       .master("local[4]")
