@@ -254,6 +254,107 @@ object Dedup {
     verifyPairs(cand, index.arrays.unionByName(dNew), tau)
   }
 
+  /** Persist a [[JaccardIndex]] (three parquet dirs under `dir`). */
+  def saveJaccardIndex(idx: JaccardIndex, dir: String): Unit = {
+    idx.prefix.write.mode("overwrite").parquet(s"$dir/prefix")
+    idx.arrays.write.mode("overwrite").parquet(s"$dir/arrays")
+    idx.dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+  }
+
+  /** Load a [[JaccardIndex]] persisted by [[saveJaccardIndex]] /
+    * [[absorbIntoIndex]]. */
+  def loadJaccardIndex(spark: SparkSession, dir: String): JaccardIndex =
+    JaccardIndex(
+      spark.read.parquet(s"$dir/prefix"),
+      spark.read.parquet(s"$dir/arrays"),
+      spark.read.parquet(s"$dir/dfreq"))
+
+  /** Grow a persisted index with `newDocs` under the index's FROZEN
+    * (df, h, s) total order (unseen shingles keep df = 0, seen ones the
+    * snapshot df — the same order [[jaccardPairsIncremental]] probes with).
+    * The PPJoin lemma needs only an order every side agrees on, so probes
+    * against the grown index stay EXACT; only prefix selectivity drifts as
+    * true frequencies move (efficiency, not correctness — re-snapshot with
+    * [[buildJaccardIndex]] when drift accumulates). Idempotent: doc_ids
+    * already absorbed are skipped, so a replayed batch (foreachBatch
+    * re-delivery) cannot duplicate index rows. */
+  def absorbIntoIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
+                      k: Int = 3, tau: Double = 0.5): Unit = {
+    val existing = spark.read.parquet(s"$dir/arrays").select("doc_id")
+    val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
+    val d = shingled(fresh, k)
+    val withDf = invRows(d)
+      .join(spark.read.parquet(s"$dir/dfreq"), Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+    // materialize BEFORE appending: both plans read the dirs being grown
+    val pref = prefixRows(withDf, tau).cache()
+    val arrays = d.cache()
+    pref.count(); arrays.count()
+    try {
+      pref.write.mode("append").parquet(s"$dir/prefix")
+      arrays.write.mode("append").parquet(s"$dir/arrays")
+    } finally { pref.unpersist(); arrays.unpersist() }
+  }
+
+  /** One micro-batch of streaming near-dup filtering against a persisted
+    * index: reject batch documents that near-duplicate (J ≥ tau) the
+    * absorbed corpus, collapse the remainder to one representative per
+    * within-batch near-dup component (min doc_id — the same policy as
+    * [[graft.ext.Curation.curate]]), absorb the SURVIVORS, and return
+    * them. Batch doc_ids must be disjoint from the corpus. Deterministic
+    * and replay-safe: a re-delivered batch recomputes the same survivors
+    * (docs already absorbed pair only with ids ≠ their own, and absorption
+    * skips already-present ids). */
+  def dedupBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
+                 k: Int = 3, tau: Double = 0.5): DataFrame = {
+    val idx = loadJaccardIndex(spark, indexDir)
+    val batchIds = batch.select(col("doc_id")).cache()
+    val pairs = jaccardPairsIncremental(idx, batch, k, tau)
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    pairs.count()
+    // corpus-paired batch docs: pairs with exactly one side in the batch
+    val corpusRejected = pairs
+      .join(batchIds.withColumnRenamed("doc_id", "id_a").withColumn("a_in", lit(true)),
+        Seq("id_a"), "left")
+      .join(batchIds.withColumnRenamed("doc_id", "id_b").withColumn("b_in", lit(true)),
+        Seq("id_b"), "left")
+      .withColumn("a_in", coalesce(col("a_in"), lit(false)))
+      .withColumn("b_in", coalesce(col("b_in"), lit(false)))
+      .cache()
+    val rejectedByCorpus = corpusRejected.where(col("a_in") =!= col("b_in"))
+      .select(when(col("a_in"), col("id_a")).otherwise(col("id_b")).as("doc_id"))
+      .distinct()
+    // within-batch pairs among docs NOT corpus-rejected → component reps
+    val withinPairs = corpusRejected.where(col("a_in") && col("b_in"))
+      .select("id_a", "id_b")
+      .join(rejectedByCorpus.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
+      .join(rejectedByCorpus.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti")
+    val nonRep = clusters(withinPairs)
+      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val survivors = batch
+      .join(rejectedByCorpus, Seq("doc_id"), "left_anti")
+      .join(nonRep, Seq("doc_id"), "left_anti")
+      .cache()
+    survivors.count() // materialize before the index grows
+    absorbIntoIndex(spark, indexDir, survivors, k, tau)
+    batchIds.unpersist(); pairs.unpersist(); corpusRejected.unpersist()
+    survivors
+  }
+
+  /** Streaming near-dup filter: wires [[dedupBatch]] into `foreachBatch` —
+    * each micro-batch is probed against everything accepted so far (seed
+    * corpus + earlier batches), survivors go to `sink` and are absorbed.
+    * Seed the index once with `saveJaccardIndex(buildJaccardIndex(seed))`
+    * (an empty seed DataFrame works). The caller sets trigger/checkpoint
+    * options on the returned writer and starts it. */
+  def dedupStream(docs: DataFrame, indexDir: String, k: Int = 3,
+                  tau: Double = 0.5)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(dedupBatch(batch.sparkSession, indexDir, batch, k, tau))
+    }
+
   /** MinHash-LSH near-dup pairs: `numHashes` signature, `bands` bands of
     * `numHashes/bands` rows; candidates from per-band bucket equality;
     * final exact-Jaccard filter at tau (output ⊆ exact pairs; LSH only

@@ -127,6 +127,89 @@ class ExtSpec extends AnyFunSuite {
     assert(pairSet(Dedup.jaccardPairsIncremental(reloaded, incoming, k = 3, tau = 0.5)) == full)
   }
 
+  test("streaming dedup: two batches probe + absorb against a persisted index") {
+    val dir = java.nio.file.Files.createTempDirectory("streamdedup").toString + "/idx"
+    val corpus = docs.where(col("doc_id") % 10 >= 2)      // seed
+    val batch1 = docs.where(col("doc_id") % 10 === 0)
+    val batch2 = docs.where(col("doc_id") % 10 === 1)
+    Dedup.saveJaccardIndex(Dedup.buildJaccardIndex(corpus), dir)
+
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // reference policy, from the full exact pair set: a batch doc is
+    // rejected if it pairs with the accepted set; remaining batch docs
+    // collapse to one representative per within-batch component
+    def expected(batch: Set[Long], accepted: Set[Long],
+                 allPairs: Set[(Long, Long)]): Set[Long] = {
+      val rejected = batch.filter(b => allPairs.exists { case (x, y) =>
+        (x == b && accepted(y)) || (y == b && accepted(x)) })
+      val remaining = batch -- rejected
+      // connected components of within-batch pairs over `remaining`
+      var comp = remaining.map(d => d -> d).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        for ((x, y) <- allPairs if remaining(x) && remaining(y)) {
+          val m = math.min(comp(x), comp(y))
+          if (comp(x) != m) { comp += x -> m; changed = true }
+          if (comp(y) != m) { comp += y -> m; changed = true }
+        }
+      }
+      remaining.filter(d => comp(d) == d)
+    }
+
+    val all = pairSet(Dedup.jaccardPairs(docs, k = 3, tau = 0.5))
+    val corpusIds = ids(corpus)
+
+    val s1 = ids(Dedup.dedupBatch(spark, dir, batch1))
+    val e1 = expected(ids(batch1), corpusIds, all)
+    assert(s1 == e1, s"batch1 survivors $s1 vs expected $e1")
+
+    // replay safety (foreachBatch re-delivery happens BEFORE the next
+    // batch): immediate re-run reproduces the survivors and does not
+    // duplicate index rows
+    val before = spark.read.parquet(s"$dir/arrays").count()
+    val s1Again = ids(Dedup.dedupBatch(spark, dir, batch1))
+    assert(s1Again == s1, s"replay diverged: $s1Again vs $s1")
+    assert(spark.read.parquet(s"$dir/arrays").count() == before,
+      "replay duplicated index rows")
+
+    // batch 2 probes corpus + batch-1 SURVIVORS (already absorbed)
+    val s2 = ids(Dedup.dedupBatch(spark, dir, batch2))
+    val e2 = expected(ids(batch2), corpusIds ++ e1, all)
+    assert(s2 == e2, s"batch2 survivors $s2 vs expected $e2")
+    assert((s1 ++ s2).nonEmpty && (ids(batch1) -- s1).nonEmpty,
+      "fixture must both accept and reject documents or the test is vacuous")
+  }
+
+  test("dedupStream wires the batch step into foreachBatch end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("streamwrap").toString + "/idx"
+    val corpus = docs.where(col("doc_id") % 10 >= 2)
+    Dedup.saveJaccardIndex(Dedup.buildJaccardIndex(corpus), dir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val rows = docs.where(col("doc_id") % 10 < 2)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    in.addData(rows.toSeq)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = Dedup.dedupStream(in.toDF().toDF("doc_id", "text"), dir) { survivors =>
+      out ++= survivors.select("doc_id").collect().map(_.getLong(0))
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // same survivors as the batch-step reference on the same split
+    assert(out.nonEmpty && out.size < rows.length,
+      s"stream must both accept and reject (accepted ${out.size} of ${rows.length})")
+    val absorbed = spark.read.parquet(s"$dir/arrays").count()
+    assert(absorbed == corpus.count() + out.size,
+      "index must contain exactly the seed plus the survivors")
+  }
+
   test("sign-LSH ANN: deterministic buckets, recall@5 vs exact brute force") {
     val queries = emb.where(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) =
