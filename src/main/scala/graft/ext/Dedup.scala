@@ -455,8 +455,10 @@ object Dedup {
 
   def embeddingPairs(df: DataFrame, tau: Double,
                      nCells: Int = GateEmbedCells,
-                     nAssign: Int = GateEmbedAssign): DataFrame = {
-    val cents = Similarity.centroidLit(df, nCells)
+                     nAssign: Int = GateEmbedAssign,
+                     centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    val cents = centroids.map(cs => typedLit(cs))
+      .getOrElse(Similarity.centroidLit(df, nCells))
     val cells = df.select(col("vec_id"),
       explode(Similarity.nearestCells(col("embedding"), cents, nAssign)).as("cell_id"))
     val cand = cells.as("x").join(cells.as("y"),
@@ -466,6 +468,72 @@ object Dedup {
     cand
       .join(df.as("a"), col("id_a") === col("a.vec_id"))
       .join(df.as("b"), col("id_b") === col("b.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        vectors.cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
+      .where(col("sim") >= tau)
+  }
+
+  /** Frozen corpus-snapshot index for INCREMENTAL embedding dedup — the
+    * vector-modality twin of [[JaccardIndex]]: the per-vector cell
+    * assignments (the blocking state), the vectors themselves (for exact
+    * verification), and the frozen centroids. All deterministic functions
+    * of the corpus, so the index round-trips parquet. */
+  case class EmbeddingIndex(cells: DataFrame, vecs: DataFrame,
+                            centroids: Seq[(Long, Seq[Float])])
+
+  def buildEmbeddingIndex(corpus: DataFrame,
+                          nCells: Int = GateEmbedCells,
+                          nAssign: Int = GateEmbedAssign,
+                          centroids: Option[Seq[(Long, Seq[Float])]] = None)
+      : EmbeddingIndex = {
+    val cs = centroids.getOrElse(
+      corpus.orderBy("vec_id").limit(nCells)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+    val cells = corpus.select(col("vec_id"),
+      explode(Similarity.nearestCells(col("embedding"), typedLit(cs), nAssign))
+        .as("cell_id"))
+    EmbeddingIndex(cells, corpus.select("vec_id", "embedding"), cs)
+  }
+
+  def saveEmbeddingIndex(idx: EmbeddingIndex, dir: String): Unit = {
+    idx.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    idx.vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+    Similarity.saveCentroids(idx.vecs.sparkSession, idx.centroids, s"$dir/centroids")
+  }
+
+  def loadEmbeddingIndex(spark: SparkSession, dir: String): EmbeddingIndex =
+    EmbeddingIndex(
+      spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/vecs"),
+      Similarity.loadCentroids(spark, s"$dir/centroids"))
+
+  /** Incremental embedding near-dup pairs: all (a, b) with cosine ≥ tau
+    * where at least one side is from `incoming`, WITHOUT re-pairing the
+    * corpus with itself. Incoming vectors are assigned with the index's
+    * FROZEN centroids (both sides agree on the blocking), so the result
+    * equals `embeddingPairs(corpus ∪ incoming, centroids = frozen)`
+    * restricted to pairs touching `incoming` (asserted in ExtSpec) —
+    * verification is exact; the frozen blocking governs recall exactly as
+    * in the full run. Vec ids must be disjoint from the corpus. */
+  def embeddingPairsIncremental(index: EmbeddingIndex, incoming: DataFrame,
+                                tau: Double,
+                                nAssign: Int = GateEmbedAssign): DataFrame = {
+    val cents = typedLit(index.centroids)
+    val newCells = incoming.select(col("vec_id"),
+        explode(Similarity.nearestCells(col("embedding"), cents, nAssign))
+          .as("cell_id"))
+      .withColumn("is_new", lit(true))
+    val all = index.cells.withColumn("is_new", lit(false)).unionByName(newCells)
+    val cand = all.as("x").join(all.as("y"),
+        col("x.cell_id") === col("y.cell_id") && col("x.vec_id") < col("y.vec_id") &&
+          (col("x.is_new") || col("y.is_new")))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val vecs = index.vecs.unionByName(incoming.select("vec_id", "embedding"))
+    cand
+      .join(vecs.as("a"), col("id_a") === col("a.vec_id"))
+      .join(vecs.as("b"), col("id_b") === col("b.vec_id"))
       .select(col("id_a"), col("id_b"),
         vectors.cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
       .where(col("sim") >= tau)
@@ -500,6 +568,15 @@ object Dedup {
     "dedup_embedding_pairs" -> ((s, dir) =>
       embeddingPairs(SparkEntry.table(s, dir, "embeddings"), tau = GateEmbedTau,
         nCells = GateEmbedCells, nAssign = GateEmbedAssign)),
+    // incremental embedding dedup: every 10th vector plays the incoming
+    // batch, the rest the frozen corpus snapshot (centroids frozen at the
+    // corpus — mirrored exactly by the SQL oracle)
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      val idx = buildEmbeddingIndex(emb.where(col("vec_id") % 10 =!= 0))
+      embeddingPairsIncremental(idx, emb.where(col("vec_id") % 10 === 0),
+        tau = GateEmbedTau)
+    }),
     "dedup_clusters" -> ((s, dir) =>
       clusters(jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5))),
   )
@@ -591,6 +668,31 @@ object Dedup {
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
         |  FROM cells x JOIN cells y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
+        |SELECT c.id_a, c.id_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
+        |FROM cand c
+        |JOIN embeddings a ON c.id_a = a.vec_id
+        |JOIN embeddings b ON c.id_b = b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $GateEmbedTau""".stripMargin,
+    // incremental twin: centroids frozen at the CORPUS snapshot (vec_id %
+    // 10 <> 0), every vector assigned with those frozen cells, candidates
+    // restricted to pairs touching the incoming batch (% 10 = 0) — the
+    // exact algorithm mirror of embeddingPairsIncremental
+    "dedup_embedding_incremental" ->
+      s"""WITH cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
+        |  FROM embeddings WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT $GateEmbedCells),
+        |asg AS (
+        |  SELECT e.vec_id, c.cell_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${Similarity.quantSimSql(s"list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent)")} DESC,
+        |      c.cell_id) AS rn
+        |  FROM embeddings e, cents c),
+        |cells AS (SELECT vec_id, cell_id FROM asg WHERE rn <= $GateEmbedAssign),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM cells x JOIN cells y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+        |  WHERE x.vec_id % 10 = 0 OR y.vec_id % 10 = 0)
         |SELECT c.id_a, c.id_b,
         |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim
         |FROM cand c

@@ -355,6 +355,29 @@ class ExtSpec extends AnyFunSuite {
     assert(rTrained == 1.0, s"pure trained cells should give perfect recall, got $rTrained")
   }
 
+  test("incremental embedding pairs == full pairs (frozen centroids) restricted to batch") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val corpus = emb.where(col("vec_id") % 10 =!= 0)
+    val incoming = emb.where(col("vec_id") % 10 === 0)
+    val idx = Dedup.buildEmbeddingIndex(corpus)
+    // full run over the union with the SAME frozen centroids — identical
+    // blocking, so restriction to batch-touching pairs must be an equality
+    val full = pairSet(Dedup.embeddingPairs(emb, tau = 0.4,
+        centroids = Some(idx.centroids)))
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    val inc = pairSet(Dedup.embeddingPairsIncremental(idx, incoming, tau = 0.4))
+    assert(inc == full, s"incremental ${inc.size} vs full-restricted ${full.size}")
+    assert(full.nonEmpty, "fixture split produced no cross-batch pairs — vacuous")
+    // persist-once contract: the index round-trips parquet
+    val dir = java.nio.file.Files.createTempDirectory("embidx").toString + "/idx"
+    Dedup.saveEmbeddingIndex(idx, dir)
+    val reloaded = Dedup.loadEmbeddingIndex(spark, dir)
+    assert(reloaded.centroids == idx.centroids)
+    assert(pairSet(Dedup.embeddingPairsIncremental(reloaded, incoming, tau = 0.4)) == full)
+  }
+
   test("embedding near-dup blocking: exact precision, measured recall vs all-pairs") {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
