@@ -56,6 +56,11 @@ object ScaleProbe {
       .select((col("doc_id") + col("r") * 1000000L).as("doc_id"),
         regexp_replace(col("text"), lit(" "), concat(lit(" r"), col("r"), lit(" ")))
           .as("text"))
+    // the 1× SKEW baseline: a single spliced replica (the same collapsed
+    // shingle distribution as one slice of docsSkew) — the healthy docs1
+    // would conflate shingle-space collapse with row growth
+    val docsSkew1 = docs1.select(col("doc_id"),
+      regexp_replace(col("text"), lit(" "), lit(" r0 ")).as("text"))
 
     val emb1 = SparkEntry.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
     // ×REP embeddings: tiny deterministic per-replica rotation-ish perturb
@@ -76,9 +81,10 @@ object ScaleProbe {
     }
 
     // materialize inputs once so generation cost isn't attributed to operators
-    val d1 = docs1.cache(); val dN = docsN.cache(); val dSkew = docsSkew.cache()
+    val d1 = docs1.cache(); val dN = docsN.cache()
+    val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
-    d1.count(); dN.count(); dSkew.count(); e1.count(); eN.count()
+    d1.count(); dN.count(); dSkew.count(); dSkew1.count(); e1.count(); eN.count()
 
     val queries1 = e1.where(col("vec_id") < 10)
     val queriesN = eN.where(col("vec_id") < 10) // same 10 queries, REP× corpus
@@ -97,10 +103,11 @@ object ScaleProbe {
       time(s"jaccard_1x") { ext.Dedup.jaccardPairs(d1).count() },
       time(s"jaccard_${rep}x") { ext.Dedup.jaccardPairs(dN).count() },
       // degenerate-corpus stress pair: exact PPJoin vs banded MinHash on
-      // the collapsed-shingle-space corpus (see docsSkew comment)
-      time(s"jaccard_skew_1x") { ext.Dedup.jaccardPairs(d1).count() },
+      // the collapsed-shingle-space corpus, 1-replica splice as the
+      // like-for-like baseline (see docsSkew comment)
+      time(s"jaccard_skew_1x") { ext.Dedup.jaccardPairs(dSkew1).count() },
       time(s"jaccard_skew_${rep}x") { ext.Dedup.jaccardPairs(dSkew).count() },
-      time(s"minhash_skew_1x") { ext.Dedup.minhashLsh(d1).count() },
+      time(s"minhash_skew_1x") { ext.Dedup.minhashLsh(dSkew1).count() },
       time(s"minhash_skew_${rep}x") { ext.Dedup.minhashLsh(dSkew).count() },
       time(s"minhash_1x") { ext.Dedup.minhashLsh(d1).count() },
       time(s"minhash_${rep}x") { ext.Dedup.minhashLsh(dN).count() },

@@ -202,11 +202,15 @@ object Dedup {
     val inv = invRows(d)
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
     val prefix = prefixRows(inv.join(dfreq, "h"), tau)
+    // coalesce: an EMPTY corpus must report zeros, not NULL aggregates (a
+    // scheduled pipeline legitimately pre-flights empty partitions)
     val pstats = prefix.groupBy("h").agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * col("c")).as("candidate_volume"),
-        sum(col("c")).as("prefix_rows"))
+      .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("candidate_volume"),
+        coalesce(sum(col("c")), lit(0L)).as("prefix_rows"))
     val shape = dfreq.agg(count(lit(1)).as("distinct_shingles"),
-      max(col("df")).as("max_df"))
+      coalesce(max(col("df")), lit(0L)).as("max_df"),
+      coalesce(expr("approx_percentile(df, 0.5)"), lit(0L)).as("df_p50"),
+      coalesce(expr("approx_percentile(df, 0.99)"), lit(0L)).as("df_p99"))
     d.agg(count(lit(1)).as("n_docs")).crossJoin(shape).crossJoin(pstats)
   }
 
@@ -280,20 +284,23 @@ object Dedup {
     * re-delivery) cannot duplicate index rows. */
   def absorbIntoIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
                       k: Int = 3, tau: Double = 0.5): Unit = {
-    val existing = spark.read.parquet(s"$dir/arrays").select("doc_id")
-    val fresh = newDocs.join(existing, Seq("doc_id"), "left_anti")
-    val d = shingled(fresh, k)
-    val withDf = invRows(d)
+    // idempotency is keyed PER COMPONENT: the two appends are not atomic,
+    // so a crash between them must leave a state a replay completes rather
+    // than duplicates (prefix committed + arrays missing, or vice versa,
+    // each repair independently on re-delivery)
+    def missingFrom(component: String): DataFrame =
+      newDocs.join(
+        spark.read.parquet(s"$dir/$component").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    val dPref = shingled(missingFrom("prefix"), k)
+    val withDf = invRows(dPref)
       .join(spark.read.parquet(s"$dir/dfreq"), Seq("h"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
-    // materialize BEFORE appending: both plans read the dirs being grown
-    val pref = prefixRows(withDf, tau).cache()
-    val arrays = d.cache()
-    pref.count(); arrays.count()
-    try {
-      pref.write.mode("append").parquet(s"$dir/prefix")
-      arrays.write.mode("append").parquet(s"$dir/arrays")
-    } finally { pref.unpersist(); arrays.unpersist() }
+    // materialize BEFORE appending: the plans read the dirs being grown
+    val pref = prefixRows(withDf, tau).localCheckpoint()
+    val arrays = shingled(missingFrom("arrays"), k).localCheckpoint()
+    pref.write.mode("append").parquet(s"$dir/prefix")
+    arrays.write.mode("append").parquet(s"$dir/arrays")
   }
 
   /** One micro-batch of streaming near-dup filtering against a persisted
@@ -308,8 +315,12 @@ object Dedup {
   def dedupBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
                  k: Int = 3, tau: Double = 0.5): DataFrame = {
     val idx = loadJaccardIndex(spark, indexDir)
-    val batchIds = batch.select(col("doc_id")).cache()
-    val pairs = jaccardPairsIncremental(idx, batch, k, tau)
+    // pin the micro-batch once: it feeds shingling, the survivors join,
+    // absorption, and the caller's sink — without this every action
+    // re-scans the streaming source (foreachBatch multi-action guidance)
+    val b = batch.localCheckpoint()
+    val batchIds = b.select(col("doc_id"))
+    val pairs = jaccardPairsIncremental(idx, b, k, tau)
       .select(col("id_a"), col("id_b"))
       .cache()
     pairs.count()
@@ -332,13 +343,16 @@ object Dedup {
       .join(rejectedByCorpus.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti")
     val nonRep = clusters(withinPairs)
       .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
-    val survivors = batch
+    // localCheckpoint (not cache): materialized eagerly before the index
+    // grows, lineage truncated, and reclaimed by the ContextCleaner when
+    // the caller drops the reference — a cache() here would leak one
+    // CacheManager entry per micro-batch of a long-running stream
+    val survivors = b
       .join(rejectedByCorpus, Seq("doc_id"), "left_anti")
       .join(nonRep, Seq("doc_id"), "left_anti")
-      .cache()
-    survivors.count() // materialize before the index grows
+      .localCheckpoint()
     absorbIntoIndex(spark, indexDir, survivors, k, tau)
-    batchIds.unpersist(); pairs.unpersist(); corpusRejected.unpersist()
+    pairs.unpersist(); corpusRejected.unpersist()
     survivors
   }
 
@@ -486,10 +500,7 @@ object Dedup {
                           nAssign: Int = GateEmbedAssign,
                           centroids: Option[Seq[(Long, Seq[Float])]] = None)
       : EmbeddingIndex = {
-    val cs = centroids.getOrElse(
-      corpus.orderBy("vec_id").limit(nCells)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq)
+    val cs = centroids.getOrElse(Similarity.centroidSeed(corpus, nCells))
     val cells = corpus.select(col("vec_id"),
       explode(Similarity.nearestCells(col("embedding"), typedLit(cs), nAssign))
         .as("cell_id"))

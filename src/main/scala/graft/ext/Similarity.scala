@@ -48,14 +48,20 @@ object Similarity {
     * NARROW expression over this literal: zero joins, zero shuffles, in
     * contrast to a crossJoin + groupBy argmax that would shuffle the full
     * table (embeddings included) before the probe join. */
-  private[ext] def centroidLit(emb: DataFrame, nCells: Int): Column = {
-    val rows = emb.orderBy("vec_id").limit(nCells)
+  /** The deterministic id-ordered centroid seed (first `nCells` vectors) —
+    * THE seeding rule, shared by [[centroidLit]], the `ann_ivf_trained`
+    * persistence gate, and [[graft.ext.Dedup.buildEmbeddingIndex]], so a
+    * change to it (e.g. a different tie-break) cannot desync the engine
+    * from its SQL oracles. */
+  private[ext] def centroidSeed(emb: DataFrame, nCells: Int): Seq[(Long, Seq[Float])] =
+    emb.orderBy("vec_id").limit(nCells)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .toSeq
-    typedLit(rows)
-  }
+
+  private[ext] def centroidLit(emb: DataFrame, nCells: Int): Column =
+    typedLit(centroidSeed(emb, nCells))
 
   /** Shared INTEGER quantization of a cosine similarity, identical by
     * construction in both dialects (round-7 verdict #5 / ADVICE r7 #2):
@@ -335,9 +341,7 @@ object Similarity {
     // SQL-mirrorable without summation-order flake risk).
     "ann_ivf_trained" -> ((s, dir) => {
       val emb = SparkEntry.table(s, dir, "embeddings")
-      val seed = emb.orderBy("vec_id").limit(GateIvfCells)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val seed = centroidSeed(emb, GateIvfCells)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cents_${math.abs(dir.hashCode.toLong)}"
       saveCentroids(s, seed, path)
       val loaded = loadCentroids(s, path)
