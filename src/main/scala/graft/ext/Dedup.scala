@@ -590,6 +590,17 @@ object Dedup {
     }),
     "dedup_clusters" -> ((s, dir) =>
       clusters(jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5))),
+    // one micro-batch of the streaming dedup pipeline: seed the index from
+    // the corpus snapshot, run the probe/reject/absorb step on the batch,
+    // emit the surviving doc ids (fresh temp index per run — deterministic)
+    "dedup_stream_batch" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("dedup_stream").toString + "/idx"
+      saveJaccardIndex(
+        buildJaccardIndex(docs.where(col("doc_id") % 10 =!= 0), k = 3, tau = 0.5), tmp)
+      dedupBatch(s, tmp, docs.where(col("doc_id") % 10 === 0), k = 3, tau = 0.5)
+        .select("doc_id")
+    }),
   )
 
   /** Where the committed dedup fixture parquet lives. Overridable via
@@ -685,6 +696,47 @@ object Dedup {
         |JOIN embeddings a ON c.id_a = a.vec_id
         |JOIN embeddings b ON c.id_b = b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $GateEmbedTau""".stripMargin,
+    // the streaming-dedup batch policy over the full exact pair set:
+    // reject batch docs paired with the corpus, then one representative
+    // (min id) per connected component of within-batch pairs among the
+    // remainder — the same recursive-CTE machinery as dedup_clusters
+    "dedup_stream_batch" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |co AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |p AS (SELECT id_a, id_b FROM co
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+        |crej AS (
+        |  SELECT DISTINCT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS doc_id
+        |  FROM p WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)),
+        |rem AS (SELECT doc_id FROM batch
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM crej)),
+        |wp AS (SELECT id_a, id_b FROM p
+        |       WHERE id_a IN (SELECT doc_id FROM rem)
+        |         AND id_b IN (SELECT doc_id FROM rem)),
+        |e AS (SELECT id_a AS a, id_b AS b FROM wp
+        |      UNION ALL SELECT id_b, id_a FROM wp),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |nonrep AS (
+        |  SELECT a AS doc_id FROM reach GROUP BY a
+        |  HAVING a <> least(a, min(b)))
+        |SELECT doc_id FROM rem
+        |WHERE doc_id NOT IN (SELECT doc_id FROM nonrep)""".stripMargin,
     // incremental twin: centroids frozen at the CORPUS snapshot (vec_id %
     // 10 <> 0), every vector assigned with those frozen cells, candidates
     // restricted to pairs touching the incoming batch (% 10 = 0) — the
