@@ -79,10 +79,13 @@ object Similarity {
   // is pinned to Long.MaxValue explicitly on BOTH sides: Spark's floor-cast
   // sends NaN to 0L while DuckDB's floor keeps NaN (ranked greatest), so
   // without the pin the two dialects would rank a NaN cosine differently —
-  // the round(x, 9) this replaced ranked NaN greatest on both.
+  // the round(x, 9) this replaced ranked NaN greatest on both. The pin is
+  // routed through nanvl (NaN → +Inf → floor → Long.MaxValue) so the
+  // cosine argument is evaluated exactly ONCE: a when(isnan(c), …, f(c))
+  // form references c twice and codegen does not hoist it — measured ~2×
+  // on annLsh's 32-cosines-per-row bucket expression.
   private[ext] def quantSim(c: Column): Column =
-    when(isnan(c), lit(Long.MaxValue))
-      .otherwise(floor(c * lit(1e9) + lit(0.5))) // LongType for a DoubleType input
+    floor(nanvl(c, lit(Double.PositiveInfinity)) * lit(1e9) + lit(0.5))
   private[ext] def quantSimSql(e: String): String =
     s"CASE WHEN isnan($e) THEN 9223372036854775807 " +
       s"ELSE CAST(floor(($e) * 1e9 + 0.5) AS BIGINT) END"

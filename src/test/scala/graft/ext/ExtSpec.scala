@@ -20,6 +20,19 @@ class ExtSpec extends AnyFunSuite {
   private def docs = SparkEntry.table(spark, dir, "documents")
   private def emb = SparkEntry.table(spark, dir, "embeddings")
 
+  test("quantSim: shared integer quantization, NaN pinned to Long.MaxValue") {
+    import spark.implicits._
+    val rows = Seq(0.5, -0.5, 0.0, 1e-17, -1e-17, Double.NaN).toDF("c")
+      .select(Similarity.quantSim(col("c")).as("q")).collect().map(_.getLong(0))
+    assert(rows(0) == 500000000L && rows(1) == -500000000L)
+    // HALF_UP at the scaled value: near-zero cosines collapse to the SAME
+    // integer on both signs (the LSH sign-bit guard)
+    assert(rows(2) == 0L && rows(3) == 0L && rows(4) == 0L)
+    // NaN → +Inf → floor → Long.MaxValue (ranked greatest, like DuckDB's
+    // CASE WHEN isnan mirror), with the cosine argument evaluated once
+    assert(rows(5) == Long.MaxValue)
+  }
+
   test("cosine_sim matches a reference double-precision fold") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
