@@ -52,6 +52,12 @@ object SparkEntry {
     "jmes_filter_interp", "jmes_multicol", "jmes_pipeline", "jmes_wide", "variant_field",
     "variant_multicol", "variant_wide", "cli_format_data",
     "text_stats", "top_terms", "dedup_exact", "dedup_jaccard_pairs",
+    // round-8 real workloads: banded LSH, incremental (index-probe) dedup
+    // for both modalities, IVF ANN. dedup_stream_batch stays bench-excluded:
+    // timing it mostly measures the one-off index build+save, not the
+    // steady-state per-batch cost dedup_incremental already represents.
+    "dedup_minhash_lsh", "dedup_incremental", "dedup_embedding_incremental",
+    "ann_ivf",
     "ann_topk", "ann_lsh", "windowed_agg")
 
   /** The interpreted-execution control group: these queries exist to cover

@@ -120,7 +120,10 @@ class FuzzDifferentialSpec extends AnyFunSuite {
   private val exprLeafForPipe = Seq("[0]", "keys(@)", "length(@)", "@", "[x, k]")
 
   private def forSamples[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
-    var seed = org.scalacheck.rng.Seed(20260813L)
+    // override for ad-hoc alternate-seed sweeps (env vars reach the forked
+    // test JVM): GRAFT_FUZZ_SEED=<n> GRAFT_FUZZ_SAMPLES=<n> sbt "testOnly ..."
+    var seed = org.scalacheck.rng.Seed(
+      sys.env.getOrElse("GRAFT_FUZZ_SEED", "20260813").toLong)
     var produced = 0
     var attempts = 0
     while (produced < n && attempts < n * 10) {
@@ -137,7 +140,8 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     var lowered = 0
     var pairs = 0
     val failures = scala.collection.mutable.ListBuffer[String]()
-    forSamples(Gen.zip(exprGen(2), Gen.listOfN(6, docGen)), 600) { case (e, docs) =>
+    forSamples(Gen.zip(exprGen(2), Gen.listOfN(6, docGen)),
+      sys.env.getOrElse("GRAFT_FUZZ_SAMPLES", "600").toInt) { case (e, docs) =>
       val ast = try Parser.parse(e) catch { case _: Exception => null }
       if (ast != null) {
         val tCol = Lowering.truthyNullSafe(docRef, ast)
