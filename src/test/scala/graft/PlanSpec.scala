@@ -77,6 +77,16 @@ class PlanSpec extends AnyFunSuite {
     assertNoCartesian("dedup_jaccard_pairs", p)
   }
 
+  test("dedup_minhash_lsh: banded bucket join, never all-pairs") {
+    val p = physical("dedup_minhash_lsh")
+    assertNoCartesian("dedup_minhash_lsh", p)
+  }
+
+  test("dedup_embedding_incremental: frozen-centroid cell join, never all-pairs") {
+    val p = physical("dedup_embedding_incremental")
+    assertNoCartesian("dedup_embedding_incremental", p)
+  }
+
   test("dedup_incremental: frozen-index probe stays an inverted-index join graph") {
     val p = physical("dedup_incremental")
     assertNoCartesian("dedup_incremental", p)
