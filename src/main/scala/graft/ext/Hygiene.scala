@@ -1,0 +1,223 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Corpus-hygiene & data-mixing operators for LLM-training-data pipelines:
+  * the filters that sit between raw crawl and tokenizer in a real pretraining
+  * pipeline, complementing [[TextAnalysis]] (quality scores) and [[Dedup]]
+  * (near-dup removal):
+  *
+  *  - '''repetition filters''' (Gopher-style, Rae et al. 2021 §A1.1):
+  *    duplicate-word fraction, modal-2-gram coverage, duplicate-3-gram
+  *    fraction — the "remove degenerate repetitive documents" gate;
+  *  - '''PII redaction''': regex detection + masking of emails / phone
+  *    numbers / IPv4 addresses;
+  *  - '''benchmark contamination''': n-gram overlap of the corpus against a
+  *    held-out evaluation set (the decontamination join every training run
+  *    needs);
+  *  - '''stratified sampling''': deterministic hash-based per-stratum
+  *    subsampling — the data-mixing knob (e.g. "downsample web to 30%, keep
+  *    books") — reproducible across runs and engines by construction.
+  *
+  * 100 TB shapes: repetition, PII, and sampling are narrow, shuffle-free
+  * per-document projections built from codegen'd higher-order functions
+  * (repetition's modal-count is O(distinct·n) per document — bounded by
+  * document length, never by corpus size). Contamination broadcasts the
+  * benchmark n-gram set (evaluation suites are MBs, corpora are TBs) so the
+  * corpus side stays a narrow explode + broadcast-hash-join; its one shuffle
+  * is the per-document hit count.
+  */
+object Hygiene {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Word k-grams of `text` as space-joined strings; empty array when the
+    * document is shorter than k (the `when` guard also keeps `sequence` from
+    * producing a descending range). */
+  private def ngrams(k: Int): Column =
+    when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021, §A1.1 —
+    * fractions of duplicated words / n-grams; degenerate machine-generated
+    * text is dominated by them):
+    *
+    *  - `dup_word_frac`   = 1 − distinct words / total words
+    *  - `top_2gram_frac`  = occurrences of the modal 2-gram / total 2-grams
+    *  - `dup_3gram_frac`  = 1 − distinct 3-grams / total 3-grams
+    *  - `keep`            = passes the configured thresholds
+    *
+    * All-narrow column math: the modal count is
+    * `array_max(count of each distinct 2-gram)` computed with nested
+    * higher-order functions — O(distinct·n) in document length, zero
+    * shuffles, so the operator scales with executor count alone. */
+  def repetitionStats(df: DataFrame, maxDupWordFrac: Double = 0.55,
+                      maxDup3GramFrac: Double = 0.01): DataFrame = {
+    val bi = ngrams(2)
+    val tri = ngrams(3)
+    df.select(
+        col("doc_id"),
+        (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+          .as("dup_word_frac"),
+        (array_max(transform(array_distinct(bi),
+            g => size(filter(bi, x => x === g)))).cast("double") / size(bi))
+          .as("top_2gram_frac"),
+        (lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
+          .as("dup_3gram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= maxDupWordFrac &&
+          col("dup_3gram_frac") <= maxDup3GramFrac)
+  }
+
+  /** RE2-compatible (and Java-regex-identical) PII patterns: no backrefs,
+    * no lookaround — the same string matches in Spark, DuckDB, and the Go
+    * regexp the reference ecosystem would use. */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhonePattern = """\+1-555-[0-9]{4}"""
+  val Ipv4Pattern = """\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  /** Detect + mask PII in `textCol`: per-row match counts (pre-redaction)
+    * and the masked text. Narrow, shuffle-free; redaction order (email →
+    * phone → IP) is fixed so masks cannot partially overlap a later
+    * pattern's match. */
+  def redactPii(df: DataFrame, textCol: Column): DataFrame = {
+    val emails = regexp_replace(textCol, EmailPattern, "<EMAIL>")
+    val phones = regexp_replace(emails, PhonePattern, "<PHONE>")
+    df.select(
+      col("doc_id"),
+      size(regexp_extract_all(textCol, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(textCol, lit(PhonePattern), lit(0))).as("n_phones"),
+      size(regexp_extract_all(textCol, lit(Ipv4Pattern), lit(0))).as("n_ips"),
+      regexp_replace(phones, Ipv4Pattern, "<IP>").as("redacted"))
+  }
+
+  /** The synthetic corpus contains no PII, so the driver gate exercises the
+    * operator on a deterministic augmentation: one email, one phone, one IP
+    * derived from `doc_id` appended to each document (the [[Multimodal]]
+    * derive-from-real-columns precedent). [[redactPii]] itself is generic
+    * over any text column. */
+  private[ext] def piiAugmented: Column = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@mail.example.com or call +1-555-"),
+    lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+    lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+    lit(".0."), pmod(col("doc_id") * 7, lit(256)).cast("string"))
+
+  /** Benchmark-contamination detector: for every corpus document, the number
+    * of distinct word-`k`-gram matches against the benchmark documents'
+    * `k`-gram set (only contaminated documents are returned). `k = 13` is
+    * the published decontamination choice (GPT-3, Brown et al. 2020 §C);
+    * the gate uses `k = 4` scaled to the synthetic corpus' ~60-word docs.
+    *
+    * Plan shape: the benchmark side (an evaluation suite — MBs, vs a TB
+    * corpus) is distinct-reduced then '''broadcast''', so the corpus side
+    * is a narrow explode + broadcast hash join; the only shuffle is the
+    * final per-document count aggregation. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, k: Int = 13): DataFrame = {
+    val grams = array_distinct(ngrams(k)).as("gr")
+    val bench = benchmark.select(explode(grams).as("g")).distinct()
+    corpus.select(col("doc_id"), explode(grams).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Deterministic stratified sampling for training-data mixing: keep a row
+    * iff `u(doc_id) < rates(stratum)`, where `u` maps the first 8 hex chars
+    * of sha256(doc_id) to [0,1). Strata absent from `rates` are dropped.
+    *
+    * Hash-based (not `df.sample`): the decision is a pure function of the
+    * row, so the sample is reproducible across runs, engines, partitionings,
+    * and retries — and consistent when a document is seen twice. Narrow and
+    * shuffle-free; at 100 TB this is a scan-time filter. */
+  def stratifiedSample(df: DataFrame, strataCol: Column,
+                       rates: Map[String, Double]): DataFrame = {
+    val u = conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0) // 16^8
+    val rate = coalesce(element_at(typedLit(rates), strataCol), lit(0.0))
+    df.where(u < rate)
+  }
+
+  /** The gate's mixing spec: favor English, downsample the rest. */
+  private[ext] val GateRates: Map[String, Double] =
+    Map("en" -> 0.9, "fr" -> 0.5, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.1)
+
+  val queries: Map[String, Q] = Map(
+    "repetition_stats" -> ((s, dir) =>
+      repetitionStats(SparkEntry.table(s, dir, "documents"))),
+    "pii_redact" -> ((s, dir) =>
+      redactPii(SparkEntry.table(s, dir, "documents"), piiAugmented)),
+    "contamination" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      contamination(docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), k = 4)
+    }),
+    "stratified_sample" -> ((s, dir) =>
+      stratifiedSample(SparkEntry.table(s, dir, "documents"), col("lang"), GateRates)
+        .select("doc_id", "lang", "source")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // mirrors repetitionStats: CASTs keep every division a double/int IEEE
+    // division (a bare `1.0` would make DuckDB compute in DECIMAL)
+    "repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1]) ELSE [] END AS bi,
+        |  CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS tri
+        | FROM t),
+        |s AS (SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+        |  CAST(list_max(list_transform(list_distinct(bi),
+        |    x -> len(list_filter(bi, y -> y = x)))) AS DOUBLE) / len(bi) AS top_2gram_frac,
+        |  1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri) AS dup_3gram_frac
+        | FROM g)
+        |SELECT doc_id, dup_word_frac, top_2gram_frac, dup_3gram_frac,
+        |  dup_word_frac <= 0.55 AND dup_3gram_frac <= 0.01 AS keep
+        |FROM s""".stripMargin,
+
+    "pii_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@mail.example.com or call +1-555-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |       || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS aug
+        | FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS n_phones,
+        |  len(regexp_extract_all(aug, '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM a""".stripMargin,
+
+    "contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 4 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-3),
+        |      i -> array_to_string(w[i:i+3], ' ')))
+        |  ELSE [] END AS gr FROM t),
+        |bench AS (SELECT DISTINCT unnest(gr) AS g FROM g WHERE doc_id % 50 = 0),
+        |corp AS (SELECT doc_id, unnest(gr) AS g FROM g WHERE doc_id % 50 != 0)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM corp JOIN bench USING (g)
+        |GROUP BY doc_id""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        / 4294967296.0
+        |  < CASE lang WHEN 'en' THEN 0.9 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.5
+        |              WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END""".stripMargin,
+  )
+}

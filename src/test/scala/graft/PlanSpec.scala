@@ -87,6 +87,33 @@ class PlanSpec extends AnyFunSuite {
     assertNoCartesian("dedup_embedding_incremental", p)
   }
 
+  test("hygiene narrow ops: repetition/PII/sampling are shuffle-free scan-time plans") {
+    for (name <- Seq("repetition_stats", "pii_redact", "stratified_sample")) {
+      val p = physical(name)
+      assert(shuffles(p) == 0, s"$name must be a narrow per-document plan:\n$p")
+      assert(count(p) { case _: BroadcastExchangeExec => } == 0)
+    }
+  }
+
+  test("contamination: benchmark side broadcast, one shuffle (the hit count)") {
+    val p = physical("contamination")
+    assertNoCartesian("contamination", p)
+    val bhj = p.collect { case j: joins.BroadcastHashJoinExec => j }
+    assert(bhj.size == 1,
+      s"benchmark n-gram join must broadcast the benchmark side:\n$p")
+    // the TB-scale corpus side must reach the join with no shuffle (the
+    // benchmark side may dedup-shuffle inside its broadcast subtree — MBs)
+    val streamed = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.right
+      case _ => bhj.head.left
+    }
+    assert(streamed.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"corpus side must not shuffle before the benchmark join:\n$p")
+    // above the join: exactly the per-doc count agg shuffle
+    assert(shuffles(p) - shuffles(bhj.head) == 1,
+      s"only the per-doc count agg may shuffle above the join:\n$p")
+  }
+
   test("dedup_incremental: frozen-index probe stays an inverted-index join graph") {
     val p = physical("dedup_incremental")
     assertNoCartesian("dedup_incremental", p)
