@@ -58,7 +58,10 @@ object SparkEntry {
     // steady-state per-batch cost dedup_incremental already represents.
     "dedup_minhash_lsh", "dedup_incremental", "dedup_embedding_incremental",
     "ann_ivf",
-    "ann_topk", "ann_lsh", "windowed_agg")
+    "ann_topk", "ann_lsh", "windowed_agg",
+    // corpus-hygiene workloads with real per-document compute (the PII and
+    // sampling ops are sub-scan-cost scan-time filters, not bench targets)
+    "repetition_stats", "contamination")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

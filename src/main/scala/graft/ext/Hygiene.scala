@@ -34,13 +34,21 @@ object Hygiene {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Word k-grams of `text` as space-joined strings; empty array when the
-    * document is shorter than k (the `when` guard also keeps `sequence` from
-    * producing a descending range). */
-  private def ngrams(k: Int): Column =
-    when(size(toks) >= k,
-        transform(sequence(lit(1), size(toks) - (k - 1)),
-          i => array_join(slice(toks, i, lit(k)), " ")))
+  /** Word k-grams of a MATERIALIZED token-array column, as space-joined
+    * strings; empty array when the document is shorter than k (the `when`
+    * guard also keeps `sequence` from producing a descending range).
+    *
+    * `w` must be a plain column reference, not the `split(...)` expression:
+    * the lambda body is evaluated once per sequence element, so an inline
+    * split would re-tokenize the document n times per row (and quadratically
+    * once this array feeds another higher-order lambda — measured 200×
+    * end-to-end on `repetition_stats`). CollapseProject keeps the producing
+    * projection separate because the array expressions are non-cheap and
+    * multi-referenced. */
+  private def ngramsOf(w: Column, k: Int): Column =
+    when(size(w) >= k,
+        transform(sequence(lit(1), size(w) - (k - 1)),
+          i => array_join(slice(w, i, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
 
   /** Gopher-style repetition metrics per document (Rae et al. 2021, §A1.1 —
@@ -52,17 +60,22 @@ object Hygiene {
     *  - `dup_3gram_frac`  = 1 − distinct 3-grams / total 3-grams
     *  - `keep`            = passes the configured thresholds
     *
-    * All-narrow column math: the modal count is
-    * `array_max(count of each distinct 2-gram)` computed with nested
-    * higher-order functions — O(distinct·n) in document length, zero
-    * shuffles, so the operator scales with executor count alone. */
+    * All-narrow column math over three chained projections (tokens → n-gram
+    * arrays → stats), so every higher-order lambda reads a materialized
+    * array: the modal count is `array_max(count of each distinct 2-gram)` —
+    * O(distinct·n) string COMPARES per document (bounded by document length,
+    * never corpus size), zero shuffles, scales with executor count alone.
+    * For pathological multi-MB documents, cap length upstream or switch the
+    * modal count to an explode + per-doc aggregation. */
   def repetitionStats(df: DataFrame, maxDupWordFrac: Double = 0.55,
                       maxDup3GramFrac: Double = 0.01): DataFrame = {
-    val bi = ngrams(2)
-    val tri = ngrams(3)
-    df.select(
+    val w = col("w"); val bi = col("bi"); val tri = col("tri")
+    df.select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), w,
+        ngramsOf(w, 2).as("bi"), ngramsOf(w, 3).as("tri"))
+      .select(
         col("doc_id"),
-        (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+        (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
           .as("dup_word_frac"),
         (array_max(transform(array_distinct(bi),
             g => size(filter(bi, x => x === g)))).cast("double") / size(bi))
@@ -120,9 +133,11 @@ object Hygiene {
     * is a narrow explode + broadcast hash join; the only shuffle is the
     * final per-document count aggregation. */
   def contamination(corpus: DataFrame, benchmark: DataFrame, k: Int = 13): DataFrame = {
-    val grams = array_distinct(ngrams(k)).as("gr")
-    val bench = benchmark.select(explode(grams).as("g")).distinct()
-    corpus.select(col("doc_id"), explode(grams).as("g"))
+    def grams(df: DataFrame): DataFrame = // materialize tokens below the Generate
+      df.select(col("doc_id"), toks.as("w"))
+        .select(col("doc_id"), explode(array_distinct(ngramsOf(col("w"), k))).as("g"))
+    val bench = grams(benchmark).select("g").distinct()
+    grams(corpus)
       .join(broadcast(bench), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
