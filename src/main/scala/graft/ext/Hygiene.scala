@@ -162,6 +162,28 @@ object Hygiene {
   private[ext] val GateRates: Map[String, Double] =
     Map("en" -> 0.9, "fr" -> 0.5, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.1)
 
+  /** Sequence packing for pretraining batch assembly — the concat-and-chunk
+    * layout: within each pack shard (`source`), documents are concatenated
+    * in doc_id order and the token stream is cut into fixed `ctxLen`
+    * windows; a document starts at `start_offset` =
+    * `offset_in_chunk` of chunk `(source, chunk_id)`.
+    *
+    * Sharded by `source` so packing is embarrassingly parallel across
+    * shards — ONE shuffle+sort (the window), never a global single-partition
+    * ordering; at 100 TB the shard key would also fold in a date/bucket
+    * component to bound shard size. Deterministic: the layout is a pure
+    * function of (source, doc_id, n_tokens). */
+  def packSequences(df: DataFrame, ctxLen: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      // integer DIV/%: exact on longs (a double round-trip would not be)
+      .withColumn("chunk_id", expr(s"start_offset DIV $ctxLen"))
+      .withColumn("offset_in_chunk", col("start_offset") % ctxLen)
+  }
+
   val queries: Map[String, Q] = Map(
     "repetition_stats" -> ((s, dir) =>
       repetitionStats(SparkEntry.table(s, dir, "documents"))),
@@ -175,6 +197,8 @@ object Hygiene {
     "stratified_sample" -> ((s, dir) =>
       stratifiedSample(SparkEntry.table(s, dir, "documents"), col("lang"), GateRates)
         .select("doc_id", "lang", "source")),
+    "pack_sequences" -> ((s, dir) =>
+      packSequences(SparkEntry.table(s, dir, "documents"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -227,6 +251,18 @@ object Hygiene {
         |SELECT doc_id, count(*) AS n_hits
         |FROM corp JOIN bench USING (g)
         |GROUP BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH n AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        | FROM n)
+        |SELECT doc_id, source, n_tokens, start_offset,
+        |  start_offset // 256 AS chunk_id,
+        |  start_offset % 256 AS offset_in_chunk
+        |FROM o""".stripMargin,
 
     "stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -114,6 +114,13 @@ class PlanSpec extends AnyFunSuite {
       s"only the per-doc count agg may shuffle above the join:\n$p")
   }
 
+  test("pack_sequences: one shuffle (the per-shard window), no global sort") {
+    val p = physical("pack_sequences")
+    assert(shuffles(p) == 1, s"packing must shuffle once, by shard:\n$p")
+    assert(count(p) { case _: SortExec => } == 1,
+      s"expected exactly the within-shard window sort:\n$p")
+  }
+
   test("dedup_incremental: frozen-index probe stays an inverted-index join graph") {
     val p = physical("dedup_incremental")
     assertNoCartesian("dedup_incremental", p)

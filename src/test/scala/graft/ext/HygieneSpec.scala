@@ -80,6 +80,27 @@ class HygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences: contiguous per-shard layout, chunk math consistent") {
+    val out = Hygiene.packSequences(docs, ctxLen = 256).collect()
+    val byShard = out.groupBy(_.getAs[String]("source"))
+    for ((_, rows) <- byShard) {
+      val ordered = rows.sortBy(_.getAs[Long]("doc_id"))
+      // offsets are the exact running sum — no gaps, no overlap
+      var expect = 0L
+      for (r <- ordered) {
+        assert(r.getAs[Long]("start_offset") == expect,
+          s"doc ${r.getAs[Long]("doc_id")} not contiguous")
+        expect += r.getAs[Long]("n_tokens")
+      }
+      for (r <- ordered) {
+        assert(r.getAs[Long]("chunk_id") == r.getAs[Long]("start_offset") / 256)
+        assert(r.getAs[Long]("offset_in_chunk") == r.getAs[Long]("start_offset") % 256)
+      }
+    }
+    // every document is placed exactly once
+    assert(out.length == docs.count())
+  }
+
   test("stratifiedSample: deterministic, rate-faithful, drops unknown strata") {
     val rates = Map("en" -> 0.5, "zh" -> 0.0)
     val s1 = Hygiene.stratifiedSample(docs, col("lang"), rates)
