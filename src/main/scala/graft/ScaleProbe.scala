@@ -120,6 +120,24 @@ object ScaleProbe {
       time(s"ann_lsh_1x") { ext.Similarity.annLsh(e1, queries1).count() },
       time(s"ann_lsh_${rep}x") {
         ext.Similarity.annLsh(eN, queriesN, bits = bitsN).count()
+      },
+      // hygiene: repetition is narrow per-document math (must be exactly
+      // linear); contamination holds the benchmark side FIXED (the eval
+      // suite doesn't grow with the corpus) and replicates the probe side
+      time(s"repetition_1x") { ext.Hygiene.repetitionStats(d1).count() },
+      time(s"repetition_${rep}x") { ext.Hygiene.repetitionStats(dN).count() },
+      // benchmark = the r=0 slice (drawn from the corpus so hits are real,
+      // and FIXED as the corpus grows — the real decontamination shape)
+      time(s"contamination_1x") {
+        val bench = dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
+        ext.Hygiene.contamination(
+          dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 =!= 0),
+          bench, k = 4).count()
+      },
+      time(s"contamination_${rep}x") {
+        val bench = dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
+        ext.Hygiene.contamination(dN.where(col("doc_id") % 50 =!= 0),
+          bench, k = 4).count()
       })
 
     val pairs = results.grouped(2).map { case Seq((l1, s1, _), (_, sN, _)) =>

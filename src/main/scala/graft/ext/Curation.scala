@@ -29,8 +29,47 @@ object Curation {
       .join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** The FULL training-data pipeline — every cross-record stage this library
+    * exists for, composed end-to-end into the packed-corpus manifest a
+    * tokenizer would consume:
+    *
+    *  1. eval split: benchmark docs leave the training corpus entirely;
+    *  2. repetition gate ([[Hygiene.repetitionGate]], narrow filter);
+    *  3. quality gate ([[TextAnalysis.stats]] score ≥ `minQuality`);
+    *  4. decontamination: drop any doc sharing a word-`contamK`-gram with
+    *     the benchmark ([[Hygiene.contamination]], anti-join);
+    *  5. near-dup collapse: keep each [[Dedup.clusters]] component's min
+    *     doc_id (pairs computed on the GATED set — cheapest placement);
+    *  6. stratified mix ([[Hygiene.stratifiedSample]], narrow filter);
+    *  7. sequence packing ([[Hygiene.packSequences]], per-shard window).
+    *
+    * Stage shapes at 100 TB: 2/3/6 are scan-time filters, 4 is a broadcast
+    * anti-join, 5 is the inverted-index pair graph + tiny iterative CC, 7 is
+    * one per-shard window — no stage is all-pairs or globally ordered. */
+  def curateFull(docs: DataFrame, benchmark: DataFrame,
+                 minQuality: Double = 0.5, jaccardTau: Double = 0.5,
+                 contamK: Int = 4, rates: Map[String, Double] = Hygiene.GateRates,
+                 ctxLen: Int = 256): DataFrame = {
+    val contaminated = Hygiene.contamination(docs, benchmark, contamK).select("doc_id")
+    val quality = TextAnalysis.stats(docs)
+      .where(col("quality") >= minQuality).select("doc_id")
+    val gated = Hygiene.repetitionGate(docs)
+      .join(quality, "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val dupDrop = Dedup.clusters(Dedup.jaccardPairs(gated, k = 3, tau = jaccardTau))
+      .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val mixed = Hygiene.stratifiedSample(
+      gated.join(dupDrop, Seq("doc_id"), "left_anti"), col("lang"), rates)
+    Hygiene.packSequences(mixed, ctxLen)
+  }
+
   val queries: Map[String, Q] = Map(
     "curate_pipeline" -> ((s, dir) => curate(SparkEntry.table(s, dir, "documents"))),
+    "curate_full" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      curateFull(docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -74,5 +113,83 @@ object Curation {
         |FROM q
         |WHERE q.quality >= 0.5
         |  AND q.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)""".stripMargin,
+
+    // curateFull mirror: each CTE is the proven oracle fragment of its stage
+    // (repetition_stats / curate_pipeline / contamination / pack_sequences),
+    // restricted to the upstream survivors exactly as the Spark composition is
+    "curate_full" ->
+      """WITH RECURSIVE
+        |corpus AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
+        |tk AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM corpus),
+        |rep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, w,
+        |      CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w)-2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS tri
+        |    FROM tk)
+        |  WHERE 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.55
+        |    AND 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri) <= 0.01),
+        |q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, len(w) AS n_tokens, length(text) AS len_chars,
+        |      len(list_filter(w, x -> x IN ('the', 'a', 'data', 'value'))) AS n_stop
+        |    FROM tk)
+        |  WHERE 0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) +
+        |        0.3 * (CAST(n_stop AS DOUBLE) / n_tokens) +
+        |        0.3 * least((CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 8.0, 1.0)
+        |        >= 0.5),
+        |g4 AS (SELECT doc_id, CASE WHEN len(string_split(text,' ')) >= 4 THEN
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-3),
+        |      i -> array_to_string(string_split(text,' ')[i:i+3], ' ')))
+        |  ELSE [] END AS gr FROM documents),
+        |bench AS (SELECT DISTINCT unnest(gr) AS g FROM g4 WHERE doc_id % 50 = 0),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM
+        |    (SELECT doc_id, unnest(gr) AS g FROM g4 WHERE doc_id % 50 != 0) c
+        |  JOIN bench USING (g)),
+        |gated AS (
+        |  SELECT c.* FROM corpus c
+        |  JOIN rep USING (doc_id) JOIN q USING (doc_id)
+        |  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |      ELSE [text] END) AS sh
+        |  FROM gated),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |co AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |p AS (SELECT id_a, id_b FROM co
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |mixed AS (
+        |  SELECT * FROM gated
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+        |    AND CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          / 4294967296.0
+        |      < CASE lang WHEN 'en' THEN 0.9 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.5
+        |                  WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END),
+        |o AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  -- DuckDB SUM(BIGINT) widens to HUGEINT; pin the driver-compared type
+        |  CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |    OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        | FROM mixed)
+        |SELECT doc_id, source, n_tokens, start_offset,
+        |  start_offset // 256 AS chunk_id,
+        |  start_offset % 256 AS offset_in_chunk
+        |FROM o""".stripMargin,
   )
 }

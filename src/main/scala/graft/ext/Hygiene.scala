@@ -97,6 +97,25 @@ object Hygiene {
           col("dup_3gram_frac") <= maxDup3GramFrac)
   }
 
+  /** Pass-through repetition gate: [[repetitionStats]]' `keep` predicate as
+    * a filter that RETAINS the input columns — the composition-friendly
+    * shape ([[Curation.curateFull]] chains it without a doc_id join). The
+    * token array is materialized in a projection below the filter so the
+    * 3-gram lambda never re-tokenizes (same trap as [[repetitionStats]]);
+    * the modal-2-gram metric is not part of the gate, so this stays O(n). */
+  def repetitionGate(df: DataFrame, maxDupWordFrac: Double = 0.55,
+                     maxDup3GramFrac: Double = 0.01): DataFrame = {
+    val w = col("__rep_w")
+    val tri = ngramsOf(w, 3)
+    df.withColumn("__rep_w", toks)
+      .where(
+        (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
+          <= maxDupWordFrac &&
+        (lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
+          <= maxDup3GramFrac)
+      .drop("__rep_w")
+  }
+
   /** RE2-compatible (and Java-regex-identical) PII patterns: no backrefs,
     * no lookaround — the same string matches in Spark, DuckDB, and the Go
     * regexp the reference ecosystem would use. */
@@ -266,8 +285,9 @@ object Hygiene {
       """WITH n AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
         |  FROM documents),
         |o AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |  -- DuckDB SUM(BIGINT) widens to HUGEINT; pin the driver-compared type
+        |  CAST(COALESCE(SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
         | FROM n)
         |SELECT doc_id, source, n_tokens, start_offset,
         |  start_offset // 256 AS chunk_id,

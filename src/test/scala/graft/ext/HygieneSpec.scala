@@ -101,6 +101,86 @@ class HygieneSpec extends AnyFunSuite {
     assert(out.length == docs.count())
   }
 
+  test("narrow hygiene ops run unchanged on a STREAMING DataFrame") {
+    // repetition / PII / sampling are pure projections+filters, so the same
+    // code must work in a Structured Streaming micro-batch pipeline (the
+    // continuous-ingest curation shape); packSequences (window) and
+    // contamination (agg) are the documented batch-only exceptions
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text", "lang").limit(50).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    in.addData(rows.toSeq)
+    val streamed = in.toDF().toDF("doc_id", "text", "lang")
+    val narrow = Hygiene.redactPii(
+      Hygiene.stratifiedSample(streamed, col("lang"), Map("en" -> 1.0)),
+      col("text"))
+    assert(narrow.isStreaming, "plan must still be a streaming plan")
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = narrow.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= batch.select("doc_id").collect().map(_.getLong(0)); ()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // identical rows to the batch run of the same ops on the same input
+    val batchIds = Hygiene.redactPii(
+      Hygiene.stratifiedSample(
+        docs.select("doc_id", "text", "lang").limit(50), col("lang"), Map("en" -> 1.0)),
+      col("text")).select("doc_id").collect().map(_.getLong(0))
+    assert(got.sorted.toSeq == batchIds.sorted.toSeq)
+    assert(got.nonEmpty)
+
+    // the repetition gate is narrow too — run it as its own streaming query
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = Hygiene.repetitionStats(streamed).where(col("keep"))
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          kept ++= batch.select("doc_id").collect().map(_.getLong(0)); ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val batchKept = Hygiene.repetitionStats(docs.select("doc_id", "text").limit(50))
+      .where(col("keep")).select("doc_id").collect().map(_.getLong(0))
+    assert(kept.sorted.toSeq == batchKept.sorted.toSeq && kept.nonEmpty)
+  }
+
+  test("curateFull: every stage only removes documents; packing covers the survivors") {
+    val corpus = docs.where(col("doc_id") % 50 =!= 0)
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val out = Curation.curateFull(corpus, bench).cache()
+    try {
+      val outIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(outIds.nonEmpty, "pipeline must not empty the corpus")
+      assert(outIds.size < corpus.count(), "pipeline must filter something")
+      // no benchmark doc survives into the training manifest
+      assert(outIds.forall(_ % 50 != 0))
+      // survivors of the full pipeline are a subset of each individual gate
+      val repIds = Hygiene.repetitionGate(corpus).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val contamIds = Hygiene.contamination(corpus, bench, 4).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(outIds.subsetOf(repIds))
+      assert(outIds.intersect(contamIds).isEmpty)
+      // the packing layout is contiguous per shard over exactly the survivors
+      for ((_, rows) <- out.collect().groupBy(_.getAs[String]("source"))) {
+        var expect = 0L
+        for (r <- rows.sortBy(_.getAs[Long]("doc_id"))) {
+          assert(r.getAs[Long]("start_offset") == expect)
+          expect += r.getAs[Long]("n_tokens")
+        }
+      }
+    } finally out.unpersist()
+  }
+
+  test("repetitionGate matches repetitionStats' keep column") {
+    val byStats = Hygiene.repetitionStats(docs).where(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val byGate = Hygiene.repetitionGate(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(byGate.sameElements(byStats))
+  }
+
   test("stratifiedSample: deterministic, rate-faithful, drops unknown strata") {
     val rates = Map("en" -> 0.5, "zh" -> 0.0)
     val s1 = Hygiene.stratifiedSample(docs, col("lang"), rates)
