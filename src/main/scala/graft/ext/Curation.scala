@@ -51,10 +51,7 @@ object Curation {
                  contamK: Int = 4, rates: Map[String, Double] = Hygiene.GateRates,
                  ctxLen: Int = 256): DataFrame = {
     val contaminated = Hygiene.contamination(docs, benchmark, contamK).select("doc_id")
-    val quality = TextAnalysis.stats(docs)
-      .where(col("quality") >= minQuality).select("doc_id")
-    val gated = Hygiene.repetitionGate(docs)
-      .join(quality, "doc_id")
+    val gated = TextAnalysis.qualityGate(Hygiene.repetitionGate(docs), minQuality)
       .join(contaminated, Seq("doc_id"), "left_anti")
     val dupDrop = Dedup.clusters(Dedup.jaccardPairs(gated, k = 3, tau = jaccardTau))
       .where(col("doc_id") =!= col("cluster_id")).select("doc_id")

@@ -50,6 +50,26 @@ object TextAnalysis {
           lit(0.3) * col("stop_ratio") +
           lit(0.3) * least(col("avg_token_len") / lit(8.0), lit(1.0)))
 
+  /** Pass-through quality gate: [[stats]]' quality score as a filter that
+    * RETAINS the input columns (no doc_id self-join — at corpus scale the
+    * gate must be a scan-time filter). Arithmetic is IDENTICAL to [[stats]]
+    * (same expressions over a materialized token array), so
+    * `qualityGate(df, q)` ≡ `df` semi-joined with `stats(df) WHERE quality
+    * >= q`. */
+  def qualityGate(df: DataFrame, minQuality: Double): DataFrame = {
+    val w = col("__q_w")
+    val nTok = size(w)
+    val nStop = size(filter(w, t => t.isInCollection(Stopwords)))
+    val avgLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+    val quality =
+      lit(0.4) * least(nTok / lit(64.0), lit(1.0)) +
+        lit(0.3) * (nStop.cast("double") / nTok) +
+        lit(0.3) * least(avgLen / lit(8.0), lit(1.0))
+    df.withColumn("__q_w", toks)
+      .where(quality >= minQuality)
+      .drop("__q_w")
+  }
+
   /** Language-ID: CJK codepoints → zh, else marker-token argmax with a fixed
     * tie-break order (en > fr > de > es). */
   def langId(df: DataFrame): DataFrame = {

@@ -114,6 +114,11 @@ class PlanSpec extends AnyFunSuite {
       s"only the per-doc count agg may shuffle above the join:\n$p")
   }
 
+  test("curate_full: the composed pipeline stays cartesian-free end to end") {
+    val p = physical("curate_full")
+    assertNoCartesian("curate_full", p)
+  }
+
   test("pack_sequences: one shuffle (the per-shard window), no global sort") {
     val p = physical("pack_sequences")
     assert(shuffles(p) == 1, s"packing must shuffle once, by shard:\n$p")

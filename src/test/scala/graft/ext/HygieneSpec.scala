@@ -181,6 +181,14 @@ class HygieneSpec extends AnyFunSuite {
     assert(byGate.sameElements(byStats))
   }
 
+  test("qualityGate matches stats' quality threshold") {
+    val byStats = TextAnalysis.stats(docs).where(col("quality") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val byGate = TextAnalysis.qualityGate(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(byGate.sameElements(byStats) && byGate.nonEmpty)
+  }
+
   test("stratifiedSample: deterministic, rate-faithful, drops unknown strata") {
     val rates = Map("en" -> 0.5, "zh" -> 0.0)
     val s1 = Hygiene.stratifiedSample(docs, col("lang"), rates)
