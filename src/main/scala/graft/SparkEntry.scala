@@ -60,8 +60,9 @@ object SparkEntry {
     "ann_ivf",
     "ann_topk", "ann_lsh", "windowed_agg",
     // corpus-hygiene workloads with real per-document compute (the PII and
-    // sampling ops are sub-scan-cost scan-time filters, not bench targets)
-    "repetition_stats", "contamination")
+    // sampling ops are sub-scan-cost scan-time filters, not bench targets),
+    // and the end-to-end curation composition
+    "repetition_stats", "contamination", "curate_full")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-
