@@ -189,6 +189,36 @@ class HygieneSpec extends AnyFunSuite {
     assert(byGate.sameElements(byStats) && byGate.nonEmpty)
   }
 
+  test("repetitionStats: seeded randomized differential vs a plain-Scala model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(
+      sys.env.getOrElse("GRAFT_FUZZ_SEED", "4242").toLong)
+    val vocabAll = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val fuzz = (0 until 300).map { i =>
+      val vocab = vocabAll.take(1 + rnd.nextInt(vocabAll.size)) // vary collision rates
+      val n = 3 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Hygiene.repetitionStats(fuzz.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    for (((id, text), row) <- fuzz.zip(got)) {
+      val w = text.split(" ").toSeq
+      def grams(k: Int) = w.sliding(k).map(_.mkString(" ")).toSeq
+      val bi = if (w.size >= 2) grams(2) else Seq.empty
+      val tri = if (w.size >= 3) grams(3) else Seq.empty
+      assert(row.getLong(0) == id)
+      assert(row.getDouble(1) == 1.0 - w.distinct.size.toDouble / w.size, s"doc $id dup_word")
+      val modal = if (bi.isEmpty) null
+        else bi.groupBy(identity).values.map(_.size).max
+      if (bi.nonEmpty)
+        assert(row.getDouble(2) ==
+          modal.asInstanceOf[Int].toDouble / bi.size, s"doc $id top2 of '$text'")
+      if (tri.nonEmpty)
+        assert(row.getDouble(3) == 1.0 - tri.distinct.size.toDouble / tri.size,
+          s"doc $id dup3")
+    }
+  }
+
   test("stratifiedSample: deterministic, rate-faithful, drops unknown strata") {
     val rates = Map("en" -> 0.5, "zh" -> 0.0)
     val s1 = Hygiene.stratifiedSample(docs, col("lang"), rates)
