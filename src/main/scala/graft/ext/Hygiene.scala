@@ -161,10 +161,18 @@ object Hygiene {
     * corpus) is distinct-reduced then '''broadcast''', so the corpus side
     * is a narrow explode + broadcast hash join; the only shuffle is the
     * final per-document count aggregation. */
-  def contamination(corpus: DataFrame, benchmark: DataFrame, k: Int = 13): DataFrame = {
+  def contamination(corpus: DataFrame, benchmark: DataFrame, k: Int = 13,
+                    hashKeys: Boolean = false): DataFrame = {
+    // hashKeys: join on xxhash64(gram) instead of the gram string — shrinks
+    // the broadcast ~10× at k=13 (8 bytes vs ~100-byte grams). A collision
+    // adds a spurious hit (flags an extra document — conservative for
+    // decontamination); the driver gate keys on strings so it stays exact.
+    val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
     def grams(df: DataFrame): DataFrame = // materialize tokens below the Generate
       df.select(col("doc_id"), toks.as("w"))
-        .select(col("doc_id"), explode(array_distinct(ngramsOf(col("w"), k))).as("g"))
+        .select(col("doc_id"),
+          explode(array_distinct(ngramsOf(col("w"), k))).as("g0"))
+        .select(col("doc_id"), key(col("g0")).as("g"))
     val bench = grams(benchmark).select("g").distinct()
     grams(corpus)
       .join(broadcast(bench), "g")

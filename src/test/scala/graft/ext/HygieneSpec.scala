@@ -69,6 +69,11 @@ class HygieneSpec extends AnyFunSuite {
     val hits = Hygiene.contamination(corp, bench, k = 3).collect()
     assert(hits.forall(_.getLong(1) >= 1))
     assert(hits.forall(_.getLong(0) % 50 != 0), "benchmark docs never self-report")
+    // the hashed-key scale path must agree exactly on this corpus (8-byte
+    // broadcast keys; collisions are ~2^-64 per gram pair)
+    val hashed = Hygiene.contamination(corp, bench, k = 3, hashKeys = true).collect()
+    assert(hashed.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      hits.map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
     // brute-force check one flagged doc's overlap count
     if (hits.nonEmpty) {
       val id = hits.head.getLong(0)
