@@ -22,12 +22,12 @@ import graft.SparkEntry
   *    books") — reproducible across runs and engines by construction.
   *
   * 100 TB shapes: repetition, PII, and sampling are narrow, shuffle-free
-  * per-document projections built from codegen'd higher-order functions
-  * (repetition's modal-count is O(distinct·n) per document — bounded by
-  * document length, never by corpus size). Contamination broadcasts the
-  * benchmark n-gram set (evaluation suites are MBs, corpora are TBs) so the
-  * corpus side stays a narrow explode + broadcast-hash-join; its one shuffle
-  * is the per-document hit count.
+  * per-document projections (repetition's per-document cost is O(n log n)
+  * in document length, never a function of corpus size — and every
+  * higher-order lambda reads a MATERIALIZED array, see [[ngramsOf]]).
+  * Contamination broadcasts the benchmark n-gram set (evaluation suites are
+  * MBs, corpora are TBs) so the corpus side stays a narrow explode +
+  * broadcast-hash-join; its one shuffle is the per-document hit count.
   */
 object Hygiene {
   private type Q = (SparkSession, String) => DataFrame
@@ -62,17 +62,15 @@ object Hygiene {
     *
     * All-narrow column math over three chained projections (tokens → n-gram
     * arrays → stats), so every higher-order lambda reads a materialized
-    * array: the modal count is `array_max(count of each distinct 2-gram)` —
-    * O(distinct·n) string COMPARES per document (bounded by document length,
-    * never corpus size), zero shuffles, scales with executor count alone.
-    * For pathological multi-MB documents, cap length upstream or switch the
-    * modal count to an explode + per-doc aggregation. */
+    * array: the modal count is the longest equal run of the sorted 2-gram
+    * array — O(n log n) per document (bounded by document length, never
+    * corpus size), zero shuffles, scales with executor count alone. */
   def repetitionStats(df: DataFrame, maxDupWordFrac: Double = 0.55,
                       maxDup3GramFrac: Double = 0.01): DataFrame = {
-    val w = col("w"); val bi = col("bi"); val tri = col("tri")
-    df.select(col("doc_id"), toks.as("w"))
+    val w = col("__w"); val bi = col("__bi"); val tri = col("__tri")
+    df.select(col("doc_id"), toks.as("__w"))
       .select(col("doc_id"), w,
-        ngramsOf(w, 2).as("bi"), ngramsOf(w, 3).as("tri"))
+        ngramsOf(w, 2).as("__bi"), ngramsOf(w, 3).as("__tri"))
       .select(
         col("doc_id"),
         (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
@@ -82,7 +80,7 @@ object Hygiene {
         // (O(distinct·n) interpreted lambda calls — HOFs never enter
         // whole-stage codegen — measured 2.5× slower end-to-end at sf0.1)
         (expr(
-          """aggregate(array_sort(bi),
+          """aggregate(array_sort(__bi),
             |  named_struct('prev', '', 'run', 0L, 'best', 0L),
             |  (a, x) -> named_struct(
             |    'prev', x,
