@@ -45,6 +45,45 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
+  /** SUB-document exact dedup (CCNet/Dolma-style duplicated-span removal):
+    * cut every document into non-overlapping `chunkLen`-token chunks, drop
+    * every chunk whose exact text occurs more than once in the WHOLE corpus
+    * (boilerplate, license headers, templated spans — including both copies,
+    * as repeated text adds no training signal), and reassemble the
+    * survivors in order. Output: `doc_id, n_chunks, n_dropped, text_clean`
+    * (`text_clean` is `""` when everything was boilerplate — row parity with
+    * the input is preserved).
+    *
+    * Plan: explode chunks → global occurrence count (shuffle on chunk text)
+    * → count join back → per-document reassembly (one groupBy; survivors
+    * re-ordered via `array_sort` over `(pos, chunk)` structs). Three
+    * shuffles, all keyed by chunk text or doc_id — never all-pairs; at
+    * corpus scale key the count/join on `xxhash64(chunk)` (the
+    * [[Hygiene.contamination]] `hashKeys` pattern) to shuffle 8-byte keys. */
+  def subdocDedup(df: DataFrame, chunkLen: Int = 8): DataFrame = {
+    val w = col("__w")
+    val pcs = transform(
+      sequence(lit(1), ceil(size(w) / lit(chunkLen.toDouble)).cast("int")),
+      i => struct(i.as("pos"),
+        array_join(slice(w, (i - lit(1)) * chunkLen + 1, lit(chunkLen)), " ")
+          .as("chunk")))
+    val chunks = df.select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), explode(pcs).as("pc"))
+      .select(col("doc_id"), col("pc.pos").as("pos"), col("pc.chunk").as("chunk"))
+    val counts = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+    chunks.join(counts, "chunk")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("cnt") > 1, lit(1))).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("cnt") === 1, struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("text_clean"))
+  }
+
   /** All pairs with k-shingle Jaccard ≥ tau, via PPJoin-style prefix
     * filtering over an inverted index. EXACT for tau > 0: a pair with
     * J(A,B) ≥ τ must share ≥ ⌈τ·max(|A|,|B|)⌉ shingles, so under any global
@@ -560,6 +599,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, dir) => exact(SparkEntry.table(s, dir, "documents"))),
+    "dedup_subdoc" -> ((s, dir) => subdocDedup(SparkEntry.table(s, dir, "documents"))),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5)),
     // incremental batch-vs-corpus dedup: every 10th doc plays the incoming
@@ -620,6 +660,19 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "dedup_subdoc" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, i AS pos,
+        |    array_to_string(w[(i-1)*8+1 : least(i*8, len(w))], ' ') AS chunk
+        |  FROM t, unnest(generate_series(1, CAST(ceil(len(w)/8.0) AS INT))) AS u(i)),
+        |d AS (SELECT chunk, count(*) AS cnt FROM c GROUP BY chunk)
+        |SELECT doc_id,
+        |  count(*) AS n_chunks,
+        |  count(*) FILTER (WHERE cnt > 1) AS n_dropped,
+        |  COALESCE(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE cnt = 1), '')
+        |    AS text_clean
+        |FROM c JOIN d USING (chunk)
+        |GROUP BY doc_id""".stripMargin,
     // xxhash64-dependent outputs can't be recomputed in DuckDB SQL; the
     // oracle is committed fixture parquet produced by an INDEPENDENT
     // pure-Python reimplementation (tools/gen_dedup_fixtures.py — pure-Python

@@ -119,6 +119,11 @@ class PlanSpec extends AnyFunSuite {
     assertNoCartesian("curate_full", p)
   }
 
+  test("dedup_subdoc: chunk-keyed shuffles only, never all-pairs") {
+    val p = physical("dedup_subdoc")
+    assertNoCartesian("dedup_subdoc", p)
+  }
+
   test("pack_sequences: one shuffle (the per-shard window), no global sort") {
     val p = physical("pack_sequences")
     assert(shuffles(p) == 1, s"packing must shuffle once, by shard:\n$p")

@@ -198,6 +198,32 @@ class ExtSpec extends AnyFunSuite {
       "fixture must both accept and reject documents or the test is vacuous")
   }
 
+  test("subdocDedup: boilerplate spans removed from every copy, clean docs intact") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // one exact 8-token chunk
+    val df = Seq(
+      (1L, boiler + " " + (1 to 8).map(i => s"x$i").mkString(" ")),
+      (2L, boiler + " " + (1 to 8).map(i => s"y$i").mkString(" ")),
+      (3L, (1 to 16).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.subdocDedup(df, chunkLen = 8).orderBy("doc_id").collect()
+    // the shared leading chunk vanishes from BOTH carriers, suffixes survive
+    assert(out(0).getAs[String]("text_clean") == (1 to 8).map(i => s"x$i").mkString(" "))
+    assert(out(1).getAs[String]("text_clean") == (1 to 8).map(i => s"y$i").mkString(" "))
+    assert(out(0).getAs[Long]("n_dropped") == 1 && out(1).getAs[Long]("n_dropped") == 1)
+    // a document with no duplicated span reassembles to its exact input
+    assert(out(2).getAs[String]("text_clean") == (1 to 16).map(i => s"z$i").mkString(" "))
+    assert(out(2).getAs[Long]("n_dropped") == 0)
+    // real corpus: row parity and order-preserving reassembly for clean docs
+    val real = Dedup.subdocDedup(docs).cache()
+    try {
+      assert(real.count() == docs.count())
+      val clean = real.where(col("n_dropped") === 0)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      assert(clean.where(col("text_clean") =!= col("text")).count() == 0,
+        "clean documents must reassemble byte-identically")
+    } finally real.unpersist()
+  }
+
   test("dedupStream wires the batch step into foreachBatch end-to-end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = java.nio.file.Files.createTempDirectory("streamwrap").toString + "/idx"
