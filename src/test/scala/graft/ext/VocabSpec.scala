@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** BPE induction correctness: the classic Sennrich corpus with hand-checked
+  * merges, a seeded differential against an independent in-JVM reference
+  * implementation, and encode-side losslessness. */
+class VocabSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Independent reference BPE (plain Scala, word-frequency formulation,
+    * same tie-break: count desc then pair lexicographic asc). */
+  private def referenceBpe(text: Seq[String], nMerges: Int,
+                           minPairCount: Long = 2L): Seq[(String, String)] = {
+    var freq: Map[List[String], Long] = text.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, c) => (w.split("").toList, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.size < nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sym, c) <- freq; Seq(a, b) <- sym.sliding(2) if sym.size >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+      val eligible = counts.filter(_._2 >= minPairCount)
+      if (eligible.isEmpty) done = true
+      else {
+        // count desc, then (a+SEP+b) lexicographic asc — mirror the engine
+        val best = eligible.minBy { case ((a, b), c) => (-c, a + "" + b) }._1
+        merges += best
+        freq = freq.toSeq.map { case (sym, c) =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < sym.size) {
+            if (i + 1 < sym.size && sym(i) == best._1 && sym(i + 1) == best._2) {
+              out += best._1 + best._2; i += 2
+            } else { out += sym(i); i += 1 }
+          }
+          (out.toList, c)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    merges.toSeq
+  }
+
+  test("classic corpus: merges follow pair frequencies deterministically") {
+    import spark.implicits._
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = Seq(corpus.mkString(" ")).toDF("text")
+    val got = Vocab.trainBpe(df, nMerges = 6)
+    val exp = referenceBpe(Seq(corpus.mkString(" ")), nMerges = 6)
+    assert(got == exp, s"got $got, expected $exp")
+    // 'es' (9 occurrences: newest 6 + widest 3) must be the first merge
+    assert(got.head == ("e", "s"))
+    // and 'est' follows immediately (the es+t pair keeps the same 9 count)
+    assert(got(1) == ("es", "t"))
+  }
+
+  test("real corpus: engine merges == independent reference, 30 rounds") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val got = Vocab.trainBpe(docs, nMerges = 30)
+    val exp = referenceBpe(texts, nMerges = 30)
+    assert(got == exp)
+    assert(got.size == 30, "corpus is rich enough for 30 merges")
+  }
+
+  test("encode: lossless (tokens concatenate back to the words) and compressive") {
+    import spark.implicits._
+    val docs = SparkEntry.table(spark, dir, "documents").limit(100)
+    val merges = Vocab.trainBpe(docs, nMerges = 20)
+    val enc = Vocab.encode(docs, merges)
+      .select(col("doc_id"), col("text"), col("bpe_tokens"))
+    val rows = enc.collect()
+    for (r <- rows) {
+      val chars = r.getAs[String]("text").replace(" ", "")
+      assert(r.getSeq[String](2).mkString == chars,
+        s"doc ${r.getLong(0)}: tokens must concatenate to the original characters")
+    }
+    // merges actually merge: fewer tokens than characters
+    val nTok = rows.map(_.getSeq[String](2).size.toLong).sum
+    val nChar = rows.map(_.getAs[String]("text").replace(" ", "").length.toLong).sum
+    assert(nTok < nChar)
+  }
+}
