@@ -92,4 +92,22 @@ object Tuning {
     val raw = math.ceil(math.log(n.toDouble / targetBucketPop) / math.log(2.0)).toInt
     math.max(4, math.min(48, raw))
   }
+
+  /** Corpus-calibrated repetition thresholds: fixed Gopher cutoffs assume
+    * web-like text, but a corpus with naturally repetitive style (logs,
+    * code, legalese) would drop half its documents under them. Calibrate to
+    * the corpus instead: cut at the given quantile of each metric's own
+    * distribution (default: drop the worst 5%). One `approxQuantile` pass
+    * over the [[Hygiene.repetitionStats]] output — corpus-sized but
+    * narrow+sample-based, run once per corpus. */
+  final case class RepetitionThresholds(maxDupWordFrac: Double,
+                                        maxDup3GramFrac: Double)
+  def suggestRepetitionThresholds(stats: org.apache.spark.sql.DataFrame,
+                                  dropQuantile: Double = 0.95,
+                                  relativeError: Double = 0.001): RepetitionThresholds = {
+    require(dropQuantile > 0 && dropQuantile < 1)
+    val q = stats.stat.approxQuantile(
+      Array("dup_word_frac", "dup_3gram_frac"), Array(dropQuantile), relativeError)
+    RepetitionThresholds(q(0)(0), q(1)(0))
+  }
 }

@@ -84,6 +84,30 @@ class TuningSpec extends AnyFunSuite {
     assert(g.getAs[Long]("max_df") > h.getAs[Long]("max_df") * 5)
   }
 
+  test("repetition thresholds calibrate to the corpus' own distribution") {
+    lazy val spark: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val docs = SparkEntry.table(spark, "/root/testdata/sf0.001", "documents")
+    val stats = Hygiene.repetitionStats(docs).cache()
+    try {
+      val t = Tuning.suggestRepetitionThresholds(stats, dropQuantile = 0.95)
+      // thresholds sit inside each metric's observed range
+      for ((thr, col0) <- Seq(t.maxDupWordFrac -> "dup_word_frac",
+                              t.maxDup3GramFrac -> "dup_3gram_frac")) {
+        val mm = stats.agg(min(col0), max(col0)).head()
+        assert(thr >= mm.getDouble(0) && thr <= mm.getDouble(1), s"$col0 threshold $thr")
+      }
+      // and the calibrated gate keeps ~the target fraction (±5pp slack for
+      // quantile ties on a 500-doc corpus)
+      val kept = Hygiene.repetitionGate(docs, t.maxDupWordFrac, t.maxDup3GramFrac).count()
+      val frac = kept.toDouble / docs.count()
+      assert(frac >= 0.85 && frac <= 1.0, s"kept fraction $frac")
+    } finally stats.unpersist()
+  }
+
   test("suggested bands preserve recall on the real corpus at the gate tau") {
     lazy val spark: SparkSession = SparkSession.builder()
       .master("local[4]")
