@@ -50,9 +50,13 @@ object Curation {
                  minQuality: Double = 0.5, jaccardTau: Double = 0.5,
                  contamK: Int = 4, rates: Map[String, Double] = Hygiene.GateRates,
                  ctxLen: Int = 256): DataFrame = {
-    val contaminated = Hygiene.contamination(docs, benchmark, contamK).select("doc_id")
-    val gated = TextAnalysis.qualityGate(Hygiene.repetitionGate(docs), minQuality)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    // scan-time gates FIRST, contamination's n-gram explode only over the
+    // survivors (a doc's contamination depends on nothing but its own
+    // k-grams, so the reorder is row-identical and strictly cheaper)
+    val narrowGated = TextAnalysis.qualityGate(Hygiene.repetitionGate(docs), minQuality)
+    val contaminated =
+      Hygiene.contamination(narrowGated, benchmark, contamK).select("doc_id")
+    val gated = narrowGated.join(contaminated, Seq("doc_id"), "left_anti")
     val dupDrop = Dedup.clusters(Dedup.jaccardPairs(gated, k = 3, tau = jaccardTau))
       .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val mixed = Hygiene.stratifiedSample(

@@ -78,8 +78,11 @@ object Hygiene {
         // modal-2-gram count = longest equal run of the SORTED 2-gram array:
         // O(n log n) per document, vs the naive per-distinct-gram recount
         // (O(distinct·n) interpreted lambda calls — HOFs never enter
-        // whole-stage codegen — measured 2.5× slower end-to-end at sf0.1)
-        (expr(
+        // whole-stage codegen — measured 2.5× slower end-to-end at sf0.1).
+        // Short docs (no 2-/3-grams): the fraction is 0.0 by definition —
+        // no repeated n-gram evidence — and an unguarded /0 would abort the
+        // job under Spark 4's default ANSI mode.
+        when(size(bi) === 0, lit(0.0)).otherwise(expr(
           """aggregate(array_sort(__bi),
             |  named_struct('prev', '', 'run', 0L, 'best', 0L),
             |  (a, x) -> named_struct(
@@ -88,7 +91,8 @@ object Hygiene {
             |    'best', GREATEST(a.best, IF(x = a.prev, a.run + 1L, 1L))),
             |  a -> a.best)""".stripMargin).cast("double") / size(bi))
           .as("top_2gram_frac"),
-        (lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
+        when(size(tri) === 0, lit(0.0))
+          .otherwise(lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
           .as("dup_3gram_frac"))
       .withColumn("keep",
         col("dup_word_frac") <= maxDupWordFrac &&
@@ -104,14 +108,16 @@ object Hygiene {
   def repetitionGate(df: DataFrame, maxDupWordFrac: Double = 0.55,
                      maxDup3GramFrac: Double = 0.01): DataFrame = {
     val w = col("__rep_w")
-    val tri = ngramsOf(w, 3)
+    val tri = col("__rep_tri") // materialized: the predicate reads it twice
     df.withColumn("__rep_w", toks)
+      .withColumn("__rep_tri", ngramsOf(w, 3))
       .where(
         (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
           <= maxDupWordFrac &&
-        (lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
+        when(size(tri) === 0, lit(0.0)) // short doc: no 3-gram evidence (ANSI /0)
+          .otherwise(lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
           <= maxDup3GramFrac)
-      .drop("__rep_w")
+      .drop("__rep_w", "__rep_tri")
   }
 
   /** RE2-compatible (and Java-regex-identical) PII patterns: no backrefs,
@@ -249,9 +255,13 @@ object Hygiene {
         | FROM t),
         |s AS (SELECT doc_id,
         |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
-        |  CAST(list_max(list_transform(list_distinct(bi),
-        |    x -> len(list_filter(bi, y -> y = x)))) AS DOUBLE) / len(bi) AS top_2gram_frac,
-        |  1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri) AS dup_3gram_frac
+        |  CASE WHEN len(bi) = 0 THEN 0.0 ELSE
+        |    CAST(list_max(list_transform(list_distinct(bi),
+        |      x -> len(list_filter(bi, y -> y = x)))) AS DOUBLE) / len(bi)
+        |  END AS top_2gram_frac,
+        |  CASE WHEN len(tri) = 0 THEN 0.0 ELSE
+        |    1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+        |  END AS dup_3gram_frac
         | FROM g)
         |SELECT doc_id, dup_word_frac, top_2gram_frac, dup_3gram_frac,
         |  dup_word_frac <= 0.55 AND dup_3gram_frac <= 0.01 AS keep

@@ -91,17 +91,56 @@ object Vocab {
     merges.toSeq
   }
 
-  /** Apply trained merges to a text column: per-word character split, the
-    * merge list replayed in order (narrow per-row rewrite — the tokenizer's
-    * ENCODE step, distributable over any corpus). */
-  def encode(df: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val words = col("__words")
-    val tokenized = merges.foldLeft(
-        transform(words, wd => split(wd, "")): Column) {
-      case (acc, (a, b)) => transform(acc, s => mergePass(s, a, b))
+  /** Rank-priority BPE encode of one word: repeatedly merge the
+    * lowest-rank adjacent pair present. Equivalent to replaying the merge
+    * passes in training order — a later merge's new symbol never creates an
+    * adjacency between two OLD symbols (merging only ever removes symbols
+    * between neighbors it replaces), so by the time rank k is the minimum
+    * present, every lower rank is permanently absent. O(L²) per word in the
+    * worst case, independent of vocabulary size. */
+  private[ext] def encodeWord(word: String, rank: Map[(String, String), Int],
+                              byRank: IndexedSeq[(String, String)]): Seq[String] = {
+    var sym = word.split("").toVector
+    var done = false
+    while (!done && sym.size >= 2) {
+      val present = sym.indices.dropRight(1)
+        .flatMap(i => rank.get((sym(i), sym(i + 1))))
+      if (present.isEmpty) done = true
+      else {
+        val (a, b) = byRank(present.min)
+        // merge ALL occurrences of this pair, left-to-right non-overlapping
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sym.size) {
+          if (i + 1 < sym.size && sym(i) == a && sym(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        sym = out.result()
+      }
     }
-    df.withColumn("__words", split(col("text"), " "))
-      .withColumn("bpe_tokens", flatten(tokenized))
-      .drop("__words")
+    sym
+  }
+
+  /** Apply trained merges to a text column — the tokenizer's ENCODE step,
+    * distributable over any corpus (narrow per-row rewrite; the merge-rank
+    * map ships with the closure).
+    *
+    * Deliberately a closure, not a chained higher-order-function column:
+    * one nested `transform`+`aggregate` per merge makes the Catalyst
+    * expression tree O(nMerges) deep, and a realistic 32k-merge vocabulary
+    * dies in the analyzer before touching a row (the same lineage blowup
+    * [[trainBpe]] checkpoints away per iteration). Rank-priority encoding
+    * is also O(L²) per word regardless of vocabulary size, where replaying
+    * 32k merge passes would be O(32k·L). */
+  def encode(df: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val rank = merges.zipWithIndex.toMap
+    val byRank = merges.toIndexedSeq
+    val enc = udf { text: String =>
+      if (text == null) Seq.empty[String]
+      else text.split(" ").toSeq.filter(_.nonEmpty)
+        .flatMap(encodeWord(_, rank, byRank))
+    }
+    df.withColumn("bpe_tokens", enc(col("text")))
   }
 }

@@ -36,6 +36,26 @@ class HygieneSpec extends AnyFunSuite {
     assert(varied.getBoolean(4), "fully-varied doc must be kept")
   }
 
+  test("repetitionStats/Gate: short documents define absent n-gram fractions as 0") {
+    // 1- and 2-word docs have no 3-grams (and 1-word no 2-grams): the
+    // fractions are 0.0 by definition, NOT a DIVIDE_BY_ZERO abort under
+    // Spark 4's default ANSI mode (web crawls are full of such docs)
+    import spark.implicits._
+    val df = Seq((1L, "hello"), (2L, "hello world"), (3L, "a b a b"))
+      .toDF("doc_id", "text")
+    val rows = Hygiene.repetitionStats(df).orderBy("doc_id").collect()
+    assert(rows(0).getDouble(2) == 0.0 && rows(0).getDouble(3) == 0.0)
+    assert(rows(0).getBoolean(4), "a single unique word has no repetition evidence")
+    assert(rows(1).getDouble(3) == 0.0 && rows(1).getBoolean(4))
+    assert(rows(2).getDouble(1) == 0.5, "a b a b: 2 distinct of 4")
+    // the pass-through gate agrees on the same input
+    val gate = Hygiene.repetitionGate(df).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val stats = Hygiene.repetitionStats(df).where(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(gate.sameElements(stats))
+  }
+
   test("repetitionStats: fractions bounded on the real corpus") {
     val agg = Hygiene.repetitionStats(docs)
       .agg(min("dup_word_frac"), max("dup_word_frac"),
@@ -114,8 +134,10 @@ class HygieneSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    val rows = docs.select("doc_id", "text", "lang").limit(50).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // doc_id < 50, not limit(50): an unordered limit has no defined row set,
+    // so the three independent plans below could pick different rows
+    val rows = docs.select("doc_id", "text", "lang").where(col("doc_id") < 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val in = MemoryStream[(Long, String, String)]
     in.addData(rows.toSeq)
     val streamed = in.toDF().toDF("doc_id", "text", "lang")
@@ -132,7 +154,7 @@ class HygieneSpec extends AnyFunSuite {
     // identical rows to the batch run of the same ops on the same input
     val batchIds = Hygiene.redactPii(
       Hygiene.stratifiedSample(
-        docs.select("doc_id", "text", "lang").limit(50), col("lang"), Map("en" -> 1.0)),
+        docs.select("doc_id", "text", "lang").where(col("doc_id") < 50), col("lang"), Map("en" -> 1.0)),
       col("text")).select("doc_id").collect().map(_.getLong(0))
     assert(got.sorted.toSeq == batchIds.sorted.toSeq)
     assert(got.nonEmpty)
@@ -145,7 +167,7 @@ class HygieneSpec extends AnyFunSuite {
           kept ++= batch.select("doc_id").collect().map(_.getLong(0)); ()
       }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q2.awaitTermination()
-    val batchKept = Hygiene.repetitionStats(docs.select("doc_id", "text").limit(50))
+    val batchKept = Hygiene.repetitionStats(docs.select("doc_id", "text").where(col("doc_id") < 50))
       .where(col("keep")).select("doc_id").collect().map(_.getLong(0))
     assert(kept.sorted.toSeq == batchKept.sorted.toSeq && kept.nonEmpty)
   }

@@ -89,5 +89,26 @@ class VocabSpec extends AnyFunSuite {
     val nTok = rows.map(_.getSeq[String](2).size.toLong).sum
     val nChar = rows.map(_.getAs[String]("text").replace(" ", "").length.toLong).sum
     assert(nTok < nChar)
+    // rank-priority encode == sequential replay of the merge passes (the
+    // equivalence the encode scaladoc claims)
+    def mergeOnce(sym: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < sym.size) {
+        if (i + 1 < sym.size && sym(i) == a && sym(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.toList
+    }
+    for (r <- rows.take(20)) {
+      val seqTokens = r.getAs[String]("text").split(" ").filter(_.nonEmpty)
+        .flatMap { wd =>
+          merges.foldLeft(wd.split("").toList) {
+            case (sym, (a, b)) => mergeOnce(sym, a, b)
+          }
+        }.toSeq
+      assert(r.getSeq[String](2) == seqTokens, s"doc ${r.getLong(0)}")
+    }
   }
 }
