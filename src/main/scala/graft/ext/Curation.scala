@@ -50,13 +50,17 @@ object Curation {
                  minQuality: Double = 0.5, jaccardTau: Double = 0.5,
                  contamK: Int = 4, rates: Map[String, Double] = Hygiene.GateRates,
                  ctxLen: Int = 256): DataFrame = {
-    // scan-time gates FIRST, contamination's n-gram explode only over the
-    // survivors (a doc's contamination depends on nothing but its own
-    // k-grams, so the reorder is row-identical and strictly cheaper)
-    val narrowGated = TextAnalysis.qualityGate(Hygiene.repetitionGate(docs), minQuality)
-    val contaminated =
-      Hygiene.contamination(narrowGated, benchmark, contamK).select("doc_id")
-    val gated = narrowGated.join(contaminated, Seq("doc_id"), "left_anti")
+    // Contamination probes the RAW corpus, not the gated survivors: a doc's
+    // contamination depends only on its own k-grams, so both orders are
+    // row-identical — but feeding the gated subtree to contamination would
+    // place it TWICE in the DAG (Spark re-executes repeated subtrees; only
+    // exchanges are reused), and the duplicated repetition+quality gate math
+    // costs more than the ~40% of the gram explode it saves (measured: 5.95 s
+    // vs 4.7 s at sf0.1). A deployment persisting stage boundaries would
+    // gate first; as one lazy plan, this shape is the cheaper one.
+    val contaminated = Hygiene.contamination(docs, benchmark, contamK).select("doc_id")
+    val gated = TextAnalysis.qualityGate(Hygiene.repetitionGate(docs), minQuality)
+      .join(contaminated, Seq("doc_id"), "left_anti")
     val dupDrop = Dedup.clusters(Dedup.jaccardPairs(gated, k = 3, tau = jaccardTau))
       .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val mixed = Hygiene.stratifiedSample(
