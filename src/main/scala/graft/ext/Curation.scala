@@ -45,22 +45,39 @@ object Curation {
     *
     * Stage shapes at 100 TB: 2/3/6 are scan-time filters, 4 is a broadcast
     * anti-join, 5 is the inverted-index pair graph + tiny iterative CC, 7 is
-    * one per-shard window — no stage is all-pairs or globally ordered. */
+    * one per-shard window — no stage is all-pairs or globally ordered.
+    *
+    * `materialize` (default true) checkpoints the gated corpus at the stage
+    * boundary where the pipeline fans out: `gated` feeds BOTH the near-dup
+    * pair graph and the final survivor anti-join, and Spark re-executes
+    * repeated subtrees (only exchanges are reused), so without a
+    * materialization the repetition + quality + decontamination math runs
+    * twice in one job (measured 1.25× end-to-end at sf0.1). At 100 TB a
+    * deployment would write the stage boundary to durable storage instead
+    * (`localCheckpoint` pins executor-local blocks); `materialize = false`
+    * keeps the fully-lazy single-plan form for callers that persist their
+    * own boundaries. */
   def curateFull(docs: DataFrame, benchmark: DataFrame,
                  minQuality: Double = 0.5, jaccardTau: Double = 0.5,
                  contamK: Int = 4, rates: Map[String, Double] = Hygiene.GateRates,
-                 ctxLen: Int = 256): DataFrame = {
+                 ctxLen: Int = 256, materialize: Boolean = true): DataFrame = {
     // Contamination probes the RAW corpus, not the gated survivors: a doc's
     // contamination depends only on its own k-grams, so both orders are
-    // row-identical — but feeding the gated subtree to contamination would
-    // place it TWICE in the DAG (Spark re-executes repeated subtrees; only
-    // exchanges are reused), and the duplicated repetition+quality gate math
-    // costs more than the ~40% of the gram explode it saves (measured: 5.95 s
-    // vs 4.7 s at sf0.1). A deployment persisting stage boundaries would
-    // gate first; as one lazy plan, this shape is the cheaper one.
+    // row-identical — and keeping it independent of the gate subtree means
+    // the checkpointed boundary below contains every cross-stage reuse.
     val contaminated = Hygiene.contamination(docs, benchmark, contamK).select("doc_id")
-    val gated = TextAnalysis.qualityGate(Hygiene.repetitionGate(docs), minQuality)
+    val gatedLazy = TextAnalysis.qualityGate(Hygiene.repetitionGate(docs), minQuality)
       .join(contaminated, Seq("doc_id"), "left_anti")
+    // A checkpointed DF has no inputFiles, so the downstream jaccardPairs
+    // small-file spread heuristic can't see underparallelized scans anymore —
+    // apply the same spread here, before materializing (no-op at real scale
+    // where the scan already has ≥ defaultParallelism splits).
+    val gated = if (materialize) {
+      val par = docs.sparkSession.sparkContext.defaultParallelism
+      val nFiles = docs.inputFiles.length
+      val spread = if (nFiles > 0 && nFiles < par) gatedLazy.repartition(par) else gatedLazy
+      spread.localCheckpoint()
+    } else gatedLazy
     val dupDrop = Dedup.clusters(Dedup.jaccardPairs(gated, k = 3, tau = jaccardTau))
       .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val mixed = Hygiene.stratifiedSample(

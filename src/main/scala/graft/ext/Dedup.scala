@@ -54,12 +54,18 @@ object Dedup {
     * (`text_clean` is `""` when everything was boilerplate — row parity with
     * the input is preserved).
     *
-    * Plan: explode chunks → global occurrence count (shuffle on chunk text)
-    * → count join back → per-document reassembly (one groupBy; survivors
-    * re-ordered via `array_sort` over `(pos, chunk)` structs). Three
-    * shuffles, all keyed by chunk text or doc_id — never all-pairs; at
-    * corpus scale key the count/join on `xxhash64(chunk)` (the
-    * [[Hygiene.contamination]] `hashKeys` pattern) to shuffle 8-byte keys. */
+    * Plan: explode chunks → global occurrence count keyed on
+    * `xxhash64(chunk)` (8-byte shuffle keys instead of ~chunkLen-word
+    * strings, the [[Hygiene.contamination]] `hashKeys` pattern — at corpus
+    * scale this is the hottest aggregation; the chunk TEXT travels only on
+    * the doc-side rows that reassembly needs) → count join back →
+    * per-document reassembly (one groupBy; survivors re-ordered via
+    * `array_sort` over `(pos, chunk)` structs). Three shuffles, keyed by
+    * hash or doc_id — never all-pairs. Collision posture: an xxhash64
+    * collision merges two distinct chunks' counts, so a unique chunk can be
+    * over-dropped as boilerplate (conservative for training data; at 10¹⁰
+    * chunks the expected collision count is ~10⁻²·corpus-fraction — the
+    * same acceptance as contamination's `hashKeys`). */
   def subdocDedup(df: DataFrame, chunkLen: Int = 8): DataFrame = {
     val w = col("__w")
     val pcs = transform(
@@ -70,8 +76,9 @@ object Dedup {
     val chunks = df.select(col("doc_id"), split(col("text"), " ").as("__w"))
       .select(col("doc_id"), explode(pcs).as("pc"))
       .select(col("doc_id"), col("pc.pos").as("pos"), col("pc.chunk").as("chunk"))
-    val counts = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
-    chunks.join(counts, "chunk")
+      .withColumn("h", xxhash64(col("chunk")))
+    val counts = chunks.groupBy("h").agg(count(lit(1)).as("cnt"))
+    chunks.join(counts, "h")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -635,11 +642,18 @@ object Dedup {
     // emit the surviving doc ids (fresh temp index per run — deterministic)
     "dedup_stream_batch" -> ((s, dir) => {
       val docs = SparkEntry.table(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("dedup_stream").toString + "/idx"
-      saveJaccardIndex(
-        buildJaccardIndex(docs.where(col("doc_id") % 10 =!= 0), k = 3, tau = 0.5), tmp)
-      dedupBatch(s, tmp, docs.where(col("doc_id") % 10 === 0), k = 3, tau = 0.5)
-        .select("doc_id")
+      // dedupBatch localCheckpoints its survivors (materialized, lineage
+      // truncated), so the temp index is disposable the moment it returns —
+      // deleting here keeps repeated Verify/Bench runs from accumulating
+      // index dirs in tmp (ADVICE r8)
+      val root = TmpIo.freshDir("dedup_stream")
+      try {
+        saveJaccardIndex(
+          buildJaccardIndex(docs.where(col("doc_id") % 10 =!= 0), k = 3, tau = 0.5),
+          s"$root/idx")
+        dedupBatch(s, s"$root/idx", docs.where(col("doc_id") % 10 === 0), k = 3, tau = 0.5)
+          .select("doc_id")
+      } finally TmpIo.deleteRecursively(root)
     }),
   )
 

@@ -345,9 +345,14 @@ object Similarity {
     "ann_ivf_trained" -> ((s, dir) => {
       val emb = SparkEntry.table(s, dir, "embeddings")
       val seed = centroidSeed(emb, GateIvfCells)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_cents_${math.abs(dir.hashCode.toLong)}"
-      saveCentroids(s, seed, path)
-      val loaded = loadCentroids(s, path)
+      // per-invocation temp dir: a fixed shared path raced
+      // overwrite-against-read across concurrent sessions (ADVICE r8);
+      // loadCentroids collects the rows, so the dir is disposable after
+      val root = TmpIo.freshDir("graft_ivf_cents")
+      val loaded = try {
+        saveCentroids(s, seed, s"$root/cents")
+        loadCentroids(s, s"$root/cents")
+      } finally TmpIo.deleteRecursively(root)
       annIvf(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
         nCells = GateIvfCells, nProbe = GateIvfProbe, centroids = Some(loaded))
     }),
