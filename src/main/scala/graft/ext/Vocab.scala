@@ -28,21 +28,33 @@ object Vocab {
 
   private val Sep = "\u0001"
 
-  /** One BPE merge pass: replace every LEFT-TO-RIGHT, NON-OVERLAPPING,
-    * NON-CASCADING occurrence of adjacent `(a, b)` with the merged symbol
-    * (classic single-pass semantics: `aaa` + merge(a,a) → `[aa, a]`, and a
-    * symbol created by this pass never re-merges within the pass). */
-  private[ext] def mergePass(sym: Column, a: String, b: String): Column = {
+  /** One MULTI-PAIR BPE merge pass: replace every LEFT-TO-RIGHT,
+    * NON-OVERLAPPING, NON-CASCADING occurrence of any `(a, b)` in `pairs`
+    * with its merged symbol (classic single-pass semantics: `aaa` +
+    * merge(a,a) → `[aa, a]`, and a symbol created by this pass never
+    * re-merges within the pass). One `aggregate` expression regardless of
+    * batch size — the pair set rides along as a map literal, so plan depth
+    * stays O(1) per training iteration instead of O(batch).
+    *
+    * For pairs selected MUTUALLY SYMBOL-DISJOINT (no pair's `a`, `b`, or
+    * `a+b` equals another's — [[trainBpe]]'s selection rule), one
+    * simultaneous pass is EXACTLY the sequential application of the merges
+    * in any order: applying one pair removes only its own two symbols and
+    * creates only its own merged symbol, none of which another pair
+    * matches, so no pair's occurrence set is disturbed (VocabSpec pins the
+    * equivalence). */
+  private[ext] def mergePass(sym: Column, pairs: Seq[(String, String)]): Column = {
+    val lut = typedLit(pairs.map { case (a, b) => (a + Sep + b) -> (a + b) }.toMap)
     val zero = struct(
       array().cast("array<string>").as("out"), lit("").as("pend"))
     val step = (s: Column, x: Column) => {
-      val merged = s.getField("pend") === a && x === b
+      val merged = element_at(lut, concat(s.getField("pend"), lit(Sep), x))
       struct(
-        when(merged, concat(s.getField("out"), array(lit(a + b))))
+        when(merged.isNotNull, concat(s.getField("out"), array(merged)))
           .otherwise(when(s.getField("pend") === "", s.getField("out"))
             .otherwise(concat(s.getField("out"), array(s.getField("pend")))))
           .as("out"),
-        when(merged, lit("")).otherwise(x).as("pend"))
+        when(merged.isNotNull, lit("")).otherwise(x).as("pend"))
     }
     val fin = (s: Column) =>
       when(s.getField("pend") === "", s.getField("out"))
@@ -50,11 +62,29 @@ object Vocab {
     aggregate(sym, zero, step, fin)
   }
 
+  private[ext] def mergePass(sym: Column, a: String, b: String): Column =
+    mergePass(sym, Seq((a, b)))
+
   /** Train `nMerges` BPE merges; returns them in application order. Stops
     * early when no adjacent pair occurs at least `minPairCount` times.
-    * Deterministic: ties broken by pair lexicographic order. */
+    * Deterministic: ties broken by pair lexicographic order.
+    *
+    * `batchSize` > 1 selects up to that many merges per Spark iteration —
+    * the fix for one-job-per-merge latency (at 32k production merges,
+    * sequential selection costs tens of hours of job-launch latency alone).
+    * Selection walks the pair counts in (count desc, pair asc) order and
+    * greedily keeps pairs whose `{a, b, a+b}` symbols are disjoint from
+    * every pair already in the batch, so the batch provably cannot
+    * interact and one [[mergePass]] equals applying them sequentially.
+    * `batchSize = 1` is EXACTLY classic BPE. Larger batches are the
+    * standard parallel-BPE approximation of the greedy sequence: a pair
+    * CREATED by an earlier batch member (count ≤ the count that produced
+    * it) cannot be picked until the next iteration, so batch members
+    * selected below it may precede it in merge order — rank drift, never
+    * a wrong count (counts are re-aggregated every iteration). */
   def trainBpe(docs: DataFrame, nMerges: Int = 50,
-               minPairCount: Long = 2L): Seq[(String, String)] = {
+               minPairCount: Long = 2L, batchSize: Int = 1): Seq[(String, String)] = {
+    require(batchSize >= 1, "batchSize must be positive")
     // the one corpus-sized aggregation: distinct words with frequencies,
     // then each word as its character-symbol array
     // localCheckpoint (not cache): each iteration's rewrite nests another
@@ -70,18 +100,30 @@ object Vocab {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.size < nMerges) {
+      val want = math.min(batchSize, nMerges - merges.size)
+      // overfetch: candidates conflicting with an earlier batch member are
+      // skipped, so pull a few× the batch; a thin batch just means the next
+      // iteration re-counts sooner (driver state stays ≤ 4·batch+16 rows)
       val top = freq
         .select(col("freq"), explode(adjacentPairs(col("sym"))).as("p"))
         .groupBy("p").agg(sum("freq").as("c"))
         .where(col("c") >= minPairCount)
         .orderBy(desc("c"), asc("p"))
-        .limit(1).collect()
+        .limit(if (want == 1) 1 else want * 4 + 16).collect()
       if (top.isEmpty) done = true
       else {
-        val Array(a, b) = top(0).getString(0).split(Sep, 2)
-        merges += ((a, b))
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val it = top.iterator
+        while (batch.size < want && it.hasNext) {
+          val Array(a, b) = it.next().getString(0).split(Sep, 2)
+          if (!used(a) && !used(b) && !used(a + b)) {
+            batch += ((a, b)); used += a; used += b; used += (a + b)
+          }
+        }
+        merges ++= batch
         val next = freq
-          .select(mergePass(col("sym"), a, b).as("sym"), col("freq"))
+          .select(mergePass(col("sym"), batch.toSeq).as("sym"), col("freq"))
           .localCheckpoint(true)
         freq.unpersist()
         freq = next

@@ -73,6 +73,47 @@ class VocabSpec extends AnyFunSuite {
     assert(got.size == 30, "corpus is rich enough for 30 merges")
   }
 
+  test("batched == classic on a provably non-interacting corpus") {
+    import spark.implicits._
+    // two-letter words over DISJOINT alphabets with strictly ordered
+    // frequencies: each merge collapses its word to one symbol, so no merge
+    // can create or destroy another's pair — batch selection must reproduce
+    // the classic greedy sequence exactly, for every batch size
+    val words = Seq("ab" -> 100, "cd" -> 90, "ef" -> 80, "gh" -> 70,
+      "ij" -> 60, "kl" -> 50, "mn" -> 40, "op" -> 30)
+    val corpus = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+    val df = Seq(corpus.mkString(" ")).toDF("text")
+    val classic = Vocab.trainBpe(df, nMerges = 8, batchSize = 1)
+    assert(classic == words.map { case (w, _) => (w(0).toString, w(1).toString) })
+    for (m <- Seq(2, 4, 8, 100))
+      assert(Vocab.trainBpe(df, nMerges = 8, batchSize = m) == classic,
+        s"batchSize=$m diverged from the classic sequence")
+  }
+
+  test("batched selection skips interacting pairs within one batch") {
+    import spark.implicits._
+    // 'aaa'×50: pairs are only (a,a) c=100. After merging (a,a) classic
+    // re-counts and finds (aa,a) c=50. A batch must NOT take both in one
+    // pass ((aa,a) shares symbols with (a,a)) — batched training needs one
+    // extra iteration and lands on the same sequence.
+    val df = Seq(Seq.fill(50)("aaa").mkString(" ")).toDF("text")
+    val classic = Vocab.trainBpe(df, nMerges = 2, batchSize = 1)
+    assert(classic == Seq(("a", "a"), ("aa", "a")))
+    assert(Vocab.trainBpe(df, nMerges = 2, batchSize = 8) == classic)
+  }
+
+  test("batched training on the real corpus: valid merges, lossless encode") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val merges = Vocab.trainBpe(docs, nMerges = 64, batchSize = 32)
+    assert(merges.size == 64)
+    assert(merges.distinct.size == 64, "no merge may repeat")
+    val rows = Vocab.encode(docs.limit(50), merges)
+      .select(col("text"), col("bpe_tokens")).collect()
+    for (r <- rows)
+      assert(r.getSeq[String](1).mkString == r.getString(0).replace(" ", ""),
+        "batched-vocab encode must stay lossless")
+  }
+
   test("encode: lossless (tokens concatenate back to the words) and compressive") {
     import spark.implicits._
     val docs = SparkEntry.table(spark, dir, "documents").limit(100)
