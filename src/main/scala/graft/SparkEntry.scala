@@ -75,7 +75,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     core ++ JmesCoverage.queries ++ ext.TextAnalysis.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Multimodal.queries ++ ext.Sessionize.queries ++
-      ext.Curation.queries ++ ext.Hygiene.queries ++ engine.StreamingCoverage.queries
+      ext.Curation.queries ++ ext.Hygiene.queries ++ ext.Vocab.queries ++
+      engine.StreamingCoverage.queries
 
   /** The jmes_wide/variant_wide constructed document (~1 KB/record): the
     * props docs are ~12 B, where Spark's job floor hides per-record engine
@@ -297,5 +298,6 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
   ) ++ JmesCoverage.oracleSql ++ ext.TextAnalysis.oracleSql ++ ext.Dedup.oracleSql ++
     ext.Similarity.oracleSql ++ ext.Multimodal.oracleSql ++ ext.Sessionize.oracleSql ++
-    ext.Curation.oracleSql ++ ext.Hygiene.oracleSql ++ engine.StreamingCoverage.oracleSql
+    ext.Curation.oracleSql ++ ext.Hygiene.oracleSql ++ ext.Vocab.oracleSql ++
+    engine.StreamingCoverage.oracleSql
 }

@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.SparkEntry
 
 /** BPE vocabulary induction over a document corpus — the tokenizer-training
   * step of a pretraining pipeline (Sennrich et al. 2016): repeatedly merge
@@ -185,4 +186,34 @@ object Vocab {
     }
     df.withColumn("bpe_tokens", enc(col("text")))
   }
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // Gate parameters, shared by the queries entry and the fixture generator
+  // (tools/gen_vocab_fixture.py mirrors them) so they can never desync.
+  private[ext] val GateMerges = 50
+  private[ext] val GateBatch = 16
+
+  /** Driver gate for the BPE ENCODE path (round-8 verdict missing #3):
+    * train on the corpus with the BATCHED selection, encode every document,
+    * and emit a deterministic serialization. The oracle is committed
+    * fixture parquet from an independent pure-Python BPE (the
+    * [[Dedup.fixturesDir]] pattern) keyed to the exact corpus. */
+  val queries: Map[String, Q] = Map(
+    "vocab_encode" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val merges = trainBpe(docs, nMerges = GateMerges, batchSize = GateBatch)
+      encode(docs, merges)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_bpe"),
+          array_join(col("bpe_tokens"), " ").as("bpe_text"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "vocab_encode" ->
+      s"""SELECT doc_id, n_bpe, bpe_text
+        |FROM read_parquet('${Dedup.fixturesDir}/vocab_encode.parquet')
+        |WHERE corpus = (SELECT md5(string_agg(doc_id || ':' || text, '|' ORDER BY doc_id)) FROM documents)""".stripMargin,
+  )
 }
