@@ -84,6 +84,22 @@ object Tuning {
     math.floor((1.0 + math.sqrt(1.0 + 8.0 * pairBudgetPerShingle.toDouble)) / 2.0).toInt
   }
 
+  /** Candidate-pair budget for [[Dedup.dedupAuto]]'s exact-vs-LSH regime
+    * switch: the verification work a cluster can afford scales LINEARLY
+    * with corpus size (each doc contributes its own verify slots), so the
+    * budget is `nDocs × perDocCandidates` — a healthy text corpus's PPJoin
+    * candidate volume is O(n) (COVERAGE: ~6 candidates/doc at sf0.1),
+    * while a collapsed-shingle corpus grows ~quadratically (measured 490×
+    * volume at 10× rows on the degenerate ScaleProbe variant). The default
+    * 64/doc sits an order of magnitude above the healthy regime and orders
+    * below the degenerate one, so the switch is insensitive to the exact
+    * value. */
+  def suggestCandidateBudget(nDocs: Long, perDocCandidates: Long = 64L): Long = {
+    require(nDocs >= 0 && perDocCandidates > 0)
+    if (nDocs > Long.MaxValue / perDocCandidates) Long.MaxValue
+    else nDocs * perDocCandidates
+  }
+
   /** Sign-LSH bucket width for an `n`-vector corpus and a target expected
     * bucket population: `bits = ⌈log₂(n / target)⌉`, clamped to [4, 48]
     * (48 bits × any table count still packs in the BIGINT bucket key). */

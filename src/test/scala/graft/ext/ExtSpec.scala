@@ -489,6 +489,43 @@ class ExtSpec extends AnyFunSuite {
     assert(strings(out2) == Seq("ab cd"))
   }
 
+  test("dedupAuto: healthy corpus routes to exact PPJoin, degenerate to LSH") {
+    import spark.implicits._
+    // healthy: the real corpus — candidate volume is O(n) (ScaleProbe's
+    // linear regime), well inside the linear budget
+    val pfH = Dedup.jaccardPreflight(docs).head()
+    val routeH = Dedup.chooseJaccardRoute(
+      pfH.getAs[Long]("n_docs"), pfH.getAs[Long]("candidate_volume"))
+    assert(routeH == Dedup.ExactPpjoinRoute,
+      s"healthy corpus must route exact: $pfH")
+    // degenerate: collapsed shingle space (every doc shares nearly all
+    // shingles — the ScaleProbe skew regime) blows the candidate budget
+    val base = (0 until 200).map(i => (i.toLong,
+      s"alpha beta gamma delta epsilon zeta eta theta iota kappa v$i"))
+      .toDF("doc_id", "text")
+    val pfD = Dedup.jaccardPreflight(base).head()
+    val routeD = Dedup.chooseJaccardRoute(
+      pfD.getAs[Long]("n_docs"), pfD.getAs[Long]("candidate_volume"))
+    assert(routeD == Dedup.BandedMinhashRoute,
+      s"collapsed corpus must route to LSH: $pfD")
+    // thresholds are Tuning-derived (linear in n), not constants: the same
+    // candidate volume that damns 200 docs is fine for a corpus 100× larger
+    assert(Dedup.chooseJaccardRoute(20000L,
+      pfD.getAs[Long]("candidate_volume")) == Dedup.ExactPpjoinRoute)
+    // both routes return the same schema and exact-verified pairs
+    val autoH = Dedup.dedupAuto(docs).columns.toSeq
+    val autoD = Dedup.dedupAuto(base)
+    assert(autoH == Seq("id_a", "id_b", "jac"))
+    assert(autoD.columns.toSeq == Seq("id_a", "id_b", "jac"))
+    // on the degenerate corpus the LSH route must agree with minhashLsh
+    // run with the same Tuning-suggested band count
+    val expD = Dedup.minhashLsh(base, k = 3, numHashes = 64,
+        bands = Tuning.suggestMinhashBands(64, 0.5), tau = 0.5)
+      .select("id_a", "id_b", "jac").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotD = autoD.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotD == expD)
+  }
+
   test("multimodal feature-extract and resize stages") {
     val feats = Multimodal.extractFeatures(docs).collect()
     assert(feats.forall(_.features.length == 8))
