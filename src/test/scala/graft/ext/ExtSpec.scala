@@ -249,6 +249,62 @@ class ExtSpec extends AnyFunSuite {
       "index must contain exactly the seed plus the survivors")
   }
 
+  test("streaming dedup over the shard source: checkpoint stop/restart == uninterrupted") {
+    // The S10 exactly-once pattern applied to the INDEX: dedupStream over
+    // the real kinesiscat source, killed after one capped micro-batch and
+    // resumed from its checkpoint, must emit the same survivors and leave
+    // byte-identical index state as a never-interrupted run with the same
+    // batch cap (same segmentation → same within-batch collapse decisions).
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    import graft.sources.ShardStream
+    val base = java.nio.file.Files.createTempDirectory("dedupe2e").toString
+    val corpus = docs.where(col("doc_id") % 10 >= 2)
+    val incoming = docs.where(col("doc_id") % 10 < 2)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val streamDir = s"$base/stream"
+    ShardStream.writeShardDir(streamDir, incoming.map { case (id, t) =>
+      ("s0", f"$id%012d", id.toString, t, 1700000000000L + id) })
+
+    def seed(idxDir: String): Unit =
+      Dedup.saveJaccardIndex(Dedup.buildJaccardIndex(corpus), idxDir)
+    def run(idxDir: String, ckpt: String, trigger: Trigger): Seq[Long] = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val src = spark.readStream.format("kinesiscat")
+        .option("path", streamDir).option("startingPosition", ShardStream.TrimHorizon)
+        .option("batchSize", "20").load()
+        .select(col("partitionKey").cast("long").as("doc_id"),
+          col("data").cast("string").as("text"))
+      val q = Dedup.dedupStream(src, idxDir) { survivors =>
+        survivors.select("doc_id").collect().foreach(r => acc.add(r.getLong(0)))
+      }.option("checkpointLocation", ckpt).trigger(trigger).start()
+      q.awaitTermination()
+      acc.iterator().asScala.toSeq
+    }
+
+    val idxA = s"$base/idxA"; seed(idxA)
+    val survA = run(idxA, s"$base/ckptA", Trigger.AvailableNow())
+
+    val idxB = s"$base/idxB"; seed(idxB)
+    val part = run(idxB, s"$base/ckptB", Trigger.Once())
+    val rest = run(idxB, s"$base/ckptB", Trigger.AvailableNow())
+    assert(part.nonEmpty && rest.nonEmpty, "the stop must land mid-corpus")
+    val resumed = part ++ rest
+    assert(resumed.distinct.size == resumed.size, "no re-delivered survivor")
+    assert(resumed.sorted == survA.sorted,
+      s"resumed survivors must equal the uninterrupted run's " +
+        s"(${resumed.size} vs ${survA.size})")
+
+    def idxState(d: String): (Seq[Long], Seq[(Long, Long)]) = (
+      spark.read.parquet(s"$d/arrays").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq,
+      spark.read.parquet(s"$d/prefix").select("doc_id", "h")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    assert(idxState(idxB) == idxState(idxA),
+      "index rows after restart must be identical to the uninterrupted run")
+  }
+
   test("sign-LSH ANN: deterministic buckets, recall@5 vs exact brute force") {
     val queries = emb.where(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) =
