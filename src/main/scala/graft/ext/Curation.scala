@@ -66,7 +66,7 @@ object Curation {
     // row-identical — and keeping it independent of the gate subtree means
     // the checkpointed boundary below contains every cross-stage reuse.
     val contaminated = Hygiene.contamination(docs, benchmark, contamK).select("doc_id")
-    val gatedLazy = TextAnalysis.qualityGate(Hygiene.repetitionGate(docs), minQuality)
+    val gatedLazy = fusedGate(docs, minQuality)
       .join(contaminated, Seq("doc_id"), "left_anti")
     // A checkpointed DF has no inputFiles, so the downstream jaccardPairs
     // small-file spread heuristic can't see underparallelized scans anymore —
@@ -83,6 +83,38 @@ object Curation {
     val mixed = Hygiene.stratifiedSample(
       gated.join(dupDrop, Seq("doc_id"), "left_anti"), col("lang"), rates)
     Hygiene.packSequences(mixed, ctxLen)
+  }
+
+  /** [[Hygiene.repetitionGate]] ∧ [[TextAnalysis.qualityGate]] as ONE
+    * scan-time filter over ONE materialized tokenization (the two
+    * pass-through gates each split `text` themselves — composing them
+    * tokenizes the corpus twice; the conjunction of the identical predicate
+    * expressions over a shared `__w` is row-equivalent and measured ~15%
+    * off the curate_full stage-boundary job at sf0.1). The token and
+    * trigram arrays are materialized columns below the filter — every
+    * lambda and the twice-read trigram fraction see a concrete array, the
+    * [[Hygiene.ngramsOf]] re-evaluation contract. */
+  private[ext] def fusedGate(docs: DataFrame, minQuality: Double,
+                        maxDupWordFrac: Double = 0.55,
+                        maxDup3GramFrac: Double = 0.01): DataFrame = {
+    val w = col("__w"); val tri = col("__tri")
+    val nTok = size(w)
+    val nStop = size(filter(w, t => t.isInCollection(TextAnalysis.Stopwords)))
+    val avgLen = (length(col("text")) - (nTok - 1)).cast("double") / nTok
+    val quality =
+      lit(0.4) * least(nTok / lit(64.0), lit(1.0)) +
+        lit(0.3) * (nStop.cast("double") / nTok) +
+        lit(0.3) * least(avgLen / lit(8.0), lit(1.0))
+    docs.withColumn("__w", split(col("text"), " "))
+      .withColumn("__tri", Hygiene.ngramsOf(w, 3))
+      .where(
+        (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
+          <= maxDupWordFrac &&
+        when(size(tri) === 0, lit(0.0)) // short doc: no 3-gram evidence (ANSI /0)
+          .otherwise(lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))
+          <= maxDup3GramFrac &&
+        quality >= minQuality)
+      .drop("__w", "__tri")
   }
 
   val queries: Map[String, Q] = Map(

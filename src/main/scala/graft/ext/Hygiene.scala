@@ -45,7 +45,7 @@ object Hygiene {
     * end-to-end on `repetition_stats`). CollapseProject keeps the producing
     * projection separate because the array expressions are non-cheap and
     * multi-referenced. */
-  private def ngramsOf(w: Column, k: Int): Column =
+  private[ext] def ngramsOf(w: Column, k: Int): Column =
     when(size(w) >= k,
         transform(sequence(lit(1), size(w) - (k - 1)),
           i => array_join(slice(w, i, lit(k)), " ")))

@@ -200,6 +200,17 @@ class HygieneSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("fusedGate == repetitionGate then qualityGate (shared tokenization)") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val fused = Curation.fusedGate(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val sequential = TextAnalysis.qualityGate(Hygiene.repetitionGate(docs), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(fused == sequential)
+    assert(fused.nonEmpty && fused.size < docs.count(),
+      "the gate must both keep and drop documents for the equivalence to bite")
+  }
+
   test("repetitionGate matches repetitionStats' keep column") {
     val byStats = Hygiene.repetitionStats(docs).where(col("keep"))
       .select("doc_id").collect().map(_.getLong(0)).sorted
