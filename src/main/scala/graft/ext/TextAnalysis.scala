@@ -126,12 +126,70 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("rank"), col("score"))
   }
 
+  /** CCNet-style unigram language-model scoring (Wenzek et al. 2020 use a
+    * KenLM perplexity to rank crawl text against a clean reference corpus;
+    * the unigram variant is the distributable first-order version): train
+    * word frequencies on `reference`, then score every document by its
+    * tokens' add-½-smoothed probabilities
+    * `p(w) = (cnt(w) + ½) / (total + (V+1)/2)` (the +1 is the OOV bucket).
+    *
+    * Emitted per document: `n_tokens`, `n_oov` (tokens unseen in the
+    * reference), `mean_prob`, `min_prob`. Probabilities are kept in
+    * RATIONAL form — every per-doc aggregate is an exact integer sum/min
+    * (`Σ(2·cnt+1)`, `min(cnt)`) divided ONCE by the exact common
+    * denominator `2·total + V + 1` — so results are bit-exact across
+    * engines and partitionings (a float `SUM(p)` would be summation-order
+    * dependent, and `ln` differs in the last ulp per libm — the
+    * [[tfidfKeywords]] linear-idf precedent). A deployment ranking by
+    * perplexity maps these monotonically (`-log` of a mean is order-
+    * reversing), so the rational form loses nothing for filtering.
+    *
+    * Plan shape at 100 TB: the lexicon is one aggregation of the REFERENCE
+    * corpus (references are curated and much smaller than the crawl;
+    * vocabularies are millions of rows — MBs) broadcast to a narrow
+    * left join on the crawl side; the only corpus-sized shuffle is the
+    * final per-document aggregation. Integer headroom: `2·total + V + 1`
+    * at a 10¹³-token reference is ~2×10¹³ and the mean's denominator
+    * multiplies by doc length — still < 2⁵³, so the double division stays
+    * exact. */
+  def lmScore(docs: DataFrame, reference: DataFrame): DataFrame = {
+    val lex = reference.select(explode(toks).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // ONE scalar collected at build time (bounded driver state, like the
+    // IVF centroid seed): folding d2 in as a literal keeps the crawl side
+    // a pure narrow+broadcast plan — no 1-row nested-loop cross join —
+    // which also makes the scorer applicable to a STREAMING crawl side
+    val d2 = lex.agg(
+      (lit(2) * coalesce(sum("cnt"), lit(0L)) + count(lit(1)) + lit(1)).as("d2"))
+      .head().getLong(0)
+    docs.select(col("doc_id"), explode(toks).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(lex), Seq("w"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("cnt") === 0, lit(1))).as("n_oov"),
+        (sum(lit(2) * col("cnt") + 1).cast("double") /
+          (lit(d2) * count(lit(1))).cast("double")).as("mean_prob"),
+        ((lit(2) * min("cnt") + 1).cast("double") / lit(d2.toDouble)).as("min_prob"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_stats" -> ((s, dir) => stats(SparkEntry.table(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => langId(SparkEntry.table(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) => fingerprint(SparkEntry.table(s, dir, "documents"))),
     "top_terms" -> ((s, dir) => topTerms(SparkEntry.table(s, dir, "documents"))),
     "tfidf_keywords" -> ((s, dir) => tfidfKeywords(SparkEntry.table(s, dir, "documents"))),
+    // the gate trains the reference LM on the held-out split (doc_id % 50
+    // == 0, the curate_full benchmark split) and scores the crawl side —
+    // the CCNet deployment shape (clean reference ranks raw crawl)
+    "lm_score" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      lmScore(docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0))
+    }),
   )
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -192,5 +250,30 @@ object TextAnalysis {
         |                       ORDER BY CAST(tfc.tf AS DOUBLE) / dfc.df DESC, tfc.term) AS rank
         |  FROM tfc JOIN dfc USING (term))
         |SELECT doc_id, term, rank, score FROM r WHERE rank <= 3""".stripMargin,
+
+    // exact mirror of lmScore's rational arithmetic: integer numerators
+    // summed exactly (DuckDB widens to HUGEINT — cast to DOUBLE only at the
+    // final division, values < 2^53 so the cast is exact), one shared
+    // denominator 2*total + V + 1
+    "lm_score" ->
+      """WITH lex AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |        WHERE doc_id % 50 = 0)
+        |  WHERE w <> '' GROUP BY w),
+        |t AS (SELECT CAST(2 * COALESCE(sum(cnt), 0) + count(*) + 1 AS BIGINT) AS d2 FROM lex),
+        |words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |    WHERE doc_id % 50 != 0)
+        |  WHERE w <> ''),
+        |j AS (SELECT doc_id, COALESCE(cnt, 0) AS cnt
+        |      FROM words LEFT JOIN lex USING (w))
+        |SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE cnt = 0) AS n_oov,
+        |  CAST(sum(2 * cnt + 1) AS DOUBLE) / CAST(t.d2 * count(*) AS DOUBLE) AS mean_prob,
+        |  CAST(2 * min(cnt) + 1 AS DOUBLE) / CAST(t.d2 AS DOUBLE) AS min_prob
+        |FROM j, t GROUP BY doc_id, t.d2""".stripMargin,
   )
 }

@@ -114,6 +114,21 @@ class PlanSpec extends AnyFunSuite {
       s"only the per-doc count agg may shuffle above the join:\n$p")
   }
 
+  test("lm_score: lexicon broadcast, corpus side narrow to the per-doc agg") {
+    val p = physical("lm_score")
+    assertNoCartesian("lm_score", p)
+    // the crawl side must reach the lexicon join unshuffled (the lexicon +
+    // denominator broadcasts may shuffle inside their own MB-sized subtrees)
+    val bhj = p.collect { case j: joins.BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"lexicon join must broadcast the lexicon:\n$p")
+    val streamed = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.right
+      case _ => bhj.head.left
+    }
+    assert(streamed.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"corpus side must not shuffle before the lexicon join:\n$p")
+  }
+
   test("curate_full: the composed pipeline stays cartesian-free end to end") {
     val p = physical("curate_full")
     assertNoCartesian("curate_full", p)

@@ -200,6 +200,38 @@ class HygieneSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("lmScore: differential vs a plain-Scala unigram model; OOV semantics") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val ref = docs.where(col("doc_id") % 50 === 0)
+    val crawl = docs.where(col("doc_id") % 50 =!= 0)
+    val got = TextAnalysis.lmScore(crawl, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // independent plain-Scala model (same add-half smoothing, exact ints)
+    val refTexts = ref.select("text").collect().map(_.getString(0))
+    val lex = refTexts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val d2 = 2L * lex.values.sum + lex.size + 1
+    val crawlRows = crawl.select("doc_id", "text").collect()
+    assert(got.size == crawlRows.length)
+    for (r <- crawlRows) {
+      val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+      val cnts = ws.map(w => lex.getOrElse(w, 0L))
+      val exp = (ws.length.toLong, cnts.count(_ == 0L).toLong,
+        cnts.map(2L * _ + 1).sum.toDouble / (d2 * ws.length).toDouble,
+        (2L * cnts.min + 1).toDouble / d2.toDouble)
+      assert(got(r.getLong(0)) == exp, s"doc ${r.getLong(0)}")
+    }
+    // semantics: a doc of reference-frequent words must outscore a doc of
+    // words the reference never saw, and OOV counting must see them all
+    import spark.implicits._
+    val probe = Seq((1L, "the a data value"), (2L, "zz yy xx wwq")).toDF("doc_id", "text")
+    val scored = TextAnalysis.lmScore(probe, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(scored(2L)._1 == 4L && scored(1L)._1 < 4L)
+    assert(scored(1L)._2 > scored(2L)._2)
+  }
+
   test("fusedGate == repetitionGate then qualityGate (shared tokenization)") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val fused = Curation.fusedGate(docs, 0.5)
