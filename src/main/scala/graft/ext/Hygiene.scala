@@ -225,6 +225,52 @@ object Hygiene {
       .withColumn("offset_in_chunk", col("start_offset") % ctxLen)
   }
 
+  /** Fixed-window chunking of LONG documents with stride overlap — the
+    * per-document twin of [[packSequences]]' concat-and-chunk layout (HF
+    * `return_overflowing_tokens` semantics): token windows of `ctxLen`
+    * starting every `stride` tokens while the start is inside the document;
+    * trailing windows shorter than `ctxLen` are kept (lossless — dropping
+    * tails is a caller-side filter on `chunk_n_tokens`). Narrow and
+    * shuffle-free: one explode per document, chunk math pure per row; every
+    * lambda-free `slice` reads the materialized token array. */
+  def chunkDocuments(df: DataFrame, ctxLen: Int = 256, stride: Int = 192): DataFrame = {
+    require(ctxLen > 0 && stride > 0, "ctxLen and stride must be positive")
+    val w = col("__w")
+    df.select(col("doc_id"), toks.as("__w"))
+      .select(col("doc_id"), w,
+        explode(sequence(lit(0), expr(s"(size(__w) - 1) DIV $stride").cast("int")))
+          .as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(ctxLen), size(w) - col("chunk_idx") * stride).as("chunk_n_tokens"),
+        array_join(slice(w, col("chunk_idx") * stride + 1, lit(ctxLen)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Deterministic sharded shuffle — the pretraining DATA-ORDERING step: a
+    * reproducible pseudo-random permutation of the corpus, sharded so no
+    * stage ever globally sorts. Each document hashes (sha256 of
+    * `doc_id:salt` — the [[stratifiedSample]] engine-portable construction)
+    * to `shard = u % nShards` and ranks within its shard by `(u, doc_id)`;
+    * the training loader reads shards in index order, positions in rank
+    * order. Pure function of (doc_id, salt): re-runs, engines, and
+    * partitionings all agree, and changing `salt` is a fresh epoch
+    * permutation. One shuffle (the per-shard window sort), O(corpus/nShards)
+    * per-task memory — at 100 TB pick nShards so a shard fits a task. */
+  def shuffleOrder(df: DataFrame, nShards: Int = 64, salt: String = "epoch0"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val u = conv(substring(
+        sha2(concat(col("doc_id").cast("string"), lit(":" + salt)), 256), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__u"), col("doc_id"))
+    df.select(col("doc_id"), u.as("__u"))
+      .withColumn("shard", pmod(col("__u"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select("doc_id", "shard", "pos")
+  }
+
   val queries: Map[String, Q] = Map(
     "repetition_stats" -> ((s, dir) =>
       repetitionStats(SparkEntry.table(s, dir, "documents"))),
@@ -240,6 +286,11 @@ object Hygiene {
         .select("doc_id", "lang", "source")),
     "pack_sequences" -> ((s, dir) =>
       packSequences(SparkEntry.table(s, dir, "documents"))),
+    // ctx 32 / stride 24 on ~60-word docs → 2-3 overlapping chunks each
+    "chunk_documents" -> ((s, dir) =>
+      chunkDocuments(SparkEntry.table(s, dir, "documents"), ctxLen = 32, stride = 24)),
+    "shuffle_order" -> ((s, dir) =>
+      shuffleOrder(SparkEntry.table(s, dir, "documents"), nShards = 16)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -316,5 +367,25 @@ object Hygiene {
         |        / 4294967296.0
         |  < CASE lang WHEN 'en' THEN 0.9 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.5
         |              WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END""".stripMargin,
+
+    "chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, CAST(i AS INT) AS chunk_idx
+        |      FROM t, unnest(generate_series(0, (len(w) - 1) // 24)) AS u(i))
+        |SELECT doc_id, chunk_idx,
+        |  chunk_idx * 24 AS start_tok,
+        |  least(32, len(w) - chunk_idx * 24) AS chunk_n_tokens,
+        |  array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
+    "shuffle_order" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 8)) AS BIGINT) AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(u % 16 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY u % 16 ORDER BY u, doc_id) - 1 AS BIGINT) AS pos
+        |FROM h""".stripMargin,
   )
 }

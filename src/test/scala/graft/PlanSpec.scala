@@ -156,6 +156,18 @@ class PlanSpec extends AnyFunSuite {
     assertNoCartesian("dedup_subdoc", p)
   }
 
+  test("chunk_documents: narrow shuffle-free per-document explode") {
+    val p = physical("chunk_documents")
+    assert(shuffles(p) == 0, s"chunking must be a narrow scan-time plan:\n$p")
+  }
+
+  test("shuffle_order: one shuffle (the per-shard rank window), no global sort") {
+    val p = physical("shuffle_order")
+    assert(shuffles(p) == 1, s"ordering must shuffle once, by shard:\n$p")
+    assert(count(p) { case _: SortExec => } == 1,
+      s"expected exactly the within-shard rank sort:\n$p")
+  }
+
   test("pack_sequences: one shuffle (the per-shard window), no global sort") {
     val p = physical("pack_sequences")
     assert(shuffles(p) == 1, s"packing must shuffle once, by shard:\n$p")

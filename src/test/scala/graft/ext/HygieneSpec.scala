@@ -200,6 +200,52 @@ class HygieneSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("chunkDocuments: stride-overlap windows cover every token losslessly") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val got = Hygiene.chunkDocuments(docs, ctxLen = 32, stride = 24).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    assert(got.map(_._1).toSet == texts.keySet)
+    for ((id, idx, start, n, text) <- got) {
+      val w = texts(id)
+      assert(start == idx * 24)
+      assert(n == math.min(32, w.length - start) && n >= 1)
+      assert(text == w.slice(start, start + 32).mkString(" "))
+    }
+    // every consecutive chunk pair overlaps by ctxLen - stride = 8 tokens
+    // (except short tails), and chunk 0 always starts at token 0
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.values.forall(_.exists(_._2 == 0)))
+    // lossless: concatenating each chunk's NON-overlapped prefix (stride
+    // tokens) plus the last chunk's full text reconstructs the document
+    for ((id, cs) <- byDoc) {
+      val ordered = cs.sortBy(_._2)
+      val rebuilt = (ordered.init.map(_._5.split(" ").take(24)) :+
+        ordered.last._5.split(" ")).flatten
+      assert(rebuilt.sameElements(texts(id)), s"doc $id not covered")
+    }
+  }
+
+  test("shuffleOrder: deterministic sharded permutation, salt changes the epoch") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val a = Hygiene.shuffleOrder(docs, nShards = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // a true permutation: every doc exactly once, positions contiguous per shard
+    assert(a.map(_._1).distinct.length == docs.count())
+    for ((shard, rows) <- a.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    // deterministic across runs
+    val b = Hygiene.shuffleOrder(docs, nShards = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // a different salt is a different epoch permutation
+    val c = Hygiene.shuffleOrder(docs, nShards = 16, salt = "epoch1").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
+  }
+
   test("lmScore: differential vs a plain-Scala unigram model; OOV semantics") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val ref = docs.where(col("doc_id") % 50 === 0)
