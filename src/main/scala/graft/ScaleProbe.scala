@@ -46,12 +46,17 @@ object ScaleProbe {
     //    prefix-filter algorithm is linear there; the probe keeps it as a
     //    labeled stress case to show banded MinHash-LSH stays linear on
     //    the SAME corpus (signatures collapse, buckets stay bounded).
-    val docs1 = SparkEntry.table(spark, sfDir, "documents").select("doc_id", "text")
+    // lang/source ride along for the curate_full composition (stratified
+    // mix keys on lang, packing shards on source); the dedup/ANN probes
+    // prune them at scan time
+    val docs1 = SparkEntry.table(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang", "source")
     val reps = spark.range(rep).select(col("id").as("r"))
     val docsN = docs1.crossJoin(broadcast(reps))
       .select((col("doc_id") + col("r") * 1000000L).as("doc_id"),
         regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1_r"), col("r")))
-          .as("text"))
+          .as("text"),
+        col("lang"), col("source"))
     val docsSkew = docs1.crossJoin(broadcast(reps))
       .select((col("doc_id") + col("r") * 1000000L).as("doc_id"),
         regexp_replace(col("text"), lit(" "), concat(lit(" r"), col("r"), lit(" ")))
@@ -138,6 +143,21 @@ object ScaleProbe {
         val bench = dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
         ext.Hygiene.contamination(dN.where(col("doc_id") % 50 =!= 0),
           bench, k = 4).count()
+      },
+      // the FLAGSHIP composition: full 7-stage curation (fused gates →
+      // decontamination → pair graph + CC → mix → pack) with the benchmark
+      // side FIXED (r=0 slice) as the corpus grows — the growth exponent of
+      // everything above composed, including the materialized stage
+      // boundary and the iterative clustering
+      time(s"curate_full_1x") {
+        val bench = dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
+        ext.Curation.curateFull(
+          dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 =!= 0),
+          bench).count()
+      },
+      time(s"curate_full_${rep}x") {
+        val bench = dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
+        ext.Curation.curateFull(dN.where(col("doc_id") % 50 =!= 0), bench).count()
       })
 
     val pairs = results.grouped(2).map { case Seq((l1, s1, _), (_, sN, _)) =>

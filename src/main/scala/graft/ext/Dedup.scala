@@ -648,6 +648,33 @@ object Dedup {
         vectors.cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
       .where(col("sim") >= tau)
 
+  /** SemDeDup-style SEMANTIC pruning (Abbas et al. 2023, arXiv:2303.09540):
+    * where the text-side near-dup operators catch lexical copies, this
+    * collapses documents that *say the same thing* — embeddings land in
+    * IVF cells (the paper's k-means clusters), vectors whose cosine meets
+    * `tau` inside a shared cell are semantic duplicates, and only one
+    * representative (min vec_id) of each connected duplicate component
+    * survives. Output: the surviving `vec_id` keep-list a pipeline
+    * anti-joins its corpus against.
+    *
+    * Composition of already-scale-safe parts: [[embeddingPairs]] (cell-
+    * blocked candidates, never all-pairs) + [[clusters]] (O(diameter)
+    * iterative CC over the small pair set) + one anti-join. At 100 TB,
+    * pass frozen `centroids` (a [[Similarity.trainCentroids]] /
+    * [[Similarity.loadCentroids]] product) and scale `nCells` with the
+    * corpus (`Tuning.suggestIvfCells`) so per-cell candidate volume stays
+    * bounded — exactly the paper's setting, where dedup quality is governed
+    * by the clustering the same way recall is for [[annIvf]]. */
+  def semdedupPrune(df: DataFrame, tau: Double = GateEmbedTau,
+                    nCells: Int = GateEmbedCells,
+                    nAssign: Int = GateEmbedAssign,
+                    centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    val dup = clusters(embeddingPairs(df, tau, nCells, nAssign, centroids))
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("vec_id"))
+    df.select("vec_id").join(dup, Seq("vec_id"), "left_anti")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, dir) => exact(SparkEntry.table(s, dir, "documents"))),
     "dedup_subdoc" -> ((s, dir) => subdocDedup(SparkEntry.table(s, dir, "documents"))),
@@ -675,6 +702,10 @@ object Dedup {
     "dedup_embedding_pairs" -> ((s, dir) =>
       embeddingPairs(SparkEntry.table(s, dir, "embeddings"), tau = GateEmbedTau,
         nCells = GateEmbedCells, nAssign = GateEmbedAssign)),
+    // SemDeDup keep-list over the whole embeddings table (deterministic
+    // id-seeded cells, so the oracle mirrors the algorithm end-to-end)
+    "dedup_semantic" -> ((s, dir) =>
+      semdedupPrune(SparkEntry.table(s, dir, "embeddings"))),
     // incremental embedding dedup: every 10th vector plays the incoming
     // batch, the rest the frozen corpus snapshot (centroids frozen at the
     // corpus — mirrored exactly by the SQL oracle)
@@ -817,6 +848,41 @@ object Dedup {
         |JOIN embeddings a ON c.id_a = a.vec_id
         |JOIN embeddings b ON c.id_b = b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $GateEmbedTau""".stripMargin,
+    // SemDeDup = the embedding-pairs algorithm mirror composed with the
+    // dedup_clusters transitive closure: survivors are every vec_id that is
+    // not a non-representative member of a semantic-duplicate component
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE
+        |cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
+        |  FROM embeddings ORDER BY vec_id LIMIT $GateEmbedCells),
+        |asg AS (
+        |  SELECT e.vec_id, c.cell_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      ${Similarity.quantSimSql(s"list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent)")} DESC,
+        |      c.cell_id) AS rn
+        |  FROM embeddings e, cents c),
+        |cells AS (SELECT vec_id, cell_id FROM asg WHERE rn <= $GateEmbedAssign),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM cells x JOIN cells y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id),
+        |p AS (
+        |  SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN embeddings a ON c.id_a = a.vec_id
+        |  JOIN embeddings b ON c.id_b = b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) >= $GateEmbedTau),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |nonrep AS (
+        |  SELECT a AS vec_id FROM reach GROUP BY a
+        |  HAVING a <> least(a, min(b)))
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM nonrep)""".stripMargin,
     // the streaming-dedup batch policy over the full exact pair set:
     // reject batch docs paired with the corpus, then one representative
     // (min id) per connected component of within-batch pairs among the

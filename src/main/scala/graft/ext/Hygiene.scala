@@ -203,6 +203,39 @@ object Hygiene {
   private[ext] val GateRates: Map[String, Double] =
     Map("en" -> 0.9, "fr" -> 0.5, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.1)
 
+  /** Temperature-scaled source mixing — the multinomial `p_s ∝ n_s^alpha`
+    * rule of multi-source/multilingual pretraining (Lample & Conneau 2019
+    * §3.1; the `alpha < 1` regime flattens the size distribution so
+    * low-resource strata are *relatively* upsampled): measured stratum
+    * sizes `n_s` become per-stratum row budgets
+    * `targetFrac · N · n_s^alpha / Σ_t n_t^alpha`, realized as the same
+    * deterministic sha256 keep-decision as [[stratifiedSample]] with
+    * `rate_s = min(1, budget_s / n_s)`.
+    *
+    * Downsampling-only: a stratum whose budget exceeds its size caps at
+    * rate 1.0 (no row duplication; epoch-level upsampling belongs to the
+    * data loader), and capped strata's unused budget is deliberately NOT
+    * redistributed — rates stay a closed-form function of the counts, so
+    * the sample is reproducible from the histogram alone.
+    *
+    * Two jobs: one tiny `groupBy(strata).count()` collect (bounded by the
+    * number of strata — sources/languages, not rows) and one scan-time
+    * filter; the corpus itself is never shuffled. */
+  def temperatureMix(df: DataFrame, strataCol: Column, alpha: Double = 0.5,
+                     targetFrac: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac in (0, 1]")
+    val counts = df.groupBy(strataCol.as("__stratum")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = counts.values.sum.toDouble
+    val powSum = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val rates = counts.map { case (s, n) =>
+      val budget = targetFrac * total * math.pow(n.toDouble, alpha) / powSum
+      s -> math.min(1.0, budget / n)
+    }
+    stratifiedSample(df, strataCol, rates)
+  }
+
   /** Sequence packing for pretraining batch assembly — the concat-and-chunk
     * layout: within each pack shard (`source`), documents are concatenated
     * in doc_id order and the token stream is cut into fixed `ctxLen`
@@ -283,6 +316,12 @@ object Hygiene {
     }),
     "stratified_sample" -> ((s, dir) =>
       stratifiedSample(SparkEntry.table(s, dir, "documents"), col("lang"), GateRates)
+        .select("doc_id", "lang", "source")),
+    // temperature mix over source strata: rates derive from the measured
+    // histogram (closed-form), so the oracle recomputes them in SQL
+    "temperature_mix" -> ((s, dir) =>
+      temperatureMix(SparkEntry.table(s, dir, "documents"), col("source"),
+        alpha = 0.5, targetFrac = 0.5)
         .select("doc_id", "lang", "source")),
     "pack_sequences" -> ((s, dir) =>
       packSequences(SparkEntry.table(s, dir, "documents"))),
@@ -367,6 +406,20 @@ object Hygiene {
         |        / 4294967296.0
         |  < CASE lang WHEN 'en' THEN 0.9 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.5
         |              WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END""".stripMargin,
+
+    // rates recomputed from the histogram with the same operation order as
+    // temperatureMix ((0.5·N·n^0.5/Σ)/n); the one float-order divergence
+    // risk is the Σ n^0.5 summation order, which can shift a rate by ~1 ulp
+    // — a row flips only if its 2^-32-granular u lands within that ulp of
+    // the boundary (P ≈ corpus_rows · 1e-16, negligible)
+    "temperature_mix" ->
+      """WITH c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n) AS total, sum(pow(n, 0.5)) AS psum FROM c),
+        |r AS (SELECT s, least(1.0, (0.5 * total * pow(n, 0.5) / psum) / n) AS rate
+        |      FROM c, t)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r ON d.source = r.s
+        |WHERE CAST(('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        / 4294967296.0 < r.rate""".stripMargin,
 
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

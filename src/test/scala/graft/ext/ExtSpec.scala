@@ -473,6 +473,26 @@ class ExtSpec extends AnyFunSuite {
     assert(pairSet(Dedup.embeddingPairsIncremental(reloaded, incoming, tau = 0.4)) == full)
   }
 
+  test("semdedup: one representative per semantic component, singletons survive") {
+    import spark.implicits._
+    // 4 well-separated semantic groups (one-hot anchors, 3 near-identical
+    // members each) + 4 unrelated singletons: SemDeDup must keep exactly
+    // the min vec_id of each group and every singleton
+    val dim = 8
+    def oneHot(d: Int, eps: Float, epsDim: Int): Array[Float] = {
+      val v = Array.fill(dim)(0.0f); v(d) = 1.0f; v(epsDim) += eps; v
+    }
+    val rows =
+      (for (g <- 0 until 4; j <- 0 until 3)
+        yield ((g * 10 + j).toLong, oneHot(g, j * 0.001f, (g + 1) % dim))) ++
+      (for (i <- 0 until 4) yield ((100 + i).toLong, oneHot(4 + i, 0.0f, 0)))
+    val cdf = rows.toDF("vec_id", "embedding")
+    val survivors = Dedup.semdedupPrune(cdf, tau = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 10L, 20L, 30L, 100L, 101L, 102L, 103L),
+      s"unexpected survivor set: $survivors")
+  }
+
   test("embedding near-dup blocking: exact precision, measured recall vs all-pairs") {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

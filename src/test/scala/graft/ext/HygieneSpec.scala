@@ -355,4 +355,40 @@ class HygieneSpec extends AnyFunSuite {
     assert(s1.sameElements(expected))
     assert(expected.nonEmpty, "en at 50% must keep something")
   }
+
+  test("temperatureMix: n^alpha rates, flattening toward small strata, cap at 1") {
+    // independent rate recomputation from the measured histogram
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts.size >= 2, "corpus must have several sources")
+    val alpha = 0.5; val target = 0.5
+    val total = counts.values.sum.toDouble
+    val powSum = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val rates = counts.map { case (s, n) =>
+      s -> math.min(1.0, target * total * math.pow(n.toDouble, alpha) / powSum / n)
+    }
+    // alpha < 1 flattens: smaller strata get HIGHER keep rates
+    val bySize = counts.toSeq.sortBy(_._2).map { case (s, _) => rates(s) }
+    assert(bySize.reverse.sameElements(bySize.sorted),
+      s"keep rate must be non-increasing in stratum size: $rates for $counts")
+    // the operator's survivors == stratifiedSample with those closed-form rates
+    val got = Hygiene.temperatureMix(docs, col("source"), alpha, target)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val expect = Hygiene.stratifiedSample(docs, col("source"), rates)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(expect))
+    assert(got.nonEmpty)
+    // realized volume lands near the target fraction (hash noise aside)
+    val frac = got.length / total
+    assert(frac > target - 0.15 && frac < target + 0.15,
+      s"realized fraction $frac far from target $target")
+    // alpha = 1 is proportional sampling: every rate equals targetFrac
+    // (budget_s/n_s = target·N·n_s/N/n_s) — survivors == flat targetFrac
+    val flat = Hygiene.temperatureMix(docs, col("source"), alpha = 1.0, targetFrac = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val flatExpect = Hygiene.stratifiedSample(docs, col("source"),
+        counts.map { case (s, _) => s -> 0.3 })
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(flat.sameElements(flatExpect))
+  }
 }
