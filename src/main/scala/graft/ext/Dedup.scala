@@ -91,6 +91,78 @@ object Dedup {
           " ").as("text_clean"))
   }
 
+  /** EXACT-SUBSTRING dedup at arbitrary offsets — the distributed analogue
+    * of Lee et al. 2022's ExactSubstr (arXiv:2107.06499 §4.1): where
+    * [[subdocDedup]] drops duplicated FIXED chunks (both copies), this
+    * removes every duplicated run of `gramLen` consecutive tokens wherever
+    * it starts. The corpus-global first occurrence of each duplicated gram
+    * (min `(doc_id, pos)`) is KEPT; every later occurrence marks its token
+    * span `[pos, pos+gramLen)` for removal; overlapping spans are merged per
+    * document; survivors reassemble in order. Output:
+    * `doc_id, n_tokens, n_removed, text_clean` (row parity with the input).
+    *
+    * Plan: explode sliding gram positions → hash each gram AT SCAN TIME
+    * (`xxhash64` — 8-byte shuffle keys; the gram text never shuffles) → one
+    * global `min(struct(doc_id, pos))`+count aggregation per key → join
+    * duplicated keys back to occurrences → per-doc interval collect →
+    * sort + fold-merge (a periodic fully-duplicated doc collapses to ONE
+    * island, so the per-token coverage probe is bounded by the merged-island
+    * count, not the raw removal count) → reassemble. Every shuffle is keyed
+    * by hash or doc_id — never all-pairs. Gram construction materializes
+    * each token into `gramLen` grams (O(n·gramLen) chars/doc); at corpus
+    * scale a polynomial rolling hash makes it O(n) — a constant-factor
+    * refinement of the same plan. Collision posture: an xxhash64 collision
+    * can mark a unique span duplicated and over-remove it (conservative for
+    * training data — the [[subdocDedup]] acceptance). */
+  def substringDedup(df: DataFrame, gramLen: Int = 8): DataFrame = {
+    val L = gramLen
+    require(L >= 2, "gramLen >= 2 (1-grams would remove every repeated word)")
+    val toks = df.select(col("doc_id"), split(col("text"), " ").as("__w"))
+    // guard: sequence(1, n-L+1) with n < L would count DOWN (Spark infers a
+    // negative step), inventing positions — short docs emit no grams at all
+    val nPos = size(col("__w")) - (L - 1)
+    val grams = toks
+      .select(col("doc_id"), col("__w"),
+        explode(when(nPos >= 1, sequence(lit(1), nPos))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(array_join(slice(col("__w"), col("pos"), lit(L)), " ")).as("h"))
+    val occ = grams.groupBy("h").agg(
+      min(struct(col("doc_id"), col("pos"))).as("first"),
+      count(lit(1)).as("cnt"))
+    val ivs = grams.join(occ.where(col("cnt") > 1), "h")
+      .where(!(col("doc_id") === col("first.doc_id") &&
+               col("pos") === col("first.pos")))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos").as("s"),
+        (col("pos") + L).as("e"))).as("ivs"))
+    val emptyIvs = array().cast("array<struct<s:int,e:int>>")
+    toks.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__w"),
+        array_sort(coalesce(col("ivs"), emptyIvs)).as("__iv"))
+      .select(col("doc_id"), col("__w"),
+        // fold-merge sorted intervals: extend the last island or open a new
+        // one (CaseWhen is non-strict, so element_at(acc, -1) never runs on
+        // an empty accumulator)
+        aggregate(col("__iv"), emptyIvs, (acc, iv) =>
+          when(size(acc) === 0 ||
+               iv.getField("s") > element_at(acc, -1).getField("e"),
+            concat(acc, array(iv)))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1), array(struct(
+            element_at(acc, -1).getField("s").as("s"),
+            greatest(element_at(acc, -1).getField("e"),
+              iv.getField("e")).as("e")))))).as("__m"))
+      .select(col("doc_id"), col("__w"),
+        filter(sequence(lit(1), size(col("__w"))), j =>
+          !exists(col("__m"), iv =>
+            j >= iv.getField("s") && j < iv.getField("e"))).as("__kept"))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        (size(col("__w")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("__kept"), j => element_at(col("__w"), j)),
+          " ").as("text_clean"))
+  }
+
   /** All pairs with k-shingle Jaccard ≥ tau, via PPJoin-style prefix
     * filtering over an inverted index. EXACT for tau > 0: a pair with
     * J(A,B) ≥ τ must share ≥ ⌈τ·max(|A|,|B|)⌉ shingles, so under any global
@@ -678,6 +750,8 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, dir) => exact(SparkEntry.table(s, dir, "documents"))),
     "dedup_subdoc" -> ((s, dir) => subdocDedup(SparkEntry.table(s, dir, "documents"))),
+    "dedup_substring" -> ((s, dir) =>
+      substringDedup(SparkEntry.table(s, dir, "documents"))),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5)),
     // the auto-router on the (healthy) gate corpus: the preflight must pick
@@ -784,6 +858,31 @@ object Dedup {
         |    AS text_clean
         |FROM c JOIN d USING (chunk)
         |GROUP BY doc_id""".stripMargin,
+    // same keep-first / span-merge semantics as substringDedup, keyed on the
+    // gram TEXT (chunk equality ⇒ hash equality, the dedup_subdoc posture);
+    // removal = every token index covered by a non-first duplicated 8-gram
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |        array_to_string(w[CAST(i AS INT) : CAST(i AS INT) + 7], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(w) - 7)) AS u(i)),
+        |o AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+        |        count(*) OVER (PARTITION BY gram) AS cnt
+        |      FROM g),
+        |r AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM o WHERE cnt > 1 AND rn > 1),
+        |tok AS (SELECT doc_id, CAST(j AS INT) AS j, w[CAST(j AS INT)] AS word
+        |        FROM t, unnest(generate_series(1, len(w))) AS u(j)),
+        |rem AS (SELECT DISTINCT tok.doc_id, tok.j
+        |        FROM tok JOIN r ON tok.doc_id = r.doc_id AND tok.j >= r.s AND tok.j < r.e),
+        |kept AS (SELECT tok.doc_id, tok.j, tok.word
+        |         FROM tok LEFT JOIN rem ON tok.doc_id = rem.doc_id AND tok.j = rem.j
+        |         WHERE rem.j IS NULL)
+        |SELECT t.doc_id, len(t.w) AS n_tokens,
+        |       len(t.w) - count(kept.j) AS n_removed,
+        |       coalesce(string_agg(kept.word, ' ' ORDER BY kept.j), '') AS text_clean
+        |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        |GROUP BY t.doc_id, len(t.w)""".stripMargin,
     // xxhash64-dependent outputs can't be recomputed in DuckDB SQL; the
     // oracle is committed fixture parquet produced by an INDEPENDENT
     // pure-Python reimplementation (tools/gen_dedup_fixtures.py — pure-Python

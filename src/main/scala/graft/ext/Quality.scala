@@ -1,0 +1,184 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Model-based quality filtering — the CLASSIFIER stage of LLM data
+  * pipelines (the GPT-3 WebText-vs-crawl logistic regression, CCNet /
+  * RedPajama's fastText quality filters): logistic regression over hashed
+  * bag-of-words features, trained and scored entirely as DataFrame plans.
+  *
+  * Where [[Hygiene]]'s gates are hand-written heuristics (repetition,
+  * stopword ratios) and [[TextAnalysis.lmScore]] is a generative signal,
+  * this is the discriminative third leg: label a reference-vs-crawl split,
+  * fit weights, score the whole corpus with one narrow pass.
+  *
+  * Scale design (100 TB):
+  *  - featurization is narrow per-document compute — tokenize, hash each
+  *    word into `dim` buckets (the hashing trick), distinct+sort. Nothing
+  *    shuffles to build features.
+  *  - training is full-batch gradient descent: per iteration ONE job
+  *    computes `sigmoid(w·x) − y` per row (narrow, weights broadcast as a
+  *    literal array) and one `groupBy(featureId)` of at most `dim+1` groups
+  *    aggregates the gradient — driver state is `dim+1` doubles per
+  *    iteration (the [[Similarity.trainCentroids]] bounded-collect
+  *    posture). Corpus rows never leave the executors.
+  *  - scoring is a pure scan-time map — composable under any downstream
+  *    filter, and the linear fold runs in ASCENDING feature order so the
+  *    double sum is bit-reproducible across engines and partitionings
+  *    (the [[TextAnalysis.lmScore]] exact-arithmetic precedent).
+  *
+  * The word hash is a char-polynomial fold (`(acc·31 + codepoint) mod
+  * 1000003`, then `mod dim`) rather than xxhash64, so the ENTIRE
+  * featurize→score path is exactly SQL-mirrorable (DuckDB's `list_reduce`
+  * computes the identical integer fold — no fixture needed; QualitySpec
+  * pins the fold value cross-engine). Collisions are the hashing trick's
+  * usual regularizer, not a correctness concern. */
+object Quality {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private[ext] val HashMod = 1000003L
+
+  /** Sorted distinct hashed-word feature ids of `text` (binary presence
+    * features). Sorting canonicalizes the weight-fold order for bit-exact
+    * scoring. Empty tokens (double spaces) are dropped on both the Spark
+    * and oracle sides. */
+  def featurize(text: Column, dim: Int): Column =
+    array_sort(array_distinct(transform(
+      filter(split(text, " "), w => length(w) > 0),
+      wd => pmod(aggregate(split(wd, ""), lit(7L),
+        (acc, c) => (acc * 31 + ascii(c)) % HashMod), lit(dim.toLong))
+        .cast("int"))))
+
+  /** Linear score + sigmoid over hashed features with frozen `weights`.
+    * Adds `quality_logit` (bit-reproducible: ascending-order double fold)
+    * and `quality_prob` (sigmoid — last-ulp engine-dependent, for ranking
+    * and thresholds, not for exact cross-engine comparison). */
+  def scoreWith(df: DataFrame, weights: Array[Double], bias: Double = 0.0,
+                textCol: Column = col("text")): DataFrame = {
+    val wLit = array(weights.map(lit).toSeq: _*)
+    df.withColumn("__f", featurize(textCol, weights.length))
+      .withColumn("quality_logit",
+        aggregate(col("__f"), lit(bias), (acc, i) => acc + element_at(wLit, i + 1)))
+      .withColumn("quality_prob",
+        lit(1.0) / (lit(1.0) + exp(-col("quality_logit"))))
+      .drop("__f")
+  }
+
+  /** Keep documents the classifier accepts: `sigmoid(w·x) ≥ minProb`. */
+  def filterByQuality(df: DataFrame, weights: Array[Double], bias: Double = 0.0,
+                      minProb: Double = 0.5,
+                      textCol: Column = col("text")): DataFrame =
+    scoreWith(df, weights, bias, textCol).where(col("quality_prob") >= minProb)
+      .drop("quality_logit", "quality_prob")
+
+  /** Full-batch logistic-regression training with heavy-ball momentum.
+    * Returns `dim+1` doubles (index `dim` is the bias). One narrow job +
+    * one ≤`dim+1`-group aggregation per iteration; `l2` is ridge
+    * shrinkage; `momentum` is essential, not cosmetic — bag-of-words
+    * presence features are heavily correlated, and measured on the
+    * LM-bootstrap task (QualitySpec corpus) plain GD needs ~2000
+    * iterations (= 2000 Spark jobs) for the accuracy momentum reaches in
+    * 20. Momentum state is one more `dim+1` driver-side array.
+    *
+    * Gradient-descent float summation is partial-aggregation-order
+    * dependent, so trained weights are reproducible only to ~1e-10 across
+    * runs — training is therefore spec-gated against an in-JVM reference
+    * (QualitySpec) like [[Similarity.trainCentroids]], while the DRIVER
+    * gate freezes weights and exercises the deterministic scoring path. */
+  def train(df: DataFrame, textCol: Column, labelCol: Column, dim: Int = 256,
+            iters: Int = 30, lr: Double = 1.0, l2: Double = 0.0,
+            momentum: Double = 0.9): Array[Double] = {
+    val data = df.select(featurize(textCol, dim).as("f"),
+      labelCol.cast("double").as("y")).persist()
+    val n = data.count().toDouble
+    require(n > 0, "training set is empty")
+    val w = Array.fill(dim + 1)(0.0)
+    val v = Array.fill(dim + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val wLit = array(w.init.map(lit).toSeq: _*)
+      val z = aggregate(col("f"), lit(w.last),
+        (acc, i) => acc + element_at(wLit, i + 1))
+      // residual materialized BEFORE the explode so Generate replicates a
+      // computed value instead of re-evaluating the fold per feature row
+      val grad = data
+        .select(col("f"), (lit(1.0) / (lit(1.0) + exp(-z)) - col("y")).as("r"))
+        .select(explode(concat(col("f"), array(lit(dim)))).as("i"), col("r"))
+        .groupBy("i").agg(sum("r").as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      for (i <- 0 to dim) {
+        v(i) = momentum * v(i) + grad.getOrElse(i, 0.0) / n + l2 * w(i)
+        w(i) -= lr * v(i)
+      }
+    }
+    data.unpersist()
+    w
+  }
+
+  /** Bootstrap training without human labels — the CCNet regime: score the
+    * crawl against a clean `reference` with the unigram LM, call the top
+    * `1−q` quantile positives and the bottom `q` negatives (the ambiguous
+    * middle is discarded), and fit the classifier to THAT. The classifier
+    * then generalizes the LM signal through lexical features and can be
+    * shipped as a frozen weight vector with no reference corpus attached. */
+  def trainOnHeuristic(docs: DataFrame, reference: DataFrame, dim: Int = 256,
+                       iters: Int = 30, lr: Double = 1.0,
+                       q: Double = 0.3): Array[Double] = {
+    val scored = TextAnalysis.lmScore(docs, reference)
+      .select(col("doc_id"), col("mean_prob"))
+    val Array(lo, hi) = scored.stat.approxQuantile("mean_prob",
+      Array(q, 1.0 - q), 0.001)
+    val labeled = docs.join(scored, "doc_id")
+      .where(col("mean_prob") <= lo || col("mean_prob") >= hi)
+      .withColumn("__y", (col("mean_prob") >= hi).cast("int"))
+    train(labeled, col("text"), col("__y"), dim, iters, lr)
+  }
+
+  // ---- driver gate ----------------------------------------------------
+  // Frozen pseudo-random weights (Knuth multiplicative constant): the gate
+  // pins the featurize→linear-score path — the part that is deterministic
+  // and SQL-mirrorable — against a DuckDB reimplementation of the same
+  // fold. TRAINED weights are float-order nondeterministic, so training
+  // correctness lives in QualitySpec's reference-equality test instead.
+  private[ext] val GateDim = 64
+  private[ext] val GateWeights: Array[Double] =
+    Array.tabulate(GateDim)(i => (((i * 2654435761L + 101) % 2000001) - 1000000) / 1e6)
+
+  val queries: Map[String, Q] = Map(
+    "quality_score" -> ((s, dir) => {
+      val wLit = array(GateWeights.map(lit).toSeq: _*)
+      SparkEntry.table(s, dir, "documents")
+        .withColumn("__f", featurize(col("text"), GateDim))
+        .select(col("doc_id"), size(col("__f")).cast("long").as("n_features"),
+          aggregate(col("__f"), lit(0.0),
+            (acc, i) => acc + element_at(wLit, i + 1)).as("quality_logit"))
+        .withColumn("keep", col("quality_logit") > 0)
+    }),
+  )
+
+  private def wLitSql: String = GateWeights.mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    // identical integer fold (prepend seeds list_reduce, which has no init
+    // arg) + identical ascending-order double fold over the same literal
+    // weight vector — bit-exact, no tolerance needed
+    "quality_score" ->
+      s"""WITH w AS (SELECT $wLitSql AS wv),
+        |f AS (SELECT doc_id,
+        |        list_sort(list_distinct(list_transform(
+        |          list_filter(string_split(text, ' '), x -> len(x) > 0),
+        |          wd -> CAST(list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |                  list_transform(string_split_regex(wd, ''),
+        |                    c -> CAST(unicode(c) AS BIGINT))),
+        |                (a, b) -> (a * 31 + b) % ${HashMod}) % ${GateDim} AS INT))))
+        |          AS fv
+        |      FROM documents)
+        |SELECT doc_id, n_features, quality_logit, quality_logit > 0 AS keep
+        |FROM (SELECT doc_id, len(fv) AS n_features,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(fv, i -> wv[i + 1])), (a, b) -> a + b)
+        |          AS quality_logit
+        |      FROM f, w) s""".stripMargin,
+  )
+}

@@ -473,6 +473,56 @@ class ExtSpec extends AnyFunSuite {
     assert(pairSet(Dedup.embeddingPairsIncremental(reloaded, incoming, tau = 0.4)) == full)
   }
 
+  test("substringDedup: arbitrary-offset spans, keep-first, interval merge") {
+    import spark.implicits._
+    val L = 4
+    val docs = Seq(
+      // doc 1 holds the global first occurrence of the DUP 4-gram (pos 5)
+      (1L, "p q r s D1 D2 D3 D4 t u"),
+      // doc 2 repeats it MISALIGNED (pos 3) — fixed-chunk dedup would miss it
+      (2L, "x y D1 D2 D3 D4 z w"),
+      // doc 3: two overlapping duplicated grams (pos 1 and pos 3 both dup
+      // vs doc 1/2 shifted copies) force the interval fold-merge
+      (3L, "D1 D2 D3 D4 D1 D2 D3 D4"),
+      // doc 4: unique text — passes through untouched
+      (4L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    // brute-force in-JVM reference of the declared semantics
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val grams = for ((id, w) <- toks.toSeq; i <- 1 to w.length - L + 1)
+      yield (w.slice(i - 1, i - 1 + L).mkString(" "), id, i)
+    val byGram = grams.groupBy(_._1).filter(_._2.size > 1)
+    val removals = byGram.values.flatMap { occ =>
+      occ.sortBy(o => (o._2, o._3)).drop(1).map(o => (o._2, o._3))
+    }.toSeq
+    val expected = toks.map { case (id, w) =>
+      val covered = removals.filter(_._1 == id)
+        .flatMap { case (_, p) => p until (p + L) }.toSet
+      val kept = (1 to w.length).filterNot(covered)
+      (id, w.length.toLong, (w.length - kept.size).toLong,
+        kept.map(j => w(j - 1)).mkString(" "))
+    }.toSet
+    val got = Dedup.substringDedup(docs, gramLen = L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // pin the headline facts independently of the reference
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 == "p q r s D1 D2 D3 D4 t u", "first occurrence kept")
+    assert(byId(2L)._4 == "x y z w", "misaligned later copy removed")
+    assert(byId(3L)._3 == 8L && byId(3L)._4 == "", "overlapping spans merged, whole doc removed")
+    assert(byId(4L)._3 == 0L, "unique doc untouched")
+  }
+
+  test("substringDedup: short docs emit no grams and survive verbatim") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    // 3-token docs < gramLen=8: identical docs still survive (this operator
+    // is span-level; whole-doc dedup is Dedup.exact's job)
+    val got = Dedup.substringDedup(docs, gramLen = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(got == Set((1L, 0L, "a b c"), (2L, 0L, "a b c")))
+  }
+
   test("semdedup: one representative per semantic component, singletons survive") {
     import spark.implicits._
     // 4 well-separated semantic groups (one-hot anchors, 3 near-identical

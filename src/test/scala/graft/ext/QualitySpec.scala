@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** The quality classifier's three contracts: (1) the char-polynomial word
+  * hash matches the independently-computed fold (the value the DuckDB
+  * oracle reproduces — cross-engine parity hinges on this number); (2)
+  * distributed full-batch GD training equals a plain in-JVM reference
+  * implementation to float-accumulation tolerance; (3) the learned model
+  * actually separates a separable corpus, and the heuristic bootstrap
+  * (LM-score labels) generalizes on the real table. */
+class QualitySpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // independent reimplementation of the featurize fold (ASCII corpus: a
+  // Scala Char's UTF-16 unit == the codepoint both engines hash)
+  private def refHash(wd: String, dim: Int): Int = {
+    var acc = 7L
+    wd.foreach(c => acc = (acc * 31 + c.toInt) % Quality.HashMod)
+    (acc % dim).toInt
+  }
+  private def refFeats(text: String, dim: Int): Array[Int] =
+    text.split(" ").filter(_.nonEmpty).map(refHash(_, dim)).distinct.sorted
+
+  private def refTrain(rows: Seq[(String, Double)], dim: Int, iters: Int,
+                       lr: Double, momentum: Double = 0.9): Array[Double] = {
+    val feats = rows.map { case (t, y) => (refFeats(t, dim), y) }
+    val n = feats.size.toDouble
+    val w = Array.fill(dim + 1)(0.0)
+    val v = Array.fill(dim + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val g = Array.fill(dim + 1)(0.0)
+      for ((f, y) <- feats) {
+        val z = w(dim) + f.map(w(_)).sum
+        val r = 1.0 / (1.0 + math.exp(-z)) - y
+        f.foreach(i => g(i) += r)
+        g(dim) += r
+      }
+      for (i <- 0 to dim) {
+        v(i) = momentum * v(i) + g(i) / n
+        w(i) -= lr * v(i)
+      }
+    }
+    w
+  }
+
+  // the synthetic separable corpus: positives draw from one vocabulary,
+  // negatives from a disjoint one (deterministic LCG, no Random)
+  private def synthetic(nPerClass: Int): Seq[(Long, String, Int)] = {
+    def words(seed: Int, prefix: String) =
+      (0 until 12).map(j => s"$prefix${(seed * 7919 + j * 104729) % 20}")
+    (0 until nPerClass).flatMap { i =>
+      Seq((i.toLong, words(i, "good").mkString(" "), 1),
+        ((i + nPerClass).toLong, words(i, "bad").mkString(" "), 0))
+    }
+  }
+
+  test("featurize: char-polynomial fold matches the independent value") {
+    import spark.implicits._
+    // 'hat': ((7*31+104)*31+97)*31+116 mod 1000003 = 311604 — the exact
+    // value the DuckDB oracle's list_reduce computes
+    val big = Quality.HashMod.toInt // dim > any raw hash ⇒ raw fold observable
+    val got = Seq("hat x hat  y").toDF("text")
+      .select(Quality.featurize(col("text"), big)).head().getSeq[Int](0)
+    assert(got == got.sorted, "features must be sorted")
+    assert(got.contains(311604), s"'hat' fold: $got")
+    assert(got.size == 3, "distinct drops the repeated word, filter drops ''")
+    // parity with the reference across the real corpus at gate dim
+    val docs = SparkEntry.table(spark, dir, "documents").limit(50)
+    val rows = docs.select(col("doc_id"), col("text"),
+      Quality.featurize(col("text"), Quality.GateDim).as("f")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](2) == refFeats(r.getString(1), Quality.GateDim).toSeq,
+        s"featurize mismatch on doc ${r.getLong(0)}")
+    }
+  }
+
+  test("train: distributed GD equals the in-JVM reference to float tolerance") {
+    import spark.implicits._
+    val data = synthetic(40)
+    val df = data.toDF("doc_id", "text", "y")
+    val dim = 64; val iters = 15; val lr = 1.0
+    val w = Quality.train(df, col("text"), col("y"), dim, iters, lr)
+    val ref = refTrain(data.map(r => (r._2, r._3.toDouble)), dim, iters, lr)
+    val maxDiff = w.zip(ref).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff < 1e-6,
+      s"distributed vs reference weight divergence: $maxDiff")
+  }
+
+  test("train + scoreWith: separable corpus separates; filter keeps positives") {
+    import spark.implicits._
+    val df = synthetic(60).toDF("doc_id", "text", "y")
+    val w = Quality.train(df, col("text"), col("y"), dim = 64, iters = 30)
+    val scored = Quality.scoreWith(df, w.init, bias = w.last)
+      .select(col("y"), col("quality_prob")).collect()
+    val acc = scored.count(r =>
+      (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)) / scored.length.toDouble
+    assert(acc >= 0.95, s"separable corpus must separate, accuracy $acc")
+    val kept = Quality.filterByQuality(df, w.init, bias = w.last)
+    assert(kept.columns.toSet == df.columns.toSet, "filter preserves schema")
+    assert(kept.where(col("y") === 1).count() >= 57, "positives survive")
+    assert(kept.where(col("y") === 0).count() <= 3, "negatives filtered")
+  }
+
+  test("scoreWith: scoring is deterministic bit-for-bit across runs") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    def run(): Map[Long, Double] =
+      Quality.scoreWith(docs, Quality.GateWeights)
+        .select(col("doc_id"), col("quality_logit")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = run(); val b = run()
+    assert(a.size == b.size && a.forall { case (k, v) =>
+      java.lang.Double.doubleToLongBits(b(k)) == java.lang.Double.doubleToLongBits(v)
+    }, "sorted-fold scoring must be bit-reproducible")
+  }
+
+  test("trainOnHeuristic: bootstrap labels generalize the LM signal") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val reference = docs.where(col("doc_id") % 50 === 0)
+    val crawl = docs.where(col("doc_id") % 50 =!= 0)
+    val w = Quality.trainOnHeuristic(crawl, reference, dim = 256, iters = 20)
+    // the classifier must agree with the labels it was fitted to much
+    // better than chance — on the extreme strata it actually saw
+    val scored = TextAnalysis.lmScore(crawl, reference)
+      .select(col("doc_id"), col("mean_prob"))
+    val Array(lo, hi) = scored.stat.approxQuantile("mean_prob", Array(0.3, 0.7), 0.001)
+    val eval = crawl.join(scored, "doc_id")
+      .where(col("mean_prob") <= lo || col("mean_prob") >= hi)
+      .withColumn("y", (col("mean_prob") >= hi).cast("int"))
+    val preds = Quality.scoreWith(eval, w.init, bias = w.last)
+      .select(col("y"), col("quality_prob")).collect()
+    val acc = preds.count(r =>
+      (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)) / preds.length.toDouble
+    assert(acc > 0.7, s"bootstrap classifier barely beats chance: $acc")
+  }
+}
