@@ -45,6 +45,54 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
+  /** Serialized corpus Bloom filter over `xxhash64(text)` — the persistable
+    * membership sketch of a corpus snapshot (build once per snapshot, reuse
+    * for every incoming batch, like [[JaccardIndex]] for the near-dup path).
+    * Built distributed (`DataFrameStatFunctions.bloomFilter` merges per-
+    * partition filters); the driver holds only the final bit array —
+    * ~1.2 GB for 10⁹ items at 1% fpp, the standard memory/shuffle trade.
+    * `expectedItems <= 0` measures the corpus with one `count()` job. */
+  def buildContentBloom(corpus: DataFrame, expectedItems: Long = 0L,
+                        fpp: Double = 0.01): Array[Byte] = {
+    val n = if (expectedItems > 0) expectedItems else corpus.count()
+    val bf = corpus.select(xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", math.max(n, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** EXACT incremental exact-dedup via bloom-then-verify: the batch rows
+    * whose content does NOT appear in the corpus — without ever shuffling
+    * the corpus. The filter has no false negatives, so
+    * `NOT mightContain(xxhash64(text))` is a sound scan-time "definitely
+    * new" filter that lets ~(1 − dup_rate − fpp) of the batch bypass the
+    * verify join entirely; only bloom-maybes (true dups + the fpp sliver)
+    * are verified against the corpus by content hash. Exactness: the final
+    * key is sha2-256 of the text ([[exact]]'s posture), the bloom only
+    * routes.
+    *
+    * Plan shape at 100 TB: batch probe is narrow (the filter rides inside
+    * whole-stage codegen, [[graft.functions.BloomMightContain]]); the
+    * corpus is scanned once and semi-joined against the BROADCAST maybe
+    * hashes (no corpus shuffle — the maybe set is batch-sized × (dup rate
+    * + fpp)); the surviving present-set is tiny and broadcasts back for the
+    * anti-join. Compare the plain `left_anti` join oracle: that shuffles
+    * corpus AND batch on the content hash. */
+  def bloomNewDocs(bloomBytes: Array[Byte], corpus: DataFrame,
+                   batch: DataFrame): DataFrame = {
+    val maybe = vectors.bloomMightContain(bloomBytes, xxhash64(col("text")))
+    val definitelyNew = batch.where(!maybe)
+    val maybes = batch.where(maybe)
+    val maybeHashes = maybes.select(sha2(col("text"), 256).as("__h")).distinct()
+    val present = corpus.select(sha2(col("text"), 256).as("__h"))
+      .join(broadcast(maybeHashes), Seq("__h"), "left_semi")
+      .distinct()
+    val stillNew = maybes.join(broadcast(present),
+      sha2(col("text"), 256) === col("__h"), "left_anti")
+    definitelyNew.unionByName(stillNew)
+  }
+
   /** SUB-document exact dedup (CCNet/Dolma-style duplicated-span removal):
     * cut every document into non-overlapping `chunkLen`-token chunks, drop
     * every chunk whose exact text occurs more than once in the WHOLE corpus
@@ -759,6 +807,15 @@ object Dedup {
     // is exercised by ExtSpec's degenerate corpus
     "dedup_auto" -> ((s, dir) =>
       dedupAuto(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5)),
+    // bloom-then-verify exact dedup of a batch against a corpus snapshot:
+    // every 10th doc plays the incoming batch; output = genuinely-new docs
+    "dedup_bloom" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      val bloom = buildContentBloom(corpus, fpp = 0.01)
+      bloomNewDocs(bloom, corpus, docs.where(col("doc_id") % 10 === 0))
+        .select("doc_id")
+    }),
     // incremental batch-vs-corpus dedup: every 10th doc plays the incoming
     // crawl batch, the rest the frozen corpus snapshot
     "dedup_incremental" -> ((s, dir) => {
@@ -845,6 +902,12 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    // the bloom is routing only — the result is the plain content anti-join
+    "dedup_bloom" ->
+      """SELECT b.doc_id FROM documents b
+        |WHERE b.doc_id % 10 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 10 <> 0 AND c.text = b.text)""".stripMargin,
     "dedup_subdoc" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, i AS pos,

@@ -135,6 +135,65 @@ object Quality {
     train(labeled, col("text"), col("__y"), dim, iters, lr)
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169 — "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * document by how much more likely its words are under a TARGET
+    * distribution (the curated domain to upsample) than under the RAW crawl
+    * distribution. The published estimator is a hashed-n-gram bag
+    * likelihood ratio; this is its deterministic arithmetic-mean unigram
+    * variant — numerator and denominator are the add-½-smoothed mean word
+    * probabilities of [[TextAnalysis.lmScore]] (exact integer sums, one
+    * division each), so the weight is three correctly-rounded IEEE
+    * divisions and bit-identical across engines (the paper's sum of logs
+    * needs `ln`, whose last ulp is libm-dependent — the lmScore rationale).
+    *
+    * Plan shape at 100 TB: BOTH lexicons are reference-vocabulary-sized
+    * (MBs) and broadcast; the corpus is tokenized once, joined narrowly to
+    * both, and aggregated once per document — a single corpus-sized
+    * shuffle, same as scoring against one reference. */
+  def importanceWeights(docs: DataFrame, target: DataFrame,
+                        raw: DataFrame): DataFrame = {
+    def lex(ref: DataFrame): DataFrame =
+      ref.select(explode(split(col("text"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // two scalar denominators collected at build time (bounded driver
+    // state, the lmScore / trainCentroids posture)
+    def denom(l: DataFrame): Long = l.agg(
+      (lit(2) * coalesce(sum("cnt"), lit(0L)) + count(lit(1)) + lit(1)).as("d2"))
+      .head().getLong(0)
+    val lexT = lex(target)
+    val lexR = lex(raw)
+    val d2T = denom(lexT)
+    val d2R = denom(lexR)
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(lexT.withColumnRenamed("cnt", "cnt_t")), Seq("w"), "left")
+      .join(broadcast(lexR.withColumnRenamed("cnt", "cnt_r")), Seq("w"), "left")
+      .withColumn("cnt_t", coalesce(col("cnt_t"), lit(0L)))
+      .withColumn("cnt_r", coalesce(col("cnt_r"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(lit(2) * col("cnt_t") + 1).cast("double") /
+          (lit(d2T) * count(lit(1))).cast("double")).as("mean_prob_target"),
+        (sum(lit(2) * col("cnt_r") + 1).cast("double") /
+          (lit(d2R) * count(lit(1))).cast("double")).as("mean_prob_raw"))
+      .withColumn("weight", col("mean_prob_target") / col("mean_prob_raw"))
+  }
+
+  /** The resampling step as deterministic rank selection: the `k` documents
+    * with the highest importance weight (doc_id tiebreak). A distributed
+    * partial top-k (`TakeOrderedAndProject` — per-partition heaps, never a
+    * global sort). The paper's Gumbel-noised sampling adds diversity at the
+    * cost of `ln`-determinism; seeded jitter can be layered on the weight
+    * column by callers who want it. */
+  def importanceResample(docs: DataFrame, target: DataFrame, raw: DataFrame,
+                         k: Int): DataFrame =
+    importanceWeights(docs, target, raw)
+      .orderBy(desc("weight"), asc("doc_id"))
+      .limit(k)
+
   // ---- driver gate ----------------------------------------------------
   // Frozen pseudo-random weights (Knuth multiplicative constant): the gate
   // pins the featurize→linear-score path — the part that is deterministic
@@ -154,6 +213,16 @@ object Quality {
           aggregate(col("__f"), lit(0.0),
             (acc, i) => acc + element_at(wLit, i + 1)).as("quality_logit"))
         .withColumn("keep", col("quality_logit") > 0)
+    }),
+    // DSIR gate: English plays the curated target, the whole corpus the
+    // raw crawl; every document scored, top-100 selected
+    "dsir_weights" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      importanceWeights(docs, docs.where(col("lang") === "en"), docs)
+    }),
+    "dsir_select" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      importanceResample(docs, docs.where(col("lang") === "en"), docs, k = 100)
     }),
   )
 
@@ -180,5 +249,41 @@ object Quality {
         |          list_transform(fv, i -> wv[i + 1])), (a, b) -> a + b)
         |          AS quality_logit
         |      FROM f, w) s""".stripMargin,
+
+    // exact mirror of importanceWeights' arithmetic: the lm_score oracle's
+    // rational form, once per lexicon, ratio as the same final division
+    "dsir_weights" -> DsirOracleBody,
+    "dsir_select" ->
+      s"""$DsirOracleBody
+         |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
   )
+
+  private lazy val DsirOracleBody: String =
+    """WITH lt AS (
+      |  SELECT w, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |        WHERE lang = 'en')
+      |  WHERE w <> '' GROUP BY w),
+      |lr AS (
+      |  SELECT w, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |tt AS (SELECT CAST(2 * COALESCE(sum(cnt), 0) + count(*) + 1 AS BIGINT) AS d2 FROM lt),
+      |tr AS (SELECT CAST(2 * COALESCE(sum(cnt), 0) + count(*) + 1 AS BIGINT) AS d2 FROM lr),
+      |words AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''),
+      |j AS (SELECT doc_id, COALESCE(lt.cnt, 0) AS cnt_t, COALESCE(lr.cnt, 0) AS cnt_r
+      |      FROM words LEFT JOIN lt USING (w) LEFT JOIN lr USING (w)),
+      |s AS (SELECT doc_id,
+      |        count(*) AS n_tokens,
+      |        CAST(sum(2 * cnt_t + 1) AS DOUBLE) / CAST(tt.d2 * count(*) AS DOUBLE)
+      |          AS mean_prob_target,
+      |        CAST(sum(2 * cnt_r + 1) AS DOUBLE) / CAST(tr.d2 * count(*) AS DOUBLE)
+      |          AS mean_prob_raw
+      |      FROM j, tt, tr GROUP BY doc_id, tt.d2, tr.d2)
+      |SELECT doc_id, n_tokens, mean_prob_target, mean_prob_raw,
+      |       mean_prob_target / mean_prob_raw AS weight
+      |FROM s""".stripMargin
 }

@@ -240,6 +240,38 @@ object ShingleArray {
   }
 }
 
+/** Membership probe of a 64-bit key against a serialized
+  * [[org.apache.spark.util.sketch.BloomFilter]] (the public sketch API —
+  * `DataFrameStatFunctions.bloomFilter` builds one distributed). The filter
+  * ships to executors ONCE as the expression's byte payload and is
+  * deserialized lazily per task thread; the probe itself stays inside
+  * whole-stage codegen. No false negatives (a key that was inserted always
+  * probes true), so `NOT bloom_might_contain(...)` is a sound
+  * "definitely new" scan-time filter — the pruning half of the exact
+  * bloom-then-verify dedup in [[graft.ext.Dedup.bloomNewDocs]]. */
+case class BloomMightContain(bloomBytes: Array[Byte], child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BIGINT (a 64-bit key), got ${dt.sql}")
+  }
+  @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(bf.mightContainLong(input.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", bf,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** Column-API entry points. */
 object vectors {
   def cosineSim(a: Column, b: Column): Column =
@@ -250,4 +282,6 @@ object vectors {
     bridge.column(MinHashSig(bridge.expression(tokens), numHashes))
   def shingleArray(text: Column, k: Int): Column =
     bridge.column(ShingleArray(bridge.expression(text), k))
+  def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
+    bridge.column(BloomMightContain(bloomBytes, bridge.expression(key)))
 }

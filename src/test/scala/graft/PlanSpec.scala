@@ -129,6 +129,27 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side must not shuffle before the lexicon join:\n$p")
   }
 
+  test("dsir_weights: both lexicons broadcast, corpus narrow to the per-doc agg") {
+    val p = physical("dsir_weights")
+    assertNoCartesian("dsir_weights", p)
+    val bhj = p.collect { case j: joins.BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"both lexicon joins must broadcast:\n$p")
+    // the corpus must reach the lexicon joins unshuffled: below the per-doc
+    // agg's exchange, the only shuffles allowed are INSIDE the MB-sized
+    // broadcast build subtrees (the lexicon groupBys)
+    def corpusShuffles(n: org.apache.spark.sql.execution.SparkPlan): Int = n match {
+      case _: BroadcastExchangeExec => 0
+      case s: ShuffleExchangeExec => 1 + s.children.map(corpusShuffles).sum
+      case other => other.children.map(corpusShuffles).sum
+    }
+    val streamed = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.right
+      case _ => bhj.head.left
+    }
+    assert(corpusShuffles(streamed) == 0,
+      s"corpus side must not shuffle before the lexicon joins:\n$p")
+  }
+
   test("curate_full: the composed pipeline stays cartesian-free end to end") {
     val p = physical("curate_full")
     assertNoCartesian("curate_full", p)
@@ -173,6 +194,20 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(p) == 1, s"packing must shuffle once, by shard:\n$p")
     assert(count(p) { case _: SortExec => } == 1,
       s"expected exactly the within-shard window sort:\n$p")
+  }
+
+  test("dedup_bloom: corpus never shuffles — broadcast joins only, narrow probe") {
+    val p = physical("dedup_bloom")
+    assertNoCartesian("dedup_bloom", p)
+    // both joins (present-set semi, still-new anti) take the broadcast
+    // route; any SortMergeJoin would mean the corpus got shuffled
+    assert(count(p) { case _: joins.SortMergeJoinExec => } == 0,
+      s"dedup_bloom shuffled a join side:\n$p")
+    val bhj = p.collect { case j: joins.BroadcastHashJoinExec => j }
+    assert(bhj.size == 2, s"expected 2 broadcast joins, got ${bhj.size}:\n$p")
+    // the only shuffle is the tiny maybe-hash distinct (reused by AQE for
+    // the present-set distinct), never a corpus- or batch-sized exchange
+    assert(shuffles(p) <= 2, s"expected <=2 (tiny) shuffles:\n$p")
   }
 
   test("dedup_incremental: frozen-index probe stays an inverted-index join graph") {

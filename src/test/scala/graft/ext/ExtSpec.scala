@@ -652,6 +652,25 @@ class ExtSpec extends AnyFunSuite {
     assert(gotD == expD)
   }
 
+  test("bloomNewDocs: bloom-then-verify equals the plain content anti-join") {
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val bloom = Dedup.buildContentBloom(corpus, fpp = 0.01)
+    val got = Dedup.bloomNewDocs(bloom, corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exp = batch.join(corpus.select("text").distinct(), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == exp && got.nonEmpty)
+    // no false negatives: every true dup probes bloom-positive …
+    val dups = batch.join(corpus.select("text").distinct(), Seq("text"), "left_semi")
+    assert(dups.where(!vectors.bloomMightContain(bloom, xxhash64(col("text"))))
+      .count() == 0)
+    // … and the filter actually prunes: some batch rows bypass the verify
+    // join entirely via the narrow definitely-new path
+    assert(batch.where(!vectors.bloomMightContain(bloom, xxhash64(col("text"))))
+      .count() > 0)
+  }
+
   test("multimodal feature-extract and resize stages") {
     val feats = Multimodal.extractFeatures(docs).collect()
     assert(feats.forall(_.features.length == 8))

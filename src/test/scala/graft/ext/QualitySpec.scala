@@ -141,4 +141,35 @@ class QualitySpec extends AnyFunSuite {
       (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)) / preds.length.toDouble
     assert(acc > 0.7, s"bootstrap classifier barely beats chance: $acc")
   }
+
+  test("importanceWeights == ratio of two independent lmScore passes, bit-exact") {
+    val docs = graft.SparkEntry.table(spark, dir, "documents")
+    val target = docs.where(col("lang") === "en")
+    val got = Quality.importanceWeights(docs, target, docs)
+      .select("doc_id", "weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent composition: two lmScore runs share the identical
+    // rational arithmetic, so the ratio must match to the last bit
+    val t = TextAnalysis.lmScore(docs, target)
+      .select(col("doc_id"), col("mean_prob").as("mt"))
+    val r = TextAnalysis.lmScore(docs, docs)
+      .select(col("doc_id"), col("mean_prob").as("mr"))
+    val exp = t.join(r, "doc_id")
+      .select(col("doc_id"), (col("mt") / col("mr")).as("w")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(got.keySet == exp.keySet && got.nonEmpty)
+    assert(got.forall { case (id, w) => w == exp(id) })
+    // the signal points the right way: target-language docs weigh more
+    val byLang = Quality.importanceWeights(docs, target, docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg("weight").as("aw"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(byLang("en") > byLang("zh"))
+    // resample selects exactly the top-k of the weight ranking
+    val top = Quality.importanceResample(docs, target, docs, k = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expTop = exp.toSeq.sortBy { case (id, w) => (-w, id) }.take(20)
+      .map(_._1).toSet
+    assert(top == expTop)
+  }
 }
