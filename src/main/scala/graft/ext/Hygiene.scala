@@ -29,6 +29,11 @@ import graft.SparkEntry
   * MBs, corpora are TBs) so the corpus side stays a narrow explode +
   * broadcast-hash-join; its one shuffle is the per-document hit count.
   */
+/** One placed document of [[Hygiene.packGreedy]]: `n_kept = min(n_tokens,
+  * ctxLen)` tokens land in bin `bin_id` at `offset_in_bin`. */
+case class PackedDoc(doc_id: Long, source: String, n_tokens: Long,
+                     bin_id: Long, offset_in_bin: Long, n_kept: Long)
+
 object Hygiene {
   private type Q = (SparkSession, String) => DataFrame
 
@@ -258,6 +263,45 @@ object Hygiene {
       .withColumn("offset_in_chunk", col("start_offset") % ctxLen)
   }
 
+  /** Greedy document-BOUNDARY packing — the padding layout used when
+    * documents must not be split across training sequences (instruction
+    * tuning, document-masked attention): within each `source` shard, docs
+    * are taken in doc_id order and appended to the current `ctxLen`-token
+    * bin while they fit; a doc that would overflow opens the next bin, and
+    * the unreachable tail of each bin is padding. Docs longer than `ctxLen`
+    * get a bin alone, truncated (`n_kept < n_tokens` marks them).
+    *
+    * Inherently SEQUENTIAL within a shard — bin boundaries depend on every
+    * predecessor — so this is the one packing variant that runs as
+    * per-shard imperative logic (`flatMapGroups`) instead of a window:
+    * one shuffle on the shard key, then a linear in-memory pass per shard.
+    * At 100 TB the shard key folds in a date/bucket component so a shard's
+    * (doc_id, n_tokens) pairs fit an executor — same bound
+    * [[packSequences]] documents for its window sort. The layout is a pure
+    * function of (source, doc_id, n_tokens): deterministic, and exactly
+    * reproducible by the oracle's recursive CTE. */
+  def packGreedy(df: DataFrame, ctxLen: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("source"),
+        size(toks).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (src, it) =>
+        val docs = it.toArray.sortBy(_._1)
+        var bin = 0L
+        var used = 0L
+        docs.iterator.map { case (id, _, n) =>
+          val eff = math.min(n, ctxLen.toLong)
+          if (used + eff > ctxLen) { bin += 1; used = 0L }
+          val off = used
+          used += eff
+          PackedDoc(id, src, n, bin, off, eff)
+        }
+      }
+      .toDF()
+  }
+
   /** Fixed-window chunking of LONG documents with stride overlap — the
     * per-document twin of [[packSequences]]' concat-and-chunk layout (HF
     * `return_overflowing_tokens` semantics): token windows of `ctxLen`
@@ -325,6 +369,8 @@ object Hygiene {
         .select("doc_id", "lang", "source")),
     "pack_sequences" -> ((s, dir) =>
       packSequences(SparkEntry.table(s, dir, "documents"))),
+    "pack_greedy" -> ((s, dir) =>
+      packGreedy(SparkEntry.table(s, dir, "documents"))),
     // ctx 32 / stride 24 on ~60-word docs → 2-3 overlapping chunks each
     "chunk_documents" -> ((s, dir) =>
       chunkDocuments(SparkEntry.table(s, dir, "documents"), ctxLen = 32, stride = 24)),
@@ -399,6 +445,31 @@ object Hygiene {
         |  start_offset // 256 AS chunk_id,
         |  start_offset % 256 AS offset_in_chunk
         |FROM o""".stripMargin,
+
+    // the sequential greedy fill replayed exactly: a recursive CTE carries
+    // (bin_id, used) across each shard's doc_id order, one doc per step
+    "pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n, rn,
+        |         CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS offset_in_bin,
+        |         least(n, 256) AS used
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.n, d.rn,
+        |         CASE WHEN r.used + least(d.n, 256) <= 256
+        |              THEN r.bin_id ELSE r.bin_id + 1 END,
+        |         CASE WHEN r.used + least(d.n, 256) <= 256
+        |              THEN r.used ELSE CAST(0 AS BIGINT) END,
+        |         CASE WHEN r.used + least(d.n, 256) <= 256
+        |              THEN r.used + least(d.n, 256) ELSE least(d.n, 256) END
+        |  FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+        |SELECT doc_id, source, n AS n_tokens, bin_id, offset_in_bin,
+        |       least(n, 256) AS n_kept
+        |FROM r""".stripMargin,
 
     "stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

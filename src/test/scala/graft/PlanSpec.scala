@@ -196,6 +196,11 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the within-shard window sort:\n$p")
   }
 
+  test("pack_greedy: one shard shuffle feeding the per-shard sequential fill") {
+    val p = physical("pack_greedy")
+    assert(shuffles(p) == 1, s"expected only the shard-key exchange:\n$p")
+  }
+
   test("dedup_bloom: corpus never shuffles — broadcast joins only, narrow probe") {
     val p = physical("dedup_bloom")
     assertNoCartesian("dedup_bloom", p)

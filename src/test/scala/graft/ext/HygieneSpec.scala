@@ -391,4 +391,37 @@ class HygieneSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(flat.sameElements(flatExpect))
   }
+
+  test("packGreedy: doc-boundary bins — no overflow, contiguous fill, truncation") {
+    import spark.implicits._
+    // ctx 10: [4,5] fill bin 0 (pad 1), 7 opens bin 1, 10 exactly fills
+    // bin 2, the 23-token doc is alone+truncated in bin 3, 2 lands in bin 4
+    val df = Seq(
+      (1L, "s", 4L), (2L, "s", 5L), (3L, "s", 7L), (4L, "s", 10L),
+      (5L, "s", 23L), (6L, "s", 2L)).toDF("doc_id", "source", "n")
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", array_repeat(lit("w"), col("n").cast("int"))).as("text"))
+    val got = Hygiene.packGreedy(df, ctxLen = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "bin_id", "offset_in_bin", "n_kept").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 0L, 4L), (2L, 0L, 4L, 5L), (3L, 1L, 0L, 7L),
+      (4L, 2L, 0L, 10L), (5L, 3L, 0L, 10L), (6L, 4L, 0L, 2L)))
+    // corpus-wide invariants: bins never overflow, every doc's span is
+    // disjoint and contiguous from offset 0, bin ids are dense per shard
+    val packed = Hygiene.packGreedy(docs, ctxLen = 256).collect().map(r =>
+      (r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    packed.groupBy(p => (p._1, p._2)).foreach { case ((_, _), ds) =>
+      val spans = ds.map(d => (d._3, d._3 + d._4)).sortBy(_._1)
+      assert(spans.head._1 == 0L && spans.last._2 <= 256L)
+      assert(spans.sliding(2).forall {
+        case Array((_, e1), (s2, _)) => e1 == s2
+        case _ => true
+      })
+    }
+    packed.groupBy(_._1).foreach { case (_, ds) =>
+      val bins = ds.map(_._2).distinct.sorted
+      assert(bins.head == 0L && bins.last == bins.length - 1L)
+    }
+  }
 }
