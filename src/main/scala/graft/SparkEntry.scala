@@ -62,7 +62,11 @@ object SparkEntry {
     // corpus-hygiene workloads with real per-document compute (the PII and
     // sampling ops are sub-scan-cost scan-time filters, not bench targets),
     // and the end-to-end curation composition
-    "repetition_stats", "contamination", "curate_full")
+    "repetition_stats", "contamination", "curate_full",
+    // round-9 workloads: bloom-pruned batch dedup, DSIR selection scoring,
+    // doc-boundary packing (its recursive-CTE oracle is the slow side —
+    // the sequential fill itself is one shuffle + a linear pass)
+    "dedup_bloom", "dsir_weights", "pack_greedy")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-
