@@ -201,6 +201,32 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(p) == 1, s"expected only the shard-key exchange:\n$p")
   }
 
+  test("dedup_substring: gram-hash-keyed join graph, never all-pairs") {
+    val p = physical("dedup_substring")
+    assertNoCartesian("dedup_substring", p)
+  }
+
+  test("dedup_semantic: cell-blocked pair graph + anti-join, never all-pairs") {
+    val p = physical("dedup_semantic")
+    assertNoCartesian("dedup_semantic", p)
+  }
+
+  test("quality_score: featurize + weight fold is a shuffle-free scan-time plan") {
+    val p = physical("quality_score")
+    assert(shuffles(p) == 0, s"scoring must be a narrow per-document plan:\n$p")
+    assert(count(p) { case _: BroadcastExchangeExec => } == 0,
+      s"frozen weights are a literal array, not a join:\n$p")
+  }
+
+  test("temperature_mix: after the strata-count collect, a scan-time filter") {
+    // the n^alpha rate computation collects one row per stratum at plan-
+    // construction time (bounded driver state); the returned plan itself
+    // must be exactly the stratifiedSample hash filter — narrow, no joins
+    val p = physical("temperature_mix")
+    assert(shuffles(p) == 0, s"mixing must be a narrow scan-time filter:\n$p")
+    assert(count(p) { case _: BroadcastExchangeExec => } == 0)
+  }
+
   test("dedup_bloom: corpus never shuffles — broadcast joins only, narrow probe") {
     val p = physical("dedup_bloom")
     assertNoCartesian("dedup_bloom", p)
