@@ -45,6 +45,25 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
+  /** SOFT dedup — duplicate DOWN-WEIGHTING instead of removal (the
+    * SoftDeDup observation: some duplication is signal, so keep every copy
+    * but scale its training weight to `1/n_copies`, making each distinct
+    * content contribute one document's worth of gradient regardless of its
+    * copy count). Output: `doc_id, n_copies, weight` — row parity with the
+    * input; the loader multiplies per-example loss by `weight`.
+    *
+    * Plan: ONE shuffle — a count window partitioned by the sha2-256 content
+    * hash. Only `(doc_id, hash)` crosses the wire (the [[exact]] posture:
+    * never document bodies), and the weight is a single IEEE division —
+    * bit-identical across engines. */
+  def softDedup(df: DataFrame): DataFrame = {
+    val byContent = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    df.select(col("doc_id"), sha2(col("text"), 256).as("__h"))
+      .withColumn("n_copies", count(lit(1)).over(byContent))
+      .select(col("doc_id"), col("n_copies"),
+        (lit(1.0) / col("n_copies")).as("weight"))
+  }
+
   /** Serialized corpus Bloom filter over `xxhash64(text)` — the persistable
     * membership sketch of a corpus snapshot (build once per snapshot, reuse
     * for every incoming batch, like [[JaccardIndex]] for the near-dup path).
@@ -798,6 +817,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, dir) => exact(SparkEntry.table(s, dir, "documents"))),
     "dedup_subdoc" -> ((s, dir) => subdocDedup(SparkEntry.table(s, dir, "documents"))),
+    "dedup_soft" -> ((s, dir) => softDedup(SparkEntry.table(s, dir, "documents"))),
     "dedup_substring" -> ((s, dir) =>
       substringDedup(SparkEntry.table(s, dir, "documents"))),
     "dedup_jaccard_pairs" -> ((s, dir) =>
@@ -902,6 +922,11 @@ object Dedup {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    // text equality ⇔ sha2 equality; 1/n is one IEEE division — bit-exact
+    "dedup_soft" ->
+      """SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies,
+        |  CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY text) AS weight
+        |FROM documents""".stripMargin,
     // the bloom is routing only — the result is the plain content anti-join
     "dedup_bloom" ->
       """SELECT b.doc_id FROM documents b

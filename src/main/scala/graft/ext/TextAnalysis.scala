@@ -176,7 +176,26 @@ object TextAnalysis {
         ((lit(2) * min("cnt") + 1).cast("double") / lit(d2.toDouble)).as("min_prob"))
   }
 
+  /** Corpus composition accounting — the dataset-card table (docs, tokens,
+    * chars, mean length per (source, lang) cell) every released training
+    * set publishes, and the input the mixing stages ([[Hygiene.temperatureMix]],
+    * [[Hygiene.stratifiedSample]] rates) are sized from.
+    *
+    * One partial-then-final hash aggregation over strata-count groups —
+    * token/char counts combine map-side, so the one shuffle carries a few
+    * rows per (source, lang, partition), not the corpus. The mean is one
+    * IEEE division over exact integer sums — bit-identical across engines. */
+  def corpusStats(df: DataFrame): DataFrame =
+    df.groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        (sum(size(toks).cast("long")).cast("double") / count(lit(1)))
+          .as("mean_doc_tokens"))
+
   val queries: Map[String, Q] = Map(
+    "corpus_stats" -> ((s, dir) => corpusStats(SparkEntry.table(s, dir, "documents"))),
     "text_stats" -> ((s, dir) => stats(SparkEntry.table(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => langId(SparkEntry.table(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) => fingerprint(SparkEntry.table(s, dir, "documents"))),
@@ -195,6 +214,15 @@ object TextAnalysis {
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // integer sums + one division (sum cast to BIGINT: DuckDB's sum(int)
+    // widens to HUGEINT, which pandas would surface as a mismatched dtype)
+    "corpus_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+        |    AS mean_doc_tokens
+        |FROM documents GROUP BY source, lang""".stripMargin,
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
          |u AS (SELECT doc_id,

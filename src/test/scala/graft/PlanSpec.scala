@@ -312,6 +312,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_soft: one content-hash window shuffle, no joins") {
+    val p = physical("dedup_soft")
+    assert(shuffles(p) == 1, s"expected only the hash-partition exchange:\n$p")
+    assert(count(p) { case _: window.WindowExec => } == 1,
+      s"expected the count window:\n$p")
+    assert(count(p) { case _: joins.SortMergeJoinExec => } +
+      count(p) { case _: joins.BroadcastHashJoinExec => } == 0,
+      s"soft dedup must not join:\n$p")
+  }
+
+  test("corpus_stats: partial-then-final hash aggregation, one strata shuffle") {
+    val p = physical("corpus_stats")
+    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n$p")
+    assert(count(p) { case _: aggregate.HashAggregateExec => } == 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
   test("q1_agg: partial-then-final hash aggregation, one shuffle") {
     val p = physical("q1_agg")
     assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n$p")

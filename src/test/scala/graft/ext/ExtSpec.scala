@@ -652,6 +652,42 @@ class ExtSpec extends AnyFunSuite {
     assert(gotD == expD)
   }
 
+  test("softDedup: 1/n_copies weights, row parity, unit mass per content") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (4L, "gamma"), (5L, "delta"), (6L, "delta")).toDF("doc_id", "text")
+    val got = Dedup.softDedup(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size == 6, "row parity: every copy is kept")
+    assert(Seq(1L, 2L, 3L).forall(got(_) == (3L, 1.0 / 3)))
+    assert(got(4L) == (1L, 1.0))
+    assert(Seq(5L, 6L).forall(got(_) == (2L, 0.5)))
+    // each distinct content contributes exactly one document of total mass
+    val mass = got.values.groupBy(_._1).map { case (_, g) => g.map(_._2).sum }
+    assert(mass.forall(m => math.abs(m - math.round(m)) < 1e-12))
+    // real corpus: weights in (0, 1], n_copies >= 1, rows preserved
+    val corpus = Dedup.softDedup(docs)
+    assert(corpus.count() == docs.count())
+    assert(corpus.where(col("weight") <= 0 || col("weight") > 1 ||
+      col("n_copies") < 1).isEmpty)
+  }
+
+  test("corpusStats: per-(source, lang) accounting matches a plain-Scala fold") {
+    val got = TextAnalysis.corpusStats(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val exp = docs.select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, g) =>
+        val toks = g.map(_._3.split(" ", -1).length.toLong).sum
+        val chars = g.map(_._3.length.toLong).sum
+        k -> (g.length.toLong, toks, chars, toks.toDouble / g.length)
+      }
+    assert(got == exp)
+  }
+
   test("bloomNewDocs: bloom-then-verify equals the plain content anti-join") {
     val corpus = docs.where(col("doc_id") % 10 =!= 0)
     val batch = docs.where(col("doc_id") % 10 === 0)
