@@ -75,6 +75,18 @@ object ScaleProbe {
         expr("transform(embedding, (v, i) -> CAST(v + CASE WHEN i = CAST(r % 64 AS INT) THEN r * 0.001 ELSE 0.0 END AS FLOAT))")
           .as("embedding"))
 
+    // Forced materialization for ROW-PRESERVING operators (the Bench
+    // pattern): hash every output column so Catalyst cannot eliminate the
+    // very work being measured — a bare .count() on a row-count-invariant
+    // plan (windows, per-doc maps, left joins on unique keys) lets the
+    // optimizer drop the operator entirely. Pair/survivor probes keep
+    // .count(): their row count IS the computation's result.
+    def force(df: DataFrame): Long = {
+      val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+      df.select(h.as("__h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(__h)")).head().getLong(0)
+    }
+
     def time(label: String)(f: => Long): (String, Double, Long) = {
       val t0 = System.nanoTime()
       val n = f
@@ -85,11 +97,17 @@ object ScaleProbe {
       (label, sec, n)
     }
 
+    // optional probe subset: `runMain graft.ScaleProbe 10 r9` runs only the
+    // round-9 probes (substring/dsir/soft/pack) — they need just d1/dN, so
+    // the skew-stress and embedding corpora aren't even materialized
+    val r9Only = args.length > 1 && args(1) == "r9"
+
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
-    d1.count(); dN.count(); dSkew.count(); dSkew1.count(); e1.count(); eN.count()
+    d1.count(); dN.count()
+    if (!r9Only) { dSkew.count(); dSkew1.count(); e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
     val queriesN = eN.where(col("vec_id") < 10) // same 10 queries, REP× corpus
@@ -100,11 +118,32 @@ object ScaleProbe {
     // constant (candidate volume per query flat as the corpus grows).
     val cells1 = 16
     val cellsN = math.max(cells1, (cells1 * math.sqrt(rep)).toInt)
-    val cent1 = ext.Similarity.trainCentroids(e1, nCells = cells1, iters = 2)
-    val centN = ext.Similarity.trainCentroids(eN, nCells = cellsN, iters = 2)
+    lazy val cent1 = ext.Similarity.trainCentroids(e1, nCells = cells1, iters = 2)
+    lazy val centN = ext.Similarity.trainCentroids(eN, nCells = cellsN, iters = 2)
     val bitsN = 8 + (math.log(rep) / math.log(2)).round.toInt
 
-    val results = Seq(
+    def r9Probes = Seq(
+      // round-9 operators: substring dedup's sliding-gram count is the
+      // hottest aggregation of the span-level path (O(n_tokens) exploded
+      // rows/doc, 8-byte keys); DSIR holds the TARGET lexicon fixed (the
+      // curated set doesn't grow with the crawl — the contamination shape)
+      // while the raw-crawl lexicon grows with the corpus; soft dedup is
+      // one count window over the content hash; greedy packing is one
+      // shard shuffle + a linear per-shard pass
+      time(s"substring_1x") { force(ext.Dedup.substringDedup(d1)) },
+      time(s"substring_${rep}x") { force(ext.Dedup.substringDedup(dN)) },
+      time(s"dsir_1x") {
+        force(ext.Quality.importanceWeights(d1, d1.where(col("lang") === "en"), d1))
+      },
+      time(s"dsir_${rep}x") {
+        force(ext.Quality.importanceWeights(dN, d1.where(col("lang") === "en"), dN))
+      },
+      time(s"soft_dedup_1x") { force(ext.Dedup.softDedup(d1)) },
+      time(s"soft_dedup_${rep}x") { force(ext.Dedup.softDedup(dN)) },
+      time(s"pack_greedy_1x") { force(ext.Hygiene.packGreedy(d1)) },
+      time(s"pack_greedy_${rep}x") { force(ext.Hygiene.packGreedy(dN)) })
+
+    val results = if (r9Only) r9Probes else Seq(
       time(s"jaccard_1x") { ext.Dedup.jaccardPairs(d1).count() },
       time(s"jaccard_${rep}x") { ext.Dedup.jaccardPairs(dN).count() },
       // degenerate-corpus stress pair: exact PPJoin vs banded MinHash on
@@ -129,8 +168,8 @@ object ScaleProbe {
       // hygiene: repetition is narrow per-document math (must be exactly
       // linear); contamination holds the benchmark side FIXED (the eval
       // suite doesn't grow with the corpus) and replicates the probe side
-      time(s"repetition_1x") { ext.Hygiene.repetitionStats(d1).count() },
-      time(s"repetition_${rep}x") { ext.Hygiene.repetitionStats(dN).count() },
+      time(s"repetition_1x") { force(ext.Hygiene.repetitionStats(d1)) },
+      time(s"repetition_${rep}x") { force(ext.Hygiene.repetitionStats(dN)) },
       // benchmark = the r=0 slice (drawn from the corpus so hits are real,
       // and FIXED as the corpus grows — the real decontamination shape)
       time(s"contamination_1x") {
@@ -158,7 +197,7 @@ object ScaleProbe {
       time(s"curate_full_${rep}x") {
         val bench = dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
         ext.Curation.curateFull(dN.where(col("doc_id") % 50 =!= 0), bench).count()
-      })
+      }) ++ r9Probes
 
     val pairs = results.grouped(2).map { case Seq((l1, s1, _), (_, sN, _)) =>
       val op = l1.stripSuffix("_1x")

@@ -27,6 +27,19 @@ object VocabProbe {
     val m = graft.ext.Vocab.trainBpe(docsN, nMerges = n, batchSize = bs)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[vocabprobe] merges=${m.size} batchSize=$bs rep=$rep sec=$sec%.1f")
+    // encode A/B: the Zipf word memo vs the per-token merge loop (cold
+    // caches both sides — the corpus is materialized, the first timed
+    // pass is uncached, then a FRESH cache pays its own misses)
+    val corpus = docsN.cache(); corpus.count()
+    def timeEnc(label: String, cached: Boolean): Unit = {
+      val t = System.nanoTime()
+      val cnt = graft.ext.Vocab.encode(corpus, m, cached = cached)
+        .select(org.apache.spark.sql.functions.sum(size(col("bpe_tokens"))))
+        .head().getLong(0)
+      println(f"[vocabprobe] encode($label) sec=${(System.nanoTime() - t) / 1e9}%.1f tokens=$cnt")
+    }
+    timeEnc("uncached", cached = false)
+    timeEnc("cached", cached = true)
     spark.stop()
   }
 }

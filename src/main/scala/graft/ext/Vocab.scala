@@ -176,16 +176,54 @@ object Vocab {
     * [[trainBpe]] checkpoints away per iteration). Rank-priority encoding
     * is also O(L²) per word regardless of vocabulary size, where replaying
     * 32k merge passes would be O(32k·L). */
-  def encode(df: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def encode(df: DataFrame, merges: Seq[(String, String)],
+             cached: Boolean = true): DataFrame = {
     val rank = merges.zipWithIndex.toMap
     val byRank = merges.toIndexedSeq
+    // BPE encode is a pure function of the WORD, and natural-text tokens
+    // are Zipfian — the distinct vocabulary is orders of magnitude smaller
+    // than the token stream — so an executor-local memo turns the O(L²)
+    // merge loop into a hash lookup for the overwhelming majority of
+    // tokens. The cache lives in the executor-side companion singleton
+    // keyed by the merge table's identity (NOT in the closure, which is
+    // deserialized per task), bounded by an eviction-free insert cap:
+    // worst-case memory stays at ~tens of MB per executor, and a
+    // pathological unbounded vocabulary just degrades to uncached encode.
+    // `cached = false` is the measurement control (VocabProbe's A/B).
+    val cacheKey = (merges.hashCode, merges.size)
     val enc = udf { text: String =>
       if (text == null) Seq.empty[String]
-      else text.split(" ").toSeq.filter(_.nonEmpty)
-        .flatMap(encodeWord(_, rank, byRank))
+      else {
+        val words = text.split(" ").toSeq.filter(_.nonEmpty)
+        if (!cached) words.flatMap(encodeWord(_, rank, byRank))
+        else {
+          val cache = encodeCacheFor(cacheKey)
+          words.flatMap { w =>
+            var r = cache.get(w)
+            if (r == null) {
+              r = encodeWord(w, rank, byRank)
+              if (cache.size < EncodeCacheMaxWords) cache.put(w, r)
+            }
+            r
+          }
+        }
+      }
     }
     df.withColumn("bpe_tokens", enc(col("text")))
   }
+
+  private val EncodeCacheMaxWords = 1 << 18
+
+  /** Executor-side per-vocabulary word→tokens memo (see [[encode]]). One
+    * map per merge-table identity per JVM; two vocabularies in flight hash
+    * to different keys, and a re-trained table gets a fresh cache. */
+  @transient private lazy val encodeCaches =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int),
+      java.util.concurrent.ConcurrentHashMap[String, Seq[String]]]()
+
+  private def encodeCacheFor(key: (Int, Int)) =
+    encodeCaches.computeIfAbsent(key,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]())
 
   private type Q = (SparkSession, String) => DataFrame
 
