@@ -25,9 +25,17 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     var df = s.read.parquet(s"$dir/$name.parquet")
     nanoTsCols.getOrElse(name, Nil).foreach { c =>
-      if (df.schema.fieldNames.contains(c) &&
-          df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        df = df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      if (df.schema.fieldNames.contains(c)) df.schema(c).dataType match {
+        // TIMESTAMP(NANOS) parquet read as long under nanosAsLong
+        case org.apache.spark.sql.types.LongType =>
+          df = df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        // TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ;
+        // the session timezone is UTC everywhere (Verify/Bench/specs), so
+        // the cast keeps the same microsecond value DuckDB sees
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df = df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => ()
+      }
     }
     df
   }
