@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.SparkEntry
 
@@ -85,6 +85,43 @@ object Curation {
     Hygiene.packSequences(mixed, ctxLen)
   }
 
+  /** Leakage-safe train/heldout split — the cross-split decontamination
+    * step run before training: a deterministic sha256 hash of `doc_id`
+    * sends each document to `heldout` (u < `heldoutFrac`) or `train`, then
+    * any TRAIN document that near-duplicates (k-shingle Jaccard ≥ `tau`) a
+    * heldout document is dropped from train, so evaluation on the heldout
+    * half cannot be inflated by memorized near-copies (the GPT-3 Appendix-C
+    * / eval-decontamination discipline, applied at split time rather than
+    * against an external benchmark — [[Hygiene.contamination]] covers that
+    * case).
+    *
+    * Heldout docs are never dropped: leakage removal is one-sided, the
+    * heldout set stays an unbiased sample of the corpus.
+    *
+    * Scale shape: the cross-split pair graph is
+    * [[Dedup.jaccardPairsWhere]] with the side-disjointness predicate
+    * pushed into the candidate join — one inverted-index pass over the
+    * whole corpus, never a train×heldout cartesian; since the side is a
+    * pure function of `doc_id`, no side column rides the shingle/df/prefix
+    * shuffles (the predicate recomputes an 8-byte-input sha per candidate).
+    * The final anti-join's right side is only the leaky train docs
+    * (bounded by the pair count), broadcast. */
+  def leakageSafeSplit(docs: DataFrame, heldoutFrac: Double = 0.1,
+                       k: Int = 3, tau: Double = 0.5): DataFrame = {
+    require(heldoutFrac > 0 && heldoutFrac < 1, "heldoutFrac in (0, 1)")
+    def held(id: Column): Column =
+      conv(substring(sha2(id.cast("string"), 256), 1, 8), 16, 10)
+        .cast("long") / lit(4294967296.0) < heldoutFrac
+    val cross = Dedup.jaccardPairsWhere(docs, (a, b) => held(a) =!= held(b), k, tau)
+    val leakyTrain = cross
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .where(!held(col("doc_id")))
+      .distinct()
+    docs.select(col("doc_id"),
+        when(held(col("doc_id")), lit("heldout")).otherwise(lit("train")).as("split"))
+      .join(broadcast(leakyTrain), Seq("doc_id"), "left_anti")
+  }
+
   /** [[Hygiene.repetitionGate]] ∧ [[TextAnalysis.qualityGate]] as ONE
     * scan-time filter over ONE materialized tokenization (the two
     * pass-through gates each split `text` themselves — composing them
@@ -124,6 +161,8 @@ object Curation {
       curateFull(docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0))
     }),
+    "leakage_split" -> ((s, dir) =>
+      leakageSafeSplit(SparkEntry.table(s, dir, "documents"), heldoutFrac = 0.2)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -245,5 +284,38 @@ object Curation {
         |  start_offset // 256 AS chunk_id,
         |  start_offset % 256 AS offset_in_chunk
         |FROM o""".stripMargin,
+
+    // leakageSafeSplit mirror: the curate_pipeline shingle/pair fragment,
+    // restricted to cross-side pairs, then the one-sided train drop
+    "leakage_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 < 0.2 AS held
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |co AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |p AS (SELECT id_a, id_b FROM co
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        |xp AS (SELECT p.id_a, p.id_b FROM p
+        |       JOIN u a ON a.doc_id = p.id_a JOIN u b ON b.doc_id = p.id_b
+        |       WHERE a.held <> b.held),
+        |leaky AS (
+        |  SELECT DISTINCT i.doc_id FROM
+        |    (SELECT id_a AS doc_id FROM xp UNION ALL SELECT id_b FROM xp) i
+        |  JOIN u ON u.doc_id = i.doc_id WHERE NOT u.held)
+        |SELECT doc_id, CASE WHEN held THEN 'heldout' ELSE 'train' END AS split
+        |FROM u WHERE doc_id NOT IN (SELECT doc_id FROM leaky)""".stripMargin,
   )
 }

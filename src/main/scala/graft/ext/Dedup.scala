@@ -258,7 +258,22 @@ object Dedup {
     * df-doc shingle alone contributes df·(df−1)/2 pairs), not from an
     * absolute frequency that stops binding as the corpus grows. */
   def jaccardPairs(df: DataFrame, k: Int = 3, tau: Double = 0.5,
-                   maxDocFreq: Option[Int] = None): DataFrame = {
+                   maxDocFreq: Option[Int] = None): DataFrame =
+    jaccardPairsWhere(df, (_, _) => lit(true), k, tau, maxDocFreq)
+
+  /** [[jaccardPairs]] restricted to pairs satisfying `pairCond(idA, idB)` —
+    * the condition is pushed INTO the candidate equi-join, so pairs outside
+    * the restriction are dropped before the (more expensive) exact-verify
+    * join, not filtered afterwards. Exactness is unchanged: the prefix
+    * lemma bounds where a qualifying pair's first shared shingle sits
+    * regardless of which pairs the caller keeps. The main client is
+    * bipartite pairing where membership is a pure function of the id
+    * (e.g. [[graft.ext.Curation.leakageSafeSplit]]'s cross-split pairs) —
+    * recomputing a cheap hash per candidate beats threading a side column
+    * through the shingle/df/prefix shuffles. */
+  def jaccardPairsWhere(df: DataFrame, pairCond: (Column, Column) => Column,
+                        k: Int = 3, tau: Double = 0.5,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
     val d = shingled(df, k)
     val inv = invRows(d)
     // df per HASH (collisions merge counts — a vanishing perturbation of the
@@ -281,7 +296,9 @@ object Dedup {
           .join(hot, Seq("h", "s"), "left_anti").drop("s")
       case None => prefixRows(inv.join(dfreq, "h"), tau)
     }
-    verifyPairs(candidates(prefix, prefix, tau, lit(true)), d, tau)
+    verifyPairs(
+      candidates(prefix, prefix, tau, pairCond(col("x.doc_id"), col("y.doc_id"))),
+      d, tau)
   }
 
   // ——— shared internals of the PPJoin family ———

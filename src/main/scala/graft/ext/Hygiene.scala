@@ -241,6 +241,58 @@ object Hygiene {
     stratifiedSample(df, strataCol, rates)
   }
 
+  /** Epoch-based token-budget mixing — the upsampling counterpart of
+    * [[temperatureMix]]: each stratum gets an ABSOLUTE token budget and is
+    * repeated `e_s = budget_s / tokens_s` epochs to meet it (the Llama-style
+    * mixture recipe where scarce high-quality sources run multiple epochs
+    * while the bulk source runs a fraction of one). Every document emits one
+    * row per full epoch `0 .. ⌊e_s⌋−1`, plus the partial epoch `⌊e_s⌋` iff
+    * its [[stratifiedSample]] hash `u(doc_id) < frac(e_s)` — so e_s < 1 is
+    * plain deterministic downsampling and e_s > 1 duplicates rows with a
+    * deterministically-chosen fractional remainder. Strata without a budget
+    * are dropped.
+    *
+    * The realized token count per stratum concentrates on
+    * `budget_s ± O(√n · max_doc_tokens)`: the fractional subset is a
+    * uniform hash slice, not a bin-packed exact fit — exactness to the
+    * budget belongs to the data loader, reproducibility here: the output
+    * is a pure function of (corpus, budgets).
+    *
+    * Two jobs, like [[temperatureMix]]: one stratum-bounded token-count
+    * collect, then ONE narrow scan-time explode — `sequence` is bounded by
+    * ⌈e_s⌉ per row and the corpus is never shuffled. */
+  def epochMix(df: DataFrame, strataCol: Column,
+               targetTokens: Map[String, Long]): DataFrame = {
+    require(targetTokens.values.forall(_ > 0), "token budgets must be positive")
+    val counts = df.groupBy(strataCol.as("__s"))
+      .agg(sum(size(toks).cast("long")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val eBy = targetTokens.flatMap { case (s, tgt) =>
+      counts.get(s).map { n => s -> (tgt.toDouble / n.toDouble) }
+    }
+    val fullMap = eBy.map { case (s, e) => s -> math.floor(e).toLong }
+    val fracMap = eBy.map { case (s, e) => s -> (e - math.floor(e)) }
+    val u = conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    val nEpochs = element_at(typedLit(fullMap), strataCol) +
+      when(u < element_at(typedLit(fracMap), strataCol), 1L).otherwise(0L)
+    df.withColumn("__ne", nEpochs) // null stratum → null __ne → filtered
+      .where(col("__ne") >= 1)
+      .select(col("doc_id"), strataCol.as("stratum"),
+        size(toks).cast("long").as("n_tokens"),
+        explode(sequence(lit(0L), col("__ne") - 1)).as("epoch"))
+  }
+
+  /** The gate's per-source token budgets (absolute, so the same spec up- or
+    * downsamples depending on corpus scale), shared with the SQL oracle. */
+  private[ext] val GateEpochTargets: Map[String, Long] = Map(
+    "src0" -> 4000L, "src1" -> 1500L, "src2" -> 700L, "src3" -> 60000L)
+
+  /** `(s, t)` VALUES rows carrying the identical budgets into DuckDB. */
+  private def epochTargetValues: String =
+    GateEpochTargets.toSeq.sorted
+      .map { case (s, t) => s"('$s', CAST($t AS BIGINT))" }.mkString(", ")
+
   /** Sequence packing for pretraining batch assembly — the concat-and-chunk
     * layout: within each pack shard (`source`), documents are concatenated
     * in doc_id order and the token stream is cut into fixed `ctxLen`
@@ -367,6 +419,11 @@ object Hygiene {
       temperatureMix(SparkEntry.table(s, dir, "documents"), col("source"),
         alpha = 0.5, targetFrac = 0.5)
         .select("doc_id", "lang", "source")),
+    // absolute token budgets over source strata: src3's budget upsamples
+    // (multiple epochs per doc), src2's downsamples (fractional epoch)
+    "epoch_mix" -> ((s, dir) =>
+      epochMix(SparkEntry.table(s, dir, "documents"), col("source"),
+        GateEpochTargets)),
     "pack_sequences" -> ((s, dir) =>
       packSequences(SparkEntry.table(s, dir, "documents"))),
     "pack_greedy" -> ((s, dir) =>
@@ -491,6 +548,27 @@ object Hygiene {
         |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r ON d.source = r.s
         |WHERE CAST(('0x' || substring(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |        / 4294967296.0 < r.rate""".stripMargin,
+
+    // epochs recomputed from the same histogram arithmetic as epochMix
+    // (one IEEE division per stratum → floor / frac agree bit-exactly)
+    "epoch_mix" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM tk GROUP BY source),
+        |tgt(s, t) AS (VALUES $epochTargetValues),
+        |f AS (SELECT source,
+        |        CAST(floor(CAST(t AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT) AS nfull,
+        |        CAST(t AS DOUBLE) / CAST(tot AS DOUBLE)
+        |          - floor(CAST(t AS DOUBLE) / CAST(tot AS DOUBLE)) AS frac
+        |      FROM c JOIN tgt ON source = s),
+        |d AS (SELECT tk.doc_id, tk.source, tk.n,
+        |        f.nfull + CASE WHEN
+        |          CAST(('0x' || substring(sha256(CAST(tk.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |            / 4294967296.0 < f.frac THEN 1 ELSE 0 END AS ne
+        |      FROM tk JOIN f USING (source))
+        |SELECT doc_id, source AS stratum, n AS n_tokens, CAST(e AS BIGINT) AS epoch
+        |FROM d, unnest(generate_series(0, ne - 1)) AS g(e)
+        |WHERE ne >= 1""".stripMargin,
 
     "chunk_documents" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

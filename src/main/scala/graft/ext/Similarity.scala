@@ -289,9 +289,42 @@ object Similarity {
         .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
   }
 
+  /** Cluster-balanced (diversity-preserving) corpus pruning — the
+    * cluster-then-cap selection of embedding-space curation (the D4 /
+    * DataComp recipe: cluster the corpus, bound each cluster's
+    * contribution so over-represented semantic neighborhoods can't
+    * dominate the training mix): every vector is assigned to its nearest
+    * of `nCells` centroids, and each cell keeps at most `cap` members by
+    * deterministic sha256 rank (ties by id) — a reproducible uniform
+    * sample WITHIN each semantic cluster, unlike [[Dedup.semdedupPrune]]
+    * which removes only pairwise near-duplicates.
+    *
+    * Scale shape: assignment is a narrow per-row expression over the
+    * broadcast centroid literal (no join, no shuffle of the corpus — the
+    * [[annIvf]] pattern); the cap is ONE hash-partitioned window on
+    * `cell_id` whose sort key is 8 bytes + the id, never a global order.
+    * Cell-count skew → more cells ([[Tuning.suggestIvf]]) or a salted
+    * two-level cap. Centroids: deterministic id-seed by default, trained
+    * ([[trainCentroids]]) via `centroids`. */
+  def clusterBalance(emb: DataFrame, cap: Int, nCells: Int = 16,
+                     centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val cents = centroids.map(cs => typedLit(cs)).getOrElse(centroidLit(emb, nCells))
+    val u = conv(substring(sha2(col("vec_id").cast("string"), 256), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell_id").orderBy(col("__u"), col("vec_id"))
+    emb.select(col("vec_id"),
+        nearestCell(col("embedding"), cents).as("cell_id"), u.as("__u"))
+      .withColumn("rank_in_cell", row_number().over(w).cast("long") - 1)
+      .where(col("rank_in_cell") < cap)
+      .select("vec_id", "cell_id", "rank_in_cell")
+  }
+
   // Gate parameters, interpolated into BOTH the queries-map calls and the
   // oracle SQL below so they can never silently desync.
   private[ext] val GateK = 5
+  private[ext] val GateBalanceCap = 10
   private[ext] val GateIvfCells = 16
   private[ext] val GateIvfProbe = 4
   private[ext] val GateQueryMaxId = 10
@@ -356,12 +389,19 @@ object Similarity {
       annIvf(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
         nCells = GateIvfCells, nProbe = GateIvfProbe, centroids = Some(loaded))
     }),
+    // deterministic cells + sha-ranked cap → full SQL oracle; trained
+    // centroids take the same code path (ExtSpec covers the swap)
+    "cluster_balance" -> ((s, dir) =>
+      clusterBalance(SparkEntry.table(s, dir, "embeddings"),
+        cap = GateBalanceCap, nCells = GateIvfCells)),
   )
 
-  /** Shared by `ann_ivf` and `ann_ivf_trained` (identical result contract;
-    * the latter differs only in taking the centroid save/load round-trip). */
-  private lazy val annIvfOracleSql: String =
-    s"""WITH cents AS (
+  /** The deterministic cell-assignment CTE chain (id-seed centroids →
+    * quantSim argmax per vector), shared by the `ann_ivf*` and
+    * `cluster_balance` oracles — one source of truth for the assignment
+    * rule on the SQL side, like [[centroidSeed]] on the engine side. */
+  private lazy val assignedCellsSql: String =
+    s"""cents AS (
       |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
       |  FROM embeddings ORDER BY vec_id LIMIT $GateIvfCells),
       |asg AS (
@@ -370,7 +410,12 @@ object Similarity {
       |      ${quantSimSql(s"list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent)")} DESC,
       |      c.cell_id) AS rn
       |  FROM embeddings e, cents c),
-      |assigned AS (SELECT vec_id, embedding, cell_id FROM asg WHERE rn = 1),
+      |assigned AS (SELECT vec_id, embedding, cell_id FROM asg WHERE rn = 1)""".stripMargin
+
+  /** Shared by `ann_ivf` and `ann_ivf_trained` (identical result contract;
+    * the latter differs only in taking the centroid save/load round-trip). */
+  private lazy val annIvfOracleSql: String =
+    s"""WITH $assignedCellsSql,
       |qc AS (
       |  SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell_id,
       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -434,5 +479,16 @@ object Similarity {
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |      FROM sims)
         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
+    // the shared deterministic assignment + the sha256-ranked per-cell cap
+    "cluster_balance" ->
+      s"""WITH $assignedCellsSql,
+        |r AS (
+        |  SELECT vec_id, cell_id,
+        |    CAST(row_number() OVER (PARTITION BY cell_id ORDER BY
+        |      CAST(('0x' || substring(sha256(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |      vec_id) - 1 AS BIGINT) AS rank_in_cell
+        |  FROM assigned)
+        |SELECT vec_id, cell_id, rank_in_cell FROM r
+        |WHERE rank_in_cell < $GateBalanceCap""".stripMargin,
   )
 }

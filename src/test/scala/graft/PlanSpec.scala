@@ -227,6 +227,32 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p) { case _: BroadcastExchangeExec => } == 0)
   }
 
+  test("epoch_mix: after the token-count collect, a narrow scan-time explode") {
+    // the per-stratum epoch schedule collects one row per stratum at
+    // plan-construction time; the returned plan is a filter + bounded
+    // sequence explode — narrow, no joins, the corpus never shuffles
+    val p = physical("epoch_mix")
+    assert(shuffles(p) == 0, s"epoch mixing must be a narrow scan-time plan:\n$p")
+    assert(count(p) { case _: BroadcastExchangeExec => } == 0)
+  }
+
+  test("cluster_balance: narrow assignment, ONE shuffle (the per-cell cap window)") {
+    val p = physical("cluster_balance")
+    assertNoCartesian("cluster_balance", p)
+    // cell assignment is a per-row expression over the centroid literal —
+    // the only exchange is the hash partition on cell_id for the rank window
+    assert(shuffles(p) == 1, s"expected exactly the cell window shuffle:\n$p")
+    assert(count(p) { case _: BroadcastExchangeExec => } == 0,
+      s"centroids ride as a literal, never a join:\n$p")
+  }
+
+  test("leakage_split: inverted-index cross pairs, never all-pairs; leaky set broadcast") {
+    val p = physical("leakage_split")
+    assertNoCartesian("leakage_split", p)
+    assert(count(p) { case _: BroadcastExchangeExec => } >= 1,
+      s"the leaky-train anti-join must broadcast the small side:\n$p")
+  }
+
   test("dedup_bloom: corpus never shuffles — broadcast joins only, narrow probe") {
     val p = physical("dedup_bloom")
     assertNoCartesian("dedup_bloom", p)

@@ -406,6 +406,50 @@ class ExtSpec extends AnyFunSuite {
     assert(a == b, "loaded centroids changed the ANN result")
   }
 
+  test("clusterBalance: per-cell cap, deterministic sha rank, trained-centroid path") {
+    val cap = 5; val nCells = 8
+    val out = Similarity.clusterBalance(emb, cap = cap, nCells = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCell = out.groupBy(_._2)
+    assert(byCell.values.forall(_.length <= cap), "a cell exceeded its cap")
+    assert(byCell.values.forall(c =>
+      c.map(_._3).sorted.sameElements(0L until c.length.toLong)),
+      "ranks must be contiguous from 0 within each cell")
+    // survivors agree with the independent assignment; cells at-or-under
+    // the cap keep EVERY member (balancing only removes, never reassigns)
+    val cents = Similarity.centroidLit(emb, nCells)
+    val assigned = emb.select(col("vec_id"),
+        Similarity.nearestCell(col("embedding"), cents).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cellOf = assigned.toMap
+    assert(out.forall { case (id, cell, _) => cellOf(id) == cell })
+    val sizes = assigned.groupBy(_._2).view.mapValues(_.length).toMap
+    for ((cell, n) <- sizes if n <= cap)
+      assert(byCell.get(cell).map(_.length).contains(n),
+        s"under-cap cell $cell must keep all $n members")
+    // the kept subset is the lowest sha256 ranks — independent recompute
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def u(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    for ((cell, members) <- assigned.groupBy(_._2)) {
+      val expect = members.map(_._1).sortBy(id => (u(id), id)).take(cap).toSet
+      assert(byCell.getOrElse(cell, Array.empty).map(_._1).toSet == expect,
+        s"cell $cell kept the wrong sha-ranked members")
+    }
+    // determinism + the trained-centroid code path
+    val again = Similarity.clusterBalance(emb, cap = cap, nCells = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    val trained = Similarity.trainCentroids(emb, nCells = nCells, iters = 2)
+    val balT = Similarity.clusterBalance(emb, cap = cap, nCells = nCells,
+      centroids = Some(trained)).collect()
+    assert(balT.nonEmpty &&
+      balT.map(_.getLong(1)).toSet.subsetOf(trained.map(_._1).toSet))
+  }
+
   test("k-means centroids separate a clustered corpus where a first-k seed cannot") {
     import spark.implicits._
     // 8 well-separated clusters × 60 points, dim 16, ids ordered BY CLUSTER —

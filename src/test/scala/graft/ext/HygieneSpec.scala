@@ -392,6 +392,108 @@ class HygieneSpec extends AnyFunSuite {
     assert(flat.sameElements(flatExpect))
   }
 
+  test("epochMix: absolute token budgets — full epochs, fractional hash slice, both directions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d", "big"), (2L, "e f g h", "big"), (3L, "i j k l", "big"),
+      (4L, "m n o p", "small"), (5L, "q r s t", "small"),
+      (6L, "u v", "unbudgeted")).toDF("doc_id", "text", "source")
+    // big: 12 tokens, budget 30 → e = 2.5 (two full epochs + a half slice);
+    // small: 8 tokens, budget 4 → e = 0.5 (pure fractional downsample)
+    val out = Hygiene.epochMix(df, col("source"), Map("big" -> 30L, "small" -> 4L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.forall(_._2 != "unbudgeted"), "strata without a budget are dropped")
+    for (id <- Seq(1L, 2L, 3L); ep <- Seq(0L, 1L))
+      assert(out.exists(t => t._1 == id && t._4 == ep),
+        s"every big doc runs full epochs 0 and 1 (missing $id@$ep)")
+    assert(out.forall(t => t._4 >= 0L && t._4 <= 2L))
+    // partial-epoch membership is exactly the sha slice u < frac, on BOTH
+    // the upsampled (epoch 2 of big) and downsampled (only epoch of small)
+    // strata — recomputed independently JVM-side
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def u(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    assert(out.filter(t => t._2 == "big" && t._4 == 2L).map(_._1).sorted
+      .sameElements(Seq(1L, 2L, 3L).filter(id => u(id) < 0.5).sorted))
+    assert(out.filter(_._2 == "small").map(_._1).sorted
+      .sameElements(Seq(4L, 5L).filter(id => u(id) < 0.5).sorted))
+    assert(out.filter(_._1 == 1L).forall(_._3 == 4L), "n_tokens rides along")
+    assert(out.toSet.size == out.length, "(doc, epoch) rows are unique")
+    // real corpus: realized token volume concentrates on the budget when
+    // the budget spans several epochs (hash noise is one partial slice)
+    val budgets = Map("src0" -> 4000L, "src1" -> 1500L)
+    val real = Hygiene.epochMix(docs, col("source"), budgets)
+      .groupBy("stratum").agg(sum("n_tokens").as("tok")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    for ((s, b) <- budgets) {
+      val got = real(s).toDouble
+      assert(got > b * 0.7 && got < b * 1.3,
+        s"$s realized $got vs budget $b — fractional slice off")
+    }
+    // determinism
+    val again = Hygiene.epochMix(docs, col("source"), budgets)
+      .groupBy("stratum").agg(sum("n_tokens").as("tok")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(again == real)
+  }
+
+  test("leakageSafeSplit: one-sided cross-split near-dup removal") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def u(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val frac = 0.5
+    val ids = (1L to 40L)
+    val held = ids.filter(u(_) < frac)
+    val train = ids.filterNot(u(_) < frac)
+    assert(held.size >= 3 && train.size >= 3)
+    def doc(i: Long, words: String) = (i, words)
+    // h0 ~ t0 (cross near-dup: train side must drop, heldout stays);
+    // t1 ~ t2 (train-train near-dup: BOTH stay — removal is one-sided);
+    // h1 ~ h2 (held-held: both stay); the rest unique
+    val texts = Seq(
+      doc(held(0), "alpha beta gamma delta epsilon zeta"),
+      doc(train(0), "alpha beta gamma delta epsilon zeta"),
+      doc(train(1), "one two three four five six seven"),
+      doc(train(2), "one two three four five six seven"),
+      doc(held(1), "red orange yellow green blue indigo"),
+      doc(held(2), "red orange yellow green blue indigo"),
+      doc(held(3), "lonely words that match nothing else"),
+      doc(train(3), "another loner with its own vocabulary"))
+    val df = texts.toDF("doc_id", "text")
+    val out = Curation.leakageSafeSplit(df, heldoutFrac = frac)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(!out.contains(train(0)), "train near-dup of a heldout doc must drop")
+    assert(out(held(0)) == "heldout", "the heldout twin survives")
+    assert(out(train(1)) == "train" && out(train(2)) == "train",
+      "train-train near-dups are NOT leakage")
+    assert(out(held(1)) == "heldout" && out(held(2)) == "heldout")
+    assert(out(held(3)) == "heldout" && out(train(3)) == "train")
+    assert(out.size == texts.size - 1)
+  }
+
+  test("jaccardPairsWhere: pushed pair condition == post-filtered jaccardPairs") {
+    // the refactor pin: pushing the predicate into the candidate join must
+    // not change the emitted pair set (real corpus, the gate's cross-split
+    // condition)
+    def held(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(sha2(id.cast("string"), 256), 1, 8), 16, 10)
+        .cast("long") / lit(4294967296.0) < 0.2
+    val pushed = Dedup.jaccardPairsWhere(docs, (a, b) => held(a) =!= held(b))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val post = Dedup.jaccardPairs(docs)
+      .where(held(col("id_a")) =!= held(col("id_b")))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pushed == post)
+    assert(pushed.nonEmpty, "sf0.001 has cross-split near-dups by construction")
+  }
+
   test("packGreedy: doc-boundary bins — no overflow, contiguous fill, truncation") {
     import spark.implicits._
     // ctx 10: [4,5] fill bin 0 (pad 1), 7 opens bin 1, 10 exactly fills
