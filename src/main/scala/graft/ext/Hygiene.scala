@@ -188,6 +188,37 @@ object Hygiene {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Cross-corpus n-gram overlap accounting — the train/test overlap table
+    * a dedup/decontamination paper reports (Lee et al. 2022 §5 measure
+    * overlap this way): of `other`'s DISTINCT word-`k`-grams, how many also
+    * occur anywhere in `corpus`? One summary row:
+    * `grams_other`, `grams_shared`, `overlap_frac`. Where
+    * [[contamination]] flags individual documents for REMOVAL, this
+    * measures corpus-level overlap for REPORTING (sized before/after a
+    * dedup or decontamination run).
+    *
+    * Plan shape: both sides reduce to distinct gram sets (partial-agg
+    * before the exchange) and meet in ONE join keyed by the gram; the
+    * count/fraction falls out of a single final aggregation. At 100 TB set
+    * `hashKeys` like [[contamination]]'s — 8-byte keys for the
+    * corpus-sized distinct+join (a collision inflates `grams_shared` by
+    * ~n²/2⁶⁴ — nothing at any real corpus size). */
+  def corpusOverlap(corpus: DataFrame, other: DataFrame, k: Int = 13,
+                    hashKeys: Boolean = false): DataFrame = {
+    val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
+    def grams(df: DataFrame): DataFrame =
+      df.select(toks.as("w"))
+        .select(explode(array_distinct(ngramsOf(col("w"), k))).as("g0"))
+        .select(key(col("g0")).as("g")).distinct()
+    grams(other)
+      .join(grams(corpus).withColumn("__hit", lit(1)), Seq("g"), "left")
+      .agg(
+        count(lit(1)).as("grams_other"),
+        count(col("__hit")).as("grams_shared"),
+        (count(col("__hit")).cast("double") / count(lit(1)))
+          .as("overlap_frac"))
+  }
+
   /** Deterministic stratified sampling for training-data mixing: keep a row
     * iff `u(doc_id) < rates(stratum)`, where `u` maps the first 8 hex chars
     * of sha256(doc_id) to [0,1). Strata absent from `rates` are dropped.
@@ -410,6 +441,11 @@ object Hygiene {
       contamination(docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), k = 4)
     }),
+    "corpus_overlap" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      corpusOverlap(docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), k = 4)
+    }),
     "stratified_sample" -> ((s, dir) =>
       stratifiedSample(SparkEntry.table(s, dir, "documents"), col("lang"), GateRates)
         .select("doc_id", "lang", "source")),
@@ -527,6 +563,21 @@ object Hygiene {
         |SELECT doc_id, source, n AS n_tokens, bin_id, offset_in_bin,
         |       least(n, 256) AS n_kept
         |FROM r""".stripMargin,
+
+    // same gram construction as the contamination oracle, reduced to the
+    // corpus-level distinct sets and one summary row
+    "corpus_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 4 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-3),
+        |      i -> array_to_string(w[i:i+3], ' ')))
+        |  ELSE [] END AS gr FROM t),
+        |a AS (SELECT DISTINCT unnest(gr) AS g FROM g WHERE doc_id % 50 != 0),
+        |b AS (SELECT DISTINCT unnest(gr) AS g FROM g WHERE doc_id % 50 = 0)
+        |SELECT count(*) AS grams_other,
+        |  count(a.g) AS grams_shared,
+        |  CAST(count(a.g) AS DOUBLE) / count(*) AS overlap_frac
+        |FROM b LEFT JOIN a ON a.g = b.g""".stripMargin,
 
     "stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -176,6 +176,62 @@ object TextAnalysis {
         ((lit(2) * min("cnt") + 1).cast("double") / lit(d2.toDouble)).as("min_prob"))
   }
 
+  /** CCNet-style perplexity partition (Wenzek et al. 2020 §4.3): rank every
+    * document by its [[lmScore]] reference-likelihood and split the corpus
+    * into `head` (most reference-like `headFrac`), `tail` (least
+    * reference-like `tailFrac`), and `middle` — the bucketing CCNet
+    * publishes per language and downstream recipes sample from
+    * (head-heavy for quality, tail kept for diversity ablations).
+    *
+    * Deterministic: `mean_prob` is bit-exact rational arithmetic, and the
+    * cutoffs are EXACT percentiles whose linear interpolation
+    * (`(hi−pos)·lower + (pos−lo)·upper`) matches DuckDB's `quantile_cont`
+    * operation-for-operation, so the bucket boundary cannot flake across
+    * engines. Buckets: `head` = score ≥ the (1−headFrac) percentile,
+    * `tail` = score < the tailFrac percentile.
+    *
+    * Scale shape: scoring is the [[lmScore]] broadcast-lexicon plan; the
+    * cutoff is one exact-percentile aggregation collapsing to TWO doubles
+    * of driver state, then bucketing is a scan-time CASE. The exact
+    * percentile's memory is O(distinct scores) on the final reducer — at
+    * 100 TB pass `cutoffs` computed once from `approx_percentile` (or a
+    * sample) instead; the bucketing plan is unchanged. */
+  def perplexityPartition(docs: DataFrame, reference: DataFrame,
+                          headFrac: Double = 1.0 / 3, tailFrac: Double = 1.0 / 3,
+                          cutoffs: Option[(Double, Double)] = None): DataFrame = {
+    require(headFrac > 0 && tailFrac > 0 && headFrac + tailFrac <= 1,
+      "headFrac/tailFrac must be positive with sum <= 1")
+    val scored = lmScore(docs, reference)
+    val (cHead, cTail) = cutoffs.getOrElse {
+      val r = scored.agg(
+        percentile(col("mean_prob"), lit(1.0 - headFrac)).as("h"),
+        percentile(col("mean_prob"), lit(tailFrac)).as("t")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    scored.withColumn("bucket",
+      when(col("mean_prob") >= cHead, lit("head"))
+        .when(col("mean_prob") < cTail, lit("tail"))
+        .otherwise(lit("middle")))
+  }
+
+  /** Document-length histogram by power-of-two token buckets per source —
+    * the length-distribution panel of a dataset card, and the input for
+    * sizing [[Hygiene.chunkDocuments]]/[[Hygiene.packSequences]] context
+    * windows. Buckets are INTEGER-derived (`⌊log₂ n⌋` via the binary
+    * string length, never a float log that could mis-bucket an exact power
+    * of two), so counts are bit-reproducible. One partial-then-final hash
+    * aggregation on (source, bucket) — map-side combined, the corpus never
+    * shuffles. */
+  def lengthHistogram(df: DataFrame): DataFrame =
+    df.select(col("source"), size(toks).cast("long").as("n"))
+      .withColumn("bucket", (length(bin(col("n"))) - 1).cast("int"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .select(col("source"), col("bucket"),
+        expr("shiftleft(cast(1 as bigint), bucket)").as("lo_tokens"),
+        (expr("shiftleft(cast(1 as bigint), bucket + 1)") - 1).as("hi_tokens"),
+        col("n_docs"), col("n_tokens"))
+
   /** Corpus composition accounting — the dataset-card table (docs, tokens,
     * chars, mean length per (source, lang) cell) every released training
     * set publishes, and the input the mixing stages ([[Hygiene.temperatureMix]],
@@ -209,6 +265,14 @@ object TextAnalysis {
       lmScore(docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0))
     }),
+    // same reference/crawl split as lm_score; thirds partition
+    "perplexity_partition" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      perplexityPartition(docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0))
+    }),
+    "length_histogram" -> ((s, dir) =>
+      lengthHistogram(SparkEntry.table(s, dir, "documents"))),
   )
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -303,5 +367,50 @@ object TextAnalysis {
         |  CAST(sum(2 * cnt + 1) AS DOUBLE) / CAST(t.d2 * count(*) AS DOUBLE) AS mean_prob,
         |  CAST(2 * min(cnt) + 1 AS DOUBLE) / CAST(t.d2 AS DOUBLE) AS min_prob
         |FROM j, t GROUP BY doc_id, t.d2""".stripMargin,
+
+    // the lm_score fragment + quantile_cont cutoffs: DuckDB's interpolation
+    // ((hi−pos)·lower + (pos−lo)·upper over pos = p·(n−1)) matches Spark's
+    // exact Percentile operation-for-operation, and the percentile
+    // arguments ride as shortest-repr double strings — boundary-exact.
+    "perplexity_partition" ->
+      s"""WITH lex AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |        WHERE doc_id % 50 = 0)
+        |  WHERE w <> '' GROUP BY w),
+        |t AS (SELECT CAST(2 * COALESCE(sum(cnt), 0) + count(*) + 1 AS BIGINT) AS d2 FROM lex),
+        |words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |    WHERE doc_id % 50 != 0)
+        |  WHERE w <> ''),
+        |j AS (SELECT doc_id, COALESCE(cnt, 0) AS cnt
+        |      FROM words LEFT JOIN lex USING (w)),
+        |sc AS (SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE cnt = 0) AS n_oov,
+        |  CAST(sum(2 * cnt + 1) AS DOUBLE) / CAST(t.d2 * count(*) AS DOUBLE) AS mean_prob,
+        |  CAST(2 * min(cnt) + 1 AS DOUBLE) / CAST(t.d2 AS DOUBLE) AS min_prob
+        |FROM j, t GROUP BY doc_id, t.d2),
+        |c AS (SELECT
+        |  quantile_cont(mean_prob, CAST('${1.0 - 1.0 / 3}' AS DOUBLE)) AS ch,
+        |  quantile_cont(mean_prob, CAST('${1.0 / 3}' AS DOUBLE)) AS ct FROM sc)
+        |SELECT sc.*, CASE WHEN mean_prob >= ch THEN 'head'
+        |                  WHEN mean_prob < ct THEN 'tail'
+        |                  ELSE 'middle' END AS bucket
+        |FROM sc, c""".stripMargin,
+
+    // integer bucket from the binary-string length (no float log2); counts
+    // map-side combined, HUGEINT sums pinned back to BIGINT
+    "length_histogram" ->
+      """WITH n AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT source, CAST(length(bin(n)) - 1 AS INT) AS bucket, n FROM n)
+        |SELECT source, bucket,
+        |  CAST(1 AS BIGINT) << bucket AS lo_tokens,
+        |  (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi_tokens,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY source, bucket""".stripMargin,
   )
 }

@@ -253,6 +253,27 @@ class PlanSpec extends AnyFunSuite {
       s"the leaky-train anti-join must broadcast the small side:\n$p")
   }
 
+  test("perplexity_partition: broadcast-lexicon scoring + scan-time CASE bucketing") {
+    // cutoffs collapse to two doubles at plan-construction time; the
+    // returned plan must be the lm_score shape (lexicon broadcast, one
+    // per-doc agg shuffle) with bucketing as a literal-compare projection
+    val p = physical("perplexity_partition")
+    assertNoCartesian("perplexity_partition", p)
+    assert(count(p) { case _: joins.SortMergeJoinExec => } == 0,
+      s"the crawl side must never shuffle for the lexicon join:\n$p")
+  }
+
+  test("length_histogram: one partial-then-final aggregation, integer buckets") {
+    val p = physical("length_histogram")
+    assert(shuffles(p) == 1, s"histogram is one (source, bucket) agg:\n$p")
+    assert(count(p) { case _: BroadcastExchangeExec => } == 0)
+  }
+
+  test("corpus_overlap: distinct-reduced sides, no cartesian") {
+    val p = physical("corpus_overlap")
+    assertNoCartesian("corpus_overlap", p)
+  }
+
   test("dedup_bloom: corpus never shuffles — broadcast joins only, narrow probe") {
     val p = physical("dedup_bloom")
     assertNoCartesian("dedup_bloom", p)

@@ -392,6 +392,74 @@ class HygieneSpec extends AnyFunSuite {
     assert(flat.sameElements(flatExpect))
   }
 
+  test("perplexityPartition: thirds by reference-likelihood, ordered buckets") {
+    val ref = docs.where(col("doc_id") % 10 === 0)
+    val crawl = docs.where(col("doc_id") % 10 =!= 0)
+    val out = TextAnalysis.perplexityPartition(crawl, ref)
+      .select("doc_id", "mean_prob", "bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val n = out.length.toDouble
+    val byB = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byB.keySet == Set("head", "middle", "tail"))
+    // fraction sanity (percentile cut: within one tie-run of a third)
+    assert(byB("head").length / n > 0.2 && byB("head").length / n < 0.5)
+    assert(byB("tail").length / n > 0.2 && byB("tail").length / n < 0.5)
+    // total order: every head score ≥ every middle score ≥ every tail score
+    assert(byB("head").min >= byB("middle").max)
+    assert(byB("middle").min >= byB("tail").max)
+    // caller-supplied cutoffs (the 100 TB approx path) take precedence
+    val all = out.map(_._2).sorted
+    val (cH, cT) = (all(all.length * 2 / 3), all(all.length / 3))
+    val fixed = TextAnalysis.perplexityPartition(crawl, ref, cutoffs = Some((cH, cT)))
+      .select("mean_prob", "bucket").collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    assert(fixed.forall { case (s, b) =>
+      b == (if (s >= cH) "head" else if (s < cT) "tail" else "middle") })
+  }
+
+  test("lengthHistogram: exact power-of-two buckets, totals preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "s"),                       // 1 token  → bucket 0 [1,1]
+      (2L, "a b", "s"),                     // 2 tokens → bucket 1 [2,3]
+      (3L, "a b c", "s"),                   // 3 tokens → bucket 1
+      (4L, "a b c d e f g h", "s"),         // 8 tokens → bucket 3 [8,15]
+      (5L, "a b c d e f g", "t"))           // 7 tokens → bucket 2 [4,7]
+      .toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.lengthHistogram(df)
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rows(("s", 0)) == ((1L, 1L, 1L, 1L)))
+    assert(rows(("s", 1)) == ((2L, 3L, 2L, 5L)))
+    assert(rows(("s", 3)) == ((8L, 15L, 1L, 8L)), "an exact power of two lands in ITS bucket")
+    assert(rows(("t", 2)) == ((4L, 7L, 1L, 7L)))
+    // real corpus: histogram totals reconcile with the corpus
+    val h = TextAnalysis.lengthHistogram(docs)
+      .agg(sum("n_docs"), sum("n_tokens")).head()
+    assert(h.getLong(0) == docs.count())
+    val tok = docs.select(sum(size(split(col("text"), " ")).cast("long"))).head().getLong(0)
+    assert(h.getLong(1) == tok)
+  }
+
+  test("corpusOverlap: constructed shared/unshared grams; hashKeys agrees") {
+    import spark.implicits._
+    val a = Seq((1L, "one two three four five"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "one two three four six"), (11L, "p q r s"))
+      .toDF("doc_id", "text")
+    // b's distinct 4-grams: "one two three four", "two three four six",
+    // "p q r s" → 3 total, 1 shared with a
+    val row = Hygiene.corpusOverlap(a, b, k = 4).head()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 1L)
+    assert(row.getDouble(2) == 1.0 / 3)
+    val hashed = Hygiene.corpusOverlap(a, b, k = 4, hashKeys = true).head()
+    assert(hashed.getLong(0) == 3L && hashed.getLong(1) == 1L)
+    // reporting consistency with the removal operator: a corpus fully
+    // decontaminated against `other` has zero remaining overlap hits
+    val contam = Hygiene.contamination(docs, docs, k = 4)
+    assert(contam.count() > 0, "self-contamination must flag everything overlapping")
+  }
+
   test("epochMix: absolute token budgets — full epochs, fractional hash slice, both directions") {
     import spark.implicits._
     val df = Seq(
