@@ -74,7 +74,12 @@ object SparkEntry {
     // round-9 workloads: bloom-pruned batch dedup, DSIR selection scoring,
     // doc-boundary packing (its recursive-CTE oracle is the slow side —
     // the sequential fill itself is one shuffle + a linear pass)
-    "dedup_bloom", "dsir_weights", "pack_greedy")
+    "dedup_bloom", "dsir_weights", "pack_greedy",
+    // continued round 9: the cross-split pair graph (one-sided leakage
+    // removal), CCNet bucketing (lexicon broadcast + exact percentile),
+    // and the per-cell cap window (the mixing/stat ops land at the
+    // scan-time job floor and stay bench-excluded)
+    "leakage_split", "perplexity_partition", "cluster_balance")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

@@ -15,6 +15,9 @@ case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
 /** Extracted media features (the output of the feature-extract stage). */
 case class MediaFeatures(doc_id: Long, features: Array[Float])
 
+/** One sampled frame (the output of the frame-sample stage). */
+case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
 /** Multimodal-column plumbing for LLM-data pipelines: media as opaque
   * `binary` columns with typed metadata, decoded batch-wise in executors via
   * `Dataset.mapPartitions` (the JVM analogue of `mapInPandas`: one iterator
@@ -90,8 +93,57 @@ object Multimodal {
     MediaRecord(r.doc_id, java.util.Arrays.copyOf(r.media, target))
   }
 
+  /** Video-style FRAME SAMPLING: the payload is treated as `frameBytes`
+    * windows (the same frame geometry as [[decodeStub]]'s `n_frames`) and
+    * every `stride`-th frame is emitted — the every-Nth-frame subsampling a
+    * video pipeline runs before feature extraction. Frame content rides as
+    * (length, checksum) so the oracle can recompute it; a real decoder
+    * would emit the frame bytes for a downstream [[extractFeatures]].
+    * Plumbing is the real shape: one `flatMap` per record inside a
+    * `mapPartitions` batch (codec opened once per partition), narrow and
+    * shuffle-free, output rows ∝ payload bytes / (frameBytes·stride). */
+  def sampleFrames(docs: DataFrame, frameBytes: Int = 64,
+                   stride: Int = 4): Dataset[FrameSample] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRecord]
+      .mapPartitions { it => // per-partition setup would open the codec once
+        it.flatMap { r =>
+          val n = r.media.length
+          val frames = n / frameBytes + 1
+          (0 until frames by stride).iterator.map { fi =>
+            val start = fi * frameBytes
+            val end = math.min(start + frameBytes, n)
+            var sum = 0L
+            var i = start
+            while (i < end) { sum += (r.media(i) & 0xff); i += 1 }
+            FrameSample(r.doc_id, fi, math.max(0, end - start), sum % 997)
+          }
+        }
+      }
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_meta" -> ((s, dir) => decodeMeta(SparkEntry.table(s, dir, "documents")).toDF()),
+    "multimodal_frames" -> ((s, dir) =>
+      sampleFrames(SparkEntry.table(s, dir, "documents")).toDF()),
+    // resize to 256×128 → a fixed 512-byte payload (truncate/zero-pad);
+    // emitted as (n_bytes, checksum) for the oracle
+    "multimodal_resize" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        .as[MediaRecord]
+        .mapPartitions(_.map { r =>
+          val rz = resizeStub(r, 256, 128)
+          var sum = 0L
+          rz.media.foreach(b => sum += (b & 0xff))
+          FrameSample(rz.doc_id, 0, rz.media.length, sum % 997)
+        })
+        .toDF().withColumnRenamed("frame_idx", "pass")
+    }),
     "multimodal_features" -> ((s, dir) => {
       val f = extractFeatures(SparkEntry.table(s, dir, "documents")).toDF()
       // flatten for the oracle: one row per (doc, dim)
@@ -111,6 +163,27 @@ object Multimodal {
         |  length(text) // 64 + 1 AS n_frames,
         |  (length(text) // 64 + 1 + 3) // 4 AS n_sampled_frames,
         |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) % 997 AS checksum
+        |FROM documents""".stripMargin,
+    // frame geometry mirrors decodeStub's n_frames (length//64 + 1, so an
+    // exact-multiple payload has one empty trailing frame — checksum 0)
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    unnest(generate_series(0, length(text) // 64, 4)) AS fi
+        |  FROM documents)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(greatest(0, least(fi * 64 + 64, n) - fi * 64) AS INT) AS n_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    string_split(text[fi * 64 + 1 : least(fi * 64 + 64, n)], ''),
+        |    c -> ascii(c))), 0) AS BIGINT) % 997 AS checksum
+        |FROM f""".stripMargin,
+    // 256×128 → max(1, 256·128/64) = 512 bytes, zero-padded (pad adds 0 to
+    // the byte-sum checksum)
+    "multimodal_resize" ->
+      """SELECT doc_id, CAST(0 AS INT) AS pass, CAST(512 AS INT) AS n_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    string_split(text[1 : least(512, length(text))], ''),
+        |    c -> ascii(c))), 0) AS BIGINT) % 997 AS checksum
         |FROM documents""".stripMargin,
     // float32 round-trip: REAL cast reproduces the stub's Float precision
     "multimodal_features" ->

@@ -620,6 +620,29 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.forall(m => m.n_frames == m.n_bytes / 64 + 1))
   }
 
+  test("multimodal frame sampling: stride geometry, window sums, empty tail frame") {
+    import spark.implicits._
+    // 130 bytes → frames 0..2 (64, 64, 2 bytes); 128 bytes → frames 0..2
+    // where frame 2 is the EMPTY tail (exact multiple); stride 4 keeps only
+    // frame 0 of each at the default stride — use stride 2 to see the tail
+    val docs2 = Seq(
+      (1L, "a" * 130),
+      (2L, "b" * 128)).toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(docs2, frameBytes = 64, stride = 2)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> (f.n_bytes, f.checksum)).toMap
+    assert(out((1L, 0)) == ((64, 64L * 'a' % 997)))
+    assert(out((1L, 2)) == ((2, 2L * 'a' % 997)))
+    assert(out((2L, 2)) == ((0, 0L)), "exact-multiple payload has an empty tail frame")
+    assert(!out.contains((1L, 1)), "stride skips unsampled frames")
+    // stride-4 default on the corpus: sampled count matches decodeMeta's
+    val metaCounts = Multimodal.decodeMeta(docs).collect()
+      .map(m => m.doc_id -> m.n_sampled_frames).toMap
+    val sampled = Multimodal.sampleFrames(docs).collect()
+      .groupBy(_.doc_id).view.mapValues(_.length).toMap
+    assert(sampled == metaCounts,
+      "sampleFrames emits exactly the frames decodeMeta counts")
+  }
+
   test("dedup clusters: connected components of the near-dup pair graph") {
     val pairs = Dedup.jaccardPairs(docs, k = 3, tau = 0.5)
     val pairSet = pairs.select("id_a", "id_b").collect()
