@@ -460,6 +460,26 @@ object Dedup {
     }
   }
 
+  /** Shared by `dedup_incremental` and `dedup_incremental_bucketed`: the
+    * full-corpus pair set restricted to pairs touching the batch split. */
+  private lazy val incrementalOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+      |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+      |      ELSE [text] END) AS sh
+      |  FROM documents),
+      |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+      |co AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+      |    any_value(x.n) AS na, any_value(y.n) AS nb
+      |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)
+      |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
+      |FROM co WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+      |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin
+
   /** Frozen corpus-snapshot index for INCREMENTAL dedup: the three
     * deterministic DataFrames a pipeline persists once per corpus snapshot
     * (all are pure functions of the corpus, so they round-trip through
@@ -518,6 +538,76 @@ object Dedup {
       spark.read.parquet(s"$dir/prefix"),
       spark.read.parquet(s"$dir/arrays"),
       spark.read.parquet(s"$dir/dfreq"))
+
+  /** BUCKETED persistence of a [[JaccardIndex]] — the 100 TB storage
+    * layout: each component is written `bucketBy` its join key (`h` for
+    * prefix/dfreq, `doc_id` for arrays), so a probe join against the index
+    * reuses the ON-DISK hash partitioning instead of re-shuffling the
+    * corpus-sized side for every incoming batch — the batch side alone
+    * takes an exchange (or broadcasts). `sortBy` additionally pre-sorts
+    * bucket files for the merge join. Catalog entries live in the session
+    * catalog; the data is plain parquet under `dir`. */
+  def saveJaccardIndexBucketed(idx: JaccardIndex, dir: String,
+                               nBuckets: Int = 8): Unit = {
+    val spark = idx.prefix.sparkSession
+    def save(df: DataFrame, comp: String, key: String): Unit = {
+      val tbl = bucketTableName(dir, comp)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      df.write.mode("overwrite")
+        .bucketBy(nBuckets, key).sortBy(key)
+        .option("path", s"$dir/$comp")
+        .saveAsTable(tbl)
+    }
+    save(idx.prefix, "prefix", "h")
+    save(idx.arrays, "arrays", "doc_id")
+    save(idx.dfreq, "dfreq", "h")
+  }
+
+  /** Load a bucketed index saved by [[saveJaccardIndexBucketed]]; reads go
+    * through the catalog table so Spark keeps the bucket partitioning. */
+  def loadJaccardIndexBucketed(spark: SparkSession, dir: String): JaccardIndex =
+    JaccardIndex(
+      spark.table(bucketTableName(dir, "prefix")),
+      spark.table(bucketTableName(dir, "arrays")),
+      spark.table(bucketTableName(dir, "dfreq")))
+
+  /** Drop the catalog entries of a bucketed index (files under `dir` are
+    * the caller's). */
+  def dropJaccardIndexBucketed(spark: SparkSession, dir: String): Unit =
+    Seq("prefix", "arrays", "dfreq").foreach(c =>
+      spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(dir, c)}"))
+
+  /** Session-catalog table name for a bucketed index component, keyed by a
+    * digest of the directory (two dirs can coexist in one session). */
+  private def bucketTableName(dir: String, comp: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    s"graft_jidx_${h}_$comp"
+  }
+
+  /** [[jaccardPairsIncremental]] restructured as THREE bipartite joins
+    * (index×batch, batch×index, batch×batch — disjoint by the `id_a <
+    * id_b` orientation, so their union needs no dedup) instead of one
+    * self-join over `index.prefix ∪ batch-prefix`. Result-identical (the
+    * same frozen (df, h, s) order; pinned in ExtSpec) — the point is the
+    * PLAN: a union destroys the index side's bucket partitioning, while
+    * here a [[saveJaccardIndexBucketed]] index joins on its on-disk `h`
+    * buckets and the corpus-sized prefix set is never re-shuffled per
+    * batch (the index side is scanned by two of the three joins, but a
+    * scan is streaming-local — the avoided exchange is a full
+    * write+network+read cycle of the index). */
+  def jaccardPairsIncrementalBucketed(index: JaccardIndex, incoming: DataFrame,
+                                      k: Int = 3, tau: Double = 0.5): DataFrame = {
+    val dNew = shingled(incoming, k)
+    val withDf = invRows(dNew)
+      .join(index.dfreq, Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+    val prefNew = prefixRows(withDf, tau)
+    val cand = candidates(index.prefix, prefNew, tau, lit(true))
+      .unionByName(candidates(prefNew, index.prefix, tau, lit(true)))
+      .unionByName(candidates(prefNew, prefNew, tau, lit(true)))
+    verifyPairs(cand, index.arrays.unionByName(dNew), tau)
+  }
 
   /** Grow a persisted index with `newDocs` under the index's FROZEN
     * (df, h, s) total order (unseen shingles keep df = 0, seen ones the
@@ -860,6 +950,24 @@ object Dedup {
       val idx = buildJaccardIndex(docs.where(col("doc_id") % 10 =!= 0), k = 3, tau = 0.5)
       jaccardPairsIncremental(idx, docs.where(col("doc_id") % 10 === 0), k = 3, tau = 0.5)
     }),
+    // the bucketed round-trip: save the index bucketBy its join keys, load
+    // through the session catalog, probe with the bipartite 3-join plan
+    // (index side never re-shuffled); eager-checkpointed before the temp
+    // state is dropped
+    "dedup_incremental_bucketed" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val idx = buildJaccardIndex(docs.where(col("doc_id") % 10 =!= 0), k = 3, tau = 0.5)
+      val root = TmpIo.freshDir("jidx_bucketed")
+      try {
+        saveJaccardIndexBucketed(idx, root.toString)
+        val loaded = loadJaccardIndexBucketed(s, root.toString)
+        jaccardPairsIncrementalBucketed(loaded, docs.where(col("doc_id") % 10 === 0))
+          .localCheckpoint()
+      } finally {
+        dropJaccardIndexBucketed(s, root.toString)
+        TmpIo.deleteRecursively(root)
+      }
+    }),
     // LSH/SimHash outputs are xxhash64-dependent: oracles are committed
     // fixtures from an independent Python impl (see oracleSql below);
     // ExtSpec additionally asserts recall/exactness vs brute force.
@@ -1012,23 +1120,12 @@ object Dedup {
     // the incremental result is DEFINED as the full exact pair set
     // restricted to pairs touching the incoming batch (doc_id % 10 = 0) —
     // the frozen-df order changes candidate generation, never the output
-    "dedup_incremental" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
-        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
-        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
-        |      ELSE [text] END) AS sh
-        |  FROM documents),
-        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
-        |co AS (
-        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
-        |    any_value(x.n) AS na, any_value(y.n) AS nb
-        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY x.doc_id, y.doc_id)
-        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
-        |FROM co WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
-        |  AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin,
+    "dedup_incremental" -> incrementalOracleSql,
+    // identical result contract: the bucketed gate runs the same probe
+    // through the saveJaccardIndexBucketed → catalog-table round-trip and
+    // the 3-join formulation — a layout or restructuring divergence breaks
+    // the hash match (the ann_ivf_trained pattern)
+    "dedup_incremental_bucketed" -> incrementalOracleSql,
     // mirror of the IVF-cell blocking algorithm (deterministic: id-seeded
     // centroids, bit-exact double cosine, ties to the smallest cell) —
     // assignment, cell-equality candidates, exact-cosine verify

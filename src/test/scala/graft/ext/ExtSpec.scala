@@ -140,6 +140,57 @@ class ExtSpec extends AnyFunSuite {
     assert(pairSet(Dedup.jaccardPairsIncremental(reloaded, incoming, k = 3, tau = 0.5)) == full)
   }
 
+  test("bucketed index probe: identical pairs, index side never re-shuffled") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val incoming = docs.where(col("doc_id") % 10 === 0)
+    val idx = Dedup.buildJaccardIndex(corpus, k = 3, tau = 0.5)
+    val expect = pairSet(Dedup.jaccardPairsIncremental(idx, incoming, k = 3, tau = 0.5))
+    val dir = java.nio.file.Files.createTempDirectory("jidx_b").toString
+    try {
+      Dedup.saveJaccardIndexBucketed(idx, dir, nBuckets = 4)
+      val loaded = Dedup.loadJaccardIndexBucketed(spark, dir)
+      // 3-join formulation over the catalog tables: same pair set
+      val probe = Dedup.jaccardPairsIncrementalBucketed(loaded, incoming, k = 3, tau = 0.5)
+      assert(pairSet(probe) == expect && expect.nonEmpty)
+      // the plan claim, with broadcasts disabled so every join keys on
+      // real partitioning: the plain (parquet, unbucketed) probe shuffles
+      // the index side into every candidate join; the bucketed probe reads
+      // its on-disk h-buckets — strictly fewer exchanges
+      val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // static plans: AQE wraps the tree in stages collect() can't see
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        // count on the initial physical plan (bucketing removes exchanges
+        // statically; executing first would hide them inside AQE stages)
+        def nShuffles(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+          }.size
+        val plainIdx = Dedup.JaccardIndex(
+          spark.read.parquet(s"$dir/prefix"),
+          spark.read.parquet(s"$dir/arrays"),
+          spark.read.parquet(s"$dir/dfreq"))
+        val plain = nShuffles(
+          Dedup.jaccardPairsIncrementalBucketed(plainIdx, incoming, k = 3, tau = 0.5))
+        val bucketed = nShuffles(
+          Dedup.jaccardPairsIncrementalBucketed(loaded, incoming, k = 3, tau = 0.5))
+        assert(bucketed < plain,
+          s"bucketed probe must avoid index-side exchanges ($bucketed vs $plain)")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      }
+    } finally {
+      Dedup.dropJaccardIndexBucketed(spark, dir)
+      TmpIo.deleteRecursively(dir)
+    }
+  }
+
   test("streaming dedup: two batches probe + absorb against a persisted index") {
     val dir = java.nio.file.Files.createTempDirectory("streamdedup").toString + "/idx"
     val corpus = docs.where(col("doc_id") % 10 >= 2)      // seed
