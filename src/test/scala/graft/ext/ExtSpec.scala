@@ -116,6 +116,52 @@ class ExtSpec extends AnyFunSuite {
       s"no exchange may precede the probe join on the data side:\n$plan")
   }
 
+  test("jaccardPairs: seeded randomized differential vs brute force (random tau, k)") {
+    // the PPJoin math under test: prefix length n − ⌈τ·n⌉ + 1 (the eps
+    // guard at exact τ·n), the length filter, and the positional filter —
+    // exercised across corpora with planted near-dups at several (k, τ)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (trial <- 0 until 4) {
+      val k = Seq(2, 3, 5)(trial % 3)
+      val tau = Seq(0.3, 0.5, 0.7, 0.9)(trial)
+      val nDocs = 30 + rnd.nextInt(30)
+      val base = (1 to nDocs).map { id =>
+        val len = 3 + rnd.nextInt(12)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // planted near-dups: verbatim copies and one-word mutations
+      val planted = base.take(8).map { case (id, t) =>
+        val words = t.split(" ").toVector
+        val m =
+          if (rnd.nextBoolean())
+            words.updated(rnd.nextInt(words.size), vocab(rnd.nextInt(vocab.size)))
+          else words
+        (id + 1000L, m.mkString(" "))
+      }
+      val corpus = base ++ planted
+      def shingleSet(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length >= k) w.sliding(k).map(_.mkString(" ")).toSet else Set(t)
+      }
+      val brute = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= tau
+      } yield (a, b, j)).toSet
+      val got = Dedup.jaccardPairs(corpus.toDF("doc_id", "text"), k = k, tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute,
+        s"trial $trial k=$k tau=$tau: engine ${got.size} vs brute ${brute.size} " +
+          s"(missing ${(brute -- got).take(3)}, extra ${(got -- brute).take(3)})")
+      assert(brute.nonEmpty, s"trial $trial planted no qualifying pair — vacuous")
+    }
+  }
+
   test("incremental Jaccard == full pairs restricted to the incoming batch") {
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b", "jac").collect()
