@@ -1024,7 +1024,7 @@ object Dedup {
 
   /** Corpus fingerprint the fixture partitions are keyed by: ids AND texts,
     * so any change to either selects no fixture rows (loud failure). */
-  private val corpusTag =
+  private[ext] val corpusTag =
     "(SELECT md5(string_agg(doc_id || ':' || text, '|' ORDER BY doc_id)) FROM documents)"
 
   private val jaccardPairsOracle: String =

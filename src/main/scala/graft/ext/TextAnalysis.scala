@@ -232,6 +232,62 @@ object TextAnalysis {
         (expr("shiftleft(cast(1 as bigint), bucket + 1)") - 1).as("hi_tokens"),
         col("n_docs"), col("n_tokens"))
 
+  /** Hashing-trick TF-IDF document embeddings — the model-free featurizer
+    * that connects the TEXT side of the library to its embedding operators
+    * ([[Similarity.annTopK]]/[[Similarity.clusterBalance]]/
+    * [[Dedup.semdedupPrune]] all consume exactly this `(id, Array[Float])`
+    * shape): each document becomes an L2-normalized `dim`-vector where
+    * word `w` contributes `tf(w,d) · (N+1)/(df(w)+1)` (linear idf — the
+    * [[tfidfKeywords]] no-`ln` precedent) to component
+    * `hash(w) mod dim` (the [[Quality.featurize]] char-polynomial fold, so
+    * the whole path stays engine-mirrorable with no float library calls
+    * except the correctly-rounded IEEE `sqrt`).
+    *
+    * Bit-deterministic across engines and partitionings: the per-document
+    * accumulation folds over the doc's distinct words in SORTED order (the
+    * struct array is canonicalized before the fold), the norm folds in
+    * index order, and every input to the float arithmetic is an exact
+    * integer — pinned by the `embed_tfidf` gate against an INDEPENDENT
+    * pure-Python fixture (`tools/gen_embed_fixture.py`), the
+    * [[Vocab]]-encode oracle pattern.
+    *
+    * Plan shape at 100 TB: tf is one (doc, word) aggregation, the df
+    * lexicon one more (vocabulary-sized — MBs, broadcast back), then ONE
+    * shuffle groups each doc's entries for the narrow fold; the `O(dim)`
+    * vector math never leaves the row. Documents with zero (non-empty)
+    * tokens have no entries and drop out — upstream hygiene's job. */
+  def embedTfidf(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val n = docs.count()
+    val words = docs.select(col("doc_id"),
+      explode(filter(toks, w => length(w) > 0)).as("w"))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val lex = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val h = pmod(aggregate(split(col("w"), ""), lit(7L),
+      (acc, c) => (acc * 31 + ascii(c)) % Quality.HashMod), lit(dim.toLong))
+      .cast("int")
+    val entries = tf.join(broadcast(lex), "w")
+      .select(col("doc_id"),
+        struct(col("w"), h.as("h"), col("tf"), col("df")).as("e"))
+    val idfN = lit(n + 1.0)
+    val raw = aggregate(col("es"), array_repeat(lit(0.0d), dim),
+      (acc, s) => transform(acc, (v, i) =>
+        when(i === s.getField("h"),
+          v + s.getField("tf") * (idfN / (s.getField("df") + lit(1.0d))))
+          .otherwise(v)))
+    entries.groupBy("doc_id")
+      // collect_list is order-nondeterministic; sort_array canonicalizes
+      // (w is unique per doc, so struct order = word order — the fold order
+      // the fixture replays)
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .withColumn("__vec", raw)
+      .withColumn("__norm", sqrt(aggregate(col("__vec"), lit(0.0d),
+        (a, v) => a + v * v)))
+      .select(col("doc_id"), transform(col("__vec"),
+          v => when(col("__norm") > 0, v / col("__norm")).otherwise(lit(0.0d))
+            .cast("float")).as("embedding"))
+  }
+
   /** Corpus composition accounting — the dataset-card table (docs, tokens,
     * chars, mean length per (source, lang) cell) every released training
     * set publishes, and the input the mixing stages ([[Hygiene.temperatureMix]],
@@ -273,6 +329,13 @@ object TextAnalysis {
     }),
     "length_histogram" -> ((s, dir) =>
       lengthHistogram(SparkEntry.table(s, dir, "documents"))),
+    // flattened to (doc_id, dim, v) rows for the fixture compare (the
+    // multimodal_features pattern); float32 widened exactly to double
+    "embed_tfidf" -> ((s, dir) => {
+      val e = embedTfidf(SparkEntry.table(s, dir, "documents"), dim = 64)
+      e.select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("dim"), col("v").cast("double").as("v"))
+    }),
   )
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
@@ -412,5 +475,12 @@ object TextAnalysis {
         |  count(*) AS n_docs,
         |  CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM b GROUP BY source, bucket""".stripMargin,
+
+    // TF-IDF embedding vs the committed independent-Python fixture
+    // (tools/gen_embed_fixture.py), corpus-tagged like the dedup fixtures
+    "embed_tfidf" ->
+      s"""SELECT doc_id, CAST(dim AS INT) AS dim, CAST(v AS DOUBLE) AS v
+        |FROM read_parquet('${Dedup.fixturesDir}/embed_tfidf.parquet')
+        |WHERE corpus = ${Dedup.corpusTag}""".stripMargin,
   )
 }

@@ -274,6 +274,18 @@ class PlanSpec extends AnyFunSuite {
     assertNoCartesian("corpus_overlap", p)
   }
 
+  test("embed_tfidf: lexicon broadcast back, bounded shuffles, vector math in-row") {
+    val p = physical("embed_tfidf")
+    assertNoCartesian("embed_tfidf", p)
+    assert(count(p) { case _: BroadcastExchangeExec => } >= 1,
+      s"the df lexicon must broadcast, not shuffle-join the corpus:\n$p")
+    // tf agg (appearing once per consumer branch — Catalyst prunes each
+    // copy to its own columns rather than reusing one fatter exchange),
+    // the vocabulary-sized lexicon agg, and the per-doc grouping — nothing
+    // beyond the four aggregation exchanges may shuffle
+    assert(shuffles(p) <= 4, s"expected ≤4 aggregation shuffles:\n$p")
+  }
+
   test("dedup_bloom: corpus never shuffles — broadcast joins only, narrow probe") {
     val p = physical("dedup_bloom")
     assertNoCartesian("dedup_bloom", p)

@@ -116,6 +116,47 @@ class ExtSpec extends AnyFunSuite {
       s"no exchange may precede the probe join on the data side:\n$plan")
   }
 
+  test("embedTfidf: unit norm, plain-Scala differential, feeds the ANN operators") {
+    val dim = 16
+    val e = TextAnalysis.embedTfidf(docs, dim = dim)
+    val rows = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.nonEmpty && rows.values.forall(_.length == dim))
+    rows.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"norm $n not unit")
+    }
+    // in-JVM reimplementation of the fixture contract (sorted-word fold,
+    // linear idf, index-order norm, float32 rounding)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = texts.length
+    val dfm = scala.collection.mutable.Map.empty[String, Int]
+    val tfs = texts.map { case (id, t) =>
+      val tf = t.split(" ").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      tf.keys.foreach(w => dfm(w) = dfm.getOrElse(w, 0) + 1)
+      (id, tf)
+    }
+    def h(w: String): Int = {
+      var acc = 7L
+      w.foreach(c => acc = (acc * 31 + c.toInt) % Quality.HashMod)
+      (acc % dim).toInt
+    }
+    tfs.filter(_._2.nonEmpty).foreach { case (id, tf) =>
+      val acc = new Array[Double](dim)
+      tf.keys.toSeq.sorted.foreach { w =>
+        acc(h(w)) += tf(w) * ((n + 1.0) / (dfm(w) + 1.0))
+      }
+      val norm = math.sqrt(acc.map(v => v * v).sum)
+      val expect = acc.map(v => (if (norm > 0) v / norm else 0.0).toFloat)
+      assert(rows(id).sameElements(expect), s"doc $id differs from the reference fold")
+    }
+    // the output is directly the similarity operators' input shape
+    val emb = e.withColumnRenamed("doc_id", "vec_id")
+    val knn = Similarity.annTopK(emb, emb.where(col("vec_id") < 3), k = 3)
+    assert(knn.count() > 0, "text-derived embeddings must drive ANN end-to-end")
+  }
+
   test("jaccardPairs: seeded randomized differential vs brute force (random tau, k)") {
     // the PPJoin math under test: prefix length n − ⌈τ·n⌉ + 1 (the eps
     // guard at exact τ·n), the length filter, and the positional filter —
