@@ -79,7 +79,9 @@ object SparkEntry {
     // removal), CCNet bucketing (lexicon broadcast + exact percentile),
     // and the per-cell cap window (the mixing/stat ops land at the
     // scan-time job floor and stay bench-excluded)
-    "leakage_split", "perplexity_partition", "cluster_balance")
+    "leakage_split", "perplexity_partition", "cluster_balance",
+    // the text→vector featurizer: two corpus aggregations + in-row math
+    "embed_tfidf")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

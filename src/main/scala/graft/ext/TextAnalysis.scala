@@ -269,23 +269,32 @@ object TextAnalysis {
     val entries = tf.join(broadcast(lex), "w")
       .select(col("doc_id"),
         struct(col("w"), h.as("h"), col("tf"), col("df")).as("e"))
-    val idfN = lit(n + 1.0)
-    val raw = aggregate(col("es"), array_repeat(lit(0.0d), dim),
-      (acc, s) => transform(acc, (v, i) =>
-        when(i === s.getField("h"),
-          v + s.getField("tf") * (idfN / (s.getField("df") + lit(1.0d))))
-          .otherwise(v)))
+    // the O(words·dim) accumulation runs as a typed JVM map, not a chained
+    // higher-order-function column: HOFs are interpreted (no codegen), and
+    // the when-per-element fold measured ~3.7 s at sf0.1 vs ~1 s for the
+    // identical arithmetic in a plain loop (the packGreedy per-row-
+    // imperative precedent; same bits — JVM doubles, same operation order)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idfNum = n + 1.0
     entries.groupBy("doc_id")
       // collect_list is order-nondeterministic; sort_array canonicalizes
       // (w is unique per doc, so struct order = word order — the fold order
       // the fixture replays)
       .agg(sort_array(collect_list(col("e"))).as("es"))
-      .withColumn("__vec", raw)
-      .withColumn("__norm", sqrt(aggregate(col("__vec"), lit(0.0d),
-        (a, v) => a + v * v)))
-      .select(col("doc_id"), transform(col("__vec"),
-          v => when(col("__norm") > 0, v / col("__norm")).otherwise(lit(0.0d))
-            .cast("float")).as("embedding"))
+      .as[(Long, Seq[(String, Int, Long, Long)])]
+      .map { case (id, es) =>
+        val acc = new Array[Double](dim)
+        es.foreach { case (_, hh, tfc, dfc) =>
+          acc(hh) += tfc * (idfNum / (dfc + 1.0))
+        }
+        var n2 = 0.0
+        var i = 0
+        while (i < dim) { n2 += acc(i) * acc(i); i += 1 }
+        val norm = math.sqrt(n2)
+        (id, acc.map(v => (if (norm > 0) v / norm else 0.0).toFloat).toSeq)
+      }
+      .toDF("doc_id", "embedding")
   }
 
   /** Corpus composition accounting — the dataset-card table (docs, tokens,
