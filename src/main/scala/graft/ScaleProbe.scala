@@ -97,17 +97,21 @@ object ScaleProbe {
       (label, sec, n)
     }
 
-    // optional probe subset: `runMain graft.ScaleProbe 10 r9` runs only the
+    // optional probe subsets: `runMain graft.ScaleProbe 10 r9` runs only the
     // round-9 probes (substring/dsir/soft/pack) — they need just d1/dN, so
-    // the skew-stress and embedding corpora aren't even materialized
+    // the skew-stress and embedding corpora aren't even materialized;
+    // `... 10 r9b` runs the continued-round-9 set (leakage split, TF-IDF
+    // embeddings, cluster balance)
     val r9Only = args.length > 1 && args(1) == "r9"
+    val r9bOnly = args.length > 1 && args(1) == "r9b"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
     d1.count(); dN.count()
-    if (!r9Only) { dSkew.count(); dSkew1.count(); e1.count(); eN.count() }
+    if (!r9Only && !r9bOnly) { dSkew.count(); dSkew1.count() }
+    if (!r9Only) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
     val queriesN = eN.where(col("vec_id") < 10) // same 10 queries, REP× corpus
@@ -143,7 +147,26 @@ object ScaleProbe {
       time(s"pack_greedy_1x") { force(ext.Hygiene.packGreedy(d1)) },
       time(s"pack_greedy_${rep}x") { force(ext.Hygiene.packGreedy(dN)) })
 
-    val results = if (r9Only) r9Probes else Seq(
+    def r9bProbes = Seq(
+      // continued round 9: the cross-split pair graph is the jaccard
+      // machinery plus a per-candidate hash predicate — its exponent must
+      // track jaccard_1x/Nx; TF-IDF embedding is two aggregations + a
+      // per-doc typed map (linear); cluster balance runs the IVF √N-cells
+      // operating rule (assignment flops N·√N·dim, one cell window)
+      time(s"leakage_1x") { ext.Curation.leakageSafeSplit(d1, 0.2).count() },
+      time(s"leakage_${rep}x") { ext.Curation.leakageSafeSplit(dN, 0.2).count() },
+      time(s"embed_tfidf_1x") { force(ext.TextAnalysis.embedTfidf(d1)) },
+      time(s"embed_tfidf_${rep}x") { force(ext.TextAnalysis.embedTfidf(dN)) },
+      time(s"cluster_balance_1x") {
+        force(ext.Similarity.clusterBalance(e1, cap = 40, nCells = cells1,
+          centroids = Some(cent1)))
+      },
+      time(s"cluster_balance_${rep}x") {
+        force(ext.Similarity.clusterBalance(eN, cap = 40, nCells = cellsN,
+          centroids = Some(centN)))
+      })
+
+    val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes else Seq(
       time(s"jaccard_1x") { ext.Dedup.jaccardPairs(d1).count() },
       time(s"jaccard_${rep}x") { ext.Dedup.jaccardPairs(dN).count() },
       // degenerate-corpus stress pair: exact PPJoin vs banded MinHash on
@@ -197,7 +220,7 @@ object ScaleProbe {
       time(s"curate_full_${rep}x") {
         val bench = dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
         ext.Curation.curateFull(dN.where(col("doc_id") % 50 =!= 0), bench).count()
-      }) ++ r9Probes
+      }) ++ r9Probes ++ r9bProbes
 
     val pairs = results.grouped(2).map { case Seq((l1, s1, _), (_, sN, _)) =>
       val op = l1.stripSuffix("_1x")
