@@ -125,6 +125,11 @@ object ScaleProbe {
     lazy val cent1 = ext.Similarity.trainCentroids(e1, nCells = cells1, iters = 2)
     lazy val centN = ext.Similarity.trainCentroids(eN, nCells = cellsN, iters = 2)
     val bitsN = 8 + (math.log(rep) / math.log(2)).round.toInt
+    // force the k-means training OUTSIDE every timed closure — otherwise the
+    // first probe to touch the lazy centroids (ann_ivf in the full run,
+    // cluster_balance in r9b) gets training cost attributed to its label,
+    // and the same label measures different work depending on the mode
+    if (!r9Only) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the

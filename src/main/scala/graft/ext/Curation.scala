@@ -109,9 +109,7 @@ object Curation {
   def leakageSafeSplit(docs: DataFrame, heldoutFrac: Double = 0.1,
                        k: Int = 3, tau: Double = 0.5): DataFrame = {
     require(heldoutFrac > 0 && heldoutFrac < 1, "heldoutFrac in (0, 1)")
-    def held(id: Column): Column =
-      conv(substring(sha2(id.cast("string"), 256), 1, 8), 16, 10)
-        .cast("long") / lit(4294967296.0) < heldoutFrac
+    def held(id: Column): Column = Hygiene.hashU(id) < heldoutFrac
     val cross = Dedup.jaccardPairsWhere(docs, (a, b) => held(a) =!= held(b), k, tau)
     val leakyTrain = cross
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))

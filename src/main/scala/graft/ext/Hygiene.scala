@@ -219,6 +219,20 @@ object Hygiene {
           .as("overlap_frac"))
   }
 
+  /** The sha256-derived deterministic hash behind EVERY sampling/ranking
+    * decision in this library ([[stratifiedSample]], [[epochMix]],
+    * [[graft.ext.Curation.leakageSafeSplit]],
+    * [[graft.ext.Similarity.clusterBalance]]) and mirrored verbatim in
+    * their DuckDB oracles: the first 8 hex chars of sha256(id) as a long.
+    * ONE definition — an edit here is an edit to the cross-engine
+    * determinism contract, and a divergent copy would silently desync an
+    * operator from the others and from its oracle. */
+  private[ext] def hashU64(id: Column): Column =
+    conv(substring(sha2(id.cast("string"), 256), 1, 8), 16, 10).cast("long")
+
+  /** [[hashU64]] scaled to a uniform double in [0, 1) (divide by 16⁸). */
+  private[ext] def hashU(id: Column): Column = hashU64(id) / lit(4294967296.0)
+
   /** Deterministic stratified sampling for training-data mixing: keep a row
     * iff `u(doc_id) < rates(stratum)`, where `u` maps the first 8 hex chars
     * of sha256(doc_id) to [0,1). Strata absent from `rates` are dropped.
@@ -229,10 +243,8 @@ object Hygiene {
     * shuffle-free; at 100 TB this is a scan-time filter. */
   def stratifiedSample(df: DataFrame, strataCol: Column,
                        rates: Map[String, Double]): DataFrame = {
-    val u = conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8), 16, 10)
-      .cast("long") / lit(4294967296.0) // 16^8
     val rate = coalesce(element_at(typedLit(rates), strataCol), lit(0.0))
-    df.where(u < rate)
+    df.where(hashU(col("doc_id")) < rate)
   }
 
   /** The gate's mixing spec: favor English, downsample the rest. */
@@ -303,10 +315,9 @@ object Hygiene {
     }
     val fullMap = eBy.map { case (s, e) => s -> math.floor(e).toLong }
     val fracMap = eBy.map { case (s, e) => s -> (e - math.floor(e)) }
-    val u = conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8), 16, 10)
-      .cast("long") / lit(4294967296.0)
     val nEpochs = element_at(typedLit(fullMap), strataCol) +
-      when(u < element_at(typedLit(fracMap), strataCol), 1L).otherwise(0L)
+      when(hashU(col("doc_id")) < element_at(typedLit(fracMap), strataCol), 1L)
+        .otherwise(0L)
     df.withColumn("__ne", nEpochs) // null stratum → null __ne → filtered
       .where(col("__ne") >= 1)
       .select(col("doc_id"), strataCol.as("stratum"),

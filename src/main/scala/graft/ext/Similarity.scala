@@ -310,12 +310,11 @@ object Similarity {
                      centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
     require(cap > 0, "cap must be positive")
     val cents = centroids.map(cs => typedLit(cs)).getOrElse(centroidLit(emb, nCells))
-    val u = conv(substring(sha2(col("vec_id").cast("string"), 256), 1, 8), 16, 10)
-      .cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cell_id").orderBy(col("__u"), col("vec_id"))
     emb.select(col("vec_id"),
-        nearestCell(col("embedding"), cents).as("cell_id"), u.as("__u"))
+        nearestCell(col("embedding"), cents).as("cell_id"),
+        Hygiene.hashU64(col("vec_id")).as("__u"))
       .withColumn("rank_in_cell", row_number().over(w).cast("long") - 1)
       .where(col("rank_in_cell") < cap)
       .select("vec_id", "cell_id", "rank_in_cell")

@@ -206,7 +206,9 @@ object TextAnalysis {
       val r = scored.agg(
         percentile(col("mean_prob"), lit(1.0 - headFrac)).as("h"),
         percentile(col("mean_prob"), lit(tailFrac)).as("t")).head()
-      (r.getDouble(0), r.getDouble(1))
+      // empty crawl side → null percentiles; any cutoffs label the zero
+      // rows (a scheduled pipeline legitimately partitions empty shards)
+      if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
     }
     scored.withColumn("bucket",
       when(col("mean_prob") >= cHead, lit("head"))

@@ -137,14 +137,20 @@ class ExtSpec extends AnyFunSuite {
       tf.keys.foreach(w => dfm(w) = dfm.getOrElse(w, 0) + 1)
       (id, tf)
     }
+    // CODE-POINT iteration and UTF-8 byte ordering, matching the engine
+    // (split-per-character + ascii = code points; sort_array = UTF8String
+    // binary order) and the Python fixture (ord / sorted) — plain Char
+    // iteration and String.sorted would diverge on non-BMP text
     def h(w: String): Int = {
       var acc = 7L
-      w.foreach(c => acc = (acc * 31 + c.toInt) % Quality.HashMod)
+      w.codePoints().forEach(c => acc = (acc * 31 + c) % Quality.HashMod)
       (acc % dim).toInt
     }
+    val utf8Order: Ordering[String] = (a, b) =>
+      java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
     tfs.filter(_._2.nonEmpty).foreach { case (id, tf) =>
       val acc = new Array[Double](dim)
-      tf.keys.toSeq.sorted.foreach { w =>
+      tf.keys.toSeq.sorted(utf8Order).foreach { w =>
         acc(h(w)) += tf(w) * ((n + 1.0) / (dfm(w) + 1.0))
       }
       val norm = math.sqrt(acc.map(v => v * v).sum)
@@ -566,12 +572,7 @@ class ExtSpec extends AnyFunSuite {
       assert(byCell.get(cell).map(_.length).contains(n),
         s"under-cap cell $cell must keep all $n members")
     // the kept subset is the lowest sha256 ranks — independent recompute
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    def u(id: Long): Long = {
-      val hex = md.digest(id.toString.getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16)
-    }
+    def u(id: Long): Long = TestHash.u64(id)
     for ((cell, members) <- assigned.groupBy(_._2)) {
       val expect = members.map(_._1).sortBy(id => (u(id), id)).take(cap).toSet
       assert(byCell.getOrElse(cell, Array.empty).map(_._1).toSet == expect,

@@ -343,12 +343,7 @@ class HygieneSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(s1.sameElements(s2), "hash sampling must be run-to-run deterministic")
     // independent JVM-side recomputation of the keep set
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    def u(id: Long): Double = {
-      val hex = md.digest(id.toString.getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
-    }
+    def u(id: Long): Double = TestHash.u(id)
     val expected = docs.select("doc_id", "lang").collect()
       .filter(r => rates.getOrElse(r.getString(1), 0.0) > u(r.getLong(0)))
       .map(_.getLong(0)).sorted
@@ -478,12 +473,7 @@ class HygieneSpec extends AnyFunSuite {
     // partial-epoch membership is exactly the sha slice u < frac, on BOTH
     // the upsampled (epoch 2 of big) and downsampled (only epoch of small)
     // strata — recomputed independently JVM-side
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    def u(id: Long): Double = {
-      val hex = md.digest(id.toString.getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
-    }
+    def u(id: Long): Double = TestHash.u(id)
     assert(out.filter(t => t._2 == "big" && t._4 == 2L).map(_._1).sorted
       .sameElements(Seq(1L, 2L, 3L).filter(id => u(id) < 0.5).sorted))
     assert(out.filter(_._2 == "small").map(_._1).sorted
@@ -510,17 +500,12 @@ class HygieneSpec extends AnyFunSuite {
 
   test("leakageSafeSplit: one-sided cross-split near-dup removal") {
     import spark.implicits._
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    def u(id: Long): Double = {
-      val hex = md.digest(id.toString.getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
-    }
+    def u(id: Long): Double = TestHash.u(id)
     val frac = 0.5
     val ids = (1L to 40L)
     val held = ids.filter(u(_) < frac)
     val train = ids.filterNot(u(_) < frac)
-    assert(held.size >= 3 && train.size >= 3)
+    assert(held.size >= 4 && train.size >= 4) // held(3)/train(3) are indexed below
     def doc(i: Long, words: String) = (i, words)
     // h0 ~ t0 (cross near-dup: train side must drop, heldout stays);
     // t1 ~ t2 (train-train near-dup: BOTH stay — removal is one-sided);
