@@ -176,6 +176,76 @@ object TextAnalysis {
         ((lit(2) * min("cnt") + 1).cast("double") / lit(d2.toDouble)).as("min_prob"))
   }
 
+  /** Second-order extension of [[lmScore]]: score each document by its word
+    * BIGRAMS against a reference corpus — the word-order/fluency signal the
+    * unigram model cannot see (a bag of reference-frequent words in garbage
+    * order scores identically under [[lmScore]]; here its unseen bigrams
+    * drag the score down). CCNet's KenLM is a 5-gram conditional model;
+    * the distributable exact form is the JOINT bigram likelihood with one
+    * global denominator — a conditional mean needs per-prefix denominators
+    * whose float sums are summation-order-dependent, so instead of an
+    * inexact conditional mean we emit the two conditional aggregates that
+    * ARE order-independent (`min`, and a below-threshold count).
+    *
+    * Trained on `reference`: bigram counts `cnt2(b)` (add-½ smoothed with
+    * one denominator `d2 = 2·T2 + V2 + 1`, the [[lmScore]] construction one
+    * order up) and unigram counts `cnt1(w)` for the conditional
+    * `p(w₂|w₁) = (2·cnt2 + 1) / (2·cnt1(w₁) + V1 + 1)`.
+    *
+    * Emitted per document (docs with <2 tokens have no bigrams and are
+    * absent, like their [[lmScore]] zero-token analogue): `n_bigrams`,
+    * `n_bigram_oov`, `mean_prob2`/`min_prob2` (joint, exact rational —
+    * integer sums divided once), `min_cond_prob` (worst single transition:
+    * each element is ONE correctly-rounded IEEE division of exact <2⁵³
+    * integers, and `min` is order-independent — bit-exact across engines),
+    * and `n_weak_cond` (transitions with conditional below `weakCond`,
+    * a deterministic literal compare of those same doubles).
+    *
+    * Plan shape at 100 TB: both lexicons are aggregations of the curated
+    * REFERENCE (bigram vocabularies of clean references are tens of
+    * millions of rows — still broadcastable; for a web-scale reference,
+    * pre-prune counts ≥ 2 like KenLM's default) broadcast to narrow left
+    * joins on the crawl side; the only corpus-sized shuffle is the final
+    * per-document aggregation, map-side combined. */
+  def lmScoreBigram(docs: DataFrame, reference: DataFrame,
+                    weakCond: Double = 1e-6): DataFrame = {
+    val refToks = reference.select(
+      filter(toks, w => w =!= "").as("arr")).where(size(col("arr")) >= 1)
+    val lex1 = refToks.select(explode(col("arr")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt1"))
+    val bigramsOf = (arr: Column) =>
+      zip_with(
+        slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), concat_ws(" ", a, b).as("b")))
+    val lex2 = refToks.select(explode(bigramsOf(col("arr"))).as("bg"))
+      .groupBy(col("bg.b").as("b")).agg(count(lit(1)).as("cnt2"))
+    // two scalars of driver state (the lmScore d2 pattern): the shared joint
+    // denominator and V1+1 for the conditional's per-prefix denominator
+    val d2 = lex2.agg(
+      (lit(2) * coalesce(sum("cnt2"), lit(0L)) + count(lit(1)) + lit(1)).as("d2"))
+      .head().getLong(0)
+    val v1p1 = lex1.agg((count(lit(1)) + lit(1)).as("v")).head().getLong(0)
+    val cond = (lit(2) * col("cnt2") + 1).cast("double") /
+      (lit(2) * col("cnt1") + lit(v1p1)).cast("double")
+    docs.select(col("doc_id"), filter(toks, w => w =!= "").as("arr"))
+      .select(col("doc_id"), explode(bigramsOf(col("arr"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.b").as("b"))
+      .join(broadcast(lex2), Seq("b"), "left")
+      .join(broadcast(lex1.withColumnRenamed("w", "w1")), Seq("w1"), "left")
+      .withColumn("cnt2", coalesce(col("cnt2"), lit(0L)))
+      .withColumn("cnt1", coalesce(col("cnt1"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("cnt2") === 0, lit(1))).as("n_bigram_oov"),
+        (sum(lit(2) * col("cnt2") + 1).cast("double") /
+          (lit(d2) * count(lit(1))).cast("double")).as("mean_prob2"),
+        ((lit(2) * min("cnt2") + 1).cast("double") / lit(d2.toDouble)).as("min_prob2"),
+        min(cond).as("min_cond_prob"),
+        count(when(cond < weakCond, lit(1))).as("n_weak_cond"))
+  }
+
   /** CCNet-style perplexity partition (Wenzek et al. 2020 §4.3): rank every
     * document by its [[lmScore]] reference-likelihood and split the corpus
     * into `head` (most reference-like `headFrac`), `tail` (least
@@ -332,6 +402,12 @@ object TextAnalysis {
       lmScore(docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0))
     }),
+    // same reference/crawl split as lm_score, one model order up
+    "lm_score_bigram" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      lmScoreBigram(docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0))
+    }),
     // same reference/crawl split as lm_score; thirds partition
     "perplexity_partition" -> ((s, dir) => {
       val docs = SparkEntry.table(s, dir, "documents")
@@ -441,6 +517,48 @@ object TextAnalysis {
         |  CAST(sum(2 * cnt + 1) AS DOUBLE) / CAST(t.d2 * count(*) AS DOUBLE) AS mean_prob,
         |  CAST(2 * min(cnt) + 1 AS DOUBLE) / CAST(t.d2 AS DOUBLE) AS min_prob
         |FROM j, t GROUP BY doc_id, t.d2""".stripMargin,
+
+    // lmScoreBigram's arithmetic mirrored one order up: joint aggregates are
+    // exact integer sums over the shared denominator d2; the conditional
+    // aggregates (min, below-threshold count) are order-independent over
+    // per-row correctly-rounded divisions of exact <2^53 integers — the two
+    // forms of float math that cannot diverge across engines. Parallel
+    // unnests in one SELECT zip positionally in DuckDB; range(1, len) is
+    // end-exclusive so i covers 1..len-1, bigram = arr[i] || arr[i+1]
+    // (DuckDB lists are 1-indexed).
+    "lm_score_bigram" ->
+      """WITH refarr AS (
+        |  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS arr
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |lex1 AS (
+        |  SELECT w, count(*) AS cnt1
+        |  FROM (SELECT unnest(arr) AS w FROM refarr) GROUP BY w),
+        |lex2 AS (
+        |  SELECT b, count(*) AS cnt2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1])) AS b
+        |    FROM refarr) GROUP BY b),
+        |t AS (SELECT CAST(2 * COALESCE(sum(cnt2), 0) + count(*) + 1 AS BIGINT) AS d2 FROM lex2),
+        |v AS (SELECT CAST(count(*) + 1 AS BIGINT) AS v1p1 FROM lex1),
+        |crawl AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS arr
+        |  FROM documents WHERE doc_id % 50 != 0),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(arr)), i -> arr[i])) AS w1,
+        |    unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1])) AS b
+        |  FROM crawl),
+        |j AS (
+        |  SELECT doc_id, COALESCE(cnt2, 0) AS cnt2, COALESCE(cnt1, 0) AS cnt1
+        |  FROM bg LEFT JOIN lex2 USING (b) LEFT JOIN lex1 ON bg.w1 = lex1.w)
+        |SELECT doc_id,
+        |  count(*) AS n_bigrams,
+        |  count(*) FILTER (WHERE cnt2 = 0) AS n_bigram_oov,
+        |  CAST(sum(2 * cnt2 + 1) AS DOUBLE) / CAST(t.d2 * count(*) AS DOUBLE) AS mean_prob2,
+        |  CAST(2 * min(cnt2) + 1 AS DOUBLE) / CAST(t.d2 AS DOUBLE) AS min_prob2,
+        |  min(CAST(2 * cnt2 + 1 AS DOUBLE) / CAST(2 * cnt1 + v.v1p1 AS DOUBLE)) AS min_cond_prob,
+        |  count(*) FILTER (WHERE CAST(2 * cnt2 + 1 AS DOUBLE) / CAST(2 * cnt1 + v.v1p1 AS DOUBLE) < 1e-6)
+        |    AS n_weak_cond
+        |FROM j, t, v GROUP BY doc_id, t.d2, v.v1p1""".stripMargin,
 
     // the lm_score fragment + quantile_cont cutoffs: DuckDB's interpolation
     // ((hi−pos)·lower + (pos−lo)·upper over pos = p·(n−1)) matches Spark's

@@ -150,6 +150,26 @@ class PlanSpec extends AnyFunSuite {
       s"corpus side must not shuffle before the lexicon joins:\n$p")
   }
 
+  test("lm_score_bigram: both reference lexicons broadcast, corpus narrow to the per-doc agg") {
+    val p = physical("lm_score_bigram")
+    assertNoCartesian("lm_score_bigram", p)
+    val bhj = p.collect { case j: joins.BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"bigram and unigram lexicon joins must broadcast:\n$p")
+    // the crawl side must reach the lexicon joins unshuffled — only the
+    // broadcast build subtrees (the reference lexicon groupBys) may shuffle
+    def corpusShuffles(n: org.apache.spark.sql.execution.SparkPlan): Int = n match {
+      case _: BroadcastExchangeExec => 0
+      case s: ShuffleExchangeExec => 1 + s.children.map(corpusShuffles).sum
+      case other => other.children.map(corpusShuffles).sum
+    }
+    val streamed = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.right
+      case _ => bhj.head.left
+    }
+    assert(corpusShuffles(streamed) == 0,
+      s"corpus side must not shuffle before the lexicon joins:\n$p")
+  }
+
   test("curate_full: the composed pipeline stays cartesian-free end to end") {
     val p = physical("curate_full")
     assertNoCartesian("curate_full", p)

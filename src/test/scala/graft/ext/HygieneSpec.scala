@@ -278,6 +278,54 @@ class HygieneSpec extends AnyFunSuite {
     assert(scored(1L)._2 > scored(2L)._2)
   }
 
+  test("lmScoreBigram: differential vs a plain-Scala bigram model; word order bites") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val ref = docs.where(col("doc_id") % 50 === 0)
+    val crawl = docs.where(col("doc_id") % 50 =!= 0)
+    val got = TextAnalysis.lmScoreBigram(crawl, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    // independent plain-Scala model: joint add-half bigrams + conditional
+    val refToks = ref.select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val lex1 = refToks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val lex2 = refToks.flatMap(ws => ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val d2 = 2L * lex2.values.sum + lex2.size + 1
+    val v1p1 = lex1.size.toLong + 1
+    val crawlRows = crawl.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    assert(got.size == crawlRows.count(_._2.length >= 2))
+    for ((id, ws) <- crawlRows if ws.length >= 2) {
+      val bgs = ws.sliding(2).filter(_.length == 2).toArray
+      val c2 = bgs.map(b => lex2.getOrElse(b.mkString(" "), 0L))
+      val conds = bgs.map { b =>
+        (2L * lex2.getOrElse(b.mkString(" "), 0L) + 1).toDouble /
+          (2L * lex1.getOrElse(b(0), 0L) + v1p1).toDouble
+      }
+      val exp = (bgs.length.toLong, c2.count(_ == 0L).toLong,
+        c2.map(2L * _ + 1).sum.toDouble / (d2 * bgs.length).toDouble,
+        (2L * c2.min + 1).toDouble / d2.toDouble,
+        conds.min, conds.count(_ < 1e-6).toLong)
+      assert(got(id) == exp, s"doc $id")
+    }
+    // semantics: reversing a reference document's word order leaves the
+    // unigram score untouched but must crater the bigram score — the
+    // fluency signal this operator exists to add
+    import spark.implicits._
+    val sample = ref.select("text").head().getString(0)
+    val probe = Seq((1L, sample), (2L, sample.split(" ").reverse.mkString(" ")))
+      .toDF("doc_id", "text")
+    val uni = TextAnalysis.lmScore(probe, ref).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(uni(1L) == uni(2L), "unigram model must be order-blind")
+    val bi = TextAnalysis.lmScoreBigram(probe, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getLong(2)))).toMap
+    assert(bi(1L)._1 > bi(2L)._1, "bigram mean must drop under reversal")
+    assert(bi(1L)._2 < bi(2L)._2, "reversal must surface unseen bigrams")
+  }
+
   test("fusedGate == repetitionGate then qualityGate (shared tokenization)") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val fused = Curation.fusedGate(docs, 0.5)
