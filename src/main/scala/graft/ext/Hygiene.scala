@@ -442,6 +442,59 @@ object Hygiene {
       .select("doc_id", "shard", "pos")
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the heuristics
+    * behind the C4 corpus, reused by most web-crawl pipelines since): split
+    * each page into lines, keep a line only if it has at least
+    * `minLineWords` words, (optionally) ends in terminal punctuation, and
+    * contains no `lineBlocklist` term ("javascript" in the paper); drop the
+    * whole page if it contains a `pageBlocklist` term ("lorem ipsum", "{")
+    * or fewer than `minLines` lines survive. Survivors are reassembled in
+    * order as `text_clean` with `n_lines`/`n_kept` accounting.
+    *
+    * Every rule is a per-document array operation over ONE materialized
+    * line split (lambdas re-split only their own ≤line-sized element — the
+    * doc-resplit trap documented at [[repetitionStats]] doesn't apply) —
+    * narrow, shuffle-free, scan-time at 100 TB, and composable in front of
+    * the dedup/packing stages like the reference C4 pipeline. */
+  def c4Clean(df: DataFrame,
+              minLineWords: Int = 5,
+              minLines: Int = 3,
+              requireTerminalPunct: Boolean = true,
+              lineBlocklist: Seq[String] = Seq("javascript"),
+              pageBlocklist: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    require(minLineWords >= 0 && minLines >= 0, "thresholds must be non-negative")
+    val keepLine = (l: Column) => {
+      val words = size(filter(split(l, " "), w => w =!= "")) >= minLineWords
+      val punct = if (requireTerminalPunct) rtrim(l).rlike("[.!?\"']$") else lit(true)
+      lineBlocklist.foldLeft(words && punct)((acc, t) =>
+        acc && !contains(lower(l), lit(t)))
+    }
+    val pageOk = pageBlocklist.foldLeft(lit(true))((acc, t) =>
+      acc && !contains(lower(col("text")), lit(t)))
+    df.where(pageOk)
+      .select(col("doc_id"), split(col("text"), "\n").as("__lines"))
+      .select(col("doc_id"), size(col("__lines")).cast("long").as("n_lines"),
+        filter(col("__lines"), keepLine).as("__kept"))
+      .where(size(col("__kept")) >= minLines)
+      .select(col("doc_id"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), "\n").as("text_clean"))
+  }
+
+  /** The corpus has no newlines, so the [[c4Clean]] gate re-chunks each
+    * document into `groupLen`-token lines first (the [[piiAugmented]]
+    * inject-then-detect pattern): a deterministic construction both engines
+    * compute identically. */
+  private[ext] def withInjectedLines(df: DataFrame, groupLen: Int): DataFrame = {
+    val nGroups = ceil(size(col("__arr")) / lit(groupLen.toDouble)).cast("int")
+    df.select(col("doc_id"), split(col("text"), " ").as("__arr"))
+      .select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), greatest(nGroups - 1, lit(0))),
+            g => array_join(slice(col("__arr"), g * groupLen + 1, lit(groupLen)), " ")),
+          "\n").as("text"))
+  }
+
   val queries: Map[String, Q] = Map(
     "repetition_stats" -> ((s, dir) =>
       repetitionStats(SparkEntry.table(s, dir, "documents"))),
@@ -478,11 +531,41 @@ object Hygiene {
     // ctx 32 / stride 24 on ~60-word docs → 2-3 overlapping chunks each
     "chunk_documents" -> ((s, dir) =>
       chunkDocuments(SparkEntry.table(s, dir, "documents"), ctxLen = 32, stride = 24)),
+    // 8-token injected lines: the tail line trips minLineWords on most docs,
+    // the blocklist term ("vector" — present in the corpus vocabulary) drops
+    // content-dependent lines, and minLines drops short documents outright;
+    // the punctuation rule is spec-covered (the corpus has no punctuation)
+    "c4_line_filter" -> ((s, dir) =>
+      c4Clean(withInjectedLines(SparkEntry.table(s, dir, "documents"), groupLen = 8),
+        minLineWords = 5, minLines = 3, requireTerminalPunct = false,
+        lineBlocklist = Seq("vector"))),
     "shuffle_order" -> ((s, dir) =>
       shuffleOrder(SparkEntry.table(s, dir, "documents"), nShards = 16)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // mirrors c4Clean over withInjectedLines(groupLen=8): re-chunk into
+    // 8-token lines (range is end-exclusive; list_slice is 1-indexed
+    // inclusive), then the line rules — >=5 words, no 'vector' — and the
+    // >=3-surviving-lines page rule; page blocklist mirrored for fidelity
+    "c4_line_filter" ->
+      """WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |b AS (SELECT doc_id,
+        |  list_transform(range(0, greatest(CAST(ceil(len(arr) / 8.0) AS INT), 1)),
+        |    g -> array_to_string(list_slice(arr, g * 8 + 1, g * 8 + 8), ' ')) AS lines
+        | FROM a),
+        |p AS (SELECT doc_id, lines FROM b
+        |  WHERE NOT contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum')
+        |    AND NOT contains(lower(array_to_string(lines, chr(10))), '{')),
+        |c AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  list_filter(lines, l ->
+        |    len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+        |    AND NOT contains(lower(l), 'vector')) AS kept
+        | FROM p)
+        |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS text_clean
+        |FROM c WHERE len(kept) >= 3""".stripMargin,
+
     // mirrors repetitionStats: CASTs keep every division a double/int IEEE
     // division (a bare `1.0` would make DuckDB compute in DECIMAL)
     "repetition_stats" ->

@@ -197,6 +197,11 @@ class PlanSpec extends AnyFunSuite {
     assertNoCartesian("dedup_subdoc", p)
   }
 
+  test("c4_line_filter: narrow shuffle-free scan-time line rules") {
+    val p = physical("c4_line_filter")
+    assert(shuffles(p) == 0, s"line filtering must be a narrow scan-time plan:\n$p")
+  }
+
   test("chunk_documents: narrow shuffle-free per-document explode") {
     val p = physical("chunk_documents")
     assert(shuffles(p) == 0, s"chunking must be a narrow scan-time plan:\n$p")

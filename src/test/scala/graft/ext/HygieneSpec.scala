@@ -278,6 +278,45 @@ class HygieneSpec extends AnyFunSuite {
     assert(scored(1L)._2 > scored(2L)._2)
   }
 
+  test("c4Clean: the paper's default rules on constructed pages") {
+    import spark.implicits._
+    val pages = Seq(
+      // survives: 3 lines, each >=5 words with terminal punctuation
+      (1L, "This is a clean first sentence.\nHere is another full sentence!\nAnd a third proper sentence?"),
+      // line rules: no terminal punct / too short / blocklisted term drop
+      // individual lines, leaving <3 → page dropped
+      (2L, "this line has no terminal punctuation\nToo short.\nEnable javascript to view this page.\nOne good sentence stays right here."),
+      // page blocklist: lorem ipsum kills the page outright
+      (3L, "Lorem ipsum dolor sit amet sentence one.\nA perfectly fine second sentence.\nA perfectly fine third sentence."),
+      // page blocklist: a code brace kills the page outright
+      (4L, "A fine sentence before the code.\nfunction f() { return 1; }\nA fine sentence after the code.\nAnother fine sentence right here."),
+      // quoted terminal punctuation counts
+      (5L, "He said the words \"it works fine.\"\nShe replied that it really does work!\nSo the story ends happily here."))
+      .toDF("doc_id", "text")
+    val got = Hygiene.c4Clean(pages).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(1L, 5L))
+    assert(got(1L) == ((3L, 3L,
+      "This is a clean first sentence.\nHere is another full sentence!\nAnd a third proper sentence?")))
+    assert(got(5L)._2 == 3L)
+    // minLines relaxed: page 2 keeps exactly its one surviving line
+    val relaxed = Hygiene.c4Clean(pages, minLines = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(relaxed(2L) == "One good sentence stays right here.")
+  }
+
+  test("c4Clean gate shape: injected lines reassemble the original text") {
+    // withInjectedLines must be a pure re-chunking: replacing the newlines
+    // back with spaces recovers the original document exactly
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val injected = Hygiene.withInjectedLines(docs, groupLen = 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(injected.size == orig.size)
+    for ((id, t) <- injected) assert(t.replace('\n', ' ') == orig(id), s"doc $id")
+  }
+
   test("lmScoreBigram: differential vs a plain-Scala bigram model; word order bites") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val ref = docs.where(col("doc_id") % 50 === 0)
