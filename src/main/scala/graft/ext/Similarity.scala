@@ -289,6 +289,184 @@ object Similarity {
         .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
   }
 
+  // ---------------------------------------------------------------- PQ ANN
+
+  /** Exact squared-L2 distance between two double arrays as a SEQUENTIAL
+    * index-order fold — `aggregate(zip_with(...), 0.0, +)` adds elements
+    * left-to-right, exactly like the oracle's `list_reduce(list_prepend(
+    * 0.0, ...))`, so the float math is bit-identical across engines (the
+    * [[graft.ext.TextAnalysis.embedTfidf]] determinism discipline; no
+    * quantization guard needed). Inputs must already be DOUBLE arrays —
+    * float arithmetic would round differently than the oracle's
+    * `CAST(... AS DOUBLE[])`. */
+  private[ext] def pqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subspace nearest-codeword ids as an `m`-length int array — a
+    * NARROW expression over the broadcast codebook literal (the
+    * [[nearestCell]] pattern): for each subspace, `array_min` over
+    * `struct(cost, code)` picks the smallest squared-L2 with ties to the
+    * smallest code id, matching the oracle's `ORDER BY cost, code`. */
+  private def pqCodes(e: Column, cb: Column, m: Int, subDim: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), mm =>
+      array_min(transform(element_at(cb, mm + 1), ent =>
+        struct(
+          pqDist(slice(e, mm * subDim + 1, lit(subDim)), ent.getField("_2")).as("cost"),
+          ent.getField("_1").as("code"))))
+        .getField("code"))
+
+  /** Deterministic product-quantization seed codebooks: subspace `mm`'s
+    * codewords are the `mm`-th `subDim`-slices of the first `nCodes`
+    * vectors by id, code ids 0..nCodes-1 in id order — the [[centroidSeed]]
+    * rule lifted to subspaces, shared with the `ann_pq` SQL oracle. */
+  private[ext] def pqSeedCodebooks(emb: DataFrame, m: Int,
+                                   nCodes: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    val rows = emb.orderBy("vec_id").limit(nCodes)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0))
+    require(rows.nonEmpty, "pqSeedCodebooks: empty embedding table")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    (0 until m).map(mm => rows.toSeq.zipWithIndex.map { case (v, i) =>
+      (i, v.slice(mm * subDim, mm * subDim + subDim))
+    })
+  }
+
+  /** Per-subspace Lloyd k-means PQ training (Jégou et al. 2011: each
+    * subspace gets its own `nCodes`-word quantizer minimizing squared-L2 —
+    * NOT the cosine objective of [[trainCentroids]], so this is its own
+    * loop with the same 100 TB shape): a deterministic stride sample
+    * bounded by `maxSample`, then per iteration ONE narrow assignment pass
+    * over all m subspaces at once (posexplode of the per-subspace argmin
+    * array) plus one (m × nCodes × subDim)-group mean aggregation; only
+    * m × nCodes × subDim doubles of driver state. Seeded by the spread
+    * sample rule of [[trainCentroids]]; empty cells keep their codeword. */
+  def trainPqCodebooks(emb: DataFrame, m: Int, nCodes: Int, iters: Int = 5,
+                       maxSample: Long = 100000L): Seq[Seq[(Int, Seq[Double])]] = {
+    val n = emb.count()
+    val stride = math.max(1L, n / math.max(1L, maxSample))
+    val sample = emb.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")).cache()
+    try {
+      val cnt = sample.count()
+      require(cnt > 0, "trainPqCodebooks: empty sample")
+      val step = math.max(1L, cnt / nCodes)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val seedRows = sample.withColumn("rn", row_number().over(w))
+        .where((col("rn") - 1) % step === 0)
+        .orderBy("vec_id").limit(nCodes)
+        .select("e").collect().map(_.getSeq[Double](0))
+      val dim = seedRows.head.length
+      require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+      val subDim = dim / m
+      var cbs: Seq[Seq[(Int, Seq[Double])]] =
+        (0 until m).map(mm => seedRows.toSeq.zipWithIndex.map { case (v, i) =>
+          (i, v.slice(mm * subDim, mm * subDim + subDim))
+        })
+      for (_ <- 1 to iters) {
+        val cbLit = typedLit(cbs)
+        // two-step selects around each generator (the trainCentroids
+        // resolution caveat), slicing the materialized double array
+        val means = sample
+          .select(col("e"), pqCodes(col("e"), cbLit, m, subDim).as("codes"))
+          .select(col("e"), posexplode(col("codes")).as(Seq("m", "code")))
+          .select(col("m"), col("code"),
+            posexplode(slice(col("e"), col("m") * subDim + 1, lit(subDim)))
+              .as(Seq("pos", "v")))
+          .groupBy("m", "code", "pos").agg(avg("v").as("mean"))
+          .groupBy("m", "code")
+          .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("ps"))
+          .select(col("m"), col("code"), expr("transform(ps, s -> s.mean)").as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+        cbs = cbs.zipWithIndex.map { case (cb, mm) =>
+          cb.map { case (code, old) => (code, means.getOrElse((mm, code), old)) }
+        }
+      }
+      cbs
+    } finally sample.unpersist()
+  }
+
+  /** Persist PQ codebooks as parquet `(m INT, code INT, sub ARRAY<DOUBLE>)`
+    * — the durable PQ state ([[saveCentroids]] pattern): train once on a
+    * corpus sample, reload for every encode/search session. Doubles
+    * round-trip parquet bit-exactly. */
+  def savePqCodebooks(spark: SparkSession, cbs: Seq[Seq[(Int, Seq[Double])]],
+                      path: String): Unit = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, mm) =>
+      cb.map { case (code, sub) => (mm, code, sub) }
+    }.toDF("m", "code", "sub").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks persisted by [[savePqCodebooks]], (m, code)-ordered. */
+  def loadPqCodebooks(spark: SparkSession, path: String): Seq[Seq[(Int, Seq[Double])]] =
+    spark.read.parquet(path).orderBy("m", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(r => (r._2, r._3)).toSeq }
+
+  /** Product-quantization encode: each vector compresses to `m` codeword
+    * ids (`codes ARRAY<INT>`) — at m=8 × 1 byte-scale codes that is a
+    * 32× reduction over 64 float dims, the storage layout that lets a
+    * 100 TB embedding corpus fit a RAM-resident ANN tier. A narrow
+    * per-row expression over the broadcast codebook literal: no join, no
+    * shuffle, whole corpus encoded at scan time. */
+  def pqEncode(emb: DataFrame, codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks.head.head._2.length
+    val sorted = codebooks.map(_.sortBy(_._1))
+    emb.select(col("vec_id"),
+      pqCodes(col("embedding").cast("array<double>"), typedLit(sorted), m, subDim)
+        .as("codes"))
+  }
+
+  /** PQ ANN with asymmetric distance computation (ADC, Jégou et al. 2011):
+    * the corpus side is only `(vec_id, codes)` — the compressed
+    * representation — while each (broadcast) query precomputes its
+    * `m × nCodes` table of exact subspace distances to every codeword;
+    * a candidate's approximate distance is then `m` table lookups summed
+    * in subspace order (`adist`), never touching the original vectors.
+    *
+    * Scale shape: encode and the query distance tables are narrow
+    * expressions over the codebook literal; the corpus never shuffles
+    * before the (broadcast) query join, and the final top-k is the
+    * [[TopKAgg]] partial aggregation — ≤ k rows per partition reach the
+    * exchange. Ranking is by `adist` ASC with ties to the smaller id;
+    * every per-pair sum is a fixed-order fold of bit-exact doubles, so the
+    * full algorithm carries a SQL oracle. Compose with [[annIvf]] cells
+    * for IVF-PQ (encode within probed cells only). */
+  def annPq(emb: DataFrame, queries: DataFrame, k: Int = 5, m: Int = 8,
+            nCodes: Int = 16,
+            codebooks: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
+    val cbs = codebooks.getOrElse(pqSeedCodebooks(emb, m, nCodes)).map(_.sortBy(_._1))
+    val mSub = cbs.length
+    val subDim = cbs.head.head._2.length
+    val cb = typedLit(cbs)
+    val enc = pqEncode(emb, cbs)
+    val qd = queries.select(col("vec_id").as("query_id"),
+      transform(sequence(lit(0), lit(mSub - 1)), mm =>
+        transform(element_at(cb, mm + 1), ent =>
+          pqDist(slice(col("embedding").cast("array<double>"), mm * subDim + 1, lit(subDim)),
+            ent.getField("_2"))))
+        .as("dtab"))
+    val scored = enc.join(broadcast(qd), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(
+          transform(sequence(lit(0), lit(mSub - 1)), mm =>
+            element_at(element_at(col("dtab"), mm + 1),
+              element_at(col("codes"), mm + 1) + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adist"))
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(topkUdaf(k)(col("vec_id"), -col("adist")).as("nb")))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("sim")).as("adist"))
+  }
+
   /** Cluster-balanced (diversity-preserving) corpus pruning — the
     * cluster-then-cap selection of embedding-space curation (the D4 /
     * DataComp recipe: cluster the corpus, bound each cluster's
@@ -331,6 +509,8 @@ object Similarity {
   private[ext] val GateLshBits = 8
   private[ext] val GateLshSeed = 42L
   private[ext] val GateLshDim = 64 // embeddings table dim (TESTDATA.md)
+  private[ext] val GatePqM = 8
+  private[ext] val GatePqCodes = 16
 
   /** The gate's hyperplanes, shared by the queries entry and the SQL oracle
     * (the gate-constant pattern: one source of truth, no silent desync). */
@@ -393,6 +573,15 @@ object Similarity {
     "cluster_balance" -> ((s, dir) =>
       clusterBalance(SparkEntry.table(s, dir, "embeddings"),
         cap = GateBalanceCap, nCells = GateIvfCells)),
+    // PQ/ADC with the deterministic seed codebooks → full algorithm-mirror
+    // SQL oracle (encode argmin, query distance tables, ordered-fold ADC);
+    // trained codebooks are spec-gated like trainCentroids (Lloyd means are
+    // not SQL-mirrorable without summation-order flake risk)
+    "ann_pq" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      annPq(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
+        m = GatePqM, nCodes = GatePqCodes)
+    }),
   )
 
   /** The deterministic cell-assignment CTE chain (id-seed centroids →
@@ -478,6 +667,49 @@ object Similarity {
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
         |      FROM sims)
         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
+    // full algorithm mirror of annPq over the seed codebooks: the same
+    // id-ordered codeword slices, per-(vec, subspace) argmin by
+    // (cost ASC, code ASC), per-query distance tables, and the ADC sum as
+    // an m-ordered list_reduce fold — every double identical to Spark's
+    // fixed-order aggregate() fold, so the hash gate holds bit-exact
+    "ann_pq" -> {
+      val sd = GateLshDim / GatePqM
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, emb
+        |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT $GatePqCodes)),
+        |cb AS (SELECT ms.m, seed.code,
+        |         list_slice(seed.emb, ms.m * $sd + 1, ms.m * $sd + $sd) AS sub
+        |       FROM seed, (SELECT unnest(range(0, $GatePqM)) AS m) ms),
+        |cost AS (
+        |  SELECT vec_id, m, code,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, $sd + 1), i ->
+        |        (vsub[i] - sub[i]) * (vsub[i] - sub[i]))),
+        |      (acc, x) -> acc + x) AS cost
+        |  FROM (SELECT v.vec_id, cb.m, cb.code, cb.sub,
+        |          list_slice(v.emb, cb.m * $sd + 1, cb.m * $sd + $sd) AS vsub
+        |        FROM e v, cb)),
+        |enc AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY cost, code) AS rn
+        |    FROM cost) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS query_id, m, code, cost FROM cost
+        |       WHERE vec_id < $GateQueryMaxId),
+        |pair AS (
+        |  SELECT qd.query_id, enc.vec_id, qd.m, qd.cost
+        |  FROM enc JOIN qd ON qd.m = enc.m AND qd.code = enc.code
+        |  WHERE enc.vec_id <> qd.query_id),
+        |ad AS (
+        |  SELECT query_id, vec_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cost ORDER BY m)),
+        |      (acc, x) -> acc + x) AS adist
+        |  FROM pair GROUP BY query_id, vec_id),
+        |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+        |      FROM ad)
+        |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= $GateK""".stripMargin
+    },
     // the shared deterministic assignment + the sha256-ranked per-cell cap
     "cluster_balance" ->
       s"""WITH $assignedCellsSql,

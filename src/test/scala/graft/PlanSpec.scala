@@ -72,6 +72,25 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p) { case _: ObjectHashAggregateExec => } == 2)
   }
 
+  test("ann_pq: compressed corpus side stays narrow, queries broadcast, partial top-k") {
+    val p = physical("ann_pq")
+    // like ann_topk, the scoring join is a deliberate broadcast nested loop:
+    // the tiny query set (with its m×nCodes distance tables) broadcasts
+    // against ONE scan of the code-compressed corpus
+    val bnl = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.size == 1, s"expected the one broadcast ADC join:\n$p")
+    val probe = bnl.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bnl.head.right
+      case _ => bnl.head.left
+    }
+    // the corpus side must reach the join unshuffled — encode is scan-time
+    assert(probe.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"PQ encode must be narrow on the corpus side:\n$p")
+    assert(shuffles(p) == 1, s"expected only the top-k agg shuffle:\n$p")
+    assert(count(p) { case _: ObjectHashAggregateExec => } == 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+  }
+
   test("dedup_jaccard_pairs: inverted-index join graph, never all-pairs") {
     val p = physical("dedup_jaccard_pairs")
     assertNoCartesian("dedup_jaccard_pairs", p)

@@ -116,6 +116,53 @@ class ExtSpec extends AnyFunSuite {
       s"no exchange may precede the probe join on the data side:\n$plan")
   }
 
+  test("PQ ANN: encode shape, ADC recall vs exact L2, trained codebooks round-trip") {
+    val queries = emb.where(col("vec_id") < 10)
+    // plain-Scala exact squared-L2 top-5 ground truth (PQ approximates L2,
+    // not the cosine the other ANN paths rank by)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val exact = (0L until 10L).map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (l2(vecs(q), v), id) }.take(5).map(_._1).toSet
+    }.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, e) =>
+        (e & got.getOrElse(q, Set.empty)).size.toDouble / e.size }.sum / exact.size
+    }
+    // encode: m codes per vector, every code a valid codeword id
+    val cbs = Similarity.pqSeedCodebooks(emb, 8, 16)
+    val codes = Similarity.pqEncode(emb, cbs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.length == vecs.size)
+    assert(codes.forall { case (_, cs) => cs.length == 8 && cs.forall(c => c >= 0 && c < 16) })
+    val seedRecall = recall(Similarity.annPq(emb, queries, k = 5))
+    info(f"PQ seed-codebook mean recall@5: $seedRecall%.3f")
+    assert(seedRecall > 0.2,
+      s"seed-codebook ADC recall $seedRecall at random-candidate level — wiring bug")
+    // trained codebooks: persisted round-trip must be bit-exact, and the
+    // Lloyd quantizer must not be materially worse than the raw seed
+    val trained = Similarity.trainPqCodebooks(emb, m = 8, nCodes = 16, iters = 3)
+    val root = java.nio.file.Files.createTempDirectory("pqcb")
+    val loaded = try {
+      Similarity.savePqCodebooks(spark, trained, s"$root/cb")
+      Similarity.loadPqCodebooks(spark, s"$root/cb")
+    } finally TmpIo.deleteRecursively(root)
+    assert(loaded == trained, "codebooks must round-trip parquet bit-exactly")
+    val trainedRecall = recall(Similarity.annPq(emb, queries, k = 5, codebooks = Some(loaded)))
+    info(f"PQ trained-codebook mean recall@5: $trainedRecall%.3f")
+    assert(trainedRecall >= seedRecall - 0.1,
+      s"trained recall $trainedRecall collapsed vs seed $seedRecall")
+  }
+
   test("embedTfidf: unit norm, plain-Scala differential, feeds the ANN operators") {
     val dim = 16
     val e = TextAnalysis.embedTfidf(docs, dim = dim)
@@ -504,6 +551,44 @@ class ExtSpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     info(f"clustered-corpus LSH mean recall@5: $mean%.3f (tables=4, bits=8)")
     assert(mean >= 0.9, s"LSH recall@5 $mean below 0.9 on a clustered corpus")
+  }
+
+  test("PQ ANN separates a clustered corpus (trained codebooks, high recall)") {
+    import spark.implicits._
+    // the sign-LSH clustered layout: 8 well-separated clusters × 60 points,
+    // dim 16 — within-cluster L2 distances are tiny vs cross-cluster, the
+    // regime a trained product quantizer must preserve
+    val dim = 16
+    val rows = for (c <- 0 until 8; i <- 0 until 60) yield {
+      val id = (c * 60 + i).toLong
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d == c * 2) 10f else 0f
+        center + (((id * 31 + d * 17) % 7).toInt - 3) * 0.1f
+      }
+      (id, v.toSeq)
+    }
+    val cdf = rows.toDF("vec_id", "embedding")
+    val queries = cdf.where(col("vec_id") % 60 === 30)
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val exact = vecs.keys.filter(_ % 60 == 30).map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (l2(vecs(q), v), id) }.take(5).map(_._1).toSet
+    }.toMap
+    val trained = Similarity.trainPqCodebooks(cdf, m = 4, nCodes = 16, iters = 5)
+    val got = Similarity.annPq(cdf, queries, k = 5, codebooks = Some(trained))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, e) =>
+      (e & got.getOrElse(q, Set.empty)).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    info(f"clustered-corpus PQ mean recall@5: $mean%.3f (m=4, 16 codes)")
+    assert(mean >= 0.9, s"PQ recall@5 $mean below 0.9 on a clustered corpus")
   }
 
   test("k-means-trained IVF centroids: deterministic, well-formed, recall holds") {
