@@ -467,6 +467,127 @@ object Similarity {
         (-col("sim")).as("adist"))
   }
 
+  /** Per-row L2 cell scores as `struct(cost, cell)` over a double-array
+    * centroid literal — [[cellScores]]' squared-L2 twin (PQ composes with
+    * L2 geometry, not the cosine cells of [[annIvf]]). `array_min` picks
+    * the nearest cell with ties to the smallest id; bit-exact by the
+    * [[pqDist]] fixed-order fold. */
+  private def cellCostsL2(e: Column, cents: Column): Column =
+    transform(cents, c => struct(
+      pqDist(e, c.getField("_2")).as("cost"),
+      c.getField("_1").as("cell")))
+
+  /** The `n` nearest cells by (cost ASC, cell ASC). */
+  private def nearestCellsL2(e: Column, cents: Column, n: Int): Column =
+    transform(slice(array_sort(cellCostsL2(e, cents)), lit(1), lit(n)),
+      s => s.getField("cell"))
+
+  /** Deterministic IVF-PQ seed centroids: the first `nCells` vectors by id
+    * as DOUBLE arrays, cell ids 0..nCells-1 — the [[centroidSeed]] rule in
+    * the exact-arithmetic representation the L2/PQ path needs. Trained
+    * centroids: `trainPqCodebooks(emb, m = 1, nCells).head` IS a
+    * full-vector L2 Lloyd k-means — the m=1 degenerate case. */
+  private[ext] def ivfPqSeedCentroids(emb: DataFrame, nCells: Int): Seq[(Int, Seq[Double])] =
+    emb.orderBy("vec_id").limit(nCells)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0)).toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+
+  /** Residuals `x − centroid(cell(x))` as `(vec_id, embedding)` double
+    * arrays — the training input for residual PQ codebooks
+    * (`trainPqCodebooks(ivfResiduals(emb, cents), m, nCodes)`). */
+  def ivfResiduals(emb: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cl = typedLit(cents.sortBy(_._1))
+    val e = col("embedding").cast("array<double>")
+    emb.select(col("vec_id"), e.as("__e"))
+      .select(col("vec_id"),
+        array_min(cellCostsL2(col("__e"), cl)).getField("cell").as("__cell"),
+        col("__e"))
+      .select(col("vec_id"),
+        zip_with(col("__e"), element_at(cl, col("__cell") + 1).getField("_2"),
+          (x, c) => x - c).as("embedding"))
+  }
+
+  /** IVF-PQ ANN (the IVFADC of Jégou et al. 2011 — THE production layout
+    * for web-scale vector search): each vector is coarse-quantized to its
+    * nearest-by-L2 of `nCells` centroids and product-quantized on its
+    * RESIDUAL `x − centroid`; each query probes its `nProbe` nearest cells
+    * and scores that cell's members by ADC over the query's own residual
+    * against the shared codebooks. Combines [[annIvf]]'s sub-linear scan
+    * (~nProbe/nCells of the corpus) with [[annPq]]'s 32×-compressed
+    * storage — and upgrades the scoring join from the broadcast nested
+    * loop of plain PQ to a broadcast HASH join on `cell_id`.
+    *
+    * Scale shape: cell assignment + residual encode is ONE narrow scan
+    * over the centroid/codebook literals producing `(vec_id, cell_id,
+    * codes)`; the query side broadcasts `nProbe` rows per query each
+    * carrying its per-cell `m × nCodes` distance table; the only corpus
+    * shuffle is the partial top-k. Fully deterministic → SQL oracle
+    * (`ann_ivf_pq`); trained centroids/codebooks take the same arguments
+    * (spec-gated, like every Lloyd path). */
+  def annIvfPq(emb: DataFrame, queries: DataFrame, k: Int = 5,
+               nCells: Int = 16, nProbe: Int = 4, m: Int = 8, nCodes: Int = 16,
+               centroids: Option[Seq[(Int, Seq[Double])]] = None,
+               codebooks: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfPqSeedCentroids(emb, nCells)).sortBy(_._1)
+    val cbs = codebooks.getOrElse {
+      // seed codebooks over RESIDUALS of the first nCodes vectors — the
+      // deterministic default mirrored by the oracle
+      val cl = cents
+      val rows = emb.orderBy("vec_id").limit(nCodes)
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0))
+      val dim = rows.head.length
+      require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+      val subDim = dim / m
+      def res(v: Seq[Double]): Seq[Double] = {
+        val cell = cl.minBy { case (cid, c) =>
+          (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, cid) }
+        v.zip(cell._2).map { case (x, y) => x - y }
+      }
+      (0 until m).map(mm => rows.toSeq.zipWithIndex.map { case (v, i) =>
+        (i, res(v).slice(mm * subDim, mm * subDim + subDim))
+      })
+    }.map(_.sortBy(_._1))
+    val subDim = cbs.head.head._2.length
+    val mSub = cbs.length
+    val cl = typedLit(cents)
+    val cb = typedLit(cbs)
+    val e = col("embedding").cast("array<double>")
+    val enc = emb
+      .select(col("vec_id"),
+        array_min(cellCostsL2(e, cl)).getField("cell").as("cell_id"), e.as("__e"))
+      .select(col("vec_id"), col("cell_id"),
+        pqCodes(
+          zip_with(col("__e"), element_at(cl, col("cell_id") + 1).getField("_2"),
+            (x, c) => x - c),
+          cb, mSub, subDim).as("codes"))
+    val qcells = queries
+      .select(col("vec_id").as("query_id"), e.as("__q"))
+      .select(col("query_id"), col("__q"),
+        explode(nearestCellsL2(col("__q"), cl, nProbe)).as("cell_id"))
+      .select(col("query_id"), col("cell_id"),
+        transform(sequence(lit(0), lit(mSub - 1)), mm =>
+          transform(element_at(cb, mm + 1), ent =>
+            pqDist(
+              slice(zip_with(col("__q"), element_at(cl, col("cell_id") + 1).getField("_2"),
+                (x, c) => x - c), mm * subDim + 1, lit(subDim)),
+              ent.getField("_2"))))
+          .as("dtab"))
+    val scored = enc.join(broadcast(qcells), "cell_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(
+          transform(sequence(lit(0), lit(mSub - 1)), mm =>
+            element_at(element_at(col("dtab"), mm + 1),
+              element_at(col("codes"), mm + 1) + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adist"))
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(topkUdaf(k)(col("vec_id"), -col("adist")).as("nb")))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("sim")).as("adist"))
+  }
+
   /** Cluster-balanced (diversity-preserving) corpus pruning — the
     * cluster-then-cap selection of embedding-space curation (the D4 /
     * DataComp recipe: cluster the corpus, bound each cluster's
@@ -580,6 +701,15 @@ object Similarity {
     "ann_pq" -> ((s, dir) => {
       val emb = SparkEntry.table(s, dir, "embeddings")
       annPq(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
+        m = GatePqM, nCodes = GatePqCodes)
+    }),
+    // the full IVFADC composition (L2 cells + residual PQ + per-cell ADC):
+    // seed centroids AND seed residual codebooks are deterministic, so the
+    // whole three-stage algorithm carries one SQL oracle
+    "ann_ivf_pq" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      annIvfPq(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
+        nCells = GateIvfCells, nProbe = GateIvfProbe,
         m = GatePqM, nCodes = GatePqCodes)
     }),
   )
@@ -700,6 +830,78 @@ object Similarity {
         |  SELECT qd.query_id, enc.vec_id, qd.m, qd.cost
         |  FROM enc JOIN qd ON qd.m = enc.m AND qd.code = enc.code
         |  WHERE enc.vec_id <> qd.query_id),
+        |ad AS (
+        |  SELECT query_id, vec_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cost ORDER BY m)),
+        |      (acc, x) -> acc + x) AS adist
+        |  FROM pair GROUP BY query_id, vec_id),
+        |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+        |      FROM ad)
+        |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= $GateK""".stripMargin
+    },
+    // full IVFADC mirror: seed L2 cells (fixed-order fold costs, ties to the
+    // smaller cell), residuals, seed residual codebooks, residual encode,
+    // per-(query, probed-cell) distance tables, m-ordered ADC fold
+    "ann_ivf_pq" -> {
+      val sd = GateLshDim / GatePqM
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, emb AS cent
+        |          FROM (SELECT * FROM e ORDER BY vec_id LIMIT $GateIvfCells)),
+        |vc AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, $GateLshDim + 1), i ->
+        |        (v.emb[i] - c.cent[i]) * (v.emb[i] - c.cent[i]))),
+        |      (acc, x) -> acc + x) AS cost
+        |  FROM e v, cents c),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cost, cell) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |resid AS (
+        |  SELECT a.vec_id, list_transform(range(1, $GateLshDim + 1), i -> v.emb[i] - c.cent[i]) AS r
+        |  FROM asg a JOIN e v USING (vec_id) JOIN cents c ON c.cell = a.cell),
+        |cb AS (
+        |  SELECT ms.m, s.code, list_slice(s.r, ms.m * $sd + 1, ms.m * $sd + $sd) AS sub
+        |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, r
+        |        FROM (SELECT * FROM resid ORDER BY vec_id LIMIT $GatePqCodes)) s,
+        |       (SELECT unnest(range(0, $GatePqM)) AS m) ms),
+        |cost2 AS (
+        |  SELECT vec_id, m, code,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, $sd + 1), i ->
+        |        (vsub[i] - sub[i]) * (vsub[i] - sub[i]))),
+        |      (acc, x) -> acc + x) AS cost
+        |  FROM (SELECT r.vec_id, cb.m, cb.code, cb.sub,
+        |          list_slice(r.r, cb.m * $sd + 1, cb.m * $sd + $sd) AS vsub
+        |        FROM resid r, cb)),
+        |enc AS (SELECT vec_id, m, code FROM (
+        |  SELECT vec_id, m, code,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY cost, code) AS rn
+        |  FROM cost2) WHERE rn = 1),
+        |qp AS (SELECT query_id, cell FROM (
+        |  SELECT vec_id AS query_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cost, cell) AS rn
+        |  FROM vc WHERE vec_id < $GateQueryMaxId) WHERE rn <= $GateIvfProbe),
+        |qres AS (
+        |  SELECT qp.query_id, qp.cell,
+        |    list_transform(range(1, $GateLshDim + 1), i -> v.emb[i] - c.cent[i]) AS qr
+        |  FROM qp JOIN e v ON v.vec_id = qp.query_id JOIN cents c ON c.cell = qp.cell),
+        |qd AS (
+        |  SELECT query_id, cell, m, code,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, $sd + 1), i ->
+        |        (qsub[i] - sub[i]) * (qsub[i] - sub[i]))),
+        |      (acc, x) -> acc + x) AS cost
+        |  FROM (SELECT q.query_id, q.cell, cb.m, cb.code, cb.sub,
+        |          list_slice(q.qr, cb.m * $sd + 1, cb.m * $sd + $sd) AS qsub
+        |        FROM qres q, cb)),
+        |pair AS (
+        |  SELECT qd.query_id, a.vec_id, qd.m, qd.cost
+        |  FROM asg a
+        |  JOIN qd ON qd.cell = a.cell
+        |  JOIN enc ON enc.vec_id = a.vec_id AND enc.m = qd.m AND enc.code = qd.code
+        |  WHERE a.vec_id <> qd.query_id),
         |ad AS (
         |  SELECT query_id, vec_id,
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cost ORDER BY m)),

@@ -91,6 +91,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final ObjectHashAggregate:\n$p")
   }
 
+  test("ann_ivf_pq: cell-keyed broadcast HASH join, corpus narrow, partial top-k") {
+    val p = physical("ann_ivf_pq")
+    // the IVFADC upgrade over plain PQ: scoring joins on cell_id, so it must
+    // plan as a broadcast hash join — no nested loop anywhere
+    assertNoCartesian("ann_ivf_pq", p)
+    val bhj = p.collect { case j: joins.BroadcastHashJoinExec => j }
+    assert(bhj.size == 1, s"expected the one cell-keyed broadcast join:\n$p")
+    val streamed = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.right
+      case _ => bhj.head.left
+    }
+    assert(streamed.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"assignment + residual encode must be narrow on the corpus side:\n$p")
+    assert(shuffles(p) == 1, s"expected only the top-k agg shuffle:\n$p")
+    assert(count(p) { case _: ObjectHashAggregateExec => } == 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+  }
+
   test("dedup_jaccard_pairs: inverted-index join graph, never all-pairs") {
     val p = physical("dedup_jaccard_pairs")
     assertNoCartesian("dedup_jaccard_pairs", p)

@@ -591,6 +591,48 @@ class ExtSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"PQ recall@5 $mean below 0.9 on a clustered corpus")
   }
 
+  test("IVF-PQ (IVFADC): trained coarse cells + residual codebooks on a clustered corpus") {
+    import spark.implicits._
+    val dim = 16
+    val rows = for (c <- 0 until 8; i <- 0 until 60) yield {
+      val id = (c * 60 + i).toLong
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d == c * 2) 10f else 0f
+        center + (((id * 31 + d * 17) % 7).toInt - 3) * 0.1f
+      }
+      (id, v.toSeq)
+    }
+    val cdf = rows.toDF("vec_id", "embedding")
+    val queries = cdf.where(col("vec_id") % 60 === 30)
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val exact = vecs.keys.filter(_ % 60 == 30).map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (l2(vecs(q), v), id) }.take(5).map(_._1).toSet
+    }.toMap
+    // trained path end to end: full-vector L2 k-means IS trainPqCodebooks
+    // at m=1; residual codebooks train on ivfResiduals of those cells
+    val cents = Similarity.trainPqCodebooks(cdf, m = 1, nCodes = 8, iters = 5).head
+    val cbs = Similarity.trainPqCodebooks(
+      Similarity.ivfResiduals(cdf, cents), m = 4, nCodes = 16, iters = 5)
+    def run() = Similarity.annIvfPq(cdf, queries, k = 5, nCells = 8, nProbe = 2,
+        m = 4, nCodes = 16, centroids = Some(cents), codebooks = Some(cbs))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = run()
+    val recalls = exact.map { case (q, e) =>
+      (e & got.getOrElse(q, Set.empty)).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    info(f"clustered-corpus IVF-PQ mean recall@5: $mean%.3f (8 cells/probe 2, m=4)")
+    assert(mean >= 0.9, s"IVF-PQ recall@5 $mean below 0.9 on a clustered corpus")
+    assert(got == run(), "the full trained IVFADC path must be deterministic")
+  }
+
   test("k-means-trained IVF centroids: deterministic, well-formed, recall holds") {
     val queries = emb.where(col("vec_id") < 10)
     val trained = Similarity.trainCentroids(emb, nCells = 16, iters = 3)
