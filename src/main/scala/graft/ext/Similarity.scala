@@ -289,6 +289,59 @@ object Similarity {
         .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
   }
 
+  // ------------------------------------------------- hard-negative mining
+
+  /** Hard-negative mining for contrastive training data: for each labeled
+    * anchor in `queries`, the top-`k` most-cosine-similar vectors whose
+    * `label` DIFFERS from the anchor's — the near-miss negatives that make
+    * a contrastive batch informative (easy negatives are already far away;
+    * same-label neighbors are positives, not negatives).
+    *
+    * Exact brute-force variant: same shape as [[annTopK]] — broadcast the
+    * (small) anchor set, narrow cosine scan over `emb`, per-partition
+    * partial top-k; the label-mismatch predicate rides the broadcast join
+    * condition so excluded candidates never reach the aggregation. For
+    * corpus-sized anchor sets use [[hardNegativesIvf]]. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("label").as("qlabel")))
+    val sims = emb
+      .join(q, col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosineSim(col("qe"), col("embedding")).as("sim"))
+    explodeTopK(
+      sims.groupBy("query_id")
+        .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
+  }
+
+  /** [[hardNegatives]] restricted to IVF-probed cells — the scale path when
+    * the anchor set is itself corpus-sized: cell assignment is a narrow
+    * expression over the broadcast centroid literal on BOTH sides, the only
+    * join is the equi-join on `cell_id`, and the label-mismatch predicate
+    * filters candidates before the top-k aggregation. Scans ~nProbe/nCells
+    * of the data per anchor, like [[annIvf]]; deterministic given the
+    * id-ordered centroid seed, so it carries a full SQL oracle. */
+  def hardNegativesIvf(emb: DataFrame, queries: DataFrame, k: Int = 5,
+                       nCells: Int = 16, nProbe: Int = 4,
+                       centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    val cents = centroids.map(cs => typedLit(cs)).getOrElse(centroidLit(emb, nCells))
+    val assigned = emb.select(col("vec_id"), col("embedding"), col("label"),
+      nearestCell(col("embedding"), cents).as("cell_id"))
+    val qcells = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("qlabel"),
+      explode(nearestCells(col("embedding"), cents, nProbe)).as("cell_id"))
+    val sims = assigned.join(broadcast(qcells), "cell_id")
+      .where(col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosineSim(col("qe"), col("embedding")).as("sim"))
+    // no dedup needed: each candidate lives in exactly ONE cell (argmax
+    // assignment), so a (anchor, candidate) pair arises at most once even
+    // though the anchor probes nProbe cells — same reasoning as [[annIvf]]
+    explodeTopK(
+      sims.groupBy("query_id")
+        .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
+  }
+
   // ---------------------------------------------------------------- PQ ANN
 
   /** Exact squared-L2 distance between two double arrays as a SEQUENTIAL
@@ -712,6 +765,17 @@ object Similarity {
         nCells = GateIvfCells, nProbe = GateIvfProbe,
         m = GatePqM, nCodes = GatePqCodes)
     }),
+    // contrastive hard negatives: exact brute force (full oracle) and the
+    // IVF-probed scale path (deterministic seed cells → full oracle too)
+    "hard_negatives" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      hardNegatives(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK)
+    }),
+    "hard_negatives_ivf" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      hardNegativesIvf(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
+        nCells = GateIvfCells, nProbe = GateIvfProbe)
+    }),
   )
 
   /** The deterministic cell-assignment CTE chain (id-seed centroids →
@@ -723,12 +787,12 @@ object Similarity {
       |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
       |  FROM embeddings ORDER BY vec_id LIMIT $GateIvfCells),
       |asg AS (
-      |  SELECT e.vec_id, e.embedding, c.cell_id,
+      |  SELECT e.vec_id, e.embedding, e.label, c.cell_id,
       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
       |      ${quantSimSql(s"list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent)")} DESC,
       |      c.cell_id) AS rn
       |  FROM embeddings e, cents c),
-      |assigned AS (SELECT vec_id, embedding, cell_id FROM asg WHERE rn = 1)""".stripMargin
+      |assigned AS (SELECT vec_id, embedding, label, cell_id FROM asg WHERE rn = 1)""".stripMargin
 
   /** Shared by `ann_ivf` and `ann_ivf_trained` (identical result contract;
     * the latter differs only in taking the centroid save/load round-trip). */
@@ -923,5 +987,39 @@ object Similarity {
         |  FROM assigned)
         |SELECT vec_id, cell_id, rank_in_cell FROM r
         |WHERE rank_in_cell < $GateBalanceCap""".stripMargin,
+    // ann_topk with the label-mismatch predicate: the negatives are exact
+    // by definition, so the brute-force mirror IS the algorithm
+    "hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+        |           FROM embeddings WHERE vec_id < $GateQueryMaxId),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+        |      FROM q, embeddings e
+        |      WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
+    // the ann_ivf mirror with anchor labels carried through the probe and
+    // the mismatch predicate applied where the engine applies it (after the
+    // cell equi-join, before top-k)
+    "hard_negatives_ivf" ->
+      s"""WITH $assignedCellsSql,
+        |qc AS (
+        |  SELECT q.vec_id AS query_id, q.embedding AS qe, q.label AS qlabel, c.cell_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      ${quantSimSql(s"list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cent)")} DESC,
+        |      c.cell_id) AS rn
+        |  FROM embeddings q, cents c WHERE q.vec_id < $GateQueryMaxId),
+        |qcells AS (SELECT query_id, qe, qlabel, cell_id FROM qc WHERE rn <= $GateIvfProbe),
+        |sims AS (
+        |  SELECT qs.query_id, a.vec_id,
+        |    list_cosine_similarity(CAST(qs.qe AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS sim
+        |  FROM qcells qs JOIN assigned a USING (cell_id)
+        |  WHERE a.vec_id <> qs.query_id AND a.label <> qs.qlabel),
+        |r AS (SELECT query_id, vec_id AS neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |      FROM sims)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
   )
 }

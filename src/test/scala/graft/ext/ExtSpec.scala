@@ -116,6 +116,62 @@ class ExtSpec extends AnyFunSuite {
       s"no exchange may precede the probe join on the data side:\n$plan")
   }
 
+  test("hard negatives: labels differ, window-rank differential, IVF recall + plan") {
+    val queries = emb.where(col("vec_id") < 10)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+
+    val hn = Similarity.hardNegatives(emb, queries, k = 5)
+    val rows = hn.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "hard negatives must return rows on the gate corpus")
+    rows.foreach { case (q, n) =>
+      assert(labels(q) != labels(n), s"anchor $q got same-label neighbor $n") }
+
+    // differential against a window-rank reference built from the same
+    // cosine expression: exercises the TopKAgg partial-aggregation path
+    // against an independent top-k mechanism (global row_number)
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("label").as("qlabel"))
+    val ref = emb.join(q, col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosineSim(col("qe"), col("embedding")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))))
+      .where(col("rank") <= 5)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = hn.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == ref, s"TopKAgg disagrees with window-rank reference: ${got.size} vs ${ref.size}")
+
+    // IVF-probed variant: same label contract, reasonable recall vs exact
+    val ivf = Similarity.hardNegativesIvf(emb, queries, k = 5)
+    val ivfRows = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    ivfRows.foreach { case (qid, n) =>
+      assert(labels(qid) != labels(n), s"IVF: anchor $qid got same-label neighbor $n") }
+    val exactBy = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfBy = ivfRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exactBy.map { case (k2, e) => (e & ivfBy.getOrElse(k2, Set.empty)).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"IVF hard-negative mean recall@5 $mean below 0.6")
+    // scale shape: same pin as annIvf — broadcast probe join, data side
+    // reaches the join unshuffled
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = Similarity.hardNegativesIvf(emb, queries, k = 5).queryExecution.sparkPlan
+    val bhj = plan.collectFirst { case j: BroadcastHashJoinExec => j }
+    assert(bhj.isDefined, s"probe join should be a broadcast hash join:\n$plan")
+    val streamed = bhj.get.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.get.right
+      case _                                                 => bhj.get.left
+    }
+    assert(streamed.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"no exchange may precede the probe join on the data side:\n$plan")
+  }
+
   test("PQ ANN: encode shape, ADC recall vs exact L2, trained codebooks round-trip") {
     val queries = emb.where(col("vec_id") < 10)
     // plain-Scala exact squared-L2 top-5 ground truth (PQ approximates L2,
