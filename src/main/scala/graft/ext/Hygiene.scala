@@ -219,6 +219,50 @@ object Hygiene {
           .as("overlap_frac"))
   }
 
+  /** Span-level decontamination: instead of DROPPING every document that
+    * shares a word-`k`-gram with the benchmark ([[contamination]] → an
+    * anti-join), REMOVE just the overlapping spans and keep the rest of the
+    * document — the surgical variant used when contaminated documents are
+    * too valuable to discard wholesale. A token is removed iff it is
+    * covered by at least one matching k-gram occurrence (start `s` covers
+    * positions `[s, s+k)`); survivors are re-joined with single spaces.
+    *
+    * Returns every corpus document: `(doc_id, clean_text, n_removed)` —
+    * untouched documents pass through with `n_removed = 0`.
+    *
+    * Plan shape at 100 TB: the benchmark gram set is distinct-reduced and
+    * '''broadcast''' (same as [[contamination]]); the corpus side is a
+    * narrow posexplode feeding that broadcast join, so only MATCHING
+    * (doc_id, pos) rows — bounded by actual contamination, not corpus
+    * size — reach the per-document `collect_list` aggregation; the start
+    * lists then broadcast back onto the corpus scan, and the span removal
+    * itself is a narrow indexed-filter lambda over the materialized token
+    * array. Document text never shuffles. `hashKeys` joins on
+    * `xxhash64(gram)` (8-byte broadcast keys at k=13); a collision removes
+    * an innocent span — conservative, like [[contamination]]'s posture —
+    * while the driver gate keys on strings and stays exact. */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame, k: Int = 13,
+                         hashKeys: Boolean = false): DataFrame = {
+    val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
+    val bench = benchmark.select(col("doc_id"), toks.as("w"))
+      .select(explode(array_distinct(ngramsOf(col("w"), k))).as("g0"))
+      .select(key(col("g0")).as("g")).distinct()
+    val starts = corpus.select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), posexplode(ngramsOf(col("w"), k)).as(Seq("pos", "g0")))
+      .select(col("doc_id"), col("pos"), key(col("g0")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val w = col("__w"); val st = col("__starts")
+    corpus.join(broadcast(starts), Seq("doc_id"), "left")
+      .withColumn("__w", toks)
+      .withColumn("__starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(w, (t, j) => !exists(st, s0 => s0 <= j && j < s0 + lit(k))))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(w) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** The sha256-derived deterministic hash behind EVERY sampling/ranking
     * decision in this library ([[stratifiedSample]], [[epochMix]],
     * [[graft.ext.Curation.leakageSafeSplit]],
@@ -510,6 +554,11 @@ object Hygiene {
       corpusOverlap(docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), k = 4)
     }),
+    "decontaminate_spans" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      decontaminateSpans(docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), k = 4)
+    }),
     "stratified_sample" -> ((s, dir) =>
       stratifiedSample(SparkEntry.table(s, dir, "documents"), col("lang"), GateRates)
         .select("doc_id", "lang", "source")),
@@ -619,6 +668,32 @@ object Hygiene {
         |SELECT doc_id, count(*) AS n_hits
         |FROM corp JOIN bench USING (g)
         |GROUP BY doc_id""".stripMargin,
+
+    // positions are 1-based here vs 0-based in the engine — both sides are
+    // internally consistent, and only (clean_text, n_removed) are compared
+    "decontaminate_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 4 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-3),
+        |      i -> array_to_string(w[i:i+3], ' ')))
+        |  ELSE [] END AS gr FROM t),
+        |bench AS (SELECT DISTINCT unnest(gr) AS g FROM g WHERE doc_id % 50 = 0),
+        |cg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 4 THEN
+        |    list_transform(generate_series(1, len(w)-3),
+        |      i -> struct_pack(pos := i, g := array_to_string(w[i:i+3], ' ')))
+        |  ELSE [] END, recursive := true) FROM t WHERE doc_id % 50 != 0),
+        |hit AS (SELECT cg.doc_id, cg.pos FROM cg JOIN bench USING (g)),
+        |st AS (SELECT doc_id, list(pos ORDER BY pos) AS starts FROM hit GROUP BY doc_id),
+        |o AS (SELECT t.doc_id, t.w, COALESCE(st.starts, []) AS starts
+        |      FROM t LEFT JOIN st USING (doc_id) WHERE t.doc_id % 50 != 0),
+        |kp AS (SELECT doc_id, w,
+        |    list_filter(generate_series(1, len(w)), j ->
+        |      len(list_filter(starts, s -> s <= j AND j < s + 4)) = 0) AS keep
+        |  FROM o)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(keep, j -> w[j]), ' ') AS clean_text,
+        |  CAST(len(w) - len(keep) AS BIGINT) AS n_removed
+        |FROM kp""".stripMargin,
 
     "pack_sequences" ->
       """WITH n AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens

@@ -523,6 +523,38 @@ class HygieneSpec extends AnyFunSuite {
     assert(h.getLong(1) == tok)
   }
 
+  test("decontaminateSpans: JVM brute-force differential + invariants") {
+    // independent reimplementation: mark covered token positions directly
+    val corpus = docs.where(col("doc_id") % 50 =!= 0)
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val k = 4
+    val benchGrams: Set[String] = bench.select("text").collect().flatMap { r =>
+      val w = r.getString(0).split(" ", -1)
+      if (w.length >= k) w.sliding(k).map(_.mkString(" ")) else Iterator.empty
+    }.toSet
+    val expected = corpus.select("doc_id", "text").collect().map { r =>
+      val id = r.getLong(0); val w = r.getString(1).split(" ", -1)
+      val covered = Array.fill(w.length)(false)
+      for (s <- 0 to w.length - k if benchGrams(w.slice(s, s + k).mkString(" ")))
+        for (j <- s until s + k) covered(j) = true
+      val kept = w.indices.filterNot(j => covered(j)).map(j => w(j))
+      (id, (kept.mkString(" "), (w.length - kept.size).toLong))
+    }.toMap
+    val got = Hygiene.decontaminateSpans(corpus, bench, k)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet, "every corpus doc must be emitted exactly once")
+    got.foreach { case (id, (text, n)) =>
+      assert((text, n) == expected(id),
+        s"doc $id: got (${text.take(80)}, $n) expected ${expected(id)._1.take(80)}, ${expected(id)._2}")
+    }
+    assert(got.values.exists(_._2 > 0L), "gate corpus should contain contaminated spans")
+    assert(got.values.exists(_._2 == 0L), "untouched docs must pass through")
+    // hashKeys variant agrees on this corpus (no 64-bit collisions here)
+    val hashed = Hygiene.decontaminateSpans(corpus, bench, k, hashKeys = true)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(hashed == got, "hashKeys path must agree where no collisions exist")
+  }
+
   test("corpusOverlap: constructed shared/unshared grams; hashKeys agrees") {
     import spark.implicits._
     val a = Seq((1L, "one two three four five"), (2L, "alpha beta gamma delta"))
