@@ -219,6 +219,46 @@ object Hygiene {
           .as("overlap_frac"))
   }
 
+  /** Per-document n-gram novelty audit: of each document's DISTINCT word
+    * `k`-grams, how many occur in NO other document? Emits every document as
+    * `(doc_id, n_grams, n_unique, novelty_frac)`. Low novelty at long `k`
+    * means the document's long sequences recur across the corpus — exactly
+    * the sequences a model memorizes verbatim (Lee et al. 2022 observe
+    * repeated long n-grams drive memorization; Carlini et al. 2022 scale
+    * this with duplication count), so this is the reporting view a dedup
+    * pass is prioritized by: sort ascending, dedup the head.
+    *
+    * Plan shape at 100 TB: per-doc-distinct grams explode once; the df
+    * count is a gram-keyed aggregation (per-doc distinctness makes every
+    * row count 1, so partial aggregation collapses hot grams before the
+    * exchange); the df join back is gram-keyed on the same exchange
+    * footprint, and the final rollup is doc_id-keyed. Set `hashKeys` to
+    * shuffle 8-byte `xxhash64(gram)` keys instead of ~100-byte strings at
+    * k=13 (a collision merges two gram families — n_unique undercounts by
+    * at most the collision count, invisible at any real corpus size);
+    * the driver gate keys on strings and stays exact. Document text never
+    * rides any exchange. */
+  def ngramNovelty(docs: DataFrame, k: Int = 13,
+                   hashKeys: Boolean = false): DataFrame = {
+    val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
+    val inv = docs.select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), explode(array_distinct(ngramsOf(col("w"), k))).as("g0"))
+      .select(col("doc_id"), key(col("g0")).as("g"))
+    val dfc = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val per = inv.join(dfc, "g")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_unique").cast("double") / col("n_grams"))
+          .as("novelty_frac"))
+  }
+
   /** Span-level decontamination: instead of DROPPING every document that
     * shares a word-`k`-gram with the benchmark ([[contamination]] → an
     * anti-join), REMOVE just the overlapping spans and keep the rest of the
@@ -559,6 +599,8 @@ object Hygiene {
       decontaminateSpans(docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), k = 4)
     }),
+    "ngram_novelty" -> ((s, dir) =>
+      ngramNovelty(SparkEntry.table(s, dir, "documents"), k = 8)),
     "stratified_sample" -> ((s, dir) =>
       stratifiedSample(SparkEntry.table(s, dir, "documents"), col("lang"), GateRates)
         .select("doc_id", "lang", "source")),
@@ -668,6 +710,25 @@ object Hygiene {
         |SELECT doc_id, count(*) AS n_hits
         |FROM corp JOIN bench USING (g)
         |GROUP BY doc_id""".stripMargin,
+
+    "ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+        |    list_distinct(list_transform(generate_series(1, len(w)-7),
+        |      i -> array_to_string(w[i:i+7], ' ')))
+        |  ELSE [] END AS gr FROM t),
+        |inv AS (SELECT doc_id, unnest(gr) AS g FROM d),
+        |dfc AS (SELECT g, count(*) AS df FROM inv GROUP BY g),
+        |per AS (
+        |  SELECT inv.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+        |  FROM inv JOIN dfc USING (g) GROUP BY inv.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(n_unique, 0) AS BIGINT) AS n_unique,
+        |  CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+        |       ELSE CAST(n_unique AS DOUBLE) / n_grams END AS novelty_frac
+        |FROM d LEFT JOIN per USING (doc_id)""".stripMargin,
 
     // positions are 1-based here vs 0-based in the engine — both sides are
     // internally consistent, and only (clean_text, n_removed) are compared

@@ -523,6 +523,26 @@ class HygieneSpec extends AnyFunSuite {
     assert(h.getLong(1) == tok)
   }
 
+  test("ngramNovelty: constructed duplicates, short docs, hashKeys agreement") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),   // shares its full text with doc 2
+      (2L, "a b c d e f g h i j"),
+      (3L, "q r s t u v w x y z"),   // fully unique
+      (4L, "tiny")                   // shorter than k: zero grams
+    ).toDF("doc_id", "text")
+    val rows = Hygiene.ngramNovelty(df, k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // 10 words, k=8 → 3 distinct grams per doc
+    assert(rows(1L) == ((3L, 0L, 0.0)), s"duplicated doc must have zero novelty: ${rows(1L)}")
+    assert(rows(2L) == ((3L, 0L, 0.0)))
+    assert(rows(3L) == ((3L, 3L, 1.0)), s"unique doc must be fully novel: ${rows(3L)}")
+    assert(rows(4L) == ((0L, 0L, 0.0)), "sub-k doc: defined as zero, not dropped")
+    val hashed = Hygiene.ngramNovelty(df, k = 8, hashKeys = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(hashed == rows, "hashKeys path must agree where no collisions exist")
+  }
+
   test("decontaminateSpans: JVM brute-force differential + invariants") {
     // independent reimplementation: mark covered token positions directly
     val corpus = docs.where(col("doc_id") % 50 =!= 0)
