@@ -81,7 +81,11 @@ object SparkEntry {
     // scan-time job floor and stay bench-excluded)
     "leakage_split", "perplexity_partition", "cluster_balance",
     // the text→vector featurizer: two corpus aggregations + in-row math
-    "embed_tfidf")
+    "embed_tfidf",
+    // continued round 9: surgical span removal (gram broadcast + indexed
+    // filter), the corpus-wide df/novelty rollup, and IVF-probed
+    // contrastive negative mining
+    "decontaminate_spans", "ngram_novelty", "hard_negatives_ivf")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

@@ -228,34 +228,37 @@ object Hygiene {
     * this with duplication count), so this is the reporting view a dedup
     * pass is prioritized by: sort ascending, dedup the head.
     *
-    * Plan shape at 100 TB: per-doc-distinct grams explode once; the df
-    * count is a gram-keyed aggregation (per-doc distinctness makes every
-    * row count 1, so partial aggregation collapses hot grams before the
-    * exchange); the df join back is gram-keyed on the same exchange
-    * footprint, and the final rollup is doc_id-keyed. Set `hashKeys` to
-    * shuffle 8-byte `xxhash64(gram)` keys instead of ~100-byte strings at
-    * k=13 (a collision merges two gram families — n_unique undercounts by
-    * at most the collision count, invisible at any real corpus size);
-    * the driver gate keys on strings and stays exact. Document text never
-    * rides any exchange. */
+    * Plan shape at 100 TB: `n_grams` is a purely NARROW per-row expression
+    * (`size(array_distinct(grams))` — no exchange at all), and `n_unique`
+    * needs no df join-back: a gram with df = 1 has exactly ONE holder, so
+    * the gram-keyed aggregation emits `(count, min(doc_id))` and the
+    * singleton grams alone — already a tiny subset — roll up by doc_id.
+    * ONE pass over the inverted index, one gram-keyed exchange (per-doc
+    * distinctness makes partial aggregation collapse hot grams before it),
+    * one small doc-keyed exchange. The naive df-join-back form would
+    * re-explode the corpus and shuffle the full index twice. Set
+    * `hashKeys` to shuffle 8-byte `xxhash64(gram)` keys instead of
+    * ~100-byte strings at k=13 (a collision merges two gram families —
+    * n_unique undercounts by at most the collision count, invisible at
+    * any real corpus size); the driver gate keys on strings and stays
+    * exact. Document text never rides any exchange. */
   def ngramNovelty(docs: DataFrame, k: Int = 13,
                    hashKeys: Boolean = false): DataFrame = {
     val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
-    val inv = docs.select(col("doc_id"), toks.as("w"))
+    val uniq = docs.select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"), explode(array_distinct(ngramsOf(col("w"), k))).as("g0"))
       .select(col("doc_id"), key(col("g0")).as("g"))
-    val dfc = inv.groupBy("g").agg(count(lit(1)).as("df"))
-    val per = inv.join(dfc, "g")
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-    docs.select(col("doc_id"))
-      .join(per, Seq("doc_id"), "left")
+      .groupBy("g").agg(count(lit(1)).as("df"), min(col("doc_id")).as("holder"))
+      .where(col("df") === 1)
+      .groupBy(col("holder").as("doc_id")).agg(count(lit(1)).as("n_unique"))
+    docs.select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        size(array_distinct(ngramsOf(col("w"), k))).cast("long").as("n_grams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
-          .otherwise(col("n_unique").cast("double") / col("n_grams"))
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_unique"), lit(0L)).cast("double") / col("n_grams"))
           .as("novelty_frac"))
   }
 
