@@ -43,7 +43,10 @@ object Bench {
       spark.conf.set(graft.compile.LowerJmesPathRule.LowerConfKey,
         (!SparkEntry.interpretedQueries(n)).toString)
 
-    val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    // optional args = subset of query names (builder-side iteration aid;
+    // the driver passes none and times the full headline set)
+    val names0 = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    val names = if (args.nonEmpty) names0.filter(args.toSet) else names0
     // warm-up: run everything once (also primes the parquet footer cache)
     names.foreach { n =>
       lowerFor(n)
