@@ -151,6 +151,36 @@ class PlanSpec extends AnyFunSuite {
       s"only the per-doc count agg may shuffle above the join:\n$p")
   }
 
+  test("decontaminate_spans: bench grams + start lists broadcast, text never shuffles") {
+    val p = physical("decontaminate_spans")
+    assertNoCartesian("decontaminate_spans", p)
+    // two broadcast joins: benchmark grams onto the posexplode, start lists
+    // back onto the corpus scan — the TB-sized text column must reach the
+    // final projection with no ShuffleExchange anywhere on its path
+    val bhj = p.collect { case j: joins.BroadcastHashJoinExec => j }
+    assert(bhj.size == 2, s"expected bench-gram + start-list broadcast joins:\n$p")
+    val outer = bhj.maxBy(_.output.map(_.name).count(_ == "starts"))
+    val streamed = outer.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => outer.right
+      case _ => outer.left
+    }
+    assert(streamed.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"the text-carrying corpus side must not shuffle:\n$p")
+  }
+
+  test("ngram_novelty: ONE gram-keyed exchange, no df join-back of the index") {
+    val p = physical("ngram_novelty")
+    assertNoCartesian("ngram_novelty", p)
+    // shuffles: gram-keyed df agg, holder-keyed rollup, and the final
+    // doc_id join of two narrow sides — the full inverted index crosses
+    // exactly ONE exchange (a join-back formulation would cross it twice
+    // and re-execute the corpus explode)
+    assert(shuffles(p) <= 4, s"novelty must not re-shuffle the inverted index:\n$p")
+    val generates = count(p) { case _: GenerateExec => }
+    assert(generates == 1,
+      s"the corpus must explode ONCE (df join-back would re-explode):\n$p")
+  }
+
   test("lm_score: lexicon broadcast, corpus side narrow to the per-doc agg") {
     val p = physical("lm_score")
     assertNoCartesian("lm_score", p)
