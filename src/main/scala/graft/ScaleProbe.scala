@@ -67,13 +67,17 @@ object ScaleProbe {
     val docsSkew1 = docs1.select(col("doc_id"),
       regexp_replace(col("text"), lit(" "), lit(" r0 ")).as("text"))
 
-    val emb1 = SparkEntry.table(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // label rides along for the hard-negative probe; the other ANN probes
+    // prune it at scan time
+    val emb1 = SparkEntry.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label")
     // ×REP embeddings: tiny deterministic per-replica rotation-ish perturb
     // (+r*1e-3 on one dimension keeps near-neighbor structure per replica)
     val embN = emb1.crossJoin(broadcast(reps))
       .select((col("vec_id") + col("r") * 1000000L).as("vec_id"),
         expr("transform(embedding, (v, i) -> CAST(v + CASE WHEN i = CAST(r % 64 AS INT) THEN r * 0.001 ELSE 0.0 END AS FLOAT))")
-          .as("embedding"))
+          .as("embedding"),
+        col("label"))
 
     // Forced materialization for ROW-PRESERVING operators (the Bench
     // pattern): hash every output column so Catalyst cannot eliminate the
@@ -104,13 +108,14 @@ object ScaleProbe {
     // embeddings, cluster balance)
     val r9Only = args.length > 1 && args(1) == "r9"
     val r9bOnly = args.length > 1 && args(1) == "r9b"
+    val r9cOnly = args.length > 1 && args(1) == "r9c"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
     d1.count(); dN.count()
-    if (!r9Only && !r9bOnly) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9bOnly && !r9cOnly) { dSkew.count(); dSkew1.count() }
     if (!r9Only) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
@@ -171,7 +176,44 @@ object ScaleProbe {
           centroids = Some(centN)))
       })
 
-    val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes else Seq(
+    def r9cProbes = Seq(
+      // second continued-round-9 set: span decontamination holds the
+      // benchmark FIXED (the r=0 slice) like the contamination probe —
+      // the corpus side is a narrow explode into a broadcast join, so the
+      // exponent must be linear; novelty's inverted index crosses one
+      // gram-keyed exchange (grams are replica-suffixed → df structure
+      // replicates exactly REP×); IVF hard negatives run the √N-cells
+      // operating rule with the same fixed 10-anchor probe as ann_ivf
+      time(s"decon_spans_1x") {
+        val bench = dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
+        force(ext.Hygiene.decontaminateSpans(
+          dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 =!= 0),
+          bench, k = 4))
+      },
+      time(s"decon_spans_${rep}x") {
+        val bench = dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
+        force(ext.Hygiene.decontaminateSpans(
+          dN.where(col("doc_id") % 50 =!= 0), bench, k = 4))
+      },
+      // hashKeys = the TB-scale operating mode (8-byte exchange keys); the
+      // driver gate separately pins string-keyed exactness
+      time(s"ngram_novelty_1x") {
+        force(ext.Hygiene.ngramNovelty(d1, k = 8, hashKeys = true))
+      },
+      time(s"ngram_novelty_${rep}x") {
+        force(ext.Hygiene.ngramNovelty(dN, k = 8, hashKeys = true))
+      },
+      time(s"hard_neg_ivf_1x") {
+        ext.Similarity.hardNegativesIvf(e1, queries1, nCells = cells1,
+          centroids = Some(cent1)).count()
+      },
+      time(s"hard_neg_ivf_${rep}x") {
+        ext.Similarity.hardNegativesIvf(eN, queriesN, nCells = cellsN,
+          centroids = Some(centN)).count()
+      })
+
+    val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes
+    else if (r9cOnly) r9cProbes else Seq(
       time(s"jaccard_1x") { ext.Dedup.jaccardPairs(d1).count() },
       time(s"jaccard_${rep}x") { ext.Dedup.jaccardPairs(dN).count() },
       // degenerate-corpus stress pair: exact PPJoin vs banded MinHash on
@@ -225,7 +267,7 @@ object ScaleProbe {
       time(s"curate_full_${rep}x") {
         val bench = dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
         ext.Curation.curateFull(dN.where(col("doc_id") % 50 =!= 0), bench).count()
-      }) ++ r9Probes ++ r9bProbes
+      }) ++ r9Probes ++ r9bProbes ++ r9cProbes
 
     val pairs = results.grouped(2).map { case Seq((l1, s1, _), (_, sN, _)) =>
       val op = l1.stripSuffix("_1x")
