@@ -1,0 +1,168 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Full-text retrieval over the corpus: an inverted-index statistics job and
+  * BM25 top-k search against a broadcast query set — the lexical-search leg
+  * of a training-data pipeline (contamination lookups, "find documents about
+  * X" corpus probes, sparse retrieval for hard-negative mining alongside
+  * [[Similarity]]'s dense ANN).
+  *
+  * Scale design (100 TB):
+  *  - `index` is the classic two-stage IDF job: explode → partial-agg
+  *    (map-side combine collapses each partition to its local vocabulary)
+  *    → one shuffle keyed by term. Postings stats, never posting LISTS, are
+  *    materialized — df/cf per term is what scoring needs.
+  *  - `bm25` never shuffles the corpus at all: the query set (a handful of
+  *    rows) is joined to the tiny df table and broadcast; term frequencies
+  *    are computed per document from the row's own token array
+  *    (`size(filter(toks, = t))` — narrow, codegen'd); the only exchanges
+  *    are the |terms|-row df aggregate, the 1-row corpus stats aggregate,
+  *    and the final top-k.
+  *  - top-k is TWO-PHASE: a first `row_number` over `(query_id, salt)`
+  *    prunes to ≤ `Salt·k` rows per query before the global per-query
+  *    window — a single window over `|Q|` partitions would funnel the whole
+  *    scored corpus through |Q| tasks at scale. Any global top-k row is in
+  *    the top-k of its salted subgroup, so the two-phase result is exactly
+  *    the single-window result.
+  *  - scoring arithmetic is bit-reproducible cross-engine: the rational
+  *    Robertson idf `(N − df + ½)/(df + ½)` (the log wrapper is monotone —
+  *    identical per-term RANKING — but `ln` is libm-dependent at the last
+  *    ulp, the [[Quality]] sigmoid posture) and driver-gate queries carry
+  *    exactly TWO terms, so the score is one commutative double add of two
+  *    identically-shaped products — no summation-order dependence. The
+  *    general API takes any number of terms and folds them in query order
+  *    (spec-gated in RetrievalSpec; same-JVM exact).
+  */
+object Retrieval {
+  private type Q = (SparkSession, String) => DataFrame
+
+  val K1 = 1.2
+  val B  = 0.75
+
+  /** Salt fan-out for the two-phase top-k. */
+  private val Salt = 32
+
+  private def toks(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** Inverted-index statistics: per term, document frequency `df` and
+    * collection frequency `cf`. The per-(doc,term) stage and the per-term
+    * stage both partial-aggregate before their shuffle. */
+  def index(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+
+  /** BM25 top-`k` documents per query. `queries` = (query_id, terms).
+    * Driver-gate invocations use two-term queries (see class doc); the fold
+    * over `terms` runs in query order for determinism at any arity. */
+  def bm25(docs: DataFrame, queries: Seq[(String, Seq[String])], k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+
+    // 1-row corpus stats: N and avgdl's numerator. Broadcast below.
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(size(col("toks"))).cast("double").as("total"))
+
+    // Small per-term df table (|vocab| rows after two partial-agg stages).
+    val dfreq = d.select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+    // Query set joined to df (absent terms score 0 via tf=0; df defaults 0).
+    val q = queries.toDF("query_id", "terms")
+      .select(col("query_id"), posexplode(col("terms")).as(Seq("pos", "term")))
+      .join(dfreq, Seq("term"), "left")
+      .na.fill(0.0, Seq("df"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("term"), col("df"))))
+        .as("qterms"))
+
+    // Narrow per-(doc × query) scoring: fold the query's (term, df) pairs in
+    // query order. Arithmetic shape mirrors the oracle exactly.
+    val scored = d
+      .crossJoin(broadcast(q.crossJoin(stats)))
+      .withColumn("score",
+        aggregate(col("qterms"), lit(0.0), (acc, qt) => {
+          val tf  = size(filter(col("toks"), x => x === qt.getField("term"))).cast("double")
+          val df  = qt.getField("df")
+          val idf = (col("n") - df + lit(0.5)) / (df + lit(0.5))
+          acc + idf * ((tf * lit(K1 + 1.0)) /
+            (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / (col("total") / col("n")))))
+        }))
+      .select(col("query_id"), col("doc_id"), col("score"))
+
+    // Two-phase top-k (see class doc).
+    val w1 = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(Salt)))
+      .orderBy(desc("score"), asc("doc_id"))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("doc_id"))
+    scored
+      .withColumn("r1", row_number().over(w1)).where(col("r1") <= k).drop("r1")
+      .withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+
+  /** Driver-gate query set: two terms each (commutative-add determinism). */
+  val GateQueries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("spark", "join"),
+    "q2" -> Seq("fast", "scan"),
+    "q3" -> Seq("vector", "window"),
+    "q4" -> Seq("the", "slow"))
+
+  val queries: Map[String, Q] = Map(
+    "bm25_index" -> ((s, dir) => index(SparkEntry.table(s, dir, "documents"))),
+    "bm25_topk"  -> ((s, dir) => bm25(SparkEntry.table(s, dir, "documents"), GateQueries)),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "bm25_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |FROM tf GROUP BY term""".stripMargin,
+
+    // Mirrors bm25() arithmetic shape exactly: rational idf, per-term
+    // saturation quotient, one commutative add of the two term weights.
+    "bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |              CAST(sum(len(toks)) AS DOUBLE) AS total FROM d),
+        |q(query_id, t1, t2) AS (VALUES
+        |  ('q1', 'spark', 'join'), ('q2', 'fast', 'scan'),
+        |  ('q3', 'vector', 'window'), ('q4', 'the', 'slow')),
+        |dfs AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM d)
+        |  GROUP BY term),
+        |scored AS (
+        |  SELECT q.query_id, dd.doc_id,
+        |    (((st.n - COALESCE(f1.df, 0.0) + 0.5) / (COALESCE(f1.df, 0.0) + 0.5)) *
+        |      ((CAST(len(list_filter(dd.toks, x -> x = q.t1)) AS DOUBLE) * 2.2) /
+        |       (CAST(len(list_filter(dd.toks, x -> x = q.t1)) AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * dd.dl / (st.total / st.n))))) +
+        |    (((st.n - COALESCE(f2.df, 0.0) + 0.5) / (COALESCE(f2.df, 0.0) + 0.5)) *
+        |      ((CAST(len(list_filter(dd.toks, x -> x = q.t2)) AS DOUBLE) * 2.2) /
+        |       (CAST(len(list_filter(dd.toks, x -> x = q.t2)) AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * dd.dl / (st.total / st.n))))) AS score
+        |  FROM dd, st, q
+        |  LEFT JOIN dfs f1 ON f1.term = q.t1
+        |  LEFT JOIN dfs f2 ON f2.term = q.t2),
+        |r AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 10""".stripMargin,
+  )
+}

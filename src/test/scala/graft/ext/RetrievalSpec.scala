@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** BM25 retrieval against a same-JVM brute-force reference (exact double
+  * equality — the plan and the reference fold in the same order), plus the
+  * two-phase-top-k ≡ single-window equivalence the scale path relies on. */
+class RetrievalSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = SparkEntry.table(spark, dir, "documents")
+
+  /** Plain-Scala BM25 with the identical arithmetic shape. */
+  private def refScores(qs: Seq[(String, Seq[String])]): Map[(String, Long), Double] = {
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val n = corpus.length.toDouble
+    val total = corpus.map(_._2.length.toLong).sum.toDouble
+    val dfm = corpus.flatMap(_._2.distinct).groupBy(identity).map { case (t, xs) => t -> xs.length.toDouble }
+    (for {
+      (qid, terms) <- qs
+      (id, toks) <- corpus
+    } yield {
+      val dl = toks.length.toDouble
+      var acc = 0.0
+      for (t <- terms) {
+        val tf = toks.count(_ == t).toDouble
+        val df = dfm.getOrElse(t, 0.0)
+        val idf = (n - df + 0.5) / (df + 0.5)
+        acc = acc + idf * ((tf * (Retrieval.K1 + 1.0)) /
+          (tf + Retrieval.K1 * ((1.0 - Retrieval.B) + Retrieval.B * dl / (total / n))))
+      }
+      (qid, id) -> acc
+    }).toMap
+  }
+
+  test("bm25 top-k matches brute-force reference exactly (2-term gate queries)") {
+    val got = Retrieval.bm25(docs, Retrieval.GateQueries, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val ref = refScores(Retrieval.GateQueries)
+    assert(got.length == 40)
+    got.foreach { case (qid, id, _, score) =>
+      assert(score == ref((qid, id)), s"score mismatch for ($qid, $id)")
+    }
+    // ranks are the reference's total order (score desc, doc_id asc)
+    Retrieval.GateQueries.foreach { case (qid, _) =>
+      val want = ref.collect { case ((q, id), s) if q == qid => (id, s) }.toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+      val have = got.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq
+      assert(have == want, s"rank order mismatch for $qid")
+    }
+  }
+
+  test("multi-term queries fold in query order (3- and 5-term)") {
+    val qs = Seq("m1" -> Seq("spark", "join", "vector"),
+                 "m2" -> Seq("the", "a", "slow", "fast", "nosuchterm"))
+    val got = Retrieval.bm25(docs, qs, k = 5).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(3))).toMap
+    val ref = refScores(qs)
+    got.foreach { case (key, score) => assert(score == ref(key), s"$key") }
+  }
+
+  test("two-phase top-k equals a single global window") {
+    val qs = Retrieval.GateQueries
+    val twoPhase = Retrieval.bm25(docs, qs, k = 10)
+      .select("query_id", "doc_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // single-window recomputation from the reference scores
+    val ref = refScores(qs)
+    val single = qs.flatMap { case (qid, _) =>
+      ref.collect { case ((q, id), s) if q == qid => (id, s) }.toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, i + 1) }
+    }.toSet
+    assert(twoPhase == single)
+  }
+
+  test("index df/cf match brute force") {
+    val got = Retrieval.index(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val corpus = docs.select("text").collect().map(_.getString(0).split(" ").filter(_.nonEmpty))
+    val ref = corpus.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val cf = corpus.flatten.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (t, (d, c)) => assert(d == ref(t) && c == cf(t), s"term $t") }
+  }
+}
