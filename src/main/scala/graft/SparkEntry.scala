@@ -85,7 +85,10 @@ object SparkEntry {
     // continued round 9: surgical span removal (gram broadcast + indexed
     // filter), the corpus-wide df/novelty rollup, and IVF-probed
     // contrastive negative mining
-    "decontaminate_spans", "ngram_novelty", "hard_negatives_ivf")
+    "decontaminate_spans", "ngram_novelty", "hard_negatives_ivf",
+    // third continued-round-9 block: lexical retrieval — the df/cf index
+    // job (two partial-agg stages) and shuffle-free broadcast BM25 scoring
+    "bm25_index", "bm25_topk")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-
@@ -99,7 +102,7 @@ object SparkEntry {
     core ++ JmesCoverage.queries ++ ext.TextAnalysis.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Multimodal.queries ++ ext.Sessionize.queries ++
       ext.Curation.queries ++ ext.Hygiene.queries ++ ext.Vocab.queries ++
-      ext.Quality.queries ++
+      ext.Quality.queries ++ ext.Retrieval.queries ++
       engine.StreamingCoverage.queries
 
   /** The jmes_wide/variant_wide constructed document (~1 KB/record): the
@@ -252,6 +255,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))),
+
+    // sliding (hopping) event-time window — each event lands in
+    // size/slide = 2 windows; same streaming-compatible groupBy(window)
+    // shape as windowed_agg, the replication happens at scan time
+    "sliding_agg" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
+    // cross-record extension: the selective 3-way join anchor (TPC-H Q3
+    // shape) — the dimension side is filtered THEN broadcast so the fact
+    // scans never shuffle on the customer key; orders⋈lineitem shuffles
+    // on the order key with AQE free to pick/skew-split the join.
+    // Revenue is exact integer arithmetic (price cents × discount %,
+    // one final division) — a float Σ price·(1−d) is summation-order
+    // nondeterministic across engines/partitionings (lm_score pattern)
+    "q3_join" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = table(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      val cents = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+      val discPct = floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), (cents * (lit(100L) - discPct)).as("rev_scaled"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg((sum(col("rev_scaled")).cast("double") / lit(10000.0)).as("revenue"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -320,9 +357,30 @@ object SparkEntry {
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
         |  event_type, count(*) AS n, sum(value) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // each event replicated into the two 2h windows covering it
+    "sliding_agg" ->
+      """WITH w AS (
+        |  SELECT unnest([
+        |      CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) - INTERVAL 1 HOUR,
+        |      CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP)]) AS window_start,
+        |    event_type, value
+        |  FROM events)
+        |SELECT window_start, event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    // exact integer cents×pct sum, one final division (values < 2^53)
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |           (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE)
+        |    / 10000.0 AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate""".stripMargin,
   ) ++ JmesCoverage.oracleSql ++ ext.TextAnalysis.oracleSql ++ ext.Dedup.oracleSql ++
     ext.Similarity.oracleSql ++ ext.Multimodal.oracleSql ++ ext.Sessionize.oracleSql ++
     ext.Curation.oracleSql ++ ext.Hygiene.oracleSql ++ ext.Vocab.oracleSql ++
-    ext.Quality.oracleSql ++
+    ext.Quality.oracleSql ++ ext.Retrieval.oracleSql ++
     engine.StreamingCoverage.oracleSql
 }

@@ -387,8 +387,51 @@ object TextAnalysis {
         (sum(size(toks).cast("long")).cast("double") / count(lit(1)))
           .as("mean_doc_tokens"))
 
+  /** Canonical text normalization — the preprocessing every exact-dedup /
+    * fingerprint stage should run first (CCNet normalizes before hashing;
+    * the reference CLI passes payload bytes through untouched, so this is a
+    * north-star extension): Unicode-space unification, casefold, punctuation
+    * strip, whitespace collapse, trim. Pure scan-time per-row compute —
+    * narrow, codegen'd `regexp_replace`/`lower`, composable under any
+    * downstream dedup or gate at any scale. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Exact dedup over [[normalizeText]] — catches trivial variants (case,
+    * punctuation, spacing) that byte-exact [[Dedup.exact]] misses. Same
+    * min-id survivor convention, same single map-side-combined shuffle. */
+  def dedupNormalized(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), normalizeText(col("text")).as("norm"))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .drop("norm")
+
+  /** Heaps-law vocabulary-growth curve: new and cumulative distinct terms
+    * per `bucketSize`-document slice of the corpus (ordered by doc_id) —
+    * the saturation diagnostic that tells you whether more crawl is still
+    * buying vocabulary. Term first-occurrence = `min(doc_id)` per term (one
+    * map-side-combined shuffle keyed by term, the IDF-job shape); the
+    * running sum's window input is |buckets| rows, driver-bounded. */
+  def vocabGrowth(df: DataFrame, bucketSize: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket")).rowsBetween(Long.MinValue, 0)
+    df.select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy((col("first_doc") / bucketSize).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumn("cum_terms", sum(col("new_terms")).over(w))
+  }
+
   val queries: Map[String, Q] = Map(
     "corpus_stats" -> ((s, dir) => corpusStats(SparkEntry.table(s, dir, "documents"))),
+    "normalize_text" -> ((s, dir) =>
+      SparkEntry.table(s, dir, "documents")
+        .select(col("doc_id"), normalizeText(col("text")).as("norm"))),
+    "dedup_normalized" -> ((s, dir) =>
+      dedupNormalized(SparkEntry.table(s, dir, "documents"))),
+    "vocab_growth" -> ((s, dir) =>
+      vocabGrowth(SparkEntry.table(s, dir, "documents"))),
     "text_stats" -> ((s, dir) => stats(SparkEntry.table(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => langId(SparkEntry.table(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) => fingerprint(SparkEntry.table(s, dir, "documents"))),
@@ -428,6 +471,29 @@ object TextAnalysis {
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |                      '\s+', ' ', 'g')) AS norm
+        |FROM documents""".stripMargin,
+    "dedup_normalized" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+        |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |                             '\s+', ' ', 'g'))""".stripMargin,
+    // CAST truncation vs rounding: DuckDB CAST(double AS BIGINT) rounds, so
+    // the bucket uses floor() to mirror Spark's truncating cast
+    "vocab_growth" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents),
+        |f AS (SELECT term, min(doc_id) AS first_doc FROM t GROUP BY term),
+        |b AS (SELECT CAST(floor(first_doc / 100.0) AS BIGINT) AS bucket,
+        |             count(*) AS new_terms
+        |      FROM f GROUP BY 1)
+        |SELECT bucket, new_terms,
+        |  CAST(sum(new_terms) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_terms
+        |FROM b""".stripMargin,
     // integer sums + one division (sum cast to BIGINT: DuckDB's sum(int)
     // widens to HUGEINT, which pandas would surface as a mismatched dtype)
     "corpus_stats" ->
