@@ -289,6 +289,49 @@ object Similarity {
         .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
   }
 
+  // ------------------------------------------------- scalar quantization
+
+  /** Per-dimension symmetric int8 scale (`max|v| / 127`) for [[annSq8]].
+    * The aggregation collapses the corpus to `dim` rows before the collect —
+    * driver state is `dim` doubles (the `loadCentroids` bounded posture). */
+  def sq8Scales(emb: DataFrame): Seq[Double] =
+    emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg((max(abs(col("v").cast("double"))) / 127.0).as("s"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+
+  /** The SQ8 view of a vector: per-dim round-half-up to int8 (clamped ±127),
+    * dequantized back by the scale. `floor(x/s + 0.5)` rather than `round`
+    * — both engines' `floor` is IEEE-exact, while round-half cases differ
+    * between Spark (HALF_UP) and DuckDB (HALF_EVEN). Emitted as the
+    * dequantized doubles the distance math consumes; the storage win at
+    * scale is the int8 code (4× vs float32), the arithmetic is identical. */
+  private def sq8Dequant(v: Column, scales: Seq[Double]): Column = {
+    val sLit = array(scales.map(lit): _*)
+    zip_with(transform(v, x => x.cast("double")), sLit, (x, s) =>
+      when(s === 0.0, lit(0.0)).otherwise(
+        greatest(least(floor(x / s + lit(0.5)), lit(127.0)), lit(-127.0)) * s))
+  }
+
+  /** Scalar-quantization ANN: exact cosine top-k over the int8-quantized
+    * corpus — the third compression family next to [[annPq]] (codebooks)
+    * and [[annLsh]] (hashes). Same broadcast-query/narrow-scan shape as
+    * [[annTopK]]: nothing shuffles but the |Q|·k result. Quantization is
+    * deterministic, so the whole path carries a full SQL oracle. */
+  def annSq8(emb: DataFrame, queries: DataFrame, k: Int = 5,
+             scales: Option[Seq[Double]] = None): DataFrame = {
+    val sc = scales.getOrElse(sq8Scales(emb))
+    val dq = emb.select(col("vec_id"), sq8Dequant(col("embedding"), sc).as("dq"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      sq8Dequant(col("embedding"), sc).as("qdq")))
+    val sims = dq.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosineSim(col("qdq"), col("dq")).as("sim"))
+    explodeTopK(
+      sims.groupBy("query_id")
+        .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
+  }
+
   // ------------------------------------------------- hard-negative mining
 
   /** Hard-negative mining for contrastive training data: for each labeled
@@ -705,6 +748,12 @@ object Similarity {
       val emb = SparkEntry.table(s, dir, "embeddings")
       annTopK(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK)
     }),
+    // int8 scalar quantization: deterministic scales/codes → full SQL
+    // oracle; ExtSpec additionally measures recall vs the exact ann_topk
+    "ann_sq8" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      annSq8(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK)
+    }),
     // bucketed variant: deterministic given the id-ordered centroid seed, so
     // it has a full SQL oracle below; ExtSpec additionally measures recall
     "ann_ivf" -> ((s, dir) => {
@@ -821,6 +870,31 @@ object Similarity {
         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
         |        list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
         |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
+    // algorithm mirror of annSq8: same max|v|/127 scales, the same
+    // floor(x/s + ½) round-half-up clamp, cosine over the dequantized
+    // doubles (list_cosine_similarity folds dims in the same order as the
+    // CosineSim codegen loop — the ann_topk precedent)
+    "ann_sq8" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |sc AS (
+        |  SELECT dim, max(abs(v)) / 127.0 AS s FROM (
+        |    SELECT unnest(emb) AS v, generate_subscripts(emb, 1) AS dim FROM e)
+        |  GROUP BY dim),
+        |scl AS (SELECT list(s ORDER BY dim) AS scales FROM sc),
+        |dq AS (
+        |  SELECT vec_id,
+        |    list_transform(list_zip(emb, scales),
+        |      x -> CASE WHEN x[2] = 0 THEN 0.0
+        |           ELSE greatest(least(floor(x[1] / x[2] + 0.5), 127.0), -127.0) * x[2] END) AS d
+        |  FROM e, scl),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        list_cosine_similarity(q.d, c.d) AS sim
+        |      FROM (SELECT * FROM dq WHERE vec_id < $GateQueryMaxId) q, dq c
+        |      WHERE c.vec_id <> q.vec_id),
         |r AS (SELECT query_id, neighbor_id, sim,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM s)

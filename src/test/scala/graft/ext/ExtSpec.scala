@@ -91,6 +91,30 @@ class ExtSpec extends AnyFunSuite {
     assert(blocked == brute, s"blocking must be exact: got ${blocked.size} vs ${brute.size}")
   }
 
+  test("SQ8 ANN: near-lossless recall@5 and bounded sim error vs exact") {
+    val queries = emb.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = pairs(Similarity.annTopK(emb, queries, k = 5))
+    val sq8df = Similarity.annSq8(emb, queries, k = 5)
+    val sq8 = pairs(sq8df)
+    val recalls = exact.map { case (q, e) => (e & sq8.getOrElse(q, Set.empty)).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"SQ8 mean recall@5 $mean below 0.85 (int8 is near-lossless)")
+    // int8 quantization perturbs cosine by O(1/127) per dim — sims of the
+    // returned neighbors must sit within 0.05 of the exact sims
+    val exactSim = Similarity.annTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    sq8df.select("query_id", "neighbor_id", "sim").collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactSim.get(key).foreach { es =>
+        assert(math.abs(r.getDouble(2) - es) < 0.05, s"sim drift at $key")
+      }
+    }
+  }
+
   test("IVF ANN recall@5 vs exact brute force") {
     val queries = emb.where(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) =
