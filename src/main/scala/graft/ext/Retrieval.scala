@@ -22,12 +22,11 @@ import graft.SparkEntry
   *    (`size(filter(toks, = t))` — narrow, codegen'd); the only exchanges
   *    are the |terms|-row df aggregate, the 1-row corpus stats aggregate,
   *    and the final top-k.
-  *  - top-k is TWO-PHASE: a first `row_number` over `(query_id, salt)`
-  *    prunes to ≤ `Salt·k` rows per query before the global per-query
-  *    window — a single window over `|Q|` partitions would funnel the whole
-  *    scored corpus through |Q| tasks at scale. Any global top-k row is in
-  *    the top-k of its salted subgroup, so the two-phase result is exactly
-  *    the single-window result.
+  *  - top-k relies on Spark 4's rank-limit pushdown: the planner places a
+  *    `WindowGroupLimit` below the exchange, so each task ships ≤ k rows
+  *    per query — the salted two-phase pattern, planned automatically
+  *    (pinned in PlanSpec; without it a |Q|-partition window would funnel
+  *    the whole scored corpus through |Q| tasks).
   *  - scoring arithmetic is bit-reproducible cross-engine: the rational
   *    Robertson idf `(N − df + ½)/(df + ½)` (the log wrapper is monotone —
   *    identical per-term RANKING — but `ln` is libm-dependent at the last
@@ -42,9 +41,6 @@ object Retrieval {
 
   val K1 = 1.2
   val B  = 0.75
-
-  /** Salt fan-out for the two-phase top-k. */
-  private val Salt = 32
 
   private def toks(text: Column): Column =
     filter(split(text, " "), w => length(w) > 0)
@@ -99,13 +95,13 @@ object Retrieval {
         }))
       .select(col("query_id"), col("doc_id"), col("score"))
 
-    // Two-phase top-k (see class doc).
-    val w1 = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(Salt)))
-      .orderBy(desc("score"), asc("doc_id"))
-    val w2 = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("doc_id"))
+    // Top-k per query. One window suffices at any scale: Spark 4 plans a
+    // WindowGroupLimit BELOW the exchange (rank-limit pushdown), so each
+    // task ships at most k rows per query before the per-query sort — the
+    // two-phase salted pattern, planned automatically (pinned in PlanSpec).
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("doc_id"))
     scored
-      .withColumn("r1", row_number().over(w1)).where(col("r1") <= k).drop("r1")
-      .withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
 

@@ -486,4 +486,76 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p) { case _: aggregate.HashAggregateExec => } == 2,
       s"expected partial+final HashAggregate:\n$p")
   }
+
+  test("q3_join: dimension filters pushed + broadcast, no cartesian, partial agg") {
+    val p = physical("q3_join")
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0)
+    assert(count(p) { case _: joins.BroadcastHashJoinExec => } >= 1,
+      s"expected the filtered customer side broadcast:\n$p")
+    // revenue agg is partial-then-final
+    assert(count(p) { case _: aggregate.HashAggregateExec => } >= 2, s"$p")
+  }
+
+  test("bm25_topk: corpus never shuffles before scoring; rank-limit pushed below the exchange") {
+    val p = physical("bm25_topk")
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0)
+    // the only shuffle the SCORED corpus crosses is the top-k exchange
+    // (df/stats/query-set aggregations shuffle |vocab|-bounded rows on
+    // their own subtrees feeding broadcasts): exactly one exchange sits
+    // above the scoring broadcast join, and it must have a WindowGroupLimit
+    // BELOW it — each task ships ≤ k rows per query
+    val topkExchanges = p.collect {
+      case e: ShuffleExchangeExec
+        if e.collectFirst { case _: BroadcastNestedLoopJoinExec => () }.nonEmpty => e
+    }
+    assert(topkExchanges.size == 1,
+      s"expected exactly one shuffle above the scoring join (the top-k):\n$p")
+    assert(topkExchanges.head.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty, s"rank limit not pushed below the top-k exchange:\n$p")
+    // the corpus scan streams into the scoring join with no shuffle before it
+    val outerBnlj = p.collect {
+      case j: BroadcastNestedLoopJoinExec
+        if j.left.collectFirst { case _: BroadcastExchangeExec => () }.isEmpty => j
+    }
+    outerBnlj.headOption.foreach { j =>
+      assert(j.left.collectFirst { case _: ShuffleExchangeExec => () }.isEmpty,
+        s"corpus side shuffles before scoring:\n$p")
+    }
+  }
+
+  test("bm25_index: two partial-then-final aggregations, nothing else") {
+    val p = physical("bm25_index")
+    assert(shuffles(p) == 2, s"expected 2 shuffles (doc-term, term), got ${shuffles(p)}:\n$p")
+    assert(count(p) { case _: aggregate.HashAggregateExec => } == 4,
+      s"expected 2× partial+final HashAggregate:\n$p")
+  }
+
+  test("ann_sq8: query side broadcast, corpus narrow, partial top-k") {
+    val p = physical("ann_sq8")
+    val bnl = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.size == 1, s"expected the designed query-set broadcast:\n$p")
+    assert(shuffles(p) == 1, s"expected 1 shuffle (top-k partial agg), got ${shuffles(p)}:\n$p")
+    assert(count(p) { case _: ObjectHashAggregateExec => } == 2)
+  }
+
+  test("dedup_normalized: narrow normalization, one map-side-combined shuffle") {
+    val p = physical("dedup_normalized")
+    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n$p")
+    assert(count(p) { case _: aggregate.HashAggregateExec => } == 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("vocab_growth: term shuffle + bucket shuffle; the window input is bucket-bounded") {
+    val p = physical("vocab_growth")
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0)
+    assert(shuffles(p) <= 3, s"expected ≤3 shuffles, got ${shuffles(p)}:\n$p")
+  }
+
+  test("sliding_agg: scan-time window replication, one agg shuffle") {
+    val p = physical("sliding_agg")
+    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n$p")
+    assert(count(p) { case _: aggregate.HashAggregateExec => } == 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
 }

@@ -69,19 +69,18 @@ class RetrievalSpec extends AnyFunSuite {
     got.foreach { case (key, score) => assert(score == ref(key), s"$key") }
   }
 
-  test("two-phase top-k equals a single global window") {
+  test("windowed top-k equals the reference total order") {
     val qs = Retrieval.GateQueries
-    val twoPhase = Retrieval.bm25(docs, qs, k = 10)
+    val got = Retrieval.bm25(docs, qs, k = 10)
       .select("query_id", "doc_id", "rank").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
-    // single-window recomputation from the reference scores
     val ref = refScores(qs)
     val single = qs.flatMap { case (qid, _) =>
       ref.collect { case ((q, id), s) if q == qid => (id, s) }.toSeq
         .sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
         .map { case ((id, _), i) => (qid, id, i + 1) }
     }.toSet
-    assert(twoPhase == single)
+    assert(got == single)
   }
 
   test("index df/cf match brute force") {
