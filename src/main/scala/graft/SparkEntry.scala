@@ -266,6 +266,28 @@ object SparkEntry {
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))),
 
+    // exact per-group distinct cardinality (two-stage: partial distinct per
+    // partition, final merge). The approximate twin (HyperLogLog
+    // approx_count_distinct — what a 100 TB deployment would run, one pass,
+    // bounded memory) is gated in SketchSpec: approximation is
+    // engine-specific so it can't hash-match a DuckDB oracle
+    "distinct_users" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))),
+
+    // exact interpolated percentiles per group (sort-based `percentile`,
+    // not the approximate sketch — the sketch variant is spec-gated since
+    // approximation is engine-specific)
+    "event_quantiles" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"),
+          count(lit(1)).as("n"))),
+
     // cross-record extension: the selective 3-way join anchor (TPC-H Q3
     // shape) — the dimension side is filtered THEN broadcast so the fact
     // scans never shuffle on the customer key; orders⋈lineitem shuffles
@@ -367,6 +389,16 @@ object SparkEntry {
         |  FROM events)
         |SELECT window_start, event_type, count(*) AS n, sum(value) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "event_quantiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     // exact integer cents×pct sum, one final division (values < 2^53)
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate,

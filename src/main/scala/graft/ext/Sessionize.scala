@@ -75,8 +75,27 @@ object Sessionize {
         })
   }
 
+  /** The NATIVE session-window operator (`session_window(ts, gap)`): the
+    * same gap semantics as [[batch]] but planned as Spark's built-in
+    * SessionWindow aggregation — the state-store-backed shape that runs
+    * unchanged under `readStream` with a watermark (merging session state
+    * incrementally instead of re-windowing per batch). Gap boundary is
+    * Spark's (end-exclusive: a gap of EXACTLY `gapMinutes` starts a new
+    * session, mirrored by `>=` in the oracle, where [[batch]] breaks on
+    * strict `>`). Aggregates are count/min/max — order-independent exact
+    * doubles (a float SUM is summation-order nondeterministic). */
+  def sessionAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"),
+        col("min_value"), col("max_value"))
+
   val queries: Map[String, Q] = Map(
     "sessionize" -> ((s, dir) => batch(SparkEntry.table(s, dir, "events"))),
+    "session_agg" -> ((s, dir) => sessionAgg(SparkEntry.table(s, dir, "events"))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -94,6 +113,26 @@ object Sessionize {
         |  FROM g)
         |SELECT user_id, sid, CAST(min(ts) AS TIMESTAMP) AS session_start,
         |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    // session_window's end-exclusive gap boundary → `>=` break condition;
+    // session_end = last event + gap
+    "session_agg" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id,
+        |  CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |  count(*) AS n_events,
+        |  min(value) AS min_value, max(value) AS max_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
   )
 }
