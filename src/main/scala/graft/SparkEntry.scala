@@ -102,7 +102,7 @@ object SparkEntry {
     core ++ JmesCoverage.queries ++ ext.TextAnalysis.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Multimodal.queries ++ ext.Sessionize.queries ++
       ext.Curation.queries ++ ext.Hygiene.queries ++ ext.Vocab.queries ++
-      ext.Quality.queries ++ ext.Retrieval.queries ++
+      ext.Quality.queries ++ ext.Retrieval.queries ++ ext.Joins.queries ++
       engine.StreamingCoverage.queries
 
   /** The jmes_wide/variant_wide constructed document (~1 KB/record): the
@@ -413,6 +413,6 @@ object SparkEntry {
   ) ++ JmesCoverage.oracleSql ++ ext.TextAnalysis.oracleSql ++ ext.Dedup.oracleSql ++
     ext.Similarity.oracleSql ++ ext.Multimodal.oracleSql ++ ext.Sessionize.oracleSql ++
     ext.Curation.oracleSql ++ ext.Hygiene.oracleSql ++ ext.Vocab.oracleSql ++
-    ext.Quality.oracleSql ++ ext.Retrieval.oracleSql ++
+    ext.Quality.oracleSql ++ ext.Retrieval.oracleSql ++ ext.Joins.oracleSql ++
     engine.StreamingCoverage.oracleSql
 }

@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Temporal join operators Spark has no native form for: the event-time
+  * AS-OF join ("attach the most recent prior observation") and the
+  * point-in-interval join ("which window does this event fall in") — the two
+  * enrichment joins every telemetry/feature pipeline runs, and the two that
+  * naive SQL plans catastrophically (an inequality theta-join falls off the
+  * hash-join path onto a nested-loop scan).
+  *
+  * Scale design (100 TB):
+  *  - [[asofJoin]] never performs a join at all: both sides are tagged and
+  *    union'd, ONE shuffle co-partitions them by key, and a running
+  *    `last(..., ignoreNulls)` over the (ts, side)-ordered window carries
+  *    the latest right-side payload forward into each left row. Cost is one
+  *    exchange plus an O(n) running frame per key — no per-row probe, no
+  *    range scan, no driver state. The classic sort-merge formulation of
+  *    as-of, expressed declaratively so Catalyst plans the sort.
+  *  - [[intervalJoin]] assumes the interval side is the small one (incident
+  *    windows, deploy windows, campaign spans — thousands against billions
+  *    of points). Each interval is exploded to the fixed-grain buckets it
+  *    covers and BROADCAST; each point computes its own bucket narrowly at
+  *    scan time; an equi hash join on (key, bucket) finds candidates and the
+  *    exact range predicate filters them. The point side never shuffles —
+  *    at 100 TB the plan is scan → broadcast-hash-join → partial agg.
+  */
+object Joins {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Event-time AS-OF join: for each `left` row, the `payload` columns of
+    * the `right` row with the greatest `tsCol` ≤ the left row's `tsCol`,
+    * matched on `keys` (null payload when no prior right row exists; a right
+    * row at exactly the left row's timestamp matches).
+    *
+    * `right` must be unique per (keys, tsCol) — pre-aggregate duplicates
+    * (e.g. `arg_max` by a tie-break id) or the carried payload at a tied
+    * timestamp is order-dependent. Payload columns are emitted with
+    * `prefix` prepended; all `left` columns pass through. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, payload: Seq[String],
+               prefix: String = "r_"): DataFrame = {
+    val rv = struct(payload.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(tsCol).as("__ts"), rv.as("__rv"), lit(0).as("__side")): _*)
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(tsCol))
+      .withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
+      .withColumn("__side", lit(1))
+    // side 0 (right) sorts before side 1 (left) at a tied timestamp, so an
+    // exactly-simultaneous observation is visible to the left row. Left rows
+    // tied with each other see the identical right prefix, so their order is
+    // immaterial. rowsBetween(unboundedPreceding, current) plans as the
+    // incremental running frame — O(n) per key, not O(n²).
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__m.$p").as(s"$prefix$p")): _*)
+  }
+
+  /** Point-in-interval join: all (point, interval) matches where the point's
+    * `tsCol` ∈ [`startCol`, `endCol`) and `keys` match, via fixed-grain
+    * bucketing of the (small, broadcast) interval side. `grainSeconds`
+    * trades broadcast size (each interval replicates to
+    * span/grain buckets) against candidate precision; set it near the
+    * typical interval length. All interval columns pass through, points
+    * contribute `pointCols`. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+                   tsCol: String, startCol: String, endCol: String,
+                   pointCols: Seq[String], grainSeconds: Long = 3600L): DataFrame = {
+    val grainUs = grainSeconds * 1000000L
+    def bucketOf(c: Column): Column = floor(unix_micros(c) / grainUs)
+    // end is exclusive: an interval ending exactly on a grain boundary must
+    // not claim the bucket that starts there
+    val iv = intervals.withColumn("__b",
+        explode(sequence(bucketOf(col(startCol)),
+          floor((unix_micros(col(endCol)) - 1) / grainUs))))
+    points
+      .withColumn("__b", bucketOf(col(tsCol)))
+      .join(broadcast(iv), keys :+ "__b")
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .select((intervals.columns.toSeq ++ pointCols).distinct.map(col): _*)
+  }
+
+  /** Driver-gate anchor set for [[intervalJoin]]: high-value error events
+    * open a 1-hour incident window on their user. */
+  private def incidentWindows(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "error" && col("value") > 100)
+      .select(col("event_id").as("anchor_id"), col("user_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+
+  val queries: Map[String, Q] = Map(
+    // every click annotated with the user's most recent prior purchase
+    "asof_join" -> ((s, dir) => {
+      val events = SparkEntry.table(s, dir, "events")
+      // unique right side per (user_id, ts): keep the max-event_id purchase
+      val purchases = events.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("s"))
+        .select(col("user_id"), col("ts"),
+          col("s.event_id").as("purchase_id"), col("s.value").as("purchase_value"))
+        .withColumn("purchase_ts", col("ts"))
+      val clicks = events.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      asofJoin(clicks, purchases, Seq("user_id"), "ts",
+        Seq("purchase_id", "purchase_ts", "purchase_value"), prefix = "")
+    }),
+    // per incident window: traffic volume and exact integer-cents value sum
+    // (a double SUM is summation-order nondeterministic; cents are exact)
+    "interval_join" -> ((s, dir) => {
+      val events = SparkEntry.table(s, dir, "events")
+      intervalJoin(events, incidentWindows(events), Seq("user_id"),
+        "ts", "w_start", "w_end", Seq("value"))
+        .groupBy(col("anchor_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // DuckDB's native ASOF JOIN — a genuinely independent implementation of
+    // the same semantics (greatest right ts ≤ left ts, per key)
+    "asof_join" ->
+      """WITH pr AS (
+        |  SELECT user_id, ts, ts AS purchase_ts,
+        |         arg_max(event_id, event_id) AS purchase_id,
+        |         arg_max(value, event_id) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts),
+        |cl AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT cl.event_id, cl.user_id, cl.ts,
+        |       pr.purchase_id, pr.purchase_ts, pr.purchase_value
+        |FROM cl ASOF LEFT JOIN pr ON cl.user_id = pr.user_id AND cl.ts >= pr.ts""".stripMargin,
+    "interval_join" ->
+      """WITH a AS (
+        |  SELECT event_id AS anchor_id, user_id, ts
+        |  FROM events WHERE event_type = 'error' AND value > 100)
+        |SELECT a.anchor_id, count(*) AS n_events,
+        |       sum(CAST(round(e.value * 100) AS BIGINT)) AS sum_cents
+        |FROM a JOIN events e
+        |  ON e.user_id = a.user_id AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR
+        |GROUP BY a.anchor_id""".stripMargin,
+  )
+}

@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+import graft.ProdSession
+
+/** Correctness + plan-shape gates for [[Joins]].
+  *
+  * The as-of differential is the load-bearing test: a seeded random event
+  * log with duplicate keys, tied timestamps, and keys with no right-side
+  * rows, checked row-for-row against an independent brute-force formulation
+  * (max-ts-≤ subquery via a plain inequality join). The driver-oracle rows
+  * (`asof_join`, `interval_join`) then cross-check against DuckDB's native
+  * ASOF JOIN and an inequality theta-join. */
+class JoinsSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = ProdSession.spark
+
+  private def physical(name: String): SparkPlan =
+    graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+  private def count(p: SparkPlan)(pf: PartialFunction[SparkPlan, Unit]): Int =
+    p.collect { case n if pf.isDefinedAt(n) => n }.size
+
+  test("asofJoin matches brute force on adversarial data (ties, gaps, dup keys)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // keys 0..19; right side only for even keys; timestamps drawn from a
+    // small range so left/right ties happen by construction
+    val left = (1 to 400).map(i => (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(50).toLong))
+      .toDF("l_id", "k", "t")
+    val right = (1 to 200).map { i =>
+      (1000L + i, rnd.nextInt(10).toLong * 2, rnd.nextInt(50).toLong, rnd.nextDouble())
+    }.toDF("r_id", "k", "t", "v")
+      // unique (k, t): max r_id wins, as the operator contract requires
+      .groupBy("k", "t").agg(max(struct(col("r_id"), col("v"))).as("s"))
+      .select(col("k"), col("t"), col("s.r_id").as("r_id"), col("s.v").as("v"))
+
+    val got = Joins.asofJoin(left, right, Seq("k"), "t", Seq("r_id", "v"))
+      .select("l_id", "r_r_id", "r_v")
+
+    // brute force: the matching right row is the arg-max over t' ≤ t
+    val brute = left.as("l")
+      .join(right.as("r"), col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left")
+      .groupBy(col("l.l_id").as("l_id"))
+      .agg(max(struct(col("r.t"), col("r.r_id"), col("r.v"))).as("m"))
+      .select(col("l_id"), col("m.r_id").as("r_r_id"), col("m.v").as("r_v"))
+
+    val g = got.collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    val b = brute.collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(g.size == 400 && b.size == 400)
+    assert(g == b)
+  }
+
+  test("asofJoin: a tied right-side timestamp is visible to the left row") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("l_id", "k", "t")
+    val right = Seq((5L, 1L, 10L, 0.5)).toDF("r_id", "k", "t", "v")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", Seq("r_id")).collect()
+    assert(out.head.getAs[Long]("r_r_id") == 5L)
+  }
+
+  test("asof_join plan: NO join operator — one union, one window shuffle") {
+    val p = physical("asof_join")
+    assert(count(p) { case _: SortMergeJoinExec => } == 0 &&
+      count(p) { case _: BroadcastHashJoinExec => } == 0 &&
+      count(p) { case _: ShuffledHashJoinExec => } == 0 &&
+      count(p) { case _: BroadcastNestedLoopJoinExec => } == 0 &&
+      count(p) { case _: CartesianProductExec => } == 0,
+      s"asof_join must be join-free (union + running window):\n$p")
+    // shuffle 1: the right-side (user_id, ts) dedup agg; shuffle 2: the
+    // window co-partitioning. The point side of the union never pre-shuffles.
+    assert(count(p) { case _: ShuffleExchangeExec => } == 2,
+      s"expected exactly 2 shuffles:\n$p")
+  }
+
+  test("interval_join plan: broadcast hash join, point side never shuffles") {
+    val p = physical("interval_join")
+    assert(count(p) { case _: CartesianProductExec => } == 0 &&
+      count(p) { case _: BroadcastNestedLoopJoinExec => } == 0,
+      s"interval_join must not plan a nested loop:\n$p")
+    assert(count(p) { case _: BroadcastHashJoinExec => } == 1,
+      s"expected one broadcast hash join:\n$p")
+    assert(count(p) { case _: BroadcastExchangeExec => } == 1)
+    // the only exchange is the final per-anchor aggregation
+    assert(count(p) { case _: ShuffleExchangeExec => } == 1,
+      s"point side must reach the join shuffle-free:\n$p")
+  }
+}
