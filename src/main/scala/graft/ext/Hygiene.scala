@@ -334,6 +334,19 @@ object Hygiene {
     df.where(hashU(col("doc_id")) < rate)
   }
 
+  /** Weighted Bernoulli sampling: keep a row with probability proportional
+    * to its `weight` (capped at 1) — the consumer of per-example importance
+    * weights ([[graft.ext.Quality]]'s DSIR weights, length-proportional
+    * sampling, per-domain boosts). Inclusion is `hashU64(id) < weight ·
+    * scale`, a PURE INTEGER comparison: exact cross-engine (no pow/ln at
+    * the decision boundary, unlike priority-sampling formulations) and a
+    * reproducible, narrow, shuffle-free scan-time filter like
+    * [[stratifiedSample]]. Expected sample fraction for a row is
+    * `min(1, weight·scale / 2^32)`. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+                     scale: Long): DataFrame =
+    df.where(hashU64(id) < weight.cast("long") * lit(scale))
+
   /** The gate's mixing spec: favor English, downsample the rest. */
   private[ext] val GateRates: Map[String, Double] =
     Map("en" -> 0.9, "fr" -> 0.5, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.1)
@@ -607,6 +620,11 @@ object Hygiene {
     "stratified_sample" -> ((s, dir) =>
       stratifiedSample(SparkEntry.table(s, dir, "documents"), col("lang"), GateRates)
         .select("doc_id", "lang", "source")),
+    // keep probability ∝ document length: 4e6/2^32 ≈ 0.093% per char
+    "weighted_sample" -> ((s, dir) =>
+      weightedSample(SparkEntry.table(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), scale = 4000000L)
+        .select("doc_id", "source", "n_chars")),
     // temperature mix over source strata: rates derive from the measured
     // histogram (closed-form), so the oracle recomputes them in SQL
     "temperature_mix" -> ((s, dir) =>
@@ -818,6 +836,12 @@ object Hygiene {
         |        / 4294967296.0
         |  < CASE lang WHEN 'en' THEN 0.9 WHEN 'fr' THEN 0.5 WHEN 'de' THEN 0.5
         |              WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END""".stripMargin,
+
+    // pure integer comparison — no float at the decision boundary
+    "weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  < n_chars * 4000000""".stripMargin,
 
     // rates recomputed from the histogram with the same operation order as
     // temperatureMix ((0.5·N·n^0.5/Σ)/n); the one float-order divergence

@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.ProdSession
+
+/** Plan gates for [[Olap]] (every subtotal level from ONE scan) and
+  * behavioral gates for [[Hygiene.weightedSample]]. */
+class OlapSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = ProdSession.spark
+
+  private def physical(name: String): SparkPlan =
+    graft.SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+  private def count(p: SparkPlan)(pf: PartialFunction[SparkPlan, Unit]): Int =
+    p.collect { case n if pf.isDefinedAt(n) => n }.size
+
+  for (q <- Seq("rollup_agg", "cube_agg")) {
+    test(s"$q: one scan, one Expand, one aggregation exchange") {
+      val p = physical(q)
+      assert(count(p) { case _: FileSourceScanExec => } == 1,
+        s"$q must produce all levels from a single scan (no per-level UNION):\n$p")
+      assert(count(p) { case _: ExpandExec => } == 1, s"$q plans without Expand:\n$p")
+      // partial agg collapses before the one exchange
+      assert(count(p) { case _: ShuffleExchangeExec => } == 1,
+        s"$q should shuffle only pre-aggregated level rows:\n$p")
+    }
+  }
+
+  test("weightedSample: deterministic, monotone in scale, rate tracks weight") {
+    import spark.implicits._
+    val docs = (1L to 4000L).map(i => (i, 100 + (i % 400).toInt))
+      .toDF("doc_id", "n_chars")
+    def ids(scale: Long): Set[Long] =
+      Hygiene.weightedSample(docs, col("doc_id"), col("n_chars"), scale)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(4000000L)
+    assert(a == ids(4000000L), "same scale must select the same rows")
+    assert(a.subsetOf(ids(8000000L)), "doubling scale must only add rows")
+    // E[fraction] = avg(n_chars)·scale/2^32 ≈ 300·4e6/2^32 ≈ 27.9%
+    assert(a.size > 800 && a.size < 1500, s"fraction off: ${a.size}/4000")
+    // heavier rows must be sampled at a measurably higher rate
+    val byW = Hygiene.weightedSample(docs, col("doc_id"), col("n_chars"), 4000000L)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val base = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(byW > base + 20, s"sampled mean weight $byW ≤ corpus mean $base")
+  }
+}
