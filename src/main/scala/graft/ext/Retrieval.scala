@@ -105,6 +105,67 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
 
+  /** Linear TF-IDF ranking — the second voice for [[rrfFusion]]: same
+    * rational Robertson idf as [[bm25]] but LINEAR tf and no length
+    * normalization, so the two rankers genuinely disagree (a long document
+    * repeating a term climbs here, saturates there). Same plan shape as
+    * [[bm25]]: corpus never shuffles, queries broadcast, rank-limit
+    * pushdown top-k. */
+  def tfidfRank(docs: DataFrame, queries: Seq[(String, Seq[String])], k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n"))
+    val dfreq = d.select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val q = queries.toDF("query_id", "terms")
+      .select(col("query_id"), posexplode(col("terms")).as(Seq("pos", "term")))
+      .join(dfreq, Seq("term"), "left")
+      .na.fill(0.0, Seq("df"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("term"), col("df"))))
+        .as("qterms"))
+    val scored = d
+      .crossJoin(broadcast(q.crossJoin(stats)))
+      .withColumn("score",
+        aggregate(col("qterms"), lit(0.0), (acc, qt) => {
+          val tf = size(filter(col("toks"), x => x === qt.getField("term"))).cast("double")
+          val df = qt.getField("df")
+          acc + tf * ((col("n") - df + lit(0.5)) / (df + lit(0.5)))
+        }))
+      .select(col("query_id"), col("doc_id"), col("score"))
+      // rows scoring 0 match no query term — not retrieval results, and
+      // including them would let rank explode to corpus size
+      .where(col("score") > 0)
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of the [[bm25]] and
+    * [[tfidfRank]] lists: `Σ 1/(c + rank)` over the systems that retrieved
+    * the document in their top-`depth`, fused list cut to top-`k`.
+    * Determinism: each contribution is one double division with integer
+    * inputs and the sum runs in fixed system order (bm25 + tfidf), so the
+    * oracle reproduces the score bit-exactly; ties break on doc_id. The
+    * fusion input is |queries|·depth rows per system — driver-scale small
+    * regardless of corpus size, so the join cost lives entirely in the two
+    * ranker jobs. */
+  def rrfFusion(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                k: Int = 10, depth: Int = 50, c: Int = 60): DataFrame = {
+    val a = bm25(docs, queries, depth).select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_bm25"))
+    val b = tfidfRank(docs, queries, depth).select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_tfidf"))
+    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(c) + col("rank_bm25")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c) + col("rank_tfidf")), lit(0.0)))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("rrf_score"), asc("doc_id"))
+    fused.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("rrf_score"))
+  }
+
   /** Driver-gate query set: two terms each (commutative-add determinism). */
   val GateQueries: Seq[(String, Seq[String])] = Seq(
     "q1" -> Seq("spark", "join"),
@@ -115,6 +176,8 @@ object Retrieval {
   val queries: Map[String, Q] = Map(
     "bm25_index" -> ((s, dir) => index(SparkEntry.table(s, dir, "documents"))),
     "bm25_topk"  -> ((s, dir) => bm25(SparkEntry.table(s, dir, "documents"), GateQueries)),
+    "retrieval_rrf" -> ((s, dir) =>
+      rrfFusion(SparkEntry.table(s, dir, "documents"), GateQueries)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -160,5 +223,67 @@ object Retrieval {
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
         |  FROM scored)
         |SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 10""".stripMargin,
+
+    // both rankers re-derived with the engine's exact arithmetic shapes,
+    // fused with fixed-order RRF adds (bm25 contribution + tfidf
+    // contribution — integer-input divisions, bit-exact cross-engine)
+    "retrieval_rrf" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |              CAST(sum(len(toks)) AS DOUBLE) AS total FROM d),
+        |q(query_id, t1, t2) AS (VALUES
+        |  ('q1', 'spark', 'join'), ('q2', 'fast', 'scan'),
+        |  ('q3', 'vector', 'window'), ('q4', 'the', 'slow')),
+        |dfs AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM d)
+        |  GROUP BY term),
+        |bs AS (
+        |  SELECT q.query_id, dd.doc_id,
+        |    (((st.n - COALESCE(f1.df, 0.0) + 0.5) / (COALESCE(f1.df, 0.0) + 0.5)) *
+        |      ((CAST(len(list_filter(dd.toks, x -> x = q.t1)) AS DOUBLE) * 2.2) /
+        |       (CAST(len(list_filter(dd.toks, x -> x = q.t1)) AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * dd.dl / (st.total / st.n))))) +
+        |    (((st.n - COALESCE(f2.df, 0.0) + 0.5) / (COALESCE(f2.df, 0.0) + 0.5)) *
+        |      ((CAST(len(list_filter(dd.toks, x -> x = q.t2)) AS DOUBLE) * 2.2) /
+        |       (CAST(len(list_filter(dd.toks, x -> x = q.t2)) AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * dd.dl / (st.total / st.n))))) AS score
+        |  FROM dd, st, q
+        |  LEFT JOIN dfs f1 ON f1.term = q.t1
+        |  LEFT JOIN dfs f2 ON f2.term = q.t2),
+        |bq AS (
+        |  SELECT query_id, doc_id, rank_bm25 FROM (
+        |    SELECT query_id, doc_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank_bm25
+        |    FROM bs) WHERE rank_bm25 <= 50),
+        |ts AS (
+        |  SELECT q.query_id, dd.doc_id,
+        |    (CAST(len(list_filter(dd.toks, x -> x = q.t1)) AS DOUBLE) *
+        |      ((st.n - COALESCE(f1.df, 0.0) + 0.5) / (COALESCE(f1.df, 0.0) + 0.5))) +
+        |    (CAST(len(list_filter(dd.toks, x -> x = q.t2)) AS DOUBLE) *
+        |      ((st.n - COALESCE(f2.df, 0.0) + 0.5) / (COALESCE(f2.df, 0.0) + 0.5))) AS score
+        |  FROM dd, st, q
+        |  LEFT JOIN dfs f1 ON f1.term = q.t1
+        |  LEFT JOIN dfs f2 ON f2.term = q.t2),
+        |tq AS (
+        |  SELECT query_id, doc_id, rank_tfidf FROM (
+        |    SELECT query_id, doc_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank_tfidf
+        |    FROM ts WHERE score > 0) WHERE rank_tfidf <= 50),
+        |f AS (
+        |  SELECT COALESCE(bq.query_id, tq.query_id) AS query_id,
+        |         COALESCE(bq.doc_id, tq.doc_id) AS doc_id,
+        |         COALESCE(1.0 / (60 + bq.rank_bm25), 0.0) +
+        |         COALESCE(1.0 / (60 + tq.rank_tfidf), 0.0) AS rrf_score
+        |  FROM bq FULL OUTER JOIN tq
+        |    ON bq.query_id = tq.query_id AND bq.doc_id = tq.doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id, rrf_score, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+        |  FROM f)
+        |SELECT query_id, doc_id, rank, rrf_score FROM r WHERE rank <= 10""".stripMargin,
   )
 }

@@ -92,4 +92,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.keySet == ref.keySet)
     got.foreach { case (t, (d, c)) => assert(d == ref(t) && c == cf(t), s"term $t") }
   }
+
+  test("rrfFusion equals RRF recomputed from the two rank lists") {
+    val qs = Retrieval.GateQueries
+    val bm = Retrieval.bm25(docs, qs, 50).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val tf = Retrieval.tfidfRank(docs, qs, 50).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val expected = (bm.keySet ++ tf.keySet).groupBy(_._1).flatMap { case (q, keys) =>
+      keys.toSeq
+        .map { k =>
+          val s = bm.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            tf.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (k._2, s)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, s), i) => (q, id) -> ((i + 1, s)) }
+    }
+    val got = Retrieval.rrfFusion(docs, qs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    // a document both systems rank must beat one only a single system ranks
+    // at the same depth: 1/(60+r)·2 > 1/(60+r) for any r — spot-check that
+    // every fused top-1 is present in at least one ranker's list (sanity)
+    got.collect { case ((q, id), (1, _)) => (q, id) }.foreach { k =>
+      assert(bm.contains(k) || tf.contains(k))
+    }
+  }
 }
