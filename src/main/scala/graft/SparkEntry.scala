@@ -103,7 +103,7 @@ object SparkEntry {
       ext.Similarity.queries ++ ext.Multimodal.queries ++ ext.Sessionize.queries ++
       ext.Curation.queries ++ ext.Hygiene.queries ++ ext.Vocab.queries ++
       ext.Quality.queries ++ ext.Retrieval.queries ++ ext.Joins.queries ++
-      ext.Olap.queries ++
+      ext.Olap.queries ++ ext.Layout.queries ++
       engine.StreamingCoverage.queries
 
   /** The jmes_wide/variant_wide constructed document (~1 KB/record): the
@@ -415,6 +415,6 @@ object SparkEntry {
     ext.Similarity.oracleSql ++ ext.Multimodal.oracleSql ++ ext.Sessionize.oracleSql ++
     ext.Curation.oracleSql ++ ext.Hygiene.oracleSql ++ ext.Vocab.oracleSql ++
     ext.Quality.oracleSql ++ ext.Retrieval.oracleSql ++ ext.Joins.oracleSql ++
-    ext.Olap.oracleSql ++
+    ext.Olap.oracleSql ++ ext.Layout.oracleSql ++
     engine.StreamingCoverage.oracleSql
 }

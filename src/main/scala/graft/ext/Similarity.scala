@@ -761,6 +761,23 @@ object Similarity {
       annIvf(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
         nCells = GateIvfCells, nProbe = GateIvfProbe)
     }),
+    // recall@k of the IVF path against exact ground truth AS A QUERY — the
+    // eval every ANN deployment must run ("measure, don't guess" as a
+    // first-class operator, not a spec-only number). Both legs are the
+    // already-oracle-gated jobs; the fusion is a tiny top-k-sized join.
+    "ann_recall" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      val exact = annTopK(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK)
+        .select("query_id", "neighbor_id")
+      val ivf = annIvf(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK,
+          nCells = GateIvfCells, nProbe = GateIvfProbe)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(GateK)).as("recall"))
+    }),
     // sign-hyperplane LSH variant: deterministic buckets (fixed-seed ±1
     // planes shared with the SQL oracle), so it gets a full algorithm-mirror
     // oracle like ann_ivf; ExtSpec additionally measures recall
@@ -864,16 +881,18 @@ object Similarity {
       |      FROM sims)
       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin
 
+  private lazy val annTopkOracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $GateQueryMaxId),
+      |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+      |        list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+      |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      |r AS (SELECT query_id, neighbor_id, sim,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "ann_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $GateQueryMaxId),
-        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |        list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
-        |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM s)
-        |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
+    "ann_topk" -> annTopkOracleSql,
     // algorithm mirror of annSq8: same max|v|/127 scales, the same
     // floor(x/s + ½) round-half-up clamp, cosine over the dequantized
     // doubles (list_cosine_similarity folds dims in the same order as the
@@ -910,6 +929,15 @@ object Similarity {
     // same oracle applies — a byte difference in the reloaded state would
     // break the hash match
     "ann_ivf_trained" -> annIvfOracleSql,
+    // composition of the two gated legs (WITH-in-subquery keeps their CTE
+    // namespaces separate); n_hits/GateK is one IEEE division — exact
+    "ann_recall" ->
+      s"""SELECT ex.query_id, count(iv.neighbor_id) AS n_hits,
+        |       CAST(count(iv.neighbor_id) AS DOUBLE) / $GateK AS recall
+        |FROM ( $annTopkOracleSql ) ex
+        |LEFT JOIN ( $annIvfOracleSql ) iv
+        |  ON iv.query_id = ex.query_id AND iv.neighbor_id = ex.neighbor_id
+        |GROUP BY ex.query_id""".stripMargin,
     // algorithm mirror of annLsh: identical ±1.0 hyperplane literals, the
     // same quantSim(cos) ≥ 0 bit rule, per-table bucket-equality
     // candidates, exact cosine + top-k on survivors
