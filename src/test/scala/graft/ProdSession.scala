@@ -21,15 +21,24 @@ import org.apache.spark.sql.SparkSession
   * concrete static tree (production keeps AQE on; AQE re-plans start from
   * exactly this plan). */
 object ProdSession {
-  lazy val spark: SparkSession = {
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "false")
-      .withExtensions(new GraftExtensions()(_))
-      .getOrCreate()
+  /** Not a `lazy val`: RetrySpec cycles the JVM's SparkContext (it needs a
+    * `local[4, 2]` master for task-retry semantics), and suite order is not
+    * under this object's control — a cached session whose context died
+    * mid-run poisoned three whole suites. Rebuild whenever the underlying
+    * context is stopped; otherwise return the cached session. */
+  @volatile private var cached: SparkSession = _
+  def spark: SparkSession = synchronized {
+    if (cached == null || cached.sparkContext.isStopped) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      cached = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "false")
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+    }
+    cached
   }
 }
