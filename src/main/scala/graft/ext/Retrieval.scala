@@ -142,22 +142,80 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rank"))
   }
 
-  /** Reciprocal-rank fusion (Cormack et al. 2009) of the [[bm25]] and
-    * [[tfidfRank]] lists: `Σ 1/(c + rank)` over the systems that retrieved
-    * the document in their top-`depth`, fused list cut to top-`k`.
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of the BM25 and linear
+    * TF-IDF rankings: `Σ 1/(c + rank)` over the systems that retrieved the
+    * document in their top-`depth`, fused list cut to top-`k`.
+    *
+    * ONE corpus pass: both scores are computed in the same scored
+    * projection (the tokenization, df table, and corpus stats are shared —
+    * running the two rankers as separate jobs would tokenize and scan the
+    * corpus twice), and each ranking reduces through a [[TopKAgg]] partial
+    * aggregate, so every partition ships ≤ depth rows per query per system.
+    * The tfidf leg ranks only positive scores (a zero score matches no
+    * query term) — filtered inside the aggregate via `minScoreExclusive`,
+    * which preserves ranks because positives always sort before zeros. The
+    * fusion join touches |queries|·depth rows per system regardless of
+    * corpus size.
+    *
     * Determinism: each contribution is one double division with integer
     * inputs and the sum runs in fixed system order (bm25 + tfidf), so the
-    * oracle reproduces the score bit-exactly; ties break on doc_id. The
-    * fusion input is |queries|·depth rows per system — driver-scale small
-    * regardless of corpus size, so the join cost lives entirely in the two
-    * ranker jobs. */
+    * oracle reproduces the score bit-exactly; ties break on doc_id. */
   def rrfFusion(docs: DataFrame, queries: Seq[(String, Seq[String])],
                 k: Int = 10, depth: Int = 50, c: Int = 60): DataFrame = {
-    val a = bm25(docs, queries, depth).select(col("query_id"), col("doc_id"),
-      col("rank").as("rank_bm25"))
-    val b = tfidfRank(docs, queries, depth).select(col("query_id"), col("doc_id"),
-      col("rank").as("rank_tfidf"))
-    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(size(col("toks"))).cast("double").as("total"))
+    val dfreq = d.select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val q = queries.toDF("query_id", "terms")
+      .select(col("query_id"), posexplode(col("terms")).as(Seq("pos", "term")))
+      .join(dfreq, Seq("term"), "left")
+      .na.fill(0.0, Seq("df"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("term"), col("df"))))
+        .as("qterms"))
+    // both arithmetic shapes EXACTLY as in bm25()/tfidfRank() — the
+    // fused scores must stay bit-identical to the standalone rankers'
+    val scored = d
+      .crossJoin(broadcast(q.crossJoin(stats)))
+      .withColumn("score_bm25",
+        aggregate(col("qterms"), lit(0.0), (acc, qt) => {
+          val tf  = size(filter(col("toks"), x => x === qt.getField("term"))).cast("double")
+          val df  = qt.getField("df")
+          val idf = (col("n") - df + lit(0.5)) / (df + lit(0.5))
+          acc + idf * ((tf * lit(K1 + 1.0)) /
+            (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / (col("total") / col("n")))))
+        }))
+      .withColumn("score_tfidf",
+        aggregate(col("qterms"), lit(0.0), (acc, qt) => {
+          val tf = size(filter(col("toks"), x => x === qt.getField("term"))).cast("double")
+          val df = qt.getField("df")
+          acc + tf * ((col("n") - df + lit(0.5)) / (df + lit(0.5)))
+        }))
+      .select(col("query_id"), col("doc_id"), col("score_bm25"), col("score_tfidf"))
+    val topAll = udaf(new TopKAgg(depth),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+    val topPos = udaf(new TopKAgg(depth, minScoreExclusive = 0.0),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+    val agg = scored.groupBy("query_id").agg(
+      topAll(col("doc_id"), col("score_bm25")).as("tb"),
+      topPos(col("doc_id"), col("score_tfidf")).as("tt"))
+    // columnar fusion — NOT a full-outer self-join of the agg subtree,
+    // which would execute the corpus scoring twice (the duplicated-subtree
+    // trap): rank maps from each list, the doc union exploded once
+    def ids(c0: Column): Column = transform(c0, s => s.getField("id"))
+    def rankMap(c0: Column): Column =
+      map_from_arrays(ids(c0), transform(c0, (_, i) => i + 1))
+    val fused = agg
+      .select(col("query_id"),
+        rankMap(col("tb")).as("mb"), rankMap(col("tt")).as("mt"),
+        explode(array_union(ids(col("tb")), ids(col("tt")))).as("doc_id"))
+      .withColumn("rank_bm25", element_at(col("mb"), col("doc_id")))
+      .withColumn("rank_tfidf", element_at(col("mt"), col("doc_id")))
       .withColumn("rrf_score",
         coalesce(lit(1.0) / (lit(c) + col("rank_bm25")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(c) + col("rank_tfidf")), lit(0.0)))

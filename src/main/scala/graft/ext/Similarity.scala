@@ -14,12 +14,16 @@ case class Scored(id: Long, score: Double)
   * UDAF it gets map-side partial aggregation: each input partition reduces to
   * ≤ k rows BEFORE the shuffle — the 100 TB-safe alternative to a global
   * `Window.partitionBy(query)` sort that would shuffle every (query,
-  * candidate) pair. */
-class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+  * candidate) pair. `minScoreExclusive` drops inputs at or below the bound
+  * before they enter the buffer (a retrieval leg that ranks only positive
+  * scores filters here, keeping the aggregate's pre-shuffle reduction). */
+class TopKAgg(k: Int, minScoreExclusive: Double = Double.NegativeInfinity)
+    extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   private val ord: Ordering[Scored] = Ordering.by(s => (-s.score, s.id))
   override def zero: Seq[Scored] = Nil
   override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] =
-    ((buf :+ in).sorted(ord)).take(k)
+    if (!(in.score > minScoreExclusive)) buf
+    else ((buf :+ in).sorted(ord)).take(k)
   override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
     ((a ++ b).sorted(ord)).take(k)
   override def finish(buf: Seq[Scored]): Seq[Scored] = buf

@@ -531,6 +531,27 @@ class PlanSpec extends AnyFunSuite {
       s"expected 2× partial+final HashAggregate:\n$p")
   }
 
+  test("retrieval_rrf: ONE scoring pass over the corpus, both legs partial top-k") {
+    val p = physical("retrieval_rrf")
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0)
+    // the one-pass design: the corpus is scanned for the shared scored
+    // projection plus the two stats aggregations (df table, corpus stats)
+    // — NOT once per ranker (the two-job form paid 6 scans)
+    assert(count(p) { case _: FileSourceScanExec => } == 3,
+      s"expected 3 corpus scans (scoring + df + stats):\n$p")
+    // both rankings reduce through ONE partial-then-final TopKAgg
+    // aggregate pair (≤ depth rows per query per system cross the wire);
+    // the second pair is the tiny query-set collect_list (qterms)
+    assert(count(p) { case _: ObjectHashAggregateExec => } == 4,
+      s"expected the top-k pair + the qterms collect_list pair:\n$p")
+    // the only window (final fused ranking) runs over the exploded top-k
+    // lists — input bounded by |queries|·2·depth, never corpus-sized
+    val wins = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.size == 1, s"expected exactly one (tiny) fusion window:\n$p")
+    assert(wins.head.collectFirst { case _: ObjectHashAggregateExec => () }.nonEmpty,
+      s"fusion window must sit above the aggregated top-k lists:\n$p")
+  }
+
   test("ann_sq8: query side broadcast, corpus narrow, partial top-k") {
     val p = physical("ann_sq8")
     val bnl = p.collect { case j: BroadcastNestedLoopJoinExec => j }
