@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Mergeable Misra–Gries frequency sketch (Agarwal et al., "Mergeable
+  * Summaries", PODS 2012): a bounded map of at most `2m` counters whose
+  * prune step subtracts the (m+1)-th largest count from every counter and
+  * drops the non-positives. Over any input split the total subtracted mass
+  * is ≤ n/(m+1), so every item with true frequency > n/(m+1) SURVIVES with
+  * a positive counter — the unconditional superset guarantee
+  * [[Freq.heavyHitters]] builds on. Registered as a UDAF it partial-
+  * aggregates: each input partition ships ≤ 2m (term, count) entries,
+  * never its raw term stream.
+  */
+class MgSketch(m: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(m > 0)
+  override def zero: Map[String, Long] = Map.empty
+
+  private def prune(buf: Map[String, Long]): Map[String, Long] =
+    if (buf.size <= m) buf
+    else {
+      // subtract the (m+1)-th largest count: at most m counters stay positive
+      val delta = buf.valuesIterator.toArray.sorted(Ordering[Long].reverse)(m)
+      buf.collect { case (t, c) if c > delta => (t, c - delta) }
+    }
+
+  override def reduce(buf: Map[String, Long], term: String): Map[String, Long] = {
+    val grown = buf.updated(term, buf.getOrElse(term, 0L) + 1L)
+    // amortize the O(s log s) prune: let the map grow to 2m between prunes
+    if (grown.size >= 2 * m) prune(grown) else grown
+  }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val (small, large) = if (a.size < b.size) (a, b) else (b, a)
+    prune(small.foldLeft(large) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c)
+    })
+  }
+
+  override def finish(buf: Map[String, Long]): Map[String, Long] = prune(buf)
+  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+}
+
+/** Exact heavy hitters without a corpus-wide groupBy — the two-pass
+  * sketch-then-recount classic:
+  *
+  *   1. ONE narrow pass folds every partition into a [[MgSketch]] (≤ 2m
+  *      counters per partition cross the wire) plus the exact item total.
+  *      The sketch's survivor set is a GUARANTEED superset of every item
+  *      with true frequency > n/(m+1).
+  *   2. The bounded candidate set (≤ 2m strings, the same driver-state
+  *      acceptance as IVF centroids) comes back as a scan-time `isin`
+  *      filter; only candidate occurrences reach the exact recount
+  *      aggregation, and the final cut keeps items with `cnt · m > n` —
+  *      strictly above the guarantee threshold, so the output equals the
+  *      full-groupBy answer EXACTLY, by construction, on any input.
+  *
+  * At 100 TB the difference is shuffling ≤ 2m rows per partition twice
+  * versus hash-exchanging every distinct term's partial count — on a
+  * heavy-tailed term domain (the regime where you'd ask for heavy hitters)
+  * that's the whole distinct-term table. The integer comparison
+  * `cnt * m > n` keeps the threshold float-free on both engines.
+  */
+object Freq {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Exact heavy hitters of `terms` (one string column named `term`):
+    * all terms with count > n/m, via MG candidates + bounded recount. */
+  def heavyHitters(terms: DataFrame, m: Int): DataFrame = {
+    val mg = udaf(new MgSketch(m), org.apache.spark.sql.Encoders.STRING)
+    val sketchRow = terms
+      .agg(mg(col("term")).as("sketch"), count(lit(1)).as("n"))
+      .head()
+    val candidates = sketchRow.getMap[String, Long](0).keys.toSeq
+    val n = sketchRow.getLong(1)
+    terms
+      .where(col("term").isInCollection(candidates))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * m > n)
+  }
+
+  /** Word 3-grams of the documents corpus, one row per occurrence. The
+    * sliding window is a narrow transform over the materialized token
+    * array (the [[Hygiene]] HOF posture — never re-split inside a lambda). */
+  private[ext] def trigrams(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    docs
+      .select(w.as("w"))
+      .select(explode(when(size(col("w")) >= 3,
+        transform(sequence(lit(1), size(col("w")) - 2), i =>
+          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("term"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // m = 4096 over the ~16k-distinct trigram domain: the sketch MUST prune
+    // (so the gate exercises the guarantee, not just the plumbing), and the
+    // sf0.01 corpus has a handful of grams above n/4096
+    "heavy_hitters" -> ((s, dir) =>
+      heavyHitters(trigrams(SparkEntry.table(s, dir, "documents")), m = 4096)
+        .select(col("term"), col("cnt"))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the oracle is the full groupBy the two-pass form provably equals
+    "heavy_hitters" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] AS term
+        |      FROM d, LATERAL unnest(range(1, greatest(len(w) - 1, 1))) AS g(i)),
+        |c AS (SELECT term, count(*) AS cnt FROM g GROUP BY term),
+        |n AS (SELECT count(*) AS total FROM g)
+        |SELECT term, cnt FROM c, n WHERE cnt * 4096 > total""".stripMargin,
+  )
+}
