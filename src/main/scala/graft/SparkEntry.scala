@@ -88,7 +88,17 @@ object SparkEntry {
     "decontaminate_spans", "ngram_novelty", "hard_negatives_ivf",
     // third continued-round-9 block: lexical retrieval — the df/cf index
     // job (two partial-agg stages) and shuffle-free broadcast BM25 scoring
-    "bm25_index", "bm25_topk")
+    "bm25_index", "bm25_topk",
+    // fourth block: the join-free as-of join (one co-partitioning exchange
+    // + running window over the full event log), the one-scan multi-level
+    // rollup, and hybrid-retrieval fusion (times BOTH ranker legs).
+    // interval_join / zorder_key / weighted_sample / grouping variants sit
+    // at the scan-time job floor and stay bench-excluded.
+    "asof_join", "rollup_agg", "retrieval_rrf",
+    // fifth block: two-pass sketch+recount heavy hitters (real per-token
+    // compute twice over the corpus) and the SFT render window+concat
+    // (sft_spans shares sft_format's plan shape and stays excluded)
+    "heavy_hitters", "sft_format")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-
@@ -103,7 +113,8 @@ object SparkEntry {
       ext.Similarity.queries ++ ext.Multimodal.queries ++ ext.Sessionize.queries ++
       ext.Curation.queries ++ ext.Hygiene.queries ++ ext.Vocab.queries ++
       ext.Quality.queries ++ ext.Retrieval.queries ++ ext.Joins.queries ++
-      ext.Olap.queries ++ ext.Layout.queries ++
+      ext.Olap.queries ++ ext.Layout.queries ++ ext.Freq.queries ++
+      ext.Sft.queries ++
       engine.StreamingCoverage.queries
 
   /** The jmes_wide/variant_wide constructed document (~1 KB/record): the
@@ -415,6 +426,7 @@ object SparkEntry {
     ext.Similarity.oracleSql ++ ext.Multimodal.oracleSql ++ ext.Sessionize.oracleSql ++
     ext.Curation.oracleSql ++ ext.Hygiene.oracleSql ++ ext.Vocab.oracleSql ++
     ext.Quality.oracleSql ++ ext.Retrieval.oracleSql ++ ext.Joins.oracleSql ++
-    ext.Olap.oracleSql ++ ext.Layout.oracleSql ++
+    ext.Olap.oracleSql ++ ext.Layout.oracleSql ++ ext.Freq.oracleSql ++
+    ext.Sft.oracleSql ++
     engine.StreamingCoverage.oracleSql
 }

@@ -111,8 +111,15 @@ object Joins {
         .withColumn("purchase_ts", col("ts"))
       val clicks = events.where(col("event_type") === "click")
         .select("event_id", "user_id", "ts")
+      // no-prior-purchase is a NULL payload; the timestamp goes out as
+      // epoch-µs with a -1 sentinel — a NULLABLE TIMESTAMP column trips
+      // cross-engine comparators on NaT representation (µs-vs-ns pandas
+      // units), where a BIGINT column is representation-free
       asofJoin(clicks, purchases, Seq("user_id"), "ts",
         Seq("purchase_id", "purchase_ts", "purchase_value"), prefix = "")
+        .withColumn("purchase_us",
+          coalesce(unix_micros(col("purchase_ts")), lit(-1L)))
+        .drop("purchase_ts")
     }),
     // per incident window: traffic volume and exact integer-cents value sum
     // (a double SUM is summation-order nondeterministic; cents are exact)
@@ -138,7 +145,8 @@ object Joins {
         |  GROUP BY user_id, ts),
         |cl AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         |SELECT cl.event_id, cl.user_id, cl.ts,
-        |       pr.purchase_id, pr.purchase_ts, pr.purchase_value
+        |       pr.purchase_id, pr.purchase_value,
+        |       coalesce(epoch_us(pr.purchase_ts), -1) AS purchase_us
         |FROM cl ASOF LEFT JOIN pr ON cl.user_id = pr.user_id AND cl.ts >= pr.ts""".stripMargin,
     "interval_join" ->
       """WITH a AS (
