@@ -347,6 +347,30 @@ object Hygiene {
                      scale: Long): DataFrame =
     df.where(hashU64(id) < weight.cast("long") * lit(scale))
 
+  /** EXACT-k per-stratum sample (fixed-size eval/holdout sets per source,
+    * where the Bernoulli samplers above only hit k in expectation): the k
+    * members of each stratum with the smallest [[hashU64]] rank — a
+    * deterministic function of ids alone, reproducible across runs and
+    * engines.
+    *
+    * Selection runs through the [[TopKAgg]] partial aggregate, NOT a
+    * `row_number` window: each input partition reduces to ≤ k rows per
+    * stratum BEFORE the shuffle, where the window formulation hash-
+    * exchanges and sorts the ENTIRE corpus to then discard all but
+    * strata·k rows. Ranks are < 2³², exact in the aggregate's double
+    * score; equal ranks (hash collisions) break by ascending id on both
+    * engines. */
+  def exactKSample(df: DataFrame, stratum: Column, id: Column, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+    df.select(stratum.as("stratum"), id.as("id"))
+      .withColumn("r", hashU64(col("id")))
+      .groupBy("stratum")
+      .agg(topk(col("id"), -col("r").cast("double")).as("top"))
+      .select(col("stratum"), explode(col("top")).as("s"))
+      .select(col("stratum"), col("s.id").as("id"))
+  }
+
   /** The gate's mixing spec: favor English, downsample the rest. */
   private[ext] val GateRates: Map[String, Double] =
     Map("en" -> 0.9, "fr" -> 0.5, "de" -> 0.5, "es" -> 0.25, "zh" -> 0.1)
@@ -598,6 +622,11 @@ object Hygiene {
   val queries: Map[String, Q] = Map(
     "repetition_stats" -> ((s, dir) =>
       repetitionStats(SparkEntry.table(s, dir, "documents"))),
+    // fixed 20-doc eval slice per source, selected by hash rank
+    "exact_k_sample" -> ((s, dir) =>
+      exactKSample(SparkEntry.table(s, dir, "documents"),
+        col("source"), col("doc_id"), k = 20)
+        .select(col("stratum").as("source"), col("id").as("doc_id"))),
     "pii_redact" -> ((s, dir) =>
       redactPii(SparkEntry.table(s, dir, "documents"), piiAugmented)),
     "contamination" -> ((s, dir) => {
@@ -656,6 +685,14 @@ object Hygiene {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the window formulation the engine-side partial top-k provably equals
+    "exact_k_sample" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS rk
+        |  FROM documents),
+        |w AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn FROM r)
+        |SELECT source, doc_id FROM w WHERE rn <= 20""".stripMargin,
     // mirrors c4Clean over withInjectedLines(groupLen=8): re-chunk into
     // 8-token lines (range is end-exclusive; list_slice is 1-indexed
     // inclusive), then the line rules — >=5 words, no 'vector' — and the

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Corpus snapshot versioning: the changelog between two crawls/releases of
+  * the same corpus — which documents were added, removed, or content-changed.
+  * Every incremental pipeline run starts from this table (re-process only
+  * `added`/`changed`, retire `removed` from downstream indexes).
+  *
+  * Scale shape: both sides reduce to (id, xxhash64(text)) AT SCAN TIME, so
+  * the full-outer join — which cannot be broadcast when both snapshots are
+  * corpus-sized — shuffles 16 bytes per document, never the text. Collision
+  * posture: an xxhash64 collision between a document's old and new text
+  * masks one `changed` row (P ≈ 2⁻⁶⁴ per changed doc) — the same acceptance
+  * as [[Hygiene.contamination]]'s `hashKeys` and [[Dedup.subdocDedup]].
+  */
+object Versioning {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** One row per difference: `status ∈ {added, removed, changed}` keyed by
+    * `idCol`. Unchanged documents (the overwhelming majority between
+    * adjacent snapshots) produce no output. */
+  def corpusDiff(old: DataFrame, neu: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val o = old.select(col(idCol).as("__id"), xxhash64(col(textCol)).as("__h_old"))
+    val n = neu.select(col(idCol).as("__id"), xxhash64(col(textCol)).as("__h_new"))
+    o.join(n, Seq("__id"), "full_outer")
+      .withColumn("status",
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col("__id").as(idCol), col("status"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // constructed adjacent snapshots: ids drop out of either side, a fifth
+    // of the shared docs get their text revised
+    "corpus_diff" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val old = docs.where(col("doc_id") % 7 =!= 1)
+      val neu = docs.where(col("doc_id") % 7 =!= 2)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      corpusDiff(old, neu)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // text equality directly — hash equality on the engine side must agree
+    // unless xxhash64 collides (documented acceptance)
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 1),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 7 != 2),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |        CASE WHEN o.doc_id IS NULL THEN 'added'
+        |             WHEN n.doc_id IS NULL THEN 'removed'
+        |             WHEN o.text != n.text THEN 'changed' END AS status
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL""".stripMargin,
+  )
+}

@@ -718,4 +718,38 @@ class HygieneSpec extends AnyFunSuite {
       assert(bins.head == 0L && bins.last == bins.length - 1L)
     }
   }
+  test("exactKSample: equals the window-rank formulation, without a window") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 7
+    val got = Hygiene.exactKSample(docs, col("source"), col("doc_id"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // the row_number reference the oracle runs, computed in-engine
+    val rk = expr("cast(conv(substring(sha2(cast(doc_id as string), 256), 1, 8), 16, 10) as long)")
+    val ref = docs.select(col("source"), col("doc_id"), rk.as("rk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))))
+      .where(col("rn") <= k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == ref)
+    // exact size: every stratum has >= k members at sf0.001
+    got.groupBy(_._1).foreach { case (_, g) => assert(g.size == k) }
+    // determinism across physical layouts
+    val again = Hygiene.exactKSample(docs.repartition(13), col("source"), col("doc_id"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(again == got)
+  }
+
+  test("exactKSample plan: partial top-k aggregate, NO window, one exchange") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val p = Hygiene.exactKSample(docs, col("source"), col("doc_id"), 20)
+      .queryExecution.executedPlan
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      s"selection must not globally sort the corpus:\n$p")
+    assert(p.collect { case s: ShuffleExchangeExec => s }.size == 1,
+      s"expected the single stratum exchange:\n$p")
+    assert(p.collect { case a: ObjectHashAggregateExec => a }.size == 2,
+      s"expected partial+final TopKAgg so <=k rows/stratum/partition shuffle:\n$p")
+  }
 }

@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Versioning.corpusDiff]]: the changelog semantics on a constructed
+  * snapshot pair, and the scale property — the join carries (id, hash)
+  * only, the text never reaches the exchange. */
+class VersioningSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.ProdSession.spark
+  import spark.implicits._
+
+  test("added / removed / changed / unchanged classify correctly") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Versioning.corpusDiff(old, neu)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("diff plan: full-outer on 8-byte hashes — no text column above the scans") {
+    val docs = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "documents")
+    val p: SparkPlan = Versioning.corpusDiff(
+      docs.where(col("doc_id") % 7 =!= 1), docs.where(col("doc_id") % 7 =!= 2))
+      .queryExecution.executedPlan
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 2, s"expected one exchange per snapshot side:\n$p")
+    // the text reduces to xxhash64 below the exchange: nothing wider than
+    // (id, hash) crosses the wire
+    shuffles.foreach { s =>
+      val width = s.output.map(_.dataType.defaultSize).sum
+      assert(width <= 16, s"exchange carries ${s.output} (width $width):\n$p")
+      assert(!s.output.exists(_.name == "text"),
+        s"text must be hashed below the exchange:\n$p")
+    }
+  }
+}
