@@ -688,6 +688,39 @@ object Similarity {
         (-col("sim")).as("adist"))
   }
 
+  /** IVF-PQ with an exact refine stage (the FAISS `IndexRefineFlat`
+    * deployment shape): the compressed [[annIvfPq]] index produces a
+    * `kShort`-deep shortlist per query, then ONLY shortlist members are
+    * re-scored by exact cosine over their ORIGINAL vectors and cut to the
+    * final `k`. ADC distance is lossy (residual quantization error), so
+    * production stacks always rerank a small multiple of k exactly —
+    * recall of the final list is bounded by the shortlist's, but its
+    * ORDERING is exact.
+    *
+    * Scale shape: the shortlist is |queries|·kShort rows — it (joined with
+    * the query vectors) BROADCASTS against one narrow scan of the corpus
+    * that fetches candidate vectors by id; the exact rerank then reduces
+    * through the partial top-k. The corpus is never shuffled: its two
+    * appearances (compressed scoring, vector fetch) are both scans on the
+    * probe/build side of broadcast joins. */
+  def annIvfPqRefined(emb: DataFrame, queries: DataFrame, k: Int = 5,
+                      kShort: Int = 20,
+                      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, nCodes: Int = 16,
+                      centroids: Option[Seq[(Int, Seq[Double])]] = None,
+                      codebooks: Option[Seq[Seq[(Int, Seq[Double])]]] = None): DataFrame = {
+    val short = annIvfPq(emb, queries, kShort, nCells, nProbe, m, nCodes,
+      centroids, codebooks).select(col("query_id"), col("neighbor_id"))
+    val qe = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pairs = broadcast(short.join(qe, "query_id"))
+    val rer = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(pairs, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        vectors.cosineSim(col("qe"), col("ne")).as("sim"))
+    explodeTopK(
+      rer.groupBy("query_id")
+        .agg(topkUdaf(k)(col("neighbor_id"), col("sim")).as("nb")))
+  }
+
   /** Cluster-balanced (diversity-preserving) corpus pruning — the
     * cluster-then-cap selection of embedding-space curation (the D4 /
     * DataComp recipe: cluster the corpus, bound each cluster's
@@ -722,6 +755,7 @@ object Similarity {
   // Gate parameters, interpolated into BOTH the queries-map calls and the
   // oracle SQL below so they can never silently desync.
   private[ext] val GateK = 5
+  private[ext] val GateRefineShort = 20
   private[ext] val GateBalanceCap = 10
   private[ext] val GateIvfCells = 16
   private[ext] val GateIvfProbe = 4
@@ -835,6 +869,14 @@ object Similarity {
         nCells = GateIvfCells, nProbe = GateIvfProbe,
         m = GatePqM, nCodes = GatePqCodes)
     }),
+    // ADC shortlist at GateRefineShort, exact cosine rerank, cut to GateK
+    "ann_ivf_pq_refined" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      annIvfPqRefined(emb, emb.where(col("vec_id") < GateQueryMaxId),
+        k = GateK, kShort = GateRefineShort,
+        nCells = GateIvfCells, nProbe = GateIvfProbe,
+        m = GatePqM, nCodes = GatePqCodes)
+    }),
     // contrastive hard negatives: exact brute force (full oracle) and the
     // IVF-probed scale path (deterministic seed cells → full oracle too)
     "hard_negatives" -> ((s, dir) => {
@@ -884,6 +926,79 @@ object Similarity {
       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
       |      FROM sims)
       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin
+
+  /** The full IVFADC oracle parameterized by the rank cut — shared by
+    * the `ann_ivf_pq` gate (k = GateK) and the refined gate's shortlist
+    * CTE (k = GateRefineShort). */
+  private def ivfPqOracleSql(k: Int): String = {
+      val sd = GateLshDim / GatePqM
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, emb AS cent
+        |          FROM (SELECT * FROM e ORDER BY vec_id LIMIT $GateIvfCells)),
+        |vc AS (
+        |  SELECT v.vec_id, c.cell,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, $GateLshDim + 1), i ->
+        |        (v.emb[i] - c.cent[i]) * (v.emb[i] - c.cent[i]))),
+        |      (acc, x) -> acc + x) AS cost
+        |  FROM e v, cents c),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cost, cell) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |resid AS (
+        |  SELECT a.vec_id, list_transform(range(1, $GateLshDim + 1), i -> v.emb[i] - c.cent[i]) AS r
+        |  FROM asg a JOIN e v USING (vec_id) JOIN cents c ON c.cell = a.cell),
+        |cb AS (
+        |  SELECT ms.m, s.code, list_slice(s.r, ms.m * $sd + 1, ms.m * $sd + $sd) AS sub
+        |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, r
+        |        FROM (SELECT * FROM resid ORDER BY vec_id LIMIT $GatePqCodes)) s,
+        |       (SELECT unnest(range(0, $GatePqM)) AS m) ms),
+        |cost2 AS (
+        |  SELECT vec_id, m, code,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, $sd + 1), i ->
+        |        (vsub[i] - sub[i]) * (vsub[i] - sub[i]))),
+        |      (acc, x) -> acc + x) AS cost
+        |  FROM (SELECT r.vec_id, cb.m, cb.code, cb.sub,
+        |          list_slice(r.r, cb.m * $sd + 1, cb.m * $sd + $sd) AS vsub
+        |        FROM resid r, cb)),
+        |enc AS (SELECT vec_id, m, code FROM (
+        |  SELECT vec_id, m, code,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY cost, code) AS rn
+        |  FROM cost2) WHERE rn = 1),
+        |qp AS (SELECT query_id, cell FROM (
+        |  SELECT vec_id AS query_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cost, cell) AS rn
+        |  FROM vc WHERE vec_id < $GateQueryMaxId) WHERE rn <= $GateIvfProbe),
+        |qres AS (
+        |  SELECT qp.query_id, qp.cell,
+        |    list_transform(range(1, $GateLshDim + 1), i -> v.emb[i] - c.cent[i]) AS qr
+        |  FROM qp JOIN e v ON v.vec_id = qp.query_id JOIN cents c ON c.cell = qp.cell),
+        |qd AS (
+        |  SELECT query_id, cell, m, code,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, $sd + 1), i ->
+        |        (qsub[i] - sub[i]) * (qsub[i] - sub[i]))),
+        |      (acc, x) -> acc + x) AS cost
+        |  FROM (SELECT q.query_id, q.cell, cb.m, cb.code, cb.sub,
+        |          list_slice(q.qr, cb.m * $sd + 1, cb.m * $sd + $sd) AS qsub
+        |        FROM qres q, cb)),
+        |pair AS (
+        |  SELECT qd.query_id, a.vec_id, qd.m, qd.cost
+        |  FROM asg a
+        |  JOIN qd ON qd.cell = a.cell
+        |  JOIN enc ON enc.vec_id = a.vec_id AND enc.m = qd.m AND enc.code = qd.code
+        |  WHERE a.vec_id <> qd.query_id),
+        |ad AS (
+        |  SELECT query_id, vec_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cost ORDER BY m)),
+        |      (acc, x) -> acc + x) AS adist
+        |  FROM pair GROUP BY query_id, vec_id),
+        |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
+        |      FROM ad)
+        |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= $k""".stripMargin
+  }
 
   private lazy val annTopkOracleSql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $GateQueryMaxId),
@@ -1013,75 +1128,22 @@ object Similarity {
     // full IVFADC mirror: seed L2 cells (fixed-order fold costs, ties to the
     // smaller cell), residuals, seed residual codebooks, residual encode,
     // per-(query, probed-cell) distance tables, m-ordered ADC fold
-    "ann_ivf_pq" -> {
-      val sd = GateLshDim / GatePqM
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, emb AS cent
-        |          FROM (SELECT * FROM e ORDER BY vec_id LIMIT $GateIvfCells)),
-        |vc AS (
-        |  SELECT v.vec_id, c.cell,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(range(1, $GateLshDim + 1), i ->
-        |        (v.emb[i] - c.cent[i]) * (v.emb[i] - c.cent[i]))),
-        |      (acc, x) -> acc + x) AS cost
-        |  FROM e v, cents c),
-        |asg AS (SELECT vec_id, cell FROM (
-        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cost, cell) AS rn
-        |  FROM vc) WHERE rn = 1),
-        |resid AS (
-        |  SELECT a.vec_id, list_transform(range(1, $GateLshDim + 1), i -> v.emb[i] - c.cent[i]) AS r
-        |  FROM asg a JOIN e v USING (vec_id) JOIN cents c ON c.cell = a.cell),
-        |cb AS (
-        |  SELECT ms.m, s.code, list_slice(s.r, ms.m * $sd + 1, ms.m * $sd + $sd) AS sub
-        |  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, r
-        |        FROM (SELECT * FROM resid ORDER BY vec_id LIMIT $GatePqCodes)) s,
-        |       (SELECT unnest(range(0, $GatePqM)) AS m) ms),
-        |cost2 AS (
-        |  SELECT vec_id, m, code,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(range(1, $sd + 1), i ->
-        |        (vsub[i] - sub[i]) * (vsub[i] - sub[i]))),
-        |      (acc, x) -> acc + x) AS cost
-        |  FROM (SELECT r.vec_id, cb.m, cb.code, cb.sub,
-        |          list_slice(r.r, cb.m * $sd + 1, cb.m * $sd + $sd) AS vsub
-        |        FROM resid r, cb)),
-        |enc AS (SELECT vec_id, m, code FROM (
-        |  SELECT vec_id, m, code,
-        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY cost, code) AS rn
-        |  FROM cost2) WHERE rn = 1),
-        |qp AS (SELECT query_id, cell FROM (
-        |  SELECT vec_id AS query_id, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cost, cell) AS rn
-        |  FROM vc WHERE vec_id < $GateQueryMaxId) WHERE rn <= $GateIvfProbe),
-        |qres AS (
-        |  SELECT qp.query_id, qp.cell,
-        |    list_transform(range(1, $GateLshDim + 1), i -> v.emb[i] - c.cent[i]) AS qr
-        |  FROM qp JOIN e v ON v.vec_id = qp.query_id JOIN cents c ON c.cell = qp.cell),
-        |qd AS (
-        |  SELECT query_id, cell, m, code,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(range(1, $sd + 1), i ->
-        |        (qsub[i] - sub[i]) * (qsub[i] - sub[i]))),
-        |      (acc, x) -> acc + x) AS cost
-        |  FROM (SELECT q.query_id, q.cell, cb.m, cb.code, cb.sub,
-        |          list_slice(q.qr, cb.m * $sd + 1, cb.m * $sd + $sd) AS qsub
-        |        FROM qres q, cb)),
-        |pair AS (
-        |  SELECT qd.query_id, a.vec_id, qd.m, qd.cost
-        |  FROM asg a
-        |  JOIN qd ON qd.cell = a.cell
-        |  JOIN enc ON enc.vec_id = a.vec_id AND enc.m = qd.m AND enc.code = qd.code
-        |  WHERE a.vec_id <> qd.query_id),
-        |ad AS (
-        |  SELECT query_id, vec_id,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cost ORDER BY m)),
-        |      (acc, x) -> acc + x) AS adist
-        |  FROM pair GROUP BY query_id, vec_id),
-        |r AS (SELECT query_id, vec_id AS neighbor_id, adist,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rank
-        |      FROM ad)
-        |SELECT query_id, neighbor_id, rank, adist FROM r WHERE rank <= $GateK""".stripMargin
-    },
+    "ann_ivf_pq" -> ivfPqOracleSql(GateK),
+    // the shortlist CTE is the full IVFADC oracle at kShort (WITH-in-
+    // subquery namespacing, the ann_recall pattern); rerank mirrors the
+    // exact-cosine ann_topk arithmetic. Composed WITHOUT stripMargin: the
+    // interpolated inner oracle is already margin-free.
+    "ann_ivf_pq_refined" ->
+      ("WITH short AS (SELECT query_id, neighbor_id FROM (\n" +
+        ivfPqOracleSql(GateRefineShort) + "\n)),\n" +
+        "p AS (SELECT s.query_id, s.neighbor_id,\n" +
+        "  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS sim\n" +
+        "  FROM short s JOIN embeddings q ON q.vec_id = s.query_id\n" +
+        "               JOIN embeddings n ON n.vec_id = s.neighbor_id),\n" +
+        "r AS (SELECT query_id, neighbor_id, sim,\n" +
+        "        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank\n" +
+        "      FROM p)\n" +
+        s"SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK"),
     // the shared deterministic assignment + the sha256-ranked per-cell cap
     "cluster_balance" ->
       s"""WITH $assignedCellsSql,

@@ -91,6 +91,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected partial+final ObjectHashAggregate:\n$p")
   }
 
+  test("ann_ivf_pq_refined: shortlist broadcasts, corpus fetch stays narrow") {
+    val p = physical("ann_ivf_pq_refined")
+    assertNoCartesian("ann_ivf_pq_refined", p)
+    // three broadcast hash joins: ADC scoring on cell_id, the (tiny)
+    // shortlist x query-vector join, and the id-keyed vector fetch. The
+    // two joins that touch the CORPUS (cell_id, neighbor_id-fetch) must
+    // stream it shuffle-free; the query_id join's streamed side is the
+    // shortlist aggregate and legitimately contains its top-k exchange.
+    val bhj = p.collect { case j: joins.BroadcastHashJoinExec => j }
+    assert(bhj.size == 3, s"expected ADC + shortlist-join + fetch joins:\n$p")
+    bhj.filterNot(_.leftKeys.exists(_.toString.contains("query_id"))).foreach { j =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+        case _ => j.left
+      }
+      assert(streamed.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"corpus side of $j must be narrow:\n$p")
+    }
+    // exactly the two partial top-k exchanges (shortlist agg + final agg)
+    assert(shuffles(p) == 2, s"expected shortlist + rerank top-k shuffles:\n$p")
+    assert(count(p) { case _: ObjectHashAggregateExec => } == 4,
+      s"expected two partial+final ObjectHashAggregate pairs:\n$p")
+  }
+
   test("ann_ivf_pq: cell-keyed broadcast HASH join, corpus narrow, partial top-k") {
     val p = physical("ann_ivf_pq")
     // the IVFADC upgrade over plain PQ: scoring joins on cell_id, so it must

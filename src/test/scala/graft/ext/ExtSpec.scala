@@ -1132,4 +1132,30 @@ class ExtSpec extends AnyFunSuite {
     val r = Multimodal.resizeStub(MediaRecord(1L, Array.fill(500)(7.toByte)), 64, 64)
     assert(r.media.length == 64 * 64 / 64)
   }
+  test("IVF-PQ refine: exact rerank of the ADC shortlist, subset and order") {
+    val queries = emb.where(col("vec_id") < 10)
+    val short = Similarity.annIvfPq(emb, queries, k = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.annIvfPqRefined(emb, queries, k = 5, kShort = 20)
+      .select("query_id", "neighbor_id", "rank", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getDouble(3)))
+    assert(refined.forall(t => short.contains((t._1, t._2))),
+      "every refined neighbor must come from the ADC shortlist")
+    // the rerank must equal an in-JVM exact cosine over the shortlist
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = short.groupBy(_._1).flatMap { case (q, ps) =>
+      ps.toSeq.map { case (_, n) => (n, cos(vecs(q), vecs(n))) }
+        .sortBy { case (n, s) => (-s, n) }.take(5).zipWithIndex
+        .map { case ((n, s), i) => (q, n, (i + 1).toLong) }
+    }.toSet
+    assert(refined.map(t => (t._1, t._2, t._3)).toSet == expect,
+      "refined ranking must equal the exact-cosine rerank of the shortlist")
+  }
 }
