@@ -109,14 +109,15 @@ object ScaleProbe {
     val r9Only = args.length > 1 && args(1) == "r9"
     val r9bOnly = args.length > 1 && args(1) == "r9b"
     val r9cOnly = args.length > 1 && args(1) == "r9c"
+    val r9dOnly = args.length > 1 && args(1) == "r9d"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
     d1.count(); dN.count()
-    if (!r9Only && !r9bOnly && !r9cOnly) { dSkew.count(); dSkew1.count() }
-    if (!r9Only) { e1.count(); eN.count() }
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9dOnly) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
     val queriesN = eN.where(col("vec_id") < 10) // same 10 queries, REP× corpus
@@ -134,7 +135,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only) { cent1; centN }
+    if (!r9Only && !r9dOnly) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -212,8 +213,51 @@ object ScaleProbe {
           centroids = Some(centN)).count()
       })
 
+
+    // fifth-session probes: MG heavy hitters (sketch pass + bounded
+    // recount — both must track corpus growth linearly; the candidate set
+    // is distribution-bounded, not corpus-bounded), the SFT render window
+    // (conversations grow in COUNT, not length, so the per-group state is
+    // flat), the snapshot diff (16-byte join payloads), and exact-k
+    // sampling (partial top-k per stratum, output fixed at strata*k)
+    def r9dProbes = Seq(
+      time(s"heavy_hitters_1x") {
+        ext.Freq.heavyHitters(ext.Freq.trigrams(d1), m = 4096).count()
+      },
+      time(s"heavy_hitters_${rep}x") {
+        ext.Freq.heavyHitters(ext.Freq.trigrams(dN), m = 4096).count()
+      },
+      time(s"sft_format_1x") { force(ext.Sft.renderConversations(
+        d1.select((col("doc_id") % 500L).as("conv_id"), col("doc_id").as("ts"),
+          col("doc_id").as("ord"),
+          when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
+          col("text").as("content")), "conv_id")) },
+      time(s"sft_format_${rep}x") { force(ext.Sft.renderConversations(
+        dN.select((col("doc_id") % (500L * rep)).as("conv_id"), col("doc_id").as("ts"),
+          col("doc_id").as("ord"),
+          when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
+          col("text").as("content")), "conv_id")) },
+      time(s"corpus_diff_1x") {
+        ext.Versioning.corpusDiff(d1.where(col("doc_id") % 7 =!= 1),
+          d1.where(col("doc_id") % 7 =!= 2).withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))).count()
+      },
+      time(s"corpus_diff_${rep}x") {
+        ext.Versioning.corpusDiff(dN.where(col("doc_id") % 7 =!= 1),
+          dN.where(col("doc_id") % 7 =!= 2).withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))).count()
+      },
+      time(s"exact_k_1x") {
+        ext.Hygiene.exactKSample(d1, col("source"), col("doc_id"), 20).count()
+      },
+      time(s"exact_k_${rep}x") {
+        ext.Hygiene.exactKSample(dN, col("source"), col("doc_id"), 20).count()
+      })
+
     val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes
-    else if (r9cOnly) r9cProbes else Seq(
+    else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes else Seq(
       time(s"jaccard_1x") { ext.Dedup.jaccardPairs(d1).count() },
       time(s"jaccard_${rep}x") { ext.Dedup.jaccardPairs(dN).count() },
       // degenerate-corpus stress pair: exact PPJoin vs banded MinHash on
@@ -267,7 +311,7 @@ object ScaleProbe {
       time(s"curate_full_${rep}x") {
         val bench = dN.where(col("doc_id") < 1000000L && col("doc_id") % 50 === 0)
         ext.Curation.curateFull(dN.where(col("doc_id") % 50 =!= 0), bench).count()
-      }) ++ r9Probes ++ r9bProbes ++ r9cProbes
+      }) ++ r9Probes ++ r9bProbes ++ r9cProbes ++ r9dProbes
 
     val pairs = results.grouped(2).map { case Seq((l1, s1, _), (_, sN, _)) =>
       val op = l1.stripSuffix("_1x")

@@ -16,11 +16,10 @@ import graft.SparkEntry
   * aggregates: each input partition ships ≤ 2m (term, count) entries,
   * never its raw term stream.
   */
-class MgSketch(m: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
-  require(m > 0)
-  override def zero: Map[String, Long] = Map.empty
-
-  private def prune(buf: Map[String, Long]): Map[String, Long] =
+object MgSketch {
+  /** The shared prune step — also the driver-side merge primitive of the
+    * streaming state in [[Freq.absorbHhBatch]]. */
+  private[ext] def prune(buf: Map[String, Long], m: Int): Map[String, Long] =
     if (buf.size <= m) buf
     else {
       // subtract the (m+1)-th largest count: at most m counters stay positive
@@ -28,18 +27,31 @@ class MgSketch(m: Int) extends Aggregator[String, Map[String, Long], Map[String,
       buf.collect { case (t, c) if c > delta => (t, c - delta) }
     }
 
+  /** Counter-summing merge of two summaries, pruned back to ≤ m. */
+  private[ext] def mergeMaps(a: Map[String, Long], b: Map[String, Long],
+                             m: Int): Map[String, Long] = {
+    val (small, large) = if (a.size < b.size) (a, b) else (b, a)
+    prune(small.foldLeft(large) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c)
+    }, m)
+  }
+}
+
+class MgSketch(m: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(m > 0)
+  override def zero: Map[String, Long] = Map.empty
+
+  private def prune(buf: Map[String, Long]): Map[String, Long] =
+    MgSketch.prune(buf, m)
+
   override def reduce(buf: Map[String, Long], term: String): Map[String, Long] = {
     val grown = buf.updated(term, buf.getOrElse(term, 0L) + 1L)
     // amortize the O(s log s) prune: let the map grow to 2m between prunes
     if (grown.size >= 2 * m) prune(grown) else grown
   }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val (small, large) = if (a.size < b.size) (a, b) else (b, a)
-    prune(small.foldLeft(large) { case (acc, (t, c)) =>
-      acc.updated(t, acc.getOrElse(t, 0L) + c)
-    })
-  }
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    MgSketch.mergeMaps(a, b, m)
 
   override def finish(buf: Map[String, Long]): Map[String, Long] = prune(buf)
   override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
@@ -87,7 +99,7 @@ object Freq {
   /** Word 3-grams of the documents corpus, one row per occurrence. The
     * sliding window is a narrow transform over the materialized token
     * array (the [[Hygiene]] HOF posture — never re-split inside a lambda). */
-  private[ext] def trigrams(docs: DataFrame): DataFrame = {
+  private[graft] def trigrams(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     docs
       .select(w.as("w"))
@@ -97,6 +109,90 @@ object Freq {
             element_at(col("w"), i + 2))))
         .otherwise(array().cast("array<string>"))).as("term"))
   }
+
+  // ── streaming heavy hitters: persisted MG state over continuous ingest ──
+  //
+  // State layout under `stateDir`: one parquet snapshot per absorbed batch
+  // at `batch=<id>/` with rows (term, cnt, n_total) — a NULL-term sentinel
+  // row always carries n_total so an all-pruned (empty) sketch still
+  // round-trips. The loader picks the highest batch id with a _SUCCESS
+  // marker, so a crash mid-write is invisible; a Structured Streaming
+  // RETRY of an already-absorbed batch id is detected and skipped
+  // (absorption is idempotent — the dedupStream crash-safety discipline).
+  // Unlike the batch [[heavyHitters]], the stream cannot recount exactly:
+  // emitted rows carry the MG bounds [cnt_min, cnt_max] (true frequency is
+  // within them by the n/(m+1) error bound) and include every term whose
+  // cnt_max clears the n/m threshold — a GUARANTEED superset of the true
+  // heavy set at every point in the stream.
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (sketch, exact running total, highest absorbed batch id). */
+  def loadHhState(spark: SparkSession, stateDir: String): (Map[String, Long], Long, Option[Long]) = {
+    val f = fs(spark, stateDir)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (!f.exists(root)) return (Map.empty, 0L, None)
+    val done = f.listStatus(root).map(_.getPath).filter(p =>
+      p.getName.startsWith("batch=") &&
+        f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+    if (done.isEmpty) return (Map.empty, 0L, None)
+    val latest = done.maxBy(_.getName.stripPrefix("batch=").toLong)
+    val rows = spark.read.parquet(latest.toString).collect()
+    val n = rows.head.getLong(2)
+    val sketch = rows.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap
+    (sketch, n, Some(latest.getName.stripPrefix("batch=").toLong))
+  }
+
+  private def saveHhState(spark: SparkSession, stateDir: String, batchId: Long,
+                          sketch: Map[String, Long], n: Long): Unit = {
+    import spark.implicits._
+    val rows = (None: Option[String], 0L, n) +:
+      sketch.toSeq.map { case (t, c) => (Some(t), c, n) }
+    rows.toDF("term", "cnt", "n_total").coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    // retire superseded snapshots (keep only the one just written)
+    val f = fs(spark, stateDir)
+    f.listStatus(new org.apache.hadoop.fs.Path(stateDir)).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") &&
+        p.getName.stripPrefix("batch=").toLong != batchId)
+      .foreach(p => f.delete(p, true))
+  }
+
+  /** Absorb one micro-batch of `terms` into the persisted sketch and return
+    * the current candidate table `(term, cnt_min, cnt_max)` — every term
+    * whose upper bound clears n/m (superset of the true heavy set). */
+  def absorbHhBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                    terms: DataFrame, m: Int): DataFrame = {
+    import spark.implicits._
+    val mg = udaf(new MgSketch(m), org.apache.spark.sql.Encoders.STRING)
+    val row = terms.agg(mg(col("term")).as("s"), count(lit(1)).as("n")).head()
+    val (sketch0, n0, lastId) = loadHhState(spark, stateDir)
+    val (sketch, n) =
+      if (lastId.exists(_ >= batchId)) (sketch0, n0) // replayed batch: no-op
+      else {
+        val merged = MgSketch.mergeMaps(sketch0,
+          row.getMap[String, Long](0).toMap, m)
+        val total = n0 + row.getLong(1)
+        saveHhState(spark, stateDir, batchId, merged, total)
+        (merged, total)
+      }
+    val err = if (m + 1 > 0) n / (m + 1) else 0L
+    sketch.toSeq.map { case (t, c) => (t, c, c + err) }
+      .toDF("term", "cnt_min", "cnt_max")
+      .where(col("cnt_max") * m > n)
+  }
+
+  /** Continuous heavy-hitter tracking over a streaming `terms` source (one
+    * string column `term`): foreachBatch → absorb into the persisted MG
+    * state → hand the current candidate table to `sink`. */
+  def heavyHittersStream(terms: DataFrame, stateDir: String, m: Int)
+                        (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    terms.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(absorbHhBatch(batch.sparkSession, stateDir, id, batch, m))
+    }
 
   val queries: Map[String, Q] = Map(
     // m = 4096 over the ~16k-distinct trigram domain: the sketch MUST prune

@@ -73,4 +73,68 @@ class FreqSpec extends AnyFunSuite {
     val got = Freq.trigrams(docs).as[String].collect().sorted.toSeq
     assert(got == Seq("a b c", "b c d", "x y z"))
   }
+  test("streaming absorb: exact total, guaranteed superset, idempotent retry") {
+    val dir = java.nio.file.Files.createTempDirectory("hhstate").toString
+    val m = 100
+    // three batches segmenting the adversarial corpus differently than any
+    // partition split — absorb sequentially like foreachBatch would
+    val all = new scala.util.Random(7).shuffle(heavy ++ fill)
+    val batches = all.grouped((all.size + 2) / 3).toSeq
+    var last: org.apache.spark.sql.DataFrame = null
+    batches.zipWithIndex.foreach { case (b, i) =>
+      last = Freq.absorbHhBatch(spark, dir,
+        i.toLong, spark.createDataset(b)(org.apache.spark.sql.Encoders.STRING).toDF("term"), m)
+    }
+    val (sketch, total, lastId) = Freq.loadHhState(spark, dir)
+    assert(total == n.toLong, "running total must be exact")
+    assert(lastId.contains(2L))
+    assert(sketch.size <= m, s"persisted sketch must stay bounded, got ${sketch.size}")
+    // the emitted candidates are a superset of the true heavy set
+    val cands = last.select("term").collect().map(_.getString(0)).toSet
+    for (h <- 1 to 5) assert(cands.contains(s"h$h"), s"true heavy h$h missing")
+    // cnt bounds bracket the truth for the heavy items
+    val bounds = last.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (h <- 1 to 5) {
+      val (lo, hi) = bounds(s"h$h")
+      assert(lo <= 1000L && 1000L <= hi, s"h$h bounds ($lo, $hi) miss truth 1000")
+    }
+    // a Structured Streaming RETRY of batch 2 must be a no-op
+    val before = (sketch, total)
+    Freq.absorbHhBatch(spark, dir, 2L,
+      spark.createDataset(batches(2))(org.apache.spark.sql.Encoders.STRING).toDF("term"), m)
+    val (s2, t2, id2) = Freq.loadHhState(spark, dir)
+    assert((s2, t2) == before && id2.contains(2L), "replayed batch must not double-count")
+  }
+
+  test("streaming heavy hitters over the shard source: stop/restart keeps the total exact") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ShardStream
+    val base = java.nio.file.Files.createTempDirectory("hhstream").toString
+    val words = (1 to 400).map(i => if (i % 4 == 0) "hot" else s"w$i")
+    ShardStream.writeShardDir(s"$base/stream", words.zipWithIndex.map { case (w, i) =>
+      ("s0", f"$i%08d", i.toString, w, 1700000000000L + i) })
+    def run(state: String, ckpt: String, trigger: Trigger): Set[String] = {
+      val acc = new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
+      val src = spark.readStream.format("kinesiscat")
+        .option("path", s"$base/stream").option("startingPosition", ShardStream.TrimHorizon)
+        .option("batchSize", "64").load()
+        .select(col("data").cast("string").as("term"))
+      val q = Freq.heavyHittersStream(src, state, m = 10) { cands =>
+        acc.set(cands.select("term").collect().map(_.getString(0)).toSet)
+      }.option("checkpointLocation", ckpt).trigger(trigger).start()
+      q.awaitTermination()
+      acc.get()
+    }
+    // uninterrupted
+    val a = run(s"$base/stA", s"$base/ckA", Trigger.AvailableNow())
+    // killed after one capped micro-batch, resumed from the checkpoint
+    run(s"$base/stB", s"$base/ckB", Trigger.Once())
+    val b = run(s"$base/stB", s"$base/ckB", Trigger.AvailableNow())
+    val (_, nA, _) = Freq.loadHhState(spark, s"$base/stA")
+    val (_, nB, _) = Freq.loadHhState(spark, s"$base/stB")
+    assert(nA == 400L && nB == 400L, s"exactly-once totals, got $nA / $nB")
+    // 'hot' is 100 of 400 = a quarter of the stream: n/(m=10) = 40 < 100,
+    // so BOTH runs' final candidate sets must contain it
+    assert(a.contains("hot") && b.contains("hot"))
+  }
 }
