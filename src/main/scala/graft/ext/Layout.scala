@@ -69,6 +69,42 @@ object Layout {
       .drop("__z", "__alo", "__ahi", "__blo", "__bhi")
   }
 
+  /** Bucketed co-located layout for a RECURRING equi-join: write both
+    * sides `bucketBy(n, keys)` (sorted within buckets), and every later
+    * join on those keys reads with ZERO exchanges — the bucket layout
+    * satisfies the join's hash-partitioning requirement at scan time.
+    * "Pay the shuffle once at write time" is the standard answer for the
+    * fact-to-fact joins of a 100 TB warehouse (dimension joins broadcast;
+    * fact joins re-shuffle both sides on EVERY query unless the layout
+    * carries the partitioning). Both sides must use the same bucket count.
+    *
+    * `path`-anchored external table: works against the in-memory catalog
+    * (tests) and any metastore alike. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    keys: Seq[String], nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Partition count that compacts `df` into files near `targetBytes`,
+    * from the relation's own statistics (for a parquet source: actual
+    * on-disk bytes — re-encoded output lands in the same ballpark). The
+    * small-files problem is THE operational failure mode of long-lived
+    * 100 TB tables: a thousand streaming micro-batches × 32 partitions
+    * each = tiny files that destroy scan throughput and metastore
+    * listing; periodic `df.repartition(compactionPartitions(df, 512 MB))`
+    * rewrites are the maintenance loop every table format schedules. */
+  def compactionPartitions(df: DataFrame, targetBytes: Long): Int = {
+    require(targetBytes > 0)
+    val total = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((total + targetBytes - 1) / targetBytes).max(1).min(1 << 20).toInt
+  }
+
+  /** `df` repartitioned for a near-`targetBytes`-per-file rewrite. */
+  def compacted(df: DataFrame, targetBytes: Long): DataFrame =
+    df.repartition(compactionPartitions(df, targetBytes))
+
   /** The gate's two dimensions over `events`: user and hour-of-stream,
     * both masked to 16 bits. */
   private def dims(e: DataFrame): (Column, Column) = (

@@ -75,4 +75,46 @@ class LayoutSpec extends AnyFunSuite {
       } finally { z.unpersist(); byA.unpersist() }
     } finally e.unpersist()
   }
+  test("bucketed co-located join: ZERO exchanges at read time, same rows") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val base = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val li = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val or = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_orderkey", "o_totalprice")
+    Layout.writeBucketed(li, "b_li", s"$base/li", Seq("l_orderkey"), 8)
+    Layout.writeBucketed(or.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "b_or", s"$base/or", Seq("l_orderkey"), 8)
+    try {
+      val j = spark.table("b_li").join(spark.table("b_or"), "l_orderkey")
+      val p = j.queryExecution.executedPlan
+      assert(p.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"bucketed layout must satisfy the join's partitioning at scan time:\n$p")
+      // the layout changes the PLAN, never the ANSWER
+      val plain = li.join(or.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+      assert(j.count() == plain.count() && j.count() > 0)
+      val gotSum = j.agg(sum(col("l_quantity"))).head().getDouble(0)
+      val expSum = plain.agg(sum(col("l_quantity"))).head().getDouble(0)
+      assert(gotSum == expSum)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_li")
+      spark.sql("DROP TABLE IF EXISTS b_or")
+    }
+  }
+
+  test("compaction planner: partition count tracks on-disk bytes over target") {
+    val docs = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "documents")
+    val total = docs.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    assert(total > 0)
+    // a quarter-of-total target must ask for 4 partitions (ceil division)
+    val n4 = Layout.compactionPartitions(docs, (total + 3) / 4)
+    assert(n4 == 4 || n4 == 5, s"expected ~4 partitions, got $n4")
+    // a target above the total collapses to ONE file; never zero
+    assert(Layout.compactionPartitions(docs, total * 2) == 1)
+    // the rewrite really produces that many files
+    val out = java.nio.file.Files.createTempDirectory("compact").toString + "/out"
+    Layout.compacted(docs, (total + 3) / 4).write.parquet(out)
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == n4, s"expected $n4 output files, got $files")
+  }
 }
