@@ -35,10 +35,22 @@ object Layout {
     * (the Delta/Iceberg OPTIMIZE ZORDER posture: each column is scaled to
     * the key domain first). */
   def mortonKey(a: Column, b: Column, bits: Int = 16): Column =
+    mortonKeyN(Seq(a, b), bits)
+
+  /** N-dimensional Morton interleave (the Delta/Iceberg multi-column
+    * ZORDER shape): bit i of dimension j lands at position i·d + j.
+    * `d · bits` must stay under 63; lower per-dimension resolution with
+    * more dimensions is the right trade — pruning needs neighborhoods,
+    * not total order. */
+  def mortonKeyN(cols: Seq[Column], bits: Int = 16): Column = {
+    val d = cols.size
+    require(d >= 1 && d * bits < 63, s"$d dims x $bits bits overflow the key")
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc.bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      cols.zipWithIndex.foldLeft(acc) { case (k, (c, j)) =>
+        k.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * d + j))
+      }
     }
+  }
 
   /** Min-max scale a non-negative column to [0, 2^bits): floor((v − lo) ·
     * 2^bits / (hi − lo + 1)). The floor-of-double-division equals exact
@@ -123,14 +135,37 @@ object Layout {
           normalize(col("a"), col("alo"), col("ahi")),
           normalize(col("b"), col("blo"), col("bhi"))).as("zkey"))
     }),
+    // 3-dimensional key at 10 bits/dim (user × hour × value-cents): the
+    // multi-column OPTIMIZE ZORDER shape
+    "zorder_key3" -> ((s, dir) => {
+      val e = SparkEntry.table(s, dir, "events")
+      val d = e.select(col("event_id"),
+        pmod(col("user_id"), lit(1024L)).as("a"),
+        pmod(floor(unix_micros(col("ts")) / lit(3600000000L)), lit(1024L)).as("b"),
+        pmod(round(col("value") * 100).cast("long"), lit(1024L)).as("c"))
+      val st = d.agg(
+        min(col("a")).as("alo"), max(col("a")).as("ahi"),
+        min(col("b")).as("blo"), max(col("b")).as("bhi"),
+        min(col("c")).as("clo"), max(col("c")).as("chi"))
+      d.crossJoin(broadcast(st))
+        .select(col("event_id"), mortonKeyN(Seq(
+          normalize(col("a"), col("alo"), col("ahi"), 10),
+          normalize(col("b"), col("blo"), col("bhi"), 10),
+          normalize(col("c"), col("clo"), col("chi"), 10)), 10).as("zkey"))
+    }),
   )
 
   /** The same interleave as SQL arithmetic, generated from one loop so the
     * two dialects cannot drift term-by-term. */
   private def mortonSql(a: String, b: String, bits: Int = 16): String =
-    (0 until bits).flatMap(i => Seq(
-      s"((($a >> $i) & 1) << ${2 * i})",
-      s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    mortonSqlN(Seq(a, b), bits)
+
+  private def mortonSqlN(names: Seq[String], bits: Int = 16): String = {
+    val d = names.size
+    (0 until bits).flatMap(i => names.zipWithIndex.map { case (nm, j) =>
+      s"((($nm >> $i) & 1) << ${i * d + j})"
+    }).mkString(" | ")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "zorder_key" ->
@@ -146,5 +181,20 @@ object Layout {
         |        ((b - blo) * 65536) // (bhi - blo + 1) AS nb
         |      FROM e, st)
         |SELECT event_id, ${mortonSql("na", "nb")} AS zkey FROM n""".stripMargin,
+    "zorder_key3" ->
+      s"""WITH e AS (
+        |  SELECT event_id,
+        |    ((user_id % 1024) + 1024) % 1024 AS a,
+        |    ((CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) % 1024) + 1024) % 1024 AS b,
+        |    ((CAST(round(value * 100) AS BIGINT) % 1024) + 1024) % 1024 AS c
+        |  FROM events),
+        |st AS (SELECT min(a) AS alo, max(a) AS ahi, min(b) AS blo, max(b) AS bhi,
+        |              min(c) AS clo, max(c) AS chi FROM e),
+        |n AS (SELECT event_id,
+        |        ((a - alo) * 1024) // (ahi - alo + 1) AS na,
+        |        ((b - blo) * 1024) // (bhi - blo + 1) AS nb,
+        |        ((c - clo) * 1024) // (chi - clo + 1) AS nc
+        |      FROM e, st)
+        |SELECT event_id, ${mortonSqlN(Seq("na", "nb", "nc"), 10)} AS zkey FROM n""".stripMargin,
   )
 }

@@ -117,4 +117,15 @@ class LayoutSpec extends AnyFunSuite {
     val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files == n4, s"expected $n4 output files, got $files")
   }
+  test("mortonKeyN(3 dims, 10 bits) is a bijection on a sampled grid") {
+    import spark.implicits._
+    val pts = for (a <- 0 until 32; b <- 0 until 32; c <- 0 until 32)
+      yield (a.toLong * 33L, b.toLong * 31L % 1024L, c.toLong * 29L % 1024L)
+    val keys = pts.toDF("a", "b", "c")
+      .select(Layout.mortonKeyN(Seq(col("a"), col("b"), col("c")), 10).as("k"))
+      .as[Long].collect()
+    assert(keys.distinct.length == pts.distinct.length,
+      "distinct inputs must map to distinct 30-bit keys")
+    assert(keys.forall(k => k >= 0 && k < (1L << 30)))
+  }
 }
