@@ -99,6 +99,51 @@ object TextAnalysis {
       aggregate(split(col("text"), ""), lit(0L),
         (h, c) => (h * 31 + ascii(c)) % 1000000007L).as("fp"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * algorithm): hash every word `k`-gram, slide a window of `w` hashes,
+    * record each window's minimum (RIGHTMOST on ties), deduplicate. The
+    * guarantee that makes it the position-robust fingerprint selector for
+    * copy detection: any shared run of ≥ `w + k − 1` tokens between two
+    * documents shares at least one fingerprint, at an expected density of
+    * only 2/(w+1) fingerprints per gram — [[fingerprint]]'s whole-document
+    * hash breaks on ONE edited character; winnowing degrades by one
+    * window.
+    *
+    * Entirely NARROW: grams, hashes, and the per-window argmin are HOFs
+    * over materialized per-document arrays (the [[Hygiene]] posture) —
+    * zero shuffles, scales with tokens like every scan-time op. The
+    * argmin key packs (hash, −pos) into one integer (`h·2²⁰ − pos`,
+    * < 2⁵³: exact), so "min hash, rightmost position" is a single
+    * comparison in BOTH dialects; gram hashes use the sha256-derived
+    * [[Hygiene.hashU64]] scheme (cross-engine exact, like every
+    * sampling/ranking op). */
+  def winnow(df: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = when(size(col("__w")) >= k,
+      transform(sequence(lit(1), size(col("__w")) - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(o => element_at(col("__w"), i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val hv = transform(col("__g"), g =>
+      conv(substring(sha2(g, 256), 1, 8), 16, 10).cast("long"))
+    // pos is 0-based; the packed key prefers small hash, then LARGE pos
+    val keys = transform(col("__h"), (h, p) => h * lit(1048576L) - p)
+    val zero = struct(lit(Long.MaxValue).as("bk"), lit(-1).as("bp"))
+    val sel = when(size(col("__k")) >= w,
+      array_distinct(transform(sequence(lit(0), size(col("__k")) - w), i =>
+        aggregate(sequence(i, i + (w - 1)), zero, (acc, p) =>
+          when(element_at(col("__k"), p + 1) < acc.getField("bk"),
+            struct(element_at(col("__k"), p + 1).as("bk"), p.as("bp")))
+            .otherwise(acc)).getField("bp"))))
+      .otherwise(array().cast("array<int>"))
+    df.select(col("doc_id"), words.as("__w"))
+      .select(col("doc_id"), grams.as("__g"))
+      .select(col("doc_id"), hv.as("__h"))
+      .select(col("doc_id"), col("__h"), keys.as("__k"))
+      .select(col("doc_id"), col("__h"), explode(sel).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        element_at(col("__h"), col("pos") + 1).as("fp"))
+  }
+
   /** Global term frequencies, top 20 by (count desc, term asc) — the
     * tie-break makes the LIMIT cut deterministic. */
   def topTerms(df: DataFrame, k: Int = 20): DataFrame =
@@ -435,6 +480,7 @@ object TextAnalysis {
     "text_stats" -> ((s, dir) => stats(SparkEntry.table(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => langId(SparkEntry.table(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) => fingerprint(SparkEntry.table(s, dir, "documents"))),
+    "winnow_fingerprints" -> ((s, dir) => winnow(SparkEntry.table(s, dir, "documents"))),
     "top_terms" -> ((s, dir) => topTerms(SparkEntry.table(s, dir, "documents"))),
     "tfidf_keywords" -> ((s, dir) => tfidfKeywords(SparkEntry.table(s, dir, "documents"))),
     // the gate trains the reference LM on the held-out split (doc_id % 50
@@ -543,6 +589,28 @@ object TextAnalysis {
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (h, x) -> (h * 31 + x) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+    // window-by-window mirror of the winnowing selection: per (doc,
+    // window-start) the arg_min of the packed (hash·2^20 − pos) key —
+    // unique per position, so arg_min is deterministic — then DISTINCT
+    "winnow_fingerprints" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS wds FROM documents),
+        |g AS (SELECT doc_id, t.i - 1 AS pos,
+        |        array_to_string(list_slice(wds, t.i, t.i + 2), ' ') AS gram,
+        |        len(wds) - 2 AS m
+        |      FROM d, LATERAL unnest(range(1, greatest(len(wds) - 1, 1))) AS t(i)),
+        |kk AS (SELECT doc_id, pos, m,
+        |         CAST(('0x' || substring(sha256(gram), 1, 8)) AS BIGINT) AS hv,
+        |         CAST(('0x' || substring(sha256(gram), 1, 8)) AS BIGINT) * 1048576 - pos AS key
+        |       FROM g),
+        |wnd AS (SELECT doc_id, t.i AS ws
+        |        FROM (SELECT DISTINCT doc_id, m FROM kk WHERE m >= 4) dm,
+        |             LATERAL unnest(range(0, dm.m - 3)) AS t(i)),
+        |sel AS (SELECT w.doc_id, arg_min(k.pos, k.key) AS pos
+        |        FROM wnd w JOIN kk k ON k.doc_id = w.doc_id
+        |          AND k.pos BETWEEN w.ws AND w.ws + 3
+        |        GROUP BY w.doc_id, w.ws)
+        |SELECT DISTINCT s.doc_id, CAST(s.pos AS BIGINT) AS pos, k.hv AS fp
+        |FROM sel s JOIN kk k ON k.doc_id = s.doc_id AND k.pos = s.pos""".stripMargin,
     "top_terms" ->
       """SELECT term, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)

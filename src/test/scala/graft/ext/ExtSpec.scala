@@ -1158,4 +1158,47 @@ class ExtSpec extends AnyFunSuite {
     assert(refined.map(t => (t._1, t._2, t._3)).toSet == expect,
       "refined ranking must equal the exact-cosine rerank of the shortlist")
   }
+  test("winnowing: JVM reference equality, shared-run guarantee, tie rule") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def h64(s: String): Long = {
+      val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def reference(text: String, k: Int = 3, w: Int = 4): Set[(Long, Long)] = {
+      val wds = text.split(" ", -1)
+      if (wds.length < k) return Set.empty
+      val hs = wds.sliding(k).map(_.mkString(" ")).map(h64).toArray
+      if (hs.length < w) return Set.empty
+      val keys = hs.zipWithIndex.map { case (h, p) => h * 1048576L - p }
+      (0 to hs.length - w).map { i =>
+        val p = (i until i + w).minBy(keys)
+        (p.toLong, hs(p))
+      }.toSet
+    }
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      // doc 3 shares a 6-token (= w+k-1) run with doc 1 in a new context
+      3L -> "totally different prefix jumps over the lazy dog again suffix here now")
+    val df = texts.toDF("doc_id", "text")
+    val got = TextAnalysis.winnow(df).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    for ((id, t) <- texts)
+      assert(got.getOrElse(id, Set.empty) == reference(t),
+        s"doc $id diverges from the reference implementation")
+    // the guarantee: a shared run of >= w+k-1 tokens yields a shared print
+    val shared = got(1L).map(_._2) & got(3L).map(_._2)
+    assert(shared.nonEmpty, "w+k-1 shared run must share a fingerprint")
+    // density: fingerprints per gram stays well under 1 (expected 2/(w+1))
+    val grams1 = texts.head._2.split(" ").length - 2
+    assert(got(1L).size < grams1, "winnowing must select a strict subset")
+    // rightmost tie: a doc of one repeated word has equal hashes everywhere;
+    // each window must pick its RIGHTMOST position = i+w-1
+    val rep = Seq(9L -> Seq.fill(10)("w").mkString(" ")).toDF("doc_id", "text")
+    val reps = TextAnalysis.winnow(rep).collect().map(_.getLong(1)).sorted
+    // grams m=8, windows i=0..4 pick pos i+3 -> {3,4,5,6,7}
+    assert(reps.toSeq == Seq(3L, 4L, 5L, 6L, 7L), s"tie rule broke: ${reps.toSeq}")
+  }
 }
