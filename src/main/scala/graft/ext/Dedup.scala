@@ -921,7 +921,36 @@ object Dedup {
     df.select("vec_id").join(dup, Seq("vec_id"), "left_anti")
   }
 
+  /** Winnowing-blocked near-dup candidates: pairs of documents sharing at
+    * least `minShared` [[TextAnalysis.winnow]] fingerprints. The MOSS
+    * guarantee turns into a RECALL contract the fixed-chunk and
+    * whole-hash families can't give: any pair sharing one ≥ w+k−1-token
+    * run is guaranteed a common fingerprint, regardless of where the run
+    * sits in either document. Same inverted-index shape as
+    * [[jaccardPairs]]: one (doc, fp)-distinct table, per-fingerprint
+    * document-frequency cap `maxFpFreq` bounds the hottest posting list
+    * (boilerplate fingerprints shared by everything generate quadratic
+    * pairs and zero signal — the PPJoin hot-cap argument verbatim), then
+    * a fp-keyed self-join counts shared prints per pair. Shuffles carry
+    * 8-byte fingerprints, never text. */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                  minShared: Int = 2, maxFpFreq: Int = 100): DataFrame = {
+    val fps = TextAnalysis.winnow(docs, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val cold = fps.groupBy("fp")
+      .agg(count(lit(1)).as("__dfp")).where(col("__dfp") <= maxFpFreq)
+      .select("fp")
+    val pruned = fps.join(cold, "fp")
+    pruned.as("x").join(pruned.as("y"), "fp")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      winnowPairs(SparkEntry.table(s, dir, "documents"))),
     "dedup_exact" -> ((s, dir) => exact(SparkEntry.table(s, dir, "documents"))),
     "dedup_subdoc" -> ((s, dir) => subdocDedup(SparkEntry.table(s, dir, "documents"))),
     "dedup_soft" -> ((s, dir) => softDedup(SparkEntry.table(s, dir, "documents"))),
@@ -1044,7 +1073,21 @@ object Dedup {
       |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jac
       |FROM co WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  // lazy: the winnow-pairs entry reads TextAnalysis.oracleSql, and
+  // TextAnalysis's own init reads Dedup.fixturesDir — strict init on both
+  // sides would deadlock into a null map whichever object loads first
+  lazy val oracleSql: Map[String, String] = Map(
+    // the winnow gate's oracle as a CTE (WITH-in-subquery namespacing) +
+    // the df-cap/self-join/shared-count mirror; composed without
+    // stripMargin — the interpolated inner oracle is already margin-free
+    "dedup_winnow_pairs" ->
+      ("WITH fps AS (SELECT DISTINCT doc_id, fp FROM (\n" +
+        TextAnalysis.oracleSql("winnow_fingerprints") + "\n)),\n" +
+        "cold AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),\n" +
+        "pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN cold USING (fp))\n" +
+        "SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared\n" +
+        "FROM pr x JOIN pr y ON x.fp = y.fp AND x.doc_id < y.doc_id\n" +
+        "GROUP BY 1, 2 HAVING count(*) >= 2"),
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
     // text equality ⇔ sha2 equality; 1/n is one IEEE division — bit-exact

@@ -1201,4 +1201,28 @@ class ExtSpec extends AnyFunSuite {
     // grams m=8, windows i=0..4 pick pos i+3 -> {3,4,5,6,7}
     assert(reps.toSeq == Seq(3L, 4L, 5L, 6L, 7L), s"tie rule broke: ${reps.toSeq}")
   }
+  test("winnowPairs: edit-robust candidate recall, capped hot prints, no cartesian") {
+    import spark.implicits._
+    val run = "jumps over the lazy dog again and again near the river bank"
+    val df = Seq(
+      (1L, s"aaa bbb ccc $run ddd eee fff"),
+      // the SAME run at a totally different offset, different context
+      (2L, s"zzz yyy $run xxx www vvv uuu ttt sss"),
+      (3L, "unrelated words entirely separate content nothing shared here at all"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "a long shared run at misaligned offsets must pair (the subdoc-chunk blind spot)")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "no spurious pair")
+    // boilerplate prints shared by EVERYTHING are capped out of the join
+    val boiler = (1L to 30L).map(i => (i, s"common shared boilerplate line one two three unique$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(boiler, maxFpFreq = 5)
+    assert(capped.count() == 0, "above-cap fingerprints must not generate pairs")
+    // plan: inverted-index joins only
+    val p = Dedup.winnowPairs(df).queryExecution.executedPlan
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
 }
