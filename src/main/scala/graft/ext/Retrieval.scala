@@ -224,6 +224,42 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rank"), col("rrf_score"))
   }
 
+  /** Rank-biased overlap (Webber, Moffat, Zobel 2010) between the BM25 and
+    * tfidf rankings, truncated at `k`: `Σ_{d=1..k} w_d · |A_{1..d} ∩
+    * B_{1..d}|` with `w_d = (1−p)·p^{d−1}/d` — THE ranking-similarity
+    * metric for top-weighted lists (Kendall/Spearman treat depth 1 and
+    * depth 50 disagreements alike; RBO geometrically discounts depth,
+    * handles non-conjoint lists, and p sets the evaluator's patience).
+    * Every retrieval migration runs this table: "how different is the new
+    * ranker, where it matters?".
+    *
+    * Determinism: the weights are computed ONCE here and interpolated
+    * into the SQL oracle as literals (the mortonSql discipline — one
+    * source, two dialects), prefix intersections are integer counts, and
+    * the weighted sum folds in ascending-depth order on both engines —
+    * bit-exact. Cost: two |queries|·depth ranked lists (driver-scale),
+    * all real work is the rankers themselves. */
+  def rboWeights(k: Int, p: Double): Seq[Double] =
+    (1 to k).map(d => (1 - p) * math.pow(p, d - 1) / d)
+
+  def rbo(docs: DataFrame, queries: Seq[(String, Seq[String])],
+          k: Int = 10, depth: Int = 50, p: Double = 0.9): DataFrame = {
+    val w = typedLit(rboWeights(k, p))
+    def arr(df: DataFrame, rankCol: String) = df.groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col(rankCol), col("doc_id")))),
+        x => x.getField("doc_id")).as("arr"))
+    val a = arr(bm25(docs, queries, depth), "rank").withColumnRenamed("arr", "aa")
+    val b = arr(tfidfRank(docs, queries, depth), "rank").withColumnRenamed("arr", "bb")
+    a.join(b, Seq("query_id"), "full_outer")
+      .select(col("query_id"),
+        aggregate(sequence(lit(1), lit(k)), lit(0.0), (acc, d) =>
+          acc + element_at(w, d) *
+            size(array_intersect(
+              slice(coalesce(col("aa"), array().cast("array<long>")), lit(1), d),
+              slice(coalesce(col("bb"), array().cast("array<long>")), lit(1), d)))
+              .cast("double")).as("rbo"))
+  }
+
   /** Driver-gate query set: two terms each (commutative-add determinism). */
   val GateQueries: Seq[(String, Seq[String])] = Seq(
     "q1" -> Seq("spark", "join"),
@@ -236,7 +272,71 @@ object Retrieval {
     "bm25_topk"  -> ((s, dir) => bm25(SparkEntry.table(s, dir, "documents"), GateQueries)),
     "retrieval_rrf" -> ((s, dir) =>
       rrfFusion(SparkEntry.table(s, dir, "documents"), GateQueries)),
+    "retrieval_rbo" -> ((s, dir) =>
+      rbo(SparkEntry.table(s, dir, "documents"), GateQueries)),
   )
+
+  /** Shared two-ranker CTE prefix (bq = BM25 top-50 ranks, tq =
+    * positive-score tfidf top-50 ranks) — both the rrf and rbo oracles
+    * compose on it, so the rankings cannot drift between gates. */
+  /** The gate's RBO weights rendered as a DuckDB list literal — generated
+    * from [[rboWeights]] itself so the two dialects share one source. */
+  // each weight travels as CAST('<shortest-roundtrip-repr>' AS DOUBLE):
+  // a BARE decimal literal types as DECIMAL(18) in DuckDB, which both
+  // rounds 17-significant-digit weights AND folds the sum in decimal
+  // arithmetic — two distinct last-ulp divergences; string→DOUBLE parses
+  // with strtod (correctly-rounded round-trip, like the engine side)
+  private val rboWeightsSql: String =
+    rboWeights(10, 0.9)
+      .map(w => s"CAST('${java.lang.Double.toString(w)}' AS DOUBLE)")
+      .mkString("[", ", ", "]")
+
+  private val gateRankedListsSql: String =
+    """d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |              CAST(sum(len(toks)) AS DOUBLE) AS total FROM d),
+        |q(query_id, t1, t2) AS (VALUES
+        |  ('q1', 'spark', 'join'), ('q2', 'fast', 'scan'),
+        |  ('q3', 'vector', 'window'), ('q4', 'the', 'slow')),
+        |dfs AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM d)
+        |  GROUP BY term),
+        |bs AS (
+        |  SELECT q.query_id, dd.doc_id,
+        |    (((st.n - COALESCE(f1.df, 0.0) + 0.5) / (COALESCE(f1.df, 0.0) + 0.5)) *
+        |      ((CAST(len(list_filter(dd.toks, x -> x = q.t1)) AS DOUBLE) * 2.2) /
+        |       (CAST(len(list_filter(dd.toks, x -> x = q.t1)) AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * dd.dl / (st.total / st.n))))) +
+        |    (((st.n - COALESCE(f2.df, 0.0) + 0.5) / (COALESCE(f2.df, 0.0) + 0.5)) *
+        |      ((CAST(len(list_filter(dd.toks, x -> x = q.t2)) AS DOUBLE) * 2.2) /
+        |       (CAST(len(list_filter(dd.toks, x -> x = q.t2)) AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * dd.dl / (st.total / st.n))))) AS score
+        |  FROM dd, st, q
+        |  LEFT JOIN dfs f1 ON f1.term = q.t1
+        |  LEFT JOIN dfs f2 ON f2.term = q.t2),
+        |bq AS (
+        |  SELECT query_id, doc_id, rank_bm25 FROM (
+        |    SELECT query_id, doc_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank_bm25
+        |    FROM bs) WHERE rank_bm25 <= 50),
+        |ts AS (
+        |  SELECT q.query_id, dd.doc_id,
+        |    (CAST(len(list_filter(dd.toks, x -> x = q.t1)) AS DOUBLE) *
+        |      ((st.n - COALESCE(f1.df, 0.0) + 0.5) / (COALESCE(f1.df, 0.0) + 0.5))) +
+        |    (CAST(len(list_filter(dd.toks, x -> x = q.t2)) AS DOUBLE) *
+        |      ((st.n - COALESCE(f2.df, 0.0) + 0.5) / (COALESCE(f2.df, 0.0) + 0.5))) AS score
+        |  FROM dd, st, q
+        |  LEFT JOIN dfs f1 ON f1.term = q.t1
+        |  LEFT JOIN dfs f2 ON f2.term = q.t2),
+        |tq AS (
+        |  SELECT query_id, doc_id, rank_tfidf FROM (
+        |    SELECT query_id, doc_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank_tfidf
+        |    FROM ts WHERE score > 0) WHERE rank_tfidf <= 50)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "bm25_index" ->
@@ -286,52 +386,8 @@ object Retrieval {
     // fused with fixed-order RRF adds (bm25 contribution + tfidf
     // contribution — integer-input divisions, bit-exact cross-engine)
     "retrieval_rrf" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
-        |  FROM documents),
-        |dd AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM d),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |              CAST(sum(len(toks)) AS DOUBLE) AS total FROM d),
-        |q(query_id, t1, t2) AS (VALUES
-        |  ('q1', 'spark', 'join'), ('q2', 'fast', 'scan'),
-        |  ('q3', 'vector', 'window'), ('q4', 'the', 'slow')),
-        |dfs AS (
-        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM (
-        |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM d)
-        |  GROUP BY term),
-        |bs AS (
-        |  SELECT q.query_id, dd.doc_id,
-        |    (((st.n - COALESCE(f1.df, 0.0) + 0.5) / (COALESCE(f1.df, 0.0) + 0.5)) *
-        |      ((CAST(len(list_filter(dd.toks, x -> x = q.t1)) AS DOUBLE) * 2.2) /
-        |       (CAST(len(list_filter(dd.toks, x -> x = q.t1)) AS DOUBLE) +
-        |        1.2 * (0.25 + 0.75 * dd.dl / (st.total / st.n))))) +
-        |    (((st.n - COALESCE(f2.df, 0.0) + 0.5) / (COALESCE(f2.df, 0.0) + 0.5)) *
-        |      ((CAST(len(list_filter(dd.toks, x -> x = q.t2)) AS DOUBLE) * 2.2) /
-        |       (CAST(len(list_filter(dd.toks, x -> x = q.t2)) AS DOUBLE) +
-        |        1.2 * (0.25 + 0.75 * dd.dl / (st.total / st.n))))) AS score
-        |  FROM dd, st, q
-        |  LEFT JOIN dfs f1 ON f1.term = q.t1
-        |  LEFT JOIN dfs f2 ON f2.term = q.t2),
-        |bq AS (
-        |  SELECT query_id, doc_id, rank_bm25 FROM (
-        |    SELECT query_id, doc_id, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank_bm25
-        |    FROM bs) WHERE rank_bm25 <= 50),
-        |ts AS (
-        |  SELECT q.query_id, dd.doc_id,
-        |    (CAST(len(list_filter(dd.toks, x -> x = q.t1)) AS DOUBLE) *
-        |      ((st.n - COALESCE(f1.df, 0.0) + 0.5) / (COALESCE(f1.df, 0.0) + 0.5))) +
-        |    (CAST(len(list_filter(dd.toks, x -> x = q.t2)) AS DOUBLE) *
-        |      ((st.n - COALESCE(f2.df, 0.0) + 0.5) / (COALESCE(f2.df, 0.0) + 0.5))) AS score
-        |  FROM dd, st, q
-        |  LEFT JOIN dfs f1 ON f1.term = q.t1
-        |  LEFT JOIN dfs f2 ON f2.term = q.t2),
-        |tq AS (
-        |  SELECT query_id, doc_id, rank_tfidf FROM (
-        |    SELECT query_id, doc_id, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank_tfidf
-        |    FROM ts WHERE score > 0) WHERE rank_tfidf <= 50),
-        |f AS (
+      ("WITH " + gateRankedListsSql + ",\n" +
+        """|f AS (
         |  SELECT COALESCE(bq.query_id, tq.query_id) AS query_id,
         |         COALESCE(bq.doc_id, tq.doc_id) AS doc_id,
         |         COALESCE(1.0 / (60 + bq.rank_bm25), 0.0) +
@@ -342,6 +398,23 @@ object Retrieval {
         |  SELECT query_id, doc_id, rrf_score, row_number() OVER
         |    (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
         |  FROM f)
-        |SELECT query_id, doc_id, rank, rrf_score FROM r WHERE rank <= 10""".stripMargin,
+        |SELECT query_id, doc_id, rank, rrf_score FROM r WHERE rank <= 10""".stripMargin),
+    // same ranked lists, prefix-intersection weighted sum; weights are the
+    // SAME Scala-computed literals the engine uses (one source, two
+    // dialects), folded in ascending depth order on both sides
+    "retrieval_rbo" ->
+      ("WITH " + gateRankedListsSql + ",\n" +
+        s"""la AS (SELECT query_id, list(doc_id ORDER BY rank_bm25) AS arr FROM bq GROUP BY query_id),
+           |lb AS (SELECT query_id, list(doc_id ORDER BY rank_tfidf) AS arr FROM tq GROUP BY query_id),
+           |j AS (SELECT COALESCE(la.query_id, lb.query_id) AS query_id,
+           |        COALESCE(la.arr, CAST([] AS BIGINT[])) AS aa,
+           |        COALESCE(lb.arr, CAST([] AS BIGINT[])) AS bb
+           |      FROM la FULL OUTER JOIN lb ON la.query_id = lb.query_id)
+           |SELECT query_id,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 11), d ->
+           |    $rboWeightsSql[d] * CAST(len(list_intersect(
+           |      list_slice(aa, 1, d), list_slice(bb, 1, d))) AS DOUBLE))),
+           |    (acc, x) -> acc + x) AS rbo
+           |FROM j""".stripMargin),
   )
 }

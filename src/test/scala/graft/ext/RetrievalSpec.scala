@@ -119,4 +119,27 @@ class RetrievalSpec extends AnyFunSuite {
       assert(bm.contains(k) || tf.contains(k))
     }
   }
+  test("rbo: bit-equal to a JVM recompute from the two rankings; bounded") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    def lists(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      df.select("query_id", "doc_id", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val a = lists(Retrieval.bm25(docs, Retrieval.GateQueries, 50))
+    val b = lists(Retrieval.tfidfRank(docs, Retrieval.GateQueries, 50))
+    val w = Retrieval.rboWeights(10, 0.9)
+    val expect = (a.keySet ++ b.keySet).map { q =>
+      val aa = a.getOrElse(q, Nil); val bb = b.getOrElse(q, Nil)
+      var acc = 0.0
+      for (d <- 1 to 10)
+        acc = acc + w(d - 1) * (aa.take(d).toSet & bb.take(d).toSet).size
+      q -> acc
+    }.toMap
+    val got = Retrieval.rbo(docs, Retrieval.GateQueries).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expect, "engine fold must be bit-identical to the JVM fold")
+    // truncated-RBO mass bound: identical lists score exactly sum(w_d * d)
+    val bound = (1 to 10).map(d => w(d - 1) * d).sum
+    got.values.foreach(v => assert(v >= 0.0 && v <= bound))
+  }
 }
