@@ -98,7 +98,12 @@ object SparkEntry {
     // fifth block: two-pass sketch+recount heavy hitters (real per-token
     // compute twice over the corpus) and the SFT render window+concat
     // (sft_spans shares sft_format's plan shape and stays excluded)
-    "heavy_hitters", "sft_format")
+    "heavy_hitters", "sft_format",
+    // winnowing (per-gram sha256 + per-window argmin is real per-doc
+    // compute), its pair join, and the dual-ranker RBO table;
+    // corpus_diff / exact_k_sample / corpus_checksums / zorder_key3 sit
+    // at the scan/job floor and stay bench-excluded
+    "winnow_fingerprints", "dedup_winnow_pairs", "retrieval_rbo")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

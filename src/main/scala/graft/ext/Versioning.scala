@@ -35,7 +35,28 @@ object Versioning {
       .select(col("__id").as(idCol), col("status"))
   }
 
+  /** Per-bucket content checksums: `nBuckets` rows of (bucket, n_docs,
+    * checksum), where the checksum XORs a per-document content hash over a
+    * deterministic id-derived bucket. The replication-integrity table of a
+    * multi-site corpus: two replicas (or a pre/post-migration pair) agree
+    * iff their checksum tables agree, compared in `nBuckets` rows instead
+    * of re-shipping the corpus — and a disagreement localizes to the
+    * bucket, so only 1/nBuckets of the data needs the row-level
+    * [[corpusDiff]]. XOR is order- and partitioning-independent, so the
+    * table is reproducible on any cluster layout; the per-doc hash is the
+    * sha256-derived [[Hygiene.hashU64]] over `id:text`, cross-engine
+    * exact like every sampling hash. */
+  def corpusChecksums(df: DataFrame, nBuckets: Int = 64,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(pmod(col(idCol), lit(nBuckets.toLong)).as("bucket"),
+        Hygiene.hashU64(concat(col(idCol).cast("string"), lit(":"), col(textCol)))
+          .as("__h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(__h)").as("checksum"))
+
   val queries: Map[String, Q] = Map(
+    "corpus_checksums" -> ((s, dir) =>
+      corpusChecksums(SparkEntry.table(s, dir, "documents"))),
     // constructed adjacent snapshots: ids drop out of either side, a fifth
     // of the shared docs get their text revised
     "corpus_diff" -> ((s, dir) => {
@@ -49,6 +70,11 @@ object Versioning {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_checksums" ->
+      """SELECT ((doc_id % 64) + 64) % 64 AS bucket, count(*) AS n_docs,
+        |  bit_xor(CAST(('0x' || substring(
+        |    sha256(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8)) AS BIGINT)) AS checksum
+        |FROM documents GROUP BY 1""".stripMargin,
     // text equality directly — hash equality on the engine side must agree
     // unless xxhash64 collides (documented acceptance)
     "corpus_diff" ->

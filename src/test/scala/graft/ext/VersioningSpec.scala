@@ -37,4 +37,25 @@ class VersioningSpec extends AnyFunSuite {
         s"text must be hashed below the exchange:\n$p")
     }
   }
+  test("corpusChecksums: layout-invariant, localizes a single-doc change") {
+    val docs = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "documents")
+    def table(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      Versioning.corpusChecksums(df, nBuckets = 16).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = table(docs)
+    // XOR + deterministic buckets: any physical layout gives the same table
+    assert(table(docs.repartition(13)) == base)
+    // mutate ONE document: exactly its bucket's checksum changes, and no
+    // bucket's count moves
+    val mutId = docs.select("doc_id").head().getLong(0)
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === mutId, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    val after = table(mutated)
+    val changed = base.keySet.filter(b => base(b) != after(b))
+    assert(changed == Set(((mutId % 16) + 16) % 16),
+      s"only the mutated doc's bucket may change, got $changed")
+    assert(base.view.mapValues(_._1).toMap == after.view.mapValues(_._1).toMap,
+      "counts must be unchanged by a content mutation")
+  }
 }
