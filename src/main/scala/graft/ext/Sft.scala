@@ -65,6 +65,82 @@ object Sft {
       .select(col("conv_id"), col("turn_idx"),
         col("off").as("span_start"), (col("off") + col("len")).as("span_end"))
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022 — the
+    * pretraining objective of every code model): split each document's
+    * token sequence at two deterministic cut points and emit the PSM
+    * (prefix, suffix, middle) reordering with sentinel markers, so the
+    * model learns to infill. Cut points derive from [[Hygiene.hashU64]]
+    * of the doc id (reproducible across runs/engines — the corpus can be
+    * re-materialized identically for a resumed training run); the
+    * transform itself is a narrow scan-time projection.
+    *
+    * Emits (doc_id, n_tokens, cut1, cut2, text_fim) with
+    * `text_fim = <PRE> prefix <SUF> suffix <MID> middle`. */
+  def fimTransform(docs: DataFrame): DataFrame = {
+    val n = size(col("__w"))
+    // cut1 uniform in [0, n], cut2 uniform in [cut1, n] — integer exact
+    val c1 = pmod(Hygiene.hashU64(concat(col("doc_id").cast("string"), lit(":fim1"))),
+      (n + 1).cast("long"))
+    val c2 = c1 + pmod(Hygiene.hashU64(concat(col("doc_id").cast("string"), lit(":fim2"))),
+      (n.cast("long") - c1 + 1L))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), col("__w"), n.cast("long").as("n_tokens"),
+        c1.as("cut1"), c2.as("cut2"))
+      .select(col("doc_id"), col("n_tokens"), col("cut1"), col("cut2"),
+        concat(lit("<PRE>"),
+          concat_ws(" ", slice(col("__w"), lit(1), col("cut1").cast("int"))),
+          lit("<SUF>"),
+          concat_ws(" ", slice(col("__w"), (col("cut2") + 1).cast("int"),
+            (col("n_tokens") - col("cut2")).cast("int"))),
+          lit("<MID>"),
+          concat_ws(" ", slice(col("__w"), (col("cut1") + 1).cast("int"),
+            (col("cut2") - col("cut1")).cast("int")))).as("text_fim"))
+  }
+
+  /** Integer threshold for the span-start Bernoulli decision: the
+    * comparison `hashU64 < SpanStartThresh` fires at rate
+    * `SpanStartRate` — computed ONCE and interpolated into both dialects
+    * so the decision boundary is a pure integer compare (the
+    * [[Hygiene.weightedSample]] posture). */
+  val SpanStartRate = 0.05
+  val SpanMeanLen = 3
+  val SpanStartThresh: Long = (SpanStartRate * 4294967296.0).toLong
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): deterministic
+    * denoising-objective data prep — mask random token spans, emit one row
+    * per masked span `(doc_id, span_idx, span_start, span_end,
+    * span_text)`; the dataloader renders inputs (spans → sentinels) and
+    * targets (sentinel + span text) from this table. Span starts fire at
+    * [[SpanStartRate]] per token from a position-salted hash; lengths are
+    * uniform `1..2·mean−1`; an overlapping next start TRUNCATES the
+    * current span (so spans never overlap and every start yields a span —
+    * closed-form from the hash stream, no sequential state). Fully
+    * deterministic from (doc_id, position): the same corpus re-corrupts
+    * identically on any engine, run, or partitioning — resumable
+    * pretraining needs exactly this property. Narrow scan-time HOFs
+    * throughout. */
+  def spanCorruption(docs: DataFrame): DataFrame = {
+    val n = size(col("__w"))
+    def posHash(salt: String, p: Column): Column =
+      Hygiene.hashU64(concat(col("doc_id").cast("string"), lit(salt), p.cast("string")))
+    val starts = filter(sequence(lit(0), n - 1), i =>
+      posHash(":ss:", i) < lit(SpanStartThresh))
+    val spans = transform(col("__s"), (s, j) => {
+      val nxt = coalesce(try_element_at(col("__s"), j + 2), size(col("__w")))
+      val len = lit(1L) + pmod(posHash(":sl:", s), lit(2L * SpanMeanLen - 1))
+      struct(j.cast("long").as("span_idx"), s.cast("long").as("span_start"),
+        least(s + len, nxt.cast("long"), size(col("__w")).cast("long")).as("span_end"))
+    })
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), col("__w"), starts.as("__s"))
+      .select(col("doc_id"), col("__w"), explode(spans).as("sp"))
+      .select(col("doc_id"), col("sp.span_idx"), col("sp.span_start"), col("sp.span_end"),
+        concat_ws(" ", slice(col("__w"), (col("sp.span_start") + 1).cast("int"),
+          (col("sp.span_end") - col("sp.span_start")).cast("int"))).as("span_text"))
+  }
+
   private def eventTurns(s: SparkSession, dir: String): DataFrame =
     SparkEntry.table(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id").as("ord"),
@@ -73,6 +149,8 @@ object Sft {
   val queries: Map[String, Q] = Map(
     "sft_format" -> ((s, dir) => renderConversations(eventTurns(s, dir), "user_id")),
     "sft_spans" -> ((s, dir) => lossSpans(eventTurns(s, dir), "user_id")),
+    "fim_transform" -> ((s, dir) => fimTransform(SparkEntry.table(s, dir, "documents"))),
+    "span_corruption" -> ((s, dir) => spanCorruption(SparkEntry.table(s, dir, "documents"))),
   )
 
   // single-line on purpose: this fragment is interpolated into oracle
@@ -103,5 +181,49 @@ object Sft {
          |  FROM t)
          |SELECT conv_id, turn_idx, span_start, span_start + len AS span_end
          |FROM o WHERE role = 'assistant'""".stripMargin,
+    // hashes are non-negative (32-bit), so plain % mirrors Spark's pmod;
+    // array_to_string of an EMPTY list is NULL in DuckDB (Spark concat_ws
+    // gives '') — each segment coalesces to ''
+    "fim_transform" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+        |  CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':fim1'), 1, 8)) AS BIGINT)
+        |    % (CAST(len(w) AS BIGINT) + 1) AS c1
+        |  FROM d),
+        |c2t AS (SELECT doc_id, w, n, c1,
+        |  c1 + CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':fim2'), 1, 8)) AS BIGINT)
+        |    % (n - c1 + 1) AS c2
+        |  FROM c)
+        |SELECT doc_id, n AS n_tokens, c1 AS cut1, c2 AS cut2,
+        |  '<PRE>' || coalesce(array_to_string(list_slice(w, 1, CAST(c1 AS INT)), ' '), '') ||
+        |  '<SUF>' || coalesce(array_to_string(list_slice(w, CAST(c2 + 1 AS INT), CAST(n AS INT)), ' '), '') ||
+        |  '<MID>' || coalesce(array_to_string(list_slice(w, CAST(c1 + 1 AS INT), CAST(c2 AS INT)), ' '), '')
+        |    AS text_fim
+        |FROM c2t""".stripMargin,
+    // position-salted start decisions, truncate-at-next-start span ends —
+    // the exact closed-form the engine computes; same integer threshold
+    "span_corruption" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w,
+        |  list_filter(range(0, len(w)), i ->
+        |    CAST(('0x' || substring(sha256(
+        |      CAST(doc_id AS VARCHAR) || ':ss:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      < $SpanStartThresh) AS st
+        |  FROM d),
+        |sp AS (SELECT doc_id, w, t.u AS u
+        |  FROM s, LATERAL UNNEST(list_transform(range(1, len(st) + 1), j -> struct_pack(
+        |    span_idx := CAST(j - 1 AS BIGINT),
+        |    span_start := CAST(st[j] AS BIGINT),
+        |    span_end := CAST(least(
+        |      st[j] + 1 + CAST(('0x' || substring(sha256(
+        |        CAST(doc_id AS VARCHAR) || ':sl:' || CAST(st[j] AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        % ${2 * SpanMeanLen - 1},
+        |      coalesce(st[j + 1], len(w)), len(w)) AS BIGINT)))) AS t(u))
+        |SELECT doc_id, u.span_idx AS span_idx, u.span_start AS span_start,
+        |  u.span_end AS span_end,
+        |  coalesce(array_to_string(
+        |    list_slice(w, CAST(u.span_start + 1 AS INT), CAST(u.span_end AS INT)), ' '), '')
+        |    AS span_text
+        |FROM sp""".stripMargin,
   )
 }

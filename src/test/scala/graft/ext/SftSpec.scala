@@ -71,4 +71,53 @@ class SftSpec extends AnyFunSuite {
     assert(shuffles.size == 1,
       s"expected one conv_id exchange shared by window + agg, got ${shuffles.size}:\n$p")
   }
+  test("fimTransform: PSM segments losslessly reassemble the document") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "solo"), (3L, "x y")).toDF("doc_id", "text")
+    val rows = Sft.fimTransform(docs).collect()
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, n, c1, c2, fim) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(0 <= c1 && c1 <= c2 && c2 <= n)
+      val iSuf = fim.indexOf("<SUF>"); val iMid = fim.indexOf("<MID>")
+      val pre = fim.substring("<PRE>".length, iSuf)
+      val suf = fim.substring(iSuf + "<SUF>".length, iMid)
+      val mid = fim.substring(iMid + "<MID>".length)
+      val tokens = Seq(pre, mid, suf).map(_.split(" ", -1).filter(_.nonEmpty).toSeq)
+      assert(tokens.flatten.sorted == orig(id).split(" ").toSeq.sorted,
+        s"doc $id loses tokens")
+      assert((pre + " " + mid + " " + suf).trim.replaceAll(" +", " ").split(" ").length
+        >= orig(id).split(" ").length - 1)
+    }
+  }
+
+  test("spanCorruption: disjoint ordered in-bounds spans, exact slice text, deterministic") {
+    import spark.implicits._
+    val words = (0 until 400).map(i => s"t$i").mkString(" ")
+    val docs = Seq((7L, words), (8L, "tiny doc")).toDF("doc_id", "text")
+    val got = Sft.spanCorruption(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = got.groupBy(_._1)
+    byDoc.get(7L).foreach { sp =>
+      val sorted = sp.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong).toSeq,
+        "dense span_idx by start order")
+      sorted.foreach { case (_, _, s, e, t) =>
+        assert(0 <= s && s < e && e <= 400)
+        assert(t == (s until e).map(i => s"t$i").mkString(" "), "span_text must slice the doc")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, e1, _), (_, _, s2, _, _)) => assert(e1 <= s2, "spans overlap")
+        case _ =>
+      }
+      // ~5% start rate * mean len 3 => ~15% tokens masked; loose envelope
+      val masked = sorted.map(x => x._4 - x._3).sum
+      assert(masked > 10 && masked < 200, s"implausible corruption mass $masked/400")
+    }
+    // deterministic under repartitioning
+    val again = Sft.spanCorruption(docs.repartition(9)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(again.sortBy(x => (x._1, x._2)).toSeq == got.sortBy(x => (x._1, x._2)).toSeq)
+  }
 }
