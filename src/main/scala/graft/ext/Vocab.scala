@@ -225,12 +225,156 @@ object Vocab {
     encodeCaches.computeIfAbsent(key,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]())
 
+  // ───────────────────── unigram (SentencePiece-style) ─────────────────────
+  //
+  // Hard-EM unigram-LM tokenizer induction (Kudo 2018, the Viterbi-EM
+  // variant: the E-step keeps only each word's BEST segmentation — a
+  // documented simplification of the full forward-backward EM; the
+  // training loop, seeding, and pruning schedule are the SentencePiece
+  // shape). Same scale posture as [[trainBpe]]: ONE corpus-sized
+  // aggregation builds the distinct-word frequency table, and every EM
+  // round runs distributed over that table with the (bounded,
+  // centroid-acceptance) vocabulary broadcast; the driver holds only the
+  // piece-count map per round.
+  //
+  // DETERMINISM — the whole point of this formulation: Viterbi compares
+  // segmentation likelihoods Π(cᵢ/T) by EXACT BigInt cross-multiplication
+  // (`Πc_a · T^{L_b}` vs `Πc_b · T^{L_a}`), never a Σlog-probs double —
+  // libm `log` differs in the last ulp across runtimes (the lmScore
+  // posture), and a tokenizer that segments differently on different
+  // machines corrupts a resumed pretraining run. Prefix-optimality holds
+  // under the cross-multiplied order (extending two same-position states
+  // by one suffix divides both sides by the same factor), so keeping one
+  // best state per position is exact. Ties: fewer pieces, then
+  // lexicographically smaller piece sequence — total and mirrorable.
+
+  /** Best segmentation of `word` under piece counts `c` (all ≥ 1) with
+    * total mass `t`. Every single character must be in `c`. */
+  private[ext] def segmentWord(word: String, c: Map[String, Long], t: Long,
+                               maxLen: Int): Seq[String] = {
+    val bigT = BigInt(t)
+    // state: (product of counts, nPieces, pieces reversed)
+    val best = new Array[(BigInt, Int, List[String])](word.length + 1)
+    best(0) = (BigInt(1), 0, Nil)
+    var i = 1
+    while (i <= word.length) {
+      var cand: (BigInt, Int, List[String]) = null
+      var l = 1
+      while (l <= math.min(maxLen, i)) {
+        val piece = word.substring(i - l, i)
+        val pc = c.get(piece)
+        if (pc.isDefined && best(i - l) != null) {
+          val (p0, n0, s0) = best(i - l)
+          val nxt = (p0 * pc.get, n0 + 1, piece :: s0)
+          if (cand == null) cand = nxt
+          else {
+            val lhs = nxt._1 * bigT.pow(cand._2)
+            val rhs = cand._1 * bigT.pow(nxt._2)
+            val better =
+              if (lhs != rhs) lhs > rhs
+              else if (nxt._2 != cand._2) nxt._2 < cand._2
+              else {
+                val a = nxt._3.reverse; val b = cand._3.reverse
+                a.zip(b).find { case (x, y) => x != y }
+                  .map { case (x, y) => x < y }.getOrElse(a.size < b.size)
+              }
+            if (better) cand = nxt
+          }
+        }
+        l += 1
+      }
+      best(i) = cand
+      i += 1
+    }
+    require(best(word.length) != null, s"unsegmentable word '$word' — char missing")
+    best(word.length)._3.reverse
+  }
+
+  /** Train a unigram vocabulary of at most `vocabSize` pieces. Returns the
+    * final piece-count map (the encode model — counts, not floats). */
+  def trainUnigram(docs: DataFrame, vocabSize: Int, seedMaxPiece: Int = 4,
+                   seedPool: Int = 512, pruneFrac: Double = 0.2): Map[String, Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].localCheckpoint(true)
+
+    // seed: every ≤ seedMaxPiece-char substring, occurrence-weighted; ALL
+    // single chars are mandatory (segmentability invariant), multi-char
+    // pieces cut to the pool by (count desc, piece asc)
+    val sub = words.flatMap { case (w, f) =>
+      for { l <- 1 to math.min(seedMaxPiece, w.length)
+            i <- 0 to w.length - l } yield (w.substring(i, i + l), f)
+    }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .map { case (p, c) => (p, c) }.collect()
+    val chars = sub.filter(_._1.length == 1)
+    val multis = sub.filter(_._1.length > 1).sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, seedPool - chars.length))
+    var vocab: Map[String, Long] = (chars ++ multis).toMap
+
+    def emRound(v: Map[String, Long]): Map[String, Long] = {
+      val t = v.valuesIterator.sum
+      val maxLen = v.keysIterator.map(_.length).max
+      val bc = spark.sparkContext.broadcast((v, t, maxLen))
+      val counts = words.flatMap { case (w, f) =>
+        val (vv, tt, ml) = bc.value
+        segmentWord(w, vv, tt, ml).groupBy(identity)
+          .map { case (p, o) => (p, o.size.toLong * f) }
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case (p, c) => (p, c) }.collect().toMap
+      bc.destroy()
+      // chars stay segmentable even when unused by any best segmentation
+      v.keysIterator.filter(_.length == 1)
+        .map(ch => ch -> counts.getOrElse(ch, 1L)).toMap ++
+        counts.filter { case (p, _) => p.length > 1 }
+    }
+
+    var rounds = 0
+    while (vocab.size > vocabSize && rounds < 100) {
+      vocab = emRound(vocab)
+      val nChars = vocab.keysIterator.count(_.length == 1)
+      val excess = vocab.size - math.max(vocabSize, nChars)
+      if (excess > 0) {
+        val drop = math.max(1, math.ceil(excess * pruneFrac).toInt)
+        val victims = vocab.toSeq.filter(_._1.length > 1)
+          .sortBy { case (p, c) => (c, p) }.take(drop).map(_._1).toSet
+        vocab = vocab.filter { case (p, _) => !victims.contains(p) }
+      }
+      rounds += 1
+    }
+    emRound(vocab) // settle counts on the final vocabulary
+  }
+
+  /** Viterbi-encode every document's words under a trained unigram model. */
+  def encodeUnigram(df: DataFrame, model: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = model.valuesIterator.sum
+    val maxLen = model.keysIterator.map(_.length).max
+    val bc = spark.sparkContext.broadcast(model)
+    val enc = df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+        it.map { case (id, text) =>
+          val pieces = text.split(" ").iterator.filter(_.nonEmpty).flatMap(w =>
+            memo.getOrElseUpdate(w, segmentWord(w, bc.value, t, maxLen))).toSeq
+          (id, pieces)
+        }
+      }
+    enc.toDF("doc_id", "uni_tokens")
+  }
+
   private type Q = (SparkSession, String) => DataFrame
 
   // Gate parameters, shared by the queries entry and the fixture generator
   // (tools/gen_vocab_fixture.py mirrors them) so they can never desync.
   private[ext] val GateMerges = 50
   private[ext] val GateBatch = 16
+  private[ext] val GateUniVocab = 60
+  private[ext] val GateUniSeedMax = 4
+  private[ext] val GateUniPool = 200
 
   /** Driver gate for the BPE ENCODE path (round-8 verdict missing #3):
     * train on the corpus with the BATCHED selection, encode every document,
@@ -246,12 +390,28 @@ object Vocab {
           size(col("bpe_tokens")).cast("long").as("n_bpe"),
           array_join(col("bpe_tokens"), " ").as("bpe_text"))
     }),
+    // hard-EM unigram: train on the corpus, Viterbi-encode every document;
+    // the oracle is an independent pure-Python mirror of the exact-integer
+    // semantics (tools/gen_unigram_fixture.py), corpus-tagged
+    "vocab_unigram" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val model = trainUnigram(docs, vocabSize = GateUniVocab,
+        seedMaxPiece = GateUniSeedMax, seedPool = GateUniPool)
+      encodeUnigram(docs, model)
+        .select(col("doc_id"),
+          size(col("uni_tokens")).cast("long").as("n_uni"),
+          array_join(col("uni_tokens"), " ").as("uni_text"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
     "vocab_encode" ->
       s"""SELECT doc_id, n_bpe, bpe_text
         |FROM read_parquet('${Dedup.fixturesDir}/vocab_encode.parquet')
+        |WHERE corpus = (SELECT md5(string_agg(doc_id || ':' || text, '|' ORDER BY doc_id)) FROM documents)""".stripMargin,
+    "vocab_unigram" ->
+      s"""SELECT doc_id, n_uni, uni_text
+        |FROM read_parquet('${Dedup.fixturesDir}/vocab_unigram.parquet')
         |WHERE corpus = (SELECT md5(string_agg(doc_id || ':' || text, '|' ORDER BY doc_id)) FROM documents)""".stripMargin,
   )
 }

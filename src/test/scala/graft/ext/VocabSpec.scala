@@ -152,4 +152,38 @@ class VocabSpec extends AnyFunSuite {
       assert(r.getSeq[String](2) == seqTokens, s"doc ${r.getLong(0)}")
     }
   }
+  test("unigram: lossless segmentation, char coverage, vocab budget, determinism") {
+    import spark.implicits._
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val model = Vocab.trainUnigram(docs, vocabSize = 60, seedMaxPiece = 4, seedPool = 200)
+    val chars = docs.select(explode(split(col("text"), "")).as("c"))
+      .where(col("c") =!= "" && col("c") =!= " ").distinct().as[String].collect().toSet
+    // every corpus character is a piece (segmentability), budget respected
+    assert(chars.subsetOf(model.keySet.filter(_.length == 1)))
+    assert(model.size <= math.max(60, chars.size))
+    assert(model.valuesIterator.forall(_ >= 1))
+    // encoding is lossless: pieces concatenate back to the words
+    val enc = Vocab.encodeUnigram(docs, model)
+      .select(col("doc_id"), array_join(col("uni_tokens"), "").as("joined"))
+      .as[(Long, String)].collect().toMap
+    docs.select("doc_id", "text").as[(Long, String)].collect().foreach { case (id, t) =>
+      assert(enc(id) == t.split(" ").filter(_.nonEmpty).mkString(""),
+        s"doc $id does not reassemble")
+    }
+    // training is partitioning-invariant (all reductions are integer sums)
+    val again = Vocab.trainUnigram(docs.repartition(7), vocabSize = 60,
+      seedMaxPiece = 4, seedPool = 200)
+    assert(again == model)
+  }
+
+  test("unigram Viterbi: integer cross-multiplied comparison picks the likelier piece") {
+    // counts: 'ab' has high mass, singles low — one 'ab' piece (p=90/100)
+    // must beat two singles (25/100 * 35/100); and the tie rules are total
+    val c = Map("a" -> 25L, "b" -> 35L, "ab" -> 90L)
+    assert(Vocab.segmentWord("ab", c, t = 150L, maxLen = 2) == Seq("ab"))
+    // equal-likelihood tie: fewer pieces wins
+    val c2 = Map("a" -> 10L, "aa" -> 10L)
+    // 'aa' as one piece: 10/T; as two: 100/T^2 — one piece wins iff 10*T > 100
+    assert(Vocab.segmentWord("aa", c2, t = 20L, maxLen = 2) == Seq("aa"))
+  }
 }
