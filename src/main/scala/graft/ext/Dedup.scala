@@ -1002,6 +1002,23 @@ object Dedup {
     // ExtSpec additionally asserts recall/exactness vs brute force.
     "dedup_minhash_lsh" -> ((s, dir) =>
       minhashLsh(SparkEntry.table(s, dir, "documents"), tau = 0.5)),
+    // LSH recall AS A QUERY — the eval every banded-LSH deployment runs
+    // (the ann_recall precedent applied to the dedup family): both legs
+    // are the already-gated jobs, the fusion join is pair-set-sized. LSH
+    // output ⊆ exact by construction (final exact-Jaccard filter), so
+    // this MEASURES the bands' candidate recall directly.
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val exact = jaccardPairs(docs, tau = 0.5).select("id_a", "id_b")
+      val lsh = minhashLsh(docs, tau = 0.5).select(col("id_a").as("la"), col("id_b").as("lb"))
+      val hit = exact.join(lsh,
+        col("id_a") === col("la") && col("id_b") === col("lb"), "left")
+      hit.agg(
+        count(lit(1)).as("n_exact"),
+        count(col("la")).as("n_hit"))
+        .select(col("n_exact"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       simhashPairs(SparkEntry.table(s, dir, "documents"), maxHamming = 3)),
     "dedup_embedding_pairs" -> ((s, dir) =>
@@ -1150,6 +1167,16 @@ object Dedup {
       s"""SELECT id_a, id_b, est_jac, jac
         |FROM read_parquet('$fixturesDir/dedup_minhash_lsh.parquet')
         |WHERE corpus = $corpusTag""".stripMargin,
+    // exact leg = the jaccard oracle; LSH leg = the committed independent
+    // fixture — composed, so recall is pinned end-to-end
+    "dedup_lsh_recall" ->
+      ("WITH ex AS (SELECT id_a, id_b FROM (\n" + jaccardPairsOracle + "\n)),\n" +
+        s"lsh AS (SELECT id_a, id_b FROM read_parquet('$fixturesDir/dedup_minhash_lsh.parquet')\n" +
+        s"        WHERE corpus = $corpusTag),\n" +
+        "h AS (SELECT ex.id_a, l.id_a AS hit FROM ex\n" +
+        "      LEFT JOIN lsh l ON ex.id_a = l.id_a AND ex.id_b = l.id_b)\n" +
+        "SELECT count(*) AS n_exact, count(hit) AS n_hit,\n" +
+        "  CAST(count(hit) AS DOUBLE) / count(*) AS recall FROM h"),
     "dedup_simhash" ->
       s"""SELECT id_a, id_b, hamming
         |FROM read_parquet('$fixturesDir/dedup_simhash.parquet')

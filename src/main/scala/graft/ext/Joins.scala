@@ -90,6 +90,42 @@ object Joins {
       .select((intervals.columns.toSeq ++ pointCols).distinct.map(col): _*)
   }
 
+  /** Interval-OVERLAP join: all (a, b) pairs on matching `keys` whose
+    * half-open spans `[aStart, aEnd) × [bStart, bEnd)` intersect — the
+    * third member of the temporal-join family ([[asofJoin]]: latest-prior
+    * point; [[intervalJoin]]: point-in-span; this: span-against-span, the
+    * shape of incident-vs-deploy correlation, session-overlap analysis,
+    * availability-window intersection).
+    *
+    * Same bucketing strategy as [[intervalJoin]], applied to BOTH sides:
+    * the (small) `b` side explodes to its fixed-grain buckets and
+    * BROADCASTS; each `a` row explodes to its own buckets narrowly at scan
+    * time, the equi hash join on (keys, bucket) produces candidates, and
+    * the exact predicate `aStart < bEnd AND bStart < aEnd` filters.
+    * A pair sharing several buckets appears once per shared bucket — the
+    * dedup keys on the FIRST shared bucket (`greatest(aBucket₀,
+    * bBucket₀)`) instead of a `distinct` over the pair set, a pure filter
+    * with no extra exchange. The `a` side never shuffles. */
+  def overlapJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+                  aStart: String, aEnd: String, bStart: String, bEnd: String,
+                  grainSeconds: Long = 3600L): DataFrame = {
+    val grainUs = grainSeconds * 1000000L
+    def bucketOf(c: Column): Column = floor(unix_micros(c) / grainUs)
+    def lastBucket(endC: String): Column =
+      floor((unix_micros(col(endC)) - 1) / grainUs)
+    val bi = b.withColumn("__bb0", bucketOf(col(bStart)))
+      .withColumn("__b", explode(sequence(col("__bb0"), lastBucket(bEnd))))
+    val ai = a.withColumn("__ab0", bucketOf(col(aStart)))
+      .withColumn("__b", explode(sequence(col("__ab0"), lastBucket(aEnd))))
+    ai.join(broadcast(bi), keys :+ "__b")
+      .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      // keep only the FIRST bucket the two spans share: both spans cover
+      // it, so it is max of their first buckets — every other shared
+      // bucket drops without a distinct
+      .where(col("__b") === greatest(col("__ab0"), col("__bb0")))
+      .select((a.columns.toSeq ++ b.columns.toSeq).distinct.map(col): _*)
+  }
+
   /** Driver-gate anchor set for [[intervalJoin]]: high-value error events
     * open a 1-hour incident window on their user. */
   private def incidentWindows(events: DataFrame): DataFrame =
@@ -99,6 +135,22 @@ object Joins {
         (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
 
   val queries: Map[String, Q] = Map(
+    // incident windows × purchase-activity windows: which purchases were
+    // in flight during an incident, and for how long (exact µs overlap)
+    "overlap_join" -> ((s, dir) => {
+      val events = SparkEntry.table(s, dir, "events")
+      val incidents = events.where(col("event_type") === "error" && col("value") > 100)
+        .select(col("event_id").as("anchor_id"), col("user_id"),
+          col("ts").as("a_start"), (col("ts") + expr("INTERVAL 1 HOUR")).as("a_end"))
+      val purchases = events.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("b_start"), (col("ts") + expr("INTERVAL 30 MINUTE")).as("b_end"))
+      overlapJoin(incidents, purchases, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end")
+        .select(col("anchor_id"), col("p_id"),
+          (unix_micros(least(col("a_end"), col("b_end"))) -
+            unix_micros(greatest(col("a_start"), col("b_start")))).as("overlap_us"))
+    }),
     // every click annotated with the user's most recent prior purchase
     "asof_join" -> ((s, dir) => {
       val events = SparkEntry.table(s, dir, "events")
@@ -134,6 +186,21 @@ object Joins {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // inequality theta-join mirror of the bucketed overlap join
+    "overlap_join" ->
+      """WITH a AS (
+        |  SELECT event_id AS anchor_id, user_id, ts AS a_start,
+        |         ts + INTERVAL 1 HOUR AS a_end
+        |  FROM events WHERE event_type = 'error' AND value > 100),
+        |b AS (
+        |  SELECT event_id AS p_id, user_id, ts AS b_start,
+        |         ts + INTERVAL 30 MINUTE AS b_end
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.anchor_id, b.p_id,
+        |  epoch_us(least(a.a_end, b.b_end)) - epoch_us(greatest(a.a_start, b.b_start))
+        |    AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a.a_start < b.b_end AND b.b_start < a.a_end""".stripMargin,
     // DuckDB's native ASOF JOIN — a genuinely independent implementation of
     // the same semantics (greatest right ts ≤ left ts, per key)
     "asof_join" ->

@@ -88,4 +88,28 @@ class JoinsSpec extends AnyFunSuite {
     assert(count(p) { case _: ShuffleExchangeExec => } == 1,
       s"point side must reach the join shuffle-free:\n$p")
   }
+  test("overlapJoin == theta-join brute force; half-open bounds; no dup pairs") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // spans crossing many 1h buckets, touching endpoints, disjoint keys
+    val a = Seq(
+      (1L, "k1", t(0), t(7200)),      // 2h
+      (2L, "k1", t(7200), t(7300)),   // starts exactly where 1 ends
+      (3L, "k2", t(100), t(200)),
+      (4L, "k1", t(100000), t(100100))).toDF("a_id", "k", "a_start", "a_end")
+    val b = Seq(
+      (10L, "k1", t(3600), t(10800)), // overlaps a1 and a2
+      (11L, "k1", t(7300), t(7400)),  // touches a2's end: NO overlap
+      (12L, "k2", t(150), t(160)),    // inside a3
+      (13L, "k3", t(0), t(999999))).toDF("b_id", "k", "b_start", "b_end")
+    val got = Joins.overlapJoin(a, b, Seq("k"), "a_start", "a_end", "b_start", "b_end")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val brute = a.join(b, Seq("k"))
+      .where(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == brute, s"bucketed overlap diverges from brute force: $got vs $brute")
+    assert(got == got.distinct, "multi-bucket pair must appear exactly once")
+    assert(got.contains((1L, 10L)) && got.contains((2L, 10L)))
+    assert(!got.contains((2L, 11L)), "touching endpoints is NOT an overlap (half-open)")
+  }
 }
