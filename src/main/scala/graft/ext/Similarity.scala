@@ -721,6 +721,27 @@ object Similarity {
         .agg(topkUdaf(k)(col("neighbor_id"), col("sim")).as("nb")))
   }
 
+  /** Embedding outlier report: vectors whose cosine distance to their
+    * NEAREST cell centroid exceeds the corpus's `1 − frac` quantile — the
+    * standard curation probe for corrupt embeddings, encoder failures, and
+    * out-of-distribution content (an embedding near no semantic
+    * neighborhood is suspect). Narrow per-row cost over the broadcast
+    * centroid literal (the [[annIvf]] posture), ONE exact-percentile
+    * aggregate collapsing to a single driver double (the
+    * `perplexityPartition` acceptance — at 100 TB pass an
+    * `approx_percentile` cutoff through the same plan), then a scan-time
+    * filter. The max-over-cells is an aggregation of bit-exact cosines —
+    * order-independent, so the whole report carries a SQL oracle. */
+  def embeddingOutliers(emb: DataFrame, frac: Double = 0.01, nCells: Int = 16,
+                        centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    val cents = centroids.map(cs => typedLit(cs)).getOrElse(centroidLit(emb, nCells))
+    val cost = emb.select(col("vec_id"),
+      (lit(1.0) - array_max(transform(cents,
+        c => vectors.cosineSim(col("embedding"), c.getField("_2"))))).as("cost"))
+    val cut = cost.agg(expr(s"percentile(cost, ${1.0 - frac})")).head().getDouble(0)
+    cost.where(col("cost") > cut)
+  }
+
   /** Cluster-balanced (diversity-preserving) corpus pruning — the
     * cluster-then-cap selection of embedding-space curation (the D4 /
     * DataComp recipe: cluster the corpus, bound each cluster's
@@ -848,6 +869,9 @@ object Similarity {
     }),
     // deterministic cells + sha-ranked cap → full SQL oracle; trained
     // centroids take the same code path (ExtSpec covers the swap)
+    "embedding_outliers" -> ((s, dir) =>
+      embeddingOutliers(SparkEntry.table(s, dir, "embeddings"),
+        frac = 0.01, nCells = GateIvfCells)),
     "cluster_balance" -> ((s, dir) =>
       clusterBalance(SparkEntry.table(s, dir, "embeddings"),
         cap = GateBalanceCap, nCells = GateIvfCells)),
@@ -1144,6 +1168,19 @@ object Similarity {
         "        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank\n" +
         "      FROM p)\n" +
         s"SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK"),
+    // max-over-cells of bit-exact cosines (order-independent), exact
+    // quantile cutoff (Spark percentile == quantile_cont, the
+    // perplexity_partition precedent), scan-time filter
+    "embedding_outliers" ->
+      s"""WITH cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
+        |  FROM embeddings ORDER BY vec_id LIMIT $GateIvfCells),
+        |cost AS (
+        |  SELECT e.vec_id,
+        |    1.0 - max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cent)) AS cost
+        |  FROM embeddings e, cents c GROUP BY e.vec_id),
+        |cut AS (SELECT quantile_cont(cost, 0.99) AS q FROM cost)
+        |SELECT vec_id, cost FROM cost, cut WHERE cost > q""".stripMargin,
     // the shared deterministic assignment + the sha256-ranked per-cell cap
     "cluster_balance" ->
       s"""WITH $assignedCellsSql,

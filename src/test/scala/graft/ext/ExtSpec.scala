@@ -1225,4 +1225,28 @@ class ExtSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     assert(p.collect { case c: CartesianProductExec => c }.isEmpty)
   }
+  test("embeddingOutliers: injected corrupt vector surfaces; fraction bounded") {
+    import spark.implicits._
+    // the clustered-corpus layout (outlier-detection needs a manifold to
+    // be outside of; on an isotropic random corpus every vector is equally
+    // far from every centroid and the 1% tail is just noise): 8 tight
+    // clusters, plus one junk vector aligned with NO cluster axis
+    val dim = 16
+    val rows = for (c <- 0 until 8; i <- 0 until 60) yield {
+      val id = (c * 60 + i).toLong
+      val v = Array.tabulate(dim) { d =>
+        val center = if (d == c * 2) 10f else 0f
+        center + (((id * 31 + d * 17) % 7).toInt - 3) * 0.1f
+      }
+      (id, v.toSeq)
+    }
+    val junk = Array.tabulate(dim)(d => if (d % 2 == 1) 7f else -7f).toSeq
+    val polluted = (rows :+ (99999L, junk)).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(polluted, frac = 0.01, nCells = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.exists(_._1 == 99999L), s"the corrupt vector must be flagged: ${out.toSeq}")
+    val n = rows.size + 1
+    assert(out.length <= math.ceil(n * 0.02), s"${out.length} outliers of $n rows")
+    out.foreach { case (_, c) => assert(c >= 0.0 && c <= 2.0) }
+  }
 }
