@@ -603,4 +603,19 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p) { case _: aggregate.HashAggregateExec => } == 2,
       s"expected partial+final HashAggregate:\n$p")
   }
+  test("objective-prep and fingerprint gates: narrow scan-time plans, zero shuffles") {
+    for (name <- Seq("fim_transform", "span_corruption", "winnow_fingerprints")) {
+      val p = physical(name)
+      assert(shuffles(p) == 0, s"$name must be a pure scan-time transform:\n$p")
+      assert(count(p) { case _: FileSourceScanExec => } == 1,
+        s"$name must read the corpus exactly once:\n$p")
+    }
+    // checksums: one map-side-combined aggregation exchange
+    val c = physical("corpus_checksums")
+    assert(shuffles(c) == 1, s"checksums = one bucket-agg exchange:\n$c")
+    // outliers: cutoff is collected eagerly; the returned plan is a bare
+    // scan + filter — nothing corpus-sized moves
+    val o = physical("embedding_outliers")
+    assert(shuffles(o) == 0, s"outlier filter must be scan-time:\n$o")
+  }
 }

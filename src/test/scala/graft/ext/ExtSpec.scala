@@ -1249,4 +1249,70 @@ class ExtSpec extends AnyFunSuite {
     assert(out.length <= math.ceil(n * 0.02), s"${out.length} outliers of $n rows")
     out.foreach { case (_, c) => assert(c >= 0.0 && c <= 2.0) }
   }
+  test("winnowing fuzz: 60 random corpora equal the JVM reference") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def h64(s: String): Long = {
+      val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def reference(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val wds = text.split(" ", -1)
+      if (wds.length < k) return Set.empty
+      val hs = wds.sliding(k).map(_.mkString(" ")).map(h64).toArray
+      if (hs.length < w) return Set.empty
+      val keys = hs.zipWithIndex.map { case (h, p) => h * 1048576L - p }
+      (0 to hs.length - w).map { i =>
+        val p = (i until i + w).minBy(keys)
+        (p.toLong, hs(p))
+      }.toSet
+    }
+    val rnd = new scala.util.Random(1234)
+    // small vocab → repeated grams → the tie rule actually fires
+    val vocabs = Seq(Seq("a", "b"), Seq("x", "y", "z"), (1 to 30).map(i => s"w$i"))
+    val docs = (1 to 60).map { id =>
+      val v = vocabs(id % vocabs.size)
+      val n = rnd.nextInt(40)
+      (id.toLong, (0 until n).map(_ => v(rnd.nextInt(v.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = TextAnalysis.winnow(df).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    docs.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) == reference(t, 3, 4),
+        s"winnow fuzz diverged on doc $id: '$t'")
+    }
+  }
+
+  test("spanCorruption fuzz: 40 random docs equal a JVM closed-form reference") {
+    import spark.implicits._
+    def hashU64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    def reference(id: Long, text: String): Seq[(Long, Long, Long, String)] = {
+      val w = text.split(" ", -1)
+      val starts = (0 until w.length).filter(i =>
+        hashU64(s"$id:ss:$i") < Sft.SpanStartThresh)
+      starts.zipWithIndex.map { case (s, j) =>
+        val nxt = if (j + 1 < starts.length) starts(j + 1) else w.length
+        val len = 1L + hashU64(s"$id:sl:$s") % (2L * Sft.SpanMeanLen - 1)
+        val e = math.min(math.min(s + len, nxt.toLong), w.length.toLong)
+        (j.toLong, s.toLong, e, w.slice(s, e.toInt).mkString(" "))
+      }
+    }
+    val rnd = new scala.util.Random(99)
+    val docs = (1 to 40).map { id =>
+      (id.toLong, (0 until rnd.nextInt(300)).map(i => s"v${rnd.nextInt(50)}").mkString(" "))
+    }
+    val got = Sft.spanCorruption(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    docs.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Nil) == reference(id, t),
+        s"span fuzz diverged on doc $id")
+    }
+  }
 }
