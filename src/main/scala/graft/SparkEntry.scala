@@ -119,7 +119,7 @@ object SparkEntry {
       ext.Curation.queries ++ ext.Hygiene.queries ++ ext.Vocab.queries ++
       ext.Quality.queries ++ ext.Retrieval.queries ++ ext.Joins.queries ++
       ext.Olap.queries ++ ext.Layout.queries ++ ext.Freq.queries ++
-      ext.Sft.queries ++ ext.Versioning.queries ++
+      ext.Sft.queries ++ ext.Versioning.queries ++ ext.TopK.queries ++
       engine.StreamingCoverage.queries
 
   /** The jmes_wide/variant_wide constructed document (~1 KB/record): the
@@ -432,6 +432,6 @@ object SparkEntry {
     ext.Curation.oracleSql ++ ext.Hygiene.oracleSql ++ ext.Vocab.oracleSql ++
     ext.Quality.oracleSql ++ ext.Retrieval.oracleSql ++ ext.Joins.oracleSql ++
     ext.Olap.oracleSql ++ ext.Layout.oracleSql ++ ext.Freq.oracleSql ++
-    ext.Sft.oracleSql ++ ext.Versioning.oracleSql ++
+    ext.Sft.oracleSql ++ ext.Versioning.oracleSql ++ ext.TopK.oracleSql ++
     engine.StreamingCoverage.oracleSql
 }

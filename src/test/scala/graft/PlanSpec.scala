@@ -618,4 +618,28 @@ class PlanSpec extends AnyFunSuite {
     val o = physical("embedding_outliers")
     assert(shuffles(o) == 0, s"outlier filter must be scan-time:\n$o")
   }
+  test("groupTopK: agg and window strategies agree; plans differ as designed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.{col, round}
+    val events = SparkEntry.table(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val viaAgg = ext.TopK.groupTopK(events, Seq("event_type"),
+      col("event_id"), col("cents"), 3)
+    val viaWin = ext.TopK.groupTopKWindow(events, Seq("event_type"),
+      col("event_id"), col("cents"), 3)
+    val a = viaAgg.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3).toLong)).sorted.toSeq
+    val w = viaWin.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3).toLong)).sorted.toSeq
+    assert(a == w, "the two strategies must return identical rows")
+    // agg route: partial-then-final ObjectHashAggregate, NO window
+    val pa = viaAgg.queryExecution.executedPlan
+    assert(count(pa) { case _: ObjectHashAggregateExec => } == 2, s"$pa")
+    assert(pa.collect { case x: WindowExec => x }.isEmpty, s"$pa")
+    // window route: a WindowGroupLimit bounds each task below the exchange
+    val pw = viaWin.queryExecution.executedPlan
+    assert(pw.toString.contains("WindowGroupLimit"),
+      s"rank-limit pushdown must bound pre-shuffle rows:\n$pw")
+  }
 }
