@@ -110,14 +110,15 @@ object ScaleProbe {
     val r9bOnly = args.length > 1 && args(1) == "r9b"
     val r9cOnly = args.length > 1 && args(1) == "r9c"
     val r9dOnly = args.length > 1 && args(1) == "r9d"
+    val r9eOnly = args.length > 1 && args(1) == "r9e"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
     d1.count(); dN.count()
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly) { dSkew.count(); dSkew1.count() }
-    if (!r9Only && !r9dOnly) { e1.count(); eN.count() }
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9dOnly && !r9eOnly) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
     val queriesN = eN.where(col("vec_id") < 10) // same 10 queries, REP× corpus
@@ -135,7 +136,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only && !r9dOnly) { cent1; centN }
+    if (!r9Only && !r9dOnly && !r9eOnly) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -256,8 +257,23 @@ object ScaleProbe {
         ext.Hygiene.exactKSample(dN, col("source"), col("doc_id"), 20).count()
       })
 
+
+    // sixth-block probes: winnowing (sha256/gram + O(n*w) argmin — must be
+    // linear in tokens), its pair join (inverted index, capped posting
+    // lists), and the span/FIM objective preps (pure scan-time)
+    def r9eProbes = Seq(
+      time(s"winnow_1x") { ext.TextAnalysis.winnow(d1).count() },
+      time(s"winnow_${rep}x") { ext.TextAnalysis.winnow(dN).count() },
+      time(s"winnow_pairs_1x") { ext.Dedup.winnowPairs(d1).count() },
+      time(s"winnow_pairs_${rep}x") { ext.Dedup.winnowPairs(dN).count() },
+      time(s"span_corrupt_1x") { force(ext.Sft.spanCorruption(d1)) },
+      time(s"span_corrupt_${rep}x") { force(ext.Sft.spanCorruption(dN)) },
+      time(s"fim_1x") { force(ext.Sft.fimTransform(d1)) },
+      time(s"fim_${rep}x") { force(ext.Sft.fimTransform(dN)) })
+
     val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes
-    else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes else Seq(
+    else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes
+    else if (r9eOnly) r9eProbes else Seq(
       time(s"jaccard_1x") { ext.Dedup.jaccardPairs(d1).count() },
       time(s"jaccard_${rep}x") { ext.Dedup.jaccardPairs(dN).count() },
       // degenerate-corpus stress pair: exact PPJoin vs banded MinHash on
