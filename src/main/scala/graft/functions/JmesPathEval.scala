@@ -180,4 +180,9 @@ object jmes {
   /** Serialized result when truthy, NULL otherwise (single evaluation). */
   def jmesFiltered(col: Column, expression: String): Column =
     bridge.column(JmesPathFiltered(bridge.expression(col), expression))
+
+  /** True iff the column parses as JSON under the ENGINE's parser — the
+    * dead-letter routing predicate ([[graft.engine.Quarantine]]). */
+  def jsonValid(col: Column): Column =
+    bridge.column(graft.compile.JsonIsValid(bridge.expression(col)))
 }
