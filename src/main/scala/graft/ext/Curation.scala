@@ -85,6 +85,30 @@ object Curation {
     Hygiene.packSequences(mixed, ctxLen)
   }
 
+  /** The capstone composition: FULL curation → packed manifest → ATOMIC
+    * publish, plus the dataset card — "cut a data release" as one call.
+    * The [[curateFull]] manifest is published as an immutable [[Snapshot]]
+    * version (a crashed release leaves the previous one live; consumers
+    * repoint in one swap), and the returned card is the per-source
+    * accounting table release notes publish — computed FROM the published
+    * snapshot, so the card can never describe data that didn't land.
+    * Epoch ordering stays the dataloader's call via
+    * [[Hygiene.shuffleOrder]] over the published manifest. */
+  def release(corpus: DataFrame, benchmark: DataFrame, root: String,
+              minQuality: Double = 0.5, ctxLen: Int = 256): (Long, DataFrame) = {
+    val spark = corpus.sparkSession
+    val packed = curateFull(corpus, benchmark, minQuality = minQuality, ctxLen = ctxLen)
+    val v = Snapshot.publish(packed, root)
+    val published = Snapshot.readCurrent(spark, root)
+    val card = published
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("chunk_id")).as("n_chunks"))
+      .withColumn("version", lit(v))
+    (v, card)
+  }
+
   /** Leakage-safe train/heldout split — the cross-split decontamination
     * step run before training: a deterministic sha256 hash of `doc_id`
     * sends each document to `heldout` (u < `heldoutFrac`) or `train`, then

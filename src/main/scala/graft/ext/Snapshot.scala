@@ -74,8 +74,12 @@ object Snapshot {
   def readCurrent(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))
-    spark.read.parquet(s"$root/v=$v")
+    readVersion(spark, root, v)
   }
+
+  /** Time travel: any still-retained version by number. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
+    spark.read.parquet(s"$root/v=$v")
 
   /** Retire versions older than the newest `keep` (never the current). */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {

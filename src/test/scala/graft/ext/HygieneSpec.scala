@@ -752,4 +752,28 @@ class HygieneSpec extends AnyFunSuite {
     assert(p.collect { case a: ObjectHashAggregateExec => a }.size == 2,
       s"expected partial+final TopKAgg so <=k rows/stratum/partition shuffle:\n$p")
   }
+  test("release: publish-then-card reconciles with the curation output") {
+    val root = java.nio.file.Files.createTempDirectory("release").toString
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val corpus = docs.where(col("doc_id") % 50 =!= 0)
+    val (v, card) = Curation.release(corpus, bench, root)
+    assert(v == 1L)
+    // the card describes EXACTLY the published snapshot
+    val published = Snapshot.readCurrent(spark, root)
+    val cardRows = card.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val refRows = published.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("d"), sum(col("n_tokens")).as("t"),
+        countDistinct(col("chunk_id")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cardRows == refRows)
+    // the published manifest is curateFull's output, row for row
+    val direct = Curation.curateFull(corpus, bench).collect()
+      .map(_.toString).sorted.toSeq
+    assert(published.collect().map(_.toString).sorted.toSeq == direct)
+    // a second release bumps the version; the first stays readable
+    val (v2, _) = Curation.release(corpus.limit(100), bench, root)
+    assert(v2 == 2L)
+    assert(spark.read.parquet(s"$root/v=1").count() == direct.size)
+  }
 }
