@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Time-series similarity search over behavioral streams: for each query
+  * entity, the top-k entities with the most similar ACTIVITY SERIES
+  * (per-bucket event counts) by squared euclidean distance — "which users
+  * behave like this user", the entity-matching query of the
+  * streaming-similarity literature (EDBT'19/ICDE'21 family), on the same
+  * engine as everything else.
+  *
+  * Scale shape — the series are never densified: with
+  * `d(u,v)² = Σc_u² + Σc_v² − 2·Σ_b c_u(b)·c_v(b)`, per-entity norms are
+  * one partial-agg pass, and the cross term only needs buckets BOTH series
+  * touch — the (tiny) query-side bucket vectors broadcast against one
+  * narrow scan of the candidate bucket counts, missing buckets contribute
+  * exactly nothing, and the top-k reduces through [[TopKAgg]]. A dense
+  * formulation would materialize |entities| × |buckets| cells, almost all
+  * zero.
+  *
+  * Counts are integers, so every distance is an EXACT integer — no float
+  * comparisons anywhere near the ranking. */
+object TimeSeries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Per-(entity, bucket) activity counts at `grainSeconds`. */
+  def series(events: DataFrame, entity: String, tsCol: String,
+             grainSeconds: Long = 3600L): DataFrame =
+    events.select(col(entity).as("ent"),
+        floor(unix_micros(col(tsCol)) / (grainSeconds * 1000000L)).as("bucket"))
+      .groupBy("ent", "bucket").agg(count(lit(1)).as("c"))
+
+  /** Top-`k` nearest entities per query entity by squared euclidean
+    * distance between activity series. `queries` = entity ids (small). */
+  def tsTopK(events: DataFrame, entity: String, tsCol: String,
+             queryIds: Seq[Long], k: Int = 5,
+             grainSeconds: Long = 3600L): DataFrame = {
+    val s = series(events, entity, tsCol, grainSeconds)
+    val norms = s.groupBy("ent").agg(sum(col("c") * col("c")).as("n2"))
+    val q = s.where(col("ent").isInCollection(queryIds))
+      .select(col("ent").as("q_ent"), col("bucket"), col("c").as("qc"))
+    val qn = norms.where(col("ent").isInCollection(queryIds))
+      .select(col("ent").as("q_ent"), col("n2").as("qn2"))
+    // cross terms on shared buckets only; candidates missing every query
+    // bucket still rank (distance = qn2 + n2), via the right-outer norm join
+    val cross = s.join(broadcast(q), Seq("bucket"))
+      .where(col("ent") =!= col("q_ent"))
+      .groupBy(col("q_ent"), col("ent"))
+      .agg(sum(col("c") * col("qc")).as("dot"))
+    val scored = norms.crossJoin(broadcast(qn))
+      .where(col("ent") =!= col("q_ent"))
+      .join(cross, Seq("q_ent", "ent"), "left")
+      .select(col("q_ent"), col("ent"),
+        (col("qn2") + col("n2") - lit(2L) * coalesce(col("dot"), lit(0L))).as("d2"))
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+    scored.groupBy("q_ent")
+      .agg(topk(col("ent"), -col("d2").cast("double")).as("nb"))
+      .select(col("q_ent"), posexplode(col("nb")).as(Seq("pos", "s")))
+      .select(col("q_ent"), col("s.id").as("ent"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (-col("s.score")).cast("long").as("d2"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // the 3 lowest-id users as queries, hourly activity series
+    "ts_topk" -> ((s, dir) =>
+      tsTopK(SparkEntry.table(s, dir, "events"), "user_id", "ts",
+        queryIds = Seq(0L, 1L, 2L), k = 5)),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ts_topk" ->
+      """WITH s AS (
+        |  SELECT user_id AS ent, epoch_us(ts) // 3600000000 AS bucket, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT ent, sum(c * c) AS n2 FROM s GROUP BY ent),
+        |q AS (SELECT ent AS q_ent, bucket, c AS qc FROM s WHERE ent IN (0, 1, 2)),
+        |qn AS (SELECT ent AS q_ent, n2 AS qn2 FROM n WHERE ent IN (0, 1, 2)),
+        |x AS (
+        |  SELECT q.q_ent, s.ent, sum(s.c * q.qc) AS dot
+        |  FROM s JOIN q ON s.bucket = q.bucket AND s.ent <> q.q_ent
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT qn.q_ent, n.ent,
+        |    qn.qn2 + n.n2 - 2 * COALESCE(x.dot, 0) AS d2
+        |  FROM n CROSS JOIN qn
+        |  LEFT JOIN x ON x.q_ent = qn.q_ent AND x.ent = n.ent
+        |  WHERE n.ent <> qn.q_ent),
+        |r AS (SELECT q_ent, ent, d2,
+        |        row_number() OVER (PARTITION BY q_ent ORDER BY d2, ent) AS rank
+        |      FROM sc)
+        |SELECT q_ent, ent, CAST(rank AS BIGINT) AS rank, d2 FROM r WHERE rank <= 5""".stripMargin,
+  )
+}

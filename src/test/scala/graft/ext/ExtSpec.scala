@@ -1315,4 +1315,28 @@ class ExtSpec extends AnyFunSuite {
         s"span fuzz diverged on doc $id")
     }
   }
+  test("tsTopK: dense brute-force differential; identical series at distance 0") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // users 0 and 7 have IDENTICAL activity patterns; others vary
+    val rows = (for {
+      u <- 0L to 7L
+      h <- 0 until 12
+      n <- 0 until (if (u == 0L || u == 7L) (h % 3) + 1 else ((h + u.toInt) % 3) + 1)
+    } yield (u, t(h * 3600L + n))).toDF("user_id", "ts")
+    val got = TimeSeries.tsTopK(rows, "user_id", "ts", queryIds = Seq(0L), k = 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // JVM dense reference
+    val counts = (0L to 7L).map { u =>
+      u -> (0 until 12).map(h =>
+        if (u == 0L || u == 7L) (h % 3) + 1 else ((h + u.toInt) % 3) + 1).toArray
+    }.toMap
+    val ref = (1L to 7L).map { v =>
+      val d = counts(0L).zip(counts(v)).map { case (a, b) => (a - b).toLong * (a - b) }.sum
+      (v, d)
+    }.sortBy { case (v, d) => (d, v) }.zipWithIndex
+      .map { case ((v, d), i) => (v, (i + 1).toLong, d) }
+    assert(got.sortBy(_._2).toSeq == ref, s"got ${got.toSeq} vs $ref")
+    assert(got.find(_._1 == 7L).exists(_._3 == 0L), "identical series must be at d2 = 0")
+  }
 }
