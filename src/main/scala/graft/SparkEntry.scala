@@ -120,7 +120,8 @@ object SparkEntry {
       ext.Quality.queries ++ ext.Retrieval.queries ++ ext.Joins.queries ++
       ext.Olap.queries ++ ext.Layout.queries ++ ext.Freq.queries ++
       ext.Sft.queries ++ ext.Versioning.queries ++ ext.TopK.queries ++
-      ext.Snapshot.queries ++ ext.TimeSeries.queries ++ engine.Quarantine.queries ++
+      ext.Snapshot.queries ++ ext.TimeSeries.queries ++ ext.Behavior.queries ++
+      engine.Quarantine.queries ++
       engine.StreamingCoverage.queries
 
   /** The jmes_wide/variant_wide constructed document (~1 KB/record): the
@@ -434,6 +435,7 @@ object SparkEntry {
     ext.Quality.oracleSql ++ ext.Retrieval.oracleSql ++ ext.Joins.oracleSql ++
     ext.Olap.oracleSql ++ ext.Layout.oracleSql ++ ext.Freq.oracleSql ++
     ext.Sft.oracleSql ++ ext.Versioning.oracleSql ++ ext.TopK.oracleSql ++
-    ext.Snapshot.oracleSql ++ ext.TimeSeries.oracleSql ++ engine.Quarantine.oracleSql ++
+    ext.Snapshot.oracleSql ++ ext.TimeSeries.oracleSql ++ ext.Behavior.oracleSql ++
+    engine.Quarantine.oracleSql ++
     engine.StreamingCoverage.oracleSql
 }

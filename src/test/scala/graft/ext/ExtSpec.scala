@@ -1339,4 +1339,36 @@ class ExtSpec extends AnyFunSuite {
     assert(got.sortBy(_._2).toSeq == ref, s"got ${got.toSeq} vs $ref")
     assert(got.find(_._1 == 7L).exists(_._3 == 0L), "identical series must be at d2 = 0")
   }
+  test("funnel: ordered-subsequence semantics on constructed paths") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      // u1 full path in order; u2 click BEFORE view (only view counts);
+      // u3 view only; u4 purchase first then full path later (all three)
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"),
+      (2L, t(1), "click"), (2L, t(2), "view"),
+      (3L, t(1), "view"),
+      (4L, t(1), "purchase"), (4L, t(2), "view"), (4L, t(3), "click"), (4L, t(4), "purchase"),
+      (5L, t(1), "error")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavior.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // view: u1 u2 u3 u4; click-after-view: u1 u4; full: u1 u4
+    assert(got == Map("view" -> 4L, "click" -> 2L, "purchase" -> 2L), s"$got")
+  }
+
+  test("retention: cohort grid on constructed activity") {
+    import spark.implicits._
+    def d(day: Long) = new java.sql.Timestamp(1700000000000L + day * 86400000L)
+    val ev = Seq(
+      (1L, d(0)), (1L, d(1)), (1L, d(3)),   // cohort 0, offsets 0,1,3
+      (2L, d(0)),                            // cohort 0, offset 0 only
+      (3L, d(1)), (3L, d(2))                 // cohort 1, offsets 0,1
+    ).toDF("user_id", "ts")
+    val base = 1700000000000L / 86400000L   // epoch-day of t0
+    val got = Behavior.retention(ev, grainSeconds = 24 * 3600)
+      .collect().map(r => (r.getLong(0) - base, r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)),
+      s"$got")
+  }
 }
