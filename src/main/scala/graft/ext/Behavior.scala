@@ -63,7 +63,55 @@ object Behavior {
       .agg(countDistinct(col("u")).as("n_users"))
   }
 
+  /** First-order Markov transition counts: how often `to_type` directly
+    * follows `from_type` in a user's time-ordered stream — the behavioral
+    * transition matrix (next-event prediction baselines, journey maps).
+    * One user-key window (`lead`), one tiny aggregate; exact integers. */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", typeCol: String = "event_type"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(typeCol))
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Days whose per-type event volume sits more than `thresh` sample
+    * standard deviations from that type's daily mean — the volume-anomaly
+    * report of stream monitoring. The variance comes from the integer
+    * moments (`n·Σx² − (Σx)²`), so the z-comparison is a DETERMINISTIC
+    * chain: exact integer moments → one IEEE division/sqrt each —
+    * bit-identical across engines, no running-mean accumulation order to
+    * diverge. */
+  def volumeAnomalies(events: DataFrame, thresh: Double = 2.0,
+                      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("t"),
+        floor(unix_micros(col(tsCol)) / 86400000000L).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy("t").agg(
+      count(lit(1)).as("nd"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    daily.join(stats, "t")
+      .where(col("nd") > 1)
+      .withColumn("__var",
+        (col("nd") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("nd") * (col("nd") - 1)).cast("double"))
+      .where(col("__var") > 0)
+      .withColumn("z",
+        (col("x") * col("nd") - col("sx")).cast("double") /
+          (col("nd").cast("double") * sqrt(col("__var"))))
+      .where(abs(col("z")) > thresh)
+      .select(col("t").as("event_type"), col("day"), col("x").as("n_events"), col("z"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "transitions" -> ((s, dir) =>
+      transitions(SparkEntry.table(s, dir, "events"))),
+    "volume_anomaly" -> ((s, dir) =>
+      volumeAnomalies(SparkEntry.table(s, dir, "events"))),
     "funnel" -> ((s, dir) =>
       funnel(SparkEntry.table(s, dir, "events"), Seq("view", "click", "purchase"))),
     "retention" -> ((s, dir) =>
@@ -71,6 +119,31 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS nxt
+        |  FROM events)
+        |SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+        |FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // identical deterministic chain: integer moments -> one division and
+    // one sqrt each, identical IEEE ops in identical order
+    "volume_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type AS t, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT t, count(*) AS nd, sum(x) AS sx, sum(x * x) AS sxx
+        |      FROM d GROUP BY t)
+        |SELECT d.t AS event_type, d.day, d.x AS n_events,
+        |  CAST(d.x * s.nd - s.sx AS DOUBLE) /
+        |    (CAST(s.nd AS DOUBLE) * sqrt(CAST(s.nd * s.sxx - s.sx * s.sx AS DOUBLE) /
+        |      CAST(s.nd * (s.nd - 1) AS DOUBLE))) AS z
+        |FROM d JOIN s ON d.t = s.t
+        |WHERE s.nd > 1
+        |  AND CAST(s.nd * s.sxx - s.sx * s.sx AS DOUBLE) / CAST(s.nd * (s.nd - 1) AS DOUBLE) > 0
+        |  AND abs(CAST(d.x * s.nd - s.sx AS DOUBLE) /
+        |    (CAST(s.nd AS DOUBLE) * sqrt(CAST(s.nd * s.sxx - s.sx * s.sx AS DOUBLE) /
+        |      CAST(s.nd * (s.nd - 1) AS DOUBLE)))) > 2.0""".stripMargin,
     // the same subsequence fold over the same (ts, type)-ordered list
     "funnel" ->
       """WITH seqs AS (
