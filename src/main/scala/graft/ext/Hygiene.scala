@@ -605,6 +605,32 @@ object Hygiene {
         array_join(col("__kept"), "\n").as("text_clean"))
   }
 
+  /** Token-level blocklist audit — the "bad words" policy filter every
+    * web-crawl pipeline runs in front of training (the C4 paper's
+    * badwords list, refined-web's URL/term blocklists): per document, how
+    * many token occurrences hit the list, how many DISTINCT listed terms
+    * appear, and the resulting keep decision.
+    *
+    * Scale design: the blocklist travels as a plan literal (policy lists
+    * are 10²-10⁴ terms — kilobytes), and every metric is an array HOF over
+    * ONE materialized token split — narrow, codegen'd, shuffle-free,
+    * scan-time at 100 TB. For 10⁵+-term lists the literal would bloat the
+    * plan; switch to the [[contamination]] shape (distinct-term broadcast
+    * join on exploded tokens) at that size. Audit rows (not a silent
+    * filter) so the drop REASON is inspectable; compose `.where(col
+    * ("keep"))` in front of dedup/packing like [[c4Clean]]. */
+  def blocklistFilter(df: DataFrame, blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val bl = typedLit(blocklist)
+    val hits = filter(col("__toks"), t => array_contains(bl, t))
+    df.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"),
+        size(hits).cast("long").as("n_hits"),
+        size(filter(array_distinct(col("__toks")), t => array_contains(bl, t)))
+          .cast("long").as("n_distinct_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
   /** The corpus has no newlines, so the [[c4Clean]] gate re-chunks each
     * document into `groupLen`-token lines first (the [[piiAugmented]]
     * inject-then-detect pattern): a deterministic construction both engines
@@ -682,7 +708,15 @@ object Hygiene {
         lineBlocklist = Seq("vector"))),
     "shuffle_order" -> ((s, dir) =>
       shuffleOrder(SparkEntry.table(s, dir, "documents"), nShards = 16)),
+    // two corpus-vocabulary terms so hit counts are non-trivial on most docs
+    "blocklist_filter" -> ((s, dir) =>
+      blocklistFilter(SparkEntry.table(s, dir, "documents"), GateBlocklist)),
   )
+
+  /** Gate blocklist — corpus-vocabulary terms, shared with the oracle. */
+  val GateBlocklist: Seq[String] = Seq("slow", "big")
+  private def gateBlocklistSql: String =
+    GateBlocklist.map(t => s"'$t'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
     // the window formulation the engine-side partial top-k provably equals
@@ -924,6 +958,15 @@ object Hygiene {
         |  least(32, len(w) - chunk_idx * 24) AS chunk_n_tokens,
         |  array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
         |FROM c""".stripMargin,
+
+    "blocklist_filter" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(w, x -> list_contains($gateBlocklistSql, x))) AS BIGINT) AS n_hits,
+        |  CAST(len(list_filter(list_distinct(w),
+        |    x -> list_contains($gateBlocklistSql, x))) AS BIGINT) AS n_distinct_hits,
+        |  len(list_filter(w, x -> list_contains($gateBlocklistSql, x))) = 0 AS keep
+        |FROM t""".stripMargin,
 
     "shuffle_order" ->
       """WITH h AS (

@@ -260,6 +260,46 @@ object Retrieval {
               .cast("double")).as("rbo"))
   }
 
+  /** Exact phrase search over positional postings — the operator BM25's
+    * bag-of-words scoring cannot express: "these tokens, adjacent, in this
+    * order". Corpus probes ("find the exact boilerplate sentence"),
+    * template mining, and quote-level contamination checks all need it.
+    *
+    * Returns one row per (phrase_id, doc_id) with `n_matches` = the number
+    * of START positions (overlapping occurrences count — "w w w" matches
+    * "w w" twice), so the output doubles as a phrase-frequency table.
+    *
+    * Scale design (100 TB): the postings projection filters to the union
+    * of the phrases' terms BEFORE anything widens — the `isin` prune rides
+    * the scan (for rare phrase terms the surviving postings are a
+    * vanishing fraction of the corpus), and each adjacency step is an
+    * equi-join on (doc_id, pos+i) over those pruned postings, which AQE
+    * broadcasts when the term is rare. In a deployed index the `post`
+    * projection is a persisted positional postings table partitioned by
+    * term, making each leg a partition-pruned read instead of a corpus
+    * scan; the query plan on top is identical. */
+  def phraseSearch(docs: DataFrame, phrases: Seq[(String, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty),
+      "each phrase needs at least one term")
+    val allTerms = phrases.flatMap(_._2).distinct
+    val post = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .where(col("tok").isin(allTerms: _*))
+    val legs = phrases.map { case (pid, terms) =>
+      var cur = post.where(col("tok") === terms.head)
+        .select(col("doc_id"), col("pos").as("p0"))
+      for (i <- 1 until terms.length) {
+        val nxt = post.where(col("tok") === terms(i))
+          .select(col("doc_id").as("__d"), col("pos").as("__p"))
+        cur = cur.join(nxt, col("__d") === col("doc_id") && col("__p") === col("p0") + i)
+          .select(col("doc_id"), col("p0"))
+      }
+      cur.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+        .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_matches"))
+    }
+    legs.reduce(_ unionByName _)
+  }
+
   /** Driver-gate query set: two terms each (commutative-add determinism). */
   val GateQueries: Seq[(String, Seq[String])] = Seq(
     "q1" -> Seq("spark", "join"),
@@ -267,7 +307,16 @@ object Retrieval {
     "q3" -> Seq("vector", "window"),
     "q4" -> Seq("the", "slow"))
 
+  /** Gate phrases: an adjacent-repeat (overlap counting), a 2-term, and a
+    * 3-term phrase — all from the corpus vocabulary. */
+  val GatePhrases: Seq[(String, Seq[String])] = Seq(
+    "p1" -> Seq("table", "table"),
+    "p2" -> Seq("agg", "join"),
+    "p3" -> Seq("fast", "scan", "query"))
+
   val queries: Map[String, Q] = Map(
+    "phrase_search" -> ((s, dir) =>
+      phraseSearch(SparkEntry.table(s, dir, "documents"), GatePhrases)),
     "bm25_index" -> ((s, dir) => index(SparkEntry.table(s, dir, "documents"))),
     "bm25_topk"  -> ((s, dir) => bm25(SparkEntry.table(s, dir, "documents"), GateQueries)),
     "retrieval_rrf" -> ((s, dir) =>
@@ -338,7 +387,25 @@ object Retrieval {
         |      (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank_tfidf
         |    FROM ts WHERE score > 0) WHERE rank_tfidf <= 50)""".stripMargin
 
+  /** One adjacency-join leg per gate phrase, generated from [[GatePhrases]]
+    * itself (one source, two dialects — the rboWeightsSql discipline). */
+  private def phraseLegSql(pid: String, terms: Seq[String]): String = {
+    val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN p a$i ON a$i.doc_id = a0.doc_id AND a$i.pos = a0.pos + $i AND a$i.tok = '$t'"
+    }.mkString(" ")
+    s"SELECT '$pid' AS phrase_id, a0.doc_id, count(*) AS n_matches FROM p a0 $joins " +
+      s"WHERE a0.tok = '${terms.head}' GROUP BY a0.doc_id"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "phrase_search" ->
+      ("""WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM t)
+        |""".stripMargin +
+        GatePhrases.map { case (pid, ts) => phraseLegSql(pid, ts) }
+          .mkString("\nUNION ALL\n")),
     "bm25_index" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS term

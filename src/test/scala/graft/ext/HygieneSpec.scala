@@ -743,14 +743,22 @@ class HygieneSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
-    val p = Hygiene.exactKSample(docs, col("source"), col("doc_id"), 20)
-      .queryExecution.executedPlan
-    assert(p.collect { case w: WindowExec => w }.isEmpty,
-      s"selection must not globally sort the corpus:\n$p")
-    assert(p.collect { case s: ShuffleExchangeExec => s }.size == 1,
-      s"expected the single stratum exchange:\n$p")
-    assert(p.collect { case a: ObjectHashAggregateExec => a }.size == 2,
-      s"expected partial+final TopKAgg so <=k rows/stratum/partition shuffle:\n$p")
+    // AQE off for the pin: with it on, executedPlan is an unexecuted
+    // AdaptiveSparkPlanExec wrapper and collect() sees no exchanges (the
+    // ExtSpec:383 discipline — restore afterwards, the suite may be
+    // sharing a ProdSession context)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = Hygiene.exactKSample(docs, col("source"), col("doc_id"), 20)
+        .queryExecution.executedPlan
+      assert(p.collect { case w: WindowExec => w }.isEmpty,
+        s"selection must not globally sort the corpus:\n$p")
+      assert(p.collect { case s: ShuffleExchangeExec => s }.size == 1,
+        s"expected the single stratum exchange:\n$p")
+      assert(p.collect { case a: ObjectHashAggregateExec => a }.size == 2,
+        s"expected partial+final TopKAgg so <=k rows/stratum/partition shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
   test("release: publish-then-card reconciles with the curation output") {
     val root = java.nio.file.Files.createTempDirectory("release").toString
@@ -775,5 +783,21 @@ class HygieneSpec extends AnyFunSuite {
     val (v2, _) = Curation.release(corpus.limit(100), bench, root)
     assert(v2 == 2L)
     assert(spark.read.parquet(s"$root/v=1").count() == direct.size)
+  }
+
+  test("blocklistFilter: counts match brute force; keep ⇔ zero hits") {
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val bl = Hygiene.GateBlocklist.toSet
+    val want = corpus.map { case (id, toks) =>
+      (id, toks.count(bl).toLong, toks.distinct.count(bl).toLong)
+    }.toSet
+    val got = Hygiene.blocklistFilter(docs, Hygiene.GateBlocklist).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.exists(_._2 > 0L) && want.exists(_._2 == 0L),
+      "gate blocklist must split the corpus non-trivially")
+    val keeps = Hygiene.blocklistFilter(docs, Hygiene.GateBlocklist).collect()
+    keeps.foreach(r => assert(r.getBoolean(3) == (r.getLong(1) == 0L)))
   }
 }

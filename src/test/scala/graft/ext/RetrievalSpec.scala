@@ -142,4 +142,27 @@ class RetrievalSpec extends AnyFunSuite {
     val bound = (1 to 10).map(d => w(d - 1) * d).sum
     got.values.foreach(v => assert(v >= 0.0 && v <= bound))
   }
+
+  test("phrase search: matches brute-force sliding-window counts; counts overlaps") {
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val want = (for {
+      (pid, terms) <- Retrieval.GatePhrases
+      (id, toks) <- corpus
+      n = toks.sliding(terms.length).count(_ == terms) if n > 0
+    } yield (pid, id, n.toLong)).toSet
+    val got = Retrieval.phraseSearch(docs, Retrieval.GatePhrases).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "gate phrases must actually occur in the corpus")
+
+    // overlap semantics pinned on a constructed doc: "w w w" has TWO "w w"
+    import spark.implicits._
+    val tiny = Seq((1L, "w w w x w w")).toDF("doc_id", "text")
+    val hits = Retrieval.phraseSearch(tiny, Seq("o" -> Seq("w", "w"))).collect()
+    assert(hits.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 3L)))
+    // single-term phrase degrades to term frequency
+    val tf1 = Retrieval.phraseSearch(tiny, Seq("t" -> Seq("w"))).collect()
+    assert(tf1.map(r => r.getLong(2)).toSeq == Seq(5L))
+  }
 }
