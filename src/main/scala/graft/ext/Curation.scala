@@ -176,8 +176,40 @@ object Curation {
       .drop("__w", "__tri")
   }
 
+  /** Token-budget selection — the final sizing step of every training-mix
+    * recipe: per stratum (language, source, domain), rank documents by a
+    * caller-supplied quality score (descending, doc_id tiebreak) and keep
+    * the best until the stratum's CUMULATIVE token count reaches `budget`.
+    * The document that crosses the line is kept (budgets are targets, not
+    * hard caps — dropping it would systematically bias against long
+    * documents at the boundary).
+    *
+    * One co-partitioning exchange on the stratum key, then a running-sum
+    * window inside each stratum — the [[Hygiene.packSequences]] shape:
+    * strata process in parallel, nothing global-sorts, and per-row state
+    * is one BIGINT. Scores and token counts are integers, so the rank
+    * order and the boundary compare have no float edge. */
+  def budgetSelect(docs: DataFrame, strataCol: Column, score: Column,
+                   nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(desc("score"), asc("doc_id"))
+    docs.select(col("doc_id"), strataCol.as("stratum"),
+        score.cast("long").as("score"), nTokens.cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") - col("n_tokens") < budget)
+  }
+
   val queries: Map[String, Q] = Map(
     "curate_pipeline" -> ((s, dir) => curate(SparkEntry.table(s, dir, "documents"))),
+    // per-language budget of 3000 tokens; n_chars as the integer quality
+    // signal (longer docs ranked first — the gate exercises ordering,
+    // accumulation, and the boundary-crossing keep rule)
+    "budget_select" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      budgetSelect(docs, col("lang"), col("n_chars"),
+        size(split(col("text"), " ")), budget = 3000L)
+    }),
     "curate_full" -> ((s, dir) => {
       val docs = SparkEntry.table(s, dir, "documents")
       curateFull(docs.where(col("doc_id") % 50 =!= 0),
@@ -188,6 +220,18 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same window: budget keeps every doc whose PRE-sum is under the line
+    "budget_select" ->
+      """WITH t AS (SELECT doc_id, lang AS stratum,
+        |    CAST(n_chars AS BIGINT) AS score,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, stratum, score, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY stratum
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, stratum, score, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens - n_tokens < 3000""".stripMargin,
     "curate_pipeline" ->
       """WITH RECURSIVE
         |toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),

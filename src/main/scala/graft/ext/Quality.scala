@@ -194,6 +194,65 @@ object Quality {
       .orderBy(desc("weight"), asc("doc_id"))
       .limit(k)
 
+  /** Distribution-drift report between a reference corpus slice and a
+    * candidate slice — the monitoring table every recurring ingest runs
+    * before accepting a new crawl/snapshot into the training mix ("did
+    * the length/score/feature distribution move?"). Equal-width integer
+    * buckets are derived from the REFERENCE's min/max; candidate values
+    * outside the reference range clamp into the edge buckets (that mass
+    * showing up at the edges IS the drift signal). Emits one row per
+    * bucket with raw counts and Laplace-smoothed (+1) shares, so no
+    * share is ever zero and downstream PSI/KL terms are well-defined.
+    *
+    * Determinism: bucket assignment is pure integer arithmetic (`div` on
+    * BIGINT), counts are integers, and each share is ONE IEEE division of
+    * two integers — bit-exact cross-engine. The `ln`-carrying PSI total
+    * lives in [[psiTotal]] (spec-gated): `ln` is libm-dependent at the
+    * last ulp, the established posture for keeping it out of driver-hash
+    * columns. Cost at 100 TB: one 2-value aggregate over the reference +
+    * one `nBuckets`-group partial-agg groupBy per side — scan-bound.
+    * Driver state: the (min, max) pair, nothing else. */
+  def driftReport(ref: DataFrame, cur: DataFrame, value: Column,
+                  nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "need at least two buckets")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val r = ref.select(value.cast("long").as("v"))
+    val c = cur.select(value.cast("long").as("v"))
+    val bounds = r.agg(min(col("v")), max(col("v"))).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (mx - mn + nBuckets) / nBuckets) // ceil((mx-mn+1)/n)
+    def counts(df: DataFrame, name: String) = df
+      .select(least(greatest(expr(s"(v - $mn) div ${width}L"), lit(0L)),
+        lit(nBuckets - 1L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(name))
+    val buckets = (0 until nBuckets).map(_.toLong).toDF("bucket")
+    val rn = counts(r, "ref_n"); val cn = counts(c, "cur_n")
+    val rTot = r.count(); val cTot = c.count()
+    buckets.join(rn, Seq("bucket"), "left").join(cn, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .select(col("bucket"),
+        (lit(mn) + col("bucket") * width).as("lo"),
+        (lit(mn) + (col("bucket") + 1L) * width).as("hi"),
+        col("ref_n"), col("cur_n"),
+        ((col("ref_n") + 1L).cast("double") / lit((rTot + nBuckets).toDouble)).as("ref_frac"),
+        ((col("cur_n") + 1L).cast("double") / lit((cTot + nBuckets).toDouble)).as("cur_frac"))
+  }
+
+  /** Total population-stability index over [[driftReport]]'s buckets:
+    * `Σ (p−q)·ln(p/q)` folded in ascending bucket order. Spec-gated only
+    * (same-JVM exact) — see [[driftReport]] for why `ln` stays out of the
+    * driver gate. Rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25
+    * action needed. */
+  def psiTotal(ref: DataFrame, cur: DataFrame, value: Column,
+               nBuckets: Int = 10): DataFrame =
+    driftReport(ref, cur, value, nBuckets)
+      .select(struct(col("bucket"), col("ref_frac").as("p"), col("cur_frac").as("q")).as("s"))
+      .agg(aggregate(array_sort(collect_list(col("s"))), lit(0.0), (acc, s) => {
+        val p = s.getField("p"); val q = s.getField("q")
+        acc + (p - q) * log(p / q)
+      }).as("psi"))
+
   // ---- driver gate ----------------------------------------------------
   // Frozen pseudo-random weights (Knuth multiplicative constant): the gate
   // pins the featurize→linear-score path — the part that is deterministic
@@ -223,6 +282,13 @@ object Quality {
     "dsir_select" -> ((s, dir) => {
       val docs = SparkEntry.table(s, dir, "documents")
       importanceResample(docs, docs.where(col("lang") === "en"), docs, k = 100)
+    }),
+    // even doc_ids play the accepted reference, odd the incoming
+    // candidate; n_chars is the monitored feature
+    "drift_report" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      driftReport(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), col("n_chars"))
     }),
   )
 
@@ -256,6 +322,31 @@ object Quality {
     "dsir_select" ->
       s"""$DsirOracleBody
          |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
+
+    // same integer bucket arithmetic (DuckDB floor-// vs Spark truncating
+    // `div` diverge only below the lower clamp, where both land in bucket
+    // 0); each share is one double division of exact integers
+    "drift_report" ->
+      """WITH r AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+        |c AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 1),
+        |p AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS rt,
+        |        greatest(1, (max(v) - min(v) + 10) // 10) AS width,
+        |        (SELECT count(*) FROM c) AS ct
+        |      FROM r),
+        |rk AS (SELECT least(greatest((r.v - p.mn) // p.width, 0), 9) AS bucket,
+        |         count(*) AS ref_n FROM r, p GROUP BY 1),
+        |ck AS (SELECT least(greatest((c.v - p.mn) // p.width, 0), 9) AS bucket,
+        |         count(*) AS cur_n FROM c, p GROUP BY 1),
+        |g AS (SELECT unnest(range(0, 10)) AS bucket)
+        |SELECT g.bucket,
+        |  p.mn + g.bucket * p.width AS lo,
+        |  p.mn + (g.bucket + 1) * p.width AS hi,
+        |  COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n,
+        |  CAST(COALESCE(ref_n, 0) + 1 AS DOUBLE) / (p.rt + 10) AS ref_frac,
+        |  CAST(COALESCE(cur_n, 0) + 1 AS DOUBLE) / (p.ct + 10) AS cur_frac
+        |FROM g CROSS JOIN p
+        |LEFT JOIN rk ON rk.bucket = g.bucket
+        |LEFT JOIN ck ON ck.bucket = g.bucket""".stripMargin,
   )
 
   private lazy val DsirOracleBody: String =

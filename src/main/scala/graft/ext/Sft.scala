@@ -141,6 +141,34 @@ object Sft {
           (col("sp.span_end") - col("sp.span_start")).cast("int"))).as("span_text"))
   }
 
+  /** Preference-pair mining for DPO/RLHF reward training: per group (a
+    * prompt id in a real deployment; any stratum key works), pair the
+    * highest-scored response as `chosen` against the lowest as `rejected`,
+    * keep the pair only when the score margin clears `minMargin` —
+    * low-margin pairs are label noise the DPO loss amplifies.
+    *
+    * ONE partial-aggregated groupBy: chosen is `max(struct(score, -id))`
+    * and rejected `min(struct(score, id))` — both associative, so each
+    * map task ships exactly two structs per group regardless of group
+    * size, and the tie-breaks (chosen→lowest id, rejected→lowest id) are
+    * total orders, deterministic on any partitioning. Scores are integer
+    * (token counts, preference votes, rank points) so the margin compare
+    * has no float boundary. */
+  def preferencePairs(df: DataFrame, groupCols: Seq[String], id: Column,
+                      score: Column, minMargin: Long = 1L): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    df.select(groupCols.map(col) ++ Seq(id.as("__id"), score.cast("long").as("__score")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(struct(col("__score").as("s"), (-col("__id")).as("ni"))).as("__c"),
+        min(struct(col("__score").as("s"), col("__id").as("i"))).as("__r"))
+      .select(groupCols.map(col) ++ Seq(
+        (-col("__c.ni")).as("chosen_id"),
+        col("__r.i").as("rejected_id"),
+        (col("__c.s") - col("__r.s")).as("margin")): _*)
+      .where(col("margin") >= minMargin)
+  }
+
   private def eventTurns(s: SparkSession, dir: String): DataFrame =
     SparkEntry.table(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id").as("ord"),
@@ -151,6 +179,13 @@ object Sft {
     "sft_spans" -> ((s, dir) => lossSpans(eventTurns(s, dir), "user_id")),
     "fim_transform" -> ((s, dir) => fimTransform(SparkEntry.table(s, dir, "documents"))),
     "span_corruption" -> ((s, dir) => spanCorruption(SparkEntry.table(s, dir, "documents"))),
+    // (lang, source) strata as the prompt proxy; token count as the
+    // integer reward — the gate exercises the argmax/argmin pairing and
+    // the margin gate, both integer-exact
+    "dpo_pairs" -> ((s, dir) =>
+      preferencePairs(SparkEntry.table(s, dir, "documents"),
+        Seq("lang", "source"), col("doc_id"),
+        size(split(col("text"), " ")), minMargin = 5L)),
   )
 
   // single-line on purpose: this fragment is interpolated into oracle
@@ -200,6 +235,22 @@ object Sft {
         |  '<MID>' || coalesce(array_to_string(list_slice(w, CAST(c1 + 1 AS INT), CAST(c2 AS INT)), ' '), '')
         |    AS text_fim
         |FROM c2t""".stripMargin,
+    // the window formulation the struct-extrema aggregation provably
+    // equals: chosen = (score DESC, id ASC) rank 1, rejected =
+    // (score ASC, id ASC) rank 1, integer margin gate
+    "dpo_pairs" ->
+      """WITH t AS (SELECT lang, source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS score FROM documents),
+        |w AS (SELECT *,
+        |  row_number() OVER (PARTITION BY lang, source ORDER BY score DESC, doc_id) AS r1,
+        |  row_number() OVER (PARTITION BY lang, source ORDER BY score ASC, doc_id) AS r2
+        |  FROM t),
+        |c AS (SELECT lang, source, doc_id AS chosen_id, score AS cs FROM w WHERE r1 = 1),
+        |r AS (SELECT lang, source, doc_id AS rejected_id, score AS rs FROM w WHERE r2 = 1)
+        |SELECT c.lang, c.source, chosen_id, rejected_id, cs - rs AS margin
+        |FROM c JOIN r USING (lang, source)
+        |WHERE cs - rs >= 5""".stripMargin,
+
     // position-salted start decisions, truncate-at-next-start span ends —
     // the exact closed-form the engine computes; same integer threshold
     "span_corruption" ->

@@ -785,6 +785,33 @@ class HygieneSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/v=1").count() == direct.size)
   }
 
+  test("budgetSelect: per-stratum greedy fill matches brute force; boundary doc kept") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val rows = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val budget = 3000L
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      var cum = 0L
+      g.sortBy { case (id, _, sc, _) => (-sc, id) }.takeWhile { case (_, _, _, nt) =>
+        val keep = cum < budget; cum += nt; keep
+      }.toSeq
+    }.map(_._1).toSet
+    val got = Curation.budgetSelect(docs, col("lang"), col("n_chars"),
+      size(split(col("text"), " ")), budget).collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // the crossing document is INSIDE the selection: each stratum's kept
+    // token mass reaches the budget (unless the stratum ran dry)
+    val byStratum = Curation.budgetSelect(docs, col("lang"), col("n_chars"),
+      size(split(col("text"), " ")), budget)
+      .groupBy("stratum").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    byStratum.foreach { case (s2, t) =>
+      assert(t >= math.min(budget, totals(s2)), s"stratum $s2 under-filled: $t")
+    }
+  }
+
   test("blocklistFilter: counts match brute force; keep ⇔ zero hits") {
     val corpus = docs.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)

@@ -172,4 +172,50 @@ class QualitySpec extends AnyFunSuite {
       .map(_._1).toSet
     assert(top == expTop)
   }
+
+  test("driftReport: brute-force bucket counts; clamped edges; smoothed shares") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val cur = docs.where(col("doc_id") % 2 === 1)
+    val rv = ref.select("n_chars").collect().map(_.getLong(0))
+    val cv = cur.select("n_chars").collect().map(_.getLong(0))
+    val (mn, mx) = (rv.min, rv.max)
+    val width = math.max(1L, (mx - mn + 10) / 10)
+    def bucket(v: Long) = math.min(math.max((v - mn) / width, 0L), 9L)
+    val refN = rv.groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    val curN = cv.groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    val rows = Quality.driftReport(ref, cur, col("n_chars")).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getLong(1) == mn + b * width && r.getLong(2) == mn + (b + 1) * width)
+      assert(r.getLong(3) == refN.getOrElse(b, 0L), s"ref_n bucket $b")
+      assert(r.getLong(4) == curN.getOrElse(b, 0L), s"cur_n bucket $b")
+      assert(r.getDouble(5) == (refN.getOrElse(b, 0L) + 1).toDouble / (rv.length + 10))
+      assert(r.getDouble(6) == (curN.getOrElse(b, 0L) + 1).toDouble / (cv.length + 10))
+    }
+    // every row accounted: counts reconcile with slice sizes
+    assert(rows.map(_.getLong(3)).sum == rv.length && rows.map(_.getLong(4)).sum == cv.length)
+    // candidate mass OUTSIDE the reference range clamps into edge buckets
+    import spark.implicits._
+    val refT = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "v")
+    val curT = Seq((3L, -100L), (4L, 999L)).toDF("doc_id", "v")
+    val edges = Quality.driftReport(refT, curT, col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(edges(0L) == 1L && edges(9L) == 1L)
+  }
+
+  test("psiTotal: equals the in-JVM ascending-bucket fold; zero on no drift") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val cur = docs.where(col("doc_id") % 2 === 1)
+    val terms = Quality.driftReport(ref, cur, col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getDouble(5), r.getDouble(6))).sortBy(_._1)
+    var want = 0.0
+    terms.foreach { case (_, p, q) => want = want + (p - q) * math.log(p / q) }
+    val got = Quality.psiTotal(ref, cur, col("n_chars")).head().getDouble(0)
+    assert(got == want, "engine fold must be bit-identical to the JVM fold")
+    // identical slices → identical counts and totals → every term ln(1)=0
+    assert(Quality.psiTotal(ref, ref, col("n_chars")).head().getDouble(0) == 0.0)
+  }
 }

@@ -120,4 +120,29 @@ class SftSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
     assert(again.sortBy(x => (x._1, x._2)).toSeq == got.sortBy(x => (x._1, x._2)).toSeq)
   }
+
+  test("preferencePairs: argmax/argmin with total-order tiebreaks, margin gate") {
+    // group g1: clear winner/loser; g2: score tie at the top (lower id
+    // wins chosen) AND at the bottom (lower id is rejected); g3: all
+    // equal — margin 0, gated out at minMargin=1
+    val scored = Seq(
+      ("g1", 1L, 10L), ("g1", 2L, 1L), ("g1", 3L, 7L),
+      ("g2", 4L, 9L), ("g2", 5L, 9L), ("g2", 6L, 2L), ("g2", 7L, 2L),
+      ("g3", 8L, 5L), ("g3", 9L, 5L),
+    ).toDF("grp", "id", "sc")
+    val got = Sft.preferencePairs(scored, Seq("grp"), col("id"), col("sc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("g1", 1L, 2L, 9L), ("g2", 4L, 6L, 7L)))
+    // minMargin raises the bar
+    val strict = Sft.preferencePairs(scored, Seq("grp"), col("id"), col("sc"),
+      minMargin = 8L).collect()
+    assert(strict.map(_.getString(0)).toSeq == Seq("g1"))
+    // deterministic under physical reshuffle (the aggregation is a pair of
+    // struct extrema — associative and order-free)
+    val again = Sft.preferencePairs(scored.repartition(7), Seq("grp"), col("id"), col("sc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
 }
