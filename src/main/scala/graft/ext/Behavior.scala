@@ -107,9 +107,38 @@ object Behavior {
       .select(col("t").as("event_type"), col("day"), col("x").as("n_events"), col("z"))
   }
 
+  /** Next-event-prediction training examples — the supervised dataset
+    * behind behavioral sequence models (session recommenders, churn
+    * predictors, the "behavioral LM" leg of a training-data pipeline):
+    * for every event with at least `k` predecessors in its user's stream,
+    * emit the previous `k` event types as the context and the event's own
+    * type as the label.
+    *
+    * One co-partitioning shuffle on the user key; the context is a
+    * ROWS-frame window collect (`k preceding .. 1 preceding`) over the
+    * (ts, event_id) total order — event_id makes the order unambiguous,
+    * so the emitted context string is deterministic on any partitioning.
+    * Per-row state is k event-type strings, independent of corpus size.
+    * The context is emitted " "-joined (a training-ready string, and a
+    * scalar for the cross-engine compare). */
+  def nextEventExamples(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "need at least one context event")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-k, -1)
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__ctx", collect_list(col("event_type")).over(w))
+      .where(size(col("__ctx")) === k)
+      .select(col("user_id"), col("event_id"),
+        array_join(col("__ctx"), " ").as("context"),
+        col("event_type").as("label"))
+  }
+
   val queries: Map[String, Q] = Map(
     "transitions" -> ((s, dir) =>
       transitions(SparkEntry.table(s, dir, "events"))),
+    "next_event_examples" -> ((s, dir) =>
+      nextEventExamples(SparkEntry.table(s, dir, "events"))),
     "volume_anomaly" -> ((s, dir) =>
       volumeAnomalies(SparkEntry.table(s, dir, "events"))),
     "funnel" -> ((s, dir) =>
@@ -144,6 +173,16 @@ object Behavior {
         |  AND abs(CAST(d.x * s.nd - s.sx AS DOUBLE) /
         |    (CAST(s.nd AS DOUBLE) * sqrt(CAST(s.nd * s.sxx - s.sx * s.sx AS DOUBLE) /
         |      CAST(s.nd * (s.nd - 1) AS DOUBLE)))) > 2.0""".stripMargin,
+    // same ROWS frame over the same (ts, event_id) total order
+    "next_event_examples" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, event_type,
+        |    list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx
+        |  FROM events)
+        |SELECT user_id, event_id, array_to_string(ctx, ' ') AS context,
+        |  event_type AS label
+        |FROM c WHERE len(ctx) = 3""".stripMargin,
     // the same subsequence fold over the same (ts, type)-ordered list
     "funnel" ->
       """WITH seqs AS (

@@ -566,6 +566,70 @@ object Hygiene {
       .select("doc_id", "shard", "pos")
   }
 
+  /** Length-grouped padded batching — the dynamic-batching layout used
+    * when sequences are PADDED to the batch max rather than packed
+    * ([[packSequences]]' concat-and-chunk alternative): shard the corpus
+    * by document hash, sort each shard by token count, cut into
+    * `batchSize`-document batches, and account the padding each batch
+    * wastes (`batch_max − n_tokens` per document). Similar-length
+    * neighbors make `batch_max ≈ n_tokens`, which is the whole point —
+    * the emitted `pad_waste` column QUANTIFIES it, so the report doubles
+    * as the evaluation of the layout.
+    *
+    * Scale shape: the [[shuffleOrder]] template — hash-sharding bounds
+    * every sort to a shard, shards process in parallel, nothing global-
+    * sorts. Two windows share the one shard exchange (rank, then the
+    * batch max). All integers. */
+  def lengthBatching(df: DataFrame, batchSize: Int = 8, nShards: Int = 16,
+                     salt: String = "epoch0"): DataFrame = {
+    require(batchSize > 0 && nShards > 0, "batchSize and nShards must be positive")
+    val u = hashU64(concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("n_tokens"), col("doc_id"))
+    val wBatch = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "batch_id")
+    df.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        pmod(u, lit(nShards.toLong)).cast("int").as("shard"))
+      .withColumn("batch_id", ((row_number().over(wRank) - 1) / batchSize).cast("long"))
+      .withColumn("batch_max", max(col("n_tokens")).over(wBatch))
+      .select(col("doc_id"), col("shard"), col("batch_id"), col("n_tokens"),
+        col("batch_max"), (col("batch_max") - col("n_tokens")).as("pad_waste"))
+  }
+
+  /** Deterministic PROPORTIONAL source interleave — the epoch ordering
+    * that avoids source-correlated batches without random shuffling:
+    * within each stratum documents take hashed rank `r` (0-based), and
+    * the cross-stratum order key is the fraction `r / n_s` — stratum s's
+    * documents sit at evenly-spaced fractional positions, so a stratum
+    * with 10× the documents appears 10× as often in any window of the
+    * final order. ([[shuffleOrder]] gives an unstructured shuffle;
+    * [[temperatureMix]] changes WHAT is kept — this changes only the
+    * ORDER.)
+    *
+    * Same shard-bounded shape as [[shuffleOrder]]: positions are emitted
+    * per hash-shard (`pos` within shard), so no global sort exists at any
+    * scale; a writer materializes shards independently. The order key is
+    * one IEEE division of two integers — bit-reproducible, ties broken by
+    * (stratum, r). */
+  def interleaveOrder(df: DataFrame, strataCol: Column, nShards: Int = 16,
+                      salt: String = "epoch0"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val u = hashU64(concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(col("__u"), col("doc_id"))
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("frac"), col("stratum"), col("r"))
+    df.select(col("doc_id"), strataCol.as("stratum"), u.as("__u"))
+      .withColumn("r", (row_number().over(wR) - 1).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("stratum")))
+      .withColumn("frac", col("r").cast("double") / col("n_s").cast("double"))
+      .withColumn("shard", pmod(col("__u"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(wPos) - 1).cast("long"))
+      .select(col("doc_id"), col("stratum"), col("shard"), col("pos"), col("frac"))
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the heuristics
     * behind the C4 corpus, reused by most web-crawl pipelines since): split
     * each page into lines, keep a line only if it has at least
@@ -711,6 +775,10 @@ object Hygiene {
     // two corpus-vocabulary terms so hit counts are non-trivial on most docs
     "blocklist_filter" -> ((s, dir) =>
       blocklistFilter(SparkEntry.table(s, dir, "documents"), GateBlocklist)),
+    "length_batching" -> ((s, dir) =>
+      lengthBatching(SparkEntry.table(s, dir, "documents"))),
+    "interleave_order" -> ((s, dir) =>
+      interleaveOrder(SparkEntry.table(s, dir, "documents"), col("source"))),
   )
 
   /** Gate blocklist — corpus-vocabulary terms, shared with the oracle. */
@@ -967,6 +1035,43 @@ object Hygiene {
         |    x -> list_contains($gateBlocklistSql, x))) AS BIGINT) AS n_distinct_hits,
         |  len(list_filter(w, x -> list_contains($gateBlocklistSql, x))) = 0 AS keep
         |FROM t""".stripMargin,
+
+    // same two stacked windows over the same shard hash
+    "length_batching" ->
+      """WITH h AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 8))
+        |      AS BIGINT) % 16 AS INT) AS shard
+        |  FROM documents),
+        |b AS (SELECT doc_id, shard, n_tokens,
+        |  CAST((row_number() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) - 1) // 8
+        |    AS BIGINT) AS batch_id
+        |  FROM h)
+        |SELECT doc_id, shard, batch_id, n_tokens,
+        |  max(n_tokens) OVER (PARTITION BY shard, batch_id) AS batch_max,
+        |  max(n_tokens) OVER (PARTITION BY shard, batch_id) - n_tokens AS pad_waste
+        |FROM b""".stripMargin,
+
+    // same rank/fraction arithmetic: one IEEE division per row, ties on
+    // (stratum, r); positions per hash shard
+    "interleave_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, source AS stratum,
+        |    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 8))
+        |      AS BIGINT) AS u
+        |  FROM documents),
+        |rk AS (SELECT doc_id, stratum, u,
+        |  CAST(row_number() OVER (PARTITION BY stratum ORDER BY u, doc_id) - 1 AS BIGINT) AS r,
+        |  count(*) OVER (PARTITION BY stratum) AS n_s
+        |  FROM h),
+        |f AS (SELECT doc_id, stratum, CAST(u % 16 AS INT) AS shard, r,
+        |  CAST(r AS DOUBLE) / CAST(n_s AS DOUBLE) AS frac
+        |  FROM rk)
+        |SELECT doc_id, stratum, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY frac, stratum, r) - 1
+        |    AS BIGINT) AS pos,
+        |  frac
+        |FROM f""".stripMargin,
 
     "shuffle_order" ->
       """WITH h AS (

@@ -93,9 +93,48 @@ object Sessionize {
         col("w.end").as("session_end"), col("n_events"),
         col("min_value"), col("max_value"))
 
+  /** Late-arrival audit — the batch-side account of what a streaming
+    * watermark would drop: with arrival order given by `event_id` (the
+    * ingest sequence; a Kinesis sequence number in the reference's world)
+    * and a per-key watermark = running max event time seen so far minus
+    * `latenessSeconds`, emit every event whose own timestamp is behind
+    * the watermark at its arrival, with how late it was. The table sizes
+    * the allowed-lateness knob BEFORE a deployment picks it: each
+    * candidate lateness bound maps to exactly the rows with
+    * `late_by_us > bound`.
+    *
+    * One user-key exchange; the running max is a ROWS-frame window over
+    * the arrival order, and every compare is integer microseconds —
+    * exact. (A GLOBAL watermark is the streaming engine's actual
+    * semantics; keyed here so the audit scales without a single-partition
+    * window — the per-key watermark lower-bounds the global one, so
+    * per-key lateness UNDERCOUNTS global lateness, never overcounts.) */
+  def lateArrivals(events: DataFrame, latenessSeconds: Long = 0L): DataFrame = {
+    require(latenessSeconds >= 0, "lateness must be non-negative")
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("__hwm", max(col("ts_us")).over(w))
+      .where(col("ts_us") < col("__hwm") - latenessSeconds * 1000000L)
+      .select(col("user_id"), col("event_id"),
+        (col("__hwm") - col("ts_us")).as("late_by_us"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sessionize" -> ((s, dir) => batch(SparkEntry.table(s, dir, "events"))),
     "session_agg" -> ((s, dir) => sessionAgg(SparkEntry.table(s, dir, "events"))),
+    // 1-hour allowed lateness against the per-user high-water mark. The
+    // synthetic stream arrives perfectly in order, so the gate injects
+    // disorder first (the piiAugmented inject-then-detect pattern): every
+    // 97th event's timestamp is set back 48 hours — a deterministic
+    // construction both engines compute identically
+    "late_arrivals" -> ((s, dir) =>
+      lateArrivals(
+        SparkEntry.table(s, dir, "events").withColumn("ts",
+          timestamp_micros(unix_micros(col("ts")) -
+            when(col("event_id") % 97 === 0, 172800000000L).otherwise(0L))),
+        latenessSeconds = 3600L)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -134,5 +173,19 @@ object Sessionize {
         |  count(*) AS n_events,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    // same 48-hour setback injection, same running high-water mark over the
+    // same arrival order, integer µs throughout
+    "late_arrivals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) -
+        |    CASE WHEN event_id % 97 = 0 THEN 172800000000 ELSE 0 END AS ts_us
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM e)
+        |SELECT user_id, event_id, hwm - ts_us AS late_by_us
+        |FROM a WHERE ts_us < hwm - 3600000000""".stripMargin,
   )
 }

@@ -1371,4 +1371,47 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)),
       s"$got")
   }
+
+  test("nextEventExamples: contexts are the k previous types in arrival order") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      (1L, t(1), 10L, "a"), (1L, t(2), 11L, "b"), (1L, t(3), 12L, "c"),
+      (1L, t(4), 13L, "d"),
+      (2L, t(1), 20L, "x"), (2L, t(2), 21L, "y"), // too short for k=2 until 3rd
+      (2L, t(3), 22L, "z")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.nextEventExamples(ev, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 12L, "a b", "c"), (1L, 13L, "b c", "d"), (2L, 22L, "x y", "z")))
+    // ties on ts resolve by event_id — swap arrival ids, context flips
+    val tied = Seq(
+      (3L, t(1), 31L, "p"), (3L, t(1), 30L, "q"), (3L, t(2), 32L, "r")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val ctx = Behavior.nextEventExamples(tied, k = 2).collect()
+      .map(r => r.getString(2)).toSeq
+    assert(ctx == Seq("q p"))
+  }
+
+  test("lateArrivals: per-key high-water mark, lateness threshold, in-order silence") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // u1: event 3 arrives (id order) with ts BEFORE the hwm set by id 2;
+    // event 5 is late but within the allowed 60s; u2 strictly in order
+    val ev = Seq(
+      (1L, 1L, t(100)), (1L, 2L, t(500)), (1L, 3L, t(200)),
+      (1L, 4L, t(600)), (1L, 5L, t(580)),
+      (2L, 6L, t(100)), (2L, 7L, t(101))
+    ).toDF("user_id", "event_id", "ts")
+    val got = Sessionize.lateArrivals(ev, latenessSeconds = 60L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 300000000L)))
+    // zero allowed lateness surfaces every out-of-order event
+    val all = Sessionize.lateArrivals(ev, latenessSeconds = 0L).collect()
+      .map(_.getLong(1)).toSet
+    assert(all == Set(3L, 5L))
+    // a fully in-order stream reports nothing at any threshold
+    assert(Sessionize.lateArrivals(ev.where(col("user_id") === 2L), 0L).count() == 0L)
+  }
 }

@@ -785,6 +785,61 @@ class HygieneSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/v=1").count() == direct.size)
   }
 
+  test("lengthBatching: sorted shards, full batches, exact padding accounting") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val rows = Hygiene.lengthBatching(docs, batchSize = 8, nShards = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == docs.count())
+    rows.groupBy(_._2).foreach { case (_, shard) =>
+      val byBatch = shard.groupBy(_._3).toSeq.sortBy(_._1)
+      byBatch.foreach { case (bid, b) =>
+        // every batch except the shard's last is full
+        if (bid < byBatch.map(_._1).max) assert(b.length == 8)
+        val mx = b.map(_._4).max
+        b.foreach { case (_, _, _, nt, bmax, waste) =>
+          assert(bmax == mx && waste == mx - nt && waste >= 0)
+        }
+      }
+      // batches partition the shard's length order: max of batch i <= min of i+1
+      byBatch.sliding(2).foreach {
+        case Seq((_, a), (_, b)) => assert(a.map(_._4).max <= b.map(_._4).min)
+        case _ =>
+      }
+    }
+    // grouping by length beats random batching on padding waste
+    val waste = rows.map(_._6).sum
+    val lens = rows.map(r => (r._1, r._4)).sortBy(_._1)
+    val randomWaste = lens.grouped(8).map { g =>
+      g.map(_._2).max * g.length - g.map(_._2).sum }.sum
+    assert(waste < randomWaste, s"length grouping must reduce padding: $waste vs $randomWaste")
+  }
+
+  test("interleaveOrder: proportional fractional positions, dense per-shard order") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val rows = Hygiene.interleaveOrder(docs, col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length == docs.count())
+    // per stratum: fracs are exactly {0/n, 1/n, ..., (n-1)/n} — the evenly
+    // spaced grid that makes any window of the final order proportional
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val n = g.length
+      assert(g.map(_._5).sorted.toSeq == (0 until n).map(_.toDouble / n))
+    }
+    // per shard: pos is dense 0..n-1 and ordered by (frac, stratum)
+    rows.groupBy(_._3).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == g.indices.map(_.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 < b._5 || (a._5 == b._5 && a._2 <= b._2))
+        case _ =>
+      }
+    }
+    // deterministic under physical reshuffle
+    val again = Hygiene.interleaveOrder(docs.repartition(11), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
+
   test("budgetSelect: per-stratum greedy fill matches brute force; boundary doc kept") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val rows = docs.select(col("doc_id"), col("lang"), col("n_chars"),
