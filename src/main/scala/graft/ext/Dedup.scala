@@ -948,6 +948,47 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Keep-BEST representative selection over near-dup clusters — the
+    * policy refinement of plain dedup: instead of keeping an arbitrary
+    * member (min doc_id), keep each cluster's highest-`score` document
+    * (token count, quality logit rank, recency — any integer signal).
+    * Singleton documents (in no pair) pass through as their own
+    * representative. Output is the full keep-list: exactly one row per
+    * surviving document with its cluster id and score.
+    *
+    * Cost on top of [[clusters]]: one struct-max aggregate over the
+    * cluster key (partial-agg, two structs per cluster per map task — the
+    * [[Sft.preferencePairs]] shape) and one broadcast-sized anti-join for
+    * the singleton pass-through (the pair set, and hence the clustered-id
+    * set, is vanishingly small next to the corpus). */
+  def keepBest(docs: DataFrame, pairs: DataFrame, score: Column): DataFrame = {
+    val cl = clusters(pairs)
+    val scored = docs.select(col("doc_id"), score.cast("long").as("score"))
+    val best = scored.join(cl, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("ni"))).as("__b"))
+      .select((-col("__b.ni")).as("doc_id"), col("cluster_id"), col("__b.score").as("score"))
+    val singles = scored
+      .join(broadcast(cl.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), col("score"))
+    best.unionByName(singles)
+  }
+
+  /** Exact edit-distance verification of near-dup CANDIDATE pairs — the
+    * verify stage fuzzy dedup runs after blocking: Levenshtein is O(|a|·|b|)
+    * per pair, affordable exactly because the candidate set (from the
+    * prefix/banded/winnowing indexes) is bounded, never corpus². Both
+    * engines implement the standard unit-cost edit distance, so the
+    * emitted integer is cross-engine exact. Pairs at or under `maxDist`
+    * survive. */
+  def editVerify(docs: DataFrame, pairs: DataFrame, maxDist: Int): DataFrame =
+    pairs.select("id_a", "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+
   val queries: Map[String, Q] = Map(
     "dedup_winnow_pairs" -> ((s, dir) =>
       winnowPairs(SparkEntry.table(s, dir, "documents"))),
@@ -1039,6 +1080,20 @@ object Dedup {
     }),
     "dedup_clusters" -> ((s, dir) =>
       clusters(jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5))),
+    // keep the longest member of every near-dup cluster (token count as
+    // the integer quality signal), singletons pass through
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      keepBest(docs, jaccardPairs(docs, k = 3, tau = 0.5),
+        size(split(col("text"), " ")))
+    }),
+    // exact Levenshtein over the PPJoin candidates: the corpus's planted
+    // near-dups sit at distance 4, one far pair at 8 — maxDist 4 keeps
+    // the true dups and drops the far pair (a non-vacuous split)
+    "dedup_edit_verify" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      editVerify(docs, jaccardPairs(docs, k = 3, tau = 0.5), maxDist = 4)
+    }),
     // one micro-batch of the streaming dedup pipeline: seed the index from
     // the corpus snapshot, run the probe/reject/absorb step on the batch,
     // emit the surviving doc ids (fresh temp index per run — deterministic)
@@ -1322,6 +1377,69 @@ object Dedup {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $GateEmbedTau""".stripMargin,
     // transitive closure over the same exact-Jaccard pairs; cluster id = min
     // doc_id of the connected component
+    // clusters CTE as in dedup_clusters, then the (score DESC, doc_id)
+    // argmax per cluster + singleton pass-through
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |co AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |p AS (SELECT id_a, id_b FROM co
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |sc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |       FROM documents),
+        |best AS (
+        |  SELECT doc_id, cluster_id, score FROM (
+        |    SELECT sc.doc_id, cl.cluster_id, sc.score,
+        |      row_number() OVER (PARTITION BY cl.cluster_id
+        |        ORDER BY sc.score DESC, sc.doc_id) AS rn
+        |    FROM sc JOIN cl USING (doc_id)) WHERE rn = 1),
+        |singles AS (
+        |  SELECT sc.doc_id, sc.doc_id AS cluster_id, sc.score
+        |  FROM sc LEFT JOIN cl USING (doc_id) WHERE cl.doc_id IS NULL)
+        |SELECT * FROM best UNION ALL SELECT * FROM singles""".stripMargin,
+
+    // the PPJoin candidate pairs verified by DuckDB's own Levenshtein
+    "dedup_edit_verify" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |co AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |p AS (SELECT id_a, id_b FROM co
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM p
+        |JOIN documents a ON a.doc_id = p.id_a
+        |JOIN documents b ON b.doc_id = p.id_b
+        |WHERE levenshtein(a.text, b.text) <= 4""".stripMargin,
+
     "dedup_clusters" ->
       """WITH RECURSIVE
         |d AS (

@@ -468,7 +468,46 @@ object TextAnalysis {
       .withColumn("cum_terms", sum(col("new_terms")).over(w))
   }
 
+  /** GloVe-style windowed co-occurrence counts (Pennington et al. 2014
+    * §3) — the corpus-wide matrix-construction job behind classical word
+    * embeddings and collocation/PMI mining: for every unordered token
+    * pair within `window` positions, the raw co-occurrence count and
+    * GloVe's distance-discounted weight Σ 1/d.
+    *
+    * The 1/d weights are INTEGER-scaled: `scale = lcm(1..window)` (12 for
+    * the default window 4) makes every contribution `scale/d` a whole
+    * number, so the aggregated `weight_scaled` is an exact integer on any
+    * engine and summation order — divide by `scale` at consumption time.
+    *
+    * Shape: the pair explosion is narrow per-document compute (two nested
+    * HOFs over ONE materialized split; ~n·window rows per doc), then one
+    * partial-aggregated groupBy on the canonicalized (a, b) key — the
+    * exact df-table shape every term-statistics job here uses. At 100 TB
+    * the explosion dominates; `window` bounds it linearly, and min-count
+    * pruning (`HAVING`) belongs AFTER the partial agg, where it is. */
+  def cooccurrence(docs: DataFrame, window: Int = 4, minCount: Long = 1L): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val scale = (1 to window).foldLeft(1L)((acc, d) =>
+      acc * d / java.math.BigInteger.valueOf(acc).gcd(java.math.BigInteger.valueOf(d)).longValue())
+    val w = col("__w")
+    val pairs = flatten(transform(sequence(lit(0), size(w) - 2), i =>
+      transform(sequence(lit(1), least(lit(window), size(w) - 1 - i)), d => {
+        val x = element_at(w, i + 1); val y = element_at(w, i + d + 1)
+        struct(least(x, y).as("a"), greatest(x, y).as("b"),
+          (lit(scale) / d.cast("long")).cast("long").as("ws"))
+      })))
+    docs.select(split(col("text"), " ").as("__w"))
+      .where(size(col("__w")) >= 2)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_cooc"), sum(col("p.ws")).as("weight_scaled"))
+      .where(col("n_cooc") >= minCount)
+  }
+
   val queries: Map[String, Q] = Map(
+    // window 4 → scale 12: weights 12, 6, 4, 3 by distance — all integer
+    "glove_cooc" -> ((s, dir) =>
+      cooccurrence(SparkEntry.table(s, dir, "documents"), window = 4, minCount = 5L)),
     "corpus_stats" -> ((s, dir) => corpusStats(SparkEntry.table(s, dir, "documents"))),
     "normalize_text" -> ((s, dir) =>
       SparkEntry.table(s, dir, "documents")
@@ -517,6 +556,19 @@ object TextAnalysis {
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // same pair enumeration (i, i+d) d<=4, same canonical (a,b) order,
+    // same integer-scaled 12/d weights
+    "glove_cooc" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (
+        |  SELECT least(w[i], w[i + d]) AS a, greatest(w[i], w[i + d]) AS b,
+        |         12 // d AS ws
+        |  FROM t,
+        |    LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i),
+        |    LATERAL unnest(generate_series(1, least(4, len(w) - i))) AS v(d))
+        |SELECT a, b, count(*) AS n_cooc, CAST(sum(ws) AS BIGINT) AS weight_scaled
+        |FROM p GROUP BY a, b HAVING count(*) >= 5""".stripMargin,
     "normalize_text" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),

@@ -1372,6 +1372,65 @@ class ExtSpec extends AnyFunSuite {
       s"$got")
   }
 
+  test("keepBest: cluster argmax by (score, -id), singleton pass-through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),   // cluster {1,2,3}: best = 2 (tie → lower id)
+      (4L, 5L), (5L, 9L),                // cluster {4,5}: best = 5
+      (6L, 7L)                           // singleton
+    ).toDF("doc_id", "score").withColumn("text", lit("x"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.keepBest(docs, pairs, col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 1L, 30L), (5L, 4L, 9L), (6L, 6L, 7L)))
+    // exactly one survivor per cluster + each singleton
+    assert(got.map(_._2).size == 3)
+  }
+
+  test("editVerify: exact Levenshtein on candidates, threshold splits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown cat"),     // dist 3 to doc 1
+      (3L, "a completely other text")  // far from both
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.editVerify(docs, pairs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 3L)))
+    // threshold 0 keeps only identical texts
+    assert(Dedup.editVerify(docs, pairs, maxDist = 0).count() == 0)
+  }
+
+  test("cooccurrence: brute-force window pairs with integer 12/d weights") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "b b")).toDF("doc_id", "text")
+    // doc1 pairs (window 4): (a,b,d1) (a,a,d2) (a,c,d3) (a,b,d1) (b,c,d2) (a,c,d1)
+    // doc2: (b,b,d1)
+    val want = Map(
+      ("a", "b") -> (2L, 24L),   // d=1 twice → 12+12
+      ("a", "a") -> (1L, 6L),    // d=2 → 6
+      ("a", "c") -> (2L, 16L),   // d=3 → 4, d=1 → 12
+      ("b", "c") -> (1L, 6L),    // d=2 → 6
+      ("b", "b") -> (1L, 12L))   // d=1 → 12
+    val got = TextAnalysis.cooccurrence(docs, window = 4, minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    // real corpus: engine equals a plain-Scala fold (window 4, minCount 5)
+    val corpus = SparkEntry.table(spark, dir, "documents")
+    val texts = corpus.select("text").collect().map(_.getString(0))
+    val acc = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    for (t <- texts; w = t.split(" "); i <- w.indices; d <- 1 to math.min(4, w.length - 1 - i)) {
+      val k = if (w(i) <= w(i + d)) (w(i), w(i + d)) else (w(i + d), w(i))
+      val (c0, s0) = acc.getOrElse(k, (0L, 0L))
+      acc(k) = (c0 + 1, s0 + 12L / d)
+    }
+    val ref = acc.filter(_._2._1 >= 5).toMap
+    val real = TextAnalysis.cooccurrence(corpus, window = 4, minCount = 5L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(real == ref)
+  }
+
   test("nextEventExamples: contexts are the k previous types in arrival order") {
     import spark.implicits._
     def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
