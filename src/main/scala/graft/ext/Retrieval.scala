@@ -285,6 +285,15 @@ object Retrieval {
     val post = docs
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
       .where(col("tok").isin(allTerms: _*))
+    adjacencyCount(post, phrases)
+  }
+
+  /** The adjacency-join core shared by the scan path ([[phraseSearch]])
+    * and the index path ([[phraseSearchIndexed]]): `post` is any
+    * (doc_id, pos, tok) postings relation already restricted to the
+    * phrases' terms. */
+  private def adjacencyCount(post: DataFrame,
+                             phrases: Seq[(String, Seq[String])]): DataFrame = {
     val legs = phrases.map { case (pid, terms) =>
       var cur = post.where(col("tok") === terms.head)
         .select(col("doc_id"), col("pos").as("p0"))
@@ -298,6 +307,45 @@ object Retrieval {
         .select(lit(pid).as("phrase_id"), col("doc_id"), col("n_matches"))
     }
     legs.reduce(_ unionByName _)
+  }
+
+  /** Materialize the positional postings as a PERSISTED index, partitioned
+    * by a term-hash bucket — the deployed form of [[phraseSearch]]'s class
+    * doc: pay the corpus tokenization once, answer every later phrase
+    * query from a partition-pruned read.
+    *
+    * Bucketed (not by raw term) because a real vocabulary is millions of
+    * terms — `nBuckets` hash directories keep the filesystem sane while
+    * still pruning reads to |phrase terms| buckets of ~1/nBuckets of the
+    * postings each. The bucket function is `pmod(xxhash64(tok), nBuckets)`
+    * computed BY THE ENGINE on both the write and query side (a tiny
+    * driver-side lookup job per query — never a reimplementation that
+    * could drift). */
+  def buildPhraseIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit =
+    docs.select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Phrase search against a [[buildPhraseIndex]] directory: the scan
+    * reads ONLY the partitions holding the phrases' terms (PartitionFilters
+    * on `bucket` — pinned in RetrievalSpec), then runs the identical
+    * adjacency plan. Results are [[phraseSearch]]-identical by
+    * construction (same core, same postings restriction). */
+  def phraseSearchIndexed(spark: SparkSession, path: String,
+                          phrases: Seq[(String, Seq[String])],
+                          nBuckets: Int = 64): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty),
+      "each phrase needs at least one term")
+    import spark.implicits._
+    val allTerms = phrases.flatMap(_._2).distinct
+    // term → bucket via the engine's own hash (|terms| rows, driver-side)
+    val buckets = allTerms.toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val post = spark.read.parquet(path)
+      .where(col("bucket").isin(buckets: _*) && col("tok").isin(allTerms: _*))
+      .select("doc_id", "pos", "tok")
+    adjacencyCount(post, phrases)
   }
 
   /** Driver-gate query set: two terms each (commutative-add determinism). */
@@ -317,6 +365,16 @@ object Retrieval {
   val queries: Map[String, Q] = Map(
     "phrase_search" -> ((s, dir) =>
       phraseSearch(SparkEntry.table(s, dir, "documents"), GatePhrases)),
+    // full fidelity through the build → partition-pruned read → adjacency
+    // path (fresh temp index per run; localCheckpoint materializes before
+    // the index dir is deleted — the snapshot_roundtrip pattern)
+    "phrase_search_indexed" -> ((s, dir) => {
+      val root = TmpIo.freshDir("phraseidx")
+      try {
+        buildPhraseIndex(SparkEntry.table(s, dir, "documents"), s"$root/idx")
+        phraseSearchIndexed(s, s"$root/idx", GatePhrases).localCheckpoint(true)
+      } finally TmpIo.deleteRecursively(root)
+    }),
     "bm25_index" -> ((s, dir) => index(SparkEntry.table(s, dir, "documents"))),
     "bm25_topk"  -> ((s, dir) => bm25(SparkEntry.table(s, dir, "documents"), GateQueries)),
     "retrieval_rrf" -> ((s, dir) =>
@@ -397,15 +455,19 @@ object Retrieval {
       s"WHERE a0.tok = '${terms.head}' GROUP BY a0.doc_id"
   }
 
+  private def phraseOracle: String =
+    ("""WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS w
+      |  FROM documents),
+      |p AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM t)
+      |""".stripMargin +
+      GatePhrases.map { case (pid, ts) => phraseLegSql(pid, ts) }
+        .mkString("\nUNION ALL\n"))
+
   val oracleSql: Map[String, String] = Map(
-    "phrase_search" ->
-      ("""WITH t AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS w
-        |  FROM documents),
-        |p AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM t)
-        |""".stripMargin +
-        GatePhrases.map { case (pid, ts) => phraseLegSql(pid, ts) }
-          .mkString("\nUNION ALL\n")),
+    // the index path must answer identically to the scan path
+    "phrase_search_indexed" -> phraseOracle,
+    "phrase_search" -> phraseOracle,
     "bm25_index" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS term

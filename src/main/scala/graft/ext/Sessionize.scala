@@ -121,6 +121,94 @@ object Sessionize {
         (col("__hwm") - col("ts_us")).as("late_by_us"))
   }
 
+  // ---- streaming late-arrival audit (persisted high-water marks) -------
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest COMMITTED hwm snapshot (dir with _SUCCESS) at or below
+    * `maxBatchExclusive` (None = no bound): (state, its batch id). */
+  private def loadLateState(spark: SparkSession, stateDir: String,
+                            maxBatchExclusive: Option[Long] = None)
+      : (DataFrame, Option[Long]) = {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "hwm_us")
+    val f = fs(spark, stateDir)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (!f.exists(root)) return (empty, None)
+    val done = f.listStatus(root).map(_.getPath).filter(p =>
+      p.getName.startsWith("batch=") &&
+        f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(p => p.getName.stripPrefix("batch=").toLong -> p)
+      .filter { case (id, _) => maxBatchExclusive.forall(id < _) }
+    if (done.isEmpty) (empty, None)
+    else {
+      val (id, p) = done.maxBy(_._1)
+      (spark.read.parquet(p.toString), Some(id))
+    }
+  }
+
+  /** Absorb one arrival-ordered micro-batch into the persisted per-user
+    * high-water-mark state and return the batch's LATE rows — the
+    * streaming form of [[lateArrivals]], state carried across batches
+    * (an event early in batch n+1 is judged against timestamps seen in
+    * batch n). The state is a per-user table updated by an outer-join
+    * max — it never collects to the driver, so keyed cardinality is
+    * unbounded (the [[graft.ext.Freq]] sketch state is driver-sized; this
+    * one stays distributed).
+    *
+    * Exactly-once: snapshots land in per-batch-id dirs gated on _SUCCESS
+    * (crash-mid-write invisible), the previous snapshot is RETAINED (two
+    * live snapshots), and a replayed batch recomputes against the
+    * snapshot BELOW its id — so Structured Streaming's replay of the one
+    * uncommitted batch reproduces the identical late set instead of
+    * judging the batch against its own already-absorbed timestamps. */
+  def absorbLateBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                      events: DataFrame, latenessSeconds: Long): DataFrame = {
+    val (latest, lastId) = loadLateState(spark, stateDir)
+    val replay = lastId.exists(_ >= batchId)
+    val base =
+      if (replay) loadLateState(spark, stateDir, Some(batchId))._1 else latest
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("__bh", max(col("ts_us")).over(w))
+      .join(base.withColumnRenamed("hwm_us", "__sh"), Seq("user_id"), "left")
+      .withColumn("__hwm", greatest(col("__bh"), col("__sh")))
+    val late = b
+      .where(col("ts_us") < col("__hwm") - latenessSeconds * 1000000L)
+      .select(col("user_id"), col("event_id"),
+        (col("__hwm") - col("ts_us")).as("late_by_us"))
+      .localCheckpoint(true) // materialize BEFORE the state snapshot moves
+    if (!replay) {
+      val nxt = base.withColumnRenamed("hwm_us", "__old")
+        .join(b.groupBy("user_id").agg(max(col("ts_us")).as("__new")),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"), greatest(col("__old"), col("__new")).as("hwm_us"))
+      nxt.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+      // retire all but the two newest snapshots (replay needs batch−1)
+      val f = fs(spark, stateDir)
+      val ids = f.listStatus(new org.apache.hadoop.fs.Path(stateDir)).map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toLong).sorted
+      ids.dropRight(2).foreach(i =>
+        f.delete(new org.apache.hadoop.fs.Path(stateDir, s"batch=$i"), true))
+    }
+    late
+  }
+
+  /** Continuous late-arrival auditing over a streaming source: foreachBatch
+    * → absorb into the persisted hwm state → hand the batch's late rows to
+    * `sink` (a DLQ writer, a metrics emitter). */
+  def lateArrivalsStream(events: DataFrame, stateDir: String,
+                         latenessSeconds: Long)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(absorbLateBatch(batch.sparkSession, stateDir, id, batch, latenessSeconds))
+    }
+
   val queries: Map[String, Q] = Map(
     "sessionize" -> ((s, dir) => batch(SparkEntry.table(s, dir, "events"))),
     "session_agg" -> ((s, dir) => sessionAgg(SparkEntry.table(s, dir, "events"))),

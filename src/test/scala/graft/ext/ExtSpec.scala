@@ -1473,4 +1473,47 @@ class ExtSpec extends AnyFunSuite {
     // a fully in-order stream reports nothing at any threshold
     assert(Sessionize.lateArrivals(ev.where(col("user_id") === 2L), 0L).count() == 0L)
   }
+
+  test("absorbLateBatch: batched absorption == batch twin; replay exactly-once") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("latehwm").toString
+    // the gate's injected-disorder stream at sf0.001, split into three
+    // arrival-order (event_id) slices — the composition the streaming
+    // wrapper performs
+    val all = SparkEntry.table(spark, dir, "events").withColumn("ts",
+      timestamp_micros(unix_micros(col("ts")) -
+        when(col("event_id") % 97 === 0, 172800000000L).otherwise(0L)))
+    val ids = all.select("event_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val batches = Seq(
+      all.where(col("event_id") <= cuts(0)),
+      all.where(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      all.where(col("event_id") > cuts(1)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = batches.zipWithIndex.map { case (b, i) =>
+      rows(Sessionize.absorbLateBatch(spark, stateDir, i.toLong, b, 3600L))
+    }
+    val twin = rows(Sessionize.lateArrivals(all, 3600L))
+    assert(streamed.reduce(_ ++ _) == twin,
+      "the batched stream must find exactly the batch twin's late set")
+    // cross-batch state matters: a constructed stream whose only late
+    // event opens batch 2 — invisible without batch 1's persisted hwm
+    val fresh = java.nio.file.Files.createTempDirectory("latehwm2").toString
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val cb1 = Seq((9L, 1L, t(10000))).toDF("user_id", "event_id", "ts")
+    val cb2 = Seq((9L, 2L, t(100))).toDF("user_id", "event_id", "ts")
+    assert(rows(Sessionize.absorbLateBatch(spark, fresh, 0L, cb1, 3600L)).isEmpty)
+    assert(rows(Sessionize.absorbLateBatch(spark, fresh, 1L, cb2, 3600L)) ==
+      Set((9L, 2L, 9900000000L)),
+      "an early-in-batch event must be judged against the PREVIOUS batch's hwm")
+    // replay of the last batch reproduces its output exactly (judged
+    // against the batch-1 snapshot, not its own absorbed timestamps)
+    val replayed = rows(Sessionize.absorbLateBatch(spark, stateDir, 2L, batches(2), 3600L))
+    assert(replayed == streamed(2))
+    // retention: exactly the two newest snapshots remain
+    val dirs = new java.io.File(stateDir).listFiles.map(_.getName)
+      .filter(_.startsWith("batch=")).sorted
+    assert(dirs.toSeq == Seq("batch=1", "batch=2"))
+  }
 }

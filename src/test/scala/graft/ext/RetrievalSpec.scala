@@ -165,4 +165,39 @@ class RetrievalSpec extends AnyFunSuite {
     val tf1 = Retrieval.phraseSearch(tiny, Seq("t" -> Seq("w"))).collect()
     assert(tf1.map(r => r.getLong(2)).toSeq == Seq(5L))
   }
+
+  test("phrase index: partition-pruned read answers identically to the scan path") {
+    val root = java.nio.file.Files.createTempDirectory("phraseidx").toString
+    try {
+      Retrieval.buildPhraseIndex(docs, s"$root/idx", nBuckets = 64)
+      val direct = Retrieval.phraseSearch(docs, Retrieval.GatePhrases).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val indexed = Retrieval.phraseSearchIndexed(spark, s"$root/idx",
+        Retrieval.GatePhrases, nBuckets = 64)
+      assert(indexed.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == direct)
+      // the scan must prune on the bucket partition column — never read
+      // the whole postings index for a handful of terms
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val scans = Retrieval.phraseSearchIndexed(spark, s"$root/idx",
+            Retrieval.GatePhrases, nBuckets = 64)
+          .queryExecution.executedPlan
+          .collect { case f: FileSourceScanExec => f }
+        assert(scans.nonEmpty)
+        scans.foreach { f =>
+          assert(f.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+            s"expected a bucket partition filter on:\n$f")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    } finally {
+      val d = new java.io.File(root)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(d)
+    }
+  }
 }
