@@ -107,6 +107,51 @@ object Behavior {
       .select(col("t").as("event_type"), col("day"), col("x").as("n_events"), col("z"))
   }
 
+  /** PageRank over a weighted edge list (Page et al. 1999) — graph
+    * centrality for the journey graphs this module builds ([[transitions]]
+    * edges: which states dominate user flows) and for any (src, dst,
+    * weight) relation (document link graphs, citation graphs). Classic
+    * power iteration with damping `d` and uniform dangling-mass
+    * redistribution.
+    *
+    * Scale shape: per iteration ONE join of the normalized edge list with
+    * the current rank vector and one dst-keyed aggregation — the edge
+    * list shuffles once up front (normalization) and is localCheckpointed
+    * so iterations re-read a materialized table; rank state is a
+    * DataFrame, never driver-resident. Driver state per iteration is ONE
+    * scalar (the dangling mass — the [[graft.ext.Similarity]]
+    * `trainCentroids` bounded-collect posture). Spec-gated, not
+    * driver-gated: per-node contribution sums are float additions in
+    * aggregation order, the established posture for keeping
+    * order-dependent float sums out of the driver hash compare. */
+  def pagerank(edges: DataFrame, d: Double = 0.85, iters: Int = 10): DataFrame = {
+    require(iters >= 1 && d > 0 && d < 1, "need iters >= 1 and 0 < d < 1")
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val n = nodes.count().toDouble
+    val out = edges.groupBy("src").agg(sum(col("weight")).as("__wout"))
+    val norm = edges.join(out, "src")
+      .select(col("src"), col("dst"),
+        (col("weight").cast("double") / col("__wout")).as("__p"))
+      .localCheckpoint()
+    val sinks = nodes.join(out.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val dangling = sinks.join(ranks, Seq("id"))
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contrib = norm.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("__p") * col("rank")).as("__c"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - d) / n) +
+            lit(d) * (coalesce(col("__c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Next-event-prediction training examples — the supervised dataset
     * behind behavioral sequence models (session recommenders, churn
     * predictors, the "behavioral LM" leg of a training-data pipeline):

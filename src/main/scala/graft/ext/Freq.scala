@@ -194,7 +194,65 @@ object Freq {
       sink(absorbHhBatch(batch.sparkSession, stateDir, id, batch, m))
     }
 
+  /** Count-Min sketch counters (Cormode & Muthukrishnan 2005) — the THIRD
+    * sketch of the frequency family (HLL: distinct counts, MG: heavy-hitter
+    * identification, CMS: point-frequency ESTIMATES for any later probe):
+    * `depth × width` integer counters, term t increments counter
+    * `(r, hash_r(t) mod width)` in every row r. Mergeable by plain counter
+    * addition, fixed memory regardless of the distinct-term count.
+    *
+    * One partial-aggregated groupBy over (row, bucket) — ≤ depth·width
+    * groups ship per partition, never the distinct-term table. Hashes are
+    * the engine's [[Hygiene.hashU64]] (row-salted sha256), so the counter
+    * table — and therefore every estimate — is bit-reproducible
+    * cross-engine: the DRIVER gate compares estimates exactly, while the
+    * probabilistic `est ≤ true + εn` envelope is spec territory. */
+  def cmsCounters(terms: DataFrame, depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+    terms
+      .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"), pmod(Hygiene.hashU64(
+        concat(col("r").cast("string"), lit(":"), col("term"))), lit(width.toLong))
+        .as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` against [[cmsCounters]]: the classic
+    * min-over-rows lookup, returned next to the exact count so the
+    * overcount is inspectable (`est ≥ true` unconditionally; collisions
+    * only ever ADD). The probe set is tiny and broadcasts; the exact
+    * column costs one `isin`-pruned aggregation over the stream. */
+  def cmsEstimates(terms: DataFrame, probes: Seq[String],
+                   depth: Int = 4, width: Int = 512): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe term")
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val counters = cmsCounters(terms, depth, width)
+    val probeBuckets = probes.toDF("term")
+      .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("term"), col("r"), pmod(Hygiene.hashU64(
+        concat(col("r").cast("string"), lit(":"), col("term"))), lit(width.toLong))
+        .as("bucket"))
+    val est = broadcast(probeBuckets)
+      .join(counters, Seq("r", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("term").agg(min(col("cnt")).as("est"))
+    val exact = terms.where(col("term").isin(probes: _*))
+      .groupBy("term").agg(count(lit(1)).as("true_cnt"))
+    est.join(exact, Seq("term"), "left").na.fill(0L, Seq("true_cnt"))
+      .select(col("term"), col("est"), col("true_cnt"),
+        (col("est") - col("true_cnt")).as("overcount"))
+  }
+
+  /** Fixed probe terms for the driver gate: two corpus trigrams that exist
+    * at every scale factor plus one absent phrase (est may still be > 0 —
+    * pure collision mass — and true_cnt is 0). */
+  val GateCmsProbes: Seq[String] = Seq("table table table", "fast scan query",
+    "no such trigram")
+
   val queries: Map[String, Q] = Map(
+    "cms_estimate" -> ((s, dir) =>
+      cmsEstimates(trigrams(SparkEntry.table(s, dir, "documents")), GateCmsProbes)),
     // m = 4096 over the ~16k-distinct trigram domain: the sketch MUST prune
     // (so the gate exercises the guarantee, not just the plumbing), and the
     // sf0.01 corpus has a handful of grams above n/4096
@@ -204,6 +262,31 @@ object Freq {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same row-salted sha hash, same counter table, same min-over-rows
+    "cms_estimate" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] AS term
+        |      FROM d, LATERAL unnest(range(1, greatest(len(w) - 1, 1))) AS g(i)),
+        |e AS (SELECT term, r.r AS r,
+        |        CAST(('0x' || substring(sha256(CAST(r.r AS VARCHAR) || ':' || term), 1, 8))
+        |          AS BIGINT) % 512 AS bucket
+        |      FROM g, LATERAL unnest(range(0, 4)) AS r(r)),
+        |c AS (SELECT r, bucket, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |p(term) AS (VALUES ('table table table'), ('fast scan query'),
+        |                   ('no such trigram')),
+        |pb AS (SELECT term, r.r AS r,
+        |        CAST(('0x' || substring(sha256(CAST(r.r AS VARCHAR) || ':' || term), 1, 8))
+        |          AS BIGINT) % 512 AS bucket
+        |      FROM p, LATERAL unnest(range(0, 4)) AS r(r)),
+        |est AS (SELECT pb.term, min(COALESCE(c.cnt, 0)) AS est
+        |        FROM pb LEFT JOIN c ON c.r = pb.r AND c.bucket = pb.bucket
+        |        GROUP BY pb.term),
+        |ex AS (SELECT term, count(*) AS true_cnt FROM g
+        |       WHERE term IN ('table table table', 'fast scan query', 'no such trigram')
+        |       GROUP BY term)
+        |SELECT est.term, est.est, CAST(COALESCE(ex.true_cnt, 0) AS BIGINT) AS true_cnt,
+        |  est.est - CAST(COALESCE(ex.true_cnt, 0) AS BIGINT) AS overcount
+        |FROM est LEFT JOIN ex USING (term)""".stripMargin,
     // the oracle is the full groupBy the two-pass form provably equals
     "heavy_hitters" ->
       """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -326,6 +326,19 @@ object Retrieval {
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Incremental index maintenance: append a NEW document batch's postings
+    * to an existing [[buildPhraseIndex]] directory (partitioned parquet
+    * append — new files land inside the same bucket dirs; readers merge
+    * them for free). The daily-crawl composition: build once, append per
+    * ingest, compact with [[graft.ext.Layout]] when small files accrete.
+    * Caller contract: a doc_id appears in at most one appended batch
+    * (re-ingesting a document would double its postings — run the
+    * [[graft.ext.Versioning.corpusDiff]] added-set first). */
+  def appendPhraseIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit =
+    docs.select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
   /** Phrase search against a [[buildPhraseIndex]] directory: the scan
     * reads ONLY the partitions holding the phrases' terms (PartitionFilters
     * on `bucket` — pinned in RetrievalSpec), then runs the identical

@@ -1431,6 +1431,58 @@ class ExtSpec extends AnyFunSuite {
     assert(real == ref)
   }
 
+  test("pagerank: JVM power-iteration reference; dangling mass conserved") {
+    import spark.implicits._
+    def ref(edges: Seq[(String, String, Double)], d: Double, iters: Int): Map[String, Double] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val n = nodes.size.toDouble
+      val wout = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val dang = nodes.filterNot(wout.contains).map(r).sum
+        val c = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+        for ((s, t, w) <- edges) c(t) += (w / wout(s)) * r(s)
+        r = nodes.map(id => id -> ((1 - d) / n + d * (c(id) + dang / n))).toMap
+      }
+      r
+    }
+    // hand graph with a dangling node D and weighted edges
+    val hand = Seq(("a", "b", 2.0), ("b", "a", 1.0), ("c", "a", 1.0),
+      ("a", "d", 1.0), ("c", "b", 3.0))
+    val got = Behavior.pagerank(hand.toDF("src", "dst", "weight"), iters = 12).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = ref(hand, 0.85, 12)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"$k: $v vs ${want(k)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass must be conserved")
+    // the real journey graph: transitions edges, same reference
+    val tr = Behavior.transitions(SparkEntry.table(spark, dir, "events")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2).toDouble)).toSeq
+    val got2 = Behavior.pagerank(tr.toDF("src", "dst", "weight"), iters = 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want2 = ref(tr, 0.85, 8)
+    got2.foreach { case (k, v) => assert(math.abs(v - want2(k)) < 1e-10) }
+  }
+
+  test("appendPhraseIndex: incremental build answers identically to a full build") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("phraseinc").toString
+    try {
+      Retrieval.buildPhraseIndex(docs.where(col("doc_id") % 2 === 0), s"$root/idx")
+      Retrieval.appendPhraseIndex(docs.where(col("doc_id") % 2 === 1), s"$root/idx")
+      val direct = Retrieval.phraseSearch(docs, Retrieval.GatePhrases).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val inc = Retrieval.phraseSearchIndexed(spark, s"$root/idx", Retrieval.GatePhrases)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(inc == direct)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("nextEventExamples: contexts are the k previous types in arrival order") {
     import spark.implicits._
     def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
