@@ -105,6 +105,60 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
 
+  /** Persist the BM25 statistics index: the [[index]] df/cf table plus a
+    * 1-row corpus-stats table (N, total token count) — everything
+    * [[bm25]] derives per query, paid once. Layout: `path/dfreq` +
+    * `path/stats`. */
+  def saveBm25Index(docs: DataFrame, path: String): Unit = {
+    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+    d.select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .write.mode("overwrite").parquet(s"$path/dfreq")
+    d.agg(count(lit(1)).cast("double").as("n"),
+        sum(size(col("toks"))).cast("double").as("total"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a [[saveBm25Index]] directory: identical scoring
+    * arithmetic to [[bm25]], but the df join and corpus stats come from
+    * the persisted index instead of two corpus aggregations — the query
+    * path reads |terms| rows of df + 1 stats row + ONE corpus scan for
+    * scoring. Counts frozen at index time: a corpus drifted since the
+    * last [[saveBm25Index]] scores with stale idf (rankings degrade
+    * gracefully; re-index on the [[graft.ext.Quality.driftReport]]
+    * signal). */
+  def bm25Indexed(docs: DataFrame, spark: SparkSession, path: String,
+                  queries: Seq[(String, Seq[String])], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = spark.read.parquet(s"$path/stats")
+    val dfreq = spark.read.parquet(s"$path/dfreq")
+    val q = queries.toDF("query_id", "terms")
+      .select(col("query_id"), posexplode(col("terms")).as(Seq("pos", "term")))
+      .join(dfreq.where(col("term").isin(queries.flatMap(_._2).distinct: _*)),
+        Seq("term"), "left")
+      .na.fill(0.0, Seq("df"))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("term"), col("df"))))
+        .as("qterms"))
+    val scored = d
+      .crossJoin(broadcast(q.crossJoin(stats)))
+      .withColumn("score",
+        aggregate(col("qterms"), lit(0.0), (acc, qt) => {
+          val tf  = size(filter(col("toks"), x => x === qt.getField("term"))).cast("double")
+          val df  = qt.getField("df")
+          val idf = (col("n") - df + lit(0.5)) / (df + lit(0.5))
+          acc + idf * ((tf * lit(K1 + 1.0)) /
+            (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / (col("total") / col("n")))))
+        }))
+      .select(col("query_id"), col("doc_id"), col("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), asc("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+
   /** Linear TF-IDF ranking — the second voice for [[rrfFusion]]: same
     * rational Robertson idf as [[bm25]] but LINEAR tf and no length
     * normalization, so the two rankers genuinely disagree (a long document
@@ -339,6 +393,28 @@ object Retrieval {
       .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket").parquet(path)
 
+  /** EXACTLY-ONCE streaming index maintenance: each micro-batch's postings
+    * land under `path/batch=<id>/bucket=<b>` via a FULL overwrite of the
+    * batch directory — a replayed batch rewrites identical content instead
+    * of double-appending (the plain [[appendPhraseIndex]] would duplicate
+    * postings on replay). Readers (`spark.read.parquet(path)`) discover
+    * both partition levels and still prune on `bucket`; a crash mid-write
+    * leaves a partial batch dir that the post-recovery replay overwrites
+    * before the stream commits, so steady-state reads are complete. */
+  def absorbPhraseIndexBatch(docs: DataFrame, path: String, batchId: Long,
+                             nBuckets: Int = 64): Unit =
+    docs.select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/batch=$batchId")
+
+  /** Continuous phrase-index maintenance over a streaming document source:
+    * foreachBatch → [[absorbPhraseIndexBatch]]. */
+  def phraseIndexStream(docs: DataFrame, path: String, nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      absorbPhraseIndexBatch(batch, path, id, nBuckets)
+    }
+
   /** Phrase search against a [[buildPhraseIndex]] directory: the scan
     * reads ONLY the partitions holding the phrases' terms (PartitionFilters
     * on `bucket` — pinned in RetrievalSpec), then runs the identical
@@ -390,6 +466,16 @@ object Retrieval {
     }),
     "bm25_index" -> ((s, dir) => index(SparkEntry.table(s, dir, "documents"))),
     "bm25_topk"  -> ((s, dir) => bm25(SparkEntry.table(s, dir, "documents"), GateQueries)),
+    // save-then-query through the persisted statistics index; must score
+    // bit-identically to the inline bm25_topk (same oracle)
+    "bm25_indexed" -> ((s, dir) => {
+      val root = TmpIo.freshDir("bm25idx")
+      val docs = SparkEntry.table(s, dir, "documents")
+      try {
+        saveBm25Index(docs, s"$root/idx")
+        bm25Indexed(docs, s, s"$root/idx", GateQueries).localCheckpoint(true)
+      } finally TmpIo.deleteRecursively(root)
+    }),
     "retrieval_rrf" -> ((s, dir) =>
       rrfFusion(SparkEntry.table(s, dir, "documents"), GateQueries)),
     "retrieval_rbo" -> ((s, dir) =>
@@ -491,7 +577,12 @@ object Retrieval {
 
     // Mirrors bm25() arithmetic shape exactly: rational idf, per-term
     // saturation quotient, one commutative add of the two term weights.
-    "bm25_topk" ->
+    "bm25_topk" -> bm25TopkOracle,
+    // the persisted-index path scores bit-identically by construction
+    "bm25_indexed" -> bm25TopkOracle,
+  ) ++ oracleSqlFusion
+
+  private lazy val bm25TopkOracle: String =
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
         |  FROM documents),
@@ -522,8 +613,10 @@ object Retrieval {
         |  SELECT query_id, doc_id, score,
         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
         |  FROM scored)
-        |SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 10""".stripMargin,
+        |SELECT query_id, doc_id, rank, score FROM r WHERE rank <= 10""".stripMargin
 
+  // lazy: referenced by oracleSql above, which initializes first
+  private lazy val oracleSqlFusion: Map[String, String] = Map(
     // both rankers re-derived with the engine's exact arithmetic shapes,
     // fused with fixed-order RRF adds (bm25 contribution + tfidf
     // contribution — integer-input divisions, bit-exact cross-engine)

@@ -166,6 +166,48 @@ class RetrievalSpec extends AnyFunSuite {
     assert(tf1.map(r => r.getLong(2)).toSeq == Seq(5L))
   }
 
+  test("bm25Indexed: persisted-index path scores bit-identically to inline bm25") {
+    val root = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    try {
+      Retrieval.saveBm25Index(docs, s"$root/idx")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val inline = rows(Retrieval.bm25(docs, Retrieval.GateQueries))
+      val indexed = rows(Retrieval.bm25Indexed(docs, spark, s"$root/idx",
+        Retrieval.GateQueries))
+      assert(indexed == inline)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  test("streaming phrase index: batch absorption == full build; replay no-op") {
+    val root = java.nio.file.Files.createTempDirectory("phrasestream").toString
+    try {
+      val even = docs.where(col("doc_id") % 2 === 0)
+      val odd = docs.where(col("doc_id") % 2 === 1)
+      Retrieval.absorbPhraseIndexBatch(even, s"$root/idx", 0L)
+      Retrieval.absorbPhraseIndexBatch(odd, s"$root/idx", 1L)
+      val direct = Retrieval.phraseSearch(docs, Retrieval.GatePhrases).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      def indexed() = Retrieval.phraseSearchIndexed(spark, s"$root/idx",
+        Retrieval.GatePhrases).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(indexed() == direct)
+      // a replayed batch overwrites its own dir — counts must NOT double
+      Retrieval.absorbPhraseIndexBatch(odd, s"$root/idx", 1L)
+      assert(indexed() == direct)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("phrase index: partition-pruned read answers identically to the scan path") {
     val root = java.nio.file.Files.createTempDirectory("phraseidx").toString
     try {
