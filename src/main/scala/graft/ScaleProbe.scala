@@ -111,14 +111,15 @@ object ScaleProbe {
     val r9cOnly = args.length > 1 && args(1) == "r9c"
     val r9dOnly = args.length > 1 && args(1) == "r9d"
     val r9eOnly = args.length > 1 && args(1) == "r9e"
+    val r9fOnly = args.length > 1 && args(1) == "r9f"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
     d1.count(); dN.count()
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly) { dSkew.count(); dSkew1.count() }
-    if (!r9Only && !r9dOnly && !r9eOnly) { e1.count(); eN.count() }
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
     val queriesN = eN.where(col("vec_id") < 10) // same 10 queries, REP× corpus
@@ -136,7 +137,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only && !r9dOnly && !r9eOnly) { cent1; centN }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -271,8 +272,44 @@ object ScaleProbe {
       time(s"fim_1x") { force(ext.Sft.fimTransform(d1)) },
       time(s"fim_${rep}x") { force(ext.Sft.fimTransform(dN)) })
 
+    // seventh-block probes: the GloVe pair explosion (linear in
+    // tokens·window — docsN's per-replica word suffixes keep replica pair
+    // spaces disjoint, so distinct pairs grow rep× with constant
+    // per-pair counts), the CMS counter job (bounded counter table, scan-
+    // bound), and the phrase paths: the SCAN path re-tokenizes the corpus
+    // (linear), the INDEX query path reads only the phrase terms' buckets
+    // (built untimed — the build is the linear one-off)
+    def r9fProbes = {
+      val phrases1 = Seq("p1" -> Seq("table", "table"), "p2" -> Seq("agg", "join"))
+      val phrasesN = Seq("p1" -> Seq("table_r0", "table_r0"), "p2" -> Seq("agg_r0", "join_r0"))
+      val cmsProbes1 = Seq("table table table", "fast scan query")
+      val cmsProbesN = Seq("table_r0 table_r0 table_r0", "fast_r0 scan_r0 query_r0")
+      val root = java.nio.file.Files.createTempDirectory("scaleprobe_phrase").toString
+      ext.Retrieval.buildPhraseIndex(d1, s"$root/i1")
+      ext.Retrieval.buildPhraseIndex(dN, s"$root/iN")
+      val res = Seq(
+        time(s"glove_cooc_1x") { ext.TextAnalysis.cooccurrence(d1, minCount = 5).count() },
+        time(s"glove_cooc_${rep}x") { ext.TextAnalysis.cooccurrence(dN, minCount = 5).count() },
+        time(s"cms_est_1x") { force(ext.Freq.cmsEstimates(ext.Freq.trigrams(d1), cmsProbes1)) },
+        time(s"cms_est_${rep}x") { force(ext.Freq.cmsEstimates(ext.Freq.trigrams(dN), cmsProbesN)) },
+        time(s"phrase_scan_1x") { ext.Retrieval.phraseSearch(d1, phrases1).count() },
+        time(s"phrase_scan_${rep}x") { ext.Retrieval.phraseSearch(dN, phrasesN).count() },
+        time(s"phrase_idx_query_1x") {
+          ext.Retrieval.phraseSearchIndexed(spark, s"$root/i1", phrases1).count() },
+        time(s"phrase_idx_query_${rep}x") {
+          ext.Retrieval.phraseSearchIndexed(spark, s"$root/iN", phrasesN).count() })
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+        ()
+      }
+      rm(new java.io.File(root))
+      res
+    }
+
     val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes
     else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes
+    else if (r9fOnly) r9fProbes
     else if (r9eOnly) r9eProbes else Seq(
       time(s"jaccard_1x") { ext.Dedup.jaccardPairs(d1).count() },
       time(s"jaccard_${rep}x") { ext.Dedup.jaccardPairs(dN).count() },

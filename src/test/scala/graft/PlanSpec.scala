@@ -642,4 +642,55 @@ class PlanSpec extends AnyFunSuite {
     assert(pw.toString.contains("WindowGroupLimit"),
       s"rank-limit pushdown must bound pre-shuffle rows:\n$pw")
   }
+
+  test("glove_cooc: narrow pair explosion, ONE map-side-combined pair shuffle") {
+    val p = physical("glove_cooc")
+    assert(shuffles(p) == 1, s"expected only the pair-key exchange:\n$p")
+    assert(count(p) { case _: aggregate.HashAggregateExec => } == 2,
+      s"expected partial+final HashAggregate:\n$p")
+    assert(count(p) { case _: GenerateExec => } == 1,
+      s"expected the single in-row pair explosion:\n$p")
+    assertNoCartesian("glove_cooc", p)
+  }
+
+  test("cms_estimate: bounded counter aggregation, probe side broadcast") {
+    val p = physical("cms_estimate")
+    assertNoCartesian("cms_estimate", p)
+    // counters: partial+final over (row, bucket); exact probe counts:
+    // partial+final over term; estimates: partial+final min over term —
+    // every aggregation map-side combines before its exchange
+    assert(count(p) { case _: aggregate.HashAggregateExec => } >= 4,
+      s"expected map-side-combined aggregations throughout:\n$p")
+    assert(count(p) { case _: exchange.BroadcastExchangeExec => } >= 1,
+      s"expected the probe set broadcast against the counters:\n$p")
+  }
+
+  test("dpo_pairs: ONE group shuffle, struct-extrema aggregate, no window/join") {
+    val p = physical("dpo_pairs")
+    assert(shuffles(p) == 1, s"expected only the group exchange:\n$p")
+    assert(count(p) { case _: window.WindowExec => } == 0,
+      s"pair mining must not sort-window the corpus:\n$p")
+    assert(count(p) { case _: joins.SortMergeJoinExec => } +
+      count(p) { case _: joins.BroadcastHashJoinExec => } == 0,
+      s"pair mining must not join:\n$p")
+    // struct extrema plan as SortAggregate (structs aren't hash-aggregable)
+    // — what matters is the PARTIAL stage below the exchange: each map task
+    // ships two structs per group
+    assert(count(p) { case _: aggregate.SortAggregateExec => } == 2,
+      s"expected partial+final struct-extrema aggregation:\n$p")
+  }
+
+  test("budget_select: one stratum exchange shared by the running-sum window") {
+    val p = physical("budget_select")
+    assert(shuffles(p) == 1, s"expected only the stratum exchange:\n$p")
+    assert(count(p) { case _: window.WindowExec => } == 1,
+      s"expected the single running-sum window:\n$p")
+  }
+
+  test("blocklist_filter: pure scan-time plan — zero shuffles, zero joins") {
+    val p = physical("blocklist_filter")
+    assert(shuffles(p) == 0, s"the policy audit must ride the scan:\n$p")
+    assert(count(p) { case _: joins.SortMergeJoinExec => } +
+      count(p) { case _: joins.BroadcastHashJoinExec => } == 0, s"$p")
+  }
 }
