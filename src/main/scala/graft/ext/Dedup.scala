@@ -948,6 +948,90 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Shared oracle fragment: tokens → content-defined cuts → bounded
+    * spans (`st`: doc_id, w, span start `s`, gap end `b2`). Ends WITHOUT a
+    * trailing comma; compositions append either the final SELECT
+    * (cdc_chunks) or further CTEs (dedup_cdc). */
+  private lazy val CdcChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, w,
+      |  list_sort(list_distinct(list_concat(list_concat(
+      |    [CAST(0 AS BIGINT)],
+      |    list_filter(list_transform(list_filter(range(3, len(w) + 1), i ->
+      |      CAST(('0x' || substring(sha256(array_to_string(w[i-2:i], ' ')), 1, 8))
+      |        AS BIGINT) % 16 = 0), x -> CAST(x AS BIGINT)),
+      |      x -> x < len(w))),
+      |    [CAST(len(w) AS BIGINT)]))) AS cuts
+      |  FROM t),
+      |pr AS (SELECT doc_id, w, u.z AS z
+      |       FROM b, LATERAL UNNEST(list_zip(cuts[1:len(cuts)-1], cuts[2:len(cuts)])) AS u(z)),
+      |sp AS (SELECT doc_id, w, z[1] AS a, z[2] AS b2 FROM pr),
+      |st AS (SELECT doc_id, w, a, b2, s.s AS s
+      |       FROM sp, LATERAL unnest(range(a, b2, 64)) AS s(s))""".stripMargin
+
+  /** Content-defined chunking (the token-level FastCDC/Rabin idea): chunk
+    * boundaries fall where a `g`-token gram's hash is ≡ 0 mod `target`,
+    * so boundaries are decided by CONTENT, not position — prepend a
+    * paragraph to a document and every boundary after the first re-aligns,
+    * where [[subdocDedup]]'s fixed-width chunks all shift and nothing
+    * matches again. Expected chunk length ≈ `target` tokens; a gap longer
+    * than `maxLen` is split at fixed offsets (boundedness without the
+    * sequential min/max state of FastCDC proper — the [[Sft
+    * .spanCorruption]] closed-form discipline, every boundary decidable
+    * from the hash stream alone).
+    *
+    * Narrow scan-time HOFs end to end; emits (doc_id, chunk_idx,
+    * start_tok, n_tokens, chunk). Gram hashes are [[Hygiene.hashU64]]
+    * (SQL-mirrorable sha256, the cross-engine posture). */
+  def cdcChunks(df: DataFrame, g: Int = 3, target: Int = 16,
+                maxLen: Int = 64): DataFrame = {
+    require(g >= 1 && target >= 2 && maxLen >= target,
+      "need g >= 1, target >= 2, maxLen >= target")
+    val w = col("__w"); val n = size(w)
+    val bpos = filter(sequence(lit(g), greatest(n, lit(g))), i =>
+      i <= n && pmod(Hygiene.hashU64(array_join(slice(w, i - (g - 1), lit(g)), " ")),
+        lit(target.toLong)) === 0L)
+    val cuts = array_sort(array_distinct(concat(
+      array(lit(0)), filter(bpos, b => b < n), array(n))))
+    val spans = flatten(transform(
+      arrays_zip(slice(cuts, lit(1), size(cuts) - 1), slice(cuts, lit(2), size(cuts) - 1)),
+      pr => {
+        val a = pr.getField("0"); val b = pr.getField("1")
+        transform(sequence(a, b - 1, lit(maxLen)), s =>
+          struct(s.as("start"), least(s + maxLen, b).as("end")))
+      }))
+    df.select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), col("__w"), posexplode(spans).as(Seq("chunk_idx", "sp")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("sp.start").cast("long").as("start_tok"),
+        (col("sp.end") - col("sp.start")).cast("long").as("n_tokens"),
+        array_join(slice(col("__w"), col("sp.start") + 1,
+          col("sp.end") - col("sp.start")), " ").as("chunk"))
+  }
+
+  /** Document pairs sharing at least `minShared` content-defined chunks of
+    * at least `minChunkTokens` tokens — the shift-robust chunk-level
+    * near-dup detector [[cdcChunks]] exists for. Chunk identity shuffles
+    * as 8-byte `xxhash64` keys (the [[graft.ext.Hygiene]] contamination
+    * `hashKeys` posture), with the df-cap guard against boilerplate
+    * chunks. */
+  def cdcPairs(df: DataFrame, g: Int = 3, target: Int = 16, maxLen: Int = 64,
+               minChunkTokens: Int = 4, minShared: Long = 1L,
+               maxChunkDf: Int = 64): DataFrame = {
+    val ch = cdcChunks(df, g, target, maxLen)
+      .where(col("n_tokens") >= minChunkTokens)
+      .select(col("doc_id"), xxhash64(col("chunk")).as("h"))
+      .distinct()
+    val hot = ch.groupBy("h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxChunkDf).select("h")
+    val pruned = ch.join(broadcast(hot), Seq("h"), "left_anti")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Keep-BEST representative selection over near-dup clusters — the
     * policy refinement of plain dedup: instead of keeping an arbitrary
     * member (min doc_id), keep each cluster's highest-`score` document
@@ -1080,6 +1164,11 @@ object Dedup {
     }),
     "dedup_clusters" -> ((s, dir) =>
       clusters(jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5))),
+    "cdc_chunks" -> ((s, dir) =>
+      cdcChunks(SparkEntry.table(s, dir, "documents"))),
+    // pairs sharing >= 2 content-defined chunks of >= 4 tokens
+    "dedup_cdc" -> ((s, dir) =>
+      cdcPairs(SparkEntry.table(s, dir, "documents"), minShared = 2L)),
     // keep the longest member of every near-dup cluster (token count as
     // the integer quality signal), singletons pass through
     "dedup_keep_best" -> ((s, dir) => {
@@ -1377,6 +1466,31 @@ object Dedup {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $GateEmbedTau""".stripMargin,
     // transitive closure over the same exact-Jaccard pairs; cluster id = min
     // doc_id of the connected component
+    // same content-defined cuts (sha gram hash % 16 = 0 after token i,
+    // < maxLen enforced by fixed sub-splits), same span arithmetic
+    "cdc_chunks" -> (CdcChunksSql + """
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx,
+        |  s AS start_tok, least(s + 64, b2) - s AS n_tokens,
+        |  array_to_string(w[CAST(s + 1 AS INT) : CAST(least(s + 64, b2) AS INT)], ' ') AS chunk
+        |FROM st""".stripMargin),
+
+    // chunk identity by TEXT here vs 8-byte xxhash64 keys in the engine —
+    // the contamination hashKeys collision posture (chunk equality implies
+    // hash equality; a 64-bit collision would add a spurious pair)
+    "dedup_cdc" -> (CdcChunksSql + """,
+        |ck AS (
+        |  SELECT doc_id, s, b2,
+        |    array_to_string(w[CAST(s + 1 AS INT) : CAST(least(s + 64, b2) AS INT)], ' ') AS chunk
+        |  FROM st),
+        |ch AS (SELECT DISTINCT doc_id, chunk FROM ck
+        |       WHERE least(s + 64, b2) - s >= 4),
+        |hot AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(*) > 64),
+        |pr2 AS (SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM hot))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM pr2 a JOIN pr2 b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+
     // clusters CTE as in dedup_clusters, then the (score DESC, doc_id)
     // argmax per cluster + singleton pass-through
     "dedup_keep_best" ->

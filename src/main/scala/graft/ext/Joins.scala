@@ -134,6 +134,33 @@ object Joins {
         col("ts").as("w_start"),
         (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
 
+  /** Salted equi-join for skewed keys — the manual form of what AQE's
+    * skew-join split does at runtime, for when the skew is KNOWN up front
+    * (a null-ish default key, a mega-user, the empty-string document):
+    * every left row gets a deterministic salt in [0, nSalts), the right
+    * side is replicated nSalts× with every salt value, and the join runs
+    * on (keys..., salt) — a hot key's rows spread over nSalts tasks
+    * instead of funneling into one straggler.
+    *
+    * Semantics are EXACTLY the plain inner equi-join (each left row meets
+    * each right match exactly once — on its own salt). Cost: the right
+    * side shuffles nSalts× its size, so salt only the join where the
+    * right side is small-ish and the left is skewed — the dimension-
+    * enrichment shape. The salt is [[Hygiene.hashU64]] of the whole left
+    * row's key columns plus a row-distinguishing column, deterministic
+    * across runs. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 distinctLeft: Column, nSalts: Int = 8): DataFrame = {
+    require(keys.nonEmpty && nSalts >= 1, "need keys and nSalts >= 1")
+    val salt = pmod(Hygiene.hashU64(concat(
+      (keys.map(k => col(k).cast("string")) :+ distinctLeft.cast("string"))
+        .reduce((a, b) => concat(a, lit("|"), b)))), lit(nSalts.toLong))
+    val l = left.withColumn("__salt", salt)
+    val r = right.crossJoin(
+      broadcast(left.sparkSession.range(nSalts).select(col("id").as("__salt"))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
   val queries: Map[String, Q] = Map(
     // incident windows × purchase-activity windows: which purchases were
     // in flight during an incident, and for how long (exact µs overlap)

@@ -119,6 +119,32 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Incremental statistics maintenance: fold a NEW document batch into a
+    * [[saveBm25Index]] directory — df/cf-style statistics are plain sums,
+    * so the merge is a union + re-aggregate of the |vocab|-sized table,
+    * never a corpus re-scan. The merged tables are `localCheckpoint`ed
+    * BEFORE the overwrite (read-then-overwrite on the same path is a
+    * self-clobber otherwise); deployments wanting crash-atomicity wrap
+    * the directory in [[graft.ext.Snapshot]] versions. Counts stay
+    * integer-valued doubles, so merged-index scores are bit-identical to
+    * a full rebuild over the union corpus (spec-pinned). Same caller
+    * contract as [[appendPhraseIndex]]: a doc_id joins at most once. */
+  def mergeBm25Index(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    val d = batch.select(col("doc_id"), toks(col("text")).as("toks"))
+    val bDf = d.select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val mergedDf = spark.read.parquet(s"$path/dfreq").unionByName(bDf)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .localCheckpoint(true)
+    mergedDf.write.mode("overwrite").parquet(s"$path/dfreq")
+    val bStats = d.agg(count(lit(1)).cast("double").as("n"),
+      sum(size(col("toks"))).cast("double").as("total"))
+    val mergedStats = spark.read.parquet(s"$path/stats").unionByName(bStats)
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .localCheckpoint(true)
+    mergedStats.write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** BM25 top-k against a [[saveBm25Index]] directory: identical scoring
     * arithmetic to [[bm25]], but the df join and corpus stats come from
     * the persisted index instead of two corpus aggregations — the query

@@ -1372,6 +1372,36 @@ class ExtSpec extends AnyFunSuite {
       s"$got")
   }
 
+  test("cdcChunks: content-defined boundaries realign after a prefix shift") {
+    import spark.implicits._
+    val base = SparkEntry.table(spark, dir, "documents")
+      .where(col("doc_id") === 1L).select("text").head().getString(0)
+    // doc 2 = doc 1 with a 5-token prefix spliced in front
+    val docs = Seq((1L, base), (2L, s"zz yy xx ww vv $base")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getString(4)))
+    val c1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val c2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    // boundaries are decided by gram content, so chunks after the first
+    // boundary are IDENTICAL despite every token position shifting by 5
+    val shared = c1 & c2
+    assert(shared.size >= math.max(1, c1.size - 2),
+      s"CDC must re-align after the shift: shared ${shared.size} of ${c1.size}")
+    val pairs = Dedup.cdcPairs(docs, minShared = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 1 && pairs.head._1 == 1L && pairs.head._2 == 2L &&
+      pairs.head._3 >= shared.count(_.split(" ").length >= 4) - 1,
+      s"the shifted near-dup must surface as a CDC pair: ${pairs.toSeq}")
+    // reconstruction: chunks concatenate back to the document, in order
+    val ordered = Dedup.cdcChunks(docs).where(col("doc_id") === 2L)
+      .orderBy("chunk_idx").collect().map(_.getString(4)).mkString(" ")
+    assert(ordered == s"zz yy xx ww vv $base")
+    // expected-length calibration: mean chunk length within 4x of target
+    val lens = Dedup.cdcChunks(SparkEntry.table(spark, dir, "documents"))
+      .agg(avg("n_tokens")).head().getDouble(0)
+    assert(lens > 4.0 && lens < 64.0, s"mean chunk length $lens implausible for target 16")
+  }
+
   test("keepBest: cluster argmax by (score, -id), singleton pass-through") {
     import spark.implicits._
     val docs = Seq(

@@ -112,4 +112,26 @@ class JoinsSpec extends AnyFunSuite {
     assert(got.contains((1L, 10L)) && got.contains((2L, 10L)))
     assert(!got.contains((2L, 11L)), "touching endpoints is NOT an overlap (half-open)")
   }
+
+  test("saltedJoin: plain-join equality on a skewed input; hot key spreads over salts") {
+    import spark.implicits._
+    // 90% of the left lands on one hot key — the straggler shape
+    val left = (1L to 1000L).map(i =>
+      (i, if (i <= 900) "hot" else s"k${i % 7}", i * 3)).toDF("id", "k", "v")
+    val right = Seq(("hot", 1L), ("k1", 2L), ("k2", 3L), ("k3", 4L))
+      .toDF("k", "dim")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select("id", "k", "v", "dim")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val plain = rows(left.join(right, Seq("k")))
+    val salted = rows(Joins.saltedJoin(left, right, Seq("k"), col("id"), nSalts = 8))
+    assert(salted == plain, "salting must not change join semantics")
+    // the hot key's rows really spread: all 8 salts occur for 900 rows
+    val salts = left.select(
+      org.apache.spark.sql.functions.pmod(Hygiene.hashU64(
+        concat(col("k").cast("string"), lit("|"), col("id").cast("string"))),
+        lit(8L)).as("s"))
+      .where(lit(true)).collect().map(_.getLong(0)).toSet
+    assert(salts.size == 8, s"expected all salts used, got $salts")
+  }
 }

@@ -184,6 +184,23 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeBm25Index: incremental merge scores bit-identically to a full rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("bm25inc").toString
+    try {
+      Retrieval.saveBm25Index(docs.where(col("doc_id") % 2 === 0), s"$root/idx")
+      Retrieval.mergeBm25Index(spark, s"$root/idx", docs.where(col("doc_id") % 2 === 1))
+      Retrieval.saveBm25Index(docs, s"$root/full")
+      def rows(p: String) = Retrieval.bm25Indexed(docs, spark, p, Retrieval.GateQueries)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(rows(s"$root/idx") == rows(s"$root/full"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("streaming phrase index: batch absorption == full build; replay no-op") {
     val root = java.nio.file.Files.createTempDirectory("phrasestream").toString
     try {
