@@ -161,7 +161,65 @@ object Joins {
     l.join(r, keys :+ "__salt").drop("__salt")
   }
 
+  /** Any-touch attribution: every (view → click) pair of the same user
+    * with the click inside `[view_ts, view_ts + window)` — the
+    * click/conversion attribution join of event analytics, and the batch
+    * twin of [[attributionStream]]'s native stream-stream join.
+    *
+    * Bucketed equi-join with NEITHER side broadcast (both sides are
+    * event-scale): bucket grain = the window, so each view span covers at
+    * most TWO buckets while each click lives in exactly ONE — the pair
+    * can only meet in the click's bucket, so no dedup step exists at all
+    * (the [[overlapJoin]] first-shared-bucket trick degenerates to
+    * nothing). One co-partitioning shuffle per side on (user, bucket),
+    * then the exact range predicate. Integer-µs lag output. */
+  def attribution(events: DataFrame, fromType: String, toType: String,
+                  windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, "window must be positive")
+    val wUs = windowSeconds * 1000000L
+    val views = events.where(col("event_type") === fromType)
+      .select(col("user_id"), col("event_id").as("view_event_id"),
+        unix_micros(col("ts")).as("__vts"))
+      .withColumn("__b", explode(array_distinct(array(
+        floor(col("__vts") / wUs), floor((col("__vts") + wUs - 1) / wUs)))))
+    val clicks = events.where(col("event_type") === toType)
+      .select(col("user_id"), col("event_id").as("click_event_id"),
+        unix_micros(col("ts")).as("__cts"))
+      .withColumn("__b", floor(col("__cts") / wUs))
+    clicks.join(views, Seq("user_id", "__b"))
+      .where(col("__cts") >= col("__vts") && col("__cts") < col("__vts") + wUs)
+      .select(col("user_id"), col("click_event_id"), col("view_event_id"),
+        (col("__cts") - col("__vts")).as("lag_us"))
+  }
+
+  /** The STREAMING form: Spark's native stream-stream inner join with
+    * event-time range condition and watermarks on both sides — state for
+    * a view is dropped once the watermark passes `view_ts + window`, so
+    * state is bounded by the window, not the stream length. Results equal
+    * [[attribution]] on the same data (spec-pinned via MemoryStream
+    * replay). */
+  def attributionStream(events: DataFrame, fromType: String, toType: String,
+                        windowSeconds: Long): DataFrame = {
+    val views = events.where(col("event_type") === fromType)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_event_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", s"$windowSeconds seconds")
+    val clicks = events.where(col("event_type") === toType)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_event_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"$windowSeconds seconds")
+    views.join(clicks, expr(
+      s"""v_user = c_user AND c_ts >= v_ts
+         |AND c_ts < v_ts + interval $windowSeconds seconds""".stripMargin))
+      .select(col("v_user").as("user_id"), col("click_event_id"),
+        col("view_event_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // 1-day any-touch view→click attribution over the event stream
+    "attribution" -> ((s, dir) =>
+      attribution(SparkEntry.table(s, dir, "events"), "view", "click", 86400L)),
     // incident windows × purchase-activity windows: which purchases were
     // in flight during an incident, and for how long (exact µs overlap)
     "overlap_join" -> ((s, dir) => {
@@ -213,6 +271,15 @@ object Joins {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the plain theta-join the bucketed equi-join provably equals
+    "attribution" ->
+      """SELECT v.user_id, c.event_id AS click_event_id,
+        |  v.event_id AS view_event_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events v JOIN events c ON c.user_id = v.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(c.ts) < epoch_us(v.ts) + 86400000000""".stripMargin,
     // inequality theta-join mirror of the bucketed overlap join
     "overlap_join" ->
       """WITH a AS (

@@ -113,6 +113,64 @@ class JoinsSpec extends AnyFunSuite {
     assert(!got.contains((2L, 11L)), "touching endpoints is NOT an overlap (half-open)")
   }
 
+  test("attribution: bucketed equi-join equals brute-force theta join") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // window-boundary cases: exactly at window (excluded), just inside,
+    // click before view (excluded), cross-user (excluded), equal ts
+    val w = 100L
+    val ev = Seq(
+      (1L, 1L, t(0), "view"), (1L, 2L, t(99), "click"),   // inside
+      (1L, 3L, t(100), "click"),                          // at boundary: OUT
+      (1L, 4L, t(50), "view"), (1L, 5L, t(50), "click"),  // equal ts: IN
+      (2L, 6L, t(10), "click"),                           // cross-user: OUT
+      (3L, 7L, t(0), "click"), (3L, 8L, t(1), "view")     // click first: OUT
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Joins.attribution(ev, "view", "click", w).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((2L, 1L, 99000000L), (5L, 4L, 0L), (2L, 4L, 49000000L),
+      (5L, 1L, 50000000L), (3L, 4L, 50000000L)),
+      s"got $got")
+    // real-corpus differential vs the plain theta join
+    val events = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "events")
+    val bucketed = Joins.attribution(events, "view", "click", 86400L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("event_id").as("vid"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("vts"))
+    val c = events.where(col("event_type") === "click")
+      .select(col("user_id").as("u2"), col("event_id").as("cid"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("cts"))
+    val brute = v.join(c, col("u") === col("u2") && col("cts") >= col("vts") &&
+        col("cts") < col("vts") + 86400000000L).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("vid"))).toSet
+    assert(bucketed == brute)
+  }
+
+  test("attributionStream: native stream-stream join equals the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val events = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "event_id", "ts", "event_type")
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    in.addData(events.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getTimestamp(2), r.getString(3))).toSeq)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = Joins.attributionStream(
+        in.toDF().toDF("user_id", "event_id", "ts", "event_type"),
+        "view", "click", 86400L)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= b.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        ()
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batch = Joins.attribution(events, "view", "click", 86400L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out.toSet == batch,
+      s"stream-stream join diverges: ${out.size} vs ${batch.size} pairs")
+  }
+
   test("saltedJoin: plain-join equality on a skewed input; hot key spreads over salts") {
     import spark.implicits._
     // 90% of the left lands on one hot key — the straggler shape
