@@ -630,6 +630,28 @@ object Hygiene {
       .select(col("doc_id"), col("stratum"), col("shard"), col("pos"), col("frac"))
   }
 
+  /** Dense contiguous sample IDs 0..n−1 WITHOUT a global sort — the id
+    * assignment every training run needs (sample indices, shard-local
+    * file offsets) done the scalable way: per-shard ranks in parallel
+    * (the [[shuffleOrder]] order), plus per-shard base offsets from one
+    * `nShards`-row count aggregate collected to the driver. Equivalent to
+    * `row_number() OVER (ORDER BY u, doc_id) − 1` — which would funnel
+    * the corpus through ONE task — at the cost of a 16-row collect.
+    * Deterministic from ids alone (hash order), so a re-run or a resumed
+    * job assigns identical ids. */
+  def assignIds(df: DataFrame, nShards: Int = 16, salt: String = "epoch0"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val spark = df.sparkSession
+    val sharded = shuffleOrder(df, nShards, salt)
+    val offsets = sharded.groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bases = (0 until nShards).scanLeft(0L)((acc, s) =>
+      acc + offsets.getOrElse(s, 0L)).dropRight(1)
+    val baseCol = element_at(typedLit(bases), col("shard") + 1)
+    sharded.select(col("doc_id"), col("shard"), col("pos"),
+      (baseCol + col("pos")).as("sample_id"))
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the heuristics
     * behind the C4 corpus, reused by most web-crawl pipelines since): split
     * each page into lines, keep a line only if it has at least
@@ -777,6 +799,8 @@ object Hygiene {
       blocklistFilter(SparkEntry.table(s, dir, "documents"), GateBlocklist)),
     "length_batching" -> ((s, dir) =>
       lengthBatching(SparkEntry.table(s, dir, "documents"))),
+    "assign_ids" -> ((s, dir) =>
+      assignIds(SparkEntry.table(s, dir, "documents"))),
     "interleave_order" -> ((s, dir) =>
       interleaveOrder(SparkEntry.table(s, dir, "documents"), col("source"))),
   )
@@ -1072,6 +1096,18 @@ object Hygiene {
         |    AS BIGINT) AS pos,
         |  frac
         |FROM f""".stripMargin,
+
+    // the single-task global window the offset arithmetic provably equals
+    "assign_ids" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(sha256(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 8)) AS BIGINT) AS u
+        |  FROM documents),
+        |s AS (SELECT doc_id, CAST(u % 16 AS INT) AS shard, u FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1 AS BIGINT) AS pos,
+        |  CAST(row_number() OVER (ORDER BY shard, u, doc_id) - 1 AS BIGINT) AS sample_id
+        |FROM s""".stripMargin,
 
     "shuffle_order" ->
       """WITH h AS (

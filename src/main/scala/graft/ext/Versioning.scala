@@ -54,7 +54,54 @@ object Versioning {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), expr("bit_xor(__h)").as("checksum"))
 
+  /** Incrementally-MAINTAINED dataset card: per-key document and token
+    * counts kept current across ingest batches — the materialized-view
+    * refresh every long-running ingest keeps next to the corpus (the full
+    * recompute is a corpus scan; the refresh is |batch| + |card| work).
+    * Counts are plain sums, so merge = union + re-aggregate of the
+    * |keys|-sized card, and the maintained card equals the full-corpus
+    * [[graft.ext.TextAnalysis.corpusStats]]-style aggregate by
+    * associativity (spec-pinned). State rides [[BatchState]]'s
+    * _SUCCESS-gated per-batch snapshots: crash-mid-write invisible,
+    * replayed batches recompute against the previous snapshot —
+    * exactly-once counts. */
+  def absorbCardBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                      docs: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val (latest, lastId) = BatchState.load(spark, stateDir)
+    val replay = lastId.exists(_ >= batchId)
+    val base = if (replay) BatchState.load(spark, stateDir, Some(batchId))._1 else latest
+    val b = docs.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val merged = base.map(_.unionByName(b)).getOrElse(b)
+      .groupBy("key")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .localCheckpoint(true)
+    if (!replay) BatchState.save(merged, stateDir, batchId)
+    merged
+  }
+
+  /** Continuous card maintenance over a streaming document source. */
+  def cardStream(docs: DataFrame, stateDir: String,
+                 key: org.apache.spark.sql.Column)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(absorbCardBatch(batch.sparkSession, stateDir, id, batch, key))
+    }
+
   val queries: Map[String, Q] = Map(
+    // the maintained card after absorbing the corpus in two batches must
+    // equal the one-shot groupBy (fresh temp state per run)
+    "card_maintained" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val root = TmpIo.freshDir("cardstate")
+      try {
+        absorbCardBatch(s, root.toString, 0L, docs.where(col("doc_id") % 2 === 0),
+          col("source"))
+        absorbCardBatch(s, root.toString, 1L, docs.where(col("doc_id") % 2 === 1),
+          col("source")).localCheckpoint(true)
+      } finally TmpIo.deleteRecursively(root)
+    }),
     "corpus_checksums" -> ((s, dir) =>
       corpusChecksums(SparkEntry.table(s, dir, "documents"))),
     // constructed adjacent snapshots: ids drop out of either side, a fifth
@@ -70,6 +117,11 @@ object Versioning {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the one-shot aggregate the two-batch maintenance provably equals
+    "card_maintained" ->
+      """SELECT source AS key, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY source""".stripMargin,
     "corpus_checksums" ->
       """SELECT ((doc_id % 64) + 64) % 64 AS bucket, count(*) AS n_docs,
         |  bit_xor(CAST(('0x' || substring(

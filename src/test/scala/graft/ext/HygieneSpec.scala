@@ -840,6 +840,31 @@ class HygieneSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
   }
 
+  test("assignIds: dense 0..n-1, shard-major, deterministic across layouts") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val rows = Hygiene.assignIds(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val n = docs.count()
+    assert(rows.length == n)
+    // sample_id is a dense permutation of 0..n-1
+    assert(rows.map(_._4).sorted.toSeq == (0L until n).toSeq)
+    // shard-major: every id in shard s is below every id in shard s+1
+    val byShard = rows.groupBy(_._2).view.mapValues(_.map(_._4)).toMap
+    byShard.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(byShard(a).max < byShard(b).min)
+      case _ =>
+    }
+    // within a shard, sample_id order == pos order
+    byShard.foreach { case (s, _) =>
+      val g = rows.filter(_._2 == s).sortBy(_._3)
+      assert(g.map(_._4).toSeq == (g.head._4 until g.head._4 + g.length).toSeq)
+    }
+    // identical on a different physical layout
+    val again = Hygiene.assignIds(docs.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(again == rows.map(r => (r._1, r._4)).toMap)
+  }
+
   test("budgetSelect: per-stratum greedy fill matches brute force; boundary doc kept") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val rows = docs.select(col("doc_id"), col("lang"), col("n_chars"),

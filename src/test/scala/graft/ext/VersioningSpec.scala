@@ -58,4 +58,31 @@ class VersioningSpec extends AnyFunSuite {
     assert(base.view.mapValues(_._1).toMap == after.view.mapValues(_._1).toMap,
       "counts must be unchanged by a content mutation")
   }
+
+  test("absorbCardBatch: maintained card == full recompute; replay and crash safety") {
+    val docs = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "documents")
+    val stateDir = java.nio.file.Files.createTempDirectory("cardstate").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    Versioning.absorbCardBatch(spark, stateDir, 0L,
+      docs.where(col("doc_id") % 3 === 0), col("source"))
+    Versioning.absorbCardBatch(spark, stateDir, 1L,
+      docs.where(col("doc_id") % 3 === 1), col("source"))
+    val card = rows(Versioning.absorbCardBatch(spark, stateDir, 2L,
+      docs.where(col("doc_id") % 3 === 2), col("source")))
+    val full = rows(docs.groupBy(col("source").as("key"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens")))
+    assert(card == full)
+    // replaying the last batch must NOT double-count
+    val replayed = rows(Versioning.absorbCardBatch(spark, stateDir, 2L,
+      docs.where(col("doc_id") % 3 === 2), col("source")))
+    assert(replayed == full)
+    // an uncommitted snapshot dir (no _SUCCESS) is invisible to load
+    val junk = new java.io.File(s"$stateDir/batch=99")
+    junk.mkdirs()
+    val after = rows(Versioning.absorbCardBatch(spark, stateDir, 3L,
+      docs.limit(0), col("source")))
+    assert(after == full, "a crash-partial snapshot must be ignored")
+  }
 }
