@@ -104,12 +104,15 @@ object SparkEntry {
     // corpus_diff / exact_k_sample / corpus_checksums / zorder_key3 sit
     // at the scan/job floor and stay bench-excluded
     "winnow_fingerprints", "dedup_winnow_pairs", "retrieval_rbo",
-    // sixth block: the GloVe co-occurrence matrix job — the one new op
-    // with real corpus-scale compute (n·window pair explosion + pair-key
-    // aggregation); the other 11 sixth-block gates (phrase search,
+    // sixth block: the ops with real corpus-scale compute — the GloVe
+    // co-occurrence matrix job (n·window pair explosion + pair-key
+    // aggregation), the attribution bucketed join (both sides event-
+    // scale), and the semantic-boundary scan (nested integer folds per
+    // window joint). The other sixth-block gates (phrase search,
     // blocklist, dpo pairs, drift, budget/batching/interleave/late-audit,
-    // keep-best, edit-verify) sit at the scan/job floor at sf0.1
-    "glove_cooc")
+    // keep-best, edit-verify, cdc, assign_ids, card, cms) sit at the
+    // scan/job floor at sf0.1
+    "glove_cooc", "attribution", "semantic_boundaries")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-
