@@ -239,6 +239,68 @@ object Quality {
         ((col("cur_n") + 1L).cast("double") / lit((cTot + nBuckets).toDouble)).as("cur_frac"))
   }
 
+  /** The reference side of [[driftReport]] frozen for STREAMING use:
+    * bucket geometry + reference counts, computed once at setup and held
+    * on the driver (nBuckets longs). */
+  case class DriftRef(mn: Long, width: Long, nBuckets: Int,
+                      refN: Seq[Long], refTotal: Long)
+
+  def freezeDriftRef(ref: DataFrame, value: Column, nBuckets: Int = 10): DriftRef = {
+    val r = ref.select(value.cast("long").as("v"))
+    val bounds = r.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    val (mn, mx, total) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    val width = math.max(1L, (mx - mn + nBuckets) / nBuckets)
+    val counts = r
+      .select(least(greatest(expr(s"(v - $mn) div ${width}L"), lit(0L)),
+        lit(nBuckets - 1L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    DriftRef(mn, width, nBuckets,
+      (0 until nBuckets).map(b => counts.getOrElse(b.toLong, 0L)), total)
+  }
+
+  /** Streaming drift monitoring: absorb an ingest micro-batch into the
+    * persisted CUMULATIVE candidate histogram ([[graft.ext.BatchState]]
+    * snapshots — replay-safe, crash-dir-invisible) and return the current
+    * [[driftReport]] of everything ingested so far against the frozen
+    * reference. The alerting composition: feed [[psiTotal]]-style math on
+    * the emitted rows and gate the ingest when PSI crosses 0.25. */
+  def absorbDriftBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                       batch: DataFrame, value: Column, ref: DriftRef): DataFrame = {
+    import spark.implicits._
+    val (latest, lastId) = BatchState.load(spark, stateDir)
+    val replay = lastId.exists(_ >= batchId)
+    val base = if (replay) BatchState.load(spark, stateDir, Some(batchId))._1 else latest
+    val b = batch.select(value.cast("long").as("v"))
+      .select(least(greatest(expr(s"(v - ${ref.mn}) div ${ref.width}L"), lit(0L)),
+        lit(ref.nBuckets - 1L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cur_n"))
+    val merged = base.map(_.unionByName(b)).getOrElse(b)
+      .groupBy("bucket").agg(sum(col("cur_n")).as("cur_n"))
+      .localCheckpoint(true)
+    if (!replay) BatchState.save(merged, stateDir, batchId)
+    val curTotal = merged.agg(coalesce(sum(col("cur_n")), lit(0L))).head().getLong(0)
+    val refRows = ref.refN.zipWithIndex.map { case (n, b) => (b.toLong, n) }
+    refRows.toDF("bucket", "ref_n")
+      .join(merged, Seq("bucket"), "left").na.fill(0L, Seq("cur_n"))
+      .select(col("bucket"),
+        (lit(ref.mn) + col("bucket") * ref.width).as("lo"),
+        (lit(ref.mn) + (col("bucket") + 1L) * ref.width).as("hi"),
+        col("ref_n"), col("cur_n"),
+        ((col("ref_n") + 1L).cast("double") /
+          lit((ref.refTotal + ref.nBuckets).toDouble)).as("ref_frac"),
+        ((col("cur_n") + 1L).cast("double") /
+          lit((curTotal + ref.nBuckets).toDouble)).as("cur_frac"))
+  }
+
+  /** Continuous drift monitoring over a streaming document source. */
+  def driftStream(docs: DataFrame, stateDir: String, value: Column,
+                  ref: DriftRef)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(absorbDriftBatch(batch.sparkSession, stateDir, id, batch, value, ref))
+    }
+
   /** Total population-stability index over [[driftReport]]'s buckets:
     * `Σ (p−q)·ln(p/q)` folded in ascending bucket order. Spec-gated only
     * (same-JVM exact) — see [[driftReport]] for why `ln` stays out of the

@@ -184,6 +184,46 @@ object Similarity {
     spark.read.parquet(path).orderBy("cell_id")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
 
+  /** Persist the IVF index PROPER: every vector written under its
+    * nearest-cell partition (`path/cell_id=<c>/`) — the assignments table
+    * [[annIvf]] recomputes per run, paid once. A query then reads ONLY
+    * its `nProbe` probed cells via partition pruning — the vector-side
+    * twin of the [[graft.ext.Retrieval]] phrase-index result (query
+    * latency decoupled from corpus size); re-assign on the centroid drift
+    * the [[graft.ext.Quality.driftReport]] over cell populations shows. */
+  def saveIvfIndex(emb: DataFrame, centroids: Seq[(Long, Seq[Float])],
+                   path: String): Unit =
+    emb.select(col("vec_id"), col("embedding"),
+        nearestCell(col("embedding"), typedLit(centroids)).as("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+  /** ANN against a [[saveIvfIndex]] directory: identical results to
+    * [[annIvf]] with the same centroids (same assignment, same probe
+    * set, same scoring — spec-pinned), but the scan touches only the
+    * probed cell partitions (PartitionFilters on `cell_id`, pinned). The
+    * probed-cell set is ≤ |queries|·nProbe ids collected driver-side —
+    * bounded by the query batch, not the corpus. */
+  def annIvfIndexed(spark: SparkSession, path: String,
+                    centroids: Seq[(Long, Seq[Float])], queries: DataFrame,
+                    k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val cents = typedLit(centroids)
+    val qcells = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qe"),
+      explode(nearestCells(col("embedding"), cents, nProbe)).as("cell_id"))
+    val probed = qcells.select("cell_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val assigned = spark.read.parquet(path)
+      .where(col("cell_id").isin(probed: _*))
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    val sims = assigned.join(broadcast(qcells), "cell_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.cosineSim(col("qe"), col("embedding")).as("sim"))
+    explodeTopK(
+      sims.groupBy("query_id")
+        .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes for sign-LSH: `tables` hash
     * tables × `bits` planes × `dim` components, drawn from a fixed-seed
     * java.util.Random (a specified, platform-stable LCG) — same corpus, same
@@ -853,6 +893,19 @@ object Similarity {
     // SQL oracle applies; TRAINED centroids go through the same save/load
     // (ExtSpec pins trained-roundtrip equality — Lloyd means are not
     // SQL-mirrorable without summation-order flake risk).
+    // full index lifecycle: persist cell-partitioned assignments, answer
+    // from the pruned read — must equal the inline annIvf (same oracle)
+    "ann_ivf_indexed" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      val seed = centroidSeed(emb, GateIvfCells)
+      val root = TmpIo.freshDir("graft_ivf_idx")
+      try {
+        saveIvfIndex(emb, seed, s"$root/idx")
+        annIvfIndexed(s, s"$root/idx", seed,
+          emb.where(col("vec_id") < GateQueryMaxId),
+          k = GateK, nProbe = GateIvfProbe).localCheckpoint(true)
+      } finally TmpIo.deleteRecursively(root)
+    }),
     "ann_ivf_trained" -> ((s, dir) => {
       val emb = SparkEntry.table(s, dir, "embeddings")
       val seed = centroidSeed(emb, GateIvfCells)
@@ -1072,6 +1125,7 @@ object Similarity {
     // same oracle applies — a byte difference in the reloaded state would
     // break the hash match
     "ann_ivf_trained" -> annIvfOracleSql,
+    "ann_ivf_indexed" -> annIvfOracleSql,
     // composition of the two gated legs (WITH-in-subquery keeps their CTE
     // namespaces separate); n_hits/GateK is one IEEE division — exact
     "ann_recall" ->

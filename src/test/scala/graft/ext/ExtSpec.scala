@@ -1372,6 +1372,43 @@ class ExtSpec extends AnyFunSuite {
       s"$got")
   }
 
+  test("annIvfIndexed: equals inline annIvf; scan prunes to the probed cells") {
+    val emb = SparkEntry.table(spark, dir, "embeddings")
+    val seed = Similarity.centroidSeed(emb, 16)
+    val root = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      Similarity.saveIvfIndex(emb, seed, s"$root/idx")
+      val queries = emb.where(col("vec_id") < 10)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      val inline = rows(Similarity.annIvf(emb, queries, k = 5, nCells = 16,
+        nProbe = 4, centroids = Some(seed)))
+      val indexed = rows(Similarity.annIvfIndexed(spark, s"$root/idx", seed,
+        queries, k = 5, nProbe = 4))
+      assert(indexed == inline)
+      // partition pruning on cell_id — the index must never be fully read
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val scans = Similarity.annIvfIndexed(spark, s"$root/idx", seed, queries,
+            k = 5, nProbe = 4)
+          .queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+          .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfidx")))
+        assert(scans.nonEmpty)
+        scans.foreach { f =>
+          assert(f.partitionFilters.exists(_.references.exists(_.name == "cell_id")),
+            s"expected a cell_id partition filter on:\n$f")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("semanticBoundaries: disjoint-topic joint scores 0, repeated topic 1; JVM differential") {
     import spark.implicits._
     // 16 tokens of topic A, 16 of topic A again (cos 1), 16 of topic B

@@ -205,6 +205,31 @@ class QualitySpec extends AnyFunSuite {
     assert(edges(0L) == 1L && edges(9L) == 1L)
   }
 
+  test("absorbDriftBatch: cumulative streaming report == batch driftReport; replay safe") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val cur = docs.where(col("doc_id") % 2 === 1)
+    val frozen = Quality.freezeDriftRef(ref, col("n_chars"))
+    val stateDir = java.nio.file.Files.createTempDirectory("driftstate").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).toSet
+    // three arrival batches of the candidate stream
+    Quality.absorbDriftBatch(spark, stateDir, 0L,
+      cur.where(col("doc_id") % 3 === 1), col("n_chars"), frozen)
+    Quality.absorbDriftBatch(spark, stateDir, 1L,
+      cur.where(col("doc_id") % 3 === 2), col("n_chars"), frozen)
+    val streamed = rows(Quality.absorbDriftBatch(spark, stateDir, 2L,
+      cur.where(col("doc_id") % 3 === 0), col("n_chars"), frozen))
+    val batch = rows(Quality.driftReport(ref, cur, col("n_chars")))
+    assert(streamed == batch,
+      "cumulative streaming drift must equal the one-shot report")
+    // replay reproduces the identical report without double counting
+    val replayed = rows(Quality.absorbDriftBatch(spark, stateDir, 2L,
+      cur.where(col("doc_id") % 3 === 0), col("n_chars"), frozen))
+    assert(replayed == batch)
+  }
+
   test("psiTotal: equals the in-JVM ascending-bucket fold; zero on no drift") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val ref = docs.where(col("doc_id") % 2 === 0)
