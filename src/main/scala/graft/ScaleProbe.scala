@@ -112,14 +112,16 @@ object ScaleProbe {
     val r9dOnly = args.length > 1 && args(1) == "r9d"
     val r9eOnly = args.length > 1 && args(1) == "r9e"
     val r9fOnly = args.length > 1 && args(1) == "r9f"
+    val r9gOnly = args.length > 1 && args(1) == "r9g"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
     d1.count(); dN.count()
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly) { dSkew.count(); dSkew1.count() }
     if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly) { e1.count(); eN.count() }
+    if (r9gOnly) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
     val queriesN = eN.where(col("vec_id") < 10) // same 10 queries, REP× corpus
@@ -137,7 +139,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly) { cent1; centN }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -307,8 +309,37 @@ object ScaleProbe {
       res
     }
 
+    // eighth-block probes: the persisted cell-partitioned IVF index —
+    // query cost follows the IVF square-root law (cells scale with sqrt(N), so
+    // probed-cell population grows ~sqrt(rep)), vs the inline path that
+    // re-assigns the whole corpus every query
+    def r9gProbes = {
+      val root = java.nio.file.Files.createTempDirectory("scaleprobe_ivf").toString
+      val c1 = ext.Similarity.trainCentroids(e1, nCells = cells1, iters = 1)
+      val cN = ext.Similarity.trainCentroids(eN, nCells = cellsN, iters = 1)
+      ext.Similarity.saveIvfIndex(e1, c1, s"$root/i1")
+      ext.Similarity.saveIvfIndex(eN, cN, s"$root/iN")
+      val res = Seq(
+        time(s"ivf_inline_1x") {
+          ext.Similarity.annIvf(e1, queries1, nCells = cells1, centroids = Some(c1)).count() },
+        time(s"ivf_inline_${rep}x") {
+          ext.Similarity.annIvf(eN, queriesN, nCells = cellsN, centroids = Some(cN)).count() },
+        time(s"ivf_idx_query_1x") {
+          ext.Similarity.annIvfIndexed(spark, s"$root/i1", c1, queries1).count() },
+        time(s"ivf_idx_query_${rep}x") {
+          ext.Similarity.annIvfIndexed(spark, s"$root/iN", cN, queriesN).count() })
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete()
+        ()
+      }
+      rm(new java.io.File(root))
+      res
+    }
+
     val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes
     else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes
+    else if (r9gOnly) r9gProbes
     else if (r9fOnly) r9fProbes
     else if (r9eOnly) r9eProbes else Seq(
       time(s"jaccard_1x") { ext.Dedup.jaccardPairs(d1).count() },
