@@ -18,6 +18,9 @@ case class MediaFeatures(doc_id: Long, features: Array[Float])
 /** One sampled frame (the output of the frame-sample stage). */
 case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
 
+/** A 63-bit perceptual hash (the output of the image-hash stage). */
+case class MediaHash(doc_id: Long, phash: Long)
+
 /** Multimodal-column plumbing for LLM-data pipelines: media as opaque
   * `binary` columns with typed metadata, decoded batch-wise in executors via
   * `Dataset.mapPartitions` (the JVM analogue of `mapInPandas`: one iterator
@@ -124,7 +127,78 @@ object Multimodal {
       }
   }
 
+  /** STUB perceptual hash (average hash): the payload split into 63
+    * positional blocks, bit b set when block b's byte mean exceeds the
+    * whole-payload mean — compared CROSS-MULTIPLIED (`blockSum·n >
+    * total·blockLen`), so the signature is pure integer arithmetic. 63
+    * (not 64) blocks keeps the signature in a signed long without sign
+    * games — the winnow argmin <2⁵³-packing posture. A real image aHash
+    * computes the same structure over 8×8 downsampled luma; the fake
+    * keeps it byte-positional so the oracle can recompute it. */
+  def aHashStub(r: MediaRecord): MediaHash = {
+    val n = r.media.length
+    val blocks = 63
+    val sums = new Array[Long](blocks)
+    val lens = new Array[Long](blocks)
+    var i = 0
+    while (i < n) {
+      val b = (i.toLong * blocks / n).toInt
+      sums(b) += (r.media(i) & 0xff); lens(b) += 1; i += 1
+    }
+    val total = sums.sum
+    var h = 0L
+    var b = 0
+    while (b < blocks) {
+      if (lens(b) > 0 && sums(b) * n > total * lens(b)) h |= (1L << b)
+      b += 1
+    }
+    MediaHash(r.doc_id, h)
+  }
+
+  /** media → 63-bit perceptual hashes (batched like every decode stage). */
+  def imageHashes(docs: DataFrame): Dataset[MediaHash] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(aHashStub))
+  }
+
+  /** Image near-dup pairs by perceptual hash: banded blocking (the
+    * [[Dedup.simhashPairs]] guarantee — hamming ≤ maxHamming over
+    * maxHamming+1 bands leaves SOME band identical, so the equi-join on
+    * (band, value) recalls every qualifying pair) + exact popcount
+    * verification. Extends the dedup family to the image modality on the
+    * same plumbing the other multimodal stages use. */
+  def imagePhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 16 // 4 bands × 16 bits cover the 63-bit signature
+    val h = imageHashes(docs).toDF()
+    val banded = h.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("bv", expr(s"shiftright(phash, CAST(b * $width AS INT)) & 65535"))
+    banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
+    // inject-then-detect: every 25th document gets a twin with ONE byte
+    // substituted (aligned blocks → hamming ≤ 2, measured), while the
+    // closest natural pair sits at hamming 11 — maxHamming 3 recalls
+    // exactly the planted twins
+    "image_phash_pairs" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val twins = docs.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("z"),
+            substring(col("text"), 11, 1000000)).as("text"))
+      imagePhashPairs(docs.select("doc_id", "text").unionByName(twins))
+    }),
     "multimodal_meta" -> ((s, dir) => decodeMeta(SparkEntry.table(s, dir, "documents")).toDF()),
     "multimodal_frames" -> ((s, dir) =>
       sampleFrames(SparkEntry.table(s, dir, "documents")).toDF()),
@@ -153,6 +227,35 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same twin injection, same cross-multiplied block bits, same banded
+    // self-join with exact popcount verification
+    "image_phash_pairs" ->
+      """WITH m AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 1, 9) || 'z' || substr(text, 11)
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |c AS (SELECT doc_id,
+        |        list_transform(string_split_regex(text, ''), ch -> CAST(unicode(ch) AS BIGINT)) AS by
+        |      FROM m),
+        |e AS (SELECT doc_id, len(by) AS n, (j.j - 1) * 63 // len(by) AS b, by[CAST(j.j AS INT)] AS v
+        |      FROM c, LATERAL unnest(range(1, len(by) + 1)) AS j(j)),
+        |bs AS (SELECT doc_id, any_value(n) AS n, b, sum(v) AS bsum, count(*) AS blen
+        |       FROM e GROUP BY doc_id, b),
+        |tot AS (SELECT doc_id, sum(bsum) AS total FROM bs GROUP BY doc_id),
+        |ph AS (SELECT bs.doc_id,
+        |         CAST(sum(CASE WHEN bsum * n > total * blen
+        |                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS phash
+        |       FROM bs JOIN tot USING (doc_id) GROUP BY bs.doc_id),
+        |bd AS (SELECT doc_id, phash, g.b AS b,
+        |         (phash >> CAST(g.b * 16 AS INT)) & 65535 AS bv
+        |       FROM ph, LATERAL unnest(range(0, 4)) AS g(b)),
+        |pr AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |         CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+        |       FROM bd x JOIN bd y
+        |         ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= 3""".stripMargin,
+
     // the corpus is ASCII, so octet length == char length and the checksum is
     // the sum of character codes
     "multimodal_meta" ->

@@ -1372,6 +1372,49 @@ class ExtSpec extends AnyFunSuite {
       s"$got")
   }
 
+  test("imagePhashPairs: planted twins recalled, banding guarantee, JVM hash equality") {
+    import spark.implicits._
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val twins = docs.where(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 9), lit("z"),
+          substring(col("text"), 11, 1000000)).as("text"))
+    val media = docs.select("doc_id", "text").unionByName(twins)
+    val got = Multimodal.imagePhashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nTwins = twins.count()
+    // every planted twin pairs with its original; nothing else qualifies
+    assert(got.length == nTwins, s"expected $nTwins twin pairs, got ${got.length}")
+    got.foreach { case (a, b, h) =>
+      assert(b == a + 1000000L, s"unexpected pair ($a, $b)")
+      assert(h <= 3L)
+    }
+    // engine hashes equal an independent JVM aHash
+    def refHash(t: String): Long = {
+      val by = t.getBytes("UTF-8"); val n = by.length
+      val sums = new Array[Long](63); val lens = new Array[Long](63)
+      by.indices.foreach { i =>
+        val b = (i.toLong * 63 / n).toInt
+        sums(b) += (by(i) & 0xff); lens(b) += 1
+      }
+      val total = sums.sum
+      (0 until 63).foldLeft(0L)((h, b) =>
+        if (lens(b) > 0 && sums(b) * n > total * lens(b)) h | (1L << b) else h)
+    }
+    val engine = Multimodal.imageHashes(docs).collect()
+      .map(m => m.doc_id -> m.phash).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, t) => assert(engine(id) == refHash(t), s"doc $id") }
+    // pigeonhole recall: hamming <= 3 over 4 bands forces a shared band
+    val h1 = refHash(texts.head._2)
+    (0 until 3).foreach { i =>
+      val h2 = h1 ^ (1L << (i * 20)) // 3 flipped bits across bands
+      val shares = (0 until 4).exists(b => ((h1 >> (b * 16)) & 0xFFFF) == ((h2 >> (b * 16)) & 0xFFFF))
+      assert(shares, "any <=3-bit corruption must leave one band intact")
+    }
+  }
+
   test("annIvfIndexed: equals inline annIvf; scan prunes to the probed cells") {
     val emb = SparkEntry.table(spark, dir, "embeddings")
     val seed = Similarity.centroidSeed(emb, 16)
