@@ -1372,6 +1372,40 @@ class ExtSpec extends AnyFunSuite {
       s"$got")
   }
 
+  test("contractReport: one scan, NULL counts as violation; fkOrphans exact") {
+    import spark.implicits._
+    val t = Seq((1L, Some(5)), (2L, Some(-1)), (3L, None), (4L, Some(50)))
+      .toDF("id", "v")
+    val rep = Contract.contractReport(t, Seq(
+      "v_not_null" -> col("v").isNotNull,
+      "v_positive" -> (col("v") > 0),
+      "v_le_10" -> (col("v") <= 10)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // NULL predicate results are violations: v_positive fails for -1 AND null
+    assert(rep("v_not_null") == (4L, 1L))
+    assert(rep("v_positive") == (4L, 2L))
+    assert(rep("v_le_10") == (4L, 2L)) // 50 and NULL
+    // the whole report is ONE job over one scan (plan has one aggregate
+    // subtree — no per-rule scan)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val scans = Contract.contractReport(t, Seq("a" -> col("v").isNotNull,
+          "b" -> (col("v") > 0)))
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.LocalTableScanExec => s
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }
+      assert(scans.size == 1, s"expected one input scan for all rules")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    val child = Seq((10L, 1L), (11L, 2L), (12L, 99L)).toDF("ck", "fk")
+    val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
+    val orphans = Contract.fkOrphans(child, parent, "fk", "pk")
+      .collect().map(_.getAs[Long]("ck")).toSet
+    assert(orphans == Set(12L))
+  }
+
   test("imagePhashPairs: planted twins recalled, banding guarantee, JVM hash equality") {
     import spark.implicits._
     val docs = SparkEntry.table(spark, dir, "documents")
