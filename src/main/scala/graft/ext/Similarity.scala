@@ -224,6 +224,29 @@ object Similarity {
         .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
   }
 
+  /** Mean-pool member embeddings into one vector per group — the
+    * chunk→document rollup every long-document embedding pipeline runs
+    * (encode chunks, pool to a doc vector for [[annTopK]]/
+    * [[semdedupPrune]]). Emitted FLAT as (group, dim, mean) rows.
+    *
+    * Determinism: the per-(group, dim) sum folds member values in
+    * ascending member-id order (`array_sort(collect_list(struct(id, v)))`
+    * then an ordered fold — never `sum()`'s physical order), so the
+    * pooled doubles are bit-reproducible on any partitioning/engine. One
+    * co-partitioning shuffle on (group, dim); per-group state is the
+    * member list of ONE dimension at a time. */
+  def poolEmbeddings(emb: DataFrame, group: Column,
+                     id: Column = col("vec_id")): DataFrame =
+    emb.select(group.as("grp"), id.as("__id"),
+        posexplode(col("embedding")).as(Seq("dim", "__v")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(count(lit(1)).as("__n"),
+        aggregate(
+          array_sort(collect_list(struct(col("__id"), col("__v").cast("double").as("__v")))),
+          lit(0.0), (acc, s) => acc + s.getField("__v")).as("__sum"))
+      .select(col("grp"), col("dim").cast("long").as("dim"),
+        (col("__sum") / col("__n").cast("double")).as("mean"))
+
   /** Deterministic Rademacher (±1) hyperplanes for sign-LSH: `tables` hash
     * tables × `bits` planes × `dim` components, drawn from a fixed-seed
     * java.util.Random (a specified, platform-stable LCG) — same corpus, same
@@ -893,6 +916,11 @@ object Similarity {
     // SQL oracle applies; TRAINED centroids go through the same save/load
     // (ExtSpec pins trained-roundtrip equality — Lloyd means are not
     // SQL-mirrorable without summation-order flake risk).
+    // 8 chunk-vectors per synthetic document (vec_id % 500), pooled in
+    // vec_id order — the chunk→doc embedding rollup
+    "pool_embeddings" -> ((s, dir) =>
+      poolEmbeddings(SparkEntry.table(s, dir, "embeddings"),
+        pmod(col("vec_id"), lit(500L)))),
     // full index lifecycle: persist cell-partitioned assignments, answer
     // from the pruned read — must equal the inline annIvf (same oracle)
     "ann_ivf_indexed" -> ((s, dir) => {
@@ -1126,6 +1154,17 @@ object Similarity {
     // break the hash match
     "ann_ivf_trained" -> annIvfOracleSql,
     "ann_ivf_indexed" -> annIvfOracleSql,
+    // same ordered fold per (group, dim): list(… ORDER BY vec_id) then
+    // list_reduce — never an unordered SUM of floats
+    "pool_embeddings" ->
+      """WITH e AS (
+        |  SELECT vec_id % 500 AS grp, vec_id,
+        |    g.d AS dim, CAST(embedding[CAST(g.d + 1 AS INT)] AS DOUBLE) AS v
+        |  FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS g(d))
+        |SELECT grp, dim,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+        |    (a, b) -> a + b) / count(*) AS mean
+        |FROM e GROUP BY grp, dim""".stripMargin,
     // composition of the two gated legs (WITH-in-subquery keeps their CTE
     // namespaces separate); n_hits/GateK is one IEEE division — exact
     "ann_recall" ->

@@ -1372,6 +1372,29 @@ class ExtSpec extends AnyFunSuite {
       s"$got")
   }
 
+  test("poolEmbeddings: ordered-fold mean equals JVM recompute bit-for-bit") {
+    val emb = SparkEntry.table(spark, dir, "embeddings")
+    val got = Similarity.poolEmbeddings(emb, pmod(col("vec_id"), lit(100L))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val want = rows.groupBy(_._1 % 100).flatMap { case (g, ms) =>
+      val sorted = ms.sortBy(_._1)
+      val dims = sorted.head._2.length
+      (0 until dims).map { d =>
+        var acc = 0.0
+        sorted.foreach { case (_, v) => acc = acc + v(d).toDouble }
+        (g, d.toLong) -> (acc / sorted.length.toDouble)
+      }
+    }.toMap
+    assert(got == want, "pooled means must be bit-identical to the ordered JVM fold")
+    // deterministic across physical layouts (the fold order is logical)
+    val again = Similarity.poolEmbeddings(emb.repartition(17),
+      pmod(col("vec_id"), lit(100L))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(again == got)
+  }
+
   test("contractReport: one scan, NULL counts as violation; fkOrphans exact") {
     import spark.implicits._
     val t = Seq((1L, Some(5)), (2L, Some(-1)), (3L, None), (4L, Some(50)))
