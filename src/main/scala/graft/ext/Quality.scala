@@ -315,6 +315,47 @@ object Quality {
         acc + (p - q) * log(p / q)
       }).as("psi"))
 
+  /** Calibration table for a scored corpus: bucket rows by score band and
+    * report the positive rate per band — the reliability diagram's data
+    * (a well-calibrated scorer's `pos_rate` tracks its score). Bands are
+    * fixed-width on the score (`floor(score / width)`, clamped to
+    * [minBand, maxBand]) so banding needs no quantile pass; counts are
+    * integers and the rate one division. One partial-agged groupBy. */
+  def calibrationTable(scored: DataFrame, score: Column, label: Column,
+                       width: Double = 0.5, minBand: Int = -8,
+                       maxBand: Int = 8): DataFrame =
+    scored.select(
+        least(greatest(floor(score / width), lit(minBand.toLong)),
+          lit(maxBand.toLong)).as("band"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      .select(col("band"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+
+  /** Exact ROC-AUC by the rank-sum (Mann–Whitney) identity with the
+    * standard tie correction: ties share their AVERAGE rank (`rank() +
+    * (cnt−1)/2` over score-only ordering), so equal-scored positive/
+    * negative pairs count ½ — the textbook estimator, deterministic
+    * because the scores themselves are bit-exact and average ranks don't
+    * depend on intra-tie order. ONE global sort of (score) — the accepted
+    * cost of an eval metric (it IS a ranking statistic); everything else
+    * is one aggregate. Returns one row (auc, n_pos, n_neg). */
+  def aucExact(scored: DataFrame, score: Column, label: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+    scored.select(score.as("__s"), when(label, 1L).otherwise(0L).as("__y"))
+      .withColumn("__r", rank().over(w).cast("double") +
+        (count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__s"))).cast("double") - 1.0) / 2.0)
+      .agg(sum(when(col("__y") === 1L, col("__r"))).as("__rs"),
+        sum(col("__y")).as("n_pos"), sum(lit(1L) - col("__y")).as("n_neg"))
+      .select(
+        ((col("__rs") - col("n_pos").cast("double") *
+          (col("n_pos") + 1L).cast("double") / 2.0) /
+          (col("n_pos").cast("double") * col("n_neg").cast("double"))).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
   // ---- driver gate ----------------------------------------------------
   // Frozen pseudo-random weights (Knuth multiplicative constant): the gate
   // pins the featurize→linear-score path — the part that is deterministic
@@ -345,6 +386,12 @@ object Quality {
       val docs = SparkEntry.table(s, dir, "documents")
       importanceResample(docs, docs.where(col("lang") === "en"), docs, k = 100)
     }),
+    // frozen-weight logit as the score, lang='en' as the pseudo-label:
+    // the reliability table and the exact AUC of the same scorer
+    "calibration_table" -> ((s, dir) =>
+      calibrationTable(gateScored(s, dir), col("logit"), col("lang") === "en")),
+    "model_auc" -> ((s, dir) =>
+      aucExact(gateScored(s, dir), col("logit"), col("lang") === "en")),
     // even doc_ids play the accepted reference, odd the incoming
     // candidate; n_chars is the monitored feature
     "drift_report" -> ((s, dir) => {
@@ -355,6 +402,33 @@ object Quality {
   )
 
   private def wLitSql: String = GateWeights.mkString("[", ", ", "]")
+
+  /** The gate's frozen-weight scorer: (doc_id, lang, logit) — the exact
+    * ascending-feature fold the quality_score gate pins bit-exact. */
+  private def gateScored(s: SparkSession, dir: String): DataFrame = {
+    val wLit = array(GateWeights.map(lit).toSeq: _*)
+    SparkEntry.table(s, dir, "documents")
+      .withColumn("__f", featurize(col("text"), GateDim))
+      .select(col("doc_id"), col("lang"),
+        aggregate(col("__f"), lit(0.0),
+          (acc, i) => acc + element_at(wLit, i + 1)).as("logit"))
+  }
+
+  /** The same scorer in SQL — the quality_score oracle's fold, reused by
+    * the calibration and AUC oracles. */
+  private def gateScoredSql: String =
+    s"""sc AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(
+       |        list_sort(list_distinct(list_transform(
+       |          list_filter(string_split(text, ' '), x -> len(x) > 0),
+       |          wd -> CAST(list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |                  list_transform(string_split_regex(wd, ''),
+       |                    c -> CAST(unicode(c) AS BIGINT))),
+       |                (a, b) -> (a * 31 + b) % ${HashMod}) % ${GateDim} AS INT)))),
+       |        i -> wv[i + 1])), (a, b) -> a + b) AS logit
+       |  FROM documents, w)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // identical integer fold (prepend seeds list_reduce, which has no init
@@ -384,6 +458,38 @@ object Quality {
     "dsir_select" ->
       s"""$DsirOracleBody
          |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
+
+    // fixed-width bands on the bit-exact logit; integer counts, one
+    // division per band
+    "calibration_table" ->
+      s"""WITH w AS (SELECT $wLitSql AS wv),
+        |$gateScoredSql
+        |SELECT CAST(least(greatest(floor(logit / 0.5), -8), 8) AS BIGINT) AS band,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS pos_rate
+        |FROM sc GROUP BY 1""".stripMargin,
+
+    // tie-corrected rank-sum AUC: average ranks are dyadic rationals
+    // (k + m/2 with exact doubles), so their sum is order-independent
+    // and exact — the one float sum that IS safe to leave unordered
+    "model_auc" ->
+      s"""WITH w AS (SELECT $wLitSql AS wv),
+        |$gateScoredSql,
+        |r AS (SELECT lang,
+        |  CAST(rank() OVER (ORDER BY logit) AS DOUBLE) +
+        |    (CAST(count(*) OVER (PARTITION BY logit) AS DOUBLE) - 1.0) / 2.0 AS ar
+        |  FROM sc)
+        |SELECT
+        |  (sum(CASE WHEN lang = 'en' THEN ar END) -
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) *
+        |    (CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) + 1) / 2.0) /
+        |  (CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) *
+        |   CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS DOUBLE)) AS auc,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |FROM r""".stripMargin,
 
     // same integer bucket arithmetic (DuckDB floor-// vs Spark truncating
     // `div` diverge only below the lower clamp, where both land in bucket

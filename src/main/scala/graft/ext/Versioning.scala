@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.SparkEntry
 
@@ -54,6 +54,30 @@ object Versioning {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), expr("bit_xor(__h)").as("checksum"))
 
+  /** Right-to-be-forgotten deletion: drop every row whose `key` appears
+    * in the request list and account for it — the GDPR/CCPA erasure pass
+    * a long-lived corpus runs before each [[Snapshot.publish]]. Small
+    * request lists ride as a broadcast anti-join (the common case);
+    * compose with [[corpusChecksums]] before/after for the audit trail. */
+  def forget(df: DataFrame, key: Column, requests: Seq[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.join(broadcast(requests.toDF("__req")), key === col("__req"), "left_anti")
+  }
+
+  /** The erasure AUDIT: one row per requested key with how many rows were
+    * removed — including ZERO rows for keys the corpus never held (the
+    * compliance record must show the request was processed, not merely
+    * that nothing matched). */
+  def forgetAudit(df: DataFrame, key: Column, requests: Seq[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requests.toDF("req_key")
+      .join(df.groupBy(key.as("req_key")).agg(count(lit(1)).as("n_removed")),
+        Seq("req_key"), "left")
+      .na.fill(0L, Seq("n_removed"))
+  }
+
   /** Incrementally-MAINTAINED dataset card: per-key document and token
     * counts kept current across ingest batches — the materialized-view
     * refresh every long-running ingest keeps next to the corpus (the full
@@ -89,7 +113,13 @@ object Versioning {
       sink(absorbCardBatch(batch.sparkSession, stateDir, id, batch, key))
     }
 
+  /** Gate request list: three live users + one the corpus never held. */
+  val GateForgetRequests: Seq[Long] = Seq(3L, 7L, 11L, 999999L)
+
   val queries: Map[String, Q] = Map(
+    "gdpr_forget" -> ((s, dir) =>
+      forgetAudit(SparkEntry.table(s, dir, "events"), col("user_id"),
+        GateForgetRequests)),
     // the maintained card after absorbing the corpus in two batches must
     // equal the one-shot groupBy (fresh temp state per run)
     "card_maintained" -> ((s, dir) => {
@@ -117,6 +147,12 @@ object Versioning {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "gdpr_forget" ->
+      """WITH req(req_key) AS (VALUES (3), (7), (11), (999999))
+        |SELECT CAST(req_key AS BIGINT) AS req_key,
+        |  CAST(COALESCE((SELECT count(*) FROM events e WHERE e.user_id = req.req_key), 0)
+        |    AS BIGINT) AS n_removed
+        |FROM req""".stripMargin,
     // the one-shot aggregate the two-batch maintenance provably equals
     "card_maintained" ->
       """SELECT source AS key, count(*) AS n_docs,

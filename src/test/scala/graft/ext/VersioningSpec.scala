@@ -59,6 +59,21 @@ class VersioningSpec extends AnyFunSuite {
       "counts must be unchanged by a content mutation")
   }
 
+  test("forget: erasure is complete and accounted; unknown keys audit as zero") {
+    val events = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "events")
+    val reqs = Versioning.GateForgetRequests
+    val survivors = Versioning.forget(events, col("user_id"), reqs)
+    // no requested key survives
+    assert(survivors.where(col("user_id").isin(reqs: _*)).count() == 0)
+    // conservation: removed + surviving == total
+    val audit = Versioning.forgetAudit(events, col("user_id"), reqs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(survivors.count() + audit.values.sum == events.count())
+    // the unknown key is in the audit with zero removals
+    assert(audit(999999L) == 0L)
+    assert(reqs.forall(audit.contains), "every request must be accounted")
+  }
+
   test("absorbCardBatch: maintained card == full recompute; replay and crash safety") {
     val docs = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "documents")
     val stateDir = java.nio.file.Files.createTempDirectory("cardstate").toString
