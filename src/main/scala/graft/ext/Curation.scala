@@ -200,8 +200,36 @@ object Curation {
       .where(col("cum_tokens") - col("n_tokens") < budget)
   }
 
+  /** One-call training-readiness summary — the health numbers a run
+    * reviews before committing GPUs to a corpus, as a tall (metric,
+    * value) table: volume (docs, tokens), diversity (sources, languages),
+    * integrity (exact-duplicate docs via content hash, empty docs), and
+    * the token-length envelope. Every value is an exact integer from ONE
+    * aggregation pass (the distinct counts share the scan through
+    * Expand); compose with [[graft.ext.Contract.contractReport]] and
+    * [[graft.ext.Quality.driftReport]] for rule-level and
+    * distribution-level depth. */
+  def readinessReport(docs: DataFrame): DataFrame = {
+    val toks = size(split(col("text"), " "))
+    val row = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(toks.cast("long")).as("n_tokens"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      (count(lit(1)) - countDistinct(sha2(col("text"), 256))).as("n_exact_dup_docs"),
+      sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("n_empty_docs"),
+      max(toks.cast("long")).as("max_tokens"),
+      min(toks.cast("long")).as("min_tokens"))
+    val metrics = Seq("n_docs", "n_tokens", "n_sources", "n_langs",
+      "n_exact_dup_docs", "n_empty_docs", "max_tokens", "min_tokens")
+    row.select(map(metrics.flatMap(m => Seq(lit(m), col(m))): _*).as("__m"))
+      .select(explode(col("__m")).as(Seq("metric", "value")))
+  }
+
   val queries: Map[String, Q] = Map(
     "curate_pipeline" -> ((s, dir) => curate(SparkEntry.table(s, dir, "documents"))),
+    "readiness_report" -> ((s, dir) =>
+      readinessReport(SparkEntry.table(s, dir, "documents"))),
     // per-language budget of 3000 tokens; n_chars as the integer quality
     // signal (longer docs ranked first — the gate exercises ordering,
     // accumulation, and the boundary-crossing keep rule)
@@ -220,6 +248,25 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "readiness_report" ->
+      """WITH a AS (SELECT
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(*) - count(DISTINCT sha256(text)) AS n_exact_dup_docs,
+        |  CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs,
+        |  CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+        |  CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens
+        |FROM documents)
+        |SELECT 'n_docs' AS metric, n_docs AS value FROM a
+        |UNION ALL SELECT 'n_tokens', n_tokens FROM a
+        |UNION ALL SELECT 'n_sources', n_sources FROM a
+        |UNION ALL SELECT 'n_langs', n_langs FROM a
+        |UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM a
+        |UNION ALL SELECT 'n_empty_docs', n_empty_docs FROM a
+        |UNION ALL SELECT 'max_tokens', max_tokens FROM a
+        |UNION ALL SELECT 'min_tokens', min_tokens FROM a""".stripMargin,
     // same window: budget keeps every doc whose PRE-sum is under the line
     "budget_select" ->
       """WITH t AS (SELECT doc_id, lang AS stratum,

@@ -356,6 +356,32 @@ object Quality {
         col("n_pos"), col("n_neg"))
   }
 
+  /** Precision/recall table over score-band thresholds: for each band b,
+    * the outcome of accepting everything scoring IN OR ABOVE b —
+    * cumulative counts from the top band down (one tiny window over the
+    * ≤ |bands| rows of [[calibrationTable]]'s aggregate, NOT over the
+    * corpus), precision/recall as single divisions of exact integers.
+    * The threshold-picking table every deployed quality filter ships
+    * with. */
+  def prCurve(scored: DataFrame, score: Column, label: Column,
+              width: Double = 0.5, minBand: Int = -8,
+              maxBand: Int = 8): DataFrame = {
+    val bands = calibrationTable(scored, score, label, width, minBand, maxBand)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("band"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    bands
+      .withColumn("n_accepted", sum(col("n")).over(w))
+      .withColumn("tp", sum(col("n_pos")).over(w))
+      .withColumn("__pos_total", sum(col("n_pos")).over(tot))
+      .select(col("band"), col("n_accepted"), col("tp"),
+        (col("tp").cast("double") / col("n_accepted").cast("double")).as("precision"),
+        (col("tp").cast("double") / col("__pos_total").cast("double")).as("recall"))
+  }
+
   // ---- driver gate ----------------------------------------------------
   // Frozen pseudo-random weights (Knuth multiplicative constant): the gate
   // pins the featurize→linear-score path — the part that is deterministic
@@ -392,6 +418,8 @@ object Quality {
       calibrationTable(gateScored(s, dir), col("logit"), col("lang") === "en")),
     "model_auc" -> ((s, dir) =>
       aucExact(gateScored(s, dir), col("logit"), col("lang") === "en")),
+    "pr_curve" -> ((s, dir) =>
+      prCurve(gateScored(s, dir), col("logit"), col("lang") === "en")),
     // even doc_ids play the accepted reference, odd the incoming
     // candidate; n_chars is the monitored feature
     "drift_report" -> ((s, dir) => {
@@ -470,6 +498,26 @@ object Quality {
         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS pos_rate
         |FROM sc GROUP BY 1""".stripMargin,
+
+    // cumulative-from-top accept outcome per band; divisions of integers
+    "pr_curve" ->
+      s"""WITH w AS (SELECT $wLitSql AS wv),
+        |$gateScoredSql,
+        |b AS (SELECT CAST(least(greatest(floor(logit / 0.5), -8), 8) AS BIGINT) AS band,
+        |        count(*) AS n,
+        |        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |      FROM sc GROUP BY 1),
+        |c AS (SELECT band,
+        |        CAST(sum(n) OVER (ORDER BY band DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_accepted,
+        |        CAST(sum(n_pos) OVER (ORDER BY band DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |        CAST(sum(n_pos) OVER () AS BIGINT) AS pos_total
+        |      FROM b)
+        |SELECT band, n_accepted, tp,
+        |  CAST(tp AS DOUBLE) / CAST(n_accepted AS DOUBLE) AS precision,
+        |  CAST(tp AS DOUBLE) / CAST(pos_total AS DOUBLE) AS recall
+        |FROM c""".stripMargin,
 
     // tie-corrected rank-sum AUC: average ranks are dyadic rationals
     // (k + m/2 with exact doubles), so their sum is order-independent

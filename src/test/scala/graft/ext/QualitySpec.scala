@@ -205,6 +205,39 @@ class QualitySpec extends AnyFunSuite {
     assert(edges(0L) == 1L && edges(9L) == 1L)
   }
 
+  test("calibration/auc/prCurve: constructed-score exactness and invariants") {
+    import spark.implicits._
+    // 4 positives scoring high, 4 negatives low, one tied pair at 1.0
+    // (one pos + one neg) — AUC must apply the half-credit tie correction
+    val t = Seq(
+      (2.6, true), (2.1, true), (1.2, true), (1.0, true),
+      (1.0, false), (0.3, false), (-0.4, false), (-1.7, false)
+    ).toDF("s", "y")
+    val auc = Quality.aucExact(t, col("s"), col("y")).head()
+    // hand count: pos-neg pairs won = 4*4 minus: (1.0 pos vs 1.0 neg) = ½,
+    // (1.0 pos beats 0.3, -0.4, -1.7) ok → wins 15.5 of 16
+    assert(auc.getDouble(0) == 15.5 / 16.0, s"auc ${auc.getDouble(0)}")
+    assert(auc.getLong(1) == 4L && auc.getLong(2) == 4L)
+    val cal = Quality.calibrationTable(t, col("s"), col("y"), width = 1.0,
+      minBand = -2, maxBand = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cal(2L) == (2L, 2L))  // 2.6, 2.1 both positive
+    assert(cal(1L) == (3L, 2L))  // 1.2, 1.0(pos), 1.0(neg)
+    assert(cal(-2L) == (1L, 0L)) // -1.7 clamped into the floor band
+    val pr = Quality.prCurve(t, col("s"), col("y"), width = 1.0,
+      minBand = -2, maxBand = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(-_._1)
+    // recall is monotone non-decreasing from the top band down and ends at 1
+    pr.sliding(2).foreach {
+      case Array(hi2, lo2) => assert(hi2._5 <= lo2._5)
+      case _ =>
+    }
+    assert(pr.last._5 == 1.0 && pr.last._2 == 8L)
+    // top band: accept score >= 2 → 2 accepted, both positive
+    assert(pr.head == (2L, 2L, 2L, 1.0, 0.5))
+  }
+
   test("absorbDriftBatch: cumulative streaming report == batch driftReport; replay safe") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val ref = docs.where(col("doc_id") % 2 === 0)
