@@ -224,6 +224,22 @@ object Similarity {
         .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
   }
 
+  /** Measured routing between exact and IVF ANN — the [[graft.ext.Dedup
+    * .dedupAuto]] discipline applied to search: below `exactMax` vectors
+    * brute force is both exact AND faster (no assignment pass, no
+    * centroid training to amortize), above it route to [[annIvf]] with
+    * [[Tuning.suggestIvf]]'s √n geometry. One `count()` decides; the
+    * thresholds come from [[Tuning]], not constants. */
+  def annAuto(emb: DataFrame, queries: DataFrame, k: Int = 5,
+              exactMax: Long = 10000L): DataFrame = {
+    val n = emb.count()
+    if (n <= exactMax) annTopK(emb, queries, k)
+    else {
+      val p = Tuning.suggestIvf(n)
+      annIvf(emb, queries, k, nCells = p.nCells, nProbe = p.nProbe)
+    }
+  }
+
   /** Mean-pool member embeddings into one vector per group — the
     * chunk→document rollup every long-document embedding pipeline runs
     * (encode chunks, pool to a doc vector for [[annTopK]]/

@@ -176,6 +176,25 @@ object Vocab {
     * [[trainBpe]] checkpoints away per iteration). Rank-priority encoding
     * is also O(L²) per word regardless of vocabulary size, where replaying
     * 32k merge passes would be O(32k·L). */
+  /** Persist a trained merge list as a tokenizer ARTIFACT (ordered
+    * parquet — rank is the merge's training order, which [[encode]]'s
+    * priority rule depends on). The deploy step between [[trainBpe]] and
+    * every later [[encode]]: train once, ship the artifact, re-encode any
+    * corpus identically forever (spec-pinned round-trip). */
+  def saveMerges(spark: SparkSession, merges: Seq[(String, String)],
+                 path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveMerges]] artifact, rank-ordered. Merge lists are
+    * vocabulary-sized (≤ ~32k rows) — the driver collect is bounded. */
+  def loadMerges(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
   def encode(df: DataFrame, merges: Seq[(String, String)],
              cached: Boolean = true): DataFrame = {
     val rank = merges.zipWithIndex.toMap

@@ -1372,6 +1372,21 @@ class ExtSpec extends AnyFunSuite {
       s"$got")
   }
 
+  test("annAuto: small corpus routes exact, large routes IVF with suggested geometry") {
+    val emb = SparkEntry.table(spark, dir, "embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // below the threshold: identical to brute force (it IS brute force)
+    assert(rows(Similarity.annAuto(emb, queries, k = 5)) ==
+      rows(Similarity.annTopK(emb, queries, k = 5)))
+    // forced over the threshold: identical to annIvf at Tuning's geometry
+    val n = emb.count()
+    val p = Tuning.suggestIvf(n)
+    assert(rows(Similarity.annAuto(emb, queries, k = 5, exactMax = 0L)) ==
+      rows(Similarity.annIvf(emb, queries, k = 5, nCells = p.nCells, nProbe = p.nProbe)))
+  }
+
   test("poolEmbeddings: ordered-fold mean equals JVM recompute bit-for-bit") {
     val emb = SparkEntry.table(spark, dir, "embeddings")
     val got = Similarity.poolEmbeddings(emb, pmod(col("vec_id"), lit(100L))).collect()

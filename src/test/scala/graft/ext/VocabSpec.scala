@@ -186,4 +186,26 @@ class VocabSpec extends AnyFunSuite {
     // 'aa' as one piece: 10/T; as two: 100/T^2 — one piece wins iff 10*T > 100
     assert(Vocab.segmentWord("aa", c2, t = 20L, maxLen = 2) == Seq("aa"))
   }
+
+  test("merge artifact: save/load round-trip preserves order and encode output") {
+    val docs = graft.SparkEntry.table(spark, dir, "documents")
+    val merges = Vocab.trainBpe(docs, nMerges = 12)
+    val root = java.nio.file.Files.createTempDirectory("vocabart").toString
+    try {
+      Vocab.saveMerges(spark, merges, s"$root/m")
+      val loaded = Vocab.loadMerges(spark, s"$root/m")
+      assert(loaded == merges, "rank order must survive the round-trip")
+      // encode with the reloaded artifact is byte-identical
+      val a = Vocab.encode(docs.limit(50), merges).collect()
+        .map(_.toString).sorted.toSeq
+      val b = Vocab.encode(docs.limit(50), loaded).collect()
+        .map(_.toString).sorted.toSeq
+      assert(a == b)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+    }
+  }
 }
