@@ -171,6 +171,57 @@ class JoinsSpec extends AnyFunSuite {
       s"stream-stream join diverges: ${out.size} vs ${batch.size} pairs")
   }
 
+  test("streaming attribution over the shard source: stop/restart == batch twin") {
+    // the S10 exactly-once pattern applied to stream-stream JOIN state:
+    // the watermarked attribution join over the real kinesiscat source,
+    // killed after one capped micro-batch and resumed from checkpoint,
+    // must emit exactly the uninterrupted (== batch-twin) pair set
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    import graft.sources.ShardStream
+    val base = java.nio.file.Files.createTempDirectory("attre2e").toString
+    val events = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "event_id", "ts", "event_type")
+    val rows = events
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3))).sortBy(_._2)
+    val streamDir = s"$base/stream"
+    ShardStream.writeShardDir(streamDir, rows.toSeq.map { case (u, id, tsUs, et) =>
+      ("s0", f"$id%012d", u.toString, s"$id|$tsUs|$et", 1700000000000L + id)
+    })
+    def run(ckpt: String, trigger: Trigger): Seq[(Long, Long, Long)] = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+      val src = spark.readStream.format("kinesiscat")
+        .option("path", streamDir).option("startingPosition", ShardStream.TrimHorizon)
+        .option("batchSize", "200").load()
+        .select(col("partitionKey").cast("long").as("user_id"),
+          split(col("data").cast("string"), "\\|").as("__p"))
+        .select(col("user_id"),
+          element_at(col("__p"), 1).cast("long").as("event_id"),
+          timestamp_micros(element_at(col("__p"), 2).cast("long")).as("ts"),
+          element_at(col("__p"), 3).as("event_type"))
+      val q = Joins.attributionStream(src, "view", "click", 86400L)
+        .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => acc.add((r.getLong(1), r.getLong(2), r.getLong(3))))
+          ()
+        }.option("checkpointLocation", ckpt).trigger(trigger).start()
+      q.awaitTermination()
+      acc.iterator().asScala.toSeq
+    }
+    val part = run(s"$base/ckpt", Trigger.Once())
+    val rest = run(s"$base/ckpt", Trigger.AvailableNow())
+    assert(rest.nonEmpty, "the stop must land mid-corpus")
+    val resumed = part ++ rest
+    assert(resumed.distinct.size == resumed.size, "no re-delivered pair")
+    val batch = Joins.attribution(events, "view", "click", 86400L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(resumed.toSet == batch,
+      s"resumed pairs must equal the batch twin (${resumed.size} vs ${batch.size})")
+  }
+
   test("saltedJoin: plain-join equality on a skewed input; hot key spreads over salts") {
     import spark.implicits._
     // 90% of the left lands on one hot key — the straggler shape
