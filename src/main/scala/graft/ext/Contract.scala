@@ -49,6 +49,37 @@ object Contract {
     child.join(parent.select(col(parentKey).as(childKey)).distinct(),
       Seq(childKey), "left_anti")
 
+  /** Streaming contract monitoring: absorb an ingest micro-batch's rule
+    * counts into the persisted CUMULATIVE report ([[BatchState]]
+    * snapshots — replay-safe, crash-dir-invisible) and return the
+    * current everything-ingested-so-far report. Counts are sums, so the
+    * maintained report equals a one-shot [[contractReport]] over the
+    * union by associativity (spec-pinned). */
+  def absorbContractBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                          batch: DataFrame,
+                          rules: Seq[(String, Column)]): DataFrame = {
+    val (latest, lastId) = BatchState.load(spark, stateDir)
+    val replay = lastId.exists(_ >= batchId)
+    val base = if (replay) BatchState.load(spark, stateDir, Some(batchId))._1 else latest
+    val b = contractReport(batch, rules).select("rule", "n_rows", "n_violations")
+    val merged = base.map(_.unionByName(b)).getOrElse(b)
+      .groupBy("rule")
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_violations")).as("n_violations"))
+      .localCheckpoint(true)
+    if (!replay) BatchState.save(merged, stateDir, batchId)
+    merged.select(col("rule"), col("n_rows"), col("n_violations"),
+      (col("n_violations").cast("double") / col("n_rows").cast("double"))
+        .as("violation_frac"))
+  }
+
+  /** Continuous contract monitoring over a streaming source. */
+  def contractStream(df: DataFrame, stateDir: String,
+                     rules: Seq[(String, Column)])(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(absorbContractBatch(batch.sparkSession, stateDir, id, batch, rules))
+    }
+
   val queries: Map[String, Q] = Map(
     // lineitem expectations: two that hold, two that fail on real rows —
     // the report must SURFACE violations, not just bless clean tables

@@ -239,6 +239,48 @@ object Quality {
         ((col("cur_n") + 1L).cast("double") / lit((cTot + nBuckets).toDouble)).as("cur_frac"))
   }
 
+  /** EQUI-DEPTH drift report — [[driftReport]] with quantile (not
+    * equal-width) buckets: boundaries put ~1/nBuckets of the REFERENCE in
+    * each bucket, so a long-tailed feature (where equal-width drops
+    * nearly everything into one bucket) still yields an informative
+    * histogram. Boundary b (b = 1..nBuckets−1) is the smallest reference
+    * value whose running count reaches `ceil(b·n/nBuckets)` — an explicit
+    * integer rank rule (no engine quantile function, whose interpolation
+    * conventions differ), computed with one value-ordered running-sum
+    * window over the DISTINCT-value counts and collected driver-side
+    * (nBuckets−1 longs). Bucket of v = #boundaries ≤ v — pure integer
+    * compares; shares Laplace-smoothed as in [[driftReport]]. */
+  def driftReportQuantile(ref: DataFrame, cur: DataFrame, value: Column,
+                          nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "need at least two buckets")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val r = ref.select(value.cast("long").as("v"))
+    val c = cur.select(value.cast("long").as("v"))
+    val rTot = r.count(); val cTot = c.count()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = r.groupBy("v").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .collect().map(x => (x.getLong(0), x.getLong(2))).sortBy(_._1)
+    val bounds = (1 until nBuckets).map { b =>
+      val need = math.ceil(b.toDouble * rTot / nBuckets).toLong
+      cum.find(_._2 >= need).get._1
+    }
+    val bLit = typedLit(bounds)
+    def bucketed(df: DataFrame, name: String) = df
+      .select(size(filter(bLit, x => x <= col("v"))).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(name))
+    val buckets = (0 until nBuckets).map(_.toLong).toDF("bucket")
+    buckets
+      .join(bucketed(r, "ref_n"), Seq("bucket"), "left")
+      .join(bucketed(c, "cur_n"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        ((col("ref_n") + 1L).cast("double") / lit((rTot + nBuckets).toDouble)).as("ref_frac"),
+        ((col("cur_n") + 1L).cast("double") / lit((cTot + nBuckets).toDouble)).as("cur_frac"))
+  }
+
   /** The reference side of [[driftReport]] frozen for STREAMING use:
     * bucket geometry + reference counts, computed once at setup and held
     * on the driver (nBuckets longs). */
@@ -420,6 +462,11 @@ object Quality {
       aucExact(gateScored(s, dir), col("logit"), col("lang") === "en")),
     "pr_curve" -> ((s, dir) =>
       prCurve(gateScored(s, dir), col("logit"), col("lang") === "en")),
+    "drift_quantile" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      driftReportQuantile(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), col("n_chars"))
+    }),
     // even doc_ids play the accepted reference, odd the incoming
     // candidate; n_chars is the monitored feature
     "drift_report" -> ((s, dir) => {
@@ -538,6 +585,33 @@ object Quality {
         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
         |FROM r""".stripMargin,
+
+    // same explicit rank rule for the boundaries (smallest v with running
+    // count >= ceil(b*n/10)), same #boundaries<=v bucketing
+    "drift_quantile" ->
+      """WITH r AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+        |c AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 1),
+        |tt AS (SELECT count(*) AS rt FROM r),
+        |ct AS (SELECT count(*) AS cc FROM c),
+        |cum AS (SELECT v, CAST(sum(n) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM (SELECT v, count(*) AS n FROM r GROUP BY v)),
+        |bnd AS (SELECT b.b AS b, min(cum.v) AS bv
+        |        FROM (SELECT unnest(range(1, 10)) AS b) b, tt, cum
+        |        WHERE cum.cum >= CAST(ceil(b.b * rt / 10.0) AS BIGINT)
+        |        GROUP BY b.b),
+        |bl AS (SELECT list(bv ORDER BY b) AS bs FROM bnd),
+        |rb AS (SELECT CAST(len(list_filter(bs, x -> x <= v)) AS BIGINT) AS bucket,
+        |         count(*) AS ref_n FROM r, bl GROUP BY 1),
+        |cb AS (SELECT CAST(len(list_filter(bs, x -> x <= v)) AS BIGINT) AS bucket,
+        |         count(*) AS cur_n FROM c, bl GROUP BY 1),
+        |g AS (SELECT unnest(range(0, 10)) AS bucket)
+        |SELECT g.bucket, COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n,
+        |  CAST(COALESCE(ref_n, 0) + 1 AS DOUBLE) / (rt + 10) AS ref_frac,
+        |  CAST(COALESCE(cur_n, 0) + 1 AS DOUBLE) / (cc + 10) AS cur_frac
+        |FROM g CROSS JOIN tt CROSS JOIN ct
+        |LEFT JOIN rb ON rb.bucket = g.bucket
+        |LEFT JOIN cb ON cb.bucket = g.bucket""".stripMargin,
 
     // same integer bucket arithmetic (DuckDB floor-// vs Spark truncating
     // `div` diverge only below the lower clamp, where both land in bucket

@@ -1444,6 +1444,26 @@ class ExtSpec extends AnyFunSuite {
     assert(orphans == Set(12L))
   }
 
+  test("absorbContractBatch: cumulative streaming report == one-shot; replay safe") {
+    val li = SparkEntry.table(spark, dir, "lineitem")
+    val rules = Seq(
+      "qty_positive" -> (col("l_quantity") > 0),
+      "qty_le_30" -> (col("l_quantity") <= 30))
+    val stateDir = java.nio.file.Files.createTempDirectory("contractstate").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    Contract.absorbContractBatch(spark, stateDir, 0L,
+      li.where(col("l_orderkey") % 2 === 0), rules)
+    val streamed = rows(Contract.absorbContractBatch(spark, stateDir, 1L,
+      li.where(col("l_orderkey") % 2 === 1), rules))
+    val full = rows(Contract.contractReport(li, rules)
+      .select("rule", "n_rows", "n_violations"))
+    assert(streamed == full)
+    val replayed = rows(Contract.absorbContractBatch(spark, stateDir, 1L,
+      li.where(col("l_orderkey") % 2 === 1), rules))
+    assert(replayed == full, "replay must not double-count")
+  }
+
   test("imagePhashPairs: planted twins recalled, banding guarantee, JVM hash equality") {
     import spark.implicits._
     val docs = SparkEntry.table(spark, dir, "documents")

@@ -263,6 +263,30 @@ class QualitySpec extends AnyFunSuite {
     assert(replayed == batch)
   }
 
+  test("driftReportQuantile: brute-force boundaries; reference mass balanced per bucket") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val cur = docs.where(col("doc_id") % 2 === 1)
+    val rv = ref.select("n_chars").collect().map(_.getLong(0)).sorted
+    val n = rv.length
+    val bounds = (1 until 10).map { b =>
+      val need = math.ceil(b.toDouble * n / 10).toInt
+      rv(need - 1) // smallest value whose running count reaches `need`
+    }
+    def bucket(v: Long) = bounds.count(_ <= v).toLong
+    val refN = rv.groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    val rows = Quality.driftReportQuantile(ref, cur, col("n_chars")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == (0L until 10L).toSet)
+    rows.foreach { case (b, (rn, _)) => assert(rn == refN.getOrElse(b, 0L), s"bucket $b") }
+    // equi-depth: every reference bucket holds [floor, ceil+ties] of n/10 —
+    // loose band because ties cluster at boundaries
+    val counts = rows.toSeq.sortBy(_._1).map(_._2._1)
+    assert(counts.sum == n)
+    assert(counts.max <= n / 10 * 3 && counts.count(_ > 0) >= 8,
+      s"equal-depth buckets implausibly skewed: $counts")
+  }
+
   test("psiTotal: equals the in-JVM ascending-bucket fold; zero on no drift") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val ref = docs.where(col("doc_id") % 2 === 0)
