@@ -244,6 +244,26 @@ object Freq {
         (col("est") - col("true_cnt")).as("overcount"))
   }
 
+  /** Join-skew diagnosis: the `topK` hottest values of a key column with
+    * their absolute counts, corpus share, and cumulative share — the
+    * table that decides whether a join needs [[graft.ext.Joins
+    * .saltedJoin]] (or AQE skew splitting), and with how many salts. One
+    * partial-agged groupBy + a partial top-k; the cumulative window runs
+    * over ≤ topK rows, never the corpus. Counts integer, each share one
+    * division. */
+  def skewReport(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
+    val total = df.count()
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), asc("key"))
+    val cw = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+      .withColumn("cum_n", sum(col("n")).over(cw))
+      .select(col("rank").cast("long").as("rank"), col("key"), col("n"),
+        (col("n").cast("double") / lit(total.toDouble)).as("share"),
+        (col("cum_n").cast("double") / lit(total.toDouble)).as("cum_share"))
+  }
+
   /** Fixed probe terms for the driver gate: two corpus trigrams that exist
     * at every scale factor plus one absent phrase (est may still be > 0 —
     * pure collision mass — and true_cnt is 0). */
@@ -251,6 +271,8 @@ object Freq {
     "no such trigram")
 
   val queries: Map[String, Q] = Map(
+    "skew_report" -> ((s, dir) =>
+      skewReport(SparkEntry.table(s, dir, "events"), col("user_id"))),
     "cms_estimate" -> ((s, dir) =>
       cmsEstimates(trigrams(SparkEntry.table(s, dir, "documents")), GateCmsProbes)),
     // m = 4096 over the ~16k-distinct trigram domain: the sketch MUST prune
@@ -262,6 +284,18 @@ object Freq {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "skew_report" ->
+      """WITH t AS (SELECT count(*) AS total FROM events),
+        |c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT key, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank,
+        |  CAST(sum(n) OVER (ORDER BY n DESC, key
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |  FROM c)
+        |SELECT rank, key, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        |FROM r, t WHERE rank <= 10""".stripMargin,
     // same row-salted sha hash, same counter table, same min-over-rows
     "cms_estimate" ->
       """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -137,4 +137,17 @@ class FreqSpec extends AnyFunSuite {
     // so BOTH runs' final candidate sets must contain it
     assert(a.contains("hot") && b.contains("hot"))
   }
+
+  test("skewReport: hottest keys ranked exactly; shares reconcile") {
+    val skewed = (1L to 1000L).map(i =>
+      (i, if (i <= 500) 1L else if (i <= 700) 2L else i)).toDF("id", "k")
+    val got = Freq.skewReport(skewed, col("k"), topK = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got(0) == (1L, 1L, 500L, 0.5, 0.5))
+    assert(got(1) == (2L, 2L, 200L, 0.2, 0.7))
+    assert(got(2)._3 == 1L, "third hottest is a singleton")
+    // cumulative share is the running sum of shares (exact: integer cum)
+    assert(got(2)._5 == 701.0 / 1000.0)
+  }
 }
