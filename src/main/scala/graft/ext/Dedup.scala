@@ -1032,6 +1032,27 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-stratum duplication audit: for each stratum (source, crawl,
+    * language), how many of its documents are exact-content duplicates of
+    * an EARLIER document anywhere in the corpus — the "which feed is
+    * polluting the corpus" table a recurring ingest reviews next to
+    * [[graft.ext.Quality.driftReport]]. "Earlier" (min doc_id keeps its
+    * copy) charges the duplicate to the re-ingesting stratum, not the
+    * original's. Content identity by sha2-256 (the [[exact]] posture);
+    * one hash groupBy + one hash-keyed window, integer counts + one
+    * division. */
+  def dupRateByStratum(docs: DataFrame, stratum: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    docs.select(stratum.as("stratum"), col("doc_id"),
+        sha2(col("text"), 256).as("__h"))
+      .withColumn("__keep", col("doc_id") === min(col("doc_id")).over(w))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dups"))
+      .select(col("stratum"), col("n_docs"), col("n_dups"),
+        (col("n_dups").cast("double") / col("n_docs").cast("double")).as("dup_rate"))
+  }
+
   /** Keep-BEST representative selection over near-dup clusters — the
     * policy refinement of plain dedup: instead of keeping an arbitrary
     * member (min doc_id), keep each cluster's highest-`score` document
@@ -1077,6 +1098,8 @@ object Dedup {
     "dedup_winnow_pairs" -> ((s, dir) =>
       winnowPairs(SparkEntry.table(s, dir, "documents"))),
     "dedup_exact" -> ((s, dir) => exact(SparkEntry.table(s, dir, "documents"))),
+    "dup_rate_by_source" -> ((s, dir) =>
+      dupRateByStratum(SparkEntry.table(s, dir, "documents"), col("source"))),
     "dedup_subdoc" -> ((s, dir) => subdocDedup(SparkEntry.table(s, dir, "documents"))),
     "dedup_soft" -> ((s, dir) => softDedup(SparkEntry.table(s, dir, "documents"))),
     "dedup_substring" -> ((s, dir) =>
@@ -1251,6 +1274,17 @@ object Dedup {
         "GROUP BY 1, 2 HAVING count(*) >= 2"),
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    // text equality ⇔ sha2 equality; the min-id copy keeps, later copies
+    // charge their own stratum
+    "dup_rate_by_source" ->
+      """WITH k AS (SELECT source AS stratum, doc_id,
+        |    min(doc_id) OVER (PARTITION BY text) AS keeper
+        |  FROM documents)
+        |SELECT stratum, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id = keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
+        |  CAST(sum(CASE WHEN doc_id = keeper THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_rate
+        |FROM k GROUP BY stratum""".stripMargin,
     // text equality ⇔ sha2 equality; 1/n is one IEEE division — bit-exact
     "dedup_soft" ->
       """SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies,

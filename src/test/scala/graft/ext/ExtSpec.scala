@@ -1610,6 +1610,19 @@ class ExtSpec extends AnyFunSuite {
     assert(lens > 4.0 && lens < 64.0, s"mean chunk length $lens implausible for target 16")
   }
 
+  test("dupRateByStratum: later copies charge the re-ingesting stratum") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "same text"), (2L, "srcB", "same text"),  // B re-ingests A's doc
+      (3L, "srcB", "same text"),                             // and again
+      (4L, "srcA", "unique a"), (5L, "srcB", "unique b")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.dupRateByStratum(docs, col("source")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("srcA") == (2L, 0L, 0.0), "the keeper's stratum is not charged")
+    assert(got("srcB") == (3L, 2L, 2.0 / 3.0))
+  }
+
   test("keepBest: cluster argmax by (score, -id), singleton pass-through") {
     import spark.implicits._
     val docs = Seq(
