@@ -250,6 +250,22 @@ object Quality {
     * window over the DISTINCT-value counts and collected driver-side
     * (nBuckets−1 longs). Bucket of v = #boundaries ≤ v — pure integer
     * compares; shares Laplace-smoothed as in [[driftReport]]. */
+  /** Equi-depth boundaries by the explicit integer rank rule (boundary b
+    * = smallest value whose running count reaches ceil(b·n/k)); collected
+    * driver-side (k−1 longs). Shared by [[driftReportQuantile]] and
+    * [[qualityEnsemble]]. */
+  private def quantileBounds(vals: DataFrame, total: Long, nBuckets: Int): Seq[Long] = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = vals.groupBy("v").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .collect().map(x => (x.getLong(0), x.getLong(2))).sortBy(_._1)
+    (1 until nBuckets).map { b =>
+      val need = math.ceil(b.toDouble * total / nBuckets).toLong
+      cum.find(_._2 >= need).get._1
+    }
+  }
+
   def driftReportQuantile(ref: DataFrame, cur: DataFrame, value: Column,
                           nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, "need at least two buckets")
@@ -258,15 +274,7 @@ object Quality {
     val r = ref.select(value.cast("long").as("v"))
     val c = cur.select(value.cast("long").as("v"))
     val rTot = r.count(); val cTot = c.count()
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = r.groupBy("v").agg(count(lit(1)).as("n"))
-      .withColumn("cum", sum(col("n")).over(w))
-      .collect().map(x => (x.getLong(0), x.getLong(2))).sortBy(_._1)
-    val bounds = (1 until nBuckets).map { b =>
-      val need = math.ceil(b.toDouble * rTot / nBuckets).toLong
-      cum.find(_._2 >= need).get._1
-    }
+    val bounds = quantileBounds(r, rTot, nBuckets)
     val bLit = typedLit(bounds)
     def bucketed(df: DataFrame, name: String) = df
       .select(size(filter(bLit, x => x <= col("v"))).cast("long").as("bucket"))
@@ -279,6 +287,36 @@ object Quality {
       .select(col("bucket"), col("ref_n"), col("cur_n"),
         ((col("ref_n") + 1L).cast("double") / lit((rTot + nBuckets).toDouble)).as("ref_frac"),
         ((col("cur_n") + 1L).cast("double") / lit((cTot + nBuckets).toDouble)).as("cur_frac"))
+  }
+
+  /** Rank-based ensemble of heterogeneous quality signals — the
+    * scale-safe form of "average the rankings": each integer signal maps
+    * to its equi-depth decile (boundaries computed once per signal by
+    * the [[driftReportQuantile]] rank rule and applied as a scan-time
+    * literal compare — no global rank window, no corpus sort), the
+    * composite is the integer SUM of deciles. Rank ensembling is how
+    * production pipelines combine incommensurable signals (a length
+    * count, a repetition fraction rank, a classifier rank) without unit
+    * games; deciles make it one broadcastable literal per signal. All
+    * integers — exact on any engine. */
+  def qualityEnsemble(docs: DataFrame, signals: Seq[(String, Column)],
+                      nBuckets: Int = 10): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    val n = docs.count()
+    val withSignals = docs.select(col("doc_id") +:
+      signals.map { case (nm, c) => c.cast("long").as(s"__s_$nm") }: _*)
+    val deciles = signals.map { case (nm, _) =>
+      val bounds = quantileBounds(
+        withSignals.select(col(s"__s_$nm").as("v")), n, nBuckets)
+      nm -> size(filter(typedLit(bounds), x => x <= col(s"__s_$nm"))).cast("long")
+    }
+    val out = deciles.foldLeft(withSignals) { case (df, (nm, d)) =>
+      df.withColumn(s"${nm}_decile", d)
+    }
+    out.select(col("doc_id") +:
+      signals.map { case (nm, _) => col(s"${nm}_decile") } :+
+      signals.map { case (nm, _) => col(s"${nm}_decile") }
+        .reduce(_ + _).as("composite"): _*)
   }
 
   /** The reference side of [[driftReport]] frozen for STREAMING use:
@@ -462,6 +500,12 @@ object Quality {
       aucExact(gateScored(s, dir), col("logit"), col("lang") === "en")),
     "pr_curve" -> ((s, dir) =>
       prCurve(gateScored(s, dir), col("logit"), col("lang") === "en")),
+    // three incommensurable integer signals decile-ranked and summed
+    "quality_ensemble" -> ((s, dir) =>
+      qualityEnsemble(SparkEntry.table(s, dir, "documents"), Seq(
+        "len" -> size(split(col("text"), " ")),
+        "vocab" -> size(array_distinct(split(col("text"), " "))),
+        "chars" -> col("n_chars")))),
     "drift_quantile" -> ((s, dir) => {
       val docs = SparkEntry.table(s, dir, "documents")
       driftReportQuantile(docs.where(col("doc_id") % 2 === 0),
