@@ -314,7 +314,7 @@ object Joins {
         |  SELECT event_id AS anchor_id, user_id, ts
         |  FROM events WHERE event_type = 'error' AND value > 100)
         |SELECT a.anchor_id, count(*) AS n_events,
-        |       sum(CAST(round(e.value * 100) AS BIGINT)) AS sum_cents
+        |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM a JOIN events e
         |  ON e.user_id = a.user_id AND e.ts >= a.ts AND e.ts < a.ts + INTERVAL 1 HOUR
         |GROUP BY a.anchor_id""".stripMargin,

@@ -71,14 +71,14 @@ object Olap {
         |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS l_returnflag,
         |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
         |  count(*) AS n, sum(l_quantity) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "cube_agg" ->
       """SELECT
         |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS o_orderpriority,
         |  count(*) AS n,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "grouping_sets_agg" ->
       """WITH e AS (
@@ -86,7 +86,7 @@ object Olap {
         |SELECT
         |  CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
         |  CASE WHEN GROUPING(day) = 1 THEN 'ALL' ELSE day END AS day,
-        |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM e GROUP BY GROUPING SETS ((event_type), (day))""".stripMargin,
   )
 }

@@ -92,6 +92,6 @@ object TimeSeries {
         |r AS (SELECT q_ent, ent, d2,
         |        row_number() OVER (PARTITION BY q_ent ORDER BY d2, ent) AS rank
         |      FROM sc)
-        |SELECT q_ent, ent, CAST(rank AS BIGINT) AS rank, d2 FROM r WHERE rank <= 5""".stripMargin,
+        |SELECT q_ent, ent, CAST(rank AS BIGINT) AS rank, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rank <= 5""".stripMargin,
   )
 }
