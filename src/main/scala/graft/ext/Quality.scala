@@ -246,24 +246,58 @@ object Quality {
     * histogram. Boundary b (b = 1..nBuckets−1) is the smallest reference
     * value whose running count reaches `ceil(b·n/nBuckets)` — an explicit
     * integer rank rule (no engine quantile function, whose interpolation
-    * conventions differ), computed with one value-ordered running-sum
-    * window over the DISTINCT-value counts and collected driver-side
-    * (nBuckets−1 longs). Bucket of v = #boundaries ≤ v — pure integer
+    * conventions differ). Bucket of v = #boundaries ≤ v — pure integer
     * compares; shares Laplace-smoothed as in [[driftReport]]. */
   /** Equi-depth boundaries by the explicit integer rank rule (boundary b
-    * = smallest value whose running count reaches ceil(b·n/k)); collected
-    * driver-side (k−1 longs). Shared by [[driftReportQuantile]] and
-    * [[qualityEnsemble]]. */
+    * = smallest value whose running count reaches ceil(b·n/k)). Shared by
+    * [[driftReportQuantile]] and [[qualityEnsemble]].
+    *
+    * Scale posture: the distinct-value histogram NEVER funnels through one
+    * task or the driver. Distinct counts are range-partitioned by value;
+    * the global running count is a two-phase prefix sum — a per-range
+    * running window (partitioned by range id, parallel) plus per-range
+    * totals (one long per partition) collected and turned into broadcast
+    * offsets. The k−1 boundary values come back through ONE aggregate row
+    * (`min(v) where cum ≥ rank_b` per boundary); driver state is the
+    * partition totals (numShufflePartitions longs) + k−1 longs. */
+  /** Stage 1 of the two-phase prefix sum: distinct-value counts,
+    * range-partitioned by value, with the PER-RANGE running count (window
+    * partitioned by range id — parallel, never a single task). Exposed for
+    * the PlanSpec single-task-window pin. */
+  private[graft] def rangeCumCounts(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nParts = vals.sparkSession.sessionState.conf.numShufflePartitions
+    // range partitioning assigns ascending value ranges to ascending
+    // partition ids, so a per-partition window + cross-partition offsets
+    // reconstructs the exact global running count
+    val w = Window.partitionBy("pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vals.groupBy("v").agg(count(lit(1)).as("n"))
+      .repartitionByRange(nParts, col("v"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("pcum", sum(col("n")).over(w))
+  }
+
   private def quantileBounds(vals: DataFrame, total: Long, nBuckets: Int): Seq[Long] = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = vals.groupBy("v").agg(count(lit(1)).as("n"))
-      .withColumn("cum", sum(col("n")).over(w))
-      .collect().map(x => (x.getLong(0), x.getLong(2))).sortBy(_._1)
-    (1 until nBuckets).map { b =>
-      val need = math.ceil(b.toDouble * total / nBuckets).toLong
-      cum.find(_._2 >= need).get._1
-    }
+    require(total > 0, "quantileBounds: value slice is empty")
+    val pcum = rangeCumCounts(vals)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = pcum.groupBy("pid").agg(max(col("pcum")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets: Map[Int, Long] = partTotals.keys.map { pid =>
+        pid -> partTotals.view.filterKeys(_ < pid).values.sum
+      }.toMap
+      val cum = pcum.withColumn("cum",
+        col("pcum") + coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
+      val needs = (1 until nBuckets)
+        .map(b => math.ceil(b.toDouble * total / nBuckets).toLong)
+      val aggs = needs.zipWithIndex.map { case (need, i) =>
+        min(when(col("cum") >= need, col("v"))).as(s"b$i")
+      }
+      val row = cum.agg(aggs.head, aggs.tail: _*).head()
+      (0 until nBuckets - 1).map(row.getLong)
+    } finally pcum.unpersist()
   }
 
   def driftReportQuantile(ref: DataFrame, cur: DataFrame, value: Column,
@@ -629,6 +663,46 @@ object Quality {
         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
         |FROM r""".stripMargin,
+
+    // the same equi-depth rank rule once per signal: boundary b = smallest
+    // value with running count >= ceil(b*n/10); decile = #boundaries<=v;
+    // composite = integer sum of deciles — exact on both engines
+    "quality_ensemble" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS s_len,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS s_vocab,
+        |    CAST(n_chars AS BIGINT) AS s_chars
+        |  FROM documents),
+        |t AS (SELECT count(*) AS n FROM d),
+        |cum_len AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT s_len AS v, count(*) AS c FROM d GROUP BY 1)),
+        |bl_len AS (SELECT list(bv ORDER BY b) AS bs FROM (
+        |  SELECT b.b AS b, min(cum.v) AS bv
+        |  FROM (SELECT unnest(range(1, 10)) AS b) b, t, cum_len cum
+        |  WHERE cum.cum >= CAST(ceil(b.b * n / 10.0) AS BIGINT) GROUP BY b.b)),
+        |cum_vocab AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT s_vocab AS v, count(*) AS c FROM d GROUP BY 1)),
+        |bl_vocab AS (SELECT list(bv ORDER BY b) AS bs FROM (
+        |  SELECT b.b AS b, min(cum.v) AS bv
+        |  FROM (SELECT unnest(range(1, 10)) AS b) b, t, cum_vocab cum
+        |  WHERE cum.cum >= CAST(ceil(b.b * n / 10.0) AS BIGINT) GROUP BY b.b)),
+        |cum_chars AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT s_chars AS v, count(*) AS c FROM d GROUP BY 1)),
+        |bl_chars AS (SELECT list(bv ORDER BY b) AS bs FROM (
+        |  SELECT b.b AS b, min(cum.v) AS bv
+        |  FROM (SELECT unnest(range(1, 10)) AS b) b, t, cum_chars cum
+        |  WHERE cum.cum >= CAST(ceil(b.b * n / 10.0) AS BIGINT) GROUP BY b.b))
+        |SELECT d.doc_id,
+        |  CAST(len(list_filter(bl_len.bs, x -> x <= d.s_len)) AS BIGINT) AS len_decile,
+        |  CAST(len(list_filter(bl_vocab.bs, x -> x <= d.s_vocab)) AS BIGINT) AS vocab_decile,
+        |  CAST(len(list_filter(bl_chars.bs, x -> x <= d.s_chars)) AS BIGINT) AS chars_decile,
+        |  CAST(len(list_filter(bl_len.bs, x -> x <= d.s_len))
+        |     + len(list_filter(bl_vocab.bs, x -> x <= d.s_vocab))
+        |     + len(list_filter(bl_chars.bs, x -> x <= d.s_chars)) AS BIGINT) AS composite
+        |FROM d, bl_len, bl_vocab, bl_chars""".stripMargin,
 
     // same explicit rank rule for the boundaries (smallest v with running
     // count >= ceil(b*n/10)), same #boundaries<=v bucketing

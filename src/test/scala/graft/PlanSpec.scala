@@ -693,4 +693,16 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p) { case _: joins.SortMergeJoinExec => } +
       count(p) { case _: joins.BroadcastHashJoinExec => } == 0, s"$p")
   }
+
+  test("quantileBounds prefix-sum stage: window partitioned, no single-task funnel") {
+    import org.apache.spark.sql.functions.col
+    val vals = SparkEntry.table(spark, sfDir, "documents").select(col("n_chars").as("v"))
+    val p = graft.ext.Quality.rangeCumCounts(vals).queryExecution.executedPlan
+    assert(count(p) { case e: ShuffleExchangeExec
+        if e.outputPartitioning.numPartitions == 1 => } == 0,
+      s"distinct-value histogram funnels through one partition:\n$p")
+    val wins = p.collect { case w: window.WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"the running-count window must be partitioned (parallel), not global:\n$p")
+  }
 }

@@ -263,6 +263,70 @@ class QualitySpec extends AnyFunSuite {
     assert(replayed == batch)
   }
 
+  test("qualityEnsemble: deciles match the JVM rank rule; composite is their sum") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val raw = docs.select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // JVM reference: per signal, boundary b = value at rank ceil(b*n/10);
+    // decile = #boundaries <= v (split with limit -1: Spark's semantics)
+    val sigs: Map[String, Map[Long, Long]] = Map(
+      "len" -> raw.map(r => r._1 -> r._2.split(" ", -1).length.toLong).toMap,
+      "vocab" -> raw.map(r => r._1 -> r._2.split(" ", -1).distinct.length.toLong).toMap,
+      "chars" -> raw.map(r => r._1 -> r._3).toMap)
+    val n = raw.length
+    def deciles(vals: Map[Long, Long]): Map[Long, Long] = {
+      val sorted = vals.values.toSeq.sorted
+      val bounds = (1 until 10).map { b =>
+        sorted(math.ceil(b.toDouble * n / 10).toInt - 1)
+      }
+      vals.map { case (id, v) => id -> bounds.count(_ <= v).toLong }
+    }
+    val want = sigs.map { case (nm, vals) => nm -> deciles(vals) }
+    val got = Quality.qualityEnsemble(docs, Seq(
+        "len" -> size(split(col("text"), " ")),
+        "vocab" -> size(array_distinct(split(col("text"), " "))),
+        "chars" -> col("n_chars"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == n)
+    got.foreach { case (id, dl, dv, dc, comp) =>
+      assert(dl == want("len")(id), s"len decile of doc $id")
+      assert(dv == want("vocab")(id), s"vocab decile of doc $id")
+      assert(dc == want("chars")(id), s"chars decile of doc $id")
+      assert(comp == dl + dv + dc, s"composite of doc $id")
+    }
+  }
+
+  test("quantileBounds prefix sum: exact on a 50k-distinct-value domain (multi-range)") {
+    import spark.implicits._
+    // high-cardinality probe: the distinct-value histogram spans every
+    // shuffle partition, so a wrong cross-range offset would misplace
+    // thousands of values into neighboring buckets
+    val vs = (0 until 50000).map(i => (i.toLong * 2654435761L) % 1000003L)
+    val ref = vs.toDF("n_chars")
+    val sorted = vs.sorted
+    val bounds = (1 until 10).map(b =>
+      sorted(math.ceil(b.toDouble * vs.length / 10).toInt - 1))
+    val refN = vs.groupBy(v => bounds.count(_ <= v).toLong)
+      .view.mapValues(_.length.toLong).toMap
+    val rows = Quality.driftReportQuantile(ref, ref, col("n_chars")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (b, (rn, cn)) =>
+      assert(rn == refN.getOrElse(b, 0L), s"bucket $b ref count")
+      assert(cn == rn, "identical slices must bucket identically")
+    }
+    assert(rows.values.map(_._1).sum == vs.length.toLong)
+  }
+
+  test("quantileBounds: empty reference slice fails loudly, not with an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("n_chars")
+    val cur = Seq(1L, 2L).toDF("n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Quality.driftReportQuantile(empty, cur, col("n_chars")).collect()
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("driftReportQuantile: brute-force boundaries; reference mass balanced per bucket") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val ref = docs.where(col("doc_id") % 2 === 0)
