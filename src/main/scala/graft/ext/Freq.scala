@@ -248,16 +248,24 @@ object Freq {
     * their absolute counts, corpus share, and cumulative share — the
     * table that decides whether a join needs [[graft.ext.Joins
     * .saltedJoin]] (or AQE skew splitting), and with how many salts. One
-    * partial-agged groupBy + a partial top-k; the cumulative window runs
-    * over ≤ topK rows, never the corpus. Counts integer, each share one
-    * division. */
+    * partial-agged groupBy, then a PER-PARTITION top-k prefilter (each key
+    * appears on exactly one partition after the groupBy, so the global
+    * top-k is a subset of the per-partition top-ks); only the ≤
+    * nPartitions·topK survivors reach the final rank + cumulative window
+    * — the single-task stage is bounded by topK, never the key domain.
+    * Counts integer, each share one division. */
   def skewReport(df: DataFrame, key: Column, topK: Int = 10): DataFrame = {
     val total = df.count()
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("n"), asc("key"))
+    val cands = counts.withColumn("pid", spark_partition_id())
+      .withColumn("prank", row_number().over(wp)).where(col("prank") <= topK)
+      .drop("pid", "prank")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("n"), asc("key"))
     val cw = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    counts.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+    cands.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
       .withColumn("cum_n", sum(col("n")).over(cw))
       .select(col("rank").cast("long").as("rank"), col("key"), col("n"),
         (col("n").cast("double") / lit(total.toDouble)).as("share"),

@@ -220,6 +220,7 @@ object Quality {
     val r = ref.select(value.cast("long").as("v"))
     val c = cur.select(value.cast("long").as("v"))
     val bounds = r.agg(min(col("v")), max(col("v"))).head()
+    require(!bounds.isNullAt(0), "driftReport: reference slice is empty")
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (mx - mn + nBuckets) / nBuckets) // ceil((mx-mn+1)/n)
     def counts(df: DataFrame, name: String) = df
@@ -362,6 +363,7 @@ object Quality {
   def freezeDriftRef(ref: DataFrame, value: Column, nBuckets: Int = 10): DriftRef = {
     val r = ref.select(value.cast("long").as("v"))
     val bounds = r.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    require(!bounds.isNullAt(0), "freezeDriftRef: reference slice is empty")
     val (mn, mx, total) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
     val width = math.max(1L, (mx - mn + nBuckets) / nBuckets)
     val counts = r

@@ -47,20 +47,45 @@ object Snapshot {
   }
 
   /** Publish `df` as the next version; returns it. Only the final pointer
-    * rename makes the version visible. */
+    * rename makes the version visible.
+    *
+    * Concurrency contract: data is staged into a private temp directory
+    * and the version number is CLAIMED by a rename WITHOUT overwrite — of
+    * two publishers racing to the same next version, exactly one rename
+    * succeeds and the loser throws `ConcurrentModificationException`
+    * (loud), never silently clobbering the winner's data. The next
+    * version is `max(pointer, existing v= dirs) + 1`, so a publisher that
+    * crashed after claiming but before the pointer swap cannot wedge
+    * future publishes. */
   def publish(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
-    val v = currentVersion(spark, root).getOrElse(0L) + 1L
-    val dir = s"$root/v=$v"
-    df.write.mode("overwrite").parquet(dir)
-    val n = spark.read.parquet(dir).count()
     val f = fc(spark, root)
+    val claimed =
+      if (!f.util.exists(new Path(root))) 0L
+      else f.util.listStatus(new Path(root)).map(_.getPath.getName)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+        .foldLeft(0L)(math.max)
+    val v = math.max(currentVersion(spark, root).getOrElse(0L), claimed) + 1L
+    val dir = s"$root/v=$v"
+    val stage = s"$root/.stage-v=$v-${java.util.UUID.randomUUID}"
+    df.write.mode("overwrite").parquet(stage)
+    val n = spark.read.parquet(stage).count()
     // manifest inside the version dir (self-describing snapshot)
-    val mf = f.create(new Path(dir, "_MANIFEST.json"),
+    val mf = f.create(new Path(stage, "_MANIFEST.json"),
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try mf.write(s"""{"version": $v, "rows": $n}""".getBytes("UTF-8"))
     finally mf.close()
+    try f.rename(new Path(stage), new Path(dir)) // Rename.NONE: no overwrite
+    catch {
+      case e: java.io.IOException =>
+        f.delete(new Path(stage), true)
+        if (f.util.exists(new Path(dir)))
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot version $v already claimed under $root " +
+              s"(concurrent publish): ${e.getMessage}")
+        else throw e
+    }
     // write-temp-then-rename pointer swap: the ONLY visible mutation
     val tmp = new Path(root, s"_CURRENT.tmp.$v")
     val out = f.create(tmp, java.util.EnumSet.of(

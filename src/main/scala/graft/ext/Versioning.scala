@@ -72,8 +72,11 @@ object Versioning {
   def forgetAudit(df: DataFrame, key: Column, requests: Seq[Long]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // filter BEFORE aggregating: the count is request-bounded (pushed to
+    // the scan as an IN filter), not a groupBy over the whole key domain
     requests.toDF("req_key")
-      .join(df.groupBy(key.as("req_key")).agg(count(lit(1)).as("n_removed")),
+      .join(df.where(key.isin(requests: _*))
+          .groupBy(key.as("req_key")).agg(count(lit(1)).as("n_removed")),
         Seq("req_key"), "left")
       .na.fill(0L, Seq("n_removed"))
   }

@@ -38,6 +38,17 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.readCurrent(spark, root).count() == 8)
   }
 
+  test("a claimed-but-unpublished version is skipped, never clobbered") {
+    val root = java.nio.file.Files.createTempDirectory("snapspec4").toString
+    Snapshot.publish(mk(2), root) // v=1, current
+    mk(7).write.parquet(s"$root/v=2") // a crashed publisher's claim
+    val v = Snapshot.publish(mk(5), root)
+    assert(v == 3L, "next version must skip the claimed number")
+    assert(spark.read.parquet(s"$root/v=2").count() == 7,
+      "a concurrent/crashed publisher's data must never be overwritten")
+    assert(Snapshot.readCurrent(spark, root).count() == 5)
+  }
+
   test("vacuum retires superseded versions, never the current one") {
     val root = java.nio.file.Files.createTempDirectory("snapspec3").toString
     (1 to 4).foreach(i => Snapshot.publish(mk(i), root))
