@@ -233,32 +233,47 @@ object Hygiene {
     * needs no df join-back: a gram with df = 1 has exactly ONE holder, so
     * the gram-keyed aggregation emits `(count, min(doc_id))` and the
     * singleton grams alone — already a tiny subset — roll up by doc_id.
-    * ONE pass over the inverted index, one gram-keyed exchange (per-doc
-    * distinctness makes partial aggregation collapse hot grams before it),
-    * one small doc-keyed exchange. The naive df-join-back form would
-    * re-explode the corpus and shuffle the full index twice. Set
+    * ONE tokenize pass, one gram-keyed exchange (per-doc distinctness
+    * makes partial aggregation collapse hot grams before it), one small
+    * doc-keyed exchange over the SINGLETON grams only. The trick that
+    * avoids both a second corpus scan and a df-join-back: each document
+    * contributes one synthetic per-doc SENTINEL "gram" (`":"+doc_id` —
+    * distinguished by its POSITION past the end of the real gram array,
+    * never by its spelling, so text content cannot forge one) carrying
+    * `n_grams` alongside the real grams; the sentinel is a guaranteed
+    * singleton, so every document — including zero-gram and zero-unique
+    * ones — surfaces from the same aggregation that finds the unique
+    * grams, and no join with a re-tokenized corpus is needed. Set
     * `hashKeys` to shuffle 8-byte `xxhash64(gram)` keys instead of
-    * ~100-byte strings at k=13 (a collision merges two gram families —
+    * ~100-byte strings at k=13 (sentinel-ness is detected by POSITION in
+    * the exploded array — never by content — and rides the grouping key,
+    * so a document whose text happens to contain the sentinel spelling
+    * cannot corrupt the audit; a collision merges two gram families —
     * n_unique undercounts by at most the collision count, invisible at
     * any real corpus size); the driver gate keys on strings and stays
     * exact. Document text never rides any exchange. */
   def ngramNovelty(docs: DataFrame, k: Int = 13,
                    hashKeys: Boolean = false): DataFrame = {
     val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
-    val uniq = docs.select(col("doc_id"), toks.as("w"))
-      .select(col("doc_id"), explode(array_distinct(ngramsOf(col("w"), k))).as("g0"))
-      .select(col("doc_id"), key(col("g0")).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("df"), min(col("doc_id")).as("holder"))
-      .where(col("df") === 1)
-      .groupBy(col("holder").as("doc_id")).agg(count(lit(1)).as("n_unique"))
-    docs.select(col("doc_id"), toks.as("w"))
+    val singles = docs.select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"),
-        size(array_distinct(ngramsOf(col("w"), k))).cast("long").as("n_grams"))
-      .join(uniq, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        array_distinct(ngramsOf(col("w"), k)).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
+        posexplode(concat(col("gs"),
+          array(concat(lit(":"), col("doc_id"))))).as(Seq("pos", "g0")))
+      .select(col("doc_id"), col("ng"), key(col("g0")).as("g"),
+        (col("pos") === col("ng")).as("sent"))
+      .groupBy("g", "sent")
+      .agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("ng"))).as("h"))
+      .where(col("df") === 1)
+    singles
+      .groupBy(col("h.doc_id").as("doc_id"))
+      .agg(max(when(col("sent"), col("h.ng"))).as("n_grams"),
+        count(when(!col("sent"), lit(1))).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
         when(col("n_grams") === 0, lit(0.0))
-          .otherwise(coalesce(col("n_unique"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(col("n_unique").cast("double") / col("n_grams"))
           .as("novelty_frac"))
   }
 
@@ -273,37 +288,83 @@ object Hygiene {
     * Returns every corpus document: `(doc_id, clean_text, n_removed)` —
     * untouched documents pass through with `n_removed = 0`.
     *
-    * Plan shape at 100 TB: the benchmark gram set is distinct-reduced and
-    * '''broadcast''' (same as [[contamination]]); the corpus side is a
-    * narrow posexplode feeding that broadcast join, so only MATCHING
-    * (doc_id, pos) rows — bounded by actual contamination, not corpus
-    * size — reach the per-document `collect_list` aggregation; the start
-    * lists then broadcast back onto the corpus scan, and the span removal
-    * itself is a narrow indexed-filter lambda over the materialized token
-    * array. Document text never shuffles. `hashKeys` joins on
-    * `xxhash64(gram)` (8-byte broadcast keys at k=13); a collision removes
-    * an innocent span — conservative, like [[contamination]]'s posture —
-    * while the driver gate keys on strings and stays exact. */
+    * Plan shape at 100 TB — two regimes, same output (spec-pinned equal):
+    *
+    *  - '''set path''' (`viaSet = true`, the default): the benchmark gram
+    *    set — an eval suite, small by definition — is distinct-reduced and
+    *    collected once, then matching is a NARROW `isin` (Catalyst
+    *    compiles ≥10 values to an `InSet` hash lookup, O(1) per gram)
+    *    inside the per-document span lambda. ONE corpus scan, ZERO corpus
+    *    shuffles, two jobs total; the corpus side is a pure scan-time
+    *    map. Driver/plan state is the |bench-grams| set — with `hashKeys`
+    *    it is 8-byte longs, so even a million-gram benchmark is ~8 MB.
+    *  - '''join path''' (`viaSet = false`): for a benchmark too large to
+    *    ship in the plan, the gram set is '''broadcast''' (same as
+    *    [[contamination]]); the corpus side is a narrow posexplode feeding
+    *    that broadcast join, so only MATCHING (doc_id, pos) rows — bounded
+    *    by actual contamination, not corpus size — reach the per-document
+    *    `collect_list` aggregation; the start lists then broadcast back
+    *    onto the corpus scan. Document text never shuffles.
+    *
+    * `hashKeys` matches on `xxhash64(gram)` (8-byte keys at k=13); a
+    * collision removes an innocent span — conservative, like
+    * [[contamination]]'s posture — while the driver gate keys on strings
+    * and stays exact. */
   def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame, k: Int = 13,
-                         hashKeys: Boolean = false): DataFrame = {
+                         hashKeys: Boolean = false,
+                         viaSet: Boolean = true): DataFrame = {
     val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
-    val bench = benchmark.select(col("doc_id"), toks.as("w"))
+    // per-doc distinct only; the set path dedups in the driver `.toSet`
+    // (no global-distinct exchange), the join path adds `.distinct()`
+    val benchRaw = benchmark.select(col("doc_id"), toks.as("w"))
       .select(explode(array_distinct(ngramsOf(col("w"), k))).as("g0"))
-      .select(key(col("g0")).as("g")).distinct()
-    val starts = corpus.select(col("doc_id"), toks.as("w"))
-      .select(col("doc_id"), posexplode(ngramsOf(col("w"), k)).as(Seq("pos", "g0")))
-      .select(col("doc_id"), col("pos"), key(col("g0")).as("g"))
-      .join(broadcast(bench), "g")
-      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+      .select(key(col("g0")).as("g"))
     val w = col("__w"); val st = col("__starts")
-    corpus.join(broadcast(starts), Seq("doc_id"), "left")
+    val starts =
+      if (viaSet) {
+        // a hash set `InSet` built directly: `isin` would stay a linear
+        // `In` list inside the lambda (OptimizeIn does not descend into
+        // HigherOrderFunction bodies — measured 10× slower at 4k grams)
+        val hset: Set[Any] = benchRaw.collect().map(_.get(0) match {
+          case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case x => x
+        }).toSet
+        val bridge = org.apache.spark.sql.graft.bridge
+        def inBench(c: Column): Column = bridge.column(
+          org.apache.spark.sql.catalyst.expressions.InSet(bridge.expression(c), hset))
+        // match + span-start collection as one narrow lambda: position s
+        // (0-based) starts a hit iff its k-gram is in the benchmark set
+        when(size(w) >= k,
+            filter(sequence(lit(0), size(w) - k),
+              s => inBench(key(array_join(slice(w, s + 1, lit(k)), " ")))))
+          .otherwise(array().cast("array<int>"))
+      } else col("starts")
+    val base =
+      if (viaSet) corpus
+      else {
+        val perDoc = corpus.select(col("doc_id"), toks.as("w"))
+          .select(col("doc_id"), posexplode(ngramsOf(col("w"), k)).as(Seq("pos", "g0")))
+          .select(col("doc_id"), col("pos"), key(col("g0")).as("g"))
+          .join(broadcast(benchRaw.distinct()), "g")
+          .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+        corpus.join(broadcast(perDoc), Seq("doc_id"), "left")
+      }
+    // span removal: expand starts to covered positions, keep the rest.
+    // Every derived array (`__starts`, `__cov`, `__keep`) is consumed ONLY
+    // as a higher-order-function ARGUMENT (evaluated once per row) — a
+    // per-token `exists(starts, ...)` predicate would let CollapseProject
+    // inline the whole bench-matching expression into the token lambda and
+    // re-evaluate it once PER TOKEN (measured 10× on the gate corpus)
+    base
       .withColumn("__w", toks)
-      .withColumn("__starts", coalesce(col("starts"), array().cast("array<int>")))
-      .withColumn("__kept",
-        filter(w, (t, j) => !exists(st, s0 => s0 <= j && j < s0 + lit(k))))
+      .withColumn("__starts", coalesce(starts, array().cast("array<int>")))
+      .withColumn("__keep", array_except(
+        sequence(lit(0), size(w) - 1),
+        array_distinct(flatten(transform(st, s0 => sequence(s0, s0 + lit(k - 1)))))))
       .select(col("doc_id"),
-        array_join(col("__kept"), " ").as("clean_text"),
-        (size(w) - size(col("__kept"))).cast("long").as("n_removed"))
+        array_join(transform(col("__keep"), j => element_at(w, j + 1)), " ")
+          .as("clean_text"),
+        (size(w) - size(col("__keep"))).cast("long").as("n_removed"))
   }
 
   /** The sha256-derived deterministic hash behind EVERY sampling/ranking

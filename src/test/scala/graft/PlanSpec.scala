@@ -175,9 +175,26 @@ class PlanSpec extends AnyFunSuite {
       s"only the per-doc count agg may shuffle above the join:\n$p")
   }
 
-  test("decontaminate_spans: bench grams + start lists broadcast, text never shuffles") {
+  test("decontaminate_spans (set path): ONE corpus scan, zero shuffles, zero joins") {
+    // the default InSet regime: the whole span removal is a scan-time map
     val p = physical("decontaminate_spans")
     assertNoCartesian("decontaminate_spans", p)
+    assert(shuffles(p) == 0, s"the set path must not shuffle the corpus:\n$p")
+    assert(count(p) { case _: joins.BroadcastHashJoinExec => } == 0 &&
+      count(p) { case _: joins.SortMergeJoinExec => } == 0,
+      s"the set path must not join:\n$p")
+    assert(count(p) { case _: FileSourceScanExec => } == 1,
+      s"expected exactly one corpus scan:\n$p")
+  }
+
+  test("decontaminate_spans (join path): bench grams + start lists broadcast, text never shuffles") {
+    import org.apache.spark.sql.functions.col
+    val docs = SparkEntry.table(spark, sfDir, "documents")
+    val p = graft.ext.Hygiene.decontaminateSpans(
+        docs.where(col("doc_id") % 50 =!= 0), docs.where(col("doc_id") % 50 === 0),
+        k = 4, viaSet = false)
+      .queryExecution.executedPlan
+    assertNoCartesian("decontaminate_spans(join)", p)
     // two broadcast joins: benchmark grams onto the posexplode, start lists
     // back onto the corpus scan — the TB-sized text column must reach the
     // final projection with no ShuffleExchange anywhere on its path

@@ -573,6 +573,15 @@ class HygieneSpec extends AnyFunSuite {
     val hashed = Hygiene.decontaminateSpans(corpus, bench, k, hashKeys = true)
       .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
     assert(hashed == got, "hashKeys path must agree where no collisions exist")
+    // the broadcast-join regime (for benchmarks too large to ship as an
+    // InSet) must be output-identical to the set path, hashed or not
+    val joined = Hygiene.decontaminateSpans(corpus, bench, k, viaSet = false)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(joined == got, "join path must equal the set path")
+    val joinedHashed = Hygiene.decontaminateSpans(corpus, bench, k,
+      hashKeys = true, viaSet = false)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(joinedHashed == got, "hashed join path must equal the set path")
   }
 
   test("corpusOverlap: constructed shared/unshared grams; hashKeys agrees") {
