@@ -66,6 +66,89 @@ object Joins {
         payload.map(p => col(s"__m.$p").as(s"$prefix$p")): _*)
   }
 
+  /** [[asofJoin]] for SKEWED keys. The plain form's one window runs each
+    * key in ONE task — a pathologically hot key (a mega-user, a default
+    * key) serializes its whole timeline through a single straggler. This
+    * variant salts BY TIME RANGE, the only salt an as-of can use (a random
+    * salt would sever the running frame's order): rows land in fixed
+    * `grainSeconds` buckets, the running window partitions by (keys,
+    * bucket) — a hot key's timeline now spreads over its buckets — and a
+    * SECOND, tiny window over the per-(key, bucket) summaries (one row per
+    * bucket with right data: its latest payload) computes each bucket's
+    * carry-in, the latest right payload from any earlier bucket. A row
+    * unmatched within its own bucket takes the carry. Exact same output
+    * as [[asofJoin]] (spec-pinned): within-bucket rows see the bucket
+    * prefix; the carry is precisely the pre-bucket prefix.
+    *
+    * Cost: one (keys, bucket) co-partitioning of the data (same volume as
+    * the unsalted exchange, finer keys), plus a summary-sized exchange and
+    * a (keys, bucket)-keyed join of the carry table — rows per key per
+    * window task drop from |timeline| to |bucket|. Pick `grainSeconds` so
+    * the hottest key's per-bucket row count is comfortable ([[
+    * graft.ext.Freq.skewReport]] measures exactly this; [[asofJoinAuto]]
+    * wires the two together). For a TIMESTAMP `tsCol` the grain is in
+    * seconds; for a numeric one it is in the column's own unit. */
+  def asofJoinSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     tsCol: String, payload: Seq[String], prefix: String = "r_",
+                     grainSeconds: Long = 86400L): DataFrame = {
+    require(grainSeconds > 0, "grain must be positive")
+    val rv = struct(payload.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(tsCol).as("__ts"), rv.as("__rv"), lit(0).as("__side")): _*)
+    val bucketOf: Column => Column = r.schema("__ts").dataType match {
+      case _: org.apache.spark.sql.types.TimestampType =>
+        c => floor(unix_micros(c) / (grainSeconds * 1000000L))
+      case _ => c => floor(c.cast("long") / grainSeconds)
+    }
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(tsCol))
+      .withColumn("__rv", lit(null).cast(r.schema("__rv").dataType))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__b", bucketOf(col("__ts")))
+    val wB = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = u.withColumn("__m", last(col("__rv"), ignoreNulls = true).over(wB))
+    // one row per (key, bucket) holding the bucket's LATEST right payload;
+    // bucket order == time order, so the latest payload across all earlier
+    // buckets is the last summary row before this bucket
+    val rSum = r.withColumn("__b", bucketOf(col("__ts")))
+      .groupBy((keys :+ "__b").map(col): _*)
+      .agg(max(struct(col("__ts"), col("__rv"))).as("__s"))
+      .select(keys.map(col) ++ Seq(col("__b"), col("__s.__rv").as("__brv")): _*)
+    val allB = u.select((keys :+ "__b").map(col): _*).distinct()
+    val wK = Window.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allB.join(rSum, keys :+ "__b", "left")
+      .withColumn("__carry", last(col("__brv"), ignoreNulls = true).over(wK))
+      .select(keys.map(col) ++ Seq(col("__b"), col("__carry")): _*)
+    within.join(carry, keys :+ "__b", "left")
+      .where(col("__side") === 1)
+      .withColumn("__m2", coalesce(col("__m"), col("__carry")))
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__m2.$p").as(s"$prefix$p")): _*)
+  }
+
+  /** [[asofJoin]] with the regime picked by MEASUREMENT: a [[
+    * graft.ext.Freq.skewReport]] preflight on the left keys reads the
+    * hottest key's row count; above `hotRowThreshold` the salted form
+    * runs, otherwise the plain one (same output either way — the
+    * threshold is purely a physical decision, the [[
+    * graft.ext.Dedup.dedupAuto]] posture). */
+  def asofJoinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, payload: Seq[String], prefix: String = "r_",
+                   hotRowThreshold: Long = 2000000L,
+                   grainSeconds: Long = 86400L): DataFrame = {
+    val hot = Freq.skewReport(
+        left.select(concat_ws("|", keys.map(col): _*).as("k")), col("k"), topK = 1)
+      .select("n").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    if (hot > hotRowThreshold)
+      asofJoinSalted(left, right, keys, tsCol, payload, prefix, grainSeconds)
+    else asofJoin(left, right, keys, tsCol, payload, prefix)
+  }
+
   /** Point-in-interval join: all (point, interval) matches where the point's
     * `tsCol` ∈ [`startCol`, `endCol`) and `keys` match, via fixed-grain
     * bucketing of the (small, broadcast) interval side. `grainSeconds`
@@ -258,6 +341,25 @@ object Joins {
           coalesce(unix_micros(col("purchase_ts")), lit(-1L)))
         .drop("purchase_ts")
     }),
+    // the salted regime over the same inputs (6h grain → ~120 buckets over
+    // the 30-day gate span), against the identical DuckDB ASOF oracle
+    "asof_join_salted" -> ((s, dir) => {
+      val events = SparkEntry.table(s, dir, "events")
+      val purchases = events.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("s"))
+        .select(col("user_id"), col("ts"),
+          col("s.event_id").as("purchase_id"), col("s.value").as("purchase_value"))
+        .withColumn("purchase_ts", col("ts"))
+      val clicks = events.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      asofJoinSalted(clicks, purchases, Seq("user_id"), "ts",
+        Seq("purchase_id", "purchase_ts", "purchase_value"), prefix = "",
+        grainSeconds = 6 * 3600L)
+        .withColumn("purchase_us",
+          coalesce(unix_micros(col("purchase_ts")), lit(-1L)))
+        .drop("purchase_ts")
+    }),
     // per incident window: traffic volume and exact integer-cents value sum
     // (a double SUM is summation-order nondeterministic; cents are exact)
     "interval_join" -> ((s, dir) => {
@@ -298,6 +400,20 @@ object Joins {
     // DuckDB's native ASOF JOIN — a genuinely independent implementation of
     // the same semantics (greatest right ts ≤ left ts, per key)
     "asof_join" ->
+      """WITH pr AS (
+        |  SELECT user_id, ts, ts AS purchase_ts,
+        |         arg_max(event_id, event_id) AS purchase_id,
+        |         arg_max(value, event_id) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts),
+        |cl AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT cl.event_id, cl.user_id, cl.ts,
+        |       pr.purchase_id, pr.purchase_value,
+        |       coalesce(epoch_us(pr.purchase_ts), -1) AS purchase_us
+        |FROM cl ASOF LEFT JOIN pr ON cl.user_id = pr.user_id AND cl.ts >= pr.ts""".stripMargin,
+    // identical semantics, identical oracle: the salted form must be
+    // indistinguishable from the plain one to any reader
+    "asof_join_salted" ->
       """WITH pr AS (
         |  SELECT user_id, ts, ts AS purchase_ts,
         |         arg_max(event_id, event_id) AS purchase_id,

@@ -54,6 +54,58 @@ class JoinsSpec extends AnyFunSuite {
     assert(g == b)
   }
 
+  test("asofJoinSalted == asofJoin on adversarial + skewed data; bucket edges exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // one pathologically hot key (0) with half the rows, plus the usual
+    // ties/gaps; timestamps cluster so many land in one bucket and others
+    // sit exactly ON bucket boundaries (t multiple of the grain)
+    val left = (1 to 600).map { i =>
+      val k = if (i % 2 == 0) 0L else rnd.nextInt(20).toLong
+      (i.toLong, k, rnd.nextInt(100).toLong)
+    }.toDF("l_id", "k", "t")
+    val right = (1 to 300).map { i =>
+      val k = if (i % 2 == 0) 0L else rnd.nextInt(10).toLong * 2
+      (1000L + i, k, rnd.nextInt(100).toLong, rnd.nextDouble())
+    }.toDF("r_id", "k", "t", "v")
+      .groupBy("k", "t").agg(max(struct(col("r_id"), col("v"))).as("s"))
+      .select(col("k"), col("t"), col("s.r_id").as("r_id"), col("s.v").as("v"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_id", "r_r_id", "r_v").collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    val plain = rows(Joins.asofJoin(left, right, Seq("k"), "t", Seq("r_id", "v")))
+    for (grain <- Seq(1L, 7L, 25L, 1000L)) { // incl. every-row-own-bucket and one-bucket
+      val salted = rows(Joins.asofJoinSalted(left, right, Seq("k"), "t",
+        Seq("r_id", "v"), grainSeconds = grain))
+      assert(salted == plain, s"salted(grain=$grain) diverges from plain")
+    }
+    // the auto form picks a regime by measured skew; output identical either way
+    val auto = rows(Joins.asofJoinAuto(left, right, Seq("k"), "t",
+      Seq("r_id", "v"), hotRowThreshold = 100L, grainSeconds = 7L))
+    assert(auto == plain)
+  }
+
+  test("asofJoinSalted plan: data window partitioned by (keys, bucket), never keys alone") {
+    import spark.implicits._
+    val left = (1 to 50).map(i => (i.toLong, i.toLong % 3, i.toLong)).toDF("l_id", "k", "t")
+    val right = (1 to 50).map(i => (100L + i, i.toLong % 3, i.toLong, 0.1 * i)).toDF("r_id", "k", "t", "v")
+    val p = Joins.asofJoinSalted(left, right, Seq("k"), "t", Seq("r_id"), grainSeconds = 5L)
+      .queryExecution.executedPlan
+    val wins = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty)
+    // the window over the FULL data must salt by bucket; only the
+    // summary-sized carry window (its subtree aggregates the distinct
+    // (key, bucket) set first) may key alone
+    val dataWins = wins.filter(_.child.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }.isEmpty)
+    assert(dataWins.nonEmpty, s"expected the running window over the raw union:\n$p")
+    dataWins.foreach(w => assert(w.partitionSpec.size == 2,
+      s"full-data window must partition by (key, bucket):\n$p"))
+  }
+
   test("asofJoin: a tied right-side timestamp is visible to the left row") {
     import spark.implicits._
     val left = Seq((1L, 1L, 10L)).toDF("l_id", "k", "t")
