@@ -301,6 +301,25 @@ object Quality {
     } finally pcum.unpersist()
   }
 
+  /** Exact equi-depth quantile boundaries as a first-class operator:
+    * boundary q (q = 1..k−1) is the smallest value whose running count
+    * reaches `ceil(q·n/k)` — the integer rank rule of
+    * [[driftReportQuantile]], exposed directly for percentile reporting,
+    * length-bucket design, and SLA thresholds. Exact (never an
+    * interpolated `percentile_approx`), yet fully distributed: the
+    * two-phase prefix sum of [[rangeCumCounts]] — no global sort, no
+    * single-task window, the driver holds only partition totals and the
+    * k−1 boundaries. */
+  def exactQuantiles(df: DataFrame, value: Column, k: Int = 10): DataFrame = {
+    require(k >= 2, "need at least two buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(value.cast("long").as("v"))
+    val total = vals.count()
+    val bounds = quantileBounds(vals, total, k)
+    (1 until k).map(q => (q.toLong, bounds(q - 1))).toDF("q", "boundary")
+  }
+
   def driftReportQuantile(ref: DataFrame, cur: DataFrame, value: Column,
                           nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, "need at least two buckets")
@@ -547,6 +566,9 @@ object Quality {
       driftReportQuantile(docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1), col("n_chars"))
     }),
+    // exact ventile boundaries of document length
+    "exact_quantiles" -> ((s, dir) =>
+      exactQuantiles(SparkEntry.table(s, dir, "documents"), col("n_chars"), k = 20)),
     // even doc_ids play the accepted reference, odd the incoming
     // candidate; n_chars is the monitored feature
     "drift_report" -> ((s, dir) => {
@@ -665,6 +687,18 @@ object Quality {
         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
         |FROM r""".stripMargin,
+
+    // the identical integer rank rule, q = 1..19 over one signal
+    "exact_quantiles" ->
+      """WITH v AS (SELECT n_chars AS v FROM documents),
+        |t AS (SELECT count(*) AS n FROM v),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT v, count(*) AS c FROM v GROUP BY v))
+        |SELECT CAST(b.b AS BIGINT) AS q, min(cum.v) AS boundary
+        |FROM (SELECT unnest(range(1, 20)) AS b) b, t, cum
+        |WHERE cum.cum >= CAST(ceil(b.b * n / 20.0) AS BIGINT)
+        |GROUP BY b.b""".stripMargin,
 
     // the same equi-depth rank rule once per signal: boundary b = smallest
     // value with running count >= ceil(b*n/10); decile = #boundaries<=v;

@@ -296,6 +296,18 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantiles: boundaries equal the JVM sorted-rank rule") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val vs = docs.select("n_chars").collect().map(_.getLong(0)).sorted
+    val k = 20
+    val want = (1 until k).map { q =>
+      q.toLong -> vs(math.ceil(q.toDouble * vs.length / k).toInt - 1)
+    }.toMap
+    val got = Quality.exactQuantiles(docs, col("n_chars"), k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("quantileBounds prefix sum: exact on a 50k-distinct-value domain (multi-range)") {
     import spark.implicits._
     // high-cardinality probe: the distinct-value histogram spans every
