@@ -130,7 +130,7 @@ object SparkEntry {
       ext.Olap.queries ++ ext.Layout.queries ++ ext.Freq.queries ++
       ext.Sft.queries ++ ext.Versioning.queries ++ ext.TopK.queries ++
       ext.Snapshot.queries ++ ext.TimeSeries.queries ++ ext.Behavior.queries ++
-      ext.Contract.queries ++ ext.Weak.queries ++
+      ext.Contract.queries ++ ext.Weak.queries ++ ext.Graph.queries ++
       engine.Quarantine.queries ++
       engine.StreamingCoverage.queries
 
@@ -446,7 +446,7 @@ object SparkEntry {
     ext.Olap.oracleSql ++ ext.Layout.oracleSql ++ ext.Freq.oracleSql ++
     ext.Sft.oracleSql ++ ext.Versioning.oracleSql ++ ext.TopK.oracleSql ++
     ext.Snapshot.oracleSql ++ ext.TimeSeries.oracleSql ++ ext.Behavior.oracleSql ++
-    ext.Contract.oracleSql ++ ext.Weak.oracleSql ++
+    ext.Contract.oracleSql ++ ext.Weak.oracleSql ++ ext.Graph.oracleSql ++
     engine.Quarantine.oracleSql ++
     engine.StreamingCoverage.oracleSql
 }

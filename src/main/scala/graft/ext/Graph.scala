@@ -1,0 +1,173 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** Graph operators for corpus curation: the near-dup PAIR LIST becomes a
+  * usable dedup only once pairs are closed into CLUSTERS (connected
+  * components → one canonical doc per cluster), and link-graph centrality
+  * (PageRank) is the classic crawl-corpus quality prior (its original
+  * use). Both are iterative — the part Spark expresses as a driver loop
+  * over DataFrame steps with per-iteration `localCheckpoint` lineage
+  * truncation (the [[Vocab.trainBpe]] posture).
+  *
+  * Scale design (100 TB):
+  *  - [[connectedComponents]] — min-label propagation: each round is one
+  *    edge⋈label join + a dst-keyed min aggregate, all partial-agged;
+  *    rounds = component diameter. Near-dup graphs are dense small
+  *    clusters (diameter a few hops), so convergence is fast by
+  *    construction; `maxIter` fails LOUDLY on non-convergence rather than
+  *    returning a half-propagated labeling.
+  *  - [[pagerankInt]] — FIXED-POINT INTEGER PageRank: ranks are scaled
+  *    longs, contributions use truncating division, sums are integer —
+  *    order-independent and bit-identical across engines/partitionings,
+  *    where float PageRank diverges by summation order. Each iteration is
+  *    one join + one partial-agged sum keyed by dst.
+  */
+object Graph {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Undirected connected components over an edge list; returns
+    * `(node, component)` with component = the smallest node id in the
+    * component. Covers nodes that appear in at least one edge — join
+    * singletons back with a coalesce (see the `dedup_components` gate). */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nb = sym
+        .join(labels.select(col("node").as("b"), col("comp")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("comp")).as("nc"))
+      val next = labels.join(nb, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
+          (coalesce(col("nc"), col("comp")) < col("comp")).as("ch"))
+        .localCheckpoint(true)
+      changed = next.where(col("ch")).count()
+      labels = next.drop("ch")
+      it += 1
+    }
+    require(changed == 0,
+      s"connectedComponents: not converged after $maxIter rounds — the graph " +
+        "has a longer diameter than expected; raise maxIter")
+    labels
+  }
+
+  /** Fixed-point integer PageRank over a DIRECTED edge list (symmetrize
+    * first for an undirected graph): `iters` damped iterations at scale
+    * `scale`, damping `dampNum/dampDen`. Every node starts at `scale`;
+    * contribution of u to each out-neighbor is `r(u) div outdeg(u)`
+    * (truncating); the update is `damp · Σcontrib div den + teleport`.
+    * Ranks are relative integers (unnormalized — ordering and ratios are
+    * what centrality consumers use). */
+  def pagerankInt(edges: DataFrame, src: String, dst: String,
+                  iters: Int = 5, scale: Long = 1000000000L,
+                  dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen >= dampNum, "bad damping")
+    val e = edges.select(col(src).cast("string").as("src"),
+      col(dst).cast("string").as("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val teleport = scale * (dampDen - dampNum) / dampDen
+    var r = nodes.withColumn("r", lit(scale)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e.join(deg, "src")
+        .join(r.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("acc"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"coalesce(acc, cast(0 as bigint)) * $dampNum div $dampDen")
+            + lit(teleport)).as("r"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
+  val queries: Map[String, Q] = Map(
+    // near-dup pairs closed into dedup clusters; singleton docs are their
+    // own component — the canonical-representative table a cluster-level
+    // dedup keeps
+    "dedup_components" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, k = 3, tau = 0.5)
+      val cc = connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component"))
+    }),
+    // centrality over the customer–supplier transaction graph (symmetrized
+    // bipartite), 5 fixed-point iterations
+    "pagerank" -> ((s, dir) => {
+      val orders = SparkEntry.table(s, dir, "orders")
+      val lineitem = SparkEntry.table(s, dir, "lineitem")
+      val e0 = lineitem.join(orders,
+          lineitem("l_orderkey") === orders("o_orderkey"))
+        .select(concat(lit("c:"), col("o_custkey")).as("a"),
+          concat(lit("s:"), col("l_suppkey")).as("b"))
+        .distinct()
+      val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      pagerankInt(sym, "a", "b", iters = 5)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_components" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |co AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |p AS (SELECT id_a, id_b FROM co
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+        |comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+        |SELECT doc_id, COALESCE(comp, doc_id) AS component
+        |FROM documents LEFT JOIN comp ON comp.node = documents.doc_id""".stripMargin,
+    "pagerank" -> {
+      val iter = (k: Int) =>
+        s"""r$k AS (
+           |  SELECT n.node,
+           |    CAST(COALESCE(s.acc, 0) * 85 // 100 + 150000000 AS BIGINT) AS r
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r${k - 1}.r // deg.deg) AS acc
+           |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+           |    JOIN deg ON deg.src = e.src
+           |    GROUP BY e.dst) s USING (node))""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |                  's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT a AS src, b AS dst FROM e0
+         |      UNION SELECT b, a FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, r FROM r5""".stripMargin
+    },
+  )
+}

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ProdSession
+
+/** [[Graph]]: connected components vs an independent JVM union-find over
+  * random graphs, the loud non-convergence contract, and fixed-point
+  * PageRank vs an exact JVM integer mirror (plus partitioning
+  * determinism — the property the integer formulation exists for). */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = ProdSession.spark
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(v => v -> find(v)).toMap
+  }
+
+  test("connectedComponents == union-find on random graphs (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 150).map(_ =>
+        (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .filter(e => e._1 != e._2)
+      val want = unionFind(100, edges)
+      val got = Graph.connectedComponents(
+          edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("connectedComponents: a diameter past maxIter fails loudly") {
+    import spark.implicits._
+    // a 30-node path has diameter 29 — maxIter 3 cannot converge
+    val path = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(path, "a", "b", maxIter = 3)
+    }
+    assert(e.getMessage.contains("not converged"))
+    // and with enough rounds the same path collapses to component 0
+    val ok = Graph.connectedComponents(path, "a", "b", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(0L) && ok.size == 30)
+  }
+
+  private def jvmPagerank(edges: Seq[(String, String)], iters: Int,
+                          scale: Long = 1000000000L): Map[String, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val teleport = scale * 15 / 100
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val acc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (u, v) => acc(v) += r(u) / out(u) }
+      r = nodes.map(v => v -> (acc(v) * 85 / 100 + teleport)).toMap
+    }
+    r
+  }
+
+  test("pagerankInt == the exact JVM integer mirror; partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 200).map(_ =>
+      (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}")).distinct
+      .filter(e => e._1 != e._2)
+    val want = jvmPagerank(edges, iters = 5)
+    val df = edges.toDF("s", "d")
+    val got = Graph.pagerankInt(df, "s", "d", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // integer arithmetic is summation-order-independent: a different
+    // physical partitioning must produce the identical ranks
+    val reparted = Graph.pagerankInt(df.repartition(7), "s", "d", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reparted == got)
+  }
+
+  test("pagerank gate: a source-less node earns exactly the teleport mass") {
+    import spark.implicits._
+    val df = Seq(("a", "b"), ("b", "c")).toDF("s", "d") // nothing points at a
+    val got = Graph.pagerankInt(df, "s", "d", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == 150000000L)
+    assert(got("b") > got("a") && got("c") > got("a"))
+  }
+}
