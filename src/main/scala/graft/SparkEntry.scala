@@ -112,7 +112,16 @@ object SparkEntry {
     // blocklist, dpo pairs, drift, budget/batching/interleave/late-audit,
     // keep-best, edit-verify, cdc, assign_ids, card, cms) sit at the
     // scan/job floor at sf0.1
-    "glove_cooc", "attribution", "semantic_boundaries")
+    "glove_cooc", "attribution", "semantic_boundaries",
+    // round-10 block: the iterative graph jobs (pair-graph closure, 5
+    // fixed-point PageRank rounds over the transaction graph), the salted
+    // as-of regime (same volume as asof_join through finer keys + the
+    // carry join), the signal-ensemble (three distributed quantile
+    // passes + the narrow decile map), and the changelog merge (one
+    // struct-extrema shuffle). label_vote / lf_report / exact_quantiles /
+    // rolling_features / scd2_history sit at the scan/job floor at sf0.1.
+    "dedup_components", "pagerank", "asof_join_salted", "quality_ensemble",
+    "merge_upsert")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

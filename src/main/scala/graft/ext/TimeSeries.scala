@@ -64,14 +64,49 @@ object TimeSeries {
         (-col("s.score")).cast("long").as("d2"))
   }
 
+  /** Per-entity ROLLING features over the ordered event stream — the
+    * standard feature-engineering pass before behavioral model training:
+    * rolling count/sum over the last `n` events (current row inclusive)
+    * and the inter-arrival gap. One key-partitioned window (parallel
+    * across entities; a bounded ROWS frame, so each task streams its
+    * partition once — O(rows), no per-row rescan). Deterministic order:
+    * (ts, id) — `idCol` breaks timestamp ties identically on every
+    * engine. Integer cents and µs throughout. */
+  def rollingFeatures(events: DataFrame, entity: String, tsCol: String,
+                      idCol: String, valueCents: Column, n: Int = 5): DataFrame = {
+    require(n >= 1, "need a positive frame")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entity).orderBy(col("ts_us").asc, col(idCol).asc)
+    val wN = w.rowsBetween(-(n - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    events.select(col(entity), col(idCol),
+        unix_micros(col(tsCol)).as("ts_us"), valueCents.as("cents"))
+      .withColumn("roll_n", count(lit(1)).over(wN))
+      .withColumn("roll_cents", sum(col("cents")).over(wN))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+  }
+
   val queries: Map[String, Q] = Map(
     // the 3 lowest-id users as queries, hourly activity series
     "ts_topk" -> ((s, dir) =>
       tsTopK(SparkEntry.table(s, dir, "events"), "user_id", "ts",
         queryIds = Seq(0L, 1L, 2L), k = 5)),
+    // last-5-events rolling features per user
+    "rolling_features" -> ((s, dir) =>
+      rollingFeatures(SparkEntry.table(s, dir, "events"), "user_id", "ts",
+        "event_id", round(col("value") * 100).cast("long"), n = 5)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rolling_features" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS roll_cents,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
     "ts_topk" ->
       """WITH s AS (
         |  SELECT user_id AS ent, epoch_us(ts) // 3600000000 AS bucket, count(*) AS c

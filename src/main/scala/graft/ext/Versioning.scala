@@ -35,6 +35,47 @@ object Versioning {
       .select(col("__id").as(idCol), col("status"))
   }
 
+  /** Changelog MERGE (the Delta/Iceberg `MERGE INTO` core, reduced to its
+    * deterministic latest-wins rule): apply a change stream of upserts and
+    * deletes to a base table. Each change row carries (`key`, `ts`, `op` ∈
+    * {'u','d'}, payload…); per key the LATEST change wins (ties broken by
+    * op, 'u' > 'd', then payload — make `ts` unique per key upstream for a
+    * well-defined merge); a key with no change keeps its base row; a
+    * winning 'd' removes the key.
+    *
+    * Scale shape: base rows enter as changes at timestamp −∞, and the
+    * winner per key is ONE partial-agged `max(struct(ts, op, payload))` —
+    * a single shuffle of (key, payload), no join at all, no window. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
+                  tsCol: String, opCol: String,
+                  payload: Seq[String]): DataFrame = {
+    val pv = (df: DataFrame, ts: Column, op: Column) => df.select(
+      col(key),
+      struct(ts.as("ts") +: op.as("op") +: payload.map(col): _*).as("__c"))
+    val b = pv(base, lit(Long.MinValue).cast("long"), lit("u"))
+    val c = pv(changes, col(tsCol).cast("long"), col(opCol))
+    b.unionByName(c)
+      .groupBy(key).agg(max(col("__c")).as("__w"))
+      .where(col("__w.op") === "u")
+      .select(col(key) +: payload.map(p => col(s"__w.$p").as(p)): _*)
+  }
+
+  /** Slowly-changing-dimension TYPE-2 history from the same change
+    * stream: one row per (key, version) with `valid_from`/`valid_to`
+    * (null = current). The audit-trail twin of [[mergeUpsert]] — "what
+    * did this document look like when the model trained?" is a
+    * time-travel query over this table. One key-partitioned `lead`
+    * window (partial per key — many keys parallelize; a single key's
+    * history is its version count, never corpus-sized). */
+  def scd2(changes: DataFrame, key: String, tsCol: String, tieCol: String,
+           payload: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(col("valid_from").asc, col(tieCol).asc)
+    changes.select(col(key) +: col(tsCol).cast("long").as("valid_from") +:
+        payload.map(col): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+  }
+
   /** Per-bucket content checksums: `nBuckets` rows of (bucket, n_docs,
     * checksum), where the checksum XORs a per-document content hash over a
     * deterministic id-derived bucket. The replication-integrity table of a
@@ -123,6 +164,27 @@ object Versioning {
     "gdpr_forget" -> ((s, dir) =>
       forgetAudit(SparkEntry.table(s, dir, "events"), col("user_id"),
         GateForgetRequests)),
+    // customer balances as the base table, events as the change stream
+    // ('error' events are deletes); latest change wins
+    "merge_upsert" -> ((s, dir) => {
+      val base = SparkEntry.table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), lit(-1L).as("event_id"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val changes = SparkEntry.table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          unix_micros(col("ts")).as("__ts"),
+          when(col("event_type") === "error", "d").otherwise("u").as("__op"))
+      mergeUpsert(base, changes, "user_id", "__ts", "__op",
+        Seq("event_id", "cents"))
+    }),
+    // full per-user history with validity ranges from the same stream
+    "scd2_history" -> ((s, dir) =>
+      scd2(SparkEntry.table(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"),
+            unix_micros(col("ts")).as("__ts")),
+        "user_id", "__ts", "event_id", Seq("event_id", "cents"))),
     // the maintained card after absorbing the corpus in two batches must
     // equal the one-shot groupBy (fresh temp state per run)
     "card_maintained" -> ((s, dir) => {
@@ -150,6 +212,30 @@ object Versioning {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // identical latest-wins struct-max rule; DuckDB struct comparison is
+    // field-lexicographic in declared order, same as Spark's
+    "merge_upsert" ->
+      """WITH b AS (SELECT c_custkey AS user_id,
+        |    struct_pack(ts := CAST(-9223372036854775808 AS BIGINT), op := 'u',
+        |      event_id := CAST(-1 AS BIGINT),
+        |      cents := CAST(round(c_acctbal * 100) AS BIGINT)) AS c
+        |  FROM customer),
+        |ch AS (SELECT user_id,
+        |    struct_pack(ts := epoch_us(ts),
+        |      op := CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END,
+        |      event_id := event_id,
+        |      cents := CAST(round(value * 100) AS BIGINT)) AS c
+        |  FROM events),
+        |w AS (SELECT user_id, max(c) AS w
+        |      FROM (SELECT * FROM b UNION ALL SELECT * FROM ch) GROUP BY user_id)
+        |SELECT user_id, w.event_id AS event_id, w.cents AS cents
+        |FROM w WHERE w.op = 'u'""".stripMargin,
+    "scd2_history" ->
+      """SELECT user_id, epoch_us(ts) AS valid_from, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS valid_to
+        |FROM events""".stripMargin,
     "gdpr_forget" ->
       """WITH req(req_key) AS (VALUES (3), (7), (11), (999999))
         |SELECT CAST(req_key AS BIGINT) AS req_key,

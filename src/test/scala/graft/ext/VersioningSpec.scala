@@ -100,4 +100,79 @@ class VersioningSpec extends AnyFunSuite {
       docs.limit(0), col("source")))
     assert(after == full, "a crash-partial snapshot must be ignored")
   }
+
+  test("mergeUpsert: latest wins, deletes remove, untouched base persists") {
+    import spark.implicits._
+    val base = Seq((1L, -1L, 100L), (2L, -1L, 200L), (3L, -1L, 300L))
+      .toDF("k", "eid", "cents")
+    val changes = Seq(
+      (1L, 10L, 111L, 5L, "u"),  // upsert over base
+      (1L, 11L, 999L, 3L, "u"),  // older upsert — must lose
+      (2L, 20L, 222L, 7L, "d"),  // delete key 2
+      (4L, 40L, 444L, 9L, "u"))  // insert a new key
+      .toDF("k", "eid", "cents", "ts", "op")
+    val got = Versioning.mergeUpsert(base, changes, "k", "ts", "op",
+        Seq("eid", "cents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((10L, 111L)), 3L -> ((-1L, 300L)), 4L -> ((40L, 444L))))
+    // a later upsert resurrects a deleted key
+    val resurrect = changes.unionByName(Seq((2L, 21L, 225L, 8L, "u"))
+      .toDF("k", "eid", "cents", "ts", "op"))
+    val got2 = Versioning.mergeUpsert(base, resurrect, "k", "ts", "op",
+        Seq("eid", "cents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got2(2L) == ((21L, 225L)))
+  }
+
+  test("scd2: validity ranges chain exactly; one open (current) row per key") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, 100L, 5L), (1L, 11L, 110L, 7L), (1L, 12L, 120L, 9L),
+      (2L, 20L, 200L, 6L))
+      .toDF("k", "eid", "cents", "ts")
+    val rows = Versioning.scd2(changes, "k", "ts", "eid", Seq("eid", "cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2).toSeq
+      // each version closes exactly when the next opens; last stays open
+      sorted.sliding(2).foreach { pair =>
+        if (pair.size == 2) assert(pair(0)._4.contains(pair(1)._2), s"key $k chain")
+      }
+      assert(sorted.last._4.isEmpty, s"key $k must have one open row")
+      assert(sorted.init.forall(_._4.isDefined))
+    }
+    assert(byKey(1L).size == 3 && byKey(2L).size == 1)
+  }
+
+  test("rollingFeatures: frame arithmetic equals the JVM sliding fold") {
+    import spark.implicits._
+    val n = 4
+    val rnd = new scala.util.Random(11)
+    val events = (1 to 200).map(i =>
+      (i.toLong % 7, i.toLong, rnd.nextInt(100).toLong * 1000000L, rnd.nextInt(500).toLong))
+      .toDF("user_id", "event_id", "ts_us0", "cents0")
+      .select(col("user_id"), col("event_id"),
+        org.apache.spark.sql.functions.timestamp_micros(col("ts_us0")).as("ts"),
+        col("cents0"))
+    val got = TimeSeries.rollingFeatures(events, "user_id", "ts", "event_id",
+        col("cents0"), n = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6)))))
+      .toMap
+    val want = events
+      .withColumn("ts_us", org.apache.spark.sql.functions.unix_micros(col("ts")))
+      .select("user_id", "event_id", "cents0", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, vs) =>
+        val sorted = vs.toSeq.sortBy(v => (v._3, v._2))
+        sorted.zipWithIndex.map { case ((u, eid, ts, cents), i) =>
+          val frame = sorted.slice(math.max(0, i - n + 1), i + 1)
+          (u, eid) -> ((frame.size.toLong, frame.map(_._4).sum,
+            if (i == 0) None else Some(ts - sorted(i - 1)._3)))
+        }
+      }.toMap
+    assert(got == want)
+  }
 }
