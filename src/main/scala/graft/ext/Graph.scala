@@ -69,26 +69,44 @@ object Graph {
     * what centrality consumers use). */
   def pagerankInt(edges: DataFrame, src: String, dst: String,
                   iters: Int = 5, scale: Long = 1000000000L,
-                  dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+                  dampNum: Long = 85, dampDen: Long = 100,
+                  broadcastNodes: Long = 10000000L,
+                  checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen >= dampNum, "bad damping")
-    val e = edges.select(col(src).cast("string").as("src"),
-      col(dst).cast("string").as("dst")).localCheckpoint(true)
+    // the ONE edge materialization; everything downstream reads the cache
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .localCheckpoint(true)
+    // the degree table is |nodes|-sized: broadcast once, ReuseExchange
+    // dedups it across every iteration inside the final action
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    val nNodes = nodes.count()
+    // two physical regimes, one logical plan: below `broadcastNodes` the
+    // rank table broadcasts both ways and the edge table NEVER shuffles
+    // (one partial-agged exchange of ≤|nodes| rows per iteration); above
+    // it the joins co-partition — the web-graph regime where |nodes|
+    // exceeds executor memory
+    val bc: DataFrame => DataFrame =
+      if (nNodes <= broadcastNodes) broadcast else identity
     val teleport = scale * (dampDen - dampNum) / dampDen
-    var r = nodes.withColumn("r", lit(scale)).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "src")
-        .join(r.select(col("node").as("src"), col("r")), "src")
+    // iterations CHAIN inside one query (each exchange is computed once —
+    // ReuseExchange dedups the shared prefixes), with a lineage-truncating
+    // checkpoint only every `checkpointEvery` rounds: at 5-iteration
+    // centrality depth the whole run is ONE action over the cached edge
+    // table; a 50-round run truncates periodically like [[Vocab.trainBpe]]
+    var r = nodes.withColumn("r", lit(scale))
+    for (i <- 1 to iters) {
+      val contrib = e.join(bc(deg), "src")
+        .join(bc(r.select(col("node").as("src"), col("r"))), "src")
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("acc"))
-      r = nodes.join(contrib, Seq("node"), "left")
+      r = nodes.join(bc(contrib), Seq("node"), "left")
         .select(col("node"),
           (expr(s"coalesce(acc, cast(0 as bigint)) * $dampNum div $dampDen")
             + lit(teleport)).as("r"))
-        .localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
     }
     r
   }
@@ -107,14 +125,17 @@ object Graph {
           coalesce(col("comp"), col("doc_id")).as("component"))
     }),
     // centrality over the customer–supplier transaction graph (symmetrized
-    // bipartite), 5 fixed-point iterations
+    // bipartite), 5 fixed-point iterations. Node ids are LONGS (customer =
+    // 2k, supplier = 2k+1) — an 8-byte id shuffles and compares several
+    // times cheaper than a tagged string at web-graph scale
     "pagerank" -> ((s, dir) => {
       val orders = SparkEntry.table(s, dir, "orders")
       val lineitem = SparkEntry.table(s, dir, "lineitem")
-      val e0 = lineitem.join(orders,
-          lineitem("l_orderkey") === orders("o_orderkey"))
-        .select(concat(lit("c:"), col("o_custkey")).as("a"),
-          concat(lit("s:"), col("l_suppkey")).as("b"))
+      val ok = broadcast(orders.select(col("o_orderkey"), col("o_custkey")))
+      val e0 = lineitem.join(ok,
+          lineitem("l_orderkey") === ok("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
       val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       pagerankInt(sym, "a", "b", iters = 5)
@@ -158,8 +179,7 @@ object Graph {
            |    JOIN deg ON deg.src = e.src
            |    GROUP BY e.dst) s USING (node))""".stripMargin
       s"""WITH e0 AS (
-         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
-         |                  's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |e AS (SELECT a AS src, b AS dst FROM e0
          |      UNION SELECT b, a FROM e0),

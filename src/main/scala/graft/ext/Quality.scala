@@ -261,45 +261,64 @@ object Quality {
     * offsets. The k−1 boundary values come back through ONE aggregate row
     * (`min(v) where cum ≥ rank_b` per boundary); driver state is the
     * partition totals (numShufflePartitions longs) + k−1 longs. */
-  /** Stage 1 of the two-phase prefix sum: distinct-value counts,
-    * range-partitioned by value, with the PER-RANGE running count (window
-    * partitioned by range id — parallel, never a single task). Exposed for
-    * the PlanSpec single-task-window pin. */
+  /** Stage 1 of the two-phase prefix sum, MULTI-SIGNAL: per-(signal,
+    * value) distinct counts, range-partitioned by (signal, value), with
+    * the PER-RANGE running count (window partitioned by (signal, range
+    * id) — parallel, never a single task). Several signals share ONE
+    * histogram pass ([[qualityEnsemble]] computes all its boundaries from
+    * a single corpus scan). Exposed for the PlanSpec single-task-window
+    * pin. */
   private[graft] def rangeCumCounts(vals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nParts = vals.sparkSession.sessionState.conf.numShufflePartitions
-    // range partitioning assigns ascending value ranges to ascending
-    // partition ids, so a per-partition window + cross-partition offsets
-    // reconstructs the exact global running count
-    val w = Window.partitionBy("pid").orderBy("v")
+    // range partitioning assigns ascending (sig, value) ranges to
+    // ascending partition ids, so a per-(sig, partition) window +
+    // cross-partition offsets reconstructs each signal's exact global
+    // running count
+    val w = Window.partitionBy("sig", "pid").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    vals.groupBy("v").agg(count(lit(1)).as("n"))
-      .repartitionByRange(nParts, col("v"))
+    vals.groupBy("sig", "v").agg(count(lit(1)).as("n"))
+      .repartitionByRange(nParts, col("sig"), col("v"))
       .withColumn("pid", spark_partition_id())
       .withColumn("pcum", sum(col("n")).over(w))
   }
 
-  private def quantileBounds(vals: DataFrame, total: Long, nBuckets: Int): Seq[Long] = {
-    require(total > 0, "quantileBounds: value slice is empty")
+  /** Equi-depth boundaries for SEVERAL signals in one histogram pass:
+    * `vals` is (sig, v); returns sig → its k−1 boundaries. Driver state:
+    * per-(sig, partition) totals + the boundary row. */
+  private def quantileBoundsMulti(vals: DataFrame, totals: Map[String, Long],
+                                  nBuckets: Int): Map[String, Seq[Long]] = {
+    require(totals.nonEmpty && totals.values.forall(_ > 0),
+      "quantileBounds: value slice is empty")
     val pcum = rangeCumCounts(vals)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val partTotals = pcum.groupBy("pid").agg(max(col("pcum")).as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val offsets: Map[Int, Long] = partTotals.keys.map { pid =>
-        pid -> partTotals.view.filterKeys(_ < pid).values.sum
+      val partTotals = pcum.groupBy("sig", "pid").agg(max(col("pcum")).as("t"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val offsets: Map[String, Long] = partTotals.keys.map { case (sig, pid) =>
+        s"$sig:$pid" -> partTotals.view
+          .filterKeys(k => k._1 == sig && k._2 < pid).values.sum
       }.toMap
       val cum = pcum.withColumn("cum",
-        col("pcum") + coalesce(element_at(typedLit(offsets), col("pid")), lit(0L)))
-      val needs = (1 until nBuckets)
-        .map(b => math.ceil(b.toDouble * total / nBuckets).toLong)
-      val aggs = needs.zipWithIndex.map { case (need, i) =>
-        min(when(col("cum") >= need, col("v"))).as(s"b$i")
+        col("pcum") + coalesce(element_at(typedLit(offsets),
+          concat_ws(":", col("sig"), col("pid"))), lit(0L)))
+      val aggs = totals.keys.toSeq.sorted.flatMap { sig =>
+        (1 until nBuckets).map { b =>
+          val need = math.ceil(b.toDouble * totals(sig) / nBuckets).toLong
+          min(when(col("sig") === sig && col("cum") >= need, col("v")))
+            .as(s"${sig}__$b")
+        }
       }
       val row = cum.agg(aggs.head, aggs.tail: _*).head()
-      (0 until nBuckets - 1).map(row.getLong)
+      totals.keys.toSeq.sorted.zipWithIndex.map { case (sig, i) =>
+        sig -> (0 until nBuckets - 1).map(b => row.getLong(i * (nBuckets - 1) + b))
+      }.toMap
     } finally pcum.unpersist()
   }
+
+  private def quantileBounds(vals: DataFrame, total: Long, nBuckets: Int): Seq[Long] =
+    quantileBoundsMulti(vals.select(lit("_").as("sig"), col("v")),
+      Map("_" -> total), nBuckets)("_")
 
   /** Exact equi-depth quantile boundaries as a first-class operator:
     * boundary q (q = 1..k−1) is the smallest value whose running count
@@ -359,10 +378,18 @@ object Quality {
     val n = docs.count()
     val withSignals = docs.select(col("doc_id") +:
       signals.map { case (nm, c) => c.cast("long").as(s"__s_$nm") }: _*)
+    // every signal's histogram in ONE corpus scan: the (sig, v) union
+    // rides a single explode, and quantileBoundsMulti does one shared
+    // prefix-sum pass instead of one per signal
+    val longVals = withSignals.select(explode(array(
+        signals.map { case (nm, _) =>
+          struct(lit(nm).as("sig"), col(s"__s_$nm").as("v")) }: _*)).as("sv"))
+      .select(col("sv.sig").as("sig"), col("sv.v").as("v"))
+    val boundsBySig = quantileBoundsMulti(longVals,
+      signals.map(_._1 -> n).toMap, nBuckets)
     val deciles = signals.map { case (nm, _) =>
-      val bounds = quantileBounds(
-        withSignals.select(col(s"__s_$nm").as("v")), n, nBuckets)
-      nm -> size(filter(typedLit(bounds), x => x <= col(s"__s_$nm"))).cast("long")
+      nm -> size(filter(typedLit(boundsBySig(nm)),
+        x => x <= col(s"__s_$nm"))).cast("long")
     }
     val out = deciles.foldLeft(withSignals) { case (df, (nm, d)) =>
       df.withColumn(s"${nm}_decile", d)

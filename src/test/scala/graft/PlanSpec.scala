@@ -712,8 +712,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("quantileBounds prefix-sum stage: window partitioned, no single-task funnel") {
-    import org.apache.spark.sql.functions.col
-    val vals = SparkEntry.table(spark, sfDir, "documents").select(col("n_chars").as("v"))
+    import org.apache.spark.sql.functions.{col, lit}
+    val vals = SparkEntry.table(spark, sfDir, "documents")
+      .select(lit("n_chars").as("sig"), col("n_chars").as("v"))
     val p = graft.ext.Quality.rangeCumCounts(vals).queryExecution.executedPlan
     assert(count(p) { case e: ShuffleExchangeExec
         if e.outputPartitioning.numPartitions == 1 => } == 0,
