@@ -113,14 +113,15 @@ object ScaleProbe {
     val r9eOnly = args.length > 1 && args(1) == "r9e"
     val r9fOnly = args.length > 1 && args(1) == "r9f"
     val r9gOnly = args.length > 1 && args(1) == "r9g"
+    val r10Only = args.length > 1 && args(1) == "r10"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
-    d1.count(); dN.count()
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly) { dSkew.count(); dSkew1.count() }
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly) { e1.count(); eN.count() }
+    if (!r10Only) { d1.count(); dN.count() }
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only) { e1.count(); eN.count() }
     if (r9gOnly) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
@@ -139,7 +140,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly) { cent1; centN }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -337,8 +338,36 @@ object ScaleProbe {
       res
     }
 
+    // round-10 graph probes, on SYNTHETIC graphs with scale-invariant
+    // structure (so the growth exponent isolates the operator):
+    //  - CC: disjoint 8-node chain blocks — component count scales, the
+    //    diameter (→ propagation rounds) stays constant, as in real
+    //    near-dup graphs where cluster size doesn't grow with the corpus;
+    //  - PageRank: a pseudo-random constant-avg-degree graph (hash-drawn
+    //    endpoints), 5 fixed iterations.
+    def r10Probes = {
+      val block = 8
+      def chainGraph(nNodes: Long) = spark.range(nNodes - 1)
+        .where((col("id") % block) =!= (block - 1))
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      def randGraph(nNodes: Long, avgDeg: Int = 6) = spark.range(nNodes * avgDeg)
+        .select(pmod(xxhash64(col("id")), lit(nNodes)).as("a"),
+          pmod(xxhash64(col("id") + 1000000007L), lit(nNodes)).as("b"))
+        .where(col("a") =!= col("b"))
+      val n1 = 200000L
+      Seq(
+        time(s"cc_1x") {
+          ext.Graph.connectedComponents(chainGraph(n1), "a", "b").count() },
+        time(s"cc_${rep}x") {
+          ext.Graph.connectedComponents(chainGraph(n1 * rep), "a", "b").count() },
+        time(s"pagerank_1x") {
+          ext.Graph.pagerankInt(randGraph(n1), "a", "b", iters = 5).count() },
+        time(s"pagerank_${rep}x") {
+          ext.Graph.pagerankInt(randGraph(n1 * rep), "a", "b", iters = 5).count() })
+    }
     val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes
     else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes
+    else if (r10Only) r10Probes
     else if (r9gOnly) r9gProbes
     else if (r9fOnly) r9fProbes
     else if (r9eOnly) r9eProbes else Seq(
