@@ -268,16 +268,23 @@ object Quality {
     * histogram pass ([[qualityEnsemble]] computes all its boundaries from
     * a single corpus scan). Exposed for the PlanSpec single-task-window
     * pin. */
-  private[graft] def rangeCumCounts(vals: DataFrame): DataFrame = {
+  private[graft] def rangeCumCounts(vals: DataFrame): DataFrame =
+    rangeCumFromCounts(vals.groupBy("sig", "v").agg(count(lit(1)).as("n")))
+
+  /** The same prefix-sum stage over ALREADY-AGGREGATED (sig, v, n) counts
+    * — the entry point for maintained histogram state
+    * ([[absorbQuantileBatch]]), where per-value counts accumulate across
+    * batches and re-counting raw rows is impossible. */
+  private[graft] def rangeCumFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nParts = vals.sparkSession.sessionState.conf.numShufflePartitions
+    val nParts = counts.sparkSession.sessionState.conf.numShufflePartitions
     // range partitioning assigns ascending (sig, value) ranges to
     // ascending partition ids, so a per-(sig, partition) window +
     // cross-partition offsets reconstructs each signal's exact global
     // running count
     val w = Window.partitionBy("sig", "pid").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    vals.groupBy("sig", "v").agg(count(lit(1)).as("n"))
+    counts
       .repartitionByRange(nParts, col("sig"), col("v"))
       .withColumn("pid", spark_partition_id())
       .withColumn("pcum", sum(col("n")).over(w))
@@ -287,10 +294,19 @@ object Quality {
     * `vals` is (sig, v); returns sig → its k−1 boundaries. Driver state:
     * per-(sig, partition) totals + the boundary row. */
   private def quantileBoundsMulti(vals: DataFrame, totals: Map[String, Long],
-                                  nBuckets: Int): Map[String, Seq[Long]] = {
+                                  nBuckets: Int): Map[String, Seq[Long]] =
+    boundsFromCum(rangeCumCounts(vals), totals, nBuckets)
+
+  private[graft] def quantileBoundsFromCounts(counts: DataFrame,
+                                              totals: Map[String, Long],
+                                              nBuckets: Int): Map[String, Seq[Long]] =
+    boundsFromCum(rangeCumFromCounts(counts), totals, nBuckets)
+
+  private def boundsFromCum(cumStage: DataFrame, totals: Map[String, Long],
+                            nBuckets: Int): Map[String, Seq[Long]] = {
     require(totals.nonEmpty && totals.values.forall(_ > 0),
       "quantileBounds: value slice is empty")
-    val pcum = rangeCumCounts(vals)
+    val pcum = cumStage
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val partTotals = pcum.groupBy("sig", "pid").agg(max(col("pcum")).as("t"))
@@ -455,6 +471,50 @@ object Quality {
           lit((curTotal + ref.nBuckets).toDouble)).as("cur_frac"))
   }
 
+  /** MAINTAINED exact quantiles over continuous ingest: the per-value
+    * count histogram accumulates across batches (counts are additive, so
+    * merge = union + re-sum), and each absorption re-derives the
+    * boundaries by the same integer rank rule as [[exactQuantiles]] —
+    * the maintained table therefore EQUALS the one-shot computation over
+    * everything absorbed (spec-pinned), and replayed batches recompute
+    * against the pre-batch snapshot (exactly-once via [[BatchState]]'s
+    * _SUCCESS-gated snapshots).
+    *
+    * State size is the DISTINCT-VALUE domain of the signal — the price of
+    * exactness (an approximate mergeable sketch trades this bound for
+    * error); for the doc-length/score-like signals quantile monitoring
+    * targets, that domain is small and stable. The state never funnels
+    * through one task: merging is a partial-agged groupBy, boundary
+    * extraction the [[rangeCumFromCounts]] two-phase prefix sum. */
+  def absorbQuantileBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                          batch: DataFrame, value: Column,
+                          nBuckets: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (latest, lastId) = BatchState.load(spark, stateDir)
+    val replay = lastId.exists(_ >= batchId)
+    val base = if (replay) BatchState.load(spark, stateDir, Some(batchId))._1 else latest
+    val b = batch.select(value.cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    val merged = base.map(_.unionByName(b)).getOrElse(b)
+      .groupBy("v").agg(sum(col("n")).as("n"))
+      .localCheckpoint(true)
+    if (!replay) BatchState.save(merged, stateDir, batchId)
+    val total = merged.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val bounds = quantileBoundsFromCounts(
+      merged.select(lit("_").as("sig"), col("v"), col("n")),
+      Map("_" -> total), nBuckets)("_")
+    (1 until nBuckets).map(q => (q.toLong, bounds(q - 1))).toDF("q", "boundary")
+  }
+
+  /** Continuous quantile maintenance over a streaming source. */
+  def quantileStream(docs: DataFrame, stateDir: String, value: Column,
+                     nBuckets: Int = 10)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(absorbQuantileBatch(batch.sparkSession, stateDir, id, batch,
+        value, nBuckets))
+    }
+
   /** Continuous drift monitoring over a streaming document source. */
   def driftStream(docs: DataFrame, stateDir: String, value: Column,
                   ref: DriftRef)(sink: DataFrame => Unit)
@@ -596,6 +656,19 @@ object Quality {
     // exact ventile boundaries of document length
     "exact_quantiles" -> ((s, dir) =>
       exactQuantiles(SparkEntry.table(s, dir, "documents"), col("n_chars"), k = 20)),
+    // the maintained histogram after two absorptions must yield the
+    // identical decile boundaries as the one-shot rank rule
+    "quantiles_maintained" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val root = TmpIo.freshDir("qstate")
+      try {
+        absorbQuantileBatch(s, root.toString, 0L,
+          docs.where(col("doc_id") % 2 === 0), col("n_chars"))
+        absorbQuantileBatch(s, root.toString, 1L,
+          docs.where(col("doc_id") % 2 === 1), col("n_chars"))
+          .localCheckpoint(true)
+      } finally TmpIo.deleteRecursively(root)
+    }),
     // even doc_ids play the accepted reference, odd the incoming
     // candidate; n_chars is the monitored feature
     "drift_report" -> ((s, dir) => {
@@ -714,6 +787,19 @@ object Quality {
         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
         |FROM r""".stripMargin,
+
+    // one-shot decile boundaries over the SAME rows the maintained state
+    // absorbed — the maintained-vs-one-shot equality IS the contract
+    "quantiles_maintained" ->
+      """WITH v AS (SELECT n_chars AS v FROM documents),
+        |t AS (SELECT count(*) AS n FROM v),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT v, count(*) AS c FROM v GROUP BY v))
+        |SELECT CAST(b.b AS BIGINT) AS q, min(cum.v) AS boundary
+        |FROM (SELECT unnest(range(1, 10)) AS b) b, t, cum
+        |WHERE cum.cum >= CAST(ceil(b.b * n / 10.0) AS BIGINT)
+        |GROUP BY b.b""".stripMargin,
 
     // the identical integer rank rule, q = 1..19 over one signal
     "exact_quantiles" ->

@@ -308,6 +308,26 @@ class QualitySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("absorbQuantileBatch: maintained boundaries == one-shot; replay idempotent") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val stateDir = java.nio.file.Files.createTempDirectory("qstate").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Quality.absorbQuantileBatch(spark, stateDir, 0L,
+      docs.where(col("doc_id") % 3 === 0), col("n_chars"))
+    Quality.absorbQuantileBatch(spark, stateDir, 1L,
+      docs.where(col("doc_id") % 3 === 1), col("n_chars"))
+    val maintained = rows(Quality.absorbQuantileBatch(spark, stateDir, 2L,
+      docs.where(col("doc_id") % 3 === 2), col("n_chars")))
+    val oneShot = rows(Quality.exactQuantiles(docs, col("n_chars"), 10))
+    assert(maintained == oneShot,
+      "the maintained histogram must reproduce the one-shot rank rule")
+    // replaying the last batch recomputes against the pre-batch snapshot
+    val replayed = rows(Quality.absorbQuantileBatch(spark, stateDir, 2L,
+      docs.where(col("doc_id") % 3 === 2), col("n_chars")))
+    assert(replayed == oneShot, "replay must not double-count")
+  }
+
   test("quantileBounds prefix sum: exact on a 50k-distinct-value domain (multi-range)") {
     import spark.implicits._
     // high-cardinality probe: the distinct-value histogram spans every
