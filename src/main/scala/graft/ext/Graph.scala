@@ -124,6 +124,23 @@ object Graph {
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("component"))
     }),
+    // cluster-level dedup CLOSURE: per component, the canonical document
+    // (longest text, ties to the smallest id) and the cluster size — the
+    // keep-list a near-dup dedup actually applies
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, k = 3, tau = 0.5)
+      val cc = connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(coalesce(col("comp"), col("doc_id")).as("component"),
+          col("doc_id"), col("n_chars"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("ni"))).as("w"))
+        .select(col("component"), col("n_docs"), (-col("w.ni")).as("keep_id"))
+    }),
     // centrality over the customer–supplier transaction graph (symmetrized
     // bipartite), 5 fixed-point iterations. Node ids are LONGS (customer =
     // 2k, supplier = 2k+1) — an 8-byte id shuffles and compares several
@@ -168,6 +185,34 @@ object Graph {
         |comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
         |SELECT doc_id, COALESCE(comp, doc_id) AS component
         |FROM documents LEFT JOIN comp ON comp.node = documents.doc_id""".stripMargin,
+    "dedup_canonical" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |co AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |p AS (SELECT id_a, id_b FROM co
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+        |comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        |asg AS (SELECT COALESCE(comp, doc_id) AS component, doc_id, n_chars
+        |        FROM documents LEFT JOIN comp ON comp.node = documents.doc_id)
+        |SELECT component, count(*) AS n_docs,
+        |  CAST(-(max(struct_pack(c := n_chars, i := -doc_id)).i) AS BIGINT) AS keep_id
+        |FROM asg GROUP BY component""".stripMargin,
     "pagerank" -> {
       val iter = (k: Int) =>
         s"""r$k AS (

@@ -355,6 +355,20 @@ object Quality {
     (1 until k).map(q => (q.toLong, bounds(q - 1))).toDF("q", "boundary")
   }
 
+  /** Quantile CLAMPING (winsorization) — the standard outlier treatment
+    * before statistics or model features: values below the `lo`-th or
+    * above the `hi`-th of `k` equi-depth boundaries are clamped to the
+    * boundary. Boundaries by the exact [[exactQuantiles]] rank rule
+    * (collected — 2 longs), the clamp a pure scan-time map. */
+  def winsorize(df: DataFrame, value: Column, outCol: String, k: Int = 20,
+                lo: Int = 1, hi: Int = 19): DataFrame = {
+    require(1 <= lo && lo < hi && hi < k, "need 1 <= lo < hi < k")
+    val vals = df.select(value.cast("long").as("v"))
+    val bounds = quantileBounds(vals, vals.count(), k)
+    df.withColumn(outCol,
+      least(greatest(value.cast("long"), lit(bounds(lo - 1))), lit(bounds(hi - 1))))
+  }
+
   def driftReportQuantile(ref: DataFrame, cur: DataFrame, value: Column,
                           nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, "need at least two buckets")
@@ -656,6 +670,10 @@ object Quality {
     // exact ventile boundaries of document length
     "exact_quantiles" -> ((s, dir) =>
       exactQuantiles(SparkEntry.table(s, dir, "documents"), col("n_chars"), k = 20)),
+    // document length clamped to the [5%, 95%] ventile boundaries
+    "winsorize" -> ((s, dir) =>
+      winsorize(SparkEntry.table(s, dir, "documents").select("doc_id", "n_chars"),
+        col("n_chars"), "n_chars_w")),
     // the maintained histogram after two absorptions must yield the
     // identical decile boundaries as the one-shot rank rule
     "quantiles_maintained" -> ((s, dir) => {
@@ -800,6 +818,21 @@ object Quality {
         |FROM (SELECT unnest(range(1, 10)) AS b) b, t, cum
         |WHERE cum.cum >= CAST(ceil(b.b * n / 10.0) AS BIGINT)
         |GROUP BY b.b""".stripMargin,
+
+    // the boundary pair by the same rank rule, then a pure clamp
+    "winsorize" ->
+      """WITH v AS (SELECT n_chars AS v FROM documents),
+        |t AS (SELECT count(*) AS n FROM v),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT v, count(*) AS c FROM v GROUP BY v)),
+        |b AS (SELECT
+        |  min(CASE WHEN cum >= CAST(ceil(1 * n / 20.0) AS BIGINT) THEN v END) AS blo,
+        |  min(CASE WHEN cum >= CAST(ceil(19 * n / 20.0) AS BIGINT) THEN v END) AS bhi
+        |  FROM cum, t)
+        |SELECT doc_id, n_chars,
+        |  least(greatest(n_chars, blo), bhi) AS n_chars_w
+        |FROM documents, b""".stripMargin,
 
     // the identical integer rank rule, q = 1..19 over one signal
     "exact_quantiles" ->

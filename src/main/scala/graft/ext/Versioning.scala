@@ -60,6 +60,42 @@ object Versioning {
       .select(col(key) +: payload.map(p => col(s"__w.$p").as(p)): _*)
   }
 
+  /** The per-key winner table INCLUDING delete markers — [[mergeUpsert]]
+    * before its visibility filter. This is the mergeable STATE of a
+    * maintained table: a deleted key must remember its deletion
+    * timestamp, or a late-arriving OLDER upsert would wrongly resurrect
+    * it. */
+  private def mergeWinners(changes: DataFrame, key: String): DataFrame =
+    changes.groupBy(key).agg(max(col("__c")).as("__c"))
+
+  /** CONTINUOUSLY-MAINTAINED [[mergeUpsert]]: absorb a changelog batch
+    * into the per-key winner state and return the visible table. Winner
+    * state is associative (per-key struct-max merges in any batch
+    * grouping), so the maintained table equals the one-shot merge of base
+    * + every change absorbed (spec-pinned); replayed batches recompute
+    * against the pre-batch snapshot (exactly-once via [[BatchState]]).
+    * State size = the key domain — the maintained table itself plus its
+    * tombstones; each absorption is |state| + |batch| work, never a
+    * re-merge of the full changelog. */
+  def absorbMergeBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                       base: DataFrame, changes: DataFrame, key: String,
+                       tsCol: String, opCol: String,
+                       payload: Seq[String]): DataFrame = {
+    val pv = (df: DataFrame, ts: Column, op: Column) => df.select(
+      col(key),
+      struct(ts.as("ts") +: op.as("op") +: payload.map(col): _*).as("__c"))
+    val (latest, lastId) = BatchState.load(spark, stateDir)
+    val replay = lastId.exists(_ >= batchId)
+    val st = if (replay) BatchState.load(spark, stateDir, Some(batchId))._1 else latest
+    val prev = st.getOrElse(pv(base, lit(Long.MinValue).cast("long"), lit("u")))
+    val merged = mergeWinners(
+      prev.unionByName(pv(changes, col(tsCol).cast("long"), col(opCol))), key)
+      .localCheckpoint(true)
+    if (!replay) BatchState.save(merged, stateDir, batchId)
+    merged.where(col("__c.op") === "u")
+      .select(col(key) +: payload.map(p => col(s"__c.$p").as(p)): _*)
+  }
+
   /** Slowly-changing-dimension TYPE-2 history from the same change
     * stream: one row per (key, version) with `valid_from`/`valid_to`
     * (null = current). The audit-trail twin of [[mergeUpsert]] — "what
@@ -160,23 +196,41 @@ object Versioning {
   /** Gate request list: three live users + one the corpus never held. */
   val GateForgetRequests: Seq[Long] = Seq(3L, 7L, 11L, 999999L)
 
+  private def gateMergeBase(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.table(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), lit(-1L).as("event_id"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+
+  private def gateMergeChanges(s: SparkSession, dir: String): DataFrame =
+    SparkEntry.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("__ts"),
+        when(col("event_type") === "error", "d").otherwise("u").as("__op"))
+
   val queries: Map[String, Q] = Map(
     "gdpr_forget" -> ((s, dir) =>
       forgetAudit(SparkEntry.table(s, dir, "events"), col("user_id"),
         GateForgetRequests)),
     // customer balances as the base table, events as the change stream
     // ('error' events are deletes); latest change wins
-    "merge_upsert" -> ((s, dir) => {
-      val base = SparkEntry.table(s, dir, "customer")
-        .select(col("c_custkey").as("user_id"), lit(-1L).as("event_id"),
-          round(col("c_acctbal") * 100).cast("long").as("cents"))
-      val changes = SparkEntry.table(s, dir, "events")
-        .select(col("user_id"), col("event_id"),
-          round(col("value") * 100).cast("long").as("cents"),
-          unix_micros(col("ts")).as("__ts"),
-          when(col("event_type") === "error", "d").otherwise("u").as("__op"))
-      mergeUpsert(base, changes, "user_id", "__ts", "__op",
-        Seq("event_id", "cents"))
+    "merge_upsert" -> ((s, dir) =>
+      mergeUpsert(gateMergeBase(s, dir), gateMergeChanges(s, dir),
+        "user_id", "__ts", "__op", Seq("event_id", "cents"))),
+    // the maintained table after absorbing the changelog in two batches
+    // must equal the one-shot merge (same oracle)
+    "merge_maintained" -> ((s, dir) => {
+      val base = gateMergeBase(s, dir); val changes = gateMergeChanges(s, dir)
+      val root = TmpIo.freshDir("mergestate")
+      try {
+        absorbMergeBatch(s, root.toString, 0L, base,
+          changes.where(col("event_id") % 2 === 0),
+          "user_id", "__ts", "__op", Seq("event_id", "cents"))
+        absorbMergeBatch(s, root.toString, 1L, base,
+          changes.where(col("event_id") % 2 === 1),
+          "user_id", "__ts", "__op", Seq("event_id", "cents"))
+          .localCheckpoint(true)
+      } finally TmpIo.deleteRecursively(root)
     }),
     // full per-user history with validity ranges from the same stream
     "scd2_history" -> ((s, dir) =>
@@ -215,6 +269,22 @@ object Versioning {
     // identical latest-wins struct-max rule; DuckDB struct comparison is
     // field-lexicographic in declared order, same as Spark's
     "merge_upsert" ->
+      """WITH b AS (SELECT c_custkey AS user_id,
+        |    struct_pack(ts := CAST(-9223372036854775808 AS BIGINT), op := 'u',
+        |      event_id := CAST(-1 AS BIGINT),
+        |      cents := CAST(round(c_acctbal * 100) AS BIGINT)) AS c
+        |  FROM customer),
+        |ch AS (SELECT user_id,
+        |    struct_pack(ts := epoch_us(ts),
+        |      op := CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END,
+        |      event_id := event_id,
+        |      cents := CAST(round(value * 100) AS BIGINT)) AS c
+        |  FROM events),
+        |w AS (SELECT user_id, max(c) AS w
+        |      FROM (SELECT * FROM b UNION ALL SELECT * FROM ch) GROUP BY user_id)
+        |SELECT user_id, w.event_id AS event_id, w.cents AS cents
+        |FROM w WHERE w.op = 'u'""".stripMargin,
+    "merge_maintained" ->
       """WITH b AS (SELECT c_custkey AS user_id,
         |    struct_pack(ts := CAST(-9223372036854775808 AS BIGINT), op := 'u',
         |      event_id := CAST(-1 AS BIGINT),

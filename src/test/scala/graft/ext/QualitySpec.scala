@@ -308,6 +308,21 @@ class QualitySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("winsorize: clamp equals the JVM sorted-rank boundaries") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val vs = docs.select("n_chars").collect().map(_.getLong(0)).sorted
+    def bAt(q: Int, k: Int) = vs(math.ceil(q.toDouble * vs.length / k).toInt - 1)
+    val (blo, bhi) = (bAt(1, 20), bAt(19, 20))
+    val got = Quality.winsorize(docs.select("doc_id", "n_chars"),
+        col("n_chars"), "w").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.values.foreach { case (raw, w) =>
+      assert(w == math.min(math.max(raw, blo), bhi))
+    }
+    assert(got.values.exists { case (raw, w) => raw != w },
+      "the gate corpus should actually have clamped tails")
+  }
+
   test("absorbQuantileBatch: maintained boundaries == one-shot; replay idempotent") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val stateDir = java.nio.file.Files.createTempDirectory("qstate").toString

@@ -124,6 +124,33 @@ class VersioningSpec extends AnyFunSuite {
     assert(got2(2L) == ((21L, 225L)))
   }
 
+  test("absorbMergeBatch: maintained == one-shot; tombstones beat late older upserts") {
+    import spark.implicits._
+    val base = Seq((1L, -1L, 100L), (2L, -1L, 200L)).toDF("k", "eid", "cents")
+    val c1 = Seq((1L, 10L, 111L, 5L, "u"), (2L, 20L, 0L, 9L, "d"))
+      .toDF("k", "eid", "cents", "ts", "op")
+    // batch 2 carries a LATE change for key 2 that is OLDER than its
+    // delete — the tombstone in state must win
+    val c2 = Seq((2L, 21L, 222L, 7L, "u"), (3L, 30L, 333L, 4L, "u"))
+      .toDF("k", "eid", "cents", "ts", "op")
+    val stateDir = java.nio.file.Files.createTempDirectory("mergestate").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Versioning.absorbMergeBatch(spark, stateDir, 0L, base, c1,
+      "k", "ts", "op", Seq("eid", "cents"))
+    val maintained = rows(Versioning.absorbMergeBatch(spark, stateDir, 1L, base, c2,
+      "k", "ts", "op", Seq("eid", "cents")))
+    val oneShot = rows(Versioning.mergeUpsert(base, c1.unionByName(c2),
+      "k", "ts", "op", Seq("eid", "cents")))
+    assert(maintained == oneShot)
+    assert(!maintained.contains(2L), "the newer delete must survive the late upsert")
+    assert(maintained == Map(1L -> ((10L, 111L)), 3L -> ((30L, 333L))))
+    // replay recomputes against the pre-batch snapshot
+    val replayed = rows(Versioning.absorbMergeBatch(spark, stateDir, 1L, base, c2,
+      "k", "ts", "op", Seq("eid", "cents")))
+    assert(replayed == maintained)
+  }
+
   test("scd2: validity ranges chain exactly; one open (current) row per key") {
     import spark.implicits._
     val changes = Seq(
