@@ -226,7 +226,29 @@ object Curation {
       .select(explode(col("__m")).as(Seq("metric", "value")))
   }
 
+  /** TIME-based train/test split with an EMBARGO gap — the temporal twin
+    * of [[leakageSafeSplit]]: test is strictly after `boundaryUs`, train
+    * strictly before `boundaryUs − embargoUs`, and rows inside the gap
+    * are DROPPED, so nothing temporally adjacent to the test period
+    * leaks into training (label autocorrelation, the backtesting /
+    * forecasting leakage mode). Pure scan-time filter — at 100 TB this
+    * prunes at the parquet scan when the table is time-partitioned. */
+  def temporalSplit(df: DataFrame, tsCol: String, boundaryUs: Long,
+                    embargoSeconds: Long): DataFrame = {
+    require(embargoSeconds >= 0, "embargo must be non-negative")
+    val us = unix_micros(col(tsCol))
+    df.withColumn("split",
+        when(us <= boundaryUs - embargoSeconds * 1000000L, "train")
+          .when(us > boundaryUs, "test"))
+      .where(col("split").isNotNull)
+  }
+
   val queries: Map[String, Q] = Map(
+    // boundary 2024-01-22T00:00Z with a 1-day embargo over the event log
+    "temporal_split" -> ((s, dir) =>
+      temporalSplit(SparkEntry.table(s, dir, "events"), "ts",
+        boundaryUs = 1705881600000000L, embargoSeconds = 86400L)
+        .select("event_id", "split")),
     "curate_pipeline" -> ((s, dir) => curate(SparkEntry.table(s, dir, "documents"))),
     "readiness_report" -> ((s, dir) =>
       readinessReport(SparkEntry.table(s, dir, "documents"))),
@@ -248,6 +270,13 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "temporal_split" ->
+      """SELECT event_id,
+        |  CASE WHEN epoch_us(ts) <= 1705881600000000 - 86400000000 THEN 'train'
+        |       WHEN epoch_us(ts) > 1705881600000000 THEN 'test' END AS split
+        |FROM events
+        |WHERE epoch_us(ts) <= 1705881600000000 - 86400000000
+        |   OR epoch_us(ts) > 1705881600000000""".stripMargin,
     "readiness_report" ->
       """WITH a AS (SELECT
         |  count(*) AS n_docs,

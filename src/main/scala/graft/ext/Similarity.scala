@@ -251,6 +251,33 @@ object Similarity {
     * pooled doubles are bit-reproducible on any partitioning/engine. One
     * co-partitioning shuffle on (group, dim); per-group state is the
     * member list of ONE dimension at a time. */
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions — the
+    * standard dimensionality cut before a 100 TB embedding store or a
+    * cheaper ANN pass (JL lemma: pairwise distances survive to (1±ε) with
+    * outDim = O(log n / ε²)). The projection matrix is a DETERMINISTIC
+    * ±1 sign pattern derived from integer arithmetic on (i, j) — no RNG,
+    * no stored matrix, any engine regenerates it bit-identically — and
+    * each output coordinate is a FIXED-ORDER fold over the input dims
+    * (ascending i), so the double sums are bit-reproducible across
+    * engines and partitionings. Narrow per-row compute; nothing shuffles.
+    */
+  def jlProject(emb: DataFrame, outDim: Int = 16,
+                vecCol: String = "embedding", outCol: String = "jl"): DataFrame = {
+    require(outDim >= 1, "need a positive output dimension")
+    val v = col(vecCol)
+    // sign(i, j) ∈ {−1, +1} from an integer LCG mix of the coordinates;
+    // the >> 16 discards the low bits an LCG cycles fastest
+    def sign(i: Column, j: Column): Column =
+      lit(1.0) - lit(2.0) * pmod(floor(
+        (i * 1103515245L + j * 12345L + 6789L) / lit(65536.0)), lit(2L))
+        .cast("double")
+    emb.withColumn(outCol,
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        aggregate(sequence(lit(0), size(v) - 1), lit(0.0),
+          (acc, i) => acc + element_at(v, i + 1).cast("double") * sign(i, j))
+          / sqrt(lit(outDim.toDouble))))
+  }
+
   def poolEmbeddings(emb: DataFrame, group: Column,
                      id: Column = col("vec_id")): DataFrame =
     emb.select(group.as("grp"), id.as("__id"),
@@ -937,6 +964,11 @@ object Similarity {
     "pool_embeddings" -> ((s, dir) =>
       poolEmbeddings(SparkEntry.table(s, dir, "embeddings"),
         pmod(col("vec_id"), lit(500L)))),
+    // 64 → 16 dims; exploded to scalar rows for the cross-engine compare
+    "jl_project" -> ((s, dir) =>
+      jlProject(SparkEntry.table(s, dir, "embeddings"), outDim = 16)
+        .select(col("vec_id"), posexplode(col("jl")).as(Seq("dim", "value")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("value"))),
     // full index lifecycle: persist cell-partitioned assignments, answer
     // from the pruned read — must equal the inline annIvf (same oracle)
     "ann_ivf_indexed" -> ((s, dir) => {
@@ -1170,6 +1202,18 @@ object Similarity {
     // break the hash match
     "ann_ivf_trained" -> annIvfOracleSql,
     "ann_ivf_indexed" -> annIvfOracleSql,
+    // identical fixed-order double fold and identical integer sign
+    // pattern — bit-equality is the point
+    "jl_project" ->
+      """WITH g AS (SELECT vec_id, embedding, unnest(range(0, 16)) AS j
+        |           FROM embeddings)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(0, len(embedding)),
+        |      i -> CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) *
+        |           (1.0 - 2.0 * (((i * 1103515245 + j * 12345 + 6789) // 65536) % 2)))),
+        |    (a, b) -> a + b) / sqrt(16.0) AS value
+        |FROM g""".stripMargin,
     // same ordered fold per (group, dim): list(… ORDER BY vec_id) then
     // list_reduce — never an unordered SUM of floats
     "pool_embeddings" ->

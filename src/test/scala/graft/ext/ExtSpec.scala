@@ -1410,6 +1410,64 @@ class ExtSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("jlProject: JVM fold bit-equality; partition-invariant; distances roughly survive") {
+    val emb = SparkEntry.table(spark, dir, "embeddings")
+    val outDim = 16
+    def signOf(i: Int, j: Int): Double =
+      1.0 - 2.0 * (((i.toLong * 1103515245L + j.toLong * 12345L + 6789L) / 65536L) % 2L)
+    val raw = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val want = raw.map { case (id, v) =>
+      id -> (0 until outDim).map { j =>
+        var acc = 0.0
+        v.indices.foreach(i => acc = acc + v(i).toDouble * signOf(i, j))
+        acc / math.sqrt(outDim.toDouble)
+      }.toArray
+    }.toMap
+    val got = Similarity.jlProject(emb, outDim).select("vec_id", "jl").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, v) =>
+      assert(v.toSeq == want(id).toSeq, s"vec $id must be bit-identical") }
+    val again = Similarity.jlProject(emb.repartition(13), outDim)
+      .select("vec_id", "jl").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(again.forall { case (id, v) => v.toSeq == got(id).toSeq })
+    // JL property (sanity, not proof): on sampled pairs the projected
+    // distance is within a loose band of the original
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = raw.map(_._1).sorted.take(20)
+    val rawMap = raw.toMap
+    val origD = ids.combinations(2).map(p =>
+      d2(rawMap(p(0)).map(_.toDouble), rawMap(p(1)).map(_.toDouble))).toSeq
+    val projD = ids.combinations(2).map(p => d2(got(p(0)), got(p(1)))).toSeq
+    val ratios = origD.zip(projD).filter(_._1 > 0).map { case (o, p) => p / o }
+    // 16 dims from 64 is a coarse ε — the band is wide on purpose; the
+    // guard is against a BROKEN projection (collapsed or exploded), not a
+    // tight JL bound
+    assert(ratios.count(r => r > 0.15 && r < 6.0) >= (ratios.size * 0.8).toInt,
+      s"projected distances collapsed: ${ratios.take(10)}")
+  }
+
+  test("temporalSplit: embargo rows dropped, no test row at or before the boundary") {
+    val events = SparkEntry.table(spark, dir, "events")
+    val boundary = 1705881600000000L
+    val out = Curation.temporalSplit(events, "ts", boundary, 86400L)
+      .select(col("event_id"), col("split"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, split, us) =>
+      if (split == "train") assert(us <= boundary - 86400000000L)
+      else { assert(split == "test"); assert(us > boundary) }
+    }
+    // the gap is really excised: total = train + test + dropped, dropped > 0
+    val total = events.count()
+    val gap = total - out.length
+    assert(gap > 0, "the sf0.001 event log spans the embargo window")
+    assert(out.exists(_._2 == "train") && out.exists(_._2 == "test"))
+  }
+
   test("contractReport: one scan, NULL counts as violation; fkOrphans exact") {
     import spark.implicits._
     val t = Seq((1L, Some(5)), (2L, Some(-1)), (3L, None), (4L, Some(50)))
