@@ -302,10 +302,12 @@ object Quality {
                                               nBuckets: Int): Map[String, Seq[Long]] =
     boundsFromCum(rangeCumFromCounts(counts), totals, nBuckets)
 
-  private def boundsFromCum(cumStage: DataFrame, totals: Map[String, Long],
-                            nBuckets: Int): Map[String, Seq[Long]] = {
-    require(totals.nonEmpty && totals.values.forall(_ > 0),
-      "quantileBounds: value slice is empty")
+  /** Run `f` over the cum-stage frame extended with the exact GLOBAL
+    * running count (`cum`): persists the per-range stage, collects the
+    * per-(sig, partition) totals (the only driver state), broadcasts the
+    * offsets, and unpersists afterwards. The shared core of every
+    * rank-statistic consumer (quantile boundaries, [[aucExact]]). */
+  private def withGlobalCum[T](cumStage: DataFrame)(f: DataFrame => T): T = {
     val pcum = cumStage
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -315,9 +317,17 @@ object Quality {
         s"$sig:$pid" -> partTotals.view
           .filterKeys(k => k._1 == sig && k._2 < pid).values.sum
       }.toMap
-      val cum = pcum.withColumn("cum",
+      f(pcum.withColumn("cum",
         col("pcum") + coalesce(element_at(typedLit(offsets),
-          concat_ws(":", col("sig"), col("pid"))), lit(0L)))
+          concat_ws(":", col("sig"), col("pid"))), lit(0L))))
+    } finally pcum.unpersist()
+  }
+
+  private def boundsFromCum(cumStage: DataFrame, totals: Map[String, Long],
+                            nBuckets: Int): Map[String, Seq[Long]] = {
+    require(totals.nonEmpty && totals.values.forall(_ > 0),
+      "quantileBounds: value slice is empty")
+    withGlobalCum(cumStage) { cum =>
       val aggs = totals.keys.toSeq.sorted.flatMap { sig =>
         (1 until nBuckets).map { b =>
           val need = math.ceil(b.toDouble * totals(sig) / nBuckets).toLong
@@ -329,7 +339,7 @@ object Quality {
       totals.keys.toSeq.sorted.zipWithIndex.map { case (sig, i) =>
         sig -> (0 until nBuckets - 1).map(b => row.getLong(i * (nBuckets - 1) + b))
       }.toMap
-    } finally pcum.unpersist()
+    }
   }
 
   private def quantileBounds(vals: DataFrame, total: Long, nBuckets: Int): Seq[Long] =
@@ -570,26 +580,35 @@ object Quality {
         (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
 
   /** Exact ROC-AUC by the rank-sum (Mann–Whitney) identity with the
-    * standard tie correction: ties share their AVERAGE rank (`rank() +
-    * (cnt−1)/2` over score-only ordering), so equal-scored positive/
-    * negative pairs count ½ — the textbook estimator, deterministic
-    * because the scores themselves are bit-exact and average ranks don't
-    * depend on intra-tie order. ONE global sort of (score) — the accepted
-    * cost of an eval metric (it IS a ranking statistic); everything else
-    * is one aggregate. Returns one row (auc, n_pos, n_neg). */
+    * standard tie correction: a tied score group with `c` members and
+    * `cumBefore` smaller-scored rows has average rank `cumBefore +
+    * (c+1)/2`, so the positives' rank sum is `Σ n_pos(s)·(2·cumBefore(s)
+    * + c(s) + 1) / 2` — an INTEGER sum halved once, order-independent
+    * and bit-deterministic. Scale posture: no global sort, no
+    * unpartitioned window — per-score counts reduce first (one
+    * partial-agged exchange of the distinct-score domain), and the
+    * cumulative count is the [[rangeCumCounts]] two-phase prefix sum;
+    * everything after is one aggregate row. Returns (auc, n_pos, n_neg). */
   def aucExact(scored: DataFrame, score: Column, label: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
-    scored.select(score.as("__s"), when(label, 1L).otherwise(0L).as("__y"))
-      .withColumn("__r", rank().over(w).cast("double") +
-        (count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__s"))).cast("double") - 1.0) / 2.0)
-      .agg(sum(when(col("__y") === 1L, col("__r"))).as("__rs"),
-        sum(col("__y")).as("n_pos"), sum(lit(1L) - col("__y")).as("n_neg"))
-      .select(
-        ((col("__rs") - col("n_pos").cast("double") *
-          (col("n_pos") + 1L).cast("double") / 2.0) /
-          (col("n_pos").cast("double") * col("n_neg").cast("double"))).as("auc"),
-        col("n_pos"), col("n_neg"))
+    val spark = scored.sparkSession
+    val counts = scored
+      .select(score.as("v"), when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy("v").agg(count(lit(1)).as("n"), sum(col("__y")).as("np"))
+      .select(lit("_").as("sig"), col("v"), col("n"), col("np"))
+    val row = withGlobalCum(rangeCumFromCounts(counts)) { cum =>
+      cum.agg(
+        sum(col("np") * (lit(2L) * (col("cum") - col("n")) + col("n") + 1L))
+          .as("rs2"),
+        sum(col("np")).as("n_pos"), sum(col("n") - col("np")).as("n_neg"))
+        .head()
+    }
+    val (rs2, nPos, nNeg) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // the same float operation sequence as the DuckDB oracle: rank sum
+    // (exact halves), minus n_pos(n_pos+1)/2, over n_pos·n_neg
+    spark.range(1).select(
+      ((lit(rs2 / 2.0) - lit(nPos.toDouble) * lit((nPos + 1).toDouble) / 2.0) /
+        (lit(nPos.toDouble) * lit(nNeg.toDouble))).as("auc"),
+      lit(nPos).as("n_pos"), lit(nNeg).as("n_neg"))
   }
 
   /** Precision/recall table over score-band thresholds: for each band b,
