@@ -226,6 +226,17 @@ object Curation {
       .select(explode(col("__m")).as(Seq("metric", "value")))
   }
 
+  /** GROUPED k-fold assignment for cross-validation: every row of a
+    * group lands in the same fold (no group straddles a fold boundary —
+    * the grouped-CV leakage guard), folds are a pure function of the
+    * group key ([[Hygiene.hashU64]], the library-wide sampling hash), so
+    * the assignment is reproducible across runs, engines, and
+    * partitionings, and needs no shuffle — a scan-time map. */
+  def kfoldAssign(df: DataFrame, groupKey: Column, k: Int = 5): DataFrame = {
+    require(k >= 2, "need at least two folds")
+    df.withColumn("fold", pmod(Hygiene.hashU64(groupKey), lit(k.toLong)))
+  }
+
   /** TIME-based train/test split with an EMBARGO gap — the temporal twin
     * of [[leakageSafeSplit]]: test is strictly after `boundaryUs`, train
     * strictly before `boundaryUs − embargoUs`, and rows inside the gap
@@ -244,6 +255,10 @@ object Curation {
   }
 
   val queries: Map[String, Q] = Map(
+    // user-grouped 5-fold assignment over the event log
+    "kfold_assign" -> ((s, dir) =>
+      kfoldAssign(SparkEntry.table(s, dir, "events"), col("user_id"))
+        .select("event_id", "user_id", "fold")),
     // boundary 2024-01-22T00:00Z with a 1-day embargo over the event log
     "temporal_split" -> ((s, dir) =>
       temporalSplit(SparkEntry.table(s, dir, "events"), "ts",
@@ -270,6 +285,12 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the identical first-8-hex-chars-of-sha256 fold hash
+    "kfold_assign" ->
+      """SELECT event_id, user_id,
+        |  CAST(('0x' || substring(sha256(CAST(user_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) % 5 AS fold
+        |FROM events""".stripMargin,
     "temporal_split" ->
       """SELECT event_id,
         |  CASE WHEN epoch_us(ts) <= 1705881600000000 - 86400000000 THEN 'train'

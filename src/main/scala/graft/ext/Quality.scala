@@ -365,6 +365,24 @@ object Quality {
     (1 until k).map(q => (q.toLong, bounds(q - 1))).toDF("q", "boundary")
   }
 
+  /** Robust outlier flags by MEDIAN ABSOLUTE DEVIATION — the robust-
+    * statistics alternative to z-scores (one giant outlier corrupts a
+    * mean/stddev threshold; the median and MAD ignore it): flag rows with
+    * `|v − median| > c·MAD`. Both medians come from the exact integer
+    * rank rule via the two-phase prefix sum (two bounded passes, no
+    * global sort); the flag itself is a scan-time integer compare. */
+  def madOutliers(df: DataFrame, value: Column, idCol: String = "doc_id",
+                  c: Long = 3L): DataFrame = {
+    val vals = df.select(value.cast("long").as("v"))
+    val n = vals.count()
+    val med = quantileBounds(vals, n, 2).head
+    val mad = quantileBounds(
+      vals.select(abs(col("v") - med).as("v")), n, 2).head
+    df.select(col(idCol), value.cast("long").as("v"))
+      .withColumn("dev", abs(col("v") - lit(med)))
+      .withColumn("is_outlier", col("dev") > lit(c) * lit(mad))
+  }
+
   /** Quantile CLAMPING (winsorization) — the standard outlier treatment
     * before statistics or model features: values below the `lo`-th or
     * above the `hi`-th of `k` equi-depth boundaries are clamped to the
@@ -689,6 +707,9 @@ object Quality {
     // exact ventile boundaries of document length
     "exact_quantiles" -> ((s, dir) =>
       exactQuantiles(SparkEntry.table(s, dir, "documents"), col("n_chars"), k = 20)),
+    // MAD-flagged length outliers (c = 3)
+    "mad_outliers" -> ((s, dir) =>
+      madOutliers(SparkEntry.table(s, dir, "documents"), col("n_chars"))),
     // document length clamped to the [5%, 95%] ventile boundaries
     "winsorize" -> ((s, dir) =>
       winsorize(SparkEntry.table(s, dir, "documents").select("doc_id", "n_chars"),
@@ -837,6 +858,25 @@ object Quality {
         |FROM (SELECT unnest(range(1, 10)) AS b) b, t, cum
         |WHERE cum.cum >= CAST(ceil(b.b * n / 10.0) AS BIGINT)
         |GROUP BY b.b""".stripMargin,
+
+    // lower median (rank ceil(n/2)) of v, then of |v - med|, then a flag
+    "mad_outliers" ->
+      """WITH v AS (SELECT doc_id, n_chars AS v FROM documents),
+        |t AS (SELECT count(*) AS n FROM v),
+        |c1 AS (SELECT v.v, CAST(sum(c) OVER (ORDER BY v.v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT v, count(*) AS c FROM v GROUP BY v) v),
+        |m1 AS (SELECT min(c1.v) AS med FROM c1, t
+        |       WHERE c1.cum >= CAST(ceil(n / 2.0) AS BIGINT)),
+        |d AS (SELECT abs(v.v - m1.med) AS dv FROM v, m1),
+        |c2 AS (SELECT d.dv, CAST(sum(c) OVER (ORDER BY d.dv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT dv, count(*) AS c FROM d GROUP BY dv) d),
+        |m2 AS (SELECT min(c2.dv) AS mad FROM c2, t
+        |       WHERE c2.cum >= CAST(ceil(n / 2.0) AS BIGINT))
+        |SELECT doc_id, v.v AS v, abs(v.v - m1.med) AS dev,
+        |  abs(v.v - m1.med) > 3 * m2.mad AS is_outlier
+        |FROM v, m1, m2""".stripMargin,
 
     // the boundary pair by the same rank rule, then a pure clamp
     "winsorize" ->

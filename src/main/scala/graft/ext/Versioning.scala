@@ -131,6 +131,17 @@ object Versioning {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), expr("bit_xor(__h)").as("checksum"))
 
+  /** k-ANONYMITY audit: every quasi-identifier combination held by fewer
+    * than `k` rows — the re-identification risk table reviewed before a
+    * dataset release (a rare (lang, source, size-bucket) combination can
+    * single out a contributor even after direct identifiers are gone).
+    * One partial-agged groupBy; the report is bounded by the number of
+    * RARE combinations, not the corpus. */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[Column], k: Long = 5L): DataFrame = {
+    require(quasiIds.nonEmpty && k >= 2, "need quasi-identifiers and k >= 2")
+    df.groupBy(quasiIds: _*).agg(count(lit(1)).as("n")).where(col("n") < k)
+  }
+
   /** Right-to-be-forgotten deletion: drop every row whose `key` appears
     * in the request list and account for it — the GDPR/CCPA erasure pass
     * a long-lived corpus runs before each [[Snapshot.publish]]. Small
@@ -212,6 +223,11 @@ object Versioning {
     "gdpr_forget" -> ((s, dir) =>
       forgetAudit(SparkEntry.table(s, dir, "events"), col("user_id"),
         GateForgetRequests)),
+    // (lang, source, 100-char length bucket) combinations rarer than 3
+    "k_anonymity" -> ((s, dir) =>
+      kAnonymityAudit(SparkEntry.table(s, dir, "documents"),
+        Seq(col("lang"), col("source"),
+          (expr("n_chars div 100") * 100L).as("len_bucket")), k = 3L)),
     // customer balances as the base table, events as the change stream
     // ('error' events are deletes); latest change wins
     "merge_upsert" -> ((s, dir) =>
@@ -266,6 +282,10 @@ object Versioning {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 * 100 AS len_bucket,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 3""".stripMargin,
     // identical latest-wins struct-max rule; DuckDB struct comparison is
     // field-lexicographic in declared order, same as Spark's
     "merge_upsert" ->

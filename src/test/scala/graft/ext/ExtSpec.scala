@@ -1450,6 +1450,30 @@ class ExtSpec extends AnyFunSuite {
       s"projected distances collapsed: ${ratios.take(10)}")
   }
 
+  test("kfoldAssign: a group never straddles folds; folds roughly balanced") {
+    val events = SparkEntry.table(spark, dir, "events")
+    val rows = Curation.kfoldAssign(events, col("user_id"), k = 5)
+      .select("user_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byUser = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byUser.values.forall(_.size == 1),
+      "every row of a user must share the user's fold")
+    val foldSizes = byUser.values.map(_.head).groupBy(identity).view.mapValues(_.size)
+    assert(foldSizes.keySet.subsetOf((0L until 5L).toSet))
+    assert(foldSizes.size >= 4, s"folds implausibly concentrated: $foldSizes")
+  }
+
+  test("kAnonymityAudit: flags exactly the sub-k combinations") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("en", "a")) ++ Seq.fill(2)(("en", "b")) ++
+      Seq(("fr", "a"))).zipWithIndex
+      .map { case ((l, src), i) => (i.toLong, l, src) }
+      .toDF("id", "lang", "source")
+    val got = Versioning.kAnonymityAudit(df, Seq(col("lang"), col("source")), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("en", "b", 2L), ("fr", "a", 1L)))
+  }
+
   test("temporalSplit: embargo rows dropped, no test row at or before the boundary") {
     val events = SparkEntry.table(spark, dir, "events")
     val boundary = 1705881600000000L

@@ -308,6 +308,23 @@ class QualitySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("madOutliers: medians and flags equal the JVM recompute") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val vs = docs.select("n_chars").collect().map(_.getLong(0))
+    val sorted = vs.sorted
+    val med = sorted(math.ceil(vs.length / 2.0).toInt - 1)
+    val devs = vs.map(v => math.abs(v - med)).sorted
+    val mad = devs(math.ceil(vs.length / 2.0).toInt - 1)
+    val got = Quality.madOutliers(docs, col("n_chars")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    got.values.foreach { case (v, dev, flag) =>
+      assert(dev == math.abs(v - med))
+      assert(flag == (dev > 3 * mad))
+    }
+    assert(got.values.exists(_._3) || mad * 3 >= devs.last,
+      "fixture should exercise the flag (or no value can exceed 3*MAD)")
+  }
+
   test("winsorize: clamp equals the JVM sorted-rank boundaries") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val vs = docs.select("n_chars").collect().map(_.getLong(0)).sorted
