@@ -520,6 +520,44 @@ class ExtSpec extends AnyFunSuite {
       "index must contain exactly the seed plus the survivors")
   }
 
+  test("streaming quantiles over the shard source: stop/restart == one-shot rank rule") {
+    // the maintained-histogram twin of the dedup e2e: absorb the value
+    // stream through the real kinesiscat source in capped micro-batches,
+    // kill after the first, resume from the checkpoint — the final
+    // boundary table must equal the ONE-SHOT exactQuantiles over
+    // everything streamed (associative state + exactly-once replay)
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ShardStream
+    val base = java.nio.file.Files.createTempDirectory("qstream").toString
+    val vals = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val streamDir = s"$base/stream"
+    ShardStream.writeShardDir(streamDir, vals.map { case (id, v) =>
+      ("s0", f"$id%012d", id.toString, v.toString, 1700000000000L + id) })
+    def run(stateDir: String, ckpt: String, trigger: Trigger): Map[Long, Long] = {
+      var last = Map.empty[Long, Long]
+      val src = spark.readStream.format("kinesiscat")
+        .option("path", streamDir).option("startingPosition", ShardStream.TrimHorizon)
+        .option("batchSize", "100").load()
+        .select(col("data").cast("string").cast("long").as("v"))
+      val q = Quality.quantileStream(src, stateDir, col("v")) { rep =>
+        last = rep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }.option("checkpointLocation", ckpt).trigger(trigger).start()
+      q.awaitTermination()
+      last
+    }
+    val oneShot = {
+      import spark.implicits._
+      Quality.exactQuantiles(vals.map(_._2).toDF("v"), col("v"), 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val unbroken = run(s"$base/stA", s"$base/ckptA", Trigger.AvailableNow())
+    assert(unbroken == oneShot, "uninterrupted stream must match one-shot")
+    run(s"$base/stB", s"$base/ckptB", Trigger.Once()) // killed mid-corpus
+    val resumed = run(s"$base/stB", s"$base/ckptB", Trigger.AvailableNow())
+    assert(resumed == oneShot, "resumed stream must match one-shot")
+  }
+
   test("streaming dedup over the shard source: checkpoint stop/restart == uninterrupted") {
     // The S10 exactly-once pattern applied to the INDEX: dedupStream over
     // the real kinesiscat source, killed after one capped micro-batch and
