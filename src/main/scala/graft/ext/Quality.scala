@@ -629,6 +629,33 @@ object Quality {
       lit(nPos).as("n_pos"), lit(nNeg).as("n_neg"))
   }
 
+  /** [[aucExact]] PER SLICE — the per-language / per-source eval table a
+    * release review reads ("does the scorer rank as well on low-resource
+    * slices?"). The slice key rides the multi-signal prefix sum as the
+    * signal id, so EVERY slice's rank statistics come out of ONE
+    * histogram pass; slices with a single class emit a null auc rather
+    * than a division by zero. */
+  def aucByGroup(scored: DataFrame, group: Column, score: Column,
+                 label: Column): DataFrame = {
+    val counts = scored
+      .select(group.cast("string").as("sig"), score.as("v"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .groupBy("sig", "v").agg(count(lit(1)).as("n"), sum(col("__y")).as("np"))
+    withGlobalCum(rangeCumFromCounts(counts)) { cum =>
+      cum.groupBy("sig").agg(
+          sum(col("np") * (lit(2L) * (col("cum") - col("n")) + col("n") + 1L))
+            .as("rs2"),
+          sum(col("np")).as("n_pos"), sum(col("n") - col("np")).as("n_neg"))
+        .select(col("sig").as("slice"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            (col("rs2").cast("double") / 2.0 -
+              col("n_pos").cast("double") * (col("n_pos") + 1L).cast("double") / 2.0) /
+              (col("n_pos").cast("double") * col("n_neg").cast("double"))).as("auc"),
+          col("n_pos"), col("n_neg"))
+        .localCheckpoint(true) // materialize before the cum stage unpersists
+    }
+  }
+
   /** Precision/recall table over score-band thresholds: for each band b,
     * the outcome of accepting everything scoring IN OR ABOVE b —
     * cumulative counts from the top band down (one tiny window over the
@@ -691,6 +718,10 @@ object Quality {
       calibrationTable(gateScored(s, dir), col("logit"), col("lang") === "en")),
     "model_auc" -> ((s, dir) =>
       aucExact(gateScored(s, dir), col("logit"), col("lang") === "en")),
+    // the same scorer's ranking quality per source slice
+    "auc_sliced" -> ((s, dir) =>
+      aucByGroup(gateScored(s, dir), col("source"), col("logit"),
+        col("lang") === "en")),
     "pr_curve" -> ((s, dir) =>
       prCurve(gateScored(s, dir), col("logit"), col("lang") === "en")),
     // three incommensurable integer signals decile-ranked and summed
@@ -744,7 +775,7 @@ object Quality {
     val wLit = array(GateWeights.map(lit).toSeq: _*)
     SparkEntry.table(s, dir, "documents")
       .withColumn("__f", featurize(col("text"), GateDim))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("source"),
         aggregate(col("__f"), lit(0.0),
           (acc, i) => acc + element_at(wLit, i + 1)).as("logit"))
   }
@@ -753,7 +784,7 @@ object Quality {
     * the calibration and AUC oracles. */
   private def gateScoredSql: String =
     s"""sc AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, lang, source,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(
        |        list_sort(list_distinct(list_transform(
@@ -845,6 +876,28 @@ object Quality {
         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
         |FROM r""".stripMargin,
+
+    // the same rank-sum per source slice: rank windows PARTITION BY the
+    // slice, the final aggregation groups by it; single-class slices
+    // yield NULL (0/0 would otherwise be NaN and hash-diverge)
+    "auc_sliced" ->
+      s"""WITH w AS (SELECT $wLitSql AS wv),
+        |$gateScoredSql,
+        |r AS (SELECT source, lang,
+        |  CAST(rank() OVER (PARTITION BY source ORDER BY logit) AS DOUBLE) +
+        |    (CAST(count(*) OVER (PARTITION BY source, logit) AS DOUBLE) - 1.0) / 2.0 AS ar
+        |  FROM sc)
+        |SELECT source AS slice,
+        |  CASE WHEN sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) > 0
+        |        AND sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) > 0 THEN
+        |  (sum(CASE WHEN lang = 'en' THEN ar END) -
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) *
+        |    (CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) + 1) / 2.0) /
+        |  (CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) *
+        |   CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS DOUBLE)) END AS auc,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |FROM r GROUP BY source""".stripMargin,
 
     // one-shot decile boundaries over the SAME rows the maintained state
     // absorbed — the maintained-vs-one-shot equality IS the contract

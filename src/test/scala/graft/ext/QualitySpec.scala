@@ -308,6 +308,25 @@ class QualitySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("aucByGroup: one-group slice == aucExact; single-class slice yields null") {
+    import spark.implicits._
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("lang"),
+      col("n_chars").cast("double").as("s"))
+    val whole = Quality.aucExact(scored, col("s"), col("lang") === "en").head()
+    val grouped = Quality.aucByGroup(
+        scored.withColumn("g", lit("all")), col("g"), col("s"),
+        col("lang") === "en").head()
+    assert(java.lang.Double.doubleToLongBits(grouped.getDouble(1)) ==
+      java.lang.Double.doubleToLongBits(whole.getDouble(0)),
+      "a single slice must reproduce the global AUC bit-for-bit")
+    assert(grouped.getLong(2) == whole.getLong(1) &&
+      grouped.getLong(3) == whole.getLong(2))
+    val oneClass = Seq((1.0, true, "x"), (2.0, true, "x")).toDF("s", "y", "g")
+    val row = Quality.aucByGroup(oneClass, col("g"), col("s"), col("y")).head()
+    assert(row.isNullAt(1), "single-class slice must be null, not NaN")
+  }
+
   test("madOutliers: medians and flags equal the JVM recompute") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val vs = docs.select("n_chars").collect().map(_.getLong(0))
