@@ -420,6 +420,28 @@ object Quality {
         ((col("cur_n") + 1L).cast("double") / lit((cTot + nBuckets).toDouble)).as("cur_frac"))
   }
 
+  /** QUANTILE NORMALIZATION per slice: each row's signal mapped to its
+    * equi-depth decile WITHIN its own slice (source, language, crawl) —
+    * the way incommensurable per-domain score distributions are put on
+    * one scale before cross-domain selection ("keep every domain's top
+    * 30%", not "keep the global top 30%", which starves whole domains).
+    * All slices' boundaries come from ONE histogram pass (the slice key
+    * is the prefix sum's signal id); driver state is |slices|·(k−1)
+    * boundary longs — slices are domains, a bounded set. The decile map
+    * itself is a broadcast-literal scan-time lookup. */
+  def decileBySlice(df: DataFrame, slice: Column, value: Column,
+                    nBuckets: Int = 10, idCol: String = "doc_id"): DataFrame = {
+    val base = df.select(col(idCol), slice.cast("string").as("sig"),
+      value.cast("long").as("v"))
+    val totals = base.groupBy("sig").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bounds = quantileBoundsMulti(base.select("sig", "v"), totals, nBuckets)
+    val bl = typedLit(bounds)
+    base.select(col(idCol), col("sig").as("slice"), col("v"),
+      size(filter(element_at(bl, col("sig")), x => x <= col("v")))
+        .cast("long").as("decile"))
+  }
+
   /** Rank-based ensemble of heterogeneous quality signals — the
     * scale-safe form of "average the rankings": each integer signal maps
     * to its equi-depth decile (boundaries computed once per signal by
@@ -738,6 +760,10 @@ object Quality {
     // exact ventile boundaries of document length
     "exact_quantiles" -> ((s, dir) =>
       exactQuantiles(SparkEntry.table(s, dir, "documents"), col("n_chars"), k = 20)),
+    // document length normalized to within-source deciles
+    "decile_by_source" -> ((s, dir) =>
+      decileBySlice(SparkEntry.table(s, dir, "documents"), col("source"),
+        col("n_chars"))),
     // MAD-flagged length outliers (c = 3)
     "mad_outliers" -> ((s, dir) =>
       madOutliers(SparkEntry.table(s, dir, "documents"), col("n_chars"))),
@@ -911,6 +937,24 @@ object Quality {
         |FROM (SELECT unnest(range(1, 10)) AS b) b, t, cum
         |WHERE cum.cum >= CAST(ceil(b.b * n / 10.0) AS BIGINT)
         |GROUP BY b.b""".stripMargin,
+
+    // the rank rule PARTITIONED by source: per-slice boundaries, then the
+    // same #boundaries<=v decile lookup
+    "decile_by_source" ->
+      """WITH v AS (SELECT doc_id, source AS sig, n_chars AS v FROM documents),
+        |t AS (SELECT sig, count(*) AS n FROM v GROUP BY sig),
+        |cum AS (SELECT sig, v, CAST(sum(c) OVER (PARTITION BY sig ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT sig, v, count(*) AS c FROM v GROUP BY sig, v)),
+        |bnd AS (SELECT cum.sig, b.b AS b, min(cum.v) AS bv
+        |  FROM (SELECT unnest(range(1, 10)) AS b) b, t, cum
+        |  WHERE cum.sig = t.sig
+        |    AND cum.cum >= CAST(ceil(b.b * t.n / 10.0) AS BIGINT)
+        |  GROUP BY cum.sig, b.b),
+        |bl AS (SELECT sig, list(bv ORDER BY b) AS bs FROM bnd GROUP BY sig)
+        |SELECT v.doc_id, v.sig AS slice, v.v AS v,
+        |  CAST(len(list_filter(bl.bs, x -> x <= v.v)) AS BIGINT) AS decile
+        |FROM v JOIN bl ON bl.sig = v.sig""".stripMargin,
 
     // lower median (rank ceil(n/2)) of v, then of |v - med|, then a flag
     "mad_outliers" ->

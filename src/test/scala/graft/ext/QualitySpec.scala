@@ -308,6 +308,22 @@ class QualitySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("decileBySlice: per-slice deciles equal the per-slice JVM rank rule") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val raw = docs.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = raw.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.map(_._3).sorted
+      val bounds = (1 until 10).map(b =>
+        sorted(math.ceil(b.toDouble * rows.length / 10).toInt - 1))
+      rows.map { case (id, _, v) => id -> bounds.count(_ <= v).toLong }
+    }.toMap
+    val got = Quality.decileBySlice(docs, col("source"), col("n_chars"))
+      .select("doc_id", "decile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("aucByGroup: one-group slice == aucExact; single-class slice yields null") {
     import spark.implicits._
     val docs = SparkEntry.table(spark, dir, "documents")
