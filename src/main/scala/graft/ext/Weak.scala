@@ -60,20 +60,25 @@ object Weak {
   def lfReport(df: DataFrame, idCol: Column,
                lfs: Seq[(String, Column)]): DataFrame = {
     val voted = labelVote(df, idCol, lfs)
-    val n = voted.count()
-    val rows = lfs.map { case (name, _) =>
+    // EVERY LF's counters in one aggregation — 4·|LFs|+1 aggregate
+    // columns over a single corpus pass, never a pass per LF
+    val aggs = count(lit(1)).as("__n") +: lfs.flatMap { case (name, _) =>
       val f = col(name)
-      voted.agg(
-        count(f).as("n_fired"),
-        count(when(f === col("vote"), 1)).as("n_agree"),
+      Seq(count(f).as(s"${name}__fired"),
+        count(when(f === col("vote"), 1)).as(s"${name}__agree"),
         count(when(f.isNotNull && col("vote").isNotNull && f =!= col("vote"), 1))
-          .as("n_conflict"),
-        count(when(f.isNotNull && col("vote").isNull, 1)).as("n_unresolved"))
-        .select(lit(name).as("lf"), col("n_fired"), col("n_agree"),
-          col("n_conflict"), col("n_unresolved"),
-          (col("n_fired").cast("double") / lit(n.toDouble)).as("coverage"))
+          .as(s"${name}__conflict"),
+        count(when(f.isNotNull && col("vote").isNull, 1)).as(s"${name}__unresolved"))
     }
-    rows.reduce(_.unionByName(_))
+    val row = voted.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    lfs.zipWithIndex.map { case ((name, _), i) =>
+      val base = 1 + i * 4
+      (name, row.getLong(base), row.getLong(base + 1), row.getLong(base + 2),
+        row.getLong(base + 3), row.getLong(base).toDouble / n.toDouble)
+    }.toDF("lf", "n_fired", "n_agree", "n_conflict", "n_unresolved", "coverage")
   }
 
   /** The gate's three heterogeneous LFs over `documents` — a length rule
