@@ -114,14 +114,15 @@ object ScaleProbe {
     val r9fOnly = args.length > 1 && args(1) == "r9f"
     val r9gOnly = args.length > 1 && args(1) == "r9g"
     val r10Only = args.length > 1 && args(1) == "r10"
+    val r10bOnly = args.length > 1 && args(1) == "r10b"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
-    if (!r10Only) { d1.count(); dN.count() }
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only) { dSkew.count(); dSkew1.count() }
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only) { e1.count(); eN.count() }
+    if (!r10Only && !r10bOnly) { d1.count(); dN.count() }
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly) { e1.count(); eN.count() }
     if (r9gOnly) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
@@ -140,7 +141,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only) { cent1; centN }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -365,9 +366,35 @@ object ScaleProbe {
         time(s"pagerank_${rep}x") {
           ext.Graph.pagerankInt(randGraph(n1 * rep), "a", "b", iters = 5).count() })
     }
+    // the salted-as-of skew probe: a synthetic event log where ONE key
+    // holds half the rows (the mega-user regime skewReport exists to
+    // detect). The unsalted form funnels that key's whole timeline
+    // through one window task; the salted form spreads it over time
+    // buckets. Labels are (shape)_1x = unsalted, (shape)_<rep>x = salted
+    // — the "ratio" here compares the two REGIMES on the same data.
+    def r10bProbes = {
+      val n = 2000000L * rep / 10 // rep scales the log size
+      val ev = spark.range(n).select(
+          when(col("id") % 2 === 0, 0L).otherwise(pmod(xxhash64(col("id")), lit(5000L)))
+            .as("k"),
+          col("id").as("ts"),
+          (col("id") % 1000).as("payload"))
+        .localCheckpoint(true)
+      val left = ev.select(col("k"), col("ts"), col("payload").as("lp"))
+      val right = ev.where(col("ts") % 3 === 0)
+        .select(col("k"), col("ts"), col("payload").as("rp"))
+      Seq(
+        time(s"asof_hotkey_1x") {
+          ext.Joins.asofJoin(left, right, Seq("k"), "ts", Seq("rp")).count() },
+        time(s"asof_hotkey_${rep}x") {
+          ext.Joins.asofJoinSalted(left, right, Seq("k"), "ts", Seq("rp"),
+            grainSeconds = n / 64).count() })
+    }
+
     val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes
     else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes
     else if (r10Only) r10Probes
+    else if (r10bOnly) r10bProbes
     else if (r9gOnly) r9gProbes
     else if (r9fOnly) r9fProbes
     else if (r9eOnly) r9eProbes else Seq(
