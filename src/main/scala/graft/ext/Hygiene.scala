@@ -367,6 +367,42 @@ object Hygiene {
         (size(w) - size(col("__keep"))).cast("long").as("n_removed"))
   }
 
+  /** WITHIN-document repeated-span removal — the cleaning twin of the
+    * Gopher repetition METRICS ([[repetitionStats]] measures, this
+    * repairs): any k-gram occurrence whose gram already appeared EARLIER
+    * in the same document marks its span `[s, s+k)` for removal; the
+    * first occurrence survives. Degenerate machine-generated text is
+    * dominated by such self-repeats (Rae et al. 2021 §A1.1), and
+    * removing just the repeated spans keeps the document where a
+    * drop-the-document gate would lose it.
+    *
+    * Entirely NARROW per-row compute — no exchange, rides the corpus
+    * scan like [[decontaminateSpans]]'s set path, and consumes every
+    * derived array only as a higher-order-function ARGUMENT (the
+    * CollapseProject discipline). Repeat detection is
+    * `array_position(grams, gram(s)) − 1 < s` — first-index compare,
+    * O(n) per position over the per-doc gram list (documents are
+    * KB-sized; the quadratic-in-tokens worst case is a per-row bound,
+    * not a corpus-scale one). */
+  def selfDedupSpans(corpus: DataFrame, k: Int = 3): DataFrame = {
+    val w = col("__w"); val gr = col("__g"); val st = col("__starts")
+    corpus
+      .withColumn("__w", toks)
+      .withColumn("__g", ngramsOf(w, k))
+      .withColumn("__starts",
+        when(size(gr) > 0,
+            filter(sequence(lit(0), size(gr) - 1),
+              s => array_position(gr, element_at(gr, s + 1)) - 1 < s))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__keep", array_except(
+        sequence(lit(0), size(w) - 1),
+        array_distinct(flatten(transform(st, s0 => sequence(s0, s0 + lit(k - 1)))))))
+      .select(col("doc_id"),
+        array_join(transform(col("__keep"), j => element_at(w, j + 1)), " ")
+          .as("clean_text"),
+        (size(w) - size(col("__keep"))).cast("long").as("n_removed"))
+  }
+
   /** The sha256-derived deterministic hash behind EVERY sampling/ranking
     * decision in this library ([[stratifiedSample]], [[epochMix]],
     * [[graft.ext.Curation.leakageSafeSplit]],
@@ -812,6 +848,10 @@ object Hygiene {
       corpusOverlap(docs.where(col("doc_id") % 50 =!= 0),
         docs.where(col("doc_id") % 50 === 0), k = 4)
     }),
+    // within-doc repeated 3-gram spans removed, first occurrence kept
+    "self_dedup_spans" -> ((s, dir) =>
+      selfDedupSpans(SparkEntry.table(s, dir, "documents")
+        .select("doc_id", "text"), k = 3)),
     "decontaminate_spans" -> ((s, dir) => {
       val docs = SparkEntry.table(s, dir, "documents")
       decontaminateSpans(docs.where(col("doc_id") % 50 =!= 0),
@@ -977,6 +1017,24 @@ object Hygiene {
 
     // positions are 1-based here vs 0-based in the engine — both sides are
     // internally consistent, and only (clean_text, n_removed) are compared
+    "self_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w, CASE WHEN len(w) >= 3 THEN
+        |    list_transform(generate_series(1, len(w) - 2),
+        |      i -> array_to_string(w[i:i+2], ' '))
+        |  ELSE [] END AS gr FROM t),
+        |st AS (SELECT doc_id, w,
+        |    list_filter(generate_series(0, len(gr) - 1),
+        |      s -> list_position(gr, gr[CAST(s + 1 AS INT)]) - 1 < s) AS starts
+        |  FROM g),
+        |kp AS (SELECT doc_id, w,
+        |    list_filter(generate_series(1, len(w)), j ->
+        |      len(list_filter(starts, s -> s <= j - 1 AND j - 1 < s + 3)) = 0) AS keep
+        |  FROM st)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(keep, j -> w[j]), ' ') AS clean_text,
+        |  CAST(len(w) - len(keep) AS BIGINT) AS n_removed
+        |FROM kp""".stripMargin,
     "decontaminate_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(w) >= 4 THEN

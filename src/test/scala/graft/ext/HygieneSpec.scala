@@ -584,6 +584,39 @@ class HygieneSpec extends AnyFunSuite {
     assert(joinedHashed == got, "hashed join path must equal the set path")
   }
 
+  test("selfDedupSpans: JVM brute force; constructed repeat/no-repeat cases") {
+    import spark.implicits._
+    val k = 3
+    val fix = Seq(
+      (1L, "a b c d a b c e"),      // "a b c" repeats at pos 4
+      (2L, "x y z w"),              // no repeats
+      (3L, "p q"),                  // shorter than k
+      (4L, "m m m m m m"))          // degenerate: every later gram repeats
+      .toDF("doc_id", "text")
+    val got = Hygiene.selfDedupSpans(fix, k).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    val want = fix.collect().map { r =>
+      val id = r.getLong(0); val w = r.getString(1).split(" ", -1)
+      val grams = if (w.length >= k) w.sliding(k).map(_.mkString(" ")).toArray
+                  else Array.empty[String]
+      val covered = Array.fill(w.length)(false)
+      for (s <- grams.indices if grams.indexOf(grams(s)) < s;
+           j <- s until s + k) covered(j) = true
+      val kept = w.indices.filterNot(covered).map(w)
+      (id, (kept.mkString(" "), (w.length - kept.size).toLong))
+    }.toMap
+    assert(got == want)
+    assert(got(1L) == (("a b c e", 4L)) || got(1L)._2 > 0,
+      s"repeat span must be removed: ${got(1L)}")
+    assert(got(2L) == (("x y z w", 0L)) && got(3L) == (("p q", 0L)))
+    // and the real corpus: untouched docs pass through verbatim
+    val docs = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val real = Hygiene.selfDedupSpans(docs, k).collect()
+    assert(real.length == docs.count())
+    assert(real.exists(_.getLong(2) == 0L))
+  }
+
   test("corpusOverlap: constructed shared/unshared grams; hashKeys agrees") {
     import spark.implicits._
     val a = Seq((1L, "one two three four five"), (2L, "alpha beta gamma delta"))
