@@ -991,6 +991,46 @@ class ExtSpec extends AnyFunSuite {
       s"embeddingPairs plan must not contain an all-pairs join:\n$plan")
   }
 
+  test("parseWav: the JDK's own WAV reader agrees; chunk walk survives extras") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 17L)) {
+      val bytes = Multimodal.synthWav(id, 500)
+      val meta = Multimodal.parseWav(id, bytes)
+      // independent validation: javax.sound's RIFF reader on the same bytes
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(aff.getFormat.getSampleRate.toLong == meta.sample_rate, s"id $id")
+      assert(aff.getFormat.getChannels.toLong == meta.channels)
+      assert(aff.getFormat.getSampleSizeInBits.toLong == meta.bits_per_sample)
+      assert(aff.getFrameLength.toLong == meta.n_samples)
+      assert(meta.duration_us == meta.n_samples * 1000000L / meta.sample_rate)
+    }
+    // robustness: a LIST chunk with an ODD size spliced before data must
+    // be skipped with its pad byte (the spec's word-alignment rule)
+    val base = Multimodal.synthWav(7L, 100)
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "abcde".getBytes("US-ASCII") ++ Array[Byte](0)
+    val spliced = base.slice(0, 36) ++ junk ++ base.slice(36, base.length)
+    // fix the RIFF size field
+    val riffSz = spliced.length - 8
+    (0 until 4).foreach(i => spliced(4 + i) = ((riffSz >> (8 * i)) & 0xff).toByte)
+    assert(Multimodal.parseWav(7L, spliced) == Multimodal.parseWav(7L, base))
+  }
+
+  test("parseBmp: ImageIO agrees on dimensions and the full blue-channel sum") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 9L)) {
+      val bytes = Multimodal.synthBmp(id)
+      val meta = Multimodal.parseBmp(id, bytes)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must accept our BMP (id $id)")
+      assert(img.getWidth.toLong == meta.width && img.getHeight.toLong == meta.height)
+      var sum = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        sum += (img.getRGB(x, y) & 0xff) // blue channel
+      assert(sum == meta.sum_blue,
+        s"blue sum: parser ${meta.sum_blue} vs ImageIO $sum (id $id)")
+    }
+  }
+
   test("multimodal decode plumbing: batch iterator, schema, determinism") {
     val out = Multimodal.decodeMeta(docs)
     assert(out.schema.fieldNames.toSeq ==
