@@ -550,7 +550,37 @@ object TextAnalysis {
       .where(col("n_cooc") >= minCount)
   }
 
+  /** Kneser–Ney preprocessing counts (Kneser & Ney 1995; the smoothing
+    * every production n-gram LM uses): per word, the RAW unigram count
+    * AND the CONTINUATION count — how many DISTINCT left contexts the
+    * word follows. "Francisco" is frequent but follows almost only
+    * "San"; its continuation count is tiny, and KN backs off by
+    * continuation, not frequency. One pass: the bigram explode reduces
+    * to distinct (prev, w) pairs map-side (per-doc distinctness first),
+    * then a word-keyed count; raw counts ride a second aggregation of
+    * the same narrow subtree. Document-initial words have no left
+    * context and contribute no continuation. All integers. */
+  def knCounts(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), w => length(w) > 0)
+    val base = docs.select(toks.as("w"))
+    val raw = base.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val cont = base
+      .select(explode(array_distinct(zip_with(
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (p, c) => struct(p.as("prev"), c.as("word"))))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.word").as("word"))
+      .groupBy("prev", "word").agg(count(lit(1)).as("__n"))
+      .groupBy("word").agg(count(lit(1)).as("n_contexts"))
+    raw.join(cont, Seq("word"), "left")
+      .select(col("word"), col("cnt"),
+        coalesce(col("n_contexts"), lit(0L)).as("n_contexts"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "kn_counts" -> ((s, dir) =>
+      knCounts(SparkEntry.table(s, dir, "documents"))),
     // window 4 → scale 12: weights 12, 6, 4, 3 by distance — all integer
     "glove_cooc" -> ((s, dir) =>
       cooccurrence(SparkEntry.table(s, dir, "documents"), window = 4, minCount = 5L)),
@@ -605,6 +635,19 @@ object TextAnalysis {
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "kn_counts" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |raw AS (SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(w) AS word FROM t) GROUP BY 1),
+        |bg AS (SELECT DISTINCT s.prev AS prev, s.word AS word FROM (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> struct_pack(prev := w[CAST(i AS INT)],
+        |                     word := w[CAST(i + 1 AS INT)]))) AS s
+        |  FROM t WHERE len(w) >= 2)),
+        |cont AS (SELECT word, count(*) AS n_contexts FROM bg GROUP BY word)
+        |SELECT raw.word, raw.cnt, COALESCE(cont.n_contexts, 0) AS n_contexts
+        |FROM raw LEFT JOIN cont ON cont.word = raw.word""".stripMargin,
     // same windows, same integer dot/norm folds, same cosine op chain
     "semantic_boundaries" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

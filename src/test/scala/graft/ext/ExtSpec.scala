@@ -991,6 +991,37 @@ class ExtSpec extends AnyFunSuite {
       s"embeddingPairs plan must not contain an all-pairs join:\n$plan")
   }
 
+  test("knCounts: continuation vs raw counts — the Francisco property") {
+    import spark.implicits._
+    // 'francisco' is FREQUENT (5 raw) but always follows 'san' (1 context);
+    // 'road' is rarer (3 raw) but follows 3 distinct words
+    val docs = Seq(
+      "san francisco bay", "san francisco fog", "san francisco hills",
+      "san francisco piers", "san francisco food",
+      "main road", "old road", "new road").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.knCounts(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("francisco") == ((5L, 1L)))
+    assert(got("road") == ((3L, 3L)))
+    assert(got("san") == ((5L, 0L)), "document-initial words have no context")
+    // JVM differential over the real corpus
+    val real = SparkEntry.table(spark, dir, "documents")
+    val texts = real.select("text").collect().map(_.getString(0))
+    val raw = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cont = texts.flatMap { t =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+    }.distinct.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val gotReal = TextAnalysis.knCounts(real).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gotReal.keySet == raw.keySet)
+    gotReal.foreach { case (wd, (c, nc)) =>
+      assert(c == raw(wd) && nc == cont.getOrElse(wd, 0L), s"word $wd")
+    }
+  }
+
   test("parseWav: the JDK's own WAV reader agrees; chunk walk survives extras") {
     for (id <- Seq(0L, 1L, 2L, 3L, 17L)) {
       val bytes = Multimodal.synthWav(id, 500)
