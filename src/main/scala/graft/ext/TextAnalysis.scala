@@ -550,6 +550,44 @@ object TextAnalysis {
       .where(col("n_cooc") >= minCount)
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv:2305.10429,
+    * reduced to its deterministic one-step core): domains the REFERENCE
+    * language model finds SURPRISING get upweighted — `weight_d ∝ 1 −
+    * mean_prob_d`, the add-½-smoothed unigram likelihood of
+    * [[lmScore]] aggregated at DOMAIN level (exact integer sums, ONE
+    * division per domain), normalized over domains. Full DoReMi
+    * alternates proxy-model training with Group-DRO — float-iterative
+    * and engine-divergent; the one-step surprise weighting is its
+    * deterministic backbone. The normalization folds the ≤|domains|
+    * excesses in DOMAIN-SORTED order (driver-side, bounded), so weights
+    * are bit-reproducible; the oracle mirrors the fold with
+    * `list(... ORDER BY domain)` + `list_reduce`. */
+  def domainWeights(docs: DataFrame, reference: DataFrame,
+                    domain: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = reference.select(explode(toks).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val d2 = lex.agg(
+      (lit(2) * coalesce(sum("cnt"), lit(0L)) + count(lit(1)) + lit(1)).as("d2"))
+      .head().getLong(0)
+    val perDomain = docs.select(domain.cast("string").as("domain"),
+        explode(toks).as("w"))
+      .where(col("w") =!= "")
+      .join(broadcast(lex), Seq("w"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(lit(2) * col("cnt") + 1).cast("double") /
+          (lit(d2) * count(lit(1))).cast("double")).as("mean_prob"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val tot = perDomain.foldLeft(0.0) { case (a, (_, _, mp)) => a + (1.0 - mp) }
+    perDomain.map { case (d, n, mp) => (d, n, mp, (1.0 - mp) / tot) }
+      .toSeq.toDF("domain", "n_tokens", "mean_prob", "weight")
+  }
+
   /** Kneser–Ney preprocessing counts (Kneser & Ney 1995; the smoothing
     * every production n-gram LM uses): per word, the RAW unigram count
     * AND the CONTINUATION count — how many DISTINCT left contexts the
@@ -581,6 +619,11 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "kn_counts" -> ((s, dir) =>
       knCounts(SparkEntry.table(s, dir, "documents"))),
+    // mixture weights over sources, the en slice as the reference LM
+    "domain_weights" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      domainWeights(docs, docs.where(col("lang") === "en"), col("source"))
+    }),
     // window 4 → scale 12: weights 12, 6, 4, 3 by distance — all integer
     "glove_cooc" -> ((s, dir) =>
       cooccurrence(SparkEntry.table(s, dir, "documents"), window = 4, minCount = 5L)),
@@ -635,6 +678,24 @@ object TextAnalysis {
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "domain_weights" ->
+      """WITH rt AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |            FROM documents WHERE lang = 'en'),
+        |lex AS (SELECT w, count(*) AS cnt FROM (SELECT unnest(w) AS w FROM rt) GROUP BY w),
+        |dv AS (SELECT 2 * COALESCE(sum(cnt), 0) + count(*) + 1 AS d2 FROM lex),
+        |tok AS (SELECT source AS domain, unnest(
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |j AS (SELECT domain, COALESCE(lex.cnt, 0) AS cnt
+        |      FROM tok LEFT JOIN lex USING (w)),
+        |pd AS (SELECT domain, count(*) AS n_tokens,
+        |    CAST(sum(2 * cnt + 1) AS DOUBLE) / CAST(d2 * count(*) AS DOUBLE)
+        |      AS mean_prob
+        |  FROM j, dv GROUP BY domain, d2),
+        |tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(1.0 - mean_prob ORDER BY domain)), (a, b) -> a + b) AS t FROM pd)
+        |SELECT domain, n_tokens, mean_prob, (1.0 - mean_prob) / t AS weight
+        |FROM pd, tot""".stripMargin,
     "kn_counts" ->
       """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
         |           FROM documents),

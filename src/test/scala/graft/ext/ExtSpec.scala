@@ -991,6 +991,29 @@ class ExtSpec extends AnyFunSuite {
       s"embeddingPairs plan must not contain an all-pairs join:\n$plan")
   }
 
+  test("domainWeights: surprising domains upweighted; bit-deterministic") {
+    import spark.implicits._
+    // reference vocabulary = {in-domain words}; domain B is pure OOV →
+    // lower mean_prob → strictly higher weight
+    val docs = Seq(
+      (1L, "alpha beta gamma", "A"), (2L, "alpha beta delta", "A"),
+      (3L, "zz qq xx", "B"), (4L, "yy ww vv", "B"))
+      .toDF("doc_id", "text", "source")
+    val ref = docs.where(col("source") === "A")
+    val rows = TextAnalysis.domainWeights(docs, ref, col("source")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows("B")._1 < rows("A")._1, "OOV domain must score lower")
+    assert(rows("B")._2 > rows("A")._2, "surprising domain must be upweighted")
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-12)
+    // partitioning invariance (the fold is domain-sorted, driver-side)
+    val again = TextAnalysis.domainWeights(docs.repartition(7), ref, col("source"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    rows.foreach { case (d, (_, w)) =>
+      assert(java.lang.Double.doubleToLongBits(again(d)) ==
+        java.lang.Double.doubleToLongBits(w))
+    }
+  }
+
   test("knCounts: continuation vs raw counts — the Francisco property") {
     import spark.implicits._
     // 'francisco' is FREQUENT (5 raw) but always follows 'san' (1 context);
