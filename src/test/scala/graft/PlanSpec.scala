@@ -711,6 +711,23 @@ class PlanSpec extends AnyFunSuite {
       count(p) { case _: joins.BroadcastHashJoinExec => } == 0, s"$p")
   }
 
+  test("merge_upsert: ONE struct-extrema shuffle — no join, no window") {
+    val p = physical("merge_upsert")
+    assert(shuffles(p) == 1, s"expected only the winner-per-key exchange:\n$p")
+    assert(count(p) { case _: joins.SortMergeJoinExec => } +
+      count(p) { case _: joins.BroadcastHashJoinExec => } == 0,
+      s"latest-wins must not join:\n$p")
+    assert(count(p) { case _: window.WindowExec => } == 0,
+      s"latest-wins must not window:\n$p")
+  }
+
+  test("scan-time operators stay shuffle-free: jl_project, kfold_assign, temporal_split, winsorize") {
+    for (name <- Seq("jl_project", "kfold_assign", "temporal_split", "winsorize")) {
+      val p = physical(name)
+      assert(shuffles(p) == 0, s"$name must ride the scan:\n$p")
+    }
+  }
+
   test("quantileBounds prefix-sum stage: window partitioned, no single-task funnel") {
     import org.apache.spark.sql.functions.{col, lit}
     val vals = SparkEntry.table(spark, sfDir, "documents")
