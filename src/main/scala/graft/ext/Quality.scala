@@ -293,21 +293,21 @@ object Quality {
   /** Equi-depth boundaries for SEVERAL signals in one histogram pass:
     * `vals` is (sig, v); returns sig → its k−1 boundaries. Driver state:
     * per-(sig, partition) totals + the boundary row. */
-  private def quantileBoundsMulti(vals: DataFrame, totals: Map[String, Long],
-                                  nBuckets: Int): Map[String, Seq[Long]] =
-    boundsFromCum(rangeCumCounts(vals), totals, nBuckets)
+  private def quantileBoundsMulti(vals: DataFrame, nBuckets: Int)
+      : Map[String, Seq[Long]] =
+    boundsFromCum(rangeCumCounts(vals), nBuckets)
 
   private[graft] def quantileBoundsFromCounts(counts: DataFrame,
-                                              totals: Map[String, Long],
                                               nBuckets: Int): Map[String, Seq[Long]] =
-    boundsFromCum(rangeCumFromCounts(counts), totals, nBuckets)
+    boundsFromCum(rangeCumFromCounts(counts), nBuckets)
 
   /** Run `f` over the cum-stage frame extended with the exact GLOBAL
     * running count (`cum`): persists the per-range stage, collects the
     * per-(sig, partition) totals (the only driver state), broadcasts the
     * offsets, and unpersists afterwards. The shared core of every
     * rank-statistic consumer (quantile boundaries, [[aucExact]]). */
-  private def withGlobalCum[T](cumStage: DataFrame)(f: DataFrame => T): T = {
+  private def withGlobalCum[T](cumStage: DataFrame)(
+      f: (DataFrame, Map[String, Long]) => T): T = {
     val pcum = cumStage
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -317,17 +317,20 @@ object Quality {
         s"$sig:$pid" -> partTotals.view
           .filterKeys(k => k._1 == sig && k._2 < pid).values.sum
       }.toMap
+      // per-signal totals fall out of the partition totals for free — no
+      // caller needs a separate count() pass over the input
+      val totals = partTotals.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
       f(pcum.withColumn("cum",
         col("pcum") + coalesce(element_at(typedLit(offsets),
-          concat_ws(":", col("sig"), col("pid"))), lit(0L))))
+          concat_ws(":", col("sig"), col("pid"))), lit(0L))), totals)
     } finally pcum.unpersist()
   }
 
-  private def boundsFromCum(cumStage: DataFrame, totals: Map[String, Long],
+  private def boundsFromCum(cumStage: DataFrame,
                             nBuckets: Int): Map[String, Seq[Long]] = {
-    require(totals.nonEmpty && totals.values.forall(_ > 0),
-      "quantileBounds: value slice is empty")
-    withGlobalCum(cumStage) { cum =>
+    withGlobalCum(cumStage) { (cum, totals) =>
+      require(totals.nonEmpty && totals.values.forall(_ > 0),
+        "quantileBounds: value slice is empty")
       val aggs = totals.keys.toSeq.sorted.flatMap { sig =>
         (1 until nBuckets).map { b =>
           val need = math.ceil(b.toDouble * totals(sig) / nBuckets).toLong
@@ -342,9 +345,8 @@ object Quality {
     }
   }
 
-  private def quantileBounds(vals: DataFrame, total: Long, nBuckets: Int): Seq[Long] =
-    quantileBoundsMulti(vals.select(lit("_").as("sig"), col("v")),
-      Map("_" -> total), nBuckets)("_")
+  private def quantileBounds(vals: DataFrame, nBuckets: Int): Seq[Long] =
+    quantileBoundsMulti(vals.select(lit("_").as("sig"), col("v")), nBuckets)("_")
 
   /** Exact equi-depth quantile boundaries as a first-class operator:
     * boundary q (q = 1..k−1) is the smallest value whose running count
@@ -360,8 +362,7 @@ object Quality {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(value.cast("long").as("v"))
-    val total = vals.count()
-    val bounds = quantileBounds(vals, total, k)
+    val bounds = quantileBounds(vals, k)
     (1 until k).map(q => (q.toLong, bounds(q - 1))).toDF("q", "boundary")
   }
 
@@ -374,10 +375,8 @@ object Quality {
   def madOutliers(df: DataFrame, value: Column, idCol: String = "doc_id",
                   c: Long = 3L): DataFrame = {
     val vals = df.select(value.cast("long").as("v"))
-    val n = vals.count()
-    val med = quantileBounds(vals, n, 2).head
-    val mad = quantileBounds(
-      vals.select(abs(col("v") - med).as("v")), n, 2).head
+    val med = quantileBounds(vals, 2).head
+    val mad = quantileBounds(vals.select(abs(col("v") - med).as("v")), 2).head
     df.select(col(idCol), value.cast("long").as("v"))
       .withColumn("dev", abs(col("v") - lit(med)))
       .withColumn("is_outlier", col("dev") > lit(c) * lit(mad))
@@ -392,7 +391,7 @@ object Quality {
                 lo: Int = 1, hi: Int = 19): DataFrame = {
     require(1 <= lo && lo < hi && hi < k, "need 1 <= lo < hi < k")
     val vals = df.select(value.cast("long").as("v"))
-    val bounds = quantileBounds(vals, vals.count(), k)
+    val bounds = quantileBounds(vals, k)
     df.withColumn(outCol,
       least(greatest(value.cast("long"), lit(bounds(lo - 1))), lit(bounds(hi - 1))))
   }
@@ -405,7 +404,7 @@ object Quality {
     val r = ref.select(value.cast("long").as("v"))
     val c = cur.select(value.cast("long").as("v"))
     val rTot = r.count(); val cTot = c.count()
-    val bounds = quantileBounds(r, rTot, nBuckets)
+    val bounds = quantileBounds(r, nBuckets)
     val bLit = typedLit(bounds)
     def bucketed(df: DataFrame, name: String) = df
       .select(size(filter(bLit, x => x <= col("v"))).cast("long").as("bucket"))
@@ -433,9 +432,7 @@ object Quality {
                     nBuckets: Int = 10, idCol: String = "doc_id"): DataFrame = {
     val base = df.select(col(idCol), slice.cast("string").as("sig"),
       value.cast("long").as("v"))
-    val totals = base.groupBy("sig").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bounds = quantileBoundsMulti(base.select("sig", "v"), totals, nBuckets)
+    val bounds = quantileBoundsMulti(base.select("sig", "v"), nBuckets)
     val bl = typedLit(bounds)
     base.select(col(idCol), col("sig").as("slice"), col("v"),
       size(filter(element_at(bl, col("sig")), x => x <= col("v")))
@@ -455,7 +452,6 @@ object Quality {
   def qualityEnsemble(docs: DataFrame, signals: Seq[(String, Column)],
                       nBuckets: Int = 10): DataFrame = {
     require(signals.nonEmpty, "need at least one signal")
-    val n = docs.count()
     val withSignals = docs.select(col("doc_id") +:
       signals.map { case (nm, c) => c.cast("long").as(s"__s_$nm") }: _*)
     // every signal's histogram in ONE corpus scan: the (sig, v) union
@@ -465,8 +461,7 @@ object Quality {
         signals.map { case (nm, _) =>
           struct(lit(nm).as("sig"), col(s"__s_$nm").as("v")) }: _*)).as("sv"))
       .select(col("sv.sig").as("sig"), col("sv.v").as("v"))
-    val boundsBySig = quantileBoundsMulti(longVals,
-      signals.map(_._1 -> n).toMap, nBuckets)
+    val boundsBySig = quantileBoundsMulti(longVals, nBuckets)
     val deciles = signals.map { case (nm, _) =>
       nm -> size(filter(typedLit(boundsBySig(nm)),
         x => x <= col(s"__s_$nm"))).cast("long")
@@ -563,10 +558,8 @@ object Quality {
       .groupBy("v").agg(sum(col("n")).as("n"))
       .localCheckpoint(true)
     if (!replay) BatchState.save(merged, stateDir, batchId)
-    val total = merged.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val bounds = quantileBoundsFromCounts(
-      merged.select(lit("_").as("sig"), col("v"), col("n")),
-      Map("_" -> total), nBuckets)("_")
+      merged.select(lit("_").as("sig"), col("v"), col("n")), nBuckets)("_")
     (1 until nBuckets).map(q => (q.toLong, bounds(q - 1))).toDF("q", "boundary")
   }
 
@@ -635,7 +628,7 @@ object Quality {
       .select(score.as("v"), when(label, 1L).otherwise(0L).as("__y"))
       .groupBy("v").agg(count(lit(1)).as("n"), sum(col("__y")).as("np"))
       .select(lit("_").as("sig"), col("v"), col("n"), col("np"))
-    val row = withGlobalCum(rangeCumFromCounts(counts)) { cum =>
+    val row = withGlobalCum(rangeCumFromCounts(counts)) { (cum, _) =>
       cum.agg(
         sum(col("np") * (lit(2L) * (col("cum") - col("n")) + col("n") + 1L))
           .as("rs2"),
@@ -663,7 +656,7 @@ object Quality {
       .select(group.cast("string").as("sig"), score.as("v"),
         when(label, 1L).otherwise(0L).as("__y"))
       .groupBy("sig", "v").agg(count(lit(1)).as("n"), sum(col("__y")).as("np"))
-    withGlobalCum(rangeCumFromCounts(counts)) { cum =>
+    withGlobalCum(rangeCumFromCounts(counts)) { (cum, _) =>
       cum.groupBy("sig").agg(
           sum(col("np") * (lit(2L) * (col("cum") - col("n")) + col("n") + 1L))
             .as("rs2"),
