@@ -244,6 +244,27 @@ object Freq {
         (col("est") - col("true_cnt")).as("overcount"))
   }
 
+  /** Approximate distinct cardinality per group via Spark's native
+    * HyperLogLog++ (`approx_count_distinct`, relative error `rsd`) — the
+    * sketch every corpus dashboard uses where an exact distinct would
+    * shuffle the full key domain ("distinct users per event type over
+    * 100 TB" in one partial-agged pass of fixed-size sketch buffers).
+    * `audit = true` ALSO computes the exact count and a within-5%% flag —
+    * the mode the driver gate runs (the oracle asserts the flag, so an
+    * HLL regression past the band turns the row red); production at
+    * scale runs `audit = false`, where the plan contains no exact
+    * count-distinct expansion at all. */
+  def approxDistinct(df: DataFrame, group: Column, key: Column,
+                     rsd: Double = 0.01, audit: Boolean = false): DataFrame = {
+    val base = df.groupBy(group.as("grp"))
+    if (!audit) base.agg(approx_count_distinct(key, rsd).as("approx_nd"))
+    else base.agg(approx_count_distinct(key, rsd).as("approx_nd"),
+        countDistinct(key).as("exact_nd"))
+      .select(col("grp"), col("exact_nd"),
+        (abs(col("approx_nd") - col("exact_nd")).cast("double") <=
+          col("exact_nd").cast("double") * 0.05).as("within_5pct"))
+  }
+
   /** Join-skew diagnosis: the `topK` hottest values of a key column with
     * their absolute counts, corpus share, and cumulative share — the
     * table that decides whether a join needs [[graft.ext.Joins
@@ -279,6 +300,11 @@ object Freq {
     "no such trigram")
 
   val queries: Map[String, Q] = Map(
+    // distinct users per event type: the oracle asserts the HLL lands
+    // within the 5%% band of the exact count
+    "approx_distinct" -> ((s, dir) =>
+      approxDistinct(SparkEntry.table(s, dir, "events"), col("event_type"),
+        col("user_id"), audit = true)),
     "skew_report" -> ((s, dir) =>
       skewReport(SparkEntry.table(s, dir, "events"), col("user_id"))),
     "cms_estimate" -> ((s, dir) =>
@@ -292,6 +318,10 @@ object Freq {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "approx_distinct" ->
+      """SELECT event_type AS grp, count(DISTINCT user_id) AS exact_nd,
+        |  CAST(TRUE AS BOOLEAN) AS within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
     "skew_report" ->
       """WITH t AS (SELECT count(*) AS total FROM events),
         |c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),

@@ -150,4 +150,20 @@ class FreqSpec extends AnyFunSuite {
     // cumulative share is the running sum of shares (exact: integer cum)
     assert(got(2)._5 == 701.0 / 1000.0)
   }
+
+  test("approxDistinct: HLL inside the band at 100k distinct; audit=false plan is sketch-only") {
+    import spark.implicits._
+    val df = spark.range(100000).select(
+      (col("id") % 4).cast("string").as("g"), col("id").as("k"))
+    val audited = Freq.approxDistinct(df, col("g"), col("k"), audit = true)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(audited.values.forall(_._2), s"HLL out of band: $audited")
+    assert(audited.values.map(_._1).sum == 100000L)
+    val p = Freq.approxDistinct(df, col("g"), col("k"))
+      .queryExecution.executedPlan
+    assert(!p.toString.contains("count(distinct"),
+      s"audit=false must not pay the exact distinct expansion:\n$p")
+    assert(p.toString.toLowerCase.contains("approx_count_distinct") ||
+      p.toString.contains("hyperloglog"), s"expected the HLL aggregate:\n$p")
+  }
 }
