@@ -111,6 +111,56 @@ object Graph {
     r
   }
 
+  /** Distinct co-occurrence edges: an undirected edge `(u, v)` with
+    * `u < v` between every pair of `item`s sharing a `group` (parts in
+    * one order, docs citing one entity, users in one session). The pair
+    * explosion is a self-join on the group key — fanout is bounded by
+    * group size (orders hold a handful of items; cap or sample
+    * pathological groups before calling, the [[Dedup]] hot-bucket-cap
+    * posture). */
+  def cooccurrenceEdges(df: DataFrame, group: Column, item: Column): DataFrame = {
+    val a = df.select(group.as("__g"), item.cast("long").as("u")).distinct()
+    val b = a.select(col("__g"), col("u").as("v"))
+    a.join(b, Seq("__g")).where(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  /** Exact triangle count over an undirected edge list (`u < v` unique
+    * pairs) — the standard clustering/cohesion diagnostic for the graphs
+    * this module builds (a near-dup pair graph whose triangle density is
+    * ~0 is mostly hash-collision noise; a co-purchase graph's triangle
+    * count tracks community structure). One row: nodes, edges, triangles.
+    *
+    *  Scale shape: each edge is ORIENTED from its (degree, id)-smaller
+    * endpoint to the larger — every triangle becomes exactly one directed
+    * path a→b→c plus the closing edge a→c, and a node's out-degree is
+    * bounded by O(√m) (only higher-degree neighbors receive its edges),
+    * so the wedge join materializes O(m^1.5) rows worst-case instead of
+    * Σ deg² (the hub explosion: one 10⁶-degree node contributes 10¹²
+    * unoriented wedges but ≤ m oriented ones). Joins shuffle on 8-byte
+    * node keys; the only driver values are three scalar counts. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val oriented = e.join(du, "u").join(dv, "v")
+      .select(when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val e1 = oriented.select(col("s").as("a"), col("t").as("b"))
+    val e2 = oriented.select(col("s").as("b"), col("t").as("c"))
+    val e3 = oriented.select(col("s").as("a"), col("t").as("c"))
+    val nTri = e1.join(e2, "b").select("a", "c").join(e3, Seq("a", "c")).count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((deg.count(), e.count(), nTri))
+      .toDF("n_nodes", "n_edges", "n_triangles")
+  }
+
   val queries: Map[String, Q] = Map(
     // near-dup pairs closed into dedup clusters; singleton docs are their
     // own component — the canonical-representative table a cluster-level
@@ -157,6 +207,11 @@ object Graph {
       val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       pagerankInt(sym, "a", "b", iters = 5)
     }),
+    // cohesion of the co-purchase graph (parts sharing an order):
+    // distinct part-pair edges, then the degree-oriented exact count
+    "triangle_count" -> ((s, dir) =>
+      triangleCount(cooccurrenceEdges(SparkEntry.table(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey")))),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -234,5 +289,20 @@ object Graph {
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, r FROM r5""".stripMargin
     },
+    // unoriented canonical form (u < v < w counts each triangle once);
+    // the engine's degree orientation is an internal optimization the
+    // count is invariant to
+    "triangle_count" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |nn AS (SELECT count(*) AS n_nodes
+        |  FROM (SELECT u FROM e UNION SELECT v FROM e)),
+        |ne AS (SELECT count(*) AS n_edges FROM e),
+        |nt AS (SELECT count(*) AS n_triangles FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT nn.n_nodes, ne.n_edges, nt.n_triangles FROM nn, ne, nt""".stripMargin,
   )
 }

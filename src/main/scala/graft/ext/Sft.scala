@@ -174,7 +174,65 @@ object Sft {
       .select(col("user_id"), col("ts"), col("event_id").as("ord"),
         roleCol.as("role"), col("props").as("content"))
 
+  /** Thread linearization: resolve every message of a parent-pointer forest
+    * (threaded chat/forum data) to its root, depth, and full root→message
+    * path — the flattening that turns raw threads into the linear
+    * conversations [[render]] consumes (each leaf-path is one training
+    * conversation).
+    *
+    * POINTER DOUBLING, not parent-at-a-time walking: each round joins the
+    * state with itself (`jump ← jump(jump)`, concatenating the covered
+    * path segments), so a depth-d thread resolves in ⌈log₂ d⌉ rounds of
+    * one hash join each — at 100 TB a deep thread costs 5–6 shuffles where
+    * the naive walk costs d and a `collect`-based walk doesn't distribute
+    * at all. Per-round state is one row per message whose path array is
+    * bounded by thread depth (conversations are context-window-bounded);
+    * `localCheckpoint` truncates the per-round lineage ([[Graph]] /
+    * [[Vocab.trainBpe]] posture). A dangling parent pointer terminates its
+    * chain as a root (malformed data degrades, not crashes); a CYCLE
+    * never converges and fails loudly at `maxRounds`. */
+  def threadPaths(msgs: DataFrame, id: Column, parent: Column,
+                  maxRounds: Int = 20): DataFrame = {
+    var st = msgs.select(id.cast("long").as("id"),
+        parent.cast("long").as("jump"),
+        array(id.cast("long")).as("seg"))
+      .localCheckpoint(true)
+    var round = 0
+    var open = st.where(col("jump").isNotNull).limit(1).count() > 0
+    while (open && round < maxRounds) {
+      val link = st.select(col("id").as("jump"), col("jump").as("jump2"),
+        col("seg").as("seg2"))
+      // seg2 null ⇔ no ancestor row matched (jump already null, or a
+      // dangling pointer): the chain is complete as known
+      st = st.join(link, Seq("jump"), "left")
+        .select(col("id"),
+          when(col("seg2").isNull, lit(null).cast("long"))
+            .otherwise(col("jump2")).as("jump"),
+          when(col("seg2").isNull, col("seg"))
+            .otherwise(concat(col("seg"), col("seg2"))).as("seg"))
+        .localCheckpoint(true)
+      round += 1
+      open = st.where(col("jump").isNotNull).limit(1).count() > 0
+    }
+    require(!open,
+      s"threadPaths: unresolved chains after $maxRounds doubling rounds " +
+        s"(depth > 2^$maxRounds or a parent-pointer cycle)")
+    st.select(col("id").as("msg_id"),
+      element_at(col("seg"), -1).as("root_id"),
+      (size(col("seg")) - 1).cast("long").as("depth"),
+      array_join(reverse(col("seg")).cast("array<string>"), ">").as("path"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // parent-pointer threads over the event log (roots at multiples of 23
+    // → chains up to depth 22, five doubling rounds)
+    "thread_flatten" -> ((s, dir) => {
+      val ev = SparkEntry.table(s, dir, "events")
+      threadPaths(ev.select(col("event_id"),
+          when(col("event_id") % 23 === 0, lit(null).cast("long"))
+            .otherwise(col("event_id") - 1).as("parent")),
+        col("event_id"), col("parent"))
+    }),
     "sft_format" -> ((s, dir) => renderConversations(eventTurns(s, dir), "user_id")),
     "sft_spans" -> ((s, dir) => lossSpans(eventTurns(s, dir), "user_id")),
     "fim_transform" -> ((s, dir) => fimTransform(SparkEntry.table(s, dir, "documents"))),
@@ -198,6 +256,24 @@ object Sft {
       "|| '|>' || props || '<|end|>' AS piece FROM events"
 
   val oracleSql: Map[String, String] = Map(
+    // parent-at-a-time recursive walk; the engine's pointer doubling is an
+    // internal optimization the paths are invariant to
+    "thread_flatten" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT event_id AS id,
+        |    CASE WHEN event_id % 23 = 0 THEN NULL ELSE event_id - 1 END AS parent
+        |  FROM events),
+        |up AS (
+        |  SELECT id AS msg_id, parent AS nxt, [id] AS seg FROM m
+        |  UNION ALL
+        |  SELECT up.msg_id, m.parent, list_append(up.seg, m.id)
+        |  FROM up JOIN m ON m.id = up.nxt)
+        |SELECT msg_id, seg[len(seg)] AS root_id,
+        |  CAST(len(seg) - 1 AS BIGINT) AS depth,
+        |  array_to_string(list_reverse(seg), '>') AS path
+        |FROM up
+        |WHERE nxt IS NULL
+        |   OR NOT EXISTS (SELECT 1 FROM m WHERE m.id = up.nxt)""".stripMargin,
     "sft_format" ->
       s"""WITH t AS ($turnsSql)
          |SELECT conv_id, count(*) AS n_turns,

@@ -142,6 +142,21 @@ object Versioning {
     df.groupBy(quasiIds: _*).agg(count(lit(1)).as("n")).where(col("n") < k)
   }
 
+  /** l-DIVERSITY audit (Machanavajjhala et al. 2007) — the companion check
+    * [[kAnonymityAudit]] cannot make: a quasi-identifier group can hold
+    * k rows yet still leak if they all share ONE `sensitive` value
+    * (knowing someone is in the group reveals their attribute). Reports
+    * every group whose sensitive-value diversity is below `l`, with its
+    * size. Same one-partial-agged-groupBy shape as the k-audit; the
+    * report is bounded by the number of LOW-diversity groups. */
+  def lDiversityAudit(df: DataFrame, quasiIds: Seq[Column], sensitive: Column,
+                      l: Long = 3L): DataFrame = {
+    require(quasiIds.nonEmpty && l >= 2, "need quasi-identifiers and l >= 2")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("n"), countDistinct(sensitive).as("diversity"))
+      .where(col("diversity") < l)
+  }
+
   /** Right-to-be-forgotten deletion: drop every row whose `key` appears
     * in the request list and account for it — the GDPR/CCPA erasure pass
     * a long-lived corpus runs before each [[Snapshot.publish]]. Small
@@ -228,6 +243,12 @@ object Versioning {
       kAnonymityAudit(SparkEntry.table(s, dir, "documents"),
         Seq(col("lang"), col("source"),
           (expr("n_chars div 100") * 100L).as("len_bucket")), k = 3L)),
+    // (source, length-bucket) groups whose language diversity < 3: the
+    // homogeneity leak k-anonymity misses (lang plays the sensitive attr)
+    "l_diversity" -> ((s, dir) =>
+      lDiversityAudit(SparkEntry.table(s, dir, "documents"),
+        Seq(col("source"), (expr("n_chars div 100") * 100L).as("len_bucket")),
+        col("lang"), l = 3L)),
     // customer balances as the base table, events as the change stream
     // ('error' events are deletes); latest change wins
     "merge_upsert" -> ((s, dir) =>
@@ -286,6 +307,10 @@ object Versioning {
       """SELECT lang, source, n_chars // 100 * 100 AS len_bucket,
         |  count(*) AS n
         |FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 3""".stripMargin,
+    "l_diversity" ->
+      """SELECT source, n_chars // 100 * 100 AS len_bucket,
+        |  count(*) AS n, count(DISTINCT lang) AS diversity
+        |FROM documents GROUP BY 1, 2 HAVING count(DISTINCT lang) < 3""".stripMargin,
     // identical latest-wins struct-max rule; DuckDB struct comparison is
     // field-lexicographic in declared order, same as Spark's
     "merge_upsert" ->

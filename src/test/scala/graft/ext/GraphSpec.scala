@@ -94,4 +94,38 @@ class GraphSpec extends AnyFunSuite {
     assert(got("a") == 150000000L)
     assert(got("b") > got("a") && got("c") > got("a"))
   }
+  test("triangleCount == brute force on random graphs; star and clique pins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 400).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val df = edges.toDF("u", "v")
+    val got = Graph.triangleCount(df).collect().head
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var want = 0L
+    for (i <- nodes; j <- nodes if i < j && es((i, j));
+         k <- nodes if j < k && es((j, k)) && es((i, k))) want += 1
+    assert(got.getLong(0) == nodes.size && got.getLong(1) == edges.size)
+    assert(got.getLong(2) == want, s"brute force says $want")
+    assert(want > 0, "fixture must contain triangles")
+    // a star has zero triangles regardless of hub degree (the orientation
+    // pushes every hub edge outward: zero wedges materialize at the hub)
+    val star = (1L to 50L).map(i => (0L, i)).toDF("u", "v")
+    assert(Graph.triangleCount(star).collect().head.getLong(2) == 0L)
+    // K5 has C(5,3) = 10
+    val k5 = (for (i <- 0L to 4L; j <- 0L to 4L if i < j) yield (i, j)).toDF("u", "v")
+    assert(Graph.triangleCount(k5).collect().head.getLong(2) == 10L)
+  }
+
+  test("cooccurrenceEdges: distinct pairs within group only") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (1L, 20L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 40L), (3L, 50L)).toDF("g", "i")
+    val got = Graph.cooccurrenceEdges(df, org.apache.spark.sql.functions.col("g"),
+        org.apache.spark.sql.functions.col("i"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 20L), (10L, 30L), (20L, 30L), (10L, 40L)))
+  }
 }

@@ -145,4 +145,37 @@ class SftSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(again.toSeq == got.toSeq)
   }
+  test("threadPaths == JVM reference walk on a random forest; edge cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random forest over 200 nodes: node i's parent is a random j < i (or
+    // a root with p=0.15) — guarantees acyclic, varied depths
+    val parents: Map[Long, Option[Long]] = (0L until 200L).map { i =>
+      i -> (if (i == 0 || rnd.nextDouble() < 0.15) None
+            else Some(rnd.nextInt(i.toInt).toLong))
+    }.toMap
+    val df = parents.toSeq.map { case (i, p) => (i, p) }.toDF("id", "parent")
+    val got = Sft.threadPaths(df, col("id"), col("parent"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    parents.keys.foreach { i =>
+      var chain = List(i)
+      while (parents(chain.head).isDefined) chain ::= parents(chain.head).get
+      val want = (chain.head, (chain.size - 1).toLong, chain.mkString(">"))
+      assert(got(i) == want, s"node $i")
+    }
+    assert(parents.keys.map(i => got(i)._2).max >= 4,
+      "fixture must exercise multiple doubling rounds")
+    // dangling parent terminates the chain as a root, not a crash
+    val dang = Seq((1L, Option(99L)), (2L, Option(1L))).toDF("id", "parent")
+    val gd = Sft.threadPaths(dang, col("id"), col("parent"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gd == Map(1L -> ((1L, 0L)), 2L -> ((1L, 1L))))
+    // a cycle fails loudly instead of spinning
+    val cyc = Seq((1L, Option(2L)), (2L, Option(1L))).toDF("id", "parent")
+    val ex = intercept[IllegalArgumentException] {
+      Sft.threadPaths(cyc, col("id"), col("parent"), maxRounds = 4)
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
 }

@@ -202,4 +202,17 @@ class VersioningSpec extends AnyFunSuite {
       }.toMap
     assert(got == want)
   }
+  test("lDiversityAudit: homogeneous groups flagged, diverse ones pass") {
+    import spark.implicits._
+    // group A: 4 rows, one sensitive value (flagged, n=4 diversity=1);
+    // group B: 3 rows, two values (flagged at l=3);
+    // group C: 3 rows, three values (passes)
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"), ("B", "x"),
+      ("C", "x"), ("C", "y"), ("C", "z")).toDF("qid", "sens")
+    val got = Versioning.lDiversityAudit(df, Seq(col("qid")), col("sens"), l = 3L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("A" -> ((4L, 1L)), "B" -> ((3L, 2L))))
+  }
 }
