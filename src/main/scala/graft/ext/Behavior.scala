@@ -179,7 +179,59 @@ object Behavior {
         col("event_type").as("label"))
   }
 
+  /** Kaplan–Meier life table for time-to-conversion (Kaplan & Meier 1958):
+    * for each user with a `startType` event, the duration from their FIRST
+    * start to their first subsequent `endType` event (event observed) or
+    * to their last recorded event (right-censored), bucketed at
+    * `grainSeconds`. Emits one row per distinct duration bucket with the
+    * at-risk / event / censor counts — the exact integer table the KM
+    * survival curve (and any time-to-event model calibration) is computed
+    * from; emitting counts rather than the product-limit estimate keeps
+    * the gate float-free.
+    *
+    * Scale shape: ONE user-key shuffle reused by both window passes
+    * (start resolution + duration), then a duration-bucket aggregate. The
+    * final at-risk cumulation is a window over DISTINCT duration buckets —
+    * bounded by the calendar span divided by the grain (hours over a
+    * dataset's lifetime: thousands of rows), NOT by corpus size, which is
+    * what makes the unpartitioned window safe here. */
+  def survivalTable(events: DataFrame, startType: String, endType: String,
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type",
+                    grainSeconds: Long = 3600L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    val per = events.select(col(userCol).as("u"),
+        unix_micros(col(tsCol)).as("t"), col(typeCol).as("e"))
+      .withColumn("t0", min(when(col("e") === startType, col("t"))).over(w))
+      .withColumn("tend", max(col("t")).over(w))
+      .where(col("t0").isNotNull)
+      .withColumn("tp",
+        min(when(col("e") === endType && col("t") >= col("t0"), col("t"))).over(w))
+      .groupBy("u")
+      .agg(min(col("t0")).as("t0"), min(col("tend")).as("tend"),
+        min(col("tp")).as("tp"))
+      .select(col("u"),
+        when(col("tp").isNotNull, (col("tp") - col("t0")))
+          .otherwise(col("tend") - col("t0")).as("dur_us"),
+        col("tp").isNotNull.as("observed"))
+    val buckets = per
+      .groupBy((col("dur_us") / (grainSeconds * 1000000L)).cast("long").as("t"))
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("n_event"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("n_censor"))
+    // at-risk(t) = subjects whose duration bucket >= t: total minus the
+    // exclusive running count — a window over distinct buckets only
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val total = per.count()
+    buckets.withColumn("n_risk",
+        lit(total) - coalesce(sum(col("n_event") + col("n_censor")).over(wc), lit(0L)))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censor"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // hourly time-to-purchase table for the view->purchase journey
+    "survival_table" -> ((s, dir) =>
+      survivalTable(SparkEntry.table(s, dir, "events"), "view", "purchase")),
     "transitions" -> ((s, dir) =>
       transitions(SparkEntry.table(s, dir, "events"))),
     "next_event_examples" -> ((s, dir) =>
@@ -193,6 +245,39 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same per-user first-start / first-subsequent-end / last-event rule,
+    // same hourly floor bucketing, same exclusive running at-risk count
+    "survival_table" ->
+      """WITH per AS (
+        |  SELECT user_id AS u,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+        |    max(epoch_us(ts)) AS tend
+        |  FROM events GROUP BY user_id),
+        |p2 AS (
+        |  SELECT per.u, per.t0, per.tend,
+        |    min(CASE WHEN e.event_type = 'purchase'
+        |             AND epoch_us(e.ts) >= per.t0 THEN epoch_us(e.ts) END) AS tp
+        |  FROM per JOIN events e ON e.user_id = per.u
+        |  WHERE per.t0 IS NOT NULL
+        |  GROUP BY per.u, per.t0, per.tend),
+        |d AS (
+        |  SELECT u,
+        |    CASE WHEN tp IS NOT NULL THEN (tp - t0) ELSE (tend - t0) END
+        |      // 3600000000 AS t,
+        |    tp IS NOT NULL AS observed
+        |  FROM p2),
+        |b AS (
+        |  SELECT t,
+        |    sum(CASE WHEN observed THEN 1 ELSE 0 END) AS n_event,
+        |    sum(CASE WHEN observed THEN 0 ELSE 1 END) AS n_censor
+        |  FROM d GROUP BY t)
+        |SELECT t,
+        |  CAST((SELECT count(*) FROM d)
+        |    - COALESCE(sum(n_event + n_censor) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+        |  CAST(n_event AS BIGINT) AS n_event,
+        |  CAST(n_censor AS BIGINT) AS n_censor
+        |FROM b""".stripMargin,
     "transitions" ->
       """WITH o AS (
         |  SELECT user_id, event_type,

@@ -85,11 +85,50 @@ object TimeSeries {
       .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
   }
 
+  /** Trailing-window spike detection — the per-entity anomaly flag an ops
+    * pipeline runs over every metric stream: a row is a spike when its
+    * value sits more than `t` sample standard deviations from the mean of
+    * the PRECEDING `n` observations (current row excluded — the row under
+    * test must not contaminate its own baseline).
+    *
+    * The z² test is evaluated as a PURE INTEGER cross-multiplied
+    * inequality — with S = Σx, Q = Σx² over the m-row history,
+    * z² > t²  ⇔  (m·x − S)² > t² · (m·Q − S²) — so the flag is exact and
+    * bit-identical on every engine: no float division, no sqrt, no
+    * epsilon. A constant history (variance 0) flags ANY deviation, which
+    * is the right alarm semantics. One key-partitioned window with a
+    * bounded ROWS frame: parallel across entities, each task streams its
+    * partition once. Rows with under `minHistory` observations emit
+    * unflagged (no baseline, no alarm). */
+  def rollingSpike(events: DataFrame, entity: String, tsCol: String,
+                   idCol: String, valueCents: Column, n: Int = 20,
+                   t: Int = 3, minHistory: Int = 8): DataFrame = {
+    require(n >= minHistory && minHistory >= 2 && t >= 1, "bad spike params")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entity).orderBy(col("ts_us").asc, col(idCol).asc)
+      .rowsBetween(-n, -1)
+    events.select(col(entity), col(idCol),
+        unix_micros(col(tsCol)).as("ts_us"), valueCents.as("cents"))
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("s", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("q", coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+      .withColumn("z2_num",
+        (col("m") * col("cents") - col("s")) * (col("m") * col("cents") - col("s")))
+      .withColumn("z2_den", col("m") * col("q") - col("s") * col("s"))
+      .withColumn("is_spike",
+        col("m") >= minHistory && col("z2_num") > lit(t.toLong * t) * col("z2_den"))
+      .drop("s", "q")
+  }
+
   val queries: Map[String, Q] = Map(
     // the 3 lowest-id users as queries, hourly activity series
     "ts_topk" -> ((s, dir) =>
       tsTopK(SparkEntry.table(s, dir, "events"), "user_id", "ts",
         queryIds = Seq(0L, 1L, 2L), k = 5)),
+    // 3-sigma spikes vs the user's own last-20-event baseline
+    "rolling_spike" -> ((s, dir) =>
+      rollingSpike(SparkEntry.table(s, dir, "events"), "user_id", "ts",
+        "event_id", round(col("value") * 100).cast("long"))),
     // last-5-events rolling features per user
     "rolling_features" -> ((s, dir) =>
       rollingFeatures(SparkEntry.table(s, dir, "events"), "user_id", "ts",
@@ -97,6 +136,35 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rolling_spike" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS m,
+        |  CAST((count(*) OVER w * CAST(round(value * 100) AS BIGINT)
+        |        - COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0))
+        |     * (count(*) OVER w * CAST(round(value * 100) AS BIGINT)
+        |        - COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0))
+        |    AS BIGINT) AS z2_num,
+        |  CAST(count(*) OVER w
+        |      * COALESCE(sum(CAST(round(value * 100) AS BIGINT)
+        |                   * CAST(round(value * 100) AS BIGINT)) OVER w, 0)
+        |    - COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0)
+        |      * COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0)
+        |    AS BIGINT) AS z2_den,
+        |  count(*) OVER w >= 8 AND
+        |    (count(*) OVER w * CAST(round(value * 100) AS BIGINT)
+        |      - COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0))
+        |    * (count(*) OVER w * CAST(round(value * 100) AS BIGINT)
+        |      - COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0))
+        |    > 9 * (count(*) OVER w
+        |        * COALESCE(sum(CAST(round(value * 100) AS BIGINT)
+        |                     * CAST(round(value * 100) AS BIGINT)) OVER w, 0)
+        |      - COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0)
+        |        * COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0))
+        |    AS is_spike
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)""".stripMargin,
     "rolling_features" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CAST(round(value * 100) AS BIGINT) AS cents,

@@ -2033,4 +2033,80 @@ class ExtSpec extends AnyFunSuite {
       .filter(_.startsWith("batch=")).sorted
     assert(dirs.toSeq == Seq("batch=1", "batch=2"))
   }
+
+  test("rollingSpike == JVM integer reference; constant-history semantics") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      val cents = if (rnd.nextDouble() < 0.05) 5000L + rnd.nextInt(1000)
+                  else 90L + rnd.nextInt(20)
+      (i.toLong % 7, i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), cents)
+    }
+    val df = rows.toDF("user_id", "event_id", "ts", "c")
+    val got = TimeSeries.rollingSpike(df, "user_id", "ts", "event_id", col("c"),
+        n = 20, t = 3, minHistory = 8)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    // JVM reference: same (ts, id) order, same trailing-20 integer rule
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      val ord = evs.sortBy(e => (e._3.getTime, e._2))
+      ord.zipWithIndex.foreach { case ((_, id, _, x), i) =>
+        val h = ord.slice(math.max(0, i - 20), i).map(_._4)
+        val m = h.size.toLong
+        val s = h.sum
+        val q = h.map(v => v * v).sum
+        val num = (m * x - s) * (m * x - s)
+        val den = m * q - s * s
+        assert(got(id) == ((m, num, den, m >= 8 && num > 9 * den)), s"event $id")
+      }
+    }
+    assert(got.values.count(_._4) > 0, "fixture must contain spikes")
+    // constant history: ANY deviation flags, staying constant does not
+    val const = (0 until 12).map(i =>
+      (1L, i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        if (i == 10) 200L else 100L)).toDF("user_id", "event_id", "ts", "c")
+    val gc = TimeSeries.rollingSpike(const, "user_id", "ts", "event_id", col("c"),
+        n = 20, t = 3, minHistory = 8)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(7)).toMap
+    assert(gc(10L) && !gc(9L) && !gc(11L))
+  }
+
+  test("survivalTable == JVM Kaplan-Meier reference; censoring + risk counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // per user a random stream of view/purchase/other; some users never
+    // purchase after their first view (censored), some never view (excluded)
+    val evs = (0 until 60).flatMap { u =>
+      (0 until 1 + rnd.nextInt(12)).map { i =>
+        val t = rnd.nextInt(1000000)
+        val e = rnd.nextInt(6) match {
+          case 0 => "view"; case 1 => "purchase"; case _ => "click"
+        }
+        (u.toLong, new java.sql.Timestamp(1700000000000L + t * 1000L), e)
+      }
+    }
+    val df = evs.toDF("user_id", "ts", "event_type")
+    val grain = 60L // 1-minute buckets
+    val got = Behavior.survivalTable(df, "view", "purchase", grainSeconds = grain)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // JVM reference
+    val durs = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val t0 = es.filter(_._3 == "view").map(_._2.getTime).sorted.headOption
+      t0.map { s =>
+        val tp = es.filter(e => e._3 == "purchase" && e._2.getTime >= s)
+          .map(_._2.getTime).sorted.headOption
+        val tend = es.map(_._2.getTime).max
+        val durUs = (tp.getOrElse(tend) - s) * 1000L
+        (durUs / (grain * 1000000L), tp.isDefined)
+      }
+    }
+    assert(durs.exists(!_._2) && durs.exists(_._2),
+      "fixture needs both observed and censored subjects")
+    val want = durs.groupBy(_._1).map { case (t, xs) =>
+      val risk = durs.count(_._1 >= t).toLong
+      t -> ((risk, xs.count(_._2).toLong, xs.count(!_._2).toLong))
+    }
+    assert(got == want)
+  }
 }
