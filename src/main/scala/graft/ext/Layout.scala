@@ -117,6 +117,33 @@ object Layout {
   def compacted(df: DataFrame, targetBytes: Long): DataFrame =
     df.repartition(compactionPartitions(df, targetBytes))
 
+  /** Compaction PLAN over a file listing: assign each small file to a
+    * rewrite bin of ~`targetBytes`, contiguous in (partition, file-id)
+    * order — the driver table for the rewrite jobs a table-format
+    * OPTIMIZE pass schedules (each bin = one output file; contiguity in
+    * id order preserves any existing range-clustering through the
+    * rewrite). The sequential-fill rule `bin = exclusive-cumulative-bytes
+    * div target` is exact and deterministic; an oversized file owns its
+    * bin's span alone.
+    *
+    * Scale shape: the cumulation windows WITHIN each table partition
+    * (parallel across partitions), so the bound is files-per-partition —
+    * the quantity the small-files problem is itself measured in (a
+    * partition listing that cannot sit in one task's memory has already
+    * broken the metastore). A cross-partition global plan would chain
+    * this through the two-phase prefix sum ([[Quality]] `rangeCumCounts`). */
+  def compactionPlan(files: DataFrame, part: Column, fileId: Column,
+                     bytes: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy(col("file_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files.select(part.as("part"), fileId.as("file_id"), bytes.as("bytes"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("bytes")).over(w), lit(0L)) / targetBytes)
+          .cast("long"))
+  }
+
   /** The gate's two dimensions over `events`: user and hour-of-stream,
     * both masked to 16 bits. */
   private def dims(e: DataFrame): (Column, Column) = (
@@ -135,6 +162,11 @@ object Layout {
           normalize(col("a"), col("alo"), col("ahi")),
           normalize(col("b"), col("blo"), col("bhi"))).as("zkey"))
     }),
+    // compact each source's per-doc "files" (bytes ~ n_chars) into 100 KB
+    // rewrite bins, contiguous in doc_id order
+    "compaction_plan" -> ((s, dir) =>
+      compactionPlan(SparkEntry.table(s, dir, "documents"),
+        col("source"), col("doc_id"), col("n_chars"), 100000L)),
     // 3-dimensional key at 10 bits/dim (user × hour × value-cents): the
     // multi-column OPTIMIZE ZORDER shape
     "zorder_key3" -> ((s, dir) => {
@@ -168,6 +200,12 @@ object Layout {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "compaction_plan" ->
+      """SELECT source AS part, doc_id AS file_id, n_chars AS bytes,
+        |  COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 100000 AS bin
+        |FROM documents""".stripMargin,
     "zorder_key" ->
       s"""WITH e AS (
         |  SELECT event_id,

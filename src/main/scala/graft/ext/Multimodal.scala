@@ -34,11 +34,14 @@ case class MediaHash(doc_id: Long, phash: Long)
   * stride), each cross-validated in-spec against the JDK's own readers
   * (`javax.sound.sampled.AudioSystem`, `javax.imageio.ImageIO`) and
   * driver-gated against closed-form oracles over spec-built files.
-  * COMPRESSED codecs (JPEG/PNG/MP3/MP4) remain the documented stub
-  * ([[Multimodal.decodeStub]], a deterministic fake — those libraries are
-  * not in this environment), keeping the batched `mapPartitions` plumbing
-  * (schema, partitioning, batch shape, encoder round-trip) real and the
-  * codec call swappable.
+  * [[Multimodal.parsePng]] decodes REAL compressed PNGs (DEFLATE via
+  * `java.util.zip`, all five scanline filters, CRC-verified chunks),
+  * cross-validated pixel-by-pixel against `javax.imageio`. LOSSY codecs
+  * (JPEG/MP3/MP4 — DCT/entropy decoders with no JDK implementation)
+  * remain the documented stub ([[Multimodal.decodeStub]], a deterministic
+  * fake), keeping the batched `mapPartitions` plumbing (schema,
+  * partitioning, batch shape, encoder round-trip) real and the codec call
+  * swappable.
   */
 object Multimodal {
   private type Q = (SparkSession, String) => DataFrame
@@ -323,6 +326,243 @@ object Multimodal {
     b
   }
 
+  /** Parsed PNG metadata + channel sums. */
+  case class PngMeta(doc_id: Long, width: Long, height: Long, bit_depth: Long,
+                     color_type: Long, n_pixels: Long, sum_red: Long, sum_all: Long)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xff).toLong << 24) | ((b(o + 1) & 0xff).toLong << 16) |
+      ((b(o + 2) & 0xff).toLong << 8) | (b(o + 3) & 0xff).toLong
+  private def putBe32(b: Array[Byte], o: Int, v: Long): Unit = {
+    var i = 0
+    while (i < 4) { b(o + i) = ((v >> (8 * (3 - i))) & 0xff).toByte; i += 1 }
+  }
+
+  /** REAL PNG decoder (8-bit truecolor, pure JVM — DEFLATE ships in
+    * `java.util.zip`): verifies the signature and every chunk's CRC32,
+    * parses IHDR (big-endian, unlike BMP/WAV), concatenates the IDAT
+    * stream, inflates it, and reverses the per-scanline filter — all five
+    * filter types of the spec (None/Sub/Up/Average/Paeth, RFC 2083 §6),
+    * including Paeth's three-way predictor tie-breaking and Average's
+    * floor((left+up)/2). Folds the reconstructed raw pixels into integer
+    * channel sums. This retires the PNG leg of the codec stub; JPEG/MP3
+    * (lossy DCT codecs, genuinely out of sandbox reach) remain the
+    * documented fake. */
+  def parsePng(id: Long, b: Array[Byte]): PngMeta = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    require(b.length >= 8 && b.take(8).sameElements(sig), s"record $id: not a PNG")
+    var off = 8
+    var w = 0L; var h = 0L; var depth = 0L; var ctype = 0L
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 12 <= b.length) {
+      val len = be32(b, off).toInt
+      val cid = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, off + 4, 4 + len)
+      require(crc.getValue == be32(b, off + 8 + len),
+        s"record $id: CRC mismatch in $cid")
+      cid match {
+        case "IHDR" =>
+          w = be32(b, off + 8); h = be32(b, off + 12)
+          depth = b(off + 16) & 0xff; ctype = b(off + 17) & 0xff
+          require(depth == 8 && ctype == 2 && b(off + 18) == 0 &&
+            b(off + 19) == 0 && b(off + 20) == 0,
+            s"record $id: only 8-bit non-interlaced truecolor supported")
+        case "IDAT" => idat.write(b, off + 8, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunk: CRC-checked, content ignored
+      }
+      off += 12 + len
+    }
+    require(w > 0 && h > 0 && idat.size() > 0, s"record $id: missing IHDR/IDAT")
+    val bpp = 3 // bytes per pixel at 8-bit RGB
+    val stride = (w * bpp).toInt
+    val raw = new Array[Byte](((stride + 1) * h).toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var filled = 0
+    while (!inf.finished() && filled < raw.length)
+      filled += inf.inflate(raw, filled, raw.length - filled)
+    inf.end()
+    require(filled == raw.length, s"record $id: truncated IDAT stream")
+    // reverse the scanline filters in place; prev = reconstructed row above
+    val out = new Array[Byte](stride * h.toInt)
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (stride + 1)) & 0xff
+      val src = r * (stride + 1) + 1
+      val dst = r * stride
+      var i = 0
+      while (i < stride) {
+        val x = raw(src + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0         // left
+        val u = if (r > 0) out(dst - stride + i) & 0xff else 0         // up
+        val c = if (r > 0 && i >= bpp) out(dst - stride + i - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + u
+          case 3 => x + ((a + u) >> 1)
+          case 4 => // Paeth: nearest of a/u/c to p = a + u - c, ties a > u > c
+            val p = a + u - c
+            val pa = math.abs(p - a); val pb = math.abs(p - u); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+          case t => throw new IllegalArgumentException(s"record $id: filter $t")
+        }
+        out(dst + i) = (recon & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    var sumRed = 0L; var sumAll = 0L
+    var j = 0
+    while (j < out.length) {
+      val v = out(j) & 0xff
+      sumAll += v
+      if (j % bpp == 0) sumRed += v
+      j += 1
+    }
+    PngMeta(id, w, h, depth, ctype, w * h, sumRed, sumAll)
+  }
+
+  /** The decoder's reconstructed raw RGB bytes (row-major, 3 per pixel) —
+    * the spec's hook for cross-validating pixel-by-pixel against
+    * `javax.imageio` (the JDK's independent PNG implementation). */
+  def pngPixels(id: Long, b: Array[Byte]): Array[Byte] = {
+    parsePng(id, b) // full validation (signature, CRCs, header constraints)
+    var off = 8
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 12 <= b.length) {
+      val len = be32(b, off).toInt
+      val cid = new String(b, off + 4, 4, "US-ASCII")
+      cid match {
+        case "IHDR" => w = be32(b, off + 8).toInt; h = be32(b, off + 12).toInt
+        case "IDAT" => idat.write(b, off + 8, len)
+        case "IEND" => done = true
+        case _ =>
+      }
+      off += 12 + len
+    }
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var filled = 0
+    while (!inf.finished() && filled < raw.length)
+      filled += inf.inflate(raw, filled, raw.length - filled)
+    inf.end()
+    val out = new Array[Byte](stride * h)
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (stride + 1)) & 0xff
+      val src = r * (stride + 1) + 1
+      val dst = r * stride
+      var i = 0
+      while (i < stride) {
+        val x = raw(src + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val u = if (r > 0) out(dst - stride + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) out(dst - stride + i - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + u
+          case 3 => x + ((a + u) >> 1)
+          case 4 =>
+            val p = a + u - c
+            val pa = math.abs(p - a); val pb = math.abs(p - u); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c)
+          case t => throw new IllegalArgumentException(s"record $id: filter $t")
+        }
+        out(dst + i) = (recon & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Deterministic 8-bit RGB PNG for the gate: position-derived raw pixel
+    * bytes (same closed-form family as [[synthBmp]], so the oracle
+    * recomputes them per-index), encoded through the REAL pipeline —
+    * per-row filter type r % 5 (every filter of the spec exercised on
+    * every image taller than 4 rows), then DEFLATE, then CRC32-sealed
+    * chunks. A decoder bug in ANY filter, the inflate handling, chunk
+    * walking, or big-endian header parsing breaks the closed-form match. */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = (6 + (id % 5) * 3).toInt  // 6..18
+    val h = (5 + (id * 7) % 9).toInt  // 5..13: every image uses all 5 filters
+    val bpp = 3
+    val stride = w * bpp
+    val z0 = (id * 69069L + 7L) % 2147483648L
+    val out = new Array[Byte](stride * h)
+    var j = 0
+    while (j < out.length) {
+      out(j) = ((((z0 + j * 40503L) % 2147483648L) >> 12) & 0xff).toByte
+      j += 1
+    }
+    // apply per-row filters (the encoder side of RFC 2083 §6)
+    val filtered = new Array[Byte]((stride + 1) * h)
+    var r = 0
+    while (r < h) {
+      val ft = r % 5
+      filtered(r * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val x = out(r * stride + i) & 0xff
+        val a = if (i >= bpp) out(r * stride + i - bpp) & 0xff else 0
+        val u = if (r > 0) out((r - 1) * stride + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) out((r - 1) * stride + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => u
+          case 3 => (a + u) >> 1
+          case 4 =>
+            val p = a + u - c
+            val pa = math.abs(p - a); val pb = math.abs(p - u); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) u else c
+        }
+        filtered(r * (stride + 1) + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val zb = zbuf.toByteArray
+    def chunk(cid: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      putBe32(out, 0, data.length.toLong)
+      cid.getBytes("US-ASCII").copyToArray(out, 4)
+      data.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      putBe32(out, 8 + data.length, crc.getValue)
+      out
+    }
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, w.toLong); putBe32(ihdr, 4, h.toLong)
+    ihdr(8) = 8; ihdr(9) = 2 // 8-bit truecolor, deflate/adaptive/no interlace
+    Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zb) ++ chunk("IEND", Array.empty)
+  }
+
+  def decodePng(docs: DataFrame): Dataset[PngMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => parsePng(id, synthPng(id))))
+  }
+
   /** Synth → REAL parse, batched per partition like every decode stage. */
   def decodeWav(docs: DataFrame): Dataset[WavMeta] = {
     val spark = docs.sparkSession
@@ -351,6 +591,12 @@ object Multimodal {
       decodeWav(SparkEntry.table(s, dir, "documents")).toDF()),
     "bmp_decode" -> ((s, dir) =>
       decodeBmp(SparkEntry.table(s, dir, "documents")).toDF()),
+    // REAL compressed-image decoding: spec-built PNGs (per-row filters
+    // cycling through all five RFC 2083 types, DEFLATE, CRC-sealed chunks)
+    // decoded back to raw pixels; the oracle checks the reconstructed
+    // channel sums against the closed-form pixel generation formula
+    "png_decode" -> ((s, dir) =>
+      decodePng(SparkEntry.table(s, dir, "documents")).toDF()),
     // inject-then-detect: every 25th document gets a twin with ONE byte
     // substituted (aligned blocks → hamming ≤ 2, measured), while the
     // closest natural pair sits at hamming 11 — maxHamming 3 recalls
@@ -403,6 +649,21 @@ object Multimodal {
         |                + i * 2654435761) % 2147483648) // 65536) % 256 - 128)))
         |    AS BIGINT) AS sum_abs
         |FROM documents""".stripMargin,
+    "png_decode" ->
+      """WITH g AS (SELECT doc_id,
+        |    6 + (doc_id % 5) * 3 AS w, 5 + (doc_id * 7) % 9 AS h,
+        |    (doc_id * 69069 + 7) % 2147483648 AS z0
+        |  FROM documents)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
+        |  w * h AS n_pixels,
+        |  CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)),
+        |    k -> (((z0 + (3 * k) * 40503) % 2147483648) // 4096) % 256))
+        |    AS BIGINT) AS sum_red,
+        |  CAST(list_sum(list_transform(range(0, CAST(3 * w * h AS INT)),
+        |    j -> (((z0 + j * 40503) % 2147483648) // 4096) % 256))
+        |    AS BIGINT) AS sum_all
+        |FROM g""".stripMargin,
     "bmp_decode" ->
       """WITH g AS (SELECT doc_id,
         |    8 + (doc_id % 4) * 4 AS w, 8 + (doc_id * 3) % 8 AS h,

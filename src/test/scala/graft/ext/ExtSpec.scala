@@ -2034,6 +2034,53 @@ class ExtSpec extends AnyFunSuite {
     assert(dirs.toSeq == Seq("batch=1", "batch=2"))
   }
 
+  test("parsePng: ImageIO agrees pixel-by-pixel; CRC corruption fails loudly") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 9L, 13L)) {
+      val bytes = Multimodal.synthPng(id)
+      val meta = Multimodal.parsePng(id, bytes)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must accept our PNG (id $id)")
+      assert(img.getWidth.toLong == meta.width && img.getHeight.toLong == meta.height)
+      // pixel-by-pixel against the JDK's independent decoder: catches a bug
+      // in ANY of the five filters (every row r uses filter r % 5)
+      val raw = Multimodal.pngPixels(id, bytes)
+      val w = meta.width.toInt
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert(((rgb >> 16) & 0xff) == (raw(o) & 0xff) &&
+          ((rgb >> 8) & 0xff) == (raw(o + 1) & 0xff) &&
+          (rgb & 0xff) == (raw(o + 2) & 0xff), s"pixel ($x,$y) id $id")
+      }
+      // channel sums consistent with the reconstruction
+      var sr = 0L; var sa = 0L
+      raw.indices.foreach { j =>
+        sa += raw(j) & 0xff; if (j % 3 == 0) sr += raw(j) & 0xff
+      }
+      assert(sr == meta.sum_red && sa == meta.sum_all)
+    }
+    // a flipped payload byte must fail the CRC check, not decode garbage
+    val b = Multimodal.synthPng(5L)
+    val idatPayload = b.length - 12 - 20 // somewhere inside IDAT data
+    b(idatPayload) = (b(idatPayload) ^ 0x40).toByte
+    val ex = intercept[IllegalArgumentException](Multimodal.parsePng(5L, b))
+    assert(ex.getMessage.contains("CRC"))
+  }
+
+  test("compactionPlan: sequential fill, per-partition bins, oversized files") {
+    import spark.implicits._
+    val files = Seq(
+      ("a", 1L, 40L), ("a", 2L, 40L), ("a", 3L, 40L),  // 0,0,40+40=80<100→0? see rule
+      ("a", 4L, 250L),                                  // oversized
+      ("a", 5L, 10L),
+      ("b", 1L, 100L), ("b", 2L, 1L)).toDF("src", "id", "n")
+    val got = Layout.compactionPlan(files, col("src"), col("id"), col("n"), 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // exclusive cumsum // 100: a → 0,40,80,120,370; b → 0,100
+    assert(got == Map(("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 0L,
+      ("a", 4L) -> 1L, ("a", 5L) -> 3L, ("b", 1L) -> 0L, ("b", 2L) -> 1L))
+  }
+
   test("rollingSpike == JVM integer reference; constant-history semantics") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
