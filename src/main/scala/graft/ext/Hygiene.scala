@@ -306,41 +306,61 @@ object Hygiene {
     *    `collect_list` aggregation; the start lists then broadcast back
     *    onto the corpus scan. Document text never shuffles.
     *
+    * The set path self-guards: the gram fetch is a single bounded
+    * CollectLimit of at most `setSizeLimit`+1 rows, and a benchmark that
+    * overflows the cap (or is empty — `InSet` assumes non-empty) falls
+    * back to the join path / an empty-starts literal automatically.
+    *
     * `hashKeys` matches on `xxhash64(gram)` (8-byte keys at k=13); a
     * collision removes an innocent span — conservative, like
     * [[contamination]]'s posture — while the driver gate keys on strings
     * and stays exact. */
   def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame, k: Int = 13,
                          hashKeys: Boolean = false,
-                         viaSet: Boolean = true): DataFrame = {
+                         viaSet: Boolean = true,
+                         setSizeLimit: Long = 8L * 1000 * 1000): DataFrame = {
     val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
     // per-doc distinct only; the set path dedups in the driver `.toSet`
     // (no global-distinct exchange), the join path adds `.distinct()`
     val benchRaw = benchmark.select(col("doc_id"), toks.as("w"))
       .select(explode(array_distinct(ngramsOf(col("w"), k))).as("g0"))
       .select(key(col("g0")).as("g"))
+    // guard the driver collect: fetch at most `setSizeLimit`+1 grams in
+    // ONE CollectLimit job (no separate count pass); a benchmark that
+    // overflows the cap silently takes the join path instead of
+    // materializing an unbounded set in the plan
+    val probed: Option[Array[org.apache.spark.sql.Row]] =
+      if (viaSet) {
+        val rows = benchRaw.limit(
+          math.min(setSizeLimit, Int.MaxValue - 1L).toInt + 1).collect()
+        if (rows.length <= setSizeLimit) Some(rows) else None
+      } else None
+    val useSet = probed.isDefined
     val w = col("__w"); val st = col("__starts")
     val starts =
-      if (viaSet) {
+      if (useSet) {
         // a hash set `InSet` built directly: `isin` would stay a linear
         // `In` list inside the lambda (OptimizeIn does not descend into
         // HigherOrderFunction bodies — measured 10× slower at 4k grams)
-        val hset: Set[Any] = benchRaw.collect().map(_.get(0) match {
+        val hset: Set[Any] = probed.get.map(_.get(0) match {
           case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
           case x => x
         }).toSet
         val bridge = org.apache.spark.sql.graft.bridge
         def inBench(c: Column): Column = bridge.column(
           org.apache.spark.sql.catalyst.expressions.InSet(bridge.expression(c), hset))
+        // empty benchmark → no spans to remove; InSet assumes a non-empty
+        // set, so short-circuit rather than build InSet(∅)
+        if (hset.isEmpty) array().cast("array<int>")
         // match + span-start collection as one narrow lambda: position s
         // (0-based) starts a hit iff its k-gram is in the benchmark set
-        when(size(w) >= k,
+        else when(size(w) >= k,
             filter(sequence(lit(0), size(w) - k),
               s => inBench(key(array_join(slice(w, s + 1, lit(k)), " ")))))
           .otherwise(array().cast("array<int>"))
       } else col("starts")
     val base =
-      if (viaSet) corpus
+      if (useSet) corpus
       else {
         val perDoc = corpus.select(col("doc_id"), toks.as("w"))
           .select(col("doc_id"), posexplode(ngramsOf(col("w"), k)).as(Seq("pos", "g0")))

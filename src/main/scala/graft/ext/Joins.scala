@@ -54,10 +54,14 @@ object Joins {
     // side 0 (right) sorts before side 1 (left) at a tied timestamp, so an
     // exactly-simultaneous observation is visible to the left row. Left rows
     // tied with each other see the identical right prefix, so their order is
-    // immaterial. rowsBetween(unboundedPreceding, current) plans as the
-    // incremental running frame — O(n) per key, not O(n²).
+    // immaterial. The trailing __rv orders RIGHT rows tied on (ts) so the
+    // max payload deterministically wins even when the uniqueness
+    // precondition is violated (and matches asofJoinSalted's cross-bucket
+    // max(struct(ts, rv)) carry rule). rowsBetween(unboundedPreceding,
+    // current) plans as the incremental running frame — O(n) per key, not
+    // O(n²).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
@@ -87,7 +91,13 @@ object Joins {
     * the hottest key's per-bucket row count is comfortable ([[
     * graft.ext.Freq.skewReport]] measures exactly this; [[asofJoinAuto]]
     * wires the two together). For a TIMESTAMP `tsCol` the grain is in
-    * seconds; for a numeric one it is in the column's own unit. */
+    * seconds; for a numeric one it is in the column's own unit.
+    *
+    * As with [[asofJoin]], `right` should be unique per (keys, tsCol);
+    * when it is not, BOTH regimes resolve a tied timestamp to the
+    * maximum payload struct (the within-bucket window and the
+    * cross-bucket carry share the tiebreak), so salted output still
+    * equals plain output. */
   def asofJoinSalted(left: DataFrame, right: DataFrame, keys: Seq[String],
                      tsCol: String, payload: Seq[String], prefix: String = "r_",
                      grainSeconds: Long = 86400L): DataFrame = {
@@ -107,8 +117,11 @@ object Joins {
       .withColumn("__side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__b", bucketOf(col("__ts")))
+    // same (ts, side, payload) tiebreak as the plain form, so the
+    // within-bucket pick agrees with rSum's max(struct(ts, rv)) carry rule
+    // on tied right timestamps — the two regimes cannot diverge
     val wB = Window.partitionBy((keys :+ "__b").map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = u.withColumn("__m", last(col("__rv"), ignoreNulls = true).over(wB))
     // one row per (key, bucket) holding the bucket's LATEST right payload;

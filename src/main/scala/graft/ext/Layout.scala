@@ -202,9 +202,9 @@ object Layout {
   val oracleSql: Map[String, String] = Map(
     "compaction_plan" ->
       """SELECT source AS part, doc_id AS file_id, n_chars AS bytes,
-        |  COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |  CAST(COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    // 100000 AS bin
+        |    // 100000 AS BIGINT) AS bin
         |FROM documents""".stripMargin,
     "zorder_key" ->
       s"""WITH e AS (

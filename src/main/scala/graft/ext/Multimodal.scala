@@ -234,6 +234,11 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val cid = new String(b, off, 4, "US-ASCII")
       val sz = u32(b, off + 4)
+      // a corrupt size (> file length, or >= 2^31 which would wrap
+      // negative in toInt) must fail loudly, not walk `off` backwards
+      // into an infinite loop on an executor task
+      require(off + 8L + sz <= b.length,
+        s"record $id: corrupt chunk size $sz at offset $off")
       if (cid == "fmt ") {
         require(u16(b, off + 8) == 1, s"record $id: not PCM")
         ch = u16(b, off + 10); rate = u32(b, off + 12)
@@ -382,8 +387,11 @@ object Multimodal {
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var filled = 0
-    while (!inf.finished() && filled < raw.length)
-      filled += inf.inflate(raw, filled, raw.length - filled)
+    var stalled = false // inflate()==0 with input exhausted: truncated
+    while (!inf.finished() && filled < raw.length && !stalled) {
+      val n = inf.inflate(raw, filled, raw.length - filled)
+      if (n == 0) stalled = true else filled += n
+    }
     inf.end()
     require(filled == raw.length, s"record $id: truncated IDAT stream")
     // reverse the scanline filters in place; prev = reconstructed row above
@@ -452,9 +460,13 @@ object Multimodal {
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var filled = 0
-    while (!inf.finished() && filled < raw.length)
-      filled += inf.inflate(raw, filled, raw.length - filled)
+    var stalled = false // see parsePng: don't spin on a truncated stream
+    while (!inf.finished() && filled < raw.length && !stalled) {
+      val n = inf.inflate(raw, filled, raw.length - filled)
+      if (n == 0) stalled = true else filled += n
+    }
     inf.end()
+    require(filled == raw.length, s"record $id: truncated IDAT stream")
     val out = new Array[Byte](stride * h)
     var r = 0
     while (r < h) {

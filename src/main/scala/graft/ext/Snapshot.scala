@@ -106,15 +106,27 @@ object Snapshot {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
     spark.read.parquet(s"$root/v=$v")
 
-  /** Retire versions older than the newest `keep` (never the current). */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+  /** Retire versions older than the newest `keep` (never the current),
+    * and reap `.stage-*` directories abandoned by a publisher that
+    * crashed mid-write (staged data never renamed into a `v=` dir would
+    * otherwise leak forever). A stage dir is only reclaimed once it is
+    * older than `stageTtlMs` — a LIVE publisher's stage is at most
+    * minutes old, so the day-scale default cannot race an in-flight
+    * publish. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             stageTtlMs: Long = 24L * 3600 * 1000): Unit = {
     val f = fc(spark, root)
     val cur = currentVersion(spark, root).getOrElse(return)
-    val dirs = f.util.listStatus(new Path(root)).map(_.getPath)
+    val st = f.util.listStatus(new Path(root))
+    val dirs = st.map(_.getPath)
       .filter(_.getName.startsWith("v="))
       .map(p => p.getName.stripPrefix("v=").toLong).sorted
     dirs.dropRight(keep).filter(_ != cur)
       .foreach(v => f.delete(new Path(root, s"v=$v"), true))
+    val cutoff = System.currentTimeMillis() - stageTtlMs
+    st.filter(s => s.getPath.getName.startsWith(".stage-") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => f.delete(s.getPath, true))
   }
 
   val queries: Map[String, Q] = Map(

@@ -579,8 +579,12 @@ object TextAnalysis {
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_tokens"),
-        (sum(lit(2) * col("cnt") + 1).cast("double") /
-          (lit(d2) * count(lit(1))).cast("double")).as("mean_prob"))
+        // numerator summed in decimal (exact to 1e30 — no Long wrap at
+        // web-corpus token counts), denominator multiplied in DOUBLE
+        // (each factor exact below 2^53; a Long product of d2·n_tokens
+        // overflows at ~1e12 tokens × 1e7 d2); the oracle mirrors both
+        (sum((lit(2) * col("cnt") + 1).cast("decimal(20,0)")).cast("double") /
+          (lit(d2).cast("double") * count(lit(1)).cast("double"))).as("mean_prob"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1)
     val tot = perDomain.foldLeft(0.0) { case (a, (_, _, mp)) => a + (1.0 - mp) }
@@ -616,9 +620,56 @@ object TextAnalysis {
         coalesce(col("n_contexts"), lit(0L)).as("n_contexts"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995 with
+    * the standard absolute discount D = 0.75 = 3/4 — exact in binary):
+    * for every OBSERVED bigram (prev, w),
+    *
+    *   P(w|prev) = (c(prev,w) − D)/c(prev)
+    *             + D·N₁₊(prev,·)/c(prev) · N₁₊(·,w)/N₁₊(·,·)
+    *
+    * — the [[knCounts]] continuation counts put to their actual use. The
+    * probabilities sum to 1 over each prev's observed successors plus the
+    * backoff mass, making this the LM table a [[lmScore]]-style scorer
+    * would consume at the bigram order.
+    *
+    * Determinism: every count is an exact integer; the discount terms are
+    * evaluated as `(4c−3)/(4c_p)` (integer numerators/denominators, ONE
+    * correctly-rounded division each) and the backoff product multiplies
+    * its exact-below-2^53 factors in DOUBLE in a pinned order the oracle
+    * mirrors operation-for-operation — bit-identical across engines.
+    *
+    * Plan shape: the corpus collapses to the bigram-type table in ONE
+    * explode + partial-agged groupBy; the three marginals (prev totals,
+    * prev fan-out, continuation counts) are aggregations OVER THE
+    * COLLAPSED table (vocab²-bounded, not corpus-bounded) joined back on
+    * its own keys; the single global scalar N₁₊(·,·) broadcasts. */
+  def knBigramLm(docs: DataFrame): DataFrame = {
+    val toksL = filter(split(col("text"), " "), w => length(w) > 0)
+    val pairs = docs.select(toksL.as("w"))
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (p, c) => struct(p.as("prev"), c.as("word")))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.word").as("word"))
+      .groupBy("prev", "word").agg(count(lit(1)).as("n_pw"))
+    val prevStats = pairs.groupBy("prev")
+      .agg(sum(col("n_pw")).as("c_p"), count(lit(1)).as("n1p_prev"))
+    val wordStats = pairs.groupBy("word").agg(count(lit(1)).as("n1c_w"))
+    val tot = pairs.agg(count(lit(1)).as("n1p_all"))
+    pairs.join(prevStats, "prev").join(wordStats, "word")
+      .crossJoin(broadcast(tot))
+      .select(col("prev"), col("word"), col("n_pw"),
+        (((lit(4) * col("n_pw") - 3).cast("double") /
+            (lit(4) * col("c_p")).cast("double")) +
+          (lit(3.0) * col("n1p_prev") * col("n1c_w")) /
+            (lit(4.0) * col("c_p") * col("n1p_all"))).as("prob"))
+  }
+
   val queries: Map[String, Q] = Map(
     "kn_counts" -> ((s, dir) =>
       knCounts(SparkEntry.table(s, dir, "documents"))),
+    "kn_bigram_lm" -> ((s, dir) =>
+      knBigramLm(SparkEntry.table(s, dir, "documents"))),
     // mixture weights over sources, the en slice as the reference LM
     "domain_weights" -> ((s, dir) => {
       val docs = SparkEntry.table(s, dir, "documents")
@@ -689,7 +740,8 @@ object TextAnalysis {
         |j AS (SELECT domain, COALESCE(lex.cnt, 0) AS cnt
         |      FROM tok LEFT JOIN lex USING (w)),
         |pd AS (SELECT domain, count(*) AS n_tokens,
-        |    CAST(sum(2 * cnt + 1) AS DOUBLE) / CAST(d2 * count(*) AS DOUBLE)
+        |    CAST(sum(2 * cnt + 1) AS DOUBLE) /
+        |      (CAST(d2 AS DOUBLE) * CAST(count(*) AS DOUBLE))
         |      AS mean_prob
         |  FROM j, dv GROUP BY domain, d2),
         |tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -709,6 +761,25 @@ object TextAnalysis {
         |cont AS (SELECT word, count(*) AS n_contexts FROM bg GROUP BY word)
         |SELECT raw.word, raw.cnt, COALESCE(cont.n_contexts, 0) AS n_contexts
         |FROM raw LEFT JOIN cont ON cont.word = raw.word""".stripMargin,
+    // same bigram explode; every arithmetic term mirrors the Spark
+    // expression operation-for-operation (integer numerators, pinned
+    // double multiply order), so prob is bit-identical
+    "kn_bigram_lm" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |p AS (SELECT s.prev AS prev, s.word AS word, count(*) AS n_pw FROM (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> struct_pack(prev := w[CAST(i AS INT)],
+        |                     word := w[CAST(i + 1 AS INT)]))) AS s
+        |  FROM t WHERE len(w) >= 2) GROUP BY 1, 2),
+        |ps AS (SELECT prev, CAST(sum(n_pw) AS BIGINT) AS c_p,
+        |              count(*) AS n1p_prev FROM p GROUP BY prev),
+        |ws AS (SELECT word, count(*) AS n1c_w FROM p GROUP BY word),
+        |tot AS (SELECT count(*) AS n1p_all FROM p)
+        |SELECT prev, word, n_pw,
+        |  CAST(4 * n_pw - 3 AS DOUBLE) / CAST(4 * c_p AS DOUBLE) +
+        |    (3.0 * n1p_prev * n1c_w) / (4.0 * c_p * n1p_all) AS prob
+        |FROM p JOIN ps USING (prev) JOIN ws USING (word), tot""".stripMargin,
     // same windows, same integer dot/norm folds, same cosine op chain
     "semantic_boundaries" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
