@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+import graft.ProdSession
+
+/** Brute-force differentials for [[Assoc.itemCooc]] and [[Fuzzy.fuzzyJoin]]
+  * plus the plan guarantees their 100 TB story rests on (no cartesian
+  * anywhere in the fuzzy join — the blocked candidate join must be an
+  * equi-join on the variant key). */
+class AssocFuzzySpec extends AnyFunSuite {
+  private lazy val spark = ProdSession.spark
+
+  test("itemCooc: hand-computed metrics; mega-basket dropped whole") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 20L), // duplicate item in one basket
+      (4L, 30L), (4L, 40L),
+      // basket 5 exceeds the cap of 3 → dropped whole, excluded from N
+      (5L, 10L), (5L, 20L), (5L, 30L), (5L, 40L))
+      .toDF("b", "i")
+    val got = Assoc.itemCooc(rows, col("b"), col("i"),
+        minPairCount = 2L, maxBasketItems = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))))
+      .toMap
+    // retained baskets: {10,20,30}, {10,20}, {10,20}, {30,40} → N=4
+    // n(10)=3 n(20)=3 n(30)=2 n(40)=1; pair (10,20) in 3 baskets
+    assert(got.keySet == Set((10L, 20L)),
+      s"only (10,20) reaches minPairCount=2; got ${got.keySet}")
+    val (np, na, nb, sup, cab, cba, lift) = got((10L, 20L))
+    assert(np == 3L && na == 3L && nb == 3L)
+    assert(sup == 3.0 / 4.0 && cab == 1.0 && cba == 1.0)
+    assert(lift == (3.0 * 4.0) / (3.0 * 3.0))
+  }
+
+  test("itemCooc: random baskets match an independent brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val raw = (1 to 1200).map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(30).toLong))
+    val df = raw.toDF("b", "i")
+    val got = Assoc.itemCooc(df, col("b"), col("i"), minPairCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val baskets = raw.groupBy(_._1).values.map(_.map(_._2).toSet).toSeq
+    val brute = baskets.flatMap(s =>
+        s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L).toMap
+    assert(got == brute)
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzyJoin: equals O(n²) brute force at maxDist 1 and 2 " +
+      "(indels, repeats, empty and length-1 strings)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // small alphabet + varied length → dense near-matches incl. indels
+    val strs = (("" +: "a" +: (1 to 120).map(_ =>
+        (1 to (2 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+      ).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = Fuzzy.fuzzyJoin(df, df, col("id"), col("s"), col("id"), col("s"), d)
+        .where(col("left_id") < col("right_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val brute = (for {
+        (i, a) <- strs; (j, b) <- strs
+        if i < j && lev(a, b) <= d
+      } yield (i, j) -> lev(a, b).toLong).toMap
+      assert(got == brute, s"maxDist=$d: ${got.size} vs brute ${brute.size}")
+    }
+  }
+
+  test("fuzzyJoin plan: variant equi-join, no cartesian / nested-loop") {
+    val p = graft.SparkEntry.queries("fuzzy_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    assert(p.collect {
+      case n: CartesianProductExec => n
+      case n: BroadcastNestedLoopJoinExec => n
+    }.isEmpty, "blocked fuzzy join must never plan a cartesian")
+  }
+}

@@ -582,6 +582,17 @@ class HygieneSpec extends AnyFunSuite {
       hashKeys = true, viaSet = false)
       .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
     assert(joinedHashed == got, "hashed join path must equal the set path")
+    // an EMPTY benchmark must pass every document through untouched (and
+    // not build InSet over an empty set, which Spark assumes non-empty)
+    val empty = Hygiene.decontaminateSpans(corpus, bench.limit(0), k)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(empty.values.forall(_._2 == 0L), "empty benchmark removes nothing")
+    assert(empty.keySet == got.keySet)
+    // a benchmark over `setSizeLimit` silently falls back to the join path
+    // with identical output — the driver-collect guard
+    val capped = Hygiene.decontaminateSpans(corpus, bench, k, setSizeLimit = 3L)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(capped == got, "overflowing the set cap must not change output")
   }
 
   test("selfDedupSpans: JVM brute force; constructed repeat/no-repeat cases") {

@@ -85,6 +85,33 @@ class JoinsSpec extends AnyFunSuite {
     assert(auto == plain)
   }
 
+  test("asofJoinSalted == asofJoin when the unique-(key,ts) precondition is " +
+      "VIOLATED: both regimes resolve ties to the max payload") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(30).toLong)).toDF("l_id", "k", "t")
+    // deliberately duplicated (k, t) with different payloads — the tied
+    // timestamps the docstring warns about; no pre-aggregation
+    val right = (1 to 200).map(i =>
+      (1000L + i, rnd.nextInt(5).toLong, rnd.nextInt(30).toLong, rnd.nextDouble()))
+      .toDF("r_id", "k", "t", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_id", "r_r_id", "r_v").collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    val plain = rows(Joins.asofJoin(left, right, Seq("k"), "t", Seq("r_id", "v")))
+    for (grain <- Seq(1L, 4L, 11L, 1000L)) {
+      val salted = rows(Joins.asofJoinSalted(left, right, Seq("k"), "t",
+        Seq("r_id", "v"), grainSeconds = grain))
+      assert(salted == plain,
+        s"salted(grain=$grain) must share the tie rule with plain")
+    }
+    // and a different physical partitioning cannot change the answer
+    val reparted = rows(Joins.asofJoinSalted(left.repartition(7), right.repartition(3),
+      Seq("k"), "t", Seq("r_id", "v"), grainSeconds = 4L))
+    assert(reparted == plain)
+  }
+
   test("asofJoinSalted plan: data window partitioned by (keys, bucket), never keys alone") {
     import spark.implicits._
     val left = (1 to 50).map(i => (i.toLong, i.toLong % 3, i.toLong)).toDF("l_id", "k", "t")

@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ProdSession
+
+/** Malformed-input behavior of the pure-JVM media parsers and snapshot
+  * maintenance: corrupt payloads on an executor must FAIL the task loudly
+  * (feeding [[graft.engine.Quarantine]]'s dead-lettering), never hang it —
+  * a wedged 100 TB stage is far more expensive than a retried record. */
+class RobustnessSpec extends AnyFunSuite {
+  private lazy val spark = ProdSession.spark
+
+  test("parseWav: corrupt chunk size throws instead of walking backwards") {
+    val b = Multimodal.synthWav(3L, 200)
+    // data chunk size field at offset 40 → u32 ~4 GiB: toInt would wrap
+    // negative and loop `off` in place forever without the bound check
+    b(40) = 0xf0.toByte; b(41) = 0xff.toByte; b(42) = 0xff.toByte; b(43) = 0xff.toByte
+    val e = intercept[IllegalArgumentException](Multimodal.parseWav(3L, b))
+    assert(e.getMessage.contains("corrupt chunk size"))
+    // size that merely overruns the file (no sign wrap) also fails loudly
+    val c = Multimodal.synthWav(3L, 200)
+    c(40) = (c.length & 0xff).toByte // data len = file len >> remaining bytes
+    c(41) = ((c.length >> 8) & 0xff).toByte
+    intercept[IllegalArgumentException](Multimodal.parseWav(3L, c))
+  }
+
+  test("parsePng: IDAT stream shorter than the geometry claims throws") {
+    val b = Multimodal.synthPng(4L)
+    // grow IHDR's height (bytes 8+8+4..: big-endian at offset 20) so the
+    // decoder expects more scanlines than the (valid, CRC-intact) DEFLATE
+    // stream contains; recompute the IHDR CRC over type+data
+    val h = ((b(20) & 0xff) << 24) | ((b(21) & 0xff) << 16) |
+      ((b(22) & 0xff) << 8) | (b(23) & 0xff)
+    val h2 = h + 7
+    b(20) = ((h2 >> 24) & 0xff).toByte; b(21) = ((h2 >> 16) & 0xff).toByte
+    b(22) = ((h2 >> 8) & 0xff).toByte; b(23) = (h2 & 0xff).toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 4 + 13) // chunk type + IHDR payload
+    val v = crc.getValue
+    b(29) = ((v >> 24) & 0xff).toByte; b(30) = ((v >> 16) & 0xff).toByte
+    b(31) = ((v >> 8) & 0xff).toByte; b(32) = (v & 0xff).toByte
+    val e = intercept[IllegalArgumentException](Multimodal.parsePng(4L, b))
+    assert(e.getMessage.contains("truncated IDAT"))
+  }
+
+  test("vacuum reaps stale orphaned .stage-* dirs, keeps fresh ones") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snaporphan").toString
+    Snapshot.publish(Seq(1L, 2L).toDF("v"), root)
+    val orphan = new java.io.File(root, ".stage-v=9-deadbeef")
+    assert(orphan.mkdir())
+    new java.io.FileOutputStream(new java.io.File(orphan, "part-0.parquet")).close()
+    // default day-scale TTL: a freshly-crashed publisher's stage survives
+    Snapshot.vacuum(spark, root)
+    assert(orphan.exists(), "a fresh stage dir must not be reaped (could be live)")
+    // past the TTL it is garbage and goes away (sleep so the dir's mtime
+    // is strictly below the zero-TTL cutoff)
+    Thread.sleep(20)
+    Snapshot.vacuum(spark, root, stageTtlMs = 0L)
+    assert(!orphan.exists(), "a stale orphaned stage dir must be reaped")
+    assert(Snapshot.readCurrent(spark, root).count() == 2,
+      "published data untouched by the stage reap")
+  }
+}
