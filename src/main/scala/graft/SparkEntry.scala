@@ -121,7 +121,14 @@ object SparkEntry {
     // struct-extrema shuffle). label_vote / lf_report / exact_quantiles /
     // rolling_features / scd2_history sit at the scan/job floor at sf0.1.
     "dedup_components", "pagerank", "asof_join_salted", "quality_ensemble",
-    "merge_upsert")
+    "merge_upsert",
+    // round-11 block: blocked edit-distance join (the oracle's side is an
+    // O(n²) levenshtein product — the blocking IS the story), basket
+    // pair explosion + three marginal joins, the bigram LM table (three
+    // aggregations over the collapsed pair table), and dual-direction
+    // mutual-NN mining off ONE sim-matrix pass. compaction_plan sits at
+    // the scan/job floor and stays bench-excluded.
+    "fuzzy_join", "item_cooc", "kn_bigram_lm", "bitext_mine")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

@@ -44,6 +44,11 @@ object Assoc {
                minPairCount: Long = 2L, maxBasketItems: Int = 256): DataFrame = {
     require(minPairCount >= 1 && maxBasketItems >= 2,
       "minPairCount must be >= 1 and maxBasketItems >= 2")
+    // the capped basket table feeds THREE consumers (total, marginals,
+    // pairs); they branch directly above the one (basket)-keyed exchange,
+    // so ReuseExchange shares the corpus-sized shuffle across them — a
+    // localCheckpoint here measured SLOWER (materialization I/O without
+    // saving a shuffle)
     val baskets = rows.select(basket.as("basket"), item.as("item"))
       .groupBy("basket")
       .agg(sort_array(collect_set(col("item"))).as("items"))

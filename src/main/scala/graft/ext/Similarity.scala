@@ -224,6 +224,60 @@ object Similarity {
         .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based Parallel
+    * Corpus Mining with Multilingual Sentence Embeddings", ACL 2019): the
+    * CCMatrix/LASER recipe for harvesting translation pairs from two
+    * monolingual embedding sets. A pair (x ∈ src, y ∈ tgt) is emitted
+    * when x and y are MUTUAL nearest neighbors and the ratio-margin
+    *
+    *   margin(x,y) = cos(x,y) / (½·avgₖ(x→tgt) + ½·avgₖ(y→src))
+    *
+    * clears `marginThreshold` — the margin normalizes away "hub" vectors
+    * that are near everything, the failure mode of raw-cosine mining.
+    *
+    * Plan shape: the |src|×|tgt| similarity matrix is evaluated ONCE
+    * (src broadcast against a narrow tgt scan — the [[annTopK]] brute
+    * baseline; at corpus scale substitute the [[annIvf]] probed product,
+    * same downstream), and BOTH direction top-ks come out of that single
+    * pass: each sim row explodes into a (side, key, other) pair and one
+    * partial-agged [[TopKAgg]] per (side, key) reduces to ≤ k rows before
+    * the shuffle — the sim matrix itself never shuffles. Forward and
+    * backward averages fold the top-k array in rank order (deterministic;
+    * the oracle mirrors with `list(... ORDER BY rk)`), and the mutual
+    * check is a join of two best-edge tables, each |side|-sized. */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                 marginThreshold: Double = 1.0): DataFrame = {
+    val q = broadcast(src.select(col("vec_id").as("sid"), col("embedding").as("se")))
+    val sims = tgt.select(col("vec_id").as("tid"), col("embedding").as("te"))
+      .crossJoin(q)
+      .select(col("sid"), col("tid"),
+        vectors.cosineSim(col("se"), col("te")).as("sim"))
+    val tk = sims
+      .select(explode(array(
+        struct(lit(0).as("side"), col("sid").as("key"), col("tid").as("other")),
+        struct(lit(1).as("side"), col("tid").as("key"), col("sid").as("other"))))
+        .as("x"), col("sim"))
+      .groupBy(col("x.side").as("side"), col("x.key").as("key"))
+      .agg(topkUdaf(k)(col("x.other"), col("sim")).as("nb"))
+      .withColumn("avg", aggregate(col("nb"), lit(0.0),
+        (acc, s) => acc + s.getField("score")) / size(col("nb")))
+      // materialize: the fwd/bwd side filters would otherwise push below
+      // the aggregation and re-evaluate the full sim matrix once per
+      // branch; the checkpointed table is ≤ |src|+|tgt| top-k rows
+      .localCheckpoint()
+    val fwd = tk.where(col("side") === 0).select(
+      col("key").as("src_id"), col("nb")(0).getField("id").as("tgt_id"),
+      col("nb")(0).getField("score").as("sim"), col("avg").as("avg_src"))
+    val bwd = tk.where(col("side") === 1).select(
+      col("key").as("b_tgt"), col("nb")(0).getField("id").as("b_src"),
+      col("avg").as("avg_tgt"))
+    fwd.join(bwd, col("tgt_id") === col("b_tgt") && col("src_id") === col("b_src"))
+      .withColumn("margin",
+        col("sim") / (lit(0.5) * col("avg_src") + lit(0.5) * col("avg_tgt")))
+      .where(col("margin") >= marginThreshold)
+      .select("src_id", "tgt_id", "sim", "margin")
+  }
+
   /** Measured routing between exact and IVF ANN — the [[graft.ext.Dedup
     * .dedupAuto]] discipline applied to search: below `exactMax` vectors
     * brute force is both exact AND faster (no assignment pass, no
@@ -913,6 +967,13 @@ object Similarity {
       val emb = SparkEntry.table(s, dir, "embeddings")
       annTopK(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK)
     }),
+    // two "languages" = the even/odd id halves; mutual-NN pairs whose
+    // margin clears 1.0 (above their own neighborhoods' average)
+    "bitext_mine" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      bitextMine(emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1), k = 4, marginThreshold = 1.0)
+    }),
     // int8 scalar quantization: deterministic scales/codes → full SQL
     // oracle; ExtSpec additionally measures recall vs the exact ann_topk
     "ann_sq8" -> ((s, dir) => {
@@ -1165,6 +1226,36 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "ann_topk" -> annTopkOracleSql,
+    // same sim matrix, same (sim DESC, id) rank rule, averages folded in
+    // rank order, margin arithmetic mirrored operation-for-operation
+    "bitext_mine" ->
+      """WITH a AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS e
+        |      FROM embeddings WHERE vec_id % 2 = 1),
+        |s AS (SELECT sid, tid, list_cosine_similarity(a.e, b.e) AS sim FROM a, b),
+        |f AS (SELECT sid, tid, sim,
+        |        row_number() OVER (PARTITION BY sid ORDER BY sim DESC, tid) AS rk
+        |      FROM s),
+        |g AS (SELECT tid, sid, sim,
+        |        row_number() OVER (PARTITION BY tid ORDER BY sim DESC, sid) AS rk
+        |      FROM s),
+        |fa AS (SELECT sid,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sim ORDER BY rk)),
+        |           (x, y) -> x + y) / count(*) AS avg_src
+        |       FROM f WHERE rk <= 4 GROUP BY sid),
+        |ga AS (SELECT tid,
+        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sim ORDER BY rk)),
+        |           (x, y) -> x + y) / count(*) AS avg_tgt
+        |       FROM g WHERE rk <= 4 GROUP BY tid),
+        |fb AS (SELECT sid, tid, sim FROM f WHERE rk = 1),
+        |gb AS (SELECT tid, sid FROM g WHERE rk = 1)
+        |SELECT fb.sid AS src_id, fb.tid AS tgt_id, fb.sim AS sim,
+        |  fb.sim / (0.5 * avg_src + 0.5 * avg_tgt) AS margin
+        |FROM fb JOIN gb ON gb.tid = fb.tid AND gb.sid = fb.sid
+        |JOIN fa ON fa.sid = fb.sid
+        |JOIN ga ON ga.tid = fb.tid
+        |WHERE fb.sim / (0.5 * avg_src + 0.5 * avg_tgt) >= 1.0""".stripMargin,
     // algorithm mirror of annSq8: same max|v|/127 scales, the same
     // floor(x/s + ½) round-half-up clamp, cosine over the dequantized
     // doubles (list_cosine_similarity folds dims in the same order as the
