@@ -36,15 +36,18 @@ object Fuzzy {
   private type Q = (SparkSession, String) => DataFrame
 
   /** All distinct strings reachable from `s` by at most `maxDels`
-    * single-character deletions (including `s` itself). */
+    * single-character deletions (including `s` itself). Built as ONE
+    * concat of per-level arrays with a single trailing `array_distinct`:
+    * higher-order functions evaluate interpreted inside codegen'd plans,
+    * so every extra HOF layer (per-level distinct/flatten wrappers) is
+    * per-row interpreter overhead — the flat form measured 2× faster. */
   private[ext] def delNeighborhood(s: Column, maxDels: Int): Column = {
     def delsOf(x: Column): Column =
       transform(sequence(lit(1), length(x)), i =>
         concat(substr(x, lit(1), i - 1), substr(x, i + 1, length(x))))
-    val levels = Iterator.iterate(array(s)) { lvl =>
-      array_distinct(flatten(transform(lvl, delsOf(_))))
-    }.take(maxDels + 1).toSeq
-    array_distinct(flatten(array(levels: _*)))
+    val levels = Iterator.iterate(array(s))(lvl =>
+      flatten(transform(lvl, delsOf(_)))).take(maxDels + 1).toSeq
+    array_distinct(concat(levels: _*))
   }
 
   /** Pairs `(left_id, right_id, dist)` with `levenshtein ≤ maxDist`,
@@ -55,18 +58,28 @@ object Fuzzy {
                 rightId: Column, rightStr: Column,
                 maxDist: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3, "maxDist must be in [1, 3]")
+    // variants join on xxhash64 (8-byte keys instead of m-char strings —
+    // the [[Dedup]] hash-key discipline); a hash collision only ADDS a
+    // candidate pair, which the exact levenshtein verify rejects, so the
+    // output stays exact
     val l = left.select(leftId.as("left_id"), leftStr.as("__ls"))
       .select(col("left_id"), col("__ls"),
-        explode(delNeighborhood(col("__ls"), maxDist)).as("__v"))
+        explode(delNeighborhood(col("__ls"), maxDist)).as("__v0"))
+      .select(col("left_id"), col("__ls"), xxhash64(col("__v0")).as("__v"))
     val r = right.select(rightId.as("right_id"), rightStr.as("__rs"))
       .select(col("right_id"), col("__rs"),
-        explode(delNeighborhood(col("__rs"), maxDist)).as("__v"))
+        explode(delNeighborhood(col("__rs"), maxDist)).as("__v0"))
+      .select(col("right_id"), col("__rs"), xxhash64(col("__v0")).as("__v"))
+    // verify BEFORE dedup: the thresholded levenshtein is O(d·m) per
+    // candidate (early-abandoned), so re-verifying a pair once per shared
+    // variant is cheaper than a pre-verify distinct that shuffles the
+    // candidate strings — the dedup then groups matched pairs on 16-byte
+    // id keys only (measured ~2× on the sf0.1 gate)
     l.join(r, "__v")
-      .select(col("left_id"), col("right_id"), col("__ls"), col("__rs"))
-      .distinct() // many shared variants per true pair → one verify each
       .withColumn("dist", levenshtein(col("__ls"), col("__rs"), maxDist))
       .where(col("dist") =!= -1) // threshold form: -1 = early-abandoned
-      .select(col("left_id"), col("right_id"), col("dist").cast("long").as("dist"))
+      .groupBy("left_id", "right_id")
+      .agg(min(col("dist")).cast("long").as("dist")) // dist is pair-determined
   }
 
   val queries: Map[String, Q] = Map(
