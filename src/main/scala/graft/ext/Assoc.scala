@@ -34,43 +34,38 @@ import graft.SparkEntry
 object Assoc {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Pairwise association metrics over `(basket, item)` rows.
-    *
-    * Returns one row per unordered item pair `(item_a < item_b)` seen in
-    * at least `minPairCount` retained baskets: the pair count, both item
-    * marginal counts, `support = n_ab / N`, directional confidences, and
-    * `lift = n_ab·N / (n_a·n_b)` (N = retained-basket count). */
-  def itemCooc(rows: DataFrame, basket: Column, item: Column,
-               minPairCount: Long = 2L, maxBasketItems: Int = 256): DataFrame = {
-    require(minPairCount >= 1 && maxBasketItems >= 2,
-      "minPairCount must be >= 1 and maxBasketItems >= 2")
-    // the capped basket table feeds THREE consumers (total, marginals,
-    // pairs); they branch directly above the one (basket)-keyed exchange,
-    // so ReuseExchange shares the corpus-sized shuffle across them — a
-    // localCheckpoint here measured SLOWER (materialization I/O without
-    // saving a shuffle)
-    val baskets = rows.select(basket.as("basket"), item.as("item"))
+  /** The capped, deduplicated, sorted basket table — the shared root of
+    * the one-shot and maintained forms. */
+  private def cappedBaskets(rows: DataFrame, basket: Column, item: Column,
+                            maxBasketItems: Int): DataFrame =
+    rows.select(basket.as("basket"), item.as("item"))
       .groupBy("basket")
       .agg(sort_array(collect_set(col("item"))).as("items"))
       .where(size(col("items")) <= maxBasketItems)
-    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
-    // marginals and pairs from the SAME capped basket table, so N, n_a,
-    // n_b, n_ab all count over one consistent universe
-    val itemCounts = baskets.select(explode(col("items")).as("item"))
-      .groupBy("item").agg(count(lit(1)).as("n_item"))
-    val pairs = baskets
+
+  /** UNFILTERED pair counts from a capped basket table. */
+  private def pairCounts(baskets: DataFrame): DataFrame =
+    baskets
       .select(explode(flatten(transform(col("items"), (a, i) =>
         transform(slice(col("items"), i + 2, size(col("items"))), b =>
           struct(a.as("item_a"), b.as("item_b")))))).as("p"))
       .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .agg(count(lit(1)).as("n_pairs"))
-      .where(col("n_pairs") >= minPairCount)
-    pairs
-      .join(itemCounts.withColumnRenamed("n_item", "n_a"),
-        pairs("item_a") === itemCounts("item"))
+
+  private def itemCounts(baskets: DataFrame): DataFrame =
+    baskets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
+
+  /** The metric derivation over consistent (pairs, marginals, total)
+    * inputs — see [[itemCooc]] for the arithmetic contract. */
+  private def metrics(pairs: DataFrame, items: DataFrame, nBaskets: DataFrame,
+                      minPairCount: Long): DataFrame = {
+    val p = pairs.where(col("n_pairs") >= minPairCount)
+    p.join(items.withColumnRenamed("n_item", "n_a"),
+        p("item_a") === items("item"))
       .drop("item")
-      .join(itemCounts.withColumnRenamed("n_item", "n_b"),
-        pairs("item_b") === itemCounts("item"))
+      .join(items.withColumnRenamed("n_item", "n_b"),
+        p("item_b") === items("item"))
       .drop("item")
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("n_pairs"),
@@ -85,16 +80,105 @@ object Assoc {
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
   }
 
+  /** Pairwise association metrics over `(basket, item)` rows.
+    *
+    * Returns one row per unordered item pair `(item_a < item_b)` seen in
+    * at least `minPairCount` retained baskets: the pair count, both item
+    * marginal counts, `support = n_ab / N`, directional confidences, and
+    * `lift = n_ab·N / (n_a·n_b)` (N = retained-basket count).
+    *
+    * The three consumers of the basket table (total, marginals, pairs)
+    * branch directly above its one (basket)-keyed exchange, so
+    * ReuseExchange shares the corpus-sized shuffle across them — a
+    * localCheckpoint here measured SLOWER (materialization I/O without
+    * saving a shuffle). */
+  def itemCooc(rows: DataFrame, basket: Column, item: Column,
+               minPairCount: Long = 2L, maxBasketItems: Int = 256): DataFrame = {
+    require(minPairCount >= 1 && maxBasketItems >= 2,
+      "minPairCount must be >= 1 and maxBasketItems >= 2")
+    val baskets = cappedBaskets(rows, basket, item, maxBasketItems)
+    metrics(pairCounts(baskets), itemCounts(baskets),
+      baskets.agg(count(lit(1)).as("n_baskets")), minPairCount)
+  }
+
+  /** MAINTAINED co-occurrence over continuous basket ingest: pair counts,
+    * item marginals, and the basket total are all ADDITIVE over
+    * basket-atomic batches, so the state is exactly those three count
+    * tables (encoded as one `(kind, a, b, n)` table for the
+    * [[BatchState]] snapshot) and merge = union + re-sum. Each absorption
+    * returns the full metric table over everything ingested so far —
+    * EQUAL to the one-shot [[itemCooc]] of the union (driver-gated), with
+    * replayed batches recomputing against the pre-batch snapshot
+    * (exactly-once via `_SUCCESS`-gated snapshots).
+    *
+    * Precondition: each basket arrives WHOLE in one batch (a closed
+    * order/session). A basket split across batches would need its raw
+    * items in state — corpus-sized — where this state is the pair/item
+    * count tables: the catalog-bounded sufficient statistic.
+    *
+    * State size: distinct observed pairs + items + 1; merging is a
+    * partial-agged groupBy, never a driver collect. */
+  def absorbCoocBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                      rows: DataFrame, basket: Column, item: Column,
+                      minPairCount: Long = 2L, maxBasketItems: Int = 256): DataFrame = {
+    val (latest, lastId) = BatchState.load(spark, stateDir)
+    val replay = lastId.exists(_ >= batchId)
+    val base = if (replay) BatchState.load(spark, stateDir, Some(batchId))._1 else latest
+    val bk = cappedBaskets(rows, basket, item, maxBasketItems)
+    val nulls = lit(null).cast("long")
+    val comp = pairCounts(bk)
+      .select(lit("p").as("kind"), col("item_a").as("a"), col("item_b").as("b"),
+        col("n_pairs").as("n"))
+      .unionByName(itemCounts(bk).select(lit("i").as("kind"), col("item").as("a"),
+        nulls.as("b"), col("n_item").as("n")))
+      .unionByName(bk.agg(count(lit(1)).as("n"))
+        .select(lit("n").as("kind"), nulls.as("a"), nulls.as("b"), col("n")))
+    val merged = base.map(_.unionByName(comp)).getOrElse(comp)
+      .groupBy("kind", "a", "b").agg(sum(col("n")).as("n"))
+      .localCheckpoint(true)
+    if (!replay) BatchState.save(merged, stateDir, batchId)
+    metrics(
+      merged.where(col("kind") === "p")
+        .select(col("a").as("item_a"), col("b").as("item_b"), col("n").as("n_pairs")),
+      merged.where(col("kind") === "i")
+        .select(col("a").as("item"), col("n").as("n_item")),
+      merged.where(col("kind") === "n").select(col("n").as("n_baskets")),
+      minPairCount)
+  }
+
+  /** Continuous co-occurrence maintenance over a streaming basket source. */
+  def coocStream(rows: DataFrame, stateDir: String, basket: Column, item: Column,
+                 minPairCount: Long = 2L, maxBasketItems: Int = 256)
+                (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(absorbCoocBatch(batch.sparkSession, stateDir, id, batch,
+        basket, item, minPairCount, maxBasketItems))
+    }
+
   val queries: Map[String, Q] = Map(
     // parts ordered together: baskets = orders, items = parts; pairs seen
     // in >= 2 orders
     "item_cooc" -> ((s, dir) =>
       itemCooc(SparkEntry.table(s, dir, "lineitem"),
         col("l_orderkey"), col("l_partkey"))),
+    // the maintained table after two basket-atomic absorptions (orders
+    // split by key parity) must equal the one-shot computation — same
+    // oracle as item_cooc
+    "cooc_maintained" -> ((s, dir) => {
+      val li = SparkEntry.table(s, dir, "lineitem")
+      val root = TmpIo.freshDir("coocstate")
+      try {
+        absorbCoocBatch(s, root.toString, 0L,
+          li.where(col("l_orderkey") % 2 === 0), col("l_orderkey"), col("l_partkey"))
+        absorbCoocBatch(s, root.toString, 1L,
+          li.where(col("l_orderkey") % 2 === 1), col("l_orderkey"), col("l_partkey"))
+          .localCheckpoint(true)
+      } finally TmpIo.deleteRecursively(root)
+    }),
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "item_cooc" ->
+  private val coocOracle =
       """WITH b AS (
         |  SELECT l_orderkey AS basket, list_sort(list(DISTINCT l_partkey)) AS items
         |  FROM lineitem GROUP BY l_orderkey
@@ -117,6 +201,10 @@ object Assoc {
         |  (CAST(n_pairs AS DOUBLE) * CAST(n_baskets AS DOUBLE)) /
         |    (CAST(a.n_item AS DOUBLE) * CAST(b2.n_item AS DOUBLE)) AS lift
         |FROM p JOIN ic a ON a.item = p.item_a
-        |       JOIN ic b2 ON b2.item = p.item_b, n""".stripMargin,
+        |       JOIN ic b2 ON b2.item = p.item_b, n""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "item_cooc" -> coocOracle,
+    "cooc_maintained" -> coocOracle,
   )
 }

@@ -697,6 +697,46 @@ object Quality {
         (col("tp").cast("double") / col("__pos_total").cast("double")).as("recall"))
   }
 
+  /** SQuAD-style answer-overlap metrics per (prediction, gold) pair —
+    * the evaluation primitive for generated-answer checking (Rajpurkar
+    * et al. 2016 §6.1): token-multiset overlap, precision, recall, F1,
+    * and exact match. Everything is rational arithmetic over integer
+    * token counts — overlap = Σ_t min(count_pred(t), count_gold(t));
+    * `f1 = 2·ov/(len_p+len_g)` is ONE correctly-rounded division (the
+    * algebraic collapse of 2PR/(P+R), which would round three times) —
+    * so results are bit-identical across engines. To aggregate, micro-F1
+    * = `2·Σov / Σ(len_p+len_g)` stays a single exact division of summed
+    * integers; a MEAN of per-row F1s is summation-order nondeterministic
+    * — don't.
+    *
+    * Entirely NARROW per-row compute, rides the scan. The per-row
+    * multiset intersection is O(|distinct|·|tokens|) HOF work — fine for
+    * the answer/sentence lengths this metric exists for; a
+    * document-corpus overlap question belongs to [[graft.ext.Hygiene
+    * .corpusOverlap]]'s exploded formulation instead. */
+  def tokenF1(pairs: DataFrame, id: Column, pred: Column, gold: Column): DataFrame = {
+    def toksOf(c: Column) = filter(split(c, " "), w => length(w) > 0)
+    val p = col("__p"); val g = col("__g")
+    pairs
+      .select(id.as("id"), pred.as("__ps"), gold.as("__gs"))
+      .withColumn("__p", toksOf(col("__ps")))
+      .withColumn("__g", toksOf(col("__gs")))
+      .withColumn("overlap", aggregate(array_distinct(p), lit(0L), (acc, t) =>
+        acc + least(size(filter(p, x => x === t)), size(filter(g, x => x === t)))))
+      .select(col("id"), col("overlap"),
+        size(p).cast("long").as("len_pred"), size(g).cast("long").as("len_gold"),
+        when(size(p) === 0, lit(0.0))
+          .otherwise(col("overlap").cast("double") / size(p).cast("double"))
+          .as("precision"),
+        when(size(g) === 0, lit(0.0))
+          .otherwise(col("overlap").cast("double") / size(g).cast("double"))
+          .as("recall"),
+        when(size(p) + size(g) === 0, lit(0.0))
+          .otherwise((lit(2L) * col("overlap")).cast("double") /
+            (size(p) + size(g)).cast("double")).as("f1"),
+        (col("__ps") === col("__gs")).cast("long").as("exact"))
+  }
+
   // ---- driver gate ----------------------------------------------------
   // Frozen pseudo-random weights (Knuth multiplicative constant): the gate
   // pins the featurize→linear-score path — the part that is deterministic
@@ -739,6 +779,17 @@ object Quality {
         col("lang") === "en")),
     "pr_curve" -> ((s, dir) =>
       prCurve(gateScored(s, dir), col("logit"), col("lang") === "en")),
+    // synthetic QA eval: gold = first 12 tokens, pred = a 2-token-shifted
+    // 12-token window — deterministic partial overlap both engines derive
+    // identically from the corpus
+    "token_f1" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      tokenF1(SparkEntry.table(s, dir, "documents")
+          .select(col("doc_id"),
+            array_join(slice(w, 3, 12), " ").as("pred"),
+            array_join(slice(w, 1, 12), " ").as("gold")),
+        col("doc_id"), col("pred"), col("gold"))
+    }),
     // three incommensurable integer signals decile-ranked and summed
     "quality_ensemble" -> ((s, dir) =>
       qualityEnsemble(SparkEntry.table(s, dir, "documents"), Seq(
@@ -843,6 +894,37 @@ object Quality {
     "dsir_select" ->
       s"""$DsirOracleBody
          |ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin,
+
+    // same slice-derived pred/gold, same multiset-min overlap fold, same
+    // single-division metrics — bit-identical rational arithmetic
+    "token_f1" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pg AS (SELECT doc_id,
+        |         array_to_string(w[3:14], ' ') AS ps,
+        |         array_to_string(w[1:12], ' ') AS gs
+        |       FROM t),
+        |tk AS (SELECT doc_id, ps, gs,
+        |         list_filter(string_split(ps, ' '), x -> len(x) > 0) AS p,
+        |         list_filter(string_split(gs, ' '), x -> len(x) > 0) AS g
+        |       FROM pg),
+        |m AS (SELECT doc_id, ps, gs, p, g,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(list_distinct(p),
+        |            t2 -> CAST(least(len(list_filter(p, x -> x = t2)),
+        |                             len(list_filter(g, x -> x = t2))) AS BIGINT))),
+        |          (a, b) -> a + b) AS ov
+        |      FROM tk)
+        |SELECT doc_id AS id, ov AS overlap,
+        |  CAST(len(p) AS BIGINT) AS len_pred, CAST(len(g) AS BIGINT) AS len_gold,
+        |  CASE WHEN len(p) = 0 THEN 0.0
+        |       ELSE CAST(ov AS DOUBLE) / CAST(len(p) AS DOUBLE) END AS "precision",
+        |  CASE WHEN len(g) = 0 THEN 0.0
+        |       ELSE CAST(ov AS DOUBLE) / CAST(len(g) AS DOUBLE) END AS recall,
+        |  CASE WHEN len(p) + len(g) = 0 THEN 0.0
+        |       ELSE CAST(2 * ov AS DOUBLE) /
+        |            CAST(len(p) + len(g) AS DOUBLE) END AS f1,
+        |  CAST(ps = gs AS BIGINT) AS exact
+        |FROM m""".stripMargin,
 
     // fixed-width bands on the bit-exact logit; integer counts, one
     // division per band

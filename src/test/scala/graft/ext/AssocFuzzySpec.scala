@@ -53,6 +53,30 @@ class AssocFuzzySpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("absorbCoocBatch: maintained == one-shot after 3 batches; replay idempotent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val raw = (1 to 900).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(25).toLong))
+    val df = raw.toDF("b", "i")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    val oneShot = rows(Assoc.itemCooc(df, col("b"), col("i"), minPairCount = 2L))
+    val root = java.nio.file.Files.createTempDirectory("coocspec").toString
+    // basket-atomic split by key residue
+    var last: Map[(Long, Long), (Long, Long, Long, Double, Double, Double, Double)] = null
+    for (m <- 0 to 2)
+      last = rows(Assoc.absorbCoocBatch(spark, root, m.toLong,
+        df.where(col("b") % 3 === m), col("b"), col("i"), minPairCount = 2L))
+    assert(last == oneShot, "maintained table must equal the one-shot computation")
+    // replaying the last batch (crash-before-commit recovery) recomputes
+    // against the pre-batch snapshot: identical output, no double count
+    val replayed = rows(Assoc.absorbCoocBatch(spark, root, 2L,
+      df.where(col("b") % 3 === 2), col("b"), col("i"), minPairCount = 2L))
+    assert(replayed == oneShot, "replay must not double-absorb")
+  }
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)

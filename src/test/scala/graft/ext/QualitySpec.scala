@@ -463,4 +463,25 @@ class QualitySpec extends AnyFunSuite {
     // identical slices → identical counts and totals → every term ln(1)=0
     assert(Quality.psiTotal(ref, ref, col("n_chars")).head().getDouble(0) == 0.0)
   }
+
+  test("tokenF1: constructed cases — exact, disjoint, multiset dups, empties") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "a b c", "a b c"),     // exact: ov 3, f1 1
+      (2L, "a b", "c d"),         // disjoint: all zero
+      (3L, "a a b", "a c"),       // multiset: min(2,1)=1 for 'a' → ov 1
+      (4L, "", "a b"),            // empty pred: P defined 0
+      (5L, "a b", ""),            // empty gold: R defined 0
+      (6L, "", ""))               // both empty: exact but f1 defined 0
+      .toDF("id", "p", "g")
+    val got = Quality.tokenF1(fix, col("id"), col("p"), col("g")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))).toMap
+    assert(got(1L) == ((3L, 3L, 3L, 1.0, 1.0, 1.0, 1L)))
+    assert(got(2L) == ((0L, 2L, 2L, 0.0, 0.0, 0.0, 0L)))
+    assert(got(3L) == ((1L, 3L, 2L, 1.0 / 3.0, 0.5, 2.0 / 5.0, 0L)))
+    assert(got(4L) == ((0L, 0L, 2L, 0.0, 0.0, 0.0, 0L)))
+    assert(got(5L) == ((0L, 2L, 0L, 0.0, 0.0, 0.0, 0L)))
+    assert(got(6L) == ((0L, 0L, 0L, 0.0, 0.0, 0.0, 1L)))
+  }
 }
