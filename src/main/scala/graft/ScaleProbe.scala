@@ -115,14 +115,15 @@ object ScaleProbe {
     val r9gOnly = args.length > 1 && args(1) == "r9g"
     val r10Only = args.length > 1 && args(1) == "r10"
     val r10bOnly = args.length > 1 && args(1) == "r10b"
+    val r11Only = args.length > 1 && args(1) == "r11"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
-    if (!r10Only && !r10bOnly) { d1.count(); dN.count() }
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly) { dSkew.count(); dSkew1.count() }
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly) { e1.count(); eN.count() }
+    if (!r10Only && !r10bOnly) { d1.count(); dN.count() } // r11 kn probe reuses d1/dN
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only) { e1.count(); eN.count() }
     if (r9gOnly) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
@@ -141,7 +142,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly) { cent1; centN }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -391,9 +392,48 @@ object ScaleProbe {
             grainSeconds = n / 64).count() })
     }
 
+    // LINEAR controls for the round-11 operators.
+    //  - fuzzy join: names get a per-replica 2-char repeated-letter tag
+    //    ("xaa", "xbb", ...) so cross-replica name pairs sit at distance
+    //    >= 2 and every true match stays WITHIN its replica — matched
+    //    pairs, candidates, and variants all scale exactly REP×.
+    //  - item co-occurrence: basket AND item ids shift per replica, so
+    //    each replica is a disjoint isomorphic order log.
+    //  - KN bigram LM: the word-suffixed docsN corpus (disjoint
+    //    per-replica vocabulary) grows the bigram-type table linearly.
+    def r11Probes = {
+      val cust1 = SparkEntry.table(spark, sfDir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("s")).cache()
+      val custN = cust1.crossJoin(broadcast(reps))
+        .select((col("id") + col("r") * 10000000L).as("id"),
+          concat(col("s"), lit("x"),
+            expr("repeat(chr(97 + CAST(r AS INT)), 2)")).as("s")).cache()
+      cust1.count(); custN.count()
+      val li1 = SparkEntry.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).cache()
+      val liN = li1.crossJoin(broadcast(reps))
+        .select((col("b") + col("r") * 100000000L).as("b"),
+          (col("i") + col("r") * 10000000L).as("i")).cache()
+      li1.count(); liN.count()
+      Seq(
+        time(s"fuzzy_1x") {
+          ext.Fuzzy.fuzzyJoin(cust1, cust1, col("id"), col("s"), col("id"), col("s"), 1)
+            .where(col("left_id") < col("right_id")).count()
+        },
+        time(s"fuzzy_${rep}x") {
+          ext.Fuzzy.fuzzyJoin(custN, custN, col("id"), col("s"), col("id"), col("s"), 1)
+            .where(col("left_id") < col("right_id")).count()
+        },
+        time(s"item_cooc_1x") { force(ext.Assoc.itemCooc(li1, col("b"), col("i"))) },
+        time(s"item_cooc_${rep}x") { force(ext.Assoc.itemCooc(liN, col("b"), col("i"))) },
+        time(s"kn_bigram_1x") { force(ext.TextAnalysis.knBigramLm(d1)) },
+        time(s"kn_bigram_${rep}x") { force(ext.TextAnalysis.knBigramLm(dN)) })
+    }
+
     val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes
     else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes
     else if (r10Only) r10Probes
+    else if (r11Only) r11Probes
     else if (r10bOnly) r10bProbes
     else if (r9gOnly) r9gProbes
     else if (r9fOnly) r9fProbes

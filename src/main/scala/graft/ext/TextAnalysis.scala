@@ -652,6 +652,12 @@ object TextAnalysis {
         (p, c) => struct(p.as("prev"), c.as("word")))).as("bg"))
       .select(col("bg.prev").as("prev"), col("bg.word").as("word"))
       .groupBy("prev", "word").agg(count(lit(1)).as("n_pw"))
+      // materialized: FOUR consumers (output rows + three marginals) would
+      // otherwise each re-run the corpus explode (the lambda-bearing
+      // exchange does not canonicalize for ReuseExchange); the pair table
+      // is the vocab²-bounded sufficient statistic, so this is the right
+      // thing to persist at any scale
+      .localCheckpoint()
     val prevStats = pairs.groupBy("prev")
       .agg(sum(col("n_pw")).as("c_p"), count(lit(1)).as("n1p_prev"))
     val wordStats = pairs.groupBy("word").agg(count(lit(1)).as("n1c_w"))

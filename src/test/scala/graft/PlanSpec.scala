@@ -740,4 +740,37 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
       s"the running-count window must be partitioned (parallel), not global:\n$p")
   }
+
+  test("item_cooc: no cartesian (the nBaskets scalar broadcasts); ONE basket exchange reused") {
+    val p = physical("item_cooc")
+    // the single-row nBaskets side rides a broadcast nested-loop join BY
+    // DESIGN (a scalar against the pair table); no CartesianProduct ever
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0,
+      s"item_cooc has a cartesian product:\n$p")
+    // total/marginals/pairs all branch off the one (basket)-keyed
+    // aggregation: its exchange must appear once and be REUSED, not
+    // re-executed per consumer
+    val reused = count(p) { case _: exchange.ReusedExchangeExec => }
+    assert(reused >= 2, s"basket exchange must be shared across consumers:\n$p")
+    assert(count(p) { case _: FileSourceScanExec => } == 1,
+      s"expected exactly one lineitem scan:\n$p")
+  }
+
+  test("kn_bigram_lm: marginals aggregate the COLLAPSED pair table, one corpus scan") {
+    val p = physical("kn_bigram_lm")
+    // the single-row N1+(·,·) scalar broadcasts via nested loop BY DESIGN
+    // (the item_cooc nBaskets pattern); never a CartesianProduct
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0,
+      s"kn_bigram_lm has a cartesian product:\n$p")
+    // the pair table is checkpointed (one corpus pass at build); all four
+    // consumers read the materialized statistic — ZERO corpus re-scans
+    assert(count(p) { case _: FileSourceScanExec => } == 0,
+      s"marginals must derive from the checkpointed pair table:\n$p")
+  }
+
+  test("token_f1: pure scan-time plan — zero shuffles, zero joins") {
+    val p = physical("token_f1")
+    assert(shuffles(p) == 0, s"token_f1 must ride the scan:\n$p")
+    assertNoCartesian("token_f1", p)
+  }
 }
