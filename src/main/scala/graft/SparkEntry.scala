@@ -128,7 +128,12 @@ object SparkEntry {
     // aggregations over the collapsed pair table), and dual-direction
     // mutual-NN mining off ONE sim-matrix pass. compaction_plan sits at
     // the scan/job floor and stays bench-excluded.
-    "fuzzy_join", "item_cooc", "kn_bigram_lm", "bitext_mine")
+    "fuzzy_join", "item_cooc", "kn_bigram_lm", "bitext_mine",
+    // second round-11 block: CUSUM (two running windows over the event
+    // log) and the corpus-distribution distance (two aggs + full-outer
+    // word join + decimal sum). token_f1 rides the scan floor and
+    // cooc_maintained mostly times state I/O — both bench-excluded.
+    "cusum_flags", "corpus_tv")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

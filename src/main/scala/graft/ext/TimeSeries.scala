@@ -120,7 +120,48 @@ object TimeSeries {
       .drop("s", "q")
   }
 
+  /** CUSUM drift alarms per entity (Page 1954, the classic sequential
+    * changepoint test): the one-sided CUSUM statistic
+    * `s_t = max(0, s_{t−1} + (x_t − slack))` flags a sustained upward
+    * level shift — small persistent excesses accumulate where a
+    * threshold-per-event monitor ([[rollingSpike]]) only sees isolated
+    * spikes. The two are the complementary halves of a drift/anomaly
+    * panel.
+    *
+    * Scale shape: the recursion has the CLOSED FORM
+    * `s_t = P_t − min(0, min_{j≤t} P_j)` over the prefix sums `P` of
+    * `(x − slack)` — so the whole statistic is two running-frame window
+    * passes per entity (sum, then min), never a per-entity array fold:
+    * one entity-keyed exchange, streaming O(n) frames, unbounded history
+    * without unbounded memory. All integer cents — exact.
+    *
+    * Emits only alarm rows (`cusum > h`), with `is_start` marking episode
+    * onsets (previous statistic at or below the threshold). */
+  def cusum(events: DataFrame, entity: String, tsCol: String, idCol: String,
+            valueCents: Column, slackCents: Long, h: Long): DataFrame = {
+    require(h > 0, "threshold must be positive")
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(entity).orderBy(col("__t").asc, col(idCol).asc)
+    val run = order.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events.select(col(entity), col(idCol),
+        unix_micros(col(tsCol)).as("__t"),
+        (valueCents - slackCents).as("__d"))
+      .withColumn("__p", sum(col("__d")).over(run))
+      .withColumn("cusum",
+        col("__p") - least(lit(0L), min(col("__p")).over(run)))
+      .withColumn("is_start",
+        coalesce(lag(col("cusum"), 1).over(order), lit(0L)) <= h)
+      .where(col("cusum") > h)
+      .select(col(entity), col(idCol), col("cusum"), col("is_start"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // sustained overspend alarms: slack 60.00 over the ~49.6 mean value,
+    // alarm at 500.00 accumulated excess
+    "cusum_flags" -> ((s, dir) =>
+      cusum(SparkEntry.table(s, dir, "events"), "user_id", "ts", "event_id",
+        round(col("value") * 100).cast("long"), slackCents = 6000L, h = 50000L)),
     // the 3 lowest-id users as queries, hourly activity series
     "ts_topk" -> ((s, dir) =>
       tsTopK(SparkEntry.table(s, dir, "events"), "user_id", "ts",
@@ -136,6 +177,25 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same closed form: prefix sums then running min, integer cents
+    "cusum_flags" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(round(value * 100) AS BIGINT) - 6000 AS d FROM events),
+        |p AS (SELECT user_id, event_id, t,
+        |    CAST(sum(d) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pf
+        |  FROM e),
+        |s AS (SELECT user_id, event_id, t,
+        |    pf - least(CAST(0 AS BIGINT),
+        |      CAST(min(pf) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT)) AS cusum
+        |  FROM p),
+        |f AS (SELECT user_id, event_id, cusum,
+        |    COALESCE(lag(cusum) OVER (PARTITION BY user_id ORDER BY t, event_id),
+        |      0) <= 50000 AS is_start
+        |  FROM s)
+        |SELECT user_id, event_id, cusum, is_start FROM f
+        |WHERE cusum > 50000""".stripMargin,
     "rolling_spike" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CAST(round(value * 100) AS BIGINT) AS cents,

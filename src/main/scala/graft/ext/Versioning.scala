@@ -222,6 +222,47 @@ object Versioning {
   /** Gate request list: three live users + one the corpus never held. */
   val GateForgetRequests: Seq[Long] = Seq(3L, 7L, 11L, 999999L)
 
+  /** EXACT total-variation distance between two corpus versions' unigram
+    * distributions — the release-to-release "how much did the language
+    * shift" scalar of a dataset card ([[graft.ext.Quality.driftReport]]
+    * tracks a numeric signal; this tracks the text itself). TV(P,Q) =
+    * ½·Σ_w |p(w) − q(w)| ∈ [0, 1].
+    *
+    * Determinism: a float Σ|p−q| is summation-order nondeterministic, so
+    * the sum runs over the INTEGER numerators instead —
+    * `Σ_w |c_a(w)·N_b − c_b(w)·N_a|` in decimal(38,0) (exact to 1e38;
+    * c ~ 1e12 counts × N ~ 1e13 totals fit) — and divides ONCE by
+    * `2·N_a·N_b` in double (factors exact below 2^53, pinned order).
+    * The oracle's HUGEINT sum is the same integer, so `tv` is
+    * bit-identical.
+    *
+    * Plan: two word-count aggregations, one full-outer join on the word
+    * key (absent-side counts are 0), one decimal sum — all
+    * partial-aggregated; the two scalar totals broadcast. */
+  def corpusTvDistance(a: DataFrame, b: DataFrame): DataFrame = {
+    def counts(df: DataFrame, cn: String) =
+      df.select(explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as(cn))
+    val ca = counts(a, "ca"); val cb = counts(b, "cb")
+    val joined = ca.join(cb, Seq("w"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val na = ca.agg(coalesce(sum(col("ca")), lit(0L)).as("na"))
+    val nb = cb.agg(coalesce(sum(col("cb")), lit(0L)).as("nb"))
+    joined.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .agg(count(lit(1)).as("vocab_union"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        // the cross products are formed IN DECIMAL (a Long c·N wraps at
+        // ~1e12 counts × 1e7 totals); the oracle's HUGEINT mirrors
+        sum(abs(col("ca").cast("decimal(19,0)") * col("nb").cast("decimal(19,0)")
+          - col("cb").cast("decimal(19,0)") * col("na").cast("decimal(19,0)")))
+          .as("__num"))
+      .select(col("vocab_union"), col("n_a"), col("n_b"),
+        (col("__num").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("tv"))
+  }
+
   private def gateMergeBase(s: SparkSession, dir: String): DataFrame =
     SparkEntry.table(s, dir, "customer")
       .select(col("c_custkey").as("user_id"), lit(-1L).as("event_id"),
@@ -300,9 +341,34 @@ object Versioning {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
       corpusDiff(old, neu)
     }),
+    // language shift between the even/odd corpus halves
+    "corpus_tv" -> ((s, dir) => {
+      val docs = SparkEntry.table(s, dir, "documents")
+      corpusTvDistance(docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // integer numerators summed in HUGEINT (the engine's decimal twin),
+    // one double division in the same operation order
+    "corpus_tv" ->
+      """WITH ta AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |    x -> len(x) > 0)) AS w FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |    x -> len(x) > 0)) AS w FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT w, count(*) AS ca FROM ta GROUP BY w),
+        |cb AS (SELECT w, count(*) AS cb FROM tb GROUP BY w),
+        |j AS (SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+        |      FROM ca FULL OUTER JOIN cb USING (w)),
+        |na AS (SELECT CAST(COALESCE(sum(ca), 0) AS BIGINT) AS na FROM ca),
+        |nb AS (SELECT CAST(COALESCE(sum(cb), 0) AS BIGINT) AS nb FROM cb)
+        |SELECT count(*) AS vocab_union,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(sum(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+        |      AS DOUBLE) /
+        |    (2.0 * CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)) AS tv
+        |FROM j, na, nb""".stripMargin,
     "k_anonymity" ->
       """SELECT lang, source, n_chars // 100 * 100 AS len_bucket,
         |  count(*) AS n

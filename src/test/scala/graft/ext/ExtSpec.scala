@@ -2081,6 +2081,34 @@ class ExtSpec extends AnyFunSuite {
       ("a", 4L) -> 1L, ("a", 5L) -> 3L, ("b", 1L) -> 0L, ("b", 2L) -> 1L))
   }
 
+  test("cusum closed form == the textbook recursion; episode starts pinned") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // baseline ~100 with a sustained +80 shift in the middle third — the
+    // drift regime CUSUM exists for (no single spike crosses a threshold)
+    val rows = (0 until 600).map { i =>
+      val base = 100L + rnd.nextInt(21) - 10
+      val x = if (i % 200 >= 80 && i % 200 < 160) base + 80 else base
+      (i.toLong % 3, i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), x)
+    }
+    val df = rows.toDF("user_id", "event_id", "ts", "c")
+    val (slack, h) = (130L, 400L)
+    val got = TimeSeries.cusum(df, "user_id", "ts", "event_id", col("c"), slack, h)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // reference: the literal s_t = max(0, s_{t-1} + (x - slack)) recursion
+    val want = rows.groupBy(_._1).flatMap { case (_, evs) =>
+      var s = 0L; var prev = 0L
+      evs.sortBy(e => (e._3.getTime, e._2)).flatMap { case (_, id, _, x) =>
+        prev = s
+        s = math.max(0L, s + x - slack)
+        if (s > h) Some(id -> ((s, prev <= h))) else None
+      }
+    }.toMap
+    assert(got == want, s"${got.size} flags vs reference ${want.size}")
+    assert(got.nonEmpty && got.values.exists(_._2) && got.values.exists(!_._2),
+      "fixture must produce both episode starts and continuations")
+  }
+
   test("rollingSpike == JVM integer reference; constant-history semantics") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

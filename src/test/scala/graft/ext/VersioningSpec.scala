@@ -215,4 +215,18 @@ class VersioningSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == Map("A" -> ((4L, 1L)), "B" -> ((3L, 2L))))
   }
+
+  test("corpusTvDistance: 0 on identical corpora, 1 on disjoint, exact on a hand case") {
+    import spark.implicits._
+    val a = Seq((1L, "x x y"), (2L, "z")).toDF("doc_id", "text")
+    assert(Versioning.corpusTvDistance(a, a).head().getDouble(3) == 0.0)
+    val b = Seq((3L, "p q"), (4L, "q r")).toDF("doc_id", "text")
+    assert(Versioning.corpusTvDistance(a, b).head().getDouble(3) == 1.0)
+    // a: {x:2, y:1, z:1}/4; b: {p:1, q:2, r:1}... use overlapping instead
+    val c = Seq((5L, "x y")).toDF("doc_id", "text") // {x:1/2, y:1/2}
+    // TV(a, c): a = {x:1/2, y:1/4, z:1/4}; |1/2-1/2|+|1/4-1/2|+|1/4-0| = 1/2 → TV = 1/4
+    val r = Versioning.corpusTvDistance(a, c).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.25)
+  }
 }
