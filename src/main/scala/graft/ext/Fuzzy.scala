@@ -82,6 +82,27 @@ object Fuzzy {
       .agg(min(col("dist")).cast("long").as("dist")) // dist is pair-determined
   }
 
+  /** END-TO-END entity resolution: fuzzy self-join → transitive closure →
+    * one canonical record per entity cluster (keep-best: highest balance,
+    * ties to the smallest id — the [[graft.ext.Graph]] `dedup_canonical`
+    * rule). The three stages are the independently-gated operators
+    * composed; this gate pins the COMPOSITION, the way `curate_full` pins
+    * the curation pipeline. */
+  def resolveEntities(records: DataFrame, id: Column, name: Column,
+                      weight: Column, maxDist: Int = 1): DataFrame = {
+    val pairs = fuzzyJoin(records, records, id, name, id, name, maxDist)
+      .where(col("left_id") < col("right_id"))
+    val cc = Graph.connectedComponents(pairs, "left_id", "right_id")
+    records.select(id.as("__id"), weight.as("__w"))
+      .join(cc.select(col("node").as("__id"), col("comp")), Seq("__id"), "left")
+      .select(coalesce(col("comp"), col("__id")).as("entity"),
+        col("__id"), col("__w"))
+      .groupBy("entity")
+      .agg(count(lit(1)).as("n_records"),
+        max(struct(col("__w"), (-col("__id")).as("ni"))).as("b"))
+      .select(col("entity"), col("n_records"), (-col("b.ni")).as("canonical_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // near-identical customer names (differ in at most one character),
     // each unordered pair once
@@ -90,6 +111,27 @@ object Fuzzy {
       fuzzyJoin(c, c, col("c_custkey"), col("c_name"),
         col("c_custkey"), col("c_name"), maxDist = 1)
         .where(col("left_id") < col("right_id"))
+    }),
+    // inject-then-resolve (the piiAugmented pattern): every name gets its
+    // key as a suffix (so distinct customers sit at distance >= 2 and the
+    // raw one-digit-apart degeneracy of the synthetic names vanishes),
+    // and every 10th customer gains a noisy duplicate with ONE character
+    // mutated and a different record id — resolution must find exactly
+    // those pairs and collapse each to its keep-best record
+    "entity_resolution" -> ((s, dir) => {
+      val c = SparkEntry.table(s, dir, "customer")
+      val p = pmod(col("c_custkey"), lit(8L)) + 1 // mutation position
+      val base = c.select((col("c_custkey") * 2).as("rid"),
+        concat(col("c_name"), lit("-"), col("c_custkey")).as("nm"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val dups = c.where(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") * 2 + 1).as("rid"),
+          concat(substr(col("c_name"), lit(1), p - 1), lit("X"),
+            substr(col("c_name"), p + 1, length(col("c_name"))),
+            lit("-"), col("c_custkey")).as("nm"),
+          (round(col("c_acctbal") * 100).cast("long") - 7L).as("cents"))
+      resolveEntities(base.unionByName(dups),
+        col("rid"), col("nm"), col("cents"))
     }),
   )
 
@@ -102,5 +144,42 @@ object Fuzzy {
         |  ON a.c_custkey < b.c_custkey
         | AND abs(len(a.c_name) - len(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // same injected-duplicate construction, O(n²) pair ground truth, a
+    // recursive-CTE transitive closure (the dedup_components oracle
+    // pattern), and the same keep-best rule via a window
+    "entity_resolution" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT c_custkey * 2 AS rid,
+        |    c_name || '-' || CAST(c_custkey AS VARCHAR) AS nm,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey * 2 + 1,
+        |    substr(c_name, 1, CAST(c_custkey % 8 AS INT)) || 'X' ||
+        |      substr(c_name, CAST(c_custkey % 8 AS INT) + 2) ||
+        |      '-' || CAST(c_custkey AS VARCHAR),
+        |    CAST(round(c_acctbal * 100) AS BIGINT) - 7
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |p AS (
+        |  SELECT a.rid AS id_a, b.rid AS id_b
+        |  FROM recs a JOIN recs b ON a.rid < b.rid
+        |  WHERE levenshtein(a.nm, b.nm) <= 1),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+        |comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        |m AS (SELECT COALESCE(comp, rid) AS entity, rid, cents
+        |      FROM recs LEFT JOIN comp ON comp.node = recs.rid),
+        |r2 AS (SELECT entity, rid, cents,
+        |         row_number() OVER (PARTITION BY entity
+        |           ORDER BY cents DESC, rid ASC) AS rk,
+        |         count(*) OVER (PARTITION BY entity) AS n
+        |       FROM m)
+        |SELECT entity, CAST(n AS BIGINT) AS n_records,
+        |  rid AS canonical_id
+        |FROM r2 WHERE rk = 1""".stripMargin,
   )
 }

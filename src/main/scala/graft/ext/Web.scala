@@ -142,6 +142,48 @@ object Web {
 
   /** Per-source chrome (header + footer) around the text split into 8-word
     * lines — every doc of a source shares its chrome, nothing else. */
+  /** Encoding-damage (mojibake) audit: per-document counts of the classic
+    * UTF-8-decoded-as-cp1252 artifacts — mis-decoded accented letters
+    * ("A-tilde + copyright" where "e-acute" was meant), smart-quote
+    * wrecks, double-encoded NBSP damage, and the U+FFFD replacement
+    * character a lossy transcode leaves behind. A crawl slice with a high
+    * mojibake rate was fetched or stored with the wrong charset and
+    * should be RE-EXTRACTED, not cleaned token-by-token (detection is
+    * cheap and certain; repair is neither). Narrow, scan-time; patterns
+    * are literal alternations (no classes/ranges), so Java regex and RE2
+    * match byte-identically. All artifact strings are built from \\u
+    * escapes — the source file stays ASCII and cannot itself be
+    * mojibake'd by an editor. */
+  private[ext] val MojiAccents =
+    "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±"
+  private[ext] val MojiPunct =
+    "â€™|â€œ|â€“"
+  private[ext] val MojiNbsp = "Â "
+  private[ext] val MojiRepl = "�"
+
+  def mojibakeStats(df: DataFrame, textCol: Column): DataFrame =
+    df.select(col("doc_id"),
+      size(regexp_extract_all(textCol, lit(MojiAccents), lit(0))).cast("long")
+        .as("n_accents"),
+      size(regexp_extract_all(textCol, lit(MojiPunct), lit(0))).cast("long")
+        .as("n_punct"),
+      size(regexp_extract_all(textCol, lit(MojiNbsp), lit(0))).cast("long")
+        .as("n_nbsp"),
+      size(regexp_extract_all(textCol, lit(MojiRepl), lit(0))).cast("long")
+        .as("n_replacement"))
+      .withColumn("clean",
+        col("n_accents") + col("n_punct") + col("n_nbsp") +
+          col("n_replacement") === 0L)
+
+  /** The synthetic corpus is clean, so the gate injects deterministic
+    * damage (the piiAugmented precedent): every 13th document gains one
+    * artifact of each class. */
+  private[ext] val MojiInjectSuffix =
+    " cafÃ© donâ€™t thisÂ and � end"
+  private[ext] def mojibakeAugmented: Column =
+    when(col("doc_id") % 13 === 0, concat(col("text"), lit(MojiInjectSuffix)))
+      .otherwise(col("text"))
+
   private[ext] def gatePages(s: SparkSession, dir: String): DataFrame = {
     val docs = SparkEntry.table(s, dir, "documents")
     val ws = split(col("text"), " ")
@@ -169,6 +211,10 @@ object Web {
     lit("&b=2&a=1#frag"), (col("doc_id") % 5).cast("string"))
 
   val queries: Map[String, Q] = Map(
+    // injected encoding damage on every 13th doc; the audit must count
+    // each artifact class and flag exactly those docs
+    "mojibake_stats" -> ((s, dir) =>
+      mojibakeStats(SparkEntry.table(s, dir, "documents"), mojibakeAugmented)),
     "html_strip" -> ((s, dir) =>
       SparkEntry.table(s, dir, "documents")
         .withColumn("clean", htmlStrip(gateHtml))
@@ -230,6 +276,23 @@ object Web {
       |  FROM s3)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // interpolated from the SAME Scala constants as the engine patterns
+    // and injection — the two sides cannot drift
+    "mojibake_stats" ->
+      s"""WITH a AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN text || '$MojiInjectSuffix'
+        |       ELSE text END AS aug
+        | FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '$MojiAccents')) AS BIGINT) AS n_accents,
+        |  CAST(len(regexp_extract_all(aug, '$MojiPunct')) AS BIGINT) AS n_punct,
+        |  CAST(len(regexp_extract_all(aug, '$MojiNbsp')) AS BIGINT) AS n_nbsp,
+        |  CAST(len(regexp_extract_all(aug, '$MojiRepl')) AS BIGINT) AS n_replacement,
+        |  len(regexp_extract_all(aug, '$MojiAccents'))
+        |    + len(regexp_extract_all(aug, '$MojiPunct'))
+        |    + len(regexp_extract_all(aug, '$MojiNbsp'))
+        |    + len(regexp_extract_all(aug, '$MojiRepl')) = 0 AS clean
+        |FROM a""".stripMargin,
     "html_strip" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -107,6 +107,19 @@ class AssocFuzzySpec extends AnyFunSuite {
     }
   }
 
+  test("resolveEntities: transitive chains collapse, keep-best canonical, singletons kept") {
+    import spark.implicits._
+    // chain abcd—abXd—abXe (a—b at 1, b—c at 1, a—c at 2: transitivity
+    // must merge all three); unrelated singleton
+    val recs = Seq(
+      (1L, "abcd", 10L), (2L, "abXd", 30L), (3L, "abXe", 20L),
+      (9L, "zzzz", 99L)).toDF("id", "nm", "w")
+    val got = Fuzzy.resolveEntities(recs, col("id"), col("nm"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 2L), (9L, 1L, 9L)),
+      s"chain → entity 1 with canonical 2 (max weight); got $got")
+  }
+
   test("fuzzyJoin plan: variant equi-join, no cartesian / nested-loop") {
     val p = graft.SparkEntry.queries("fuzzy_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan

@@ -126,4 +126,26 @@ class WebSpec extends AnyFunSuite {
       "https://ex.com/p" -> ((3L, 3L)),
       "https://ex.com/q" -> ((5L, 1L))))
   }
+
+  test("mojibakeStats: each artifact class counted separately; clean text clean") {
+    import spark.implicits._
+    val acc = "cafÃ©"                     // mis-decoded e-acute
+    val pq = "donâ€™t"               // mangled right quote
+    val nb = "aÂ b"                            // double-encoded NBSP
+    val rp = "x � y"                           // replacement char
+    val df = Seq(
+      (1L, s"$acc $acc plain"), (2L, pq), (3L, nb), (4L, rp),
+      (5L, "perfectly clean ascii text"),
+      (6L, s"$acc $pq $nb $rp")).toDF("doc_id", "text")
+    val got = Web.mojibakeStats(df, col("text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got(1L) == ((2L, 0L, 0L, 0L, false)))
+    assert(got(2L) == ((0L, 1L, 0L, 0L, false)))
+    assert(got(3L) == ((0L, 0L, 1L, 0L, false)))
+    assert(got(4L) == ((0L, 0L, 0L, 1L, false)))
+    assert(got(5L) == ((0L, 0L, 0L, 0L, true)))
+    assert(got(6L) == ((1L, 1L, 1L, 1L, false)))
+  }
 }
