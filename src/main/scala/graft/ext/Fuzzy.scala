@@ -82,6 +82,79 @@ object Fuzzy {
       .agg(min(col("dist")).cast("long").as("dist")) // dist is pair-determined
   }
 
+  /** Persist the deletion-variant index for INCREMENTAL fuzzy matching —
+    * the [[graft.ext.Dedup]] frozen-index discipline applied to entity
+    * resolution: the reference table's variants land once in
+    * bucket-partitioned parquet, and each arriving batch probes ONLY its
+    * own buckets (partition-pruned scan), never re-deriving the reference
+    * side. The steady-state cost of "match today's new records against
+    * the customer master" is batch-sized, not master-sized. */
+  def saveFuzzyIndex(records: DataFrame, id: Column, name: Column,
+                     path: String, maxDist: Int = 1, nBuckets: Int = 32): Unit =
+    records.select(id.as("index_id"), name.as("__is"))
+      .select(col("index_id"), col("__is"),
+        explode(delNeighborhood(col("__is"), maxDist)).as("__v0"))
+      .select(col("index_id"), col("__is"), xxhash64(col("__v0")).as("__v"))
+      .withColumn("bucket", pmod(col("__v"), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Probe a [[saveFuzzyIndex]] directory with a batch: pairs
+    * `(probe_id, index_id, dist)` with `levenshtein ≤ maxDist` between
+    * batch and reference names. The probed-bucket set (≤ nBuckets ints)
+    * is collected driver-side to prune the index scan — a SMALL batch
+    * touches few buckets and reads only those partitions. */
+  def probeFuzzyIndex(spark: SparkSession, path: String, batch: DataFrame,
+                      id: Column, name: Column, maxDist: Int = 1,
+                      nBuckets: Int = 32): DataFrame = {
+    val b = batch.select(id.as("probe_id"), name.as("__bs"))
+      .select(col("probe_id"), col("__bs"),
+        explode(delNeighborhood(col("__bs"), maxDist)).as("__v0"))
+      .select(col("probe_id"), col("__bs"), xxhash64(col("__v0")).as("__v"))
+      .withColumn("bucket", pmod(col("__v"), lit(nBuckets.toLong)).cast("int"))
+    val probed = b.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path)
+      .where(col("bucket").isin(probed: _*))
+      .join(b, Seq("bucket", "__v"))
+      .withColumn("dist", levenshtein(col("__bs"), col("__is"), maxDist))
+      .where(col("dist") =!= -1)
+      .groupBy("probe_id", "index_id")
+      .agg(min(col("dist")).cast("long").as("dist"))
+  }
+
+  /** Blocking-quality report for a fuzzy join — the ER ops metric that
+    * decides whether a blocking scheme is production-safe BEFORE running
+    * it at full scale: candidate-pair count vs the |L|·|R| cross product
+    * (reduction ratio), the matched count, and precision of the candidate
+    * set. All counts integer, one double division each. */
+  def blockingReport(left: DataFrame, right: DataFrame,
+                     leftId: Column, leftStr: Column,
+                     rightId: Column, rightStr: Column,
+                     maxDist: Int = 1): DataFrame = {
+    val l = left.select(leftId.as("left_id"), leftStr.as("__ls"))
+      .select(col("left_id"), col("__ls"),
+        explode(delNeighborhood(col("__ls"), maxDist)).as("__v0"))
+      .select(col("left_id"), col("__ls"), xxhash64(col("__v0")).as("__v"))
+    val r = right.select(rightId.as("right_id"), rightStr.as("__rs"))
+      .select(col("right_id"), col("__rs"),
+        explode(delNeighborhood(col("__rs"), maxDist)).as("__v0"))
+      .select(col("right_id"), col("__rs"), xxhash64(col("__v0")).as("__v"))
+    val cand = l.join(r, "__v")
+      .withColumn("dist", levenshtein(col("__ls"), col("__rs"), maxDist))
+      .groupBy("left_id", "right_id").agg(min(col("dist")).as("__d"))
+    val nl = left.agg(count(lit(1)).as("n_left"))
+    val nr = right.agg(count(lit(1)).as("n_right"))
+    cand.agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("__d") =!= -1, 1L).otherwise(0L)).as("n_matched"))
+      .crossJoin(broadcast(nl)).crossJoin(broadcast(nr))
+      .select(col("n_left"), col("n_right"), col("n_candidates"),
+        col("n_matched"),
+        (lit(1.0) - col("n_candidates").cast("double") /
+          (col("n_left").cast("double") * col("n_right").cast("double")))
+          .as("reduction_ratio"),
+        (col("n_matched").cast("double") / col("n_candidates").cast("double"))
+          .as("candidate_precision"))
+  }
+
   /** END-TO-END entity resolution: fuzzy self-join → transitive closure →
     * one canonical record per entity cluster (keep-best: highest balance,
     * ties to the smallest id — the [[graft.ext.Graph]] `dedup_canonical`
@@ -111,6 +184,27 @@ object Fuzzy {
       fuzzyJoin(c, c, col("c_custkey"), col("c_name"),
         col("c_custkey"), col("c_name"), maxDist = 1)
         .where(col("left_id") < col("right_id"))
+    }),
+    // frozen fuzzy index on the even half, probe-only batch on the odd
+    // half — the steady-state "match arrivals against the master" shape
+    "fuzzy_incremental" -> ((s, dir) => {
+      val c = SparkEntry.table(s, dir, "customer")
+      val root = TmpIo.freshDir("fuzzyidx")
+      try {
+        saveFuzzyIndex(c.where(col("c_custkey") % 2 === 0),
+          col("c_custkey"), col("c_name"), root.toString)
+        probeFuzzyIndex(s, root.toString, c.where(col("c_custkey") % 2 === 1),
+          col("c_custkey"), col("c_name"))
+          .localCheckpoint(true)
+      } finally TmpIo.deleteRecursively(root)
+    }),
+    // candidate volume / reduction ratio / candidate precision of the
+    // deletion-neighborhood blocking between the two halves
+    "blocking_report" -> ((s, dir) => {
+      val c = SparkEntry.table(s, dir, "customer")
+      blockingReport(c.where(col("c_custkey") % 2 === 1),
+        c.where(col("c_custkey") % 2 === 0),
+        col("c_custkey"), col("c_name"), col("c_custkey"), col("c_name"))
     }),
     // inject-then-resolve (the piiAugmented pattern): every name gets its
     // key as a suffix (so distinct customers sit at distance >= 2 and the
@@ -144,6 +238,48 @@ object Fuzzy {
         |  ON a.c_custkey < b.c_custkey
         | AND abs(len(a.c_name) - len(b.c_name)) <= 1
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    // cross-parity O(n²) ground truth — the blocked probe must equal it
+    "fuzzy_incremental" ->
+      """SELECT b.c_custkey AS probe_id, a.c_custkey AS index_id,
+        |  CAST(levenshtein(b.c_name, a.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
+        | AND abs(len(a.c_name) - len(b.c_name)) <= 1
+        |WHERE levenshtein(b.c_name, a.c_name) <= 1""".stripMargin,
+    // the oracle recomputes the deletion-variant blocking itself (string
+    // keys; the engine's xxhash64 keys add only astronomically-unlikely
+    // collision candidates, which the verify step rejects anyway and
+    // which would surface here as a count mismatch)
+    "blocking_report" ->
+      """WITH l AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+        |           WHERE c_custkey % 2 = 1),
+        |r AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+        |      WHERE c_custkey % 2 = 0),
+        |lv AS (SELECT id, nm, unnest(list_distinct(list_prepend(nm,
+        |         list_transform(generate_series(1, len(nm)),
+        |           i -> substr(nm, 1, CAST(i - 1 AS INT))
+        |                || substr(nm, CAST(i + 1 AS INT)))))) AS v
+        |       FROM l),
+        |rv AS (SELECT id, nm, unnest(list_distinct(list_prepend(nm,
+        |         list_transform(generate_series(1, len(nm)),
+        |           i -> substr(nm, 1, CAST(i - 1 AS INT))
+        |                || substr(nm, CAST(i + 1 AS INT)))))) AS v
+        |       FROM r),
+        |cand AS (SELECT DISTINCT lv.id AS lid, rv.id AS rid,
+        |           lv.nm AS ln, rv.nm AS rn
+        |         FROM lv JOIN rv USING (v)),
+        |agg AS (SELECT count(*) AS n_candidates,
+        |          CAST(sum(CASE WHEN levenshtein(ln, rn) <= 1
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |        FROM cand),
+        |nl AS (SELECT count(*) AS n_left FROM l),
+        |nr AS (SELECT count(*) AS n_right FROM r)
+        |SELECT n_left, n_right, n_candidates, n_matched,
+        |  1.0 - CAST(n_candidates AS DOUBLE) /
+        |    (CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)) AS reduction_ratio,
+        |  CAST(n_matched AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+        |    AS candidate_precision
+        |FROM agg, nl, nr""".stripMargin,
     // same injected-duplicate construction, O(n²) pair ground truth, a
     // recursive-CTE transitive closure (the dedup_components oracle
     // pattern), and the same keep-best rule via a window

@@ -120,6 +120,33 @@ class AssocFuzzySpec extends AnyFunSuite {
       s"chain → entity 1 with canonical 2 (max weight); got $got")
   }
 
+  test("probeFuzzyIndex == brute force; a small batch prunes index partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val master = (0 until 200).map(i => (i.toLong,
+      (1 to 6).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)).toDF("id", "s")
+    val batch = (0 until 3).map(i => (1000L + i,
+      (1 to 6).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val root = java.nio.file.Files.createTempDirectory("fuzzyidx").toString
+    Fuzzy.saveFuzzyIndex(master, col("id"), col("s"), root)
+    val probe = Fuzzy.probeFuzzyIndex(spark, root, batch.toDF("id", "s"),
+      col("id"), col("s"))
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ms = master.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (bi, bs) <- batch; (mi, s) <- ms
+      if lev(bs, s) <= 1
+    } yield (bi, mi) -> lev(bs, s).toLong).toMap
+    assert(got == brute, s"${got.size} vs brute ${brute.size}")
+    // the scan must carry a partition filter on the probed bucket set
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "index scan must be partition-pruned by the probed buckets")
+  }
+
   test("fuzzyJoin plan: variant equi-join, no cartesian / nested-loop") {
     val p = graft.SparkEntry.queries("fuzzy_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan
