@@ -77,6 +77,49 @@ class AssocFuzzySpec extends AnyFunSuite {
     assert(replayed == oneShot, "replay must not double-absorb")
   }
 
+  test("streaming co-occurrence over the shard source: stop/restart == one-shot") {
+    // baskets ride the stream WHOLE (one record per order, items joined
+    // by comma) so batch boundaries cannot split a basket — the operator's
+    // documented precondition; kill after the first trigger, resume from
+    // the checkpoint, final metrics must equal the one-shot itemCooc
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ShardStream
+    val li = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+    val baskets = li.groupBy("b")
+      .agg(concat_ws(",", sort_array(collect_set(col("i")))).as("items"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val base = java.nio.file.Files.createTempDirectory("coocstream").toString
+    val streamDir = s"$base/stream"
+    ShardStream.writeShardDir(streamDir, baskets.toSeq.map { case (b, items) =>
+      ("s0", f"$b%012d", b.toString, items, 1700000000000L + b) })
+    type M = Map[(Long, Long), (Long, Long, Long)]
+    def run(stateDir: String, ckpt: String, trigger: Trigger): M = {
+      var last: M = Map.empty
+      val src = spark.readStream.format("kinesiscat")
+        .option("path", streamDir).option("startingPosition", ShardStream.TrimHorizon)
+        .option("batchSize", "400").load()
+        .select(col("partitionKey").cast("long").as("b"),
+          explode(split(col("data").cast("string"), ",")).as("i0"))
+        .select(col("b"), col("i0").cast("long").as("i"))
+      val q = Assoc.coocStream(src, stateDir, col("b"), col("i")) { rep =>
+        last = rep.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      }.option("checkpointLocation", ckpt).trigger(trigger).start()
+      q.awaitTermination()
+      last
+    }
+    val oneShot: M = Assoc.itemCooc(li, col("b"), col("i")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val unbroken = run(s"$base/stA", s"$base/ckptA", Trigger.AvailableNow())
+    assert(unbroken == oneShot, "uninterrupted stream must match one-shot")
+    run(s"$base/stB", s"$base/ckptB", Trigger.Once()) // killed mid-corpus
+    val resumed = run(s"$base/stB", s"$base/ckptB", Trigger.AvailableNow())
+    assert(resumed == oneShot, "resumed stream must match one-shot")
+  }
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)
