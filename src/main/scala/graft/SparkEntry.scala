@@ -133,7 +133,9 @@ object SparkEntry {
     // log) and the corpus-distribution distance (two aggs + full-outer
     // word join + decimal sum). token_f1 rides the scan floor and
     // cooc_maintained mostly times state I/O — both bench-excluded.
-    "cusum_flags", "corpus_tv")
+    "cusum_flags", "corpus_tv",
+    // the IVF-candidate miner A/Bs against bitext_mine's full product
+    "bitext_mine_ivf")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

@@ -252,6 +252,14 @@ object Similarity {
       .crossJoin(q)
       .select(col("sid"), col("tid"),
         vectors.cosineSim(col("se"), col("te")).as("sim"))
+    mineFromSims(sims, k, marginThreshold)
+  }
+
+  /** The mining tail shared by [[bitextMine]] and [[bitextMineIvf]]:
+    * dual-direction top-ks off ONE pass over the (sid, tid, sim) table,
+    * rank-order average folds, mutual-best join, margin filter. */
+  private def mineFromSims(sims: DataFrame, k: Int,
+                           marginThreshold: Double): DataFrame = {
     val tk = sims
       .select(explode(array(
         struct(lit(0).as("side"), col("sid").as("key"), col("tid").as("other")),
@@ -276,6 +284,41 @@ object Similarity {
         col("sim") / (lit(0.5) * col("avg_src") + lit(0.5) * col("avg_tgt")))
       .where(col("margin") >= marginThreshold)
       .select("src_id", "tgt_id", "sim", "margin")
+  }
+
+  /** The IVF SCALE PATH for [[bitextMine]]: candidate pairs come from
+    * shared IVF cells instead of the full |src|×|tgt| product — each side
+    * is assigned its primary cell and probes its `nProbe` nearest, and a
+    * pair is scored iff one side's probe set contains the other's primary
+    * cell (both directions, so coverage is symmetric). Downstream
+    * (top-ks, averages, mutuality, margin) is IDENTICAL code to the
+    * exact form — only the candidate generation narrows. Same
+    * deterministic id-ordered centroid seed as [[annIvf]] (from the `tgt`
+    * side), so the full SQL oracle applies; top-k averages are over the
+    * CANDIDATE neighborhood, the approximation a production miner
+    * actually ships (Artetxe & Schwenk compute margins over retrieved
+    * candidates too). Scans ~nProbe/nCells of each cross product. */
+  def bitextMineIvf(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                    marginThreshold: Double = 1.0,
+                    nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = centroidLit(tgt, nCells)
+    val srcA = src.select(col("vec_id").as("sid"), col("embedding").as("se"),
+      nearestCell(col("embedding"), cents).as("cell"))
+    val tgtA = tgt.select(col("vec_id").as("tid"), col("embedding").as("te"),
+      nearestCell(col("embedding"), cents).as("cell"))
+    val srcP = src.select(col("vec_id").as("sid"), col("embedding").as("se"),
+      explode(nearestCells(col("embedding"), cents, nProbe)).as("cell"))
+    val tgtP = tgt.select(col("vec_id").as("tid"), col("embedding").as("te"),
+      explode(nearestCells(col("embedding"), cents, nProbe)).as("cell"))
+    val a = srcP.join(tgtA, "cell")
+      .select(col("sid"), col("tid"),
+        vectors.cosineSim(col("se"), col("te")).as("sim"))
+    val b = tgtP.join(srcA, "cell")
+      .select(col("sid"), col("tid"),
+        vectors.cosineSim(col("se"), col("te")).as("sim"))
+    // sim is the same expression over the same vectors in both branches —
+    // bit-identical, so the distinct collapses duplicates exactly
+    mineFromSims(a.unionByName(b).distinct(), k, marginThreshold)
   }
 
   /** Measured routing between exact and IVF ANN — the [[graft.ext.Dedup
@@ -974,6 +1017,14 @@ object Similarity {
       bitextMine(emb.where(col("vec_id") % 2 === 0),
         emb.where(col("vec_id") % 2 === 1), k = 4, marginThreshold = 1.0)
     }),
+    // the IVF-candidate scale path over the same halves — deterministic
+    // id-seeded centroids from the tgt side, full algorithm-mirror oracle
+    "bitext_mine_ivf" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      bitextMineIvf(emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1), k = 4, marginThreshold = 1.0,
+        nCells = GateIvfCells, nProbe = GateIvfProbe)
+    }),
     // int8 scalar quantization: deterministic scales/codes → full SQL
     // oracle; ExtSpec additionally measures recall vs the exact ann_topk
     "ann_sq8" -> ((s, dir) => {
@@ -1224,38 +1275,79 @@ object Similarity {
       |      FROM s)
       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin
 
+  /** The two corpus halves as src/tgt CTEs — shared by both bitext
+    * oracles. */
+  private val bitextSidesSql =
+    """a AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS e
+      |      FROM embeddings WHERE vec_id % 2 = 0),
+      |b AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS e
+      |      FROM embeddings WHERE vec_id % 2 = 1)""".stripMargin
+
+  /** The mining tail over an open CTE `s(sid, tid, sim)` — same (sim
+    * DESC, id) rank rule, rank-order average folds, mutual-best join,
+    * margin arithmetic mirrored operation-for-operation. Shared by the
+    * exact and IVF oracles so the two cannot drift. */
+  private val bitextMineSuffixSql =
+    """f AS (SELECT sid, tid, sim,
+      |        row_number() OVER (PARTITION BY sid ORDER BY sim DESC, tid) AS rk
+      |      FROM s),
+      |g AS (SELECT tid, sid, sim,
+      |        row_number() OVER (PARTITION BY tid ORDER BY sim DESC, sid) AS rk
+      |      FROM s),
+      |fa AS (SELECT sid,
+      |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sim ORDER BY rk)),
+      |           (x, y) -> x + y) / count(*) AS avg_src
+      |       FROM f WHERE rk <= 4 GROUP BY sid),
+      |ga AS (SELECT tid,
+      |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sim ORDER BY rk)),
+      |           (x, y) -> x + y) / count(*) AS avg_tgt
+      |       FROM g WHERE rk <= 4 GROUP BY tid),
+      |fb AS (SELECT sid, tid, sim FROM f WHERE rk = 1),
+      |gb AS (SELECT tid, sid FROM g WHERE rk = 1)
+      |SELECT fb.sid AS src_id, fb.tid AS tgt_id, fb.sim AS sim,
+      |  fb.sim / (0.5 * avg_src + 0.5 * avg_tgt) AS margin
+      |FROM fb JOIN gb ON gb.tid = fb.tid AND gb.sid = fb.sid
+      |JOIN fa ON fa.sid = fb.sid
+      |JOIN ga ON ga.tid = fb.tid
+      |WHERE fb.sim / (0.5 * avg_src + 0.5 * avg_tgt) >= 1.0""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "ann_topk" -> annTopkOracleSql,
-    // same sim matrix, same (sim DESC, id) rank rule, averages folded in
-    // rank order, margin arithmetic mirrored operation-for-operation
     "bitext_mine" ->
-      """WITH a AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS e
-        |           FROM embeddings WHERE vec_id % 2 = 0),
-        |b AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS e
-        |      FROM embeddings WHERE vec_id % 2 = 1),
+      s"""WITH $bitextSidesSql,
         |s AS (SELECT sid, tid, list_cosine_similarity(a.e, b.e) AS sim FROM a, b),
-        |f AS (SELECT sid, tid, sim,
-        |        row_number() OVER (PARTITION BY sid ORDER BY sim DESC, tid) AS rk
-        |      FROM s),
-        |g AS (SELECT tid, sid, sim,
-        |        row_number() OVER (PARTITION BY tid ORDER BY sim DESC, sid) AS rk
-        |      FROM s),
-        |fa AS (SELECT sid,
-        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sim ORDER BY rk)),
-        |           (x, y) -> x + y) / count(*) AS avg_src
-        |       FROM f WHERE rk <= 4 GROUP BY sid),
-        |ga AS (SELECT tid,
-        |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sim ORDER BY rk)),
-        |           (x, y) -> x + y) / count(*) AS avg_tgt
-        |       FROM g WHERE rk <= 4 GROUP BY tid),
-        |fb AS (SELECT sid, tid, sim FROM f WHERE rk = 1),
-        |gb AS (SELECT tid, sid FROM g WHERE rk = 1)
-        |SELECT fb.sid AS src_id, fb.tid AS tgt_id, fb.sim AS sim,
-        |  fb.sim / (0.5 * avg_src + 0.5 * avg_tgt) AS margin
-        |FROM fb JOIN gb ON gb.tid = fb.tid AND gb.sid = fb.sid
-        |JOIN fa ON fa.sid = fb.sid
-        |JOIN ga ON ga.tid = fb.tid
-        |WHERE fb.sim / (0.5 * avg_src + 0.5 * avg_tgt) >= 1.0""".stripMargin,
+        |$bitextMineSuffixSql""".stripMargin,
+    // candidate pairs from shared IVF cells (tgt-seeded id-ordered
+    // centroids, the assignedCellsSql discipline), then the identical
+    // mining tail
+    "bitext_mine_ivf" ->
+      s"""WITH $bitextSidesSql,
+        |cents AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
+        |          FROM embeddings WHERE vec_id % 2 = 1
+        |          ORDER BY vec_id LIMIT $GateIvfCells),
+        |sr AS (SELECT sid, e, cell_id,
+        |         row_number() OVER (PARTITION BY sid ORDER BY
+        |           ${quantSimSql("list_cosine_similarity(a.e, c.cent)")} DESC,
+        |           c.cell_id) AS rn
+        |       FROM a, cents c),
+        |tr AS (SELECT tid, e, cell_id,
+        |         row_number() OVER (PARTITION BY tid ORDER BY
+        |           ${quantSimSql("list_cosine_similarity(b.e, c.cent)")} DESC,
+        |           c.cell_id) AS rn
+        |       FROM b, cents c),
+        |sa AS (SELECT sid, e, cell_id FROM sr WHERE rn = 1),
+        |sp AS (SELECT sid, e, cell_id FROM sr WHERE rn <= $GateIvfProbe),
+        |ta AS (SELECT tid, e, cell_id FROM tr WHERE rn = 1),
+        |tp AS (SELECT tid, e, cell_id FROM tr WHERE rn <= $GateIvfProbe),
+        |s AS (SELECT DISTINCT sid, tid, sim FROM (
+        |  SELECT sp.sid, ta.tid,
+        |    list_cosine_similarity(sp.e, ta.e) AS sim
+        |  FROM sp JOIN ta USING (cell_id)
+        |  UNION ALL
+        |  SELECT sa.sid, tp.tid,
+        |    list_cosine_similarity(sa.e, tp.e) AS sim
+        |  FROM tp JOIN sa USING (cell_id))),
+        |$bitextMineSuffixSql""".stripMargin,
     // algorithm mirror of annSq8: same max|v|/127 scales, the same
     // floor(x/s + ½) round-half-up clamp, cosine over the dequantized
     // doubles (list_cosine_similarity folds dims in the same order as the

@@ -39,6 +39,21 @@ class BitextSpec extends AnyFunSuite {
     assert(loose.size >= 3 && got.subsetOf(loose))
   }
 
+  test("bitextMineIvf: recall vs the exact miner on the gate halves") {
+    val emb = graft.SparkEntry.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val src = emb.where(col("vec_id") % 2 === 0)
+    val tgt = emb.where(col("vec_id") % 2 === 1)
+    val exact = Similarity.bitextMine(src, tgt, k = 4, marginThreshold = 1.0)
+      .select("src_id", "tgt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.bitextMineIvf(src, tgt, k = 4, marginThreshold = 1.0,
+        nCells = 16, nProbe = 4)
+      .select("src_id", "tgt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"IVF mining recall $recall too low (${ivf.size} ivf vs ${exact.size} exact)")
+  }
+
   test("bitextMine: random vectors equal a plain-Scala reimplementation") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
