@@ -116,14 +116,15 @@ object ScaleProbe {
     val r10Only = args.length > 1 && args(1) == "r10"
     val r10bOnly = args.length > 1 && args(1) == "r10b"
     val r11Only = args.length > 1 && args(1) == "r11"
+    val r11bOnly = args.length > 1 && args(1) == "r11b"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
-    if (!r10Only && !r10bOnly) { d1.count(); dN.count() } // r11 kn probe reuses d1/dN
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only) { dSkew.count(); dSkew1.count() }
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only) { e1.count(); eN.count() }
+    if (!r10Only && !r10bOnly && !r11bOnly) { d1.count(); dN.count() } // r11 kn probe reuses d1/dN
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly) { e1.count(); eN.count() }
     if (r9gOnly) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
@@ -142,7 +143,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only) { cent1; centN }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -430,10 +431,32 @@ object ScaleProbe {
         time(s"kn_bigram_${rep}x") { force(ext.TextAnalysis.knBigramLm(dN)) })
     }
 
+    // the bitext-mining crossover: the exact miner's sim matrix is
+    // |src|x|tgt| (quadratic in corpus growth when both sides grow), the
+    // IVF-candidate miner scans ~nProbe/nCells of it with sqrt-N cells.
+    // Labels: (shape)_1x = 1x vectors, (shape)_<rep>x = rep x vectors.
+    def r11bProbes = {
+      if (true) { e1.count(); eN.count() }
+      def halves(df: DataFrame) = (
+        df.where(col("vec_id") % 2 === 0).select("vec_id", "embedding"),
+        df.where(col("vec_id") % 2 === 1).select("vec_id", "embedding"))
+      val (s1, t1) = halves(e1); val (sN, tN) = halves(eN)
+      val cellsBx = 16
+      val cellsBN = math.max(cellsBx, (cellsBx * math.sqrt(rep)).toInt)
+      Seq(
+        time(s"bitext_exact_1x") { ext.Similarity.bitextMine(s1, t1).count() },
+        time(s"bitext_exact_${rep}x") { ext.Similarity.bitextMine(sN, tN).count() },
+        time(s"bitext_ivf_1x") {
+          ext.Similarity.bitextMineIvf(s1, t1, nCells = cellsBx).count() },
+        time(s"bitext_ivf_${rep}x") {
+          ext.Similarity.bitextMineIvf(sN, tN, nCells = cellsBN).count() })
+    }
+
     val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes
     else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes
     else if (r10Only) r10Probes
     else if (r11Only) r11Probes
+    else if (r11bOnly) r11bProbes
     else if (r10bOnly) r10bProbes
     else if (r9gOnly) r9gProbes
     else if (r9fOnly) r9fProbes
