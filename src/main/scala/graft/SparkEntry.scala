@@ -155,6 +155,7 @@ object SparkEntry {
       ext.Snapshot.queries ++ ext.TimeSeries.queries ++ ext.Behavior.queries ++
       ext.Contract.queries ++ ext.Weak.queries ++ ext.Graph.queries ++
       ext.Web.queries ++ ext.Assoc.queries ++ ext.Fuzzy.queries ++
+      ext.Prefs.queries ++
       engine.Quarantine.queries ++
       engine.StreamingCoverage.queries
 
@@ -471,7 +472,7 @@ object SparkEntry {
     ext.Sft.oracleSql ++ ext.Versioning.oracleSql ++ ext.TopK.oracleSql ++
     ext.Snapshot.oracleSql ++ ext.TimeSeries.oracleSql ++ ext.Behavior.oracleSql ++
     ext.Contract.oracleSql ++ ext.Weak.oracleSql ++ ext.Graph.oracleSql ++
-    ext.Web.oracleSql ++ ext.Assoc.oracleSql ++ ext.Fuzzy.oracleSql ++
+    ext.Web.oracleSql ++ ext.Assoc.oracleSql ++ ext.Fuzzy.oracleSql ++ ext.Prefs.oracleSql ++
     engine.Quarantine.oracleSql ++
     engine.StreamingCoverage.oracleSql
 }

@@ -265,6 +265,48 @@ object Freq {
           col("exact_nd").cast("double") * 0.05).as("within_5pct"))
   }
 
+  /** Approximate quantiles per group via Spark's native Greenwald–Khanna
+    * sketch (`percentile_approx`, rank error ≤ 1/`accuracy`) — the
+    * distribution summary every corpus dashboard needs where an exact
+    * quantile would globally sort the value domain. The sketch is a
+    * MERGEABLE fixed-size buffer: partial-agged per partition, merged on
+    * the reduce side, so "p50/p90/p99 of document length over 100 TB" is
+    * one pass of bounded executor state — the [[approxDistinct]] posture
+    * for ranks instead of cardinality.
+    *
+    * `audit = true` (the driver-gate mode) ALSO makes one exact pass that
+    * brackets each returned value's true rank interval `[rank_lt+1,
+    * rank_le]` and flags whether it intersects the promised band
+    * `[(p−ε)·n, (p+ε)·n]` with ε = 10/accuracy (10× guarantee headroom —
+    * a sketch regression turns the row red, tie-heavy distributions
+    * don't). The interval test, not a point test: with heavy ties
+    * `rank_le` alone can exceed the band for a CORRECT answer. Production
+    * runs `audit = false`, whose plan contains no exact pass at all. */
+  def approxQuantiles(df: DataFrame, group: Column, value: Column,
+                      probs: Seq[Double], accuracy: Int = 1000,
+                      audit: Boolean = false): DataFrame = {
+    val probsLit = array(probs.map(lit): _*)
+    val approx = df.groupBy(group.as("grp"))
+      .agg(percentile_approx(value, probsLit, lit(accuracy)).as("__qs"),
+        count(lit(1)).as("n"))
+      .select(col("grp"), col("n"), posexplode(col("__qs")).as(Seq("__i", "__q")))
+      .select(col("grp"), col("n"), element_at(probsLit, col("__i") + 1).as("p"),
+        col("__q").as("approx_q"))
+    if (!audit) approx
+    else {
+      val eps = 10.0 / accuracy
+      val ranks = df.select(group.as("grp"), value.as("__v"))
+        .join(approx, Seq("grp"))
+        .groupBy(col("grp"), col("p"), col("n"))
+        .agg(sum((col("__v") <= col("approx_q")).cast("long")).as("__le"),
+          sum((col("__v") < col("approx_q")).cast("long")).as("__lt"))
+      ranks.select(col("grp"), col("p"), col("n"),
+        (col("__le").cast("double") >= (col("p") - eps) * col("n").cast("double") &&
+          (col("__lt") + 1).cast("double") <= (col("p") + eps) * col("n").cast("double"))
+          .as("within_band"))
+    }
+  }
+
   /** Join-skew diagnosis: the `topK` hottest values of a key column with
     * their absolute counts, corpus share, and cumulative share — the
     * table that decides whether a join needs [[graft.ext.Joins
@@ -307,6 +349,11 @@ object Freq {
         col("user_id"), audit = true)),
     "skew_report" -> ((s, dir) =>
       skewReport(SparkEntry.table(s, dir, "events"), col("user_id"))),
+    // p50/p90/p99 of event value per type: the oracle asserts each GK
+    // answer's true rank interval intersects the promised band
+    "approx_quantiles" -> ((s, dir) =>
+      approxQuantiles(SparkEntry.table(s, dir, "events"), col("event_type"),
+        col("value"), Seq(0.5, 0.9, 0.99), audit = true)),
     "cms_estimate" -> ((s, dir) =>
       cmsEstimates(trigrams(SparkEntry.table(s, dir, "documents")), GateCmsProbes)),
     // m = 4096 over the ~16k-distinct trigram domain: the sketch MUST prune
@@ -322,6 +369,12 @@ object Freq {
       """SELECT event_type AS grp, count(DISTINCT user_id) AS exact_nd,
         |  CAST(TRUE AS BOOLEAN) AS within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+    "approx_quantiles" ->
+      """SELECT event_type AS grp, count(*) AS n, p.p AS p,
+        |  CAST(TRUE AS BOOLEAN) AS within_band
+        |FROM events, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |              (CAST(0.99 AS DOUBLE))) AS p(p)
+        |GROUP BY 1, 3""".stripMargin,
     "skew_report" ->
       """WITH t AS (SELECT count(*) AS total FROM events),
         |c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),

@@ -848,9 +848,41 @@ object Hygiene {
           "\n").as("text"))
   }
 
+  /** Gini coefficient of corpus contribution concentration across a
+    * grouping key (sources, domains, languages) — the one-number "is this
+    * corpus dominated by a handful of providers" diversity check that
+    * complements [[clusterBalance]]'s per-slice table. Sorted-rank form
+    * over 1-based ascending ranks: `G = (2·Σᵢ i·xᵢ − (K+1)·Σxᵢ) /
+    * (K·Σxᵢ)` — exact integer arithmetic in decimal(38,0) until ONE
+    * correctly-rounded division, rank ties broken by (count, key) so the
+    * rank·count products are deterministic (any tie order yields the same
+    * G, but determinism makes it bit-checkable).
+    *
+    * Scale: the corpus collapses to K per-key counts in one partial-agged
+    * pass; the rank window runs over K rows (group cardinality, never row
+    * count) — the single-task stage is bounded by the number of sources. */
+  def giniConcentration(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").asc, col("key").asc)
+    counts
+      .select(col("x").cast("decimal(38,0)").as("__x"),
+        row_number().over(w).cast("decimal(38,0)").as("__i"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__k"),
+        sum(col("__x")).as("__sx"), sum(col("__i") * col("__x")).as("__six"))
+      .select(col("__k").cast("long").as("n_groups"),
+        col("__sx").cast("long").as("total"),
+        ((lit(2).cast("decimal(38,0)") * col("__six") -
+          (col("__k") + 1) * col("__sx")).cast("double") /
+          (col("__k") * col("__sx")).cast("double")).as("gini"))
+  }
+
   val queries: Map[String, Q] = Map(
     "repetition_stats" -> ((s, dir) =>
       repetitionStats(SparkEntry.table(s, dir, "documents"))),
+    // how concentrated is the corpus across sources
+    "gini_sources" -> ((s, dir) =>
+      giniConcentration(SparkEntry.table(s, dir, "documents"), col("source"))),
     // fixed 20-doc eval slice per source, selected by hash rank
     "exact_k_sample" -> ((s, dir) =>
       exactKSample(SparkEntry.table(s, dir, "documents"),
@@ -932,6 +964,18 @@ object Hygiene {
     GateBlocklist.map(t => s"'$t'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // same ascending (count, key) ranks, same HUGEINT sums, one division
+    "gini_sources" ->
+      """WITH c AS (SELECT source AS key, count(*) AS x FROM documents GROUP BY 1),
+        |r AS (SELECT CAST(x AS HUGEINT) AS x,
+        |    CAST(row_number() OVER (ORDER BY x, key) AS HUGEINT) AS i
+        |  FROM c),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(x) AS sx,
+        |    sum(i * x) AS six FROM r)
+        |SELECT CAST(k AS BIGINT) AS n_groups, CAST(sx AS BIGINT) AS total,
+        |  CAST(2 * six - (k + 1) * sx AS DOUBLE) /
+        |    CAST(k * sx AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
     // the window formulation the engine-side partial top-k provably equals
     "exact_k_sample" ->
       """WITH r AS (SELECT source, doc_id,

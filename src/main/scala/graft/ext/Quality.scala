@@ -737,6 +737,99 @@ object Quality {
         (col("__ps") === col("__gs")).cast("long").as("exact"))
   }
 
+  /** Corpus-level BLEU-4 (Papineni et al. 2002 §2) over (candidate,
+    * reference) text pairs: clipped n-gram precision `p_n = Σclip_n /
+    * Σemit_n` for n = 1..4 pooled CORPUS-wide (the paper's micro pooling —
+    * a mean of per-sentence BLEUs would be summation-order
+    * nondeterministic), brevity penalty from corpus token totals, and
+    * `bleu = bp · (p1·p2·p3·p4)^(1/4)`. The quarter power is
+    * sqrt(sqrt(·)) — two IEEE correctly-rounded operations — rather than
+    * exp(mean(log p)), so wherever bp = 1 (candidate corpus at least as
+    * long as the reference) every output is exact rational arithmetic +
+    * sqrt and bit-identical across engines; the `exp(1 − r/c)` short-
+    * candidate branch is the one transcendental BLEU cannot avoid.
+    *
+    * Scale: per-row NARROW HOF work (clipped multiset intersection per n,
+    * the [[tokenF1]] fold over n-grams) followed by ONE global
+    * partial-agged sum of 10 longs — a single corpus pass, and the only
+    * exchange is the single-row final aggregate. */
+  def bleuCorpus(pairs: DataFrame, cand: Column, ref: Column): DataFrame = {
+    def toks(c: Column) = filter(split(c, " "), w => length(w) > 0)
+    // sequence(1, m) DESCENDS when m < 1 — guard short rows to an empty
+    // gram list instead
+    def grams(t: Column, n: Int): Column =
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws("\u0001", slice(t, i, lit(n)))))
+    val tok = pairs.select(toks(cand).as("__c"), toks(ref).as("__r"))
+    val perRow = tok.select(
+      (1 to 4).flatMap { n =>
+        val cg = grams(col("__c"), n); val rg = grams(col("__r"), n)
+        Seq(
+          aggregate(array_distinct(cg), lit(0L), (acc, g) =>
+            acc + least(size(filter(cg, x => x === g)),
+                        size(filter(rg, x => x === g)))).as(s"__clip$n"),
+          size(cg).cast("long").as(s"__tot$n"))
+      } ++ Seq(size(col("__c")).cast("long").as("__lc"),
+               size(col("__r")).cast("long").as("__lr")): _*)
+    val aggCols = (1 to 4).flatMap(n => Seq(
+      sum(col(s"__clip$n")).as(s"clip$n"), sum(col(s"__tot$n")).as(s"tot$n"))) ++
+      Seq(sum(col("__lc")).as("c_len"), sum(col("__lr")).as("r_len"))
+    val agg = perRow.agg(aggCols.head, aggCols.tail: _*)
+    // a corpus with no n-grams at order n (every row shorter than n) has
+    // undefined p_n — NULL, not a div-by-zero (ANSI) or a fake 0
+    val ps = (1 to 4).map(n =>
+      when(col(s"tot$n") === 0, lit(null).cast("double"))
+        .otherwise(col(s"clip$n").cast("double") / col(s"tot$n").cast("double"))
+        .as(s"p$n"))
+    agg.select(ps ++ Seq(col("c_len"), col("r_len")): _*)
+      .withColumn("bp", when(col("c_len") >= col("r_len"), lit(1.0))
+        .otherwise(exp(lit(1.0) -
+          col("r_len").cast("double") / col("c_len").cast("double"))))
+      .withColumn("bleu", col("bp") *
+        sqrt(sqrt(col("p1") * col("p2") * col("p3") * col("p4"))))
+  }
+
+  /** Cohen's κ inter-annotator agreement (Cohen 1960) between two
+    * categorical label columns — the data-QA gate for human-labeled
+    * SFT/preference corpora (is annotator consistency above chance before
+    * the labels train anything?). Observed agreement po, chance agreement
+    * pe from the marginal label distributions, and
+    * `κ = (N·A − Σ_k na_k·nb_k) / (N² − Σ_k na_k·nb_k)` — the rational
+    * collapse of (po−pe)/(1−pe) into ONE correctly-rounded division of
+    * exact integer sums, bit-identical across engines. Counts accumulate
+    * in decimal(38,0): at 10^12 labeled rows N² and the marginal products
+    * overflow a long.
+    *
+    * Two partial-agged passes (joint agreement + the two label marginals),
+    * every exchange bounded by label cardinality, never row count. */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val pairs = df.select(a.as("__a"), b.as("__b"))
+    val base = pairs.agg(
+      count(lit(1)).cast("decimal(38,0)").as("__n"),
+      sum((col("__a") === col("__b")).cast("long"))
+        .cast("decimal(38,0)").as("__agree"))
+    val am = pairs.groupBy(col("__a").as("lbl")).agg(count(lit(1)).as("na"))
+    val bm = pairs.groupBy(col("__b").as("lbl")).agg(count(lit(1)).as("nb"))
+    // inner join: a label one annotator never uses has a zero marginal
+    // product and contributes nothing to pe
+    val chance = am.join(bm, Seq("lbl"))
+      .agg(coalesce(sum(col("na").cast("decimal(19,0)") *
+        col("nb").cast("decimal(19,0)")), lit(0))
+        .cast("decimal(38,0)").as("__chance"))
+    base.crossJoin(chance).select(
+      col("__n").cast("long").as("n"),
+      col("__agree").cast("long").as("n_agree"),
+      (col("__agree").cast("double") / col("__n").cast("double")).as("po"),
+      (col("__chance").cast("double") /
+        (col("__n") * col("__n")).cast("double")).as("pe"),
+      when(col("__n") * col("__n") === col("__chance"),
+        lit(null).cast("double"))
+        .otherwise((col("__n") * col("__agree") - col("__chance")).cast("double") /
+          (col("__n") * col("__n") - col("__chance")).cast("double"))
+        .as("kappa"))
+  }
+
   // ---- driver gate ----------------------------------------------------
   // Frozen pseudo-random weights (Knuth multiplicative constant): the gate
   // pins the featurize→linear-score path — the part that is deterministic
@@ -790,6 +883,22 @@ object Quality {
             array_join(slice(w, 1, 12), " ").as("gold")),
         col("doc_id"), col("pred"), col("gold"))
     }),
+    // synthetic MT eval: candidate = full text, reference = the text
+    // minus its last two words — candidate corpus is the longer side, so
+    // bp = 1 exactly and every output column is rational + sqrt
+    "bleu_corpus" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      bleuCorpus(SparkEntry.table(s, dir, "documents")
+          .select(col("text").as("cand"),
+            array_join(slice(w, lit(1), greatest(size(w) - 2, lit(1))), " ")
+              .as("ref")),
+        col("cand"), col("ref"))
+    }),
+    // annotator A = lang; annotator B lazily marks every 7th doc 'en' —
+    // deterministic partial agreement both engines derive from the corpus
+    "kappa_agreement" -> ((s, dir) =>
+      cohenKappa(SparkEntry.table(s, dir, "documents"), col("lang"),
+        when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang")))),
     // three incommensurable integer signals decile-ranked and summed
     "quality_ensemble" -> ((s, dir) =>
       qualityEnsemble(SparkEntry.table(s, dir, "documents"), Seq(
@@ -925,6 +1034,31 @@ object Quality {
         |            CAST(len(p) + len(g) AS DOUBLE) END AS f1,
         |  CAST(ps = gs AS BIGINT) AS exact
         |FROM m""".stripMargin,
+
+    // same gram lists (chr(1)-joined), same clipped multiset-min fold,
+    // corpus-pooled integer sums, same single divisions + sqrt∘sqrt
+    "bleu_corpus" -> BleuOracle,
+
+    // same integer marginal products in HUGEINT, same rational collapse
+    "kappa_agreement" ->
+      """WITH p AS (SELECT lang AS a,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS b
+        |  FROM documents),
+        |base AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS HUGEINT) AS agree
+        |  FROM p),
+        |am AS (SELECT a AS lbl, count(*) AS na FROM p GROUP BY 1),
+        |bm AS (SELECT b AS lbl, count(*) AS nb FROM p GROUP BY 1),
+        |ch AS (SELECT CAST(COALESCE(sum(CAST(na AS HUGEINT) * nb), 0) AS HUGEINT)
+        |         AS chance
+        |       FROM am JOIN bm USING (lbl))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+        |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |  CAST(chance AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+        |  CASE WHEN n * n = chance THEN NULL
+        |       ELSE CAST(n * agree - chance AS DOUBLE) /
+        |            CAST(n * n - chance AS DOUBLE) END AS kappa
+        |FROM base, ch""".stripMargin,
 
     // fixed-width bands on the bit-exact logit; integer counts, one
     // division per band
@@ -1169,6 +1303,62 @@ object Quality {
         |LEFT JOIN rk ON rk.bucket = g.bucket
         |LEFT JOIN ck ON ck.bucket = g.bucket""".stripMargin,
   )
+
+  /** The bleu_corpus oracle, per-n fragments generated for n = 1..4 —
+    * identical gram construction (chr(1) join, short-row guard), identical
+    * clipped fold, corpus-pooled BIGINT sums, the same final divisions. */
+  private lazy val BleuOracle: String = {
+    def grams(n: Int, src: String) =
+      s"""CASE WHEN len($src) < $n THEN CAST([] AS VARCHAR[])
+         |ELSE list_transform(range(1, len($src) - ${n - 1} + 1),
+         |  i -> array_to_string(list_slice($src, i, i + ${n - 1}), chr(1))) END"""
+        .stripMargin
+    val gramCols = (1 to 4).map(n =>
+      s"${grams(n, "c")} AS cg$n,\n${grams(n, "r")} AS rg$n").mkString(",\n")
+    val clipCols = (1 to 4).map(n =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(list_distinct(cg$n),
+         |    g2 -> CAST(least(len(list_filter(cg$n, x -> x = g2)),
+         |                     len(list_filter(rg$n, x -> x = g2))) AS BIGINT))),
+         |  (a, b) -> a + b) AS clip$n,
+         |CAST(len(cg$n) AS BIGINT) AS tot$n""".stripMargin).mkString(",\n")
+    val sumCols = (1 to 4).map(n =>
+      s"CAST(sum(clip$n) AS BIGINT) AS clip$n, " +
+      s"CAST(sum(tot$n) AS BIGINT) AS tot$n").mkString(",\n  ")
+    val pCols = (1 to 4).map(n =>
+      s"CASE WHEN tot$n = 0 THEN NULL " +
+      s"ELSE CAST(clip$n AS DOUBLE) / CAST(tot$n AS DOUBLE) END AS p$n")
+      .mkString(",\n  ")
+    s"""WITH d AS (SELECT text AS cand,
+       |  array_to_string(list_slice(string_split(text, ' '), 1,
+       |    greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS ref
+       |  FROM documents),
+       |tk AS (SELECT
+       |  list_filter(string_split(cand, ' '), x -> len(x) > 0) AS c,
+       |  list_filter(string_split(ref, ' '), x -> len(x) > 0) AS r
+       |  FROM d),
+       |gr AS (SELECT c, r,
+       |$gramCols
+       |FROM tk),
+       |pr AS (SELECT
+       |$clipCols,
+       |CAST(len(c) AS BIGINT) AS lc, CAST(len(r) AS BIGINT) AS lr
+       |FROM gr),
+       |ag AS (SELECT
+       |  $sumCols,
+       |  CAST(sum(lc) AS BIGINT) AS c_len, CAST(sum(lr) AS BIGINT) AS r_len
+       |FROM pr),
+       |ratios AS (SELECT
+       |  $pCols,
+       |  c_len, r_len,
+       |  CASE WHEN c_len >= r_len THEN CAST(1.0 AS DOUBLE)
+       |       ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))
+       |  END AS bp
+       |FROM ag)
+       |SELECT p1, p2, p3, p4, c_len, r_len, bp,
+       |  bp * sqrt(sqrt(p1 * p2 * p3 * p4)) AS bleu
+       |FROM ratios""".stripMargin
+  }
 
   private lazy val DsirOracleBody: String =
     """WITH lt AS (

@@ -156,6 +156,42 @@ object TimeSeries {
       .select(col(entity), col(idCol), col("cusum"), col("is_start"))
   }
 
+  /** Closed-form OLS trend per group — `value ~ day` fit from the normal
+    * equations, the "is this metric drifting and how fast" companion to
+    * [[cusum]]'s alarm (CUSUM says THAT a shift happened; the slope says
+    * how steep it is). `slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)` and
+    * `intercept = (Σy − slope·Σx) / n`: the five sufficient sums
+    * accumulate EXACTLY in decimal(38,0) (integer days × integer cents —
+    * a double accumulation would be summation-order nondeterministic,
+    * and at 10^12 rows n·Σxy overflows a long), then one correctly-
+    * rounded division each — bit-identical across engines.
+    *
+    * ONE partial-agged pass; the exchange carries five decimals per
+    * group, never rows. Groups whose x never varies emit a NULL slope
+    * (zero denominator), not a garbage fit. */
+  def olsTrend(df: DataFrame, group: Column, tsCol: Column,
+               valueCents: Column): DataFrame = {
+    val day = floor(unix_micros(tsCol) / lit(86400000000L))
+    val a = df.select(group.as("grp"),
+        day.cast("decimal(38,0)").as("__x"),
+        valueCents.cast("decimal(38,0)").as("__y"))
+      .groupBy("grp").agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    val den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    a.withColumn("slope_cents_per_day",
+        when(den === 0, lit(null).cast("double"))
+          .otherwise((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") / den.cast("double")))
+      .select(col("grp"), col("__n").cast("long").as("n"),
+        col("slope_cents_per_day"),
+        ((col("__sy").cast("double") -
+          col("slope_cents_per_day") * col("__sx").cast("double")) /
+          col("__n").cast("double")).as("intercept_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     // sustained overspend alarms: slack 60.00 over the ~49.6 mean value,
     // alarm at 500.00 accumulated excess
@@ -166,6 +202,10 @@ object TimeSeries {
     "ts_topk" -> ((s, dir) =>
       tsTopK(SparkEntry.table(s, dir, "events"), "user_id", "ts",
         queryIds = Seq(0L, 1L, 2L), k = 5)),
+    // per-event-type spend trend in cents/day over the corpus window
+    "ols_trend" -> ((s, dir) =>
+      olsTrend(SparkEntry.table(s, dir, "events"), col("event_type"),
+        col("ts"), round(col("value") * 100).cast("long"))),
     // 3-sigma spikes vs the user's own last-20-event baseline
     "rolling_spike" -> ((s, dir) =>
       rollingSpike(SparkEntry.table(s, dir, "events"), "user_id", "ts",
@@ -196,6 +236,26 @@ object TimeSeries {
         |  FROM s)
         |SELECT user_id, event_id, cusum, is_start FROM f
         |WHERE cusum > 50000""".stripMargin,
+    // same HUGEINT sufficient sums, same rational slope, same operation
+    // order for the intercept
+    "ols_trend" ->
+      """WITH e AS (SELECT event_type AS grp,
+        |    CAST(CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+        |      AS BIGINT) AS HUGEINT) AS x,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS y
+        |  FROM events),
+        |a AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM e GROUP BY 1),
+        |s AS (SELECT grp, n, sx, sy,
+        |    CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |         ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |              CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cents_per_day
+        |  FROM a)
+        |SELECT grp, CAST(n AS BIGINT) AS n, slope_cents_per_day,
+        |  (CAST(sy AS DOUBLE) - slope_cents_per_day * CAST(sx AS DOUBLE)) /
+        |    CAST(n AS DOUBLE) AS intercept_cents
+        |FROM s""".stripMargin,
     "rolling_spike" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CAST(round(value * 100) AS BIGINT) AS cents,

@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 metric operators: Bradley–Terry fixed-point MM ([[Prefs]]),
+  * corpus BLEU and Cohen's κ ([[Quality]]), GK-sketch quantile audit
+  * ([[Freq.approxQuantiles]]), closed-form OLS trend
+  * ([[TimeSeries.olsTrend]]), Gini concentration
+  * ([[Hygiene.giniConcentration]]). Each pinned against hand values or a
+  * plain-Scala reference implementation, plus the invariances the fixed
+  * driver gates can't see (partitioning, convergence, branch coverage). */
+class PrefsMetricsSpec extends AnyFunSuite {
+  lazy val spark = graft.ProdSession.spark
+  import spark.implicits._
+
+  // ---- Bradley–Terry ---------------------------------------------------
+
+  // A dominates B dominates C: 9-1, 8-2, 9-1
+  private def pairDf = Seq(
+    ("A", "B", 10L, 9L, 1L),
+    ("B", "C", 10L, 8L, 2L),
+    ("A", "C", 10L, 9L, 1L)
+  ).toDF("item_a", "item_b", "n", "wins_a", "wins_b")
+
+  test("btScores recovers the dominance order and sums games/wins") {
+    val out = Prefs.btScores(spark, pairDf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .toMap
+    assert(out("A")._1 == 20 && out("B")._1 == 20 && out("C")._1 == 20)
+    assert(out("A")._2 == 18 && out("B")._2 == 9 && out("C")._2 == 3)
+    assert(out("A")._3 > out("B")._3 && out("B")._3 > out("C")._3,
+      s"fitted order broken: $out")
+  }
+
+  test("btScores fixed point ≈ textbook float MM (plain-Scala differential)") {
+    // float reference: Hunter 2004 eq. (2) with mean-1 normalization
+    val items = Seq("A", "B", "C")
+    val n = Map(("A", "B") -> 10.0, ("B", "C") -> 10.0, ("A", "C") -> 10.0)
+    val w = Map("A" -> 18.0, "B" -> 9.0, "C" -> 3.0)
+    def nOf(i: String, j: String) = n.getOrElse((i, j), n.getOrElse((j, i), 0.0))
+    var s = items.map(_ -> 1.0).toMap
+    for (_ <- 1 to 50) {
+      val raw = items.map { i =>
+        i -> w(i) / items.filter(_ != i)
+          .map(j => nOf(i, j) / (s(i) + s(j))).sum
+      }.toMap
+      val mean = raw.values.sum / items.size
+      s = raw.map { case (i, v) => i -> v / mean }
+    }
+    val fitted = Prefs.btScores(spark, pairDf, iters = 30).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    for (i <- items)
+      assert(math.abs(fitted(i) - s(i)) < 0.001,
+        s"$i: fixed-point ${fitted(i)} vs float ${s(i)}")
+  }
+
+  test("btScores is invariant to pair-statistic partitioning and row order") {
+    val a = Prefs.btScores(spark, pairDf).collect().toSeq
+    val b = Prefs.btScores(spark, pairDf.repartition(7).sortWithinPartitions(
+      desc("item_b"))).collect().toSeq
+    assert(a.toSet == b.toSet)
+  }
+
+  test("preferencePairs canonicalizes pairs and applies the >= tie rule") {
+    val ev = Seq(
+      // user 1: b(5.0) -> a(5.0) tie -> earlier (b) wins; a -> c, c wins
+      (1L, 1L, "b", 5.0), (1L, 2L, "a", 5.0), (1L, 3L, "c", 9.0),
+      // user 2: consecutive duplicates are not comparisons
+      (2L, 1L, "a", 1.0), (2L, 2L, "a", 2.0), (2L, 3L, "b", 1.0)
+    ).toDF("user_id", "event_id", "item", "v")
+      .withColumn("ts", timestamp_micros(col("event_id") * 1000000L))
+    val got = Prefs.preferencePairs(ev, col("user_id"), col("ts"),
+      col("event_id"), col("item"), col("v")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("a", "b", "b"), ("a", "c", "c"), ("a", "b", "a")))
+  }
+
+  // ---- BLEU ------------------------------------------------------------
+
+  private def bleuOf(pairs: Seq[(String, String)]): Map[String, Any] = {
+    val df = pairs.toDF("cand", "ref")
+    val row = Quality.bleuCorpus(df, col("cand"), col("ref")).head()
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("bleu: identical corpus scores exactly 1.0") {
+    val m = bleuOf(Seq(("the cat sat on the mat", "the cat sat on the mat")))
+    assert(m("p1") == 1.0 && m("p4") == 1.0 && m("bp") == 1.0 && m("bleu") == 1.0)
+  }
+
+  test("bleu: clipping caps repeated candidate grams at the reference count") {
+    // the classic degenerate candidate: p1 must be 2/7 (ref has two 'the'),
+    // not 7/7
+    val m = bleuOf(Seq(("the the the the the the the",
+      "the cat is on the mat")))
+    assert(m("p1") == 2.0 / 7.0, s"clipped unigram precision: ${m("p1")}")
+    assert(m("p2") == 0.0)
+  }
+
+  test("bleu: brevity penalty fires only when the candidate corpus is shorter") {
+    val short = bleuOf(Seq(("the cat", "the cat sat on the mat")))
+    assert(short("bp").asInstanceOf[Double] == math.exp(1.0 - 6.0 / 2.0))
+    val long = bleuOf(Seq(("the cat sat on the mat", "the cat")))
+    assert(long("bp") == 1.0)
+  }
+
+  test("bleu: corpus pooling sums counts, not per-sentence scores") {
+    // pair 1: 3/3 unigrams; pair 2: 0/3 — pooled p1 = 3/6, not mean(1, 0)
+    val m = bleuOf(Seq(("a b c", "a b c"), ("x y z", "p q r")))
+    assert(m("p1") == 0.5)
+  }
+
+  // ---- Cohen's kappa ---------------------------------------------------
+
+  test("kappa: perfect agreement is 1, known 2x2 table matches hand value") {
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    assert(Quality.cohenKappa(perfect, col("a"), col("b"))
+      .head().getAs[Double]("kappa") == 1.0)
+    // the standard worked example: po=.7, pe=.5 -> kappa=.4 exactly
+    val rows = Seq.fill(35)(("y", "y")) ++ Seq.fill(15)(("y", "n")) ++
+      Seq.fill(15)(("n", "y")) ++ Seq.fill(35)(("n", "n"))
+    val m = Quality.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).head()
+    assert(m.getAs[Double]("po") == 0.7)
+    assert(m.getAs[Double]("pe") == 0.5)
+    assert(m.getAs[Double]("kappa") == 0.4 / 1.0)
+  }
+
+  test("kappa: disjoint label vocabularies give pe = 0 and kappa = po") {
+    val df = Seq(("x", "u"), ("y", "v")).toDF("a", "b")
+    val m = Quality.cohenKappa(df, col("a"), col("b")).head()
+    assert(m.getAs[Double]("pe") == 0.0 && m.getAs[Double]("kappa") == 0.0)
+  }
+
+  // ---- approx quantiles ------------------------------------------------
+
+  test("approxQuantiles: audit band holds on uniform data, n is exact") {
+    val df = (1 to 10000).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+    val out = Freq.approxQuantiles(df, col("g"), col("v"),
+      Seq(0.5, 0.9, 0.99), audit = true).collect()
+    assert(out.length == 12)
+    assert(out.forall(_.getAs[Boolean]("within_band")), "GK band broken")
+    assert(out.forall(_.getAs[Long]("n") == 2500L))
+  }
+
+  test("approxQuantiles: production mode returns near-exact values, no audit pass") {
+    val df = (1 to 10000).map(i => (1, i.toDouble)).toDF("g", "v")
+    val out = Freq.approxQuantiles(df, col("g"), col("v"), Seq(0.5))
+    assert(!out.queryExecution.executedPlan.toString.contains("Join"),
+      "audit=false must not join the corpus back")
+    val q = out.head().getAs[Double]("approx_q")
+    assert(math.abs(q - 5000.0) < 100.0, s"p50 of 1..10000 was $q")
+  }
+
+  // ---- OLS trend -------------------------------------------------------
+
+  test("olsTrend: exact line is recovered exactly; constant x yields NULL") {
+    val us = 86400000000L
+    val line = (0 to 9).map(d => ("up", d.toLong * us, 700L + 3L * d))
+    val flat = (0 to 9).map(_ => ("flat", 5L * us, 100L))
+    val df = (line ++ flat).toDF("g", "t_us", "cents")
+      .withColumn("ts", timestamp_micros(col("t_us")))
+    val out = TimeSeries.olsTrend(df, col("g"), col("ts"), col("cents"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getAs[Double]("slope_cents_per_day") == 3.0)
+    assert(out("up").getAs[Double]("intercept_cents") == 700.0)
+    assert(out("flat").isNullAt(out("flat").fieldIndex("slope_cents_per_day")))
+  }
+
+  // ---- Gini ------------------------------------------------------------
+
+  test("gini: uniform counts give 0, full concentration approaches 1 - 1/k") {
+    val even = (1 to 100).map(i => s"s${i % 4}").toDF("src")
+    val g0 = Hygiene.giniConcentration(even, col("src")).head()
+    assert(g0.getAs[Double]("gini") == 0.0)
+    assert(g0.getAs[Long]("n_groups") == 4 && g0.getAs[Long]("total") == 100)
+    // 97 docs in one source, 1 in each of 3 others: hand value
+    // G = (2*Σi·x − 5*Σx) / (4*Σx) with sorted x = [1,1,1,97]
+    val skew = (Seq.fill(97)("big") ++ Seq("a", "b", "c")).toDF("src")
+    val g1 = Hygiene.giniConcentration(skew, col("src")).head()
+    val six = 1 * 1 + 2 * 1 + 3 * 1 + 4 * 97
+    val expected = (2.0 * six - 5 * 100) / (4.0 * 100)
+    assert(g1.getAs[Double]("gini") == expected)
+  }
+}
