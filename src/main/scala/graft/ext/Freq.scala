@@ -307,6 +307,52 @@ object Freq {
     }
   }
 
+  /** MAINTAINED per-group distinct-cardinality sketches over continuous
+    * ingest — "distinct users per event type, ever" without ever
+    * re-scanning history: state is one Apache DataSketches HLL sketch per
+    * group (Spark 4's native `hll_sketch_agg` binary, a few KB each),
+    * absorption unions the incoming batch's sketches into the stored ones
+    * (`hll_union_agg`). Union carries the HLL accuracy guarantee but is
+    * NOT bit-equal to a one-shot sketch of the union (the merged sketch
+    * can sit in a different internal mode) — both land within the same
+    * error band of truth, which is the contract the gate audits. The
+    * [[graft.ext.Assoc.absorbCoocBatch]]
+    * snapshot posture: `_SUCCESS`-gated commits, replays recompute
+    * against the pre-batch snapshot — exactly-once state.
+    *
+    * This is the sketch-as-state pattern every 100 TB dashboard needs:
+    * the alternative — a maintained exact distinct — would keep the full
+    * key domain in state. Returns the maintained sketch table; call
+    * [[hllEstimates]] for numbers. */
+  def absorbHllBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                     rows: DataFrame, group: Column, key: Column): DataFrame = {
+    val (latest, lastId) = BatchState.load(spark, stateDir)
+    val replay = lastId.exists(_ >= batchId)
+    val base = if (replay) BatchState.load(spark, stateDir, Some(batchId))._1
+               else latest
+    val comp = rows.groupBy(group.as("grp")).agg(hll_sketch_agg(key).as("sk"))
+    val merged = base.map(_.unionByName(comp)).getOrElse(comp)
+      .groupBy("grp").agg(hll_union_agg(col("sk")).as("sk"))
+      .localCheckpoint(true)
+    if (!replay) BatchState.save(merged, stateDir, batchId)
+    merged
+  }
+
+  /** Cardinality estimates from a maintained sketch table; `audit`
+    * (driver-gate mode) joins an exact distinct of the full corpus and
+    * asserts the 5% band, the [[approxDistinct]] contract. */
+  def hllEstimates(state: DataFrame, exact: Option[DataFrame] = None): DataFrame = {
+    val est = state.select(col("grp"),
+      hll_sketch_estimate(col("sk")).as("approx_nd"))
+    exact match {
+      case None => est
+      case Some(ex) => est.join(ex, Seq("grp"))
+        .select(col("grp"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")).cast("double") <=
+            col("exact_nd").cast("double") * 0.05).as("within_5pct"))
+    }
+  }
+
   /** Join-skew diagnosis: the `topK` hottest values of a key column with
     * their absolute counts, corpus share, and cumulative share — the
     * table that decides whether a join needs [[graft.ext.Joins
@@ -349,6 +395,22 @@ object Freq {
         col("user_id"), audit = true)),
     "skew_report" -> ((s, dir) =>
       skewReport(SparkEntry.table(s, dir, "events"), col("user_id"))),
+    // two event-id-parity absorptions, then estimates vs the exact
+    // distinct of the union — the oracle asserts the 5% band
+    "hll_maintained" -> ((s, dir) => {
+      val ev = SparkEntry.table(s, dir, "events")
+      val root = TmpIo.freshDir("hllstate")
+      val state = try {
+        absorbHllBatch(s, root.toString, 0L,
+          ev.where(col("event_id") % 2 === 0), col("event_type"),
+          col("user_id"))
+        absorbHllBatch(s, root.toString, 1L,
+          ev.where(col("event_id") % 2 === 1), col("event_type"),
+          col("user_id")).localCheckpoint(true)
+      } finally TmpIo.deleteRecursively(root)
+      hllEstimates(state, Some(ev.groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("exact_nd"))))
+    }),
     // p50/p90/p99 of event value per type: the oracle asserts each GK
     // answer's true rank interval intersects the promised band
     "approx_quantiles" -> ((s, dir) =>
@@ -366,6 +428,10 @@ object Freq {
 
   val oracleSql: Map[String, String] = Map(
     "approx_distinct" ->
+      """SELECT event_type AS grp, count(DISTINCT user_id) AS exact_nd,
+        |  CAST(TRUE AS BOOLEAN) AS within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
+    "hll_maintained" ->
       """SELECT event_type AS grp, count(DISTINCT user_id) AS exact_nd,
         |  CAST(TRUE AS BOOLEAN) AS within_5pct
         |FROM events GROUP BY 1""".stripMargin,

@@ -122,6 +122,58 @@ object Prefs {
           org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
+  /** Per-pair win rates with the Wilson score interval at z = 2 (the
+    * Agresti–Coull choice — z² = 4 keeps every constant a small exact
+    * double, so both engines compute bit-identical bounds from the same
+    * +, −, ×, ÷, √, all IEEE correctly-rounded). The interval is the
+    * honest version of the rate: at n = 3 comparisons a 3-0 sweep still
+    * has wilson_lo ≈ 0.44 — the curation signal for "not enough
+    * comparisons yet", which the raw rate hides. Pure narrow arithmetic
+    * over the [[btPairs]] statistic — no exchange at all. */
+  def winRates(pairs: DataFrame): DataFrame = {
+    val n = col("n").cast("double")
+    val p = col("wins_a").cast("double") / n
+    val z2 = lit(4.0); val z = lit(2.0)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val margin = (z * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))) /
+      denom
+    pairs.select(col("item_a"), col("item_b"), col("n"), col("wins_a"),
+      p.as("rate_a"), (center - margin).as("wilson_lo_a"),
+      (center + margin).as("wilson_hi_a"))
+  }
+
+  /** MAINTAINED Bradley–Terry statistic over continuous comparison ingest:
+    * (n, wins_a) per pair is ADDITIVE over batches, so state is exactly
+    * the [[btPairs]] table and merge = union + re-sum — the
+    * [[Assoc.absorbCoocBatch]] posture (committed `_SUCCESS`-gated
+    * snapshots, replays recompute against the pre-batch snapshot). Each
+    * absorption returns the full statistic so far, EQUAL to the one-shot
+    * [[btPairs]] of the union (driver-gated vs the same oracle); feed it
+    * to [[btScores]] for fresh strengths whenever wanted.
+    *
+    * Precondition: comparisons arrive whole (each batch carries complete
+    * preference rows, e.g. a day of annotations) — the pair construction
+    * upstream ([[preferencePairs]]) must run per batch on complete user
+    * windows or on an explicitly windowed log. */
+  def absorbPrefsBatch(spark: SparkSession, stateDir: String, batchId: Long,
+                       prefs: DataFrame): DataFrame = {
+    val (latest, lastId) = BatchState.load(spark, stateDir)
+    val replay = lastId.exists(_ >= batchId)
+    val base = if (replay) BatchState.load(spark, stateDir, Some(batchId))._1
+               else latest
+    val comp = prefs.groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n"),
+        sum((col("winner") === col("item_a")).cast("long")).as("wins_a"))
+    val merged = base.map(b => b.select("item_a", "item_b", "n", "wins_a")
+        .unionByName(comp)).getOrElse(comp)
+      .groupBy("item_a", "item_b")
+      .agg(sum(col("n")).as("n"), sum(col("wins_a")).as("wins_a"))
+      .localCheckpoint(true)
+    if (!replay) BatchState.save(merged, stateDir, batchId)
+    merged.withColumn("wins_b", col("n") - col("wins_a"))
+  }
+
   // ---- driver gate ----------------------------------------------------
 
   private val GateIters = 12
@@ -138,6 +190,21 @@ object Prefs {
     // fixed-point recursion as CTEs, so the scores hash-match exactly
     "bt_scores" -> ((s, dir) =>
       btScores(s, btPairs(gatePrefs(s, dir)), iters = GateIters)),
+    // z=2 Wilson bounds over the same statistic
+    "win_rates" -> ((s, dir) => winRates(btPairs(gatePrefs(s, dir)))),
+    // the maintained statistic after two user-atomic absorptions must
+    // equal the one-shot bt_pairs — same oracle
+    "bt_maintained" -> ((s, dir) => {
+      val ev = SparkEntry.table(s, dir, "events")
+      def half(m: Int) = preferencePairs(ev.where(col("user_id") % 2 === m),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      val root = TmpIo.freshDir("btstate")
+      try {
+        absorbPrefsBatch(s, root.toString, 0L, half(0))
+        absorbPrefsBatch(s, root.toString, 1L, half(1)).localCheckpoint(true)
+      } finally TmpIo.deleteRecursively(root)
+    }),
   )
 
   /** The pair construction + statistic, shared by both oracles. */
@@ -198,5 +265,29 @@ object Prefs {
          |SELECT item_a, item_b, n, wins_a, n - wins_a AS wins_b
          |FROM pc""".stripMargin,
     "bt_scores" -> BtScoresOracle,
+    "bt_maintained" ->
+      s"""WITH $PairSql
+         |SELECT item_a, item_b, n, wins_a, n - wins_a AS wins_b
+         |FROM pc""".stripMargin,
+    // identical operation structure: z=2, every constant exact
+    "win_rates" ->
+      s"""WITH $PairSql
+         |SELECT item_a, item_b, n, wins_a,
+         |  CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE) AS rate_a,
+         |  (CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+         |     + 4.0 / (2.0 * CAST(n AS DOUBLE))) / (1.0 + 4.0 / CAST(n AS DOUBLE))
+         |  - (2.0 * sqrt(CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+         |        * (1.0 - CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE))
+         |        / CAST(n AS DOUBLE)
+         |      + 4.0 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         |    / (1.0 + 4.0 / CAST(n AS DOUBLE)) AS wilson_lo_a,
+         |  (CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+         |     + 4.0 / (2.0 * CAST(n AS DOUBLE))) / (1.0 + 4.0 / CAST(n AS DOUBLE))
+         |  + (2.0 * sqrt(CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE)
+         |        * (1.0 - CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE))
+         |        / CAST(n AS DOUBLE)
+         |      + 4.0 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         |    / (1.0 + 4.0 / CAST(n AS DOUBLE)) AS wilson_hi_a
+         |FROM pc""".stripMargin,
   )
 }

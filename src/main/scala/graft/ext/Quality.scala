@@ -830,6 +830,77 @@ object Quality {
         .as("kappa"))
   }
 
+  /** Murphy decomposition of the Brier score (Murphy 1973) over binned
+    * probability forecasts: per forecast bin k with implied forecast
+    * `p̂_k = (2k+1)/(2·nBins)` (bin centers), the reliability term
+    * `n_k·(p̂_k − ō_k)²` and resolution term `n_k·(ō_k − ō)²`, plus the
+    * shared uncertainty `ō(1−ō)` — so `Brier = (ΣREL − ΣRES)/N + UNC`.
+    * The calibration diagnostic behind every reward-model / quality-
+    * classifier scorecard: REL says the probabilities are miscalibrated,
+    * RES says they at least separate the classes.
+    *
+    * All terms are RATIONAL in the integer bin counts — each is emitted
+    * as one correctly-rounded division of exact decimal(38,0) products
+    * (e.g. REL_k = ((2k+1)·n_k − 2·nBins·pos_k)² / ((2·nBins)²·n_k)), so
+    * every row is bit-identical across engines; a float mean of per-row
+    * (p−o)² would be summation-order nondeterministic. ONE partial-agged
+    * pass to nBins rows + a broadcast single-row total. */
+  def brierDecomposition(df: DataFrame, forecastBin: Column, nBins: Int,
+                         outcome: Column): DataFrame = {
+    require(nBins >= 2, "need at least two bins")
+    val scale = 2L * nBins
+    val dec = "decimal(38,0)"
+    val d = df.select(forecastBin.cast("long").as("bin"),
+      outcome.cast("long").as("__o"))
+    val tot = d.agg(count(lit(1)).cast(dec).as("__N"),
+      sum(col("__o")).cast(dec).as("__POS"))
+    val relNum = (lit(2).cast(dec) * col("bin").cast(dec) + lit(1).cast(dec)) *
+      col("n").cast(dec) - lit(scale).cast(dec) * col("n_pos").cast(dec)
+    val resNum = col("n_pos").cast(dec) * col("__N") -
+      col("n").cast(dec) * col("__POS")
+    d.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("__o")).as("n_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        ((lit(2) * col("bin") + 1).cast("double") / lit(scale.toDouble))
+          .as("p_hat"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("o_bar"),
+        ((relNum * relNum).cast("double") /
+          (lit(scale * scale).cast(dec) * col("n").cast(dec)).cast("double"))
+          .as("rel_term"),
+        ((resNum * resNum).cast("double") /
+          (col("n").cast(dec) * col("__N") * col("__N")).cast("double"))
+          .as("res_term"),
+        ((col("__POS") * (col("__N") - col("__POS"))).cast("double") /
+          (col("__N") * col("__N")).cast("double")).as("uncertainty"))
+  }
+
+  /** Two-proportion z statistic for an A/B split (pooled standard error)
+    * — the experiment readout for "did the new filter change the accept
+    * rate": `z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₁ + 1/n₀))`. Emits the z
+    * statistic, not a p-value — the normal CDF is a transcendental the
+    * exact-reproducibility contract can't honor; |z| ≥ 1.96 is the usual
+    * 5% line. Counts are exact longs, then divisions and one √, all IEEE
+    * correctly-rounded with the operation structure mirrored in the
+    * oracle — bit-identical. ONE partial-agged pass to a single row. */
+  def abZTest(df: DataFrame, treatment: Column, success: Column): DataFrame = {
+    val a = df.select(treatment.cast("boolean").as("__t"),
+        success.cast("long").as("__s"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__t"), col("__s")).otherwise(0L)).as("x1"),
+        sum(when(!col("__t"), col("__s")).otherwise(0L)).as("x0"))
+    val n1 = col("n1").cast("double"); val n0 = col("n0").cast("double")
+    val p1 = col("x1").cast("double") / n1
+    val p0 = col("x0").cast("double") / n0
+    val pp = (col("x1") + col("x0")).cast("double") /
+      (col("n1") + col("n0")).cast("double")
+    a.select(col("n1"), col("n0"), col("x1"), col("x0"),
+      p1.as("p1"), p0.as("p0"),
+      ((p1 - p0) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n0)))
+        .as("z"))
+  }
+
   // ---- driver gate ----------------------------------------------------
   // Frozen pseudo-random weights (Knuth multiplicative constant): the gate
   // pins the featurize→linear-score path — the part that is deterministic
@@ -894,6 +965,15 @@ object Quality {
               .as("ref")),
         col("cand"), col("ref"))
     }),
+    // synthetic 10-bin "forecast" (doc_id decile), lang='en' the outcome:
+    // the full reliability/resolution/uncertainty table
+    "brier_decomp" -> ((s, dir) =>
+      brierDecomposition(SparkEntry.table(s, dir, "documents"),
+        col("doc_id") % 10, nBins = 10, col("lang") === "en")),
+    // odd users the treatment arm, value > 50 the success metric
+    "ab_ztest" -> ((s, dir) =>
+      abZTest(SparkEntry.table(s, dir, "events"),
+        col("user_id") % 2 === 1, col("value") > 50.0)),
     // annotator A = lang; annotator B lazily marks every 7th doc 'en' —
     // deterministic partial agreement both engines derive from the corpus
     "kappa_agreement" -> ((s, dir) =>
@@ -1038,6 +1118,47 @@ object Quality {
     // same gram lists (chr(1)-joined), same clipped multiset-min fold,
     // corpus-pooled integer sums, same single divisions + sqrt∘sqrt
     "bleu_corpus" -> BleuOracle,
+
+    // same integer products in HUGEINT, same single divisions per term
+    "brier_decomp" ->
+      """WITH d AS (SELECT doc_id % 10 AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o FROM documents),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+        |    CAST(sum(o) AS HUGEINT) AS pos FROM d),
+        |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o) AS BIGINT) AS n_pos FROM d GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST(2 * bin + 1 AS DOUBLE) / 20.0 AS p_hat,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS o_bar,
+        |  CAST(((2 * CAST(bin AS HUGEINT) + 1) * n - 20 * CAST(n_pos AS HUGEINT))
+        |     * ((2 * CAST(bin AS HUGEINT) + 1) * n - 20 * CAST(n_pos AS HUGEINT))
+        |    AS DOUBLE) / CAST(400 * CAST(n AS HUGEINT) AS DOUBLE) AS rel_term,
+        |  CAST((CAST(n_pos AS HUGEINT) * nn - CAST(n AS HUGEINT) * pos)
+        |     * (CAST(n_pos AS HUGEINT) * nn - CAST(n AS HUGEINT) * pos)
+        |    AS DOUBLE) / CAST(CAST(n AS HUGEINT) * nn * nn AS DOUBLE) AS res_term,
+        |  CAST(pos * (nn - pos) AS DOUBLE) / CAST(nn * nn AS DOUBLE)
+        |    AS uncertainty
+        |FROM b, t""".stripMargin,
+
+    // identical operation structure: divisions, one sqrt
+    "ab_ztest" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 AND value > 50.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x1,
+        |  CAST(sum(CASE WHEN user_id % 2 <> 1 AND value > 50.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x0
+        | FROM events)
+        |SELECT n1, n0, x1, x0,
+        |  CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |  CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |  (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |  / sqrt((CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+        |       * (1.0 - CAST(x1 + x0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+        |       * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE))) AS z
+        |FROM a""".stripMargin,
 
     // same integer marginal products in HUGEINT, same rational collapse
     "kappa_agreement" ->

@@ -76,6 +76,96 @@ class PrefsMetricsSpec extends AnyFunSuite {
     assert(got == Set(("a", "b", "b"), ("a", "c", "c"), ("a", "b", "a")))
   }
 
+  test("winRates: hand Wilson bound at z=2, bounds bracket the rate") {
+    val df = Seq(("A", "B", 3L, 3L, 0L)).toDF("item_a", "item_b", "n",
+      "wins_a", "wins_b")
+    val r = Prefs.winRates(df).head()
+    // p=1, n=3: center=(1+2/3)/(1+4/3)=5/7, margin=(2*sqrt(1/9))/(7/3)=2/7
+    assert(r.getAs[Double]("rate_a") == 1.0)
+    assert(math.abs(r.getAs[Double]("wilson_lo_a") - 3.0 / 7.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("wilson_hi_a") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("wilson_lo_a") < r.getAs[Double]("rate_a") + 1e-15)
+  }
+
+  test("absorbPrefsBatch: two absorptions equal one-shot, replay is idempotent") {
+    val prefs = Seq(("A", "B", "A"), ("A", "B", "B"), ("A", "C", "A"),
+      ("B", "C", "B")).toDF("item_a", "item_b", "winner")
+    val oneShot = Prefs.btPairs(prefs).collect().toSet
+    val root = java.nio.file.Files.createTempDirectory("btspec")
+    try {
+      Prefs.absorbPrefsBatch(spark, root.toString, 0L,
+        prefs.where(col("item_b") === "B"))
+      val after = Prefs.absorbPrefsBatch(spark, root.toString, 1L,
+        prefs.where(col("item_b") =!= "B"))
+      assert(after.collect().toSet == oneShot)
+      // replaying batch 1 recomputes against the pre-batch snapshot
+      val replayed = Prefs.absorbPrefsBatch(spark, root.toString, 1L,
+        prefs.where(col("item_b") =!= "B"))
+      assert(replayed.collect().toSet == oneShot)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  // ---- Brier decomposition / A/B z ---------------------------------------
+
+  test("brier: perfectly calibrated bins have zero reliability") {
+    // bin 1 (p_hat=0.15): 20 rows, 3 positive -> o_bar = 0.15 exactly
+    val rows = Seq.tabulate(20)(i => (1L, i < 3)) ++
+      Seq.tabulate(20)(i => (7L, i < 15)) // bin 7: p_hat=.75, o_bar=.75
+    val out = Quality.brierDecomposition(rows.toDF("b", "o"), col("b"), 10,
+      col("o")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("rel_term") == 0.0)
+    assert(out(7L).getAs[Double]("rel_term") == 0.0)
+    assert(out(1L).getAs[Double]("p_hat") == 0.15)
+    // overall o_bar = 18/40; uncertainty = .45*.55 exactly in rationals
+    assert(out(1L).getAs[Double]("uncertainty") == (18.0 * 22.0) / 1600.0)
+    assert(out(7L).getAs[Double]("res_term") > 0.0)
+  }
+
+  test("abZTest: identical arms give z = 0, known imbalance is positive") {
+    val same = Seq.tabulate(100)(i => (i % 2 == 0, i % 4 < 2))
+    val z0 = Quality.abZTest(same.toDF("t", "s"), col("t"), col("s")).head()
+    assert(z0.getAs[Double]("z") == 0.0)
+    assert(z0.getAs[Long]("n1") == 50 && z0.getAs[Long]("n0") == 50)
+    val skew = Seq.fill(50)((true, true)) ++ Seq.fill(50)((false, false))
+    val z1 = Quality.abZTest(skew.toDF("t", "s"), col("t"), col("s"))
+      .head().getAs[Double]("z")
+    assert(z1 == 10.0, s"p1=1, p0=0, pooled .5 -> z = 1/sqrt(.25*.04) = 10, got $z1")
+  }
+
+  // ---- maintained HLL ----------------------------------------------------
+
+  test("absorbHllBatch: maintained sketch equals one-shot union, 5% band holds") {
+    val ev = (1 to 5000).map(i => (s"t${i % 3}", (i * 7919) % 1200)).toDF("et", "uid")
+    val root = java.nio.file.Files.createTempDirectory("hllspec")
+    try {
+      Freq.absorbHllBatch(spark, root.toString, 0L,
+        ev.where(col("uid") % 2 === 0), col("et"), col("uid"))
+      val state = Freq.absorbHllBatch(spark, root.toString, 1L,
+        ev.where(col("uid") % 2 === 1), col("et"), col("uid"))
+      val oneShot = ev.groupBy(col("et").as("grp"))
+        .agg(hll_sketch_agg(col("uid")).as("sk"))
+      // union-of-halves and one-shot sketches may sit in different
+      // internal modes (sparse vs dense), so estimates agree to sketch
+      // accuracy, not bit-for-bit: hold BOTH to the true 400/group
+      val m = Freq.hllEstimates(state).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val o = Freq.hllEstimates(oneShot).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      for ((g, est) <- m ++ o)
+        assert(math.abs(est - 400L) <= 20L, s"$g estimate $est vs true 400")
+      val audited = Freq.hllEstimates(state,
+        Some(ev.groupBy(col("et").as("grp"))
+          .agg(countDistinct(col("uid")).as("exact_nd")))).collect()
+      assert(audited.forall(_.getAs[Boolean]("within_5pct")))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   // ---- BLEU ------------------------------------------------------------
 
   private def bleuOf(pairs: Seq[(String, String)]): Map[String, Any] = {
