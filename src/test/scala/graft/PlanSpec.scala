@@ -773,4 +773,53 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles(p) == 0, s"token_f1 must ride the scan:\n$p")
     assertNoCartesian("token_f1", p)
   }
+
+  test("bleu_corpus: narrow per-row HOFs, ONE single-row aggregate, no joins") {
+    val p = physical("bleu_corpus")
+    assertNoCartesian("bleu_corpus", p)
+    assert(shuffles(p) == 1, s"expected only the final-agg exchange:\n$p")
+    assert(count(p) { case _: FileSourceScanExec => } == 1,
+      s"one corpus scan:\n$p")
+  }
+
+  test("ols_trend / ab_ztest: one partial-agged exchange, zero joins") {
+    for (name <- Seq("ols_trend", "ab_ztest")) {
+      val p = physical(name)
+      assertNoCartesian(name, p)
+      assert(shuffles(p) == 1, s"$name: expected 1 shuffle:\n$p")
+      assert(count(p) { case _: joins.BaseJoinExec => } == 0,
+        s"$name must not join:\n$p")
+    }
+  }
+
+  test("bt_pairs: user-window exchange + pair aggregation, nothing else") {
+    val p = physical("bt_pairs")
+    assertNoCartesian("bt_pairs", p)
+    assert(shuffles(p) == 2, s"expected user + pair exchanges only:\n$p")
+    assert(count(p) { case _: FileSourceScanExec => } == 1,
+      s"one events scan:\n$p")
+  }
+
+  test("gini_sources: corpus collapses to K counts before any window") {
+    val p = physical("gini_sources")
+    // the rank window and final agg run over group-cardinality rows; the
+    // corpus itself is touched exactly once
+    assert(count(p) { case _: FileSourceScanExec => } == 1,
+      s"one documents scan:\n$p")
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0,
+      s"gini_sources has a cartesian product:\n$p")
+  }
+
+  test("approx_quantiles production mode: mergeable sketch, no exact pass") {
+    import org.apache.spark.sql.functions.col
+    val p = ext.Freq.approxQuantiles(
+      SparkEntry.table(spark, sfDir, "events"), col("event_type"),
+      col("value"), Seq(0.5, 0.9), audit = false)
+      .queryExecution.executedPlan
+    assert(count(p) { case _: joins.BaseJoinExec => } == 0,
+      s"audit=false must not join the corpus back:\n$p")
+    assert(shuffles(p) == 1, s"one sketch-merge exchange:\n$p")
+    assert(count(p) { case _: FileSourceScanExec => } == 1,
+      s"one events scan:\n$p")
+  }
 }
