@@ -338,6 +338,48 @@ object Freq {
     merged
   }
 
+  /** Trailing-window distinct cardinality per group per day — "distinct
+    * users in the trailing `windowDays` days, for every day" — via DAILY
+    * HLL sketches re-unioned over a range frame. The exact version of
+    * this dashboard staple is quadratic state at 100 TB (every day
+    * re-counts up to W days of raw keys); here the corpus collapses ONCE
+    * to |groups|·|days| fixed-size sketches, and the window pass unions
+    * W sketch buffers per output row — no raw key is ever touched twice.
+    *
+    * `audit = true` (driver-gate mode) joins the exact trailing distinct
+    * (affordable at test scale, the thing this operator exists to avoid
+    * at production scale) and asserts the HLL 5% band — the
+    * [[approxDistinct]] contract. */
+  def slidingDistinct(df: DataFrame, group: Column, tsCol: Column,
+                      key: Column, windowDays: Int = 7,
+                      audit: Boolean = false): DataFrame = {
+    require(windowDays >= 1, "window must be at least one day")
+    val day = floor(unix_micros(tsCol) / lit(86400000000L))
+    val base = df.select(group.as("grp"), day.as("day"), key.as("__k"))
+    val daily = base.groupBy("grp", "day").agg(hll_sketch_agg(col("__k")).as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("day").asc)
+      .rangeBetween(-(windowDays - 1L), 0L)
+    val est = daily
+      .withColumn("__u", hll_union_agg(col("sk")).over(w))
+      .select(col("grp"), col("day"),
+        hll_sketch_estimate(col("__u")).as("approx_nd"))
+    if (!audit) est
+    else {
+      val days = daily.select(col("grp").as("__g"), col("day").as("__d"))
+      val exact = base.join(broadcast(days),
+          col("grp") === col("__g") &&
+            col("day") >= col("__d") - (windowDays - 1) &&
+            col("day") <= col("__d"))
+        .groupBy(col("grp"), col("__d").as("day"))
+        .agg(countDistinct(col("__k")).as("exact_nd"))
+      est.join(exact, Seq("grp", "day"))
+        .select(col("grp"), col("day"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")).cast("double") <=
+            col("exact_nd").cast("double") * 0.05).as("within_5pct"))
+    }
+  }
+
   /** Cardinality estimates from a maintained sketch table; `audit`
     * (driver-gate mode) joins an exact distinct of the full corpus and
     * asserts the 5% band, the [[approxDistinct]] contract. */
@@ -411,6 +453,11 @@ object Freq {
       hllEstimates(state, Some(ev.groupBy(col("event_type").as("grp"))
         .agg(countDistinct(col("user_id")).as("exact_nd"))))
     }),
+    // trailing-7-day distinct users per event type per day; the oracle
+    // asserts the 5% band against the exact trailing distinct
+    "sliding_distinct" -> ((s, dir) =>
+      slidingDistinct(SparkEntry.table(s, dir, "events"), col("event_type"),
+        col("ts"), col("user_id"), windowDays = 7, audit = true)),
     // p50/p90/p99 of event value per type: the oracle asserts each GK
     // answer's true rank interval intersects the promised band
     "approx_quantiles" -> ((s, dir) =>
@@ -435,6 +482,17 @@ object Freq {
       """SELECT event_type AS grp, count(DISTINCT user_id) AS exact_nd,
         |  CAST(TRUE AS BOOLEAN) AS within_5pct
         |FROM events GROUP BY 1""".stripMargin,
+    "sliding_distinct" ->
+      """WITH e AS (SELECT event_type AS grp,
+        |    CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0) AS BIGINT)
+        |      AS d,
+        |    user_id AS k FROM events),
+        |days AS (SELECT DISTINCT grp, d FROM e)
+        |SELECT days.grp AS grp, days.d AS day,
+        |  count(DISTINCT e.k) AS exact_nd,
+        |  CAST(TRUE AS BOOLEAN) AS within_5pct
+        |FROM days JOIN e ON e.grp = days.grp AND e.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY 1, 2""".stripMargin,
     "approx_quantiles" ->
       """SELECT event_type AS grp, count(*) AS n, p.p AS p,
         |  CAST(TRUE AS BOOLEAN) AS within_band

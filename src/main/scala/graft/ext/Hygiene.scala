@@ -877,12 +877,82 @@ object Hygiene {
           (col("__k") * col("__sx")).cast("double")).as("gini"))
   }
 
+  /** Distinct (group, word-trigram) pairs — the shared input of
+    * [[sourceNovelty]] and [[sourceOverlap]]. One gram-keyed distinct. */
+  private def groupGrams(df: DataFrame, group: Column): DataFrame = {
+    val w = split(col("text"), " ")
+    df.select(group.as("grp"),
+        explode(when(size(w) >= 3,
+          transform(sequence(lit(1), size(w) - 2), i =>
+            concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+              element_at(w, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+  }
+
+  /** Per-source content novelty: of each source's distinct word-trigrams,
+    * how many appear in NO other source — the data-valuation signal for
+    * "does this provider add content or re-serve what we already have"
+    * (the marginal-contribution question behind corpus mixing and
+    * licensing decisions). Exclusive share = exclusive / distinct, one
+    * division of exact counts.
+    *
+    * Scale: every exchange is gram-keyed ((grp, gram) distinct → gram
+    * spread count → gram-keyed join back), so the plan is three
+    * partial-agged shuffles of gram-cardinality rows — never a pairwise
+    * source comparison, never a collect. */
+  def sourceNovelty(df: DataFrame, source: Column): DataFrame = {
+    val gs = groupGrams(df, source)
+    val spread = gs.groupBy("gram").agg(count(lit(1)).as("__nsrc"))
+    gs.join(spread, Seq("gram"))
+      .groupBy(col("grp").as("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("__nsrc") === 1).cast("long")).as("n_exclusive"))
+      .withColumn("exclusive_share",
+        col("n_exclusive").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Pairwise source content overlap: Jaccard similarity of the distinct
+    * word-trigram sets of every source pair — the redundancy matrix that
+    * complements [[sourceNovelty]]'s per-source view (novelty says "how
+    * much is mine alone"; this says WHICH other source shares the rest).
+    * `J = inter / (nA + nB − inter)` — exact integers, one division.
+    *
+    * Scale: the intersection comes from a gram-keyed SELF-JOIN of the
+    * distinct (source, gram) table (co-partitioned on gram — no source
+    * pair ever materializes more rows than its shared grams), aggregated
+    * straight to the K² pair matrix. */
+  def sourceOverlap(df: DataFrame, source: Column): DataFrame = {
+    val gs = groupGrams(df, source)
+    val sizes = gs.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val inter = gs.as("a").join(gs.as("b"),
+        col("a.gram") === col("b.gram") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("source_a"), col("b.grp").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("grp", "source_a")
+        .withColumnRenamed("n", "n_a")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("grp", "source_b")
+        .withColumnRenamed("n", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
     "repetition_stats" -> ((s, dir) =>
       repetitionStats(SparkEntry.table(s, dir, "documents"))),
     // how concentrated is the corpus across sources
     "gini_sources" -> ((s, dir) =>
       giniConcentration(SparkEntry.table(s, dir, "documents"), col("source"))),
+    // which sources add unique trigram content
+    "source_novelty" -> ((s, dir) =>
+      sourceNovelty(SparkEntry.table(s, dir, "documents"), col("source"))),
+    // the pairwise redundancy matrix over the same gram sets
+    "source_overlap" -> ((s, dir) =>
+      sourceOverlap(SparkEntry.table(s, dir, "documents"), col("source"))),
     // fixed 20-doc eval slice per source, selected by hash rank
     "exact_k_sample" -> ((s, dir) =>
       exactKSample(SparkEntry.table(s, dir, "documents"),
@@ -976,6 +1046,36 @@ object Hygiene {
         |  CAST(2 * six - (k + 1) * sx AS DOUBLE) /
         |    CAST(k * sx AS DOUBLE) AS gini
         |FROM a""".stripMargin,
+    // same distinct (source, trigram) pairs, same spread counts
+    "source_novelty" ->
+      """WITH gs AS (SELECT DISTINCT source AS grp,
+        |    w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] AS gram
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents) d,
+        |       LATERAL unnest(range(1, greatest(len(w) - 1, 1))) AS g(i)),
+        |sp AS (SELECT gram, count(*) AS nsrc FROM gs GROUP BY 1)
+        |SELECT grp AS source, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exclusive,
+        |  CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS exclusive_share
+        |FROM gs JOIN sp USING (gram)
+        |GROUP BY 1""".stripMargin,
+    // same gram-keyed self-join intersection, same single division
+    "source_overlap" ->
+      """WITH gs AS (SELECT DISTINCT source AS grp,
+        |    w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] AS gram
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents) d,
+        |       LATERAL unnest(range(1, greatest(len(w) - 1, 1))) AS g(i)),
+        |sz AS (SELECT grp, count(*) AS n FROM gs GROUP BY 1),
+        |iv AS (SELECT a.grp AS source_a, b.grp AS source_b, count(*) AS n_inter
+        |       FROM gs a JOIN gs b ON a.gram = b.gram AND a.grp < b.grp
+        |       GROUP BY 1, 2)
+        |SELECT source_a, source_b, za.n AS n_a, zb.n AS n_b, n_inter,
+        |  CAST(n_inter AS DOUBLE) /
+        |    CAST(za.n + zb.n - n_inter AS DOUBLE) AS jaccard
+        |FROM iv
+        |JOIN sz za ON za.grp = source_a
+        |JOIN sz zb ON zb.grp = source_b""".stripMargin,
     // the window formulation the engine-side partial top-k provably equals
     "exact_k_sample" ->
       """WITH r AS (SELECT source, doc_id,

@@ -166,6 +166,43 @@ class PrefsMetricsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- source novelty / overlap ------------------------------------------
+
+  test("sourceNovelty and sourceOverlap: hand values on a 3-source corpus") {
+    // s1: grams {a b c, b c d}; s2: {a b c}; s3: {x y z}
+    val docs = Seq((1L, "a b c d", "s1"), (2L, "a b c", "s2"),
+      (3L, "x y z", "s3")).toDF("doc_id", "text", "source")
+    val nov = Hygiene.sourceNovelty(docs, col("source")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nov("s1") == ((2L, 1L)), s"s1 has {abc, bcd}, only bcd exclusive: $nov")
+    assert(nov("s2") == ((1L, 0L)))
+    assert(nov("s3") == ((1L, 1L)))
+    val ov = Hygiene.sourceOverlap(docs, col("source")).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard"))).toMap
+    // self-join emits only intersecting pairs: (s1,s2) share abc, J=1/2
+    assert(ov(("s1", "s2")) == ((1L, 0.5)), s"overlap: $ov")
+    assert(!ov.contains(("s1", "s3")) && !ov.contains(("s2", "s3")))
+  }
+
+  // ---- sliding distinct ----------------------------------------------------
+
+  test("slidingDistinct: range frame respects calendar gaps, not row counts") {
+    val us = 86400000000L
+    // group g: days 1, 2, 10 — day 10's trailing week must NOT reach day 2
+    val ev = Seq((1L, 100), (1L, 101), (2L, 102), (10L, 103), (10L, 100))
+      .map { case (d, u) => ("g", d * us, u) }.toDF("grp", "t", "uid")
+      .withColumn("ts", timestamp_micros(col("t")))
+    val out = Freq.slidingDistinct(ev, col("grp"), col("ts"), col("uid"),
+      windowDays = 7, audit = true).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(out(1L).getAs[Long]("exact_nd") == 2)
+    assert(out(2L).getAs[Long]("exact_nd") == 3)
+    assert(out(10L).getAs[Long]("exact_nd") == 2,
+      "day 10 must see only day 10 (days 1-2 are out of range)")
+    assert(out.values.forall(_.getAs[Boolean]("within_5pct")))
+  }
+
   // ---- BLEU ------------------------------------------------------------
 
   private def bleuOf(pairs: Seq[(String, String)]): Map[String, Any] = {
