@@ -135,7 +135,13 @@ object SparkEntry {
     // cooc_maintained mostly times state I/O — both bench-excluded.
     "cusum_flags", "corpus_tv",
     // the IVF-candidate miner A/Bs against bitext_mine's full product
-    "bitext_mine_ivf")
+    "bitext_mine_ivf",
+    // third round-11 block: corpus BLEU (4 clipped-multiset HOF folds per
+    // row), the gram-keyed source-overlap self-join, and the daily-sketch
+    // sliding distinct (one corpus collapse + W-sketch window unions).
+    // bt_* / win_rates / kappa / ols / gini / brier / ab_ztest /
+    // approx_quantiles / hll_maintained sit at the scan/job floor.
+    "bleu_corpus", "source_overlap", "sliding_distinct")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

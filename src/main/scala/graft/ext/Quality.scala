@@ -875,6 +875,80 @@ object Quality {
           (col("__N") * col("__N")).cast("double")).as("uncertainty"))
   }
 
+  /** Isotonic (monotone non-decreasing) calibration over binned forecasts
+    * — the PAVA fit every reward-model / quality-classifier pipeline runs
+    * before using scores as probabilities, computed by the MINIMAX
+    * closed form instead of the sequential pool-adjacent-violators loop:
+    * `iso_k = max_{i≤k} min_{j≥k} (Σ_{i..j} pos / Σ_{i..j} n)` — exactly
+    * the PAVA solution (Robertson et al. 1988 thm 1.4.4), but expressed
+    * as joins/windows over the K-bin table, so it is DECLARATIVE, has no
+    * data-dependent iteration, and mirrors 1:1 into the SQL oracle.
+    *
+    * Scale: the corpus collapses to K bins in ONE partial-agged pass;
+    * the K³ (i ≤ k ≤ j) interval expansion is plan-side arithmetic over
+    * ≤ K² rows (K = 10-50 calibration bins — thousands of rows, not
+    * corpus rows). Interval rates are single correctly-rounded divisions
+    * of exact integer prefix sums; min/max of identical doubles agree
+    * across engines. */
+  def isotonicCalibration(df: DataFrame, forecastBin: Column,
+                          outcome: Column): DataFrame = {
+    val bins = df.select(forecastBin.cast("long").as("bin"),
+        outcome.cast("long").as("__o"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum(col("__o")).as("n_pos"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("bin").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cn", sum(col("n")).over(wc))
+      .withColumn("cp", sum(col("n_pos")).over(wc))
+    val lo = cum.select(col("bin").as("i"), (col("cn") - col("n")).as("cn0"),
+      (col("cp") - col("n_pos")).as("cp0"))
+    val hi = cum.select(col("bin").as("j"), col("cn").as("cn1"),
+      col("cp").as("cp1"))
+    val intervals = lo.join(hi, col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        ((col("cp1") - col("cp0")).cast("double") /
+          (col("cn1") - col("cn0")).cast("double")).as("frac"))
+    val perK = intervals
+      .select(col("i"), col("frac"), explode(sequence(col("i"), col("j"))).as("k"))
+      .groupBy(col("k"), col("i")).agg(min(col("frac")).as("__mn"))
+      .groupBy(col("k")).agg(max(col("__mn")).as("iso_rate"))
+    bins.join(perK, col("bin") === col("k"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("raw_rate"),
+        col("iso_rate"))
+  }
+
+  /** Split-conformal threshold per group (Vovk et al.; the distribution-
+    * free "flag anything above the calibrated cutoff" rule): the
+    * `⌈(1−α)(n+1)⌉`-th smallest calibration score, computed by the exact
+    * integer rank rule over per-(group, value) counts — a window over
+    * DISTINCT values per group, never a row-level sort. A group whose
+    * rank exceeds n (too few calibration points for the coverage level)
+    * emits a NULL threshold — the honest "cannot certify" answer.
+    * α = `alphaNum/alphaDen` as integers so the target rank is exact. */
+  def conformalThreshold(df: DataFrame, group: Column, scoreCents: Column,
+                         alphaNum: Long = 1L, alphaDen: Long = 10L): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val counts = df.select(group.as("grp"), scoreCents.cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val ranked = counts
+      .withColumn("cr", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(wg))
+      // ceil(a/d) in exact integer arithmetic: subtract the remainder so
+      // the division is exact, then bump iff a remainder existed
+      .withColumn("__a", lit(alphaDen - alphaNum) * (col("n") + 1))
+      .withColumn("rank",
+        ((col("__a") - pmod(col("__a"), lit(alphaDen))) / lit(alphaDen))
+          .cast("long") +
+          when(pmod(col("__a"), lit(alphaDen)) > 0, 1L).otherwise(0L))
+    ranked.groupBy(col("grp"), col("n"), col("rank"))
+      .agg(min(when(col("cr") >= col("rank"), col("v"))).as("threshold_cents"))
+  }
+
   /** Two-proportion z statistic for an A/B split (pooled standard error)
     * — the experiment readout for "did the new filter change the accept
     * rate": `z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₁ + 1/n₀))`. Emits the z
@@ -970,6 +1044,14 @@ object Quality {
     "brier_decomp" -> ((s, dir) =>
       brierDecomposition(SparkEntry.table(s, dir, "documents"),
         col("doc_id") % 10, nBins = 10, col("lang") === "en")),
+    // the monotone repair of the same binned forecast
+    "isotonic_calibration" -> ((s, dir) =>
+      isotonicCalibration(SparkEntry.table(s, dir, "documents"),
+        col("doc_id") % 10, col("lang") === "en")),
+    // 90%-coverage cutoff of event spend per type
+    "conformal_threshold" -> ((s, dir) =>
+      conformalThreshold(SparkEntry.table(s, dir, "events"),
+        col("event_type"), round(col("value") * 100).cast("long"))),
     // odd users the treatment arm, value > 50 the success metric
     "ab_ztest" -> ((s, dir) =>
       abZTest(SparkEntry.table(s, dir, "events"),
@@ -1139,6 +1221,48 @@ object Quality {
         |  CAST(pos * (nn - pos) AS DOUBLE) / CAST(nn * nn AS DOUBLE)
         |    AS uncertainty
         |FROM b, t""".stripMargin,
+
+    // same minimax intervals over the same integer prefix sums
+    "isotonic_calibration" ->
+      """WITH d AS (SELECT doc_id % 10 AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o FROM documents),
+        |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o) AS BIGINT) AS n_pos FROM d GROUP BY 1),
+        |c AS (SELECT bin, n, n_pos,
+        |    CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cn,
+        |    CAST(sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cp
+        |  FROM b),
+        |iv AS (SELECT l.bin AS i, h.bin AS j,
+        |    CAST(h.cp - (l.cp - l.n_pos) AS DOUBLE) /
+        |      CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS frac
+        |  FROM c l JOIN c h ON l.bin <= h.bin),
+        |pk AS (SELECT k.k AS k, i, min(frac) AS mn
+        |  FROM iv, LATERAL unnest(range(i, j + 1)) AS k(k)
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT k, max(mn) AS iso_rate FROM pk GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate, iso_rate
+        |FROM b JOIN iso ON iso.k = b.bin""".stripMargin,
+
+    // same per-(group, value) counts, same exact ceil rank
+    "conformal_threshold" ->
+      """WITH v AS (SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |c AS (SELECT grp, v, count(*) AS c FROM v GROUP BY 1, 2),
+        |r AS (SELECT grp, v,
+        |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cr,
+        |    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM c),
+        |k AS (SELECT grp, v, cr, n,
+        |    (9 * (n + 1)) // 10 +
+        |      CASE WHEN (9 * (n + 1)) % 10 > 0 THEN 1 ELSE 0 END AS rank
+        |  FROM r)
+        |SELECT grp, n, CAST(rank AS BIGINT) AS rank,
+        |  min(CASE WHEN cr >= rank THEN v END) AS threshold_cents
+        |FROM k GROUP BY 1, 2, 3""".stripMargin,
 
     // identical operation structure: divisions, one sqrt
     "ab_ztest" ->

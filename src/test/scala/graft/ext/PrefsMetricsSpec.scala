@@ -135,6 +135,40 @@ class PrefsMetricsSpec extends AnyFunSuite {
     assert(z1 == 10.0, s"p1=1, p0=0, pooled .5 -> z = 1/sqrt(.25*.04) = 10, got $z1")
   }
 
+  test("isotonicCalibration: minimax equals hand PAVA, pools the violation") {
+    // rates .2, .6, .4, .9 -> PAVA pools bins 1-2 to .5
+    val rows = Seq.tabulate(10)(i => (0L, i < 2)) ++
+      Seq.tabulate(10)(i => (1L, i < 6)) ++
+      Seq.tabulate(10)(i => (2L, i < 4)) ++
+      Seq.tabulate(10)(i => (3L, i < 9))
+    val out = Quality.isotonicCalibration(rows.toDF("b", "o"), col("b"),
+      col("o")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Double]("iso_rate") == 0.2)
+    assert(out(1L).getAs[Double]("iso_rate") == 0.5)
+    assert(out(2L).getAs[Double]("iso_rate") == 0.5)
+    assert(out(3L).getAs[Double]("iso_rate") == 0.9)
+    // the fit is monotone and preserves the pooled mass
+    val iso = (0L to 3L).map(out(_).getAs[Double]("iso_rate"))
+    assert(iso == iso.sorted)
+    assert(iso.map(_ * 10).sum == 21.0)
+  }
+
+  test("conformalThreshold: exact rank rule, NULL when coverage unattainable") {
+    val big = (1 to 10).map(v => ("a", v.toLong)) ++
+      (1 to 3).map(v => ("tiny", v.toLong))
+    val out = Quality.conformalThreshold(big.toDF("g", "cents"), col("g"),
+      col("cents")).collect().map(r => r.getString(0) -> r).toMap
+    // n=10: rank = ceil(0.9*11) = 10 -> the 10th smallest = 10
+    assert(out("a").getAs[Long]("rank") == 10)
+    assert(out("a").getAs[Long]("threshold_cents") == 10L)
+    // n=3: rank = ceil(0.9*4) = 4 > n -> cannot certify
+    assert(out("tiny").getAs[Long]("rank") == 4)
+    assert(out("tiny").isNullAt(out("tiny").fieldIndex("threshold_cents")))
+    // coverage: at least 90% of calibration scores sit at or under the cut
+    val cov = big.count { case (g, v) => g == "a" && v <= 10 } / 10.0
+    assert(cov >= 0.9)
+  }
+
   // ---- maintained HLL ----------------------------------------------------
 
   test("absorbHllBatch: maintained sketch equals one-shot union, 5% band holds") {
