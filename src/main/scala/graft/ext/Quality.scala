@@ -949,6 +949,85 @@ object Quality {
       .agg(min(when(col("cr") >= col("rank"), col("v"))).as("threshold_cents"))
   }
 
+  /** Spearman rank correlation between two integer signals — "do these
+    * two quality signals agree on ordering" (the question behind
+    * [[qualityEnsemble]]'s decile summing and every signal-redundancy
+    * audit), tie-corrected by computing Pearson on DOUBLED average ranks:
+    * a tie group's average rank `(first + last)/2` doubles to the integer
+    * `2·rank_min + ties − 1`, so all five correlation sums stay EXACT in
+    * decimal(38,0) and the statistic is two correctly-rounded doubles, a
+    * sqrt, and one division — bit-identical across engines (the doubling
+    * cancels algebraically in the correlation).
+    *
+    * Scale: ranks come from the exact integer rank rule over DISTINCT
+    * values per signal (cumulative counts — never a row-level global
+    * sort), joined back as a broadcast (distinct-value cardinality); the
+    * five sums are one partial-agged pass. */
+  def spearmanCorr(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    // doubled average rank of the tie group at value v: with `before`
+    // smaller values, ranks run before+1 .. before+c, so
+    // 2·avg = 2·(before+1) + (c−1)
+    val base = df.select(x.cast("long").as("__x"), y.cast("long").as("__y"))
+    val withRx = {
+      val counts = base.groupBy("__x").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("__x").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val r = counts.withColumn("__b", coalesce(sum(col("c")).over(w), lit(0L)))
+        .select(col("__x"), (lit(2) * (col("__b") + 1) + col("c") - 1).as("rx"))
+      base.join(broadcast(r), Seq("__x"))
+    }
+    val ranked = {
+      val counts = base.groupBy("__y").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("__y").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val r = counts.withColumn("__b", coalesce(sum(col("c")).over(w), lit(0L)))
+        .select(col("__y"), (lit(2) * (col("__b") + 1) + col("c") - 1).as("ry"))
+      withRx.join(broadcast(r), Seq("__y"))
+    }
+    val a = ranked.select(col("rx").cast(dec).as("rx"), col("ry").cast(dec).as("ry"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+    a.select(col("n").cast("long").as("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+        .as("spearman"))
+  }
+
+  /** Contingency deviation table between two categorical columns — the
+    * per-cell χ² decomposition (observed O, expected E = row·col/N, the
+    * cell's χ² contribution (O·N − row·col)²/(N·row·col)) that answers
+    * "WHICH (source, label) cells are off", not just whether the whole
+    * table is. The scalar χ² is deliberately NOT emitted: summing the
+    * per-cell doubles is summation-order nondeterministic — sum the
+    * (deterministic) cells downstream if the omnibus number is wanted.
+    *
+    * One pass to the K×L cell counts plus two marginal aggregates, all
+    * bounded by category cardinality; each emitted value is one division
+    * of exact decimal(38,0) products. */
+  def contingencyCells(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val pairs = df.select(a.as("cat_a"), b.as("cat_b"))
+    val cells = pairs.groupBy("cat_a", "cat_b").agg(count(lit(1)).as("o"))
+    val ra = pairs.groupBy("cat_a").agg(count(lit(1)).as("row_n"))
+    val rb = pairs.groupBy("cat_b").agg(count(lit(1)).as("col_n"))
+    val n = pairs.agg(count(lit(1)).cast(dec).as("__N"))
+    val dev = col("o").cast(dec) * col("__N") -
+      col("row_n").cast(dec) * col("col_n").cast(dec)
+    cells.join(broadcast(ra), Seq("cat_a")).join(broadcast(rb), Seq("cat_b"))
+      .crossJoin(broadcast(n))
+      .select(col("cat_a"), col("cat_b"), col("o"), col("row_n"), col("col_n"),
+        ((col("row_n").cast(dec) * col("col_n").cast(dec)).cast("double") /
+          col("__N").cast("double")).as("expected"),
+        ((dev * dev).cast("double") /
+          (col("__N") * col("row_n").cast(dec) * col("col_n").cast(dec))
+            .cast("double")).as("chisq_term"))
+  }
+
   /** Two-proportion z statistic for an A/B split (pooled standard error)
     * — the experiment readout for "did the new filter change the accept
     * rate": `z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₁ + 1/n₀))`. Emits the z
@@ -1044,6 +1123,16 @@ object Quality {
     "brier_decomp" -> ((s, dir) =>
       brierDecomposition(SparkEntry.table(s, dir, "documents"),
         col("doc_id") % 10, nBins = 10, col("lang") === "en")),
+    // do document length and vocabulary size rank documents the same way
+    "spearman_corr" -> ((s, dir) => {
+      val d = SparkEntry.table(s, dir, "documents")
+      spearmanCorr(d, col("n_chars"),
+        size(array_distinct(split(col("text"), " "))))
+    }),
+    // which (lang, source) cells deviate from independence
+    "chisq_cells" -> ((s, dir) =>
+      contingencyCells(SparkEntry.table(s, dir, "documents"), col("lang"),
+        col("source"))),
     // the monotone repair of the same binned forecast
     "isotonic_calibration" -> ((s, dir) =>
       isotonicCalibration(SparkEntry.table(s, dir, "documents"),
@@ -1221,6 +1310,52 @@ object Quality {
         |  CAST(pos * (nn - pos) AS DOUBLE) / CAST(nn * nn AS DOUBLE)
         |    AS uncertainty
         |FROM b, t""".stripMargin,
+
+    // same doubled average ranks from distinct-value cumulative counts,
+    // same five HUGEINT sums, one division over one sqrt
+    "spearman_corr" ->
+      """WITH base AS (SELECT n_chars AS x,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+        |  FROM documents),
+        |cx AS (SELECT x, count(*) AS c FROM base GROUP BY 1),
+        |rx AS (SELECT x,
+        |    2 * (COALESCE(sum(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+        |      + c - 1 AS rx
+        |  FROM cx),
+        |cy AS (SELECT y, count(*) AS c FROM base GROUP BY 1),
+        |ry AS (SELECT y,
+        |    2 * (COALESCE(sum(c) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+        |      + c - 1 AS ry
+        |  FROM cy),
+        |j AS (SELECT CAST(rx AS HUGEINT) AS rx, CAST(ry AS HUGEINT) AS ry
+        |  FROM base JOIN rx USING (x) JOIN ry USING (y)),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(rx) AS sx,
+        |    sum(ry) AS sy, sum(rx * ry) AS sxy, sum(rx * rx) AS sxx,
+        |    sum(ry * ry) AS syy
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)) AS spearman
+        |FROM a""".stripMargin,
+
+    // same HUGEINT marginal products, one division per emitted value
+    "chisq_cells" ->
+      """WITH p AS (SELECT lang AS cat_a, source AS cat_b FROM documents),
+        |cells AS (SELECT cat_a, cat_b, count(*) AS o FROM p GROUP BY 1, 2),
+        |ra AS (SELECT cat_a, count(*) AS row_n FROM p GROUP BY 1),
+        |rb AS (SELECT cat_b, count(*) AS col_n FROM p GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM p)
+        |SELECT cat_a, cat_b, o, row_n, col_n,
+        |  CAST(CAST(row_n AS HUGEINT) * col_n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS expected,
+        |  CAST((CAST(o AS HUGEINT) * nn - CAST(row_n AS HUGEINT) * col_n)
+        |     * (CAST(o AS HUGEINT) * nn - CAST(row_n AS HUGEINT) * col_n)
+        |    AS DOUBLE) /
+        |    CAST(nn * row_n * col_n AS DOUBLE) AS chisq_term
+        |FROM cells JOIN ra USING (cat_a) JOIN rb USING (cat_b), t""".stripMargin,
 
     // same minimax intervals over the same integer prefix sums
     "isotonic_calibration" ->

@@ -169,6 +169,32 @@ class PrefsMetricsSpec extends AnyFunSuite {
     assert(cov >= 0.9)
   }
 
+  test("spearmanCorr: hand values, monotone = 1, ties use average ranks") {
+    def rho(pairs: Seq[(Long, Long)]): Double =
+      Quality.spearmanCorr(pairs.toDF("x", "y"), col("x"), col("y"))
+        .head().getAs[Double]("spearman")
+    assert(rho(Seq((1L, 5L), (2L, 7L), (3L, 9L))) == 1.0)
+    assert(rho(Seq((1L, 9L), (2L, 7L), (3L, 5L))) == -1.0)
+    // x=[1,2,3,4], y=[1,3,2,4]: d2=2 -> 1 - 12/60 = 0.8
+    assert(rho(Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L))) == 0.8)
+    // ties: x=[1,2,2,3] vs y=[1,5,5,9] is still a perfect monotone match
+    assert(rho(Seq((1L, 1L), (2L, 5L), (2L, 5L), (3L, 9L))) == 1.0)
+  }
+
+  test("contingencyCells: independent table is all-zero, 2x2 hand value") {
+    val indep = (for (a <- Seq("p", "q"); b <- Seq("u", "v"); _ <- 1 to 10)
+      yield (a, b)).toDF("a", "b")
+    val z = Quality.contingencyCells(indep, col("a"), col("b")).collect()
+    assert(z.forall(_.getAs[Double]("chisq_term") == 0.0))
+    assert(z.forall(_.getAs[Double]("expected") == 10.0))
+    // [[30,10],[10,30]]: every cell term is exactly 5 (chi2 = 20)
+    val skew = (Seq.fill(30)(("a", "u")) ++ Seq.fill(10)(("a", "v")) ++
+      Seq.fill(10)(("b", "u")) ++ Seq.fill(30)(("b", "v"))).toDF("a", "b")
+    val cells = Quality.contingencyCells(skew, col("a"), col("b")).collect()
+    assert(cells.length == 4)
+    assert(cells.forall(_.getAs[Double]("chisq_term") == 5.0))
+  }
+
   // ---- maintained HLL ----------------------------------------------------
 
   test("absorbHllBatch: maintained sketch equals one-shot union, 5% band holds") {
