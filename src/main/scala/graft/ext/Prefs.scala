@@ -174,6 +174,18 @@ object Prefs {
     merged.withColumn("wins_b", col("n") - col("wins_a"))
   }
 
+  /** Continuous statistic maintenance over a streaming preference source
+    * — the [[Assoc.coocStream]] shape: each micro-batch of (item_a,
+    * item_b, winner) rows absorbs into the committed pair-count state,
+    * exactly-once across stop/restart (PrefsMetricsSpec drives it through
+    * the real shard source with a mid-corpus kill). */
+  def prefsStream(rows: DataFrame, stateDir: String)
+                 (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(absorbPrefsBatch(batch.sparkSession, stateDir, id, batch))
+    }
+
   // ---- driver gate ----------------------------------------------------
 
   private val GateIters = 12

@@ -108,6 +108,47 @@ class PrefsMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming BT statistic over the shard source: stop/restart == one-shot") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.ShardStream
+    val base = java.nio.file.Files.createTempDirectory("btstream").toString
+    // 300 deterministic comparisons over 4 items
+    val items = Array("A", "B", "C", "D")
+    val prefRows = (0 until 300).map { i =>
+      val a = items(i % 4); val b = items((i / 4 + 1 + i % 3) % 4)
+      if (a == b) null else {
+        val (lo, hi) = if (a < b) (a, b) else (b, a)
+        (i.toLong, lo, hi, if (i % 5 < 3) lo else hi)
+      }
+    }.filter(_ != null)
+    val oneShot = Prefs.btPairs(
+      prefRows.map { case (_, a, b, w) => (a, b, w) }
+        .toDF("item_a", "item_b", "winner")).collect().toSet
+    val streamDir = s"$base/stream"
+    ShardStream.writeShardDir(streamDir, prefRows.map { case (id, a, b, w) =>
+      ("s0", f"$id%012d", id.toString, s"$a,$b,$w", 1700000000000L + id) })
+    def run(stateDir: String, ckpt: String, trigger: Trigger): Set[Any] = {
+      var last = Set.empty[Any]
+      val src = spark.readStream.format("kinesiscat")
+        .option("path", streamDir)
+        .option("startingPosition", ShardStream.TrimHorizon)
+        .option("batchSize", "64").load()
+        .select(split(col("data").cast("string"), ",").as("f"))
+        .select(col("f")(0).as("item_a"), col("f")(1).as("item_b"),
+          col("f")(2).as("winner"))
+      val q = Prefs.prefsStream(src, stateDir) { stat =>
+        last = stat.collect().toSet
+      }.option("checkpointLocation", ckpt).trigger(trigger).start()
+      q.awaitTermination()
+      last
+    }
+    val unbroken = run(s"$base/stA", s"$base/ckptA", Trigger.AvailableNow())
+    assert(unbroken == oneShot, "uninterrupted stream must match one-shot")
+    run(s"$base/stB", s"$base/ckptB", Trigger.Once()) // killed mid-corpus
+    val resumed = run(s"$base/stB", s"$base/ckptB", Trigger.AvailableNow())
+    assert(resumed == oneShot, "resumed stream must match one-shot")
+  }
+
   // ---- Brier decomposition / A/B z ---------------------------------------
 
   test("brier: perfectly calibrated bins have zero reliability") {
