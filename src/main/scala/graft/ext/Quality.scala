@@ -761,21 +761,37 @@ object Quality {
       when(size(t) < n, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
           i => concat_ws("\u0001", slice(t, i, lit(n)))))
-    val tok = pairs.select(toks(cand).as("__c"), toks(ref).as("__r"))
-    val perRow = tok.select(
-      (1 to 4).flatMap { n =>
-        val cg = grams(col("__c"), n); val rg = grams(col("__r"), n)
-        Seq(
-          aggregate(array_distinct(cg), lit(0L), (acc, g) =>
-            acc + least(size(filter(cg, x => x === g)),
-                        size(filter(rg, x => x === g)))).as(s"__clip$n"),
-          size(cg).cast("long").as(s"__tot$n"))
-      } ++ Seq(size(col("__c")).cast("long").as("__lc"),
-               size(col("__r")).cast("long").as("__lr")): _*)
-    val aggCols = (1 to 4).flatMap(n => Seq(
-      sum(col(s"__clip$n")).as(s"clip$n"), sum(col(s"__tot$n")).as(s"tot$n"))) ++
-      Seq(sum(col("__lc")).as("c_len"), sum(col("__lr")).as("r_len"))
-    val agg = perRow.agg(aggCols.head, aggCols.tail: _*)
+    // a per-row HOF multiset fold here would be O(|distinct|*|tokens|)
+    // per row per order — quadratic in document length and outside
+    // whole-stage codegen (measured ~100x slower than columnar engines on
+    // document-length rows). Instead grams EXPLODE to (pair, n, gram)
+    // counts — linear in total grams — and clip via one co-partitioned
+    // inner join of the candidate/reference count tables (a gram missing
+    // from the reference clips to 0 and needs no row). The pair id is
+    // checkpointed so both count subtrees see identical ids.
+    val tok = pairs
+      .select(monotonically_increasing_id().as("__id"),
+        toks(cand).as("__c"), toks(ref).as("__r"))
+      .localCheckpoint(true)
+    def gramCounts(side: Column, out: String) = tok
+      .select(col("__id"),
+        explode(array((1 to 4).map(n => struct(lit(n).as("n"),
+          grams(side, n).as("gs"))): _*)).as("__e"))
+      .select(col("__id"), col("__e.n").as("n"), explode(col("__e.gs")).as("g"))
+      .groupBy("__id", "n", "g").agg(count(lit(1)).as(out))
+    val cc = gramCounts(col("__c"), "cc")
+    val rc = gramCounts(col("__r"), "rc")
+    val clips = cc.join(rc, Seq("__id", "n", "g"))
+      .groupBy("n").agg(sum(least(col("cc"), col("rc"))).as("clip"))
+    val perN = cc.groupBy("n").agg(sum(col("cc")).as("tot"))
+      .join(clips, Seq("n"), "left")
+    val wideCols = (1 to 4).flatMap(n => Seq(
+      coalesce(sum(when(col("n") === n, col("clip"))), lit(0L)).as(s"clip$n"),
+      coalesce(sum(when(col("n") === n, col("tot"))), lit(0L)).as(s"tot$n")))
+    val wide = perN.agg(wideCols.head, wideCols.tail: _*)
+    val lens = tok.agg(sum(size(col("__c"))).cast("long").as("c_len"),
+      sum(size(col("__r"))).cast("long").as("r_len"))
+    val agg = wide.crossJoin(lens)
     // a corpus with no n-grams at order n (every row shorter than n) has
     // undefined p_n — NULL, not a div-by-zero (ANSI) or a fake 0
     val ps = (1 to 4).map(n =>

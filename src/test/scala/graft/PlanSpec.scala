@@ -774,12 +774,21 @@ class PlanSpec extends AnyFunSuite {
     assertNoCartesian("token_f1", p)
   }
 
-  test("bleu_corpus: narrow per-row HOFs, ONE single-row aggregate, no joins") {
+  test("bleu_corpus: exploded gram counts clip via a co-partitioned join") {
     val p = physical("bleu_corpus")
-    assertNoCartesian("bleu_corpus", p)
-    assert(shuffles(p) == 1, s"expected only the final-agg exchange:\n$p")
-    assert(count(p) { case _: FileSourceScanExec => } == 1,
-      s"one corpus scan:\n$p")
+    // the clip join co-partitions on the (pair, n, gram) aggregation keys;
+    // never a cartesian, and the corpus is checkpointed (zero re-scans)
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0,
+      s"bleu_corpus has a cartesian product:\n$p")
+    assert(count(p) { case _: FileSourceScanExec => } == 0,
+      s"all legs must read the checkpointed token table:\n$p")
+    // the final single-row assembly rides broadcast nested loops BY
+    // DESIGN (1×1 rows); the clip join itself must be an EQUI-join on the
+    // exploded count keys (broadcast at test scale, SMJ at corpus scale)
+    assert(count(p) { case _: joins.SortMergeJoinExec => } +
+      count(p) { case _: joins.ShuffledHashJoinExec => } +
+      count(p) { case _: joins.BroadcastHashJoinExec => } >= 1,
+      s"the clip join must be a keyed equi-join:\n$p")
   }
 
   test("ols_trend / ab_ztest: one partial-agged exchange, zero joins") {
