@@ -1005,10 +1005,60 @@ object Similarity {
     } yield s"($t, $j, [${h.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")}])")
       .mkString(",\n  ")
 
+  /** Label-relevance retrieval quality over the EXACT cosine top-k:
+    * precision@{1,5,k} and MRR@k, with "relevant" = the neighbor shares
+    * the query's label — the intrinsic-eval loop for an embedding model
+    * (is the index returning same-class items?). MRR is kept EXACT:
+    * reciprocal ranks scale by LCM(1..10) = 2520 so every per-query
+    * contribution is an integer (2520/r for r ≤ 10 divides evenly), and
+    * each emitted metric is ONE correctly-rounded division of integer
+    * sums — bit-identical across engines, never a float mean of floats.
+    *
+    * Scale: rides [[annTopK]]'s broadcast-query shape (corpus never
+    * shuffles); the label join touches only the nq·k result rows. */
+  def knnLabelMetrics(emb: DataFrame, queries: DataFrame,
+                      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 10, "the LCM-2520 MRR scaling covers k <= 10")
+    val topk = annTopK(emb, queries, k)
+    val ql = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("label").as("__ql")))
+    val nl = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("__nl"))
+    val rel = topk.join(ql, Seq("query_id")).join(nl, Seq("neighbor_id"))
+      .select(col("query_id"), col("rank"),
+        (col("__ql") === col("__nl")).cast("long").as("rel"))
+    val perQ = rel.groupBy("query_id").agg(
+      sum(when(col("rank") === 1, col("rel")).otherwise(0L)).as("rel1"),
+      sum(when(col("rank") <= 5, col("rel")).otherwise(0L)).as("rel5"),
+      sum(col("rel")).as("relk"),
+      min(when(col("rel") === 1, col("rank"))).as("__fr"))
+    // 2520/r is exact for every r ≤ 10; a query with no relevant neighbor
+    // contributes 0
+    val scaled = perQ.withColumn("__rr",
+      coalesce((lit(2520) / col("__fr")).cast("long"), lit(0L)))
+    scaled.agg(count(lit(1)).as("n_queries"), sum(col("rel1")).as("s1"),
+        sum(col("rel5")).as("s5"), sum(col("relk")).as("sk"),
+        sum(col("__rr")).as("sr"))
+      .select(col("n_queries"),
+        (col("s1").cast("double") / col("n_queries").cast("double"))
+          .as("p_at_1"),
+        (col("s5").cast("double") /
+          (lit(5L) * col("n_queries")).cast("double")).as("p_at_5"),
+        (col("sk").cast("double") /
+          (lit(k.toLong) * col("n_queries")).cast("double")).as(s"p_at_k"),
+        (col("sr").cast("double") /
+          (lit(2520L) * col("n_queries")).cast("double")).as("mrr"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_topk" -> ((s, dir) => {
       val emb = SparkEntry.table(s, dir, "embeddings")
       annTopK(emb, emb.where(col("vec_id") < GateQueryMaxId), k = GateK)
+    }),
+    // label-match precision/MRR of the exact index on the 10 gate queries
+    "knn_label_metrics" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      knnLabelMetrics(emb, emb.where(col("vec_id") < GateQueryMaxId), k = 10)
     }),
     // two "languages" = the even/odd id halves; mutual-NN pairs whose
     // margin clears 1.0 (above their own neighborhoods' average)
@@ -1313,6 +1363,29 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "ann_topk" -> annTopkOracleSql,
+    // same (sim DESC, id) rank rule, same LCM-2520 integer reciprocals,
+    // same single divisions
+    "knn_label_metrics" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+        |  FROM embeddings WHERE vec_id < $GateQueryMaxId),
+        |s AS (SELECT q.query_id,
+        |    CASE WHEN q.ql = e.label THEN 1 ELSE 0 END AS rel,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+        |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |t AS (SELECT query_id,
+        |    sum(CASE WHEN rank = 1 THEN rel ELSE 0 END) AS rel1,
+        |    sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) AS rel5,
+        |    sum(rel) AS relk,
+        |    COALESCE(2520 // min(CASE WHEN rel = 1 THEN rank END), 0) AS rr
+        |  FROM s WHERE rank <= 10 GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(rel1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS p_at_1,
+        |  CAST(sum(rel5) AS DOUBLE) / CAST(5 * count(*) AS DOUBLE) AS p_at_5,
+        |  CAST(sum(relk) AS DOUBLE) / CAST(10 * count(*) AS DOUBLE) AS p_at_k,
+        |  CAST(sum(rr) AS DOUBLE) / CAST(2520 * count(*) AS DOUBLE) AS mrr
+        |FROM t""".stripMargin,
     "bitext_mine" ->
       s"""WITH $bitextSidesSql,
         |s AS (SELECT sid, tid, list_cosine_similarity(a.e, b.e) AS sim FROM a, b),

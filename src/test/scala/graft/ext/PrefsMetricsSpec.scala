@@ -236,6 +236,31 @@ class PrefsMetricsSpec extends AnyFunSuite {
     assert(cells.forall(_.getAs[Double]("chisq_term") == 5.0))
   }
 
+  test("knnLabelMetrics: hand values on a planted neighborhood") {
+    // query 0 (label 1) with axis-aligned unit vectors: neighbors ranked
+    // by cosine are exactly vecs 1, 2, 3 (same axis scaled), labels
+    // 1, 1, 2 -> p@1 = 1, first relevant rank 1 -> mrr = 1
+    def v(axis: Int, scale: Float) =
+      Array.tabulate(4)(i => if (i == axis) scale else 0.0f).toSeq
+    val emb = Seq(
+      (0L, v(0, 1.0f), 1), (1L, v(0, 2.0f), 1), (2L, v(0, 3.0f), 1),
+      (3L, v(0, 4.0f), 2), (4L, v(1, 1.0f), 9), (5L, v(2, 1.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Similarity.knnLabelMetrics(emb,
+      emb.where(col("vec_id") === 0), k = 5).head()
+    assert(m.getAs[Long]("n_queries") == 1)
+    assert(m.getAs[Double]("p_at_1") == 1.0)
+    assert(m.getAs[Double]("mrr") == 1.0)
+    // 5 ranked candidates, 2 of them share label 1 -> p@5 = 2/5
+    assert(m.getAs[Double]("p_at_5") == 0.4)
+    // a query whose label appears nowhere contributes rr = 0
+    val lone = Similarity.knnLabelMetrics(
+      emb.withColumn("label", when(col("vec_id") === 0, 77).otherwise(col("label"))),
+      emb.where(col("vec_id") === 0).withColumn("label", lit(77)), k = 5)
+      .head()
+    assert(lone.getAs[Double]("mrr") == 0.0)
+  }
+
   // ---- maintained HLL ----------------------------------------------------
 
   test("absorbHllBatch: maintained sketch equals one-shot union, 5% band holds") {
