@@ -1044,6 +1044,82 @@ object Quality {
             .cast("double")).as("chisq_term"))
   }
 
+  /** WindowDiff segmentation agreement (Pevzner & Hearst 2002) between a
+    * reference and hypothesized boundary vector per document — the
+    * standard eval for text-segmentation operators like
+    * [[TextAnalysis.semanticBoundaries]]: slide a k-slot window over the
+    * N−1 inter-token boundary slots and count windows where the two
+    * segmentations place a DIFFERENT number of boundaries;
+    * `wd = disagreements / (B − k + 1)`. Near-miss tolerant where raw
+    * boundary F1 is not (a boundary off by one slot only perturbs k
+    * windows). All counts integer, one division per document.
+    *
+    * Boundary vectors are `array<boolean>` of length N−1 (slot i =
+    * boundary after token i). Scale: one posexplode to (doc, slot) rows,
+    * one doc-keyed exchange, O(1) running frames — linear, no joins. */
+  def windowDiff(df: DataFrame, id: Column, refB: Column, hypB: Column,
+                 k: Int = 4): DataFrame = {
+    require(k >= 1, "window must be positive")
+    val slots = df
+      .select(id.as("id"), posexplode(arrays_zip(refB.as("r"), hypB.as("h")))
+        .as(Seq("pos", "__s")))
+      .select(col("id"), col("pos"),
+        col("__s.r").cast("long").as("r"), col("__s.h").cast("long").as("h"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("pos").asc).rowsBetween(0, k - 1)
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    slots
+      .withColumn("rs", sum(col("r")).over(wf))
+      .withColumn("hs", sum(col("h")).over(wf))
+      .withColumn("__slots", count(lit(1)).over(wb))
+      // windows that fit fully: pos 0 .. B-k
+      .where(col("pos") <= col("__slots") - k)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum((col("rs") =!= col("hs")).cast("long")).as("n_disagree"))
+      .withColumn("window_diff",
+        col("n_disagree").cast("double") / col("n_windows").cast("double"))
+  }
+
+  /** Per-row robust scaling `(v − median) / IQR` within each group — the
+    * outlier-insensitive feature normalization ([[madOutliers]]' cousin
+    * for continuous scores): quartiles by the exact integer rank rule
+    * (value at rank ⌈p·n⌉) over DISTINCT values per group, never a
+    * row-level sort; the scale itself is a broadcast join back and one
+    * scan-time division per row. Zero-IQR groups (over half the mass on
+    * one value) emit NULL — not a division blow-up. */
+  def robustScale(df: DataFrame, group: Column, valueCents: Column,
+                  idCol: Column): DataFrame = {
+    val counts = df.select(group.as("grp"), valueCents.cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val ranked = counts
+      .withColumn("cr", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(wg))
+    // rank ⌈p·n⌉ with p = num/4 in exact integers
+    def target(num: Int) = {
+      val a = lit(num.toLong) * col("n")
+      ((a - pmod(a, lit(4L))) / lit(4L)).cast("long") +
+        when(pmod(a, lit(4L)) > 0, 1L).otherwise(0L)
+    }
+    val quart = ranked
+      .groupBy("grp")
+      .agg(min(when(col("cr") >= target(1), col("v"))).as("q1"),
+        min(when(col("cr") >= target(2), col("v"))).as("median_cents"),
+        min(when(col("cr") >= target(3), col("v"))).as("q3"))
+      .withColumn("iqr_cents", col("q3") - col("q1"))
+    df.select(group.as("grp"), idCol.as("id"), valueCents.cast("long").as("cents"))
+      .join(broadcast(quart.select("grp", "median_cents", "iqr_cents")),
+        Seq("grp"))
+      .withColumn("robust_score",
+        when(col("iqr_cents") === 0, lit(null).cast("double"))
+          .otherwise((col("cents") - col("median_cents")).cast("double") /
+            col("iqr_cents").cast("double")))
+  }
+
   /** Two-proportion z statistic for an A/B split (pooled standard error)
     * — the experiment readout for "did the new filter change the accept
     * rate": `z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₁ + 1/n₀))`. Emits the z
@@ -1157,6 +1233,24 @@ object Quality {
     "conformal_threshold" -> ((s, dir) =>
       conformalThreshold(SparkEntry.table(s, dir, "events"),
         col("event_type"), round(col("value") * 100).cast("long"))),
+    // reference = a boundary every 10 tokens; hypothesis = after any
+    // long token (>= 8 chars) — both engines derive the vectors from the
+    // corpus identically
+    "windowdiff_eval" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      val d = SparkEntry.table(s, dir, "documents")
+        .where(size(w) >= 2)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(w) - 1), i => i % 10 === 0)
+            .as("rb"),
+          transform(sequence(lit(1), size(w) - 1),
+            i => length(element_at(w, i)) >= 8).as("hb"))
+      windowDiff(d, col("doc_id"), col("rb"), col("hb"), k = 4)
+    }),
+    // event spend robust-scaled within its type
+    "robust_scale" -> ((s, dir) =>
+      robustScale(SparkEntry.table(s, dir, "events"), col("event_type"),
+        round(col("value") * 100).cast("long"), col("event_id"))),
     // odd users the treatment arm, value > 50 the success metric
     "ab_ztest" -> ((s, dir) =>
       abZTest(SparkEntry.table(s, dir, "events"),
@@ -1414,6 +1508,55 @@ object Quality {
         |SELECT grp, n, CAST(rank AS BIGINT) AS rank,
         |  min(CASE WHEN cr >= rank THEN v END) AS threshold_cents
         |FROM k GROUP BY 1, 2, 3""".stripMargin,
+
+    // same boundary vectors, same k-slot window sums, one division/doc
+    "windowdiff_eval" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |s AS (SELECT doc_id, i.i AS pos,
+        |    CASE WHEN i.i % 10 = 0 THEN 1 ELSE 0 END AS r,
+        |    CASE WHEN len(w[i.i]) >= 8 THEN 1 ELSE 0 END AS h
+        |  FROM d, LATERAL unnest(range(1, len(w))) AS i(i)),
+        |f AS (SELECT doc_id, pos,
+        |    CAST(sum(r) OVER wk AS BIGINT) AS rs,
+        |    CAST(sum(h) OVER wk AS BIGINT) AS hs,
+        |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS slots
+        |  FROM s
+        |  WINDOW wk AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+        |SELECT doc_id AS id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN rs <> hs THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_disagree,
+        |  CAST(sum(CASE WHEN rs <> hs THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS window_diff
+        |FROM f WHERE pos <= slots - 3
+        |GROUP BY 1""".stripMargin,
+
+    // same distinct-value rank rule, same quartile targets, one division
+    "robust_scale" ->
+      """WITH v AS (SELECT event_type AS grp, event_id AS id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT grp, cents AS val, count(*) AS c FROM v GROUP BY 1, 2),
+        |r AS (SELECT grp, val,
+        |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY val
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cr,
+        |    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM c),
+        |q AS (SELECT grp,
+        |    min(CASE WHEN cr >= (1 * n) // 4 +
+        |      (CASE WHEN (1 * n) % 4 > 0 THEN 1 ELSE 0 END) THEN val END) AS q1,
+        |    min(CASE WHEN cr >= (2 * n) // 4 +
+        |      (CASE WHEN (2 * n) % 4 > 0 THEN 1 ELSE 0 END) THEN val END)
+        |      AS median_cents,
+        |    min(CASE WHEN cr >= (3 * n) // 4 +
+        |      (CASE WHEN (3 * n) % 4 > 0 THEN 1 ELSE 0 END) THEN val END) AS q3
+        |  FROM r GROUP BY 1)
+        |SELECT v.grp, v.id, v.cents, q.median_cents,
+        |  q.q3 - q.q1 AS iqr_cents,
+        |  CASE WHEN q.q3 - q.q1 = 0 THEN NULL
+        |       ELSE CAST(v.cents - q.median_cents AS DOUBLE) /
+        |            CAST(q.q3 - q.q1 AS DOUBLE) END AS robust_score
+        |FROM v JOIN q USING (grp)""".stripMargin,
 
     // identical operation structure: divisions, one sqrt
     "ab_ztest" ->

@@ -261,6 +261,35 @@ class PrefsMetricsSpec extends AnyFunSuite {
     assert(lone.getAs[Double]("mrr") == 0.0)
   }
 
+  test("windowDiff: zero on identical segmentation, near-miss beats far-miss") {
+    def wd(r: Seq[Boolean], h: Seq[Boolean]): Double =
+      Quality.windowDiff(Seq((1L, r, h)).toDF("id", "rb", "hb"),
+        col("id"), col("rb"), col("hb"), k = 2)
+        .head().getAs[Double]("window_diff")
+    val ref = Seq(true, false, false, false, false)
+    assert(wd(ref, ref) == 0.0)
+    // boundary off by ONE slot perturbs fewer windows than one far away
+    val near = wd(ref, Seq(false, true, false, false, false))
+    val far = wd(ref, Seq(false, false, false, false, true))
+    assert(near == 0.25 && far == 0.5 && near < far)
+  }
+
+  test("robustScale: hand quartiles, zero-IQR group yields NULL") {
+    val rows = (1 to 8).map(v => ("g", v.toLong, v.toLong)) ++
+      (1 to 4).map(i => ("flat", 100L + i, 7L))
+    val out = Quality.robustScale(rows.toDF("grp", "id", "cents"),
+      col("grp"), col("cents"), col("id")).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("id")) -> r).toMap
+    // group g: q1=2, median=4, q3=6 -> iqr 4; v=8 scales to 1.0
+    val g8 = out(("g", 8L))
+    assert(g8.getAs[Long]("median_cents") == 4L)
+    assert(g8.getAs[Long]("iqr_cents") == 4L)
+    assert(g8.getAs[Double]("robust_score") == 1.0)
+    assert(out(("g", 4L)).getAs[Double]("robust_score") == 0.0)
+    val f = out(("flat", 101L))
+    assert(f.isNullAt(f.fieldIndex("robust_score")))
+  }
+
   // ---- maintained HLL ----------------------------------------------------
 
   test("absorbHllBatch: maintained sketch equals one-shot union, 5% band holds") {
