@@ -117,14 +117,15 @@ object ScaleProbe {
     val r10bOnly = args.length > 1 && args(1) == "r10b"
     val r11Only = args.length > 1 && args(1) == "r11"
     val r11bOnly = args.length > 1 && args(1) == "r11b"
+    val r11cOnly = args.length > 1 && args(1) == "r11c"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
-    if (!r10Only && !r10bOnly && !r11bOnly) { d1.count(); dN.count() } // r11 kn probe reuses d1/dN
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly) { dSkew.count(); dSkew1.count() }
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly) { e1.count(); eN.count() }
+    if (!r10Only && !r10bOnly && !r11bOnly) { d1.count(); dN.count() } // r11 kn/r11c probes reuse d1/dN
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly) { e1.count(); eN.count() }
     if (r9gOnly) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
@@ -143,7 +144,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly) { cent1; centN }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -452,11 +453,34 @@ object ScaleProbe {
           ext.Similarity.bitextMineIvf(sN, tN, nCells = cellsBN).count() })
     }
 
+    // the rewritten round-11 heavyweights: BLEU's exploded-gram clip join
+    // and the per-gram-source-set overlap matrix. The word-suffixed linear
+    // corpus grows the gram tables exactly REP x (disjoint gram spaces per
+    // replica, the same 20 sources), so both must hold a linear exponent.
+    def r11cProbes = {
+      def bleuPairs(df: DataFrame) = {
+        val w = split(col("text"), " ")
+        df.select(col("text").as("cand"),
+          array_join(slice(w, lit(1), greatest(size(w) - 2, lit(1))), " ")
+            .as("ref"))
+      }
+      Seq(
+        time("bleu_1x") {
+          force(ext.Quality.bleuCorpus(bleuPairs(d1), col("cand"), col("ref"))) },
+        time(s"bleu_${rep}x") {
+          force(ext.Quality.bleuCorpus(bleuPairs(dN), col("cand"), col("ref"))) },
+        time("src_overlap_1x") {
+          force(ext.Hygiene.sourceOverlap(d1, col("source"))) },
+        time(s"src_overlap_${rep}x") {
+          force(ext.Hygiene.sourceOverlap(dN, col("source"))) })
+    }
+
     val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes
     else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes
     else if (r10Only) r10Probes
     else if (r11Only) r11Probes
     else if (r11bOnly) r11bProbes
+    else if (r11cOnly) r11cProbes
     else if (r10bOnly) r10bProbes
     else if (r9gOnly) r9gProbes
     else if (r9fOnly) r9fProbes
