@@ -877,26 +877,27 @@ object Hygiene {
           (col("__k") * col("__sx")).cast("double")).as("gini"))
   }
 
-  /** Distinct (group, word-trigram) pairs — the shared input of
-    * [[sourceNovelty]] and [[sourceOverlap]]. One gram-keyed distinct. */
-  private def groupGrams(df: DataFrame, group: Column): DataFrame = {
-    val w = split(col("text"), " ")
-    df.select(group.as("grp"),
-        explode(when(size(w) >= 3,
-          transform(sequence(lit(1), size(w) - 2), i =>
-            concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-              element_at(w, i + 2))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-      .distinct()
-  }
-
   /** The per-gram SORTED source set — the shared statistic behind
     * [[sourceNovelty]] and [[sourceOverlap]]. Source cardinality bounds
     * each set (10s-100s of providers), so a gram's row is small no matter
-    * the corpus. One distinct + one gram-keyed aggregation. */
-  private def gramSources(df: DataFrame, source: Column): DataFrame =
-    groupGrams(df, source).groupBy("gram")
+    * the corpus. ONE gram-keyed aggregation: `collect_set` dedups
+    * map-side (no separate distinct shuffle), and the key is the gram's
+    * xxhash64 — the gram text never reaches either consumer's output, so
+    * 8-byte keys replace ~25-byte strings on the only corpus-sized
+    * exchange (the [[graft.ext.Dedup]] hash-keyed-index precedent; a
+    * 64-bit collision would merge two grams' source sets — ~10⁻⁵ odds at
+    * 10⁹ distinct grams, and the driver oracle would catch it). */
+  private def gramSources(df: DataFrame, source: Column): DataFrame = {
+    val w = split(col("text"), " ")
+    df.select(source.as("grp"),
+        explode(when(size(w) >= 3,
+          transform(sequence(lit(1), size(w) - 2), i =>
+            xxhash64(concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+              element_at(w, i + 2)))))
+          .otherwise(array().cast("array<long>"))).as("gram"))
+      .groupBy("gram")
       .agg(sort_array(collect_set(col("grp"))).as("srcs"))
+  }
 
   /** Per-source content novelty: of each source's distinct word-trigrams,
     * how many appear in NO other source — the data-valuation signal for

@@ -773,11 +773,17 @@ object Quality {
       .select(monotonically_increasing_id().as("__id"),
         toks(cand).as("__c"), toks(ref).as("__r"))
       .localCheckpoint(true)
+    // gram text never reaches the output (only counts do), so the
+    // count/join key is the gram's xxhash64 — 8-byte keys on the
+    // corpus-sized exchanges instead of strings (a 64-bit collision
+    // would merge two gram counts; ~10⁻⁵ odds at 10⁹ grams, and the
+    // driver oracle would catch it)
     def gramCounts(side: Column, out: String) = tok
       .select(col("__id"),
         explode(array((1 to 4).map(n => struct(lit(n).as("n"),
           grams(side, n).as("gs"))): _*)).as("__e"))
-      .select(col("__id"), col("__e.n").as("n"), explode(col("__e.gs")).as("g"))
+      .select(col("__id"), col("__e.n").as("n"), explode(col("__e.gs")).as("__g"))
+      .select(col("__id"), col("n"), xxhash64(col("__g")).as("g"))
       .groupBy("__id", "n", "g").agg(count(lit(1)).as(out))
     val cc = gramCounts(col("__c"), "cc")
     val rc = gramCounts(col("__r"), "rc")
