@@ -166,12 +166,14 @@ object Freq {
   def absorbHhBatch(spark: SparkSession, stateDir: String, batchId: Long,
                     terms: DataFrame, m: Int): DataFrame = {
     import spark.implicits._
-    val mg = udaf(new MgSketch(m), org.apache.spark.sql.Encoders.STRING)
-    val row = terms.agg(mg(col("term")).as("s"), count(lit(1)).as("n")).head()
+    // load state FIRST: a replayed batch must not pay the sketch
+    // aggregation job only to discard its result
     val (sketch0, n0, lastId) = loadHhState(spark, stateDir)
     val (sketch, n) =
       if (lastId.exists(_ >= batchId)) (sketch0, n0) // replayed batch: no-op
       else {
+        val mg = udaf(new MgSketch(m), org.apache.spark.sql.Encoders.STRING)
+        val row = terms.agg(mg(col("term")).as("s"), count(lit(1)).as("n")).head()
         val merged = MgSketch.mergeMaps(sketch0,
           row.getMap[String, Long](0).toMap, m)
         val total = n0 + row.getLong(1)

@@ -108,7 +108,10 @@ object Quality {
         .groupBy("i").agg(sum("r").as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       for (i <- 0 to dim) {
-        v(i) = momentum * v(i) + grad.getOrElse(i, 0.0) / n + l2 * w(i)
+        // standard ridge logistic regression leaves the intercept
+        // (index dim) unregularized — shrinking it biases the base rate
+        val reg = if (i == dim) 0.0 else l2 * w(i)
+        v(i) = momentum * v(i) + grad.getOrElse(i, 0.0) / n + reg
         w(i) -= lr * v(i)
       }
     }
@@ -306,6 +309,14 @@ object Quality {
     * per-(sig, partition) totals (the only driver state), broadcasts the
     * offsets, and unpersists afterwards. The shared core of every
     * rank-statistic consumer (quantile boundaries, [[aucExact]]). */
+  /** Stand-in for a NULL signal id in the broadcast offset map: Catalyst
+    * map literals cannot hold a null key and `concat_ws` silently DROPS a
+    * null argument, so both the driver-side key and the plan-side lookup
+    * coalesce NULL to this sentinel (a control character no real group
+    * value contains) — a NULL slice spanning several range partitions
+    * gets its true offset, not a silent 0. */
+  private val NullSig = "\u0000<null>"
+
   private def withGlobalCum[T](cumStage: DataFrame)(
       f: (DataFrame, Map[String, Long]) => T): T = {
     val pcum = cumStage
@@ -314,7 +325,7 @@ object Quality {
       val partTotals = pcum.groupBy("sig", "pid").agg(max(col("pcum")).as("t"))
         .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
       val offsets: Map[String, Long] = partTotals.keys.map { case (sig, pid) =>
-        s"$sig:$pid" -> partTotals.view
+        s"${Option(sig).getOrElse(NullSig)}:$pid" -> partTotals.view
           .filterKeys(k => k._1 == sig && k._2 < pid).values.sum
       }.toMap
       // per-signal totals fall out of the partition totals for free — no
@@ -322,7 +333,8 @@ object Quality {
       val totals = partTotals.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
       f(pcum.withColumn("cum",
         col("pcum") + coalesce(element_at(typedLit(offsets),
-          concat_ws(":", col("sig"), col("pid"))), lit(0L))), totals)
+          concat_ws(":", coalesce(col("sig"), lit(NullSig)), col("pid"))),
+          lit(0L))), totals)
     } finally pcum.unpersist()
   }
 
@@ -331,6 +343,9 @@ object Quality {
     withGlobalCum(cumStage) { (cum, totals) =>
       require(totals.nonEmpty && totals.values.forall(_ > 0),
         "quantileBounds: value slice is empty")
+      require(!totals.keys.exists(_ == null),
+        "quantileBounds: NULL signal/slice key — coalesce the slice " +
+          "column to a label before bucketing (decileBySlice does this)")
       val aggs = totals.keys.toSeq.sorted.flatMap { sig =>
         (1 until nBuckets).map { b =>
           val need = math.ceil(b.toDouble * totals(sig) / nBuckets).toLong
@@ -430,11 +445,17 @@ object Quality {
     * itself is a broadcast-literal scan-time lookup. */
   def decileBySlice(df: DataFrame, slice: Column, value: Column,
                     nBuckets: Int = 10, idCol: String = "doc_id"): DataFrame = {
-    val base = df.select(col(idCol), slice.cast("string").as("sig"),
+    // NULL slices are a legitimate bucket of their own: coalesce to the
+    // non-colliding sentinel for the prefix-sum + map lookup (Catalyst map
+    // literals cannot hold a null key), restore NULL in the output
+    val base = df.select(col(idCol),
+      coalesce(slice.cast("string"), lit(NullSig)).as("sig"),
       value.cast("long").as("v"))
     val bounds = quantileBoundsMulti(base.select("sig", "v"), nBuckets)
     val bl = typedLit(bounds)
-    base.select(col(idCol), col("sig").as("slice"), col("v"),
+    base.select(col(idCol),
+      when(col("sig") === NullSig, lit(null: String))
+        .otherwise(col("sig")).as("slice"), col("v"),
       size(filter(element_at(bl, col("sig")), x => x <= col("v")))
         .cast("long").as("decile"))
   }
@@ -628,18 +649,26 @@ object Quality {
       .select(score.as("v"), when(label, 1L).otherwise(0L).as("__y"))
       .groupBy("v").agg(count(lit(1)).as("n"), sum(col("__y")).as("np"))
       .select(lit("_").as("sig"), col("v"), col("n"), col("np"))
+    // np·(2·cumBefore + c + 1) overflows int64 once n_pos·N > ~4.6e18 —
+    // well inside the 10^12-row posture — so the rank sum accumulates in
+    // decimal(38,0) (the oracle's HUGEINT) and converts to double ONCE
+    // for the final division
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val row = withGlobalCum(rangeCumFromCounts(counts)) { (cum, _) =>
       cum.agg(
-        sum(col("np") * (lit(2L) * (col("cum") - col("n")) + col("n") + 1L))
+        sum(col("np").cast(dec38) *
+            (lit(2L) * (col("cum") - col("n")) + col("n") + 1L).cast(dec38))
           .as("rs2"),
         sum(col("np")).as("n_pos"), sum(col("n") - col("np")).as("n_neg"))
         .head()
     }
-    val (rs2, nPos, nNeg) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val rs2 = row.getDecimal(0)
+    val (nPos, nNeg) = (row.getLong(1), row.getLong(2))
     // the same float operation sequence as the DuckDB oracle: rank sum
     // (exact halves), minus n_pos(n_pos+1)/2, over n_pos·n_neg
     spark.range(1).select(
-      ((lit(rs2 / 2.0) - lit(nPos.toDouble) * lit((nPos + 1).toDouble) / 2.0) /
+      ((lit(rs2.doubleValue / 2.0) -
+        lit(nPos.toDouble) * lit((nPos + 1).toDouble) / 2.0) /
         (lit(nPos.toDouble) * lit(nNeg.toDouble))).as("auc"),
       lit(nPos).as("n_pos"), lit(nNeg).as("n_neg"))
   }
@@ -656,9 +685,11 @@ object Quality {
       .select(group.cast("string").as("sig"), score.as("v"),
         when(label, 1L).otherwise(0L).as("__y"))
       .groupBy("sig", "v").agg(count(lit(1)).as("n"), sum(col("__y")).as("np"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     withGlobalCum(rangeCumFromCounts(counts)) { (cum, _) =>
       cum.groupBy("sig").agg(
-          sum(col("np") * (lit(2L) * (col("cum") - col("n")) + col("n") + 1L))
+          sum(col("np").cast(dec38) *
+              (lit(2L) * (col("cum") - col("n")) + col("n") + 1L).cast(dec38))
             .as("rs2"),
           sum(col("np")).as("n_pos"), sum(col("n") - col("np")).as("n_neg"))
         .select(col("sig").as("slice"),
@@ -1074,17 +1105,20 @@ object Quality {
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("pos").asc).rowsBetween(0, k - 1)
     val wb = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    // windows that fit fully: pos 0 .. B-k. Documents too short for ANY
+    // full window (B < k) still surface — n_windows = 0, NULL window_diff
+    // (undefined, not silently absent from a downstream corpus mean)
+    val fits = col("pos") <= col("__slots") - k
     slots
       .withColumn("rs", sum(col("r")).over(wf))
       .withColumn("hs", sum(col("h")).over(wf))
       .withColumn("__slots", count(lit(1)).over(wb))
-      // windows that fit fully: pos 0 .. B-k
-      .where(col("pos") <= col("__slots") - k)
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_windows"),
-        sum((col("rs") =!= col("hs")).cast("long")).as("n_disagree"))
+      .agg(sum(fits.cast("long")).as("n_windows"),
+        sum((fits && col("rs") =!= col("hs")).cast("long")).as("n_disagree"))
       .withColumn("window_diff",
-        col("n_disagree").cast("double") / col("n_windows").cast("double"))
+        when(col("n_windows") > 0,
+          col("n_disagree").cast("double") / col("n_windows").cast("double")))
   }
 
   /** Per-row robust scaling `(v − median) / IQR` within each group — the
@@ -1530,13 +1564,17 @@ object Quality {
         |  FROM s
         |  WINDOW wk AS (PARTITION BY doc_id ORDER BY pos
         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
-        |SELECT doc_id AS id, count(*) AS n_windows,
-        |  CAST(sum(CASE WHEN rs <> hs THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_disagree,
-        |  CAST(sum(CASE WHEN rs <> hs THEN 1 ELSE 0 END) AS DOUBLE) /
-        |    CAST(count(*) AS DOUBLE) AS window_diff
-        |FROM f WHERE pos <= slots - 3
-        |GROUP BY 1""".stripMargin,
+        |SELECT doc_id AS id,
+        |  CAST(sum(CASE WHEN pos <= slots - 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_windows,
+        |  CAST(sum(CASE WHEN pos <= slots - 3 AND rs <> hs THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_disagree,
+        |  CASE WHEN sum(CASE WHEN pos <= slots - 3 THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(sum(CASE WHEN pos <= slots - 3 AND rs <> hs THEN 1 ELSE 0 END)
+        |      AS DOUBLE) /
+        |    CAST(sum(CASE WHEN pos <= slots - 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  END AS window_diff
+        |FROM f GROUP BY 1""".stripMargin,
 
     // same distinct-value rank rule, same quartile targets, one division
     "robust_scale" ->

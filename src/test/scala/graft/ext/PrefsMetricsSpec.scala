@@ -272,6 +272,14 @@ class PrefsMetricsSpec extends AnyFunSuite {
     val near = wd(ref, Seq(false, true, false, false, false))
     val far = wd(ref, Seq(false, false, false, false, true))
     assert(near == 0.25 && far == 0.5 && near < far)
+    // a doc too short for ANY full window surfaces with n_windows = 0 and
+    // an undefined (NULL) score — it must not silently vanish
+    val short = Quality.windowDiff(
+      Seq((1L, Seq(true), Seq(false))).toDF("id", "rb", "hb"),
+      col("id"), col("rb"), col("hb"), k = 2).collect()
+    assert(short.length == 1)
+    assert(short.head.getAs[Long]("n_windows") == 0L)
+    assert(short.head.isNullAt(short.head.fieldIndex("window_diff")))
   }
 
   test("robustScale: hand quartiles, zero-IQR group yields NULL") {

@@ -31,7 +31,8 @@ class QualitySpec extends AnyFunSuite {
     text.split(" ").filter(_.nonEmpty).map(refHash(_, dim)).distinct.sorted
 
   private def refTrain(rows: Seq[(String, Double)], dim: Int, iters: Int,
-                       lr: Double, momentum: Double = 0.9): Array[Double] = {
+                       lr: Double, momentum: Double = 0.9,
+                       l2: Double = 0.0): Array[Double] = {
     val feats = rows.map { case (t, y) => (refFeats(t, dim), y) }
     val n = feats.size.toDouble
     val w = Array.fill(dim + 1)(0.0)
@@ -45,7 +46,9 @@ class QualitySpec extends AnyFunSuite {
         g(dim) += r
       }
       for (i <- 0 to dim) {
-        v(i) = momentum * v(i) + g(i) / n
+        // ridge excludes the intercept (index dim)
+        val reg = if (i == dim) 0.0 else l2 * w(i)
+        v(i) = momentum * v(i) + g(i) / n + reg
         w(i) -= lr * v(i)
       }
     }
@@ -93,6 +96,87 @@ class QualitySpec extends AnyFunSuite {
     val maxDiff = w.zip(ref).map { case (a, b) => math.abs(a - b) }.max
     assert(maxDiff < 1e-6,
       s"distributed vs reference weight divergence: $maxDiff")
+  }
+
+  test("train with l2: equals the reference; intercept is NOT regularized") {
+    import spark.implicits._
+    // UNBALANCED corpus (3:1 positives) so the intercept grows large —
+    // the regularized-vs-unregularized intercept distinction is then
+    // far above float tolerance
+    val data = synthetic(40).filter(r => r._3 == 1 || r._1 % 4 == 0)
+    val df = data.toDF("doc_id", "text", "y")
+    val dim = 64; val iters = 15; val lr = 1.0; val l2 = 0.05
+    val w = Quality.train(df, col("text"), col("y"), dim, iters, lr, l2 = l2)
+    val ref = refTrain(data.map(r => (r._2, r._3.toDouble)), dim, iters, lr,
+      l2 = l2)
+    val maxDiff = w.zip(ref).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff < 1e-6,
+      s"distributed vs reference ridge weight divergence: $maxDiff")
+    // an implementation that shrinks the intercept too would diverge from
+    // the reference's intercept by far more than float tolerance
+    val wrongIntercept = {
+      val feats = data.map(r => (refFeats(r._2, dim), r._3.toDouble))
+      val n = feats.size.toDouble
+      val wv = Array.fill(dim + 1)(0.0); val vv = Array.fill(dim + 1)(0.0)
+      for (_ <- 0 until iters) {
+        val g = Array.fill(dim + 1)(0.0)
+        for ((f, y) <- feats) {
+          val z = wv(dim) + f.map(wv(_)).sum
+          val r = 1.0 / (1.0 + math.exp(-z)) - y
+          f.foreach(i => g(i) += r); g(dim) += r
+        }
+        for (i <- 0 to dim) { // the BUGGY variant: l2 on every index
+          vv(i) = 0.9 * vv(i) + g(i) / n + l2 * wv(i)
+          wv(i) -= lr * vv(i)
+        }
+      }
+      wv.last
+    }
+    assert(math.abs(w.last - wrongIntercept) > 1e-4,
+      "the fixture must distinguish an intercept-regularizing variant")
+  }
+
+  test("aucByGroup: NULL slice spanning partitions gets true offsets") {
+    import spark.implicits._
+    // one NULL slice with many distinct scores: the range partitioner
+    // spreads its (sig=NULL, v) rows over several partitions, so a
+    // dropped NULL in the offset lookup would zero every later
+    // partition's cumulative count and corrupt the AUC
+    val n = 5000
+    val rows = (0 until n).map { i =>
+      (i.toDouble, i % 3 == 0, null: String)
+    } ++ Seq((1.0, true, "x"), (2.0, false, "x"))
+    val df = rows.toDF("s", "y", "g")
+    val got = Quality.aucByGroup(df, col("g"), col("s"), col("y"))
+      .collect().map(r => Option(r.getString(0)) -> r).toMap
+    val whole = Quality.aucExact(df.where(col("g").isNull),
+      col("s"), col("y")).head()
+    val nullRow = got(None)
+    assert(java.lang.Double.doubleToLongBits(nullRow.getDouble(1)) ==
+      java.lang.Double.doubleToLongBits(whole.getDouble(0)),
+      "NULL slice must reproduce its standalone exact AUC bit-for-bit")
+    assert(nullRow.getLong(2) == whole.getLong(1) &&
+      nullRow.getLong(3) == whole.getLong(2))
+  }
+
+  test("decileBySlice: NULL slice is its own bucket, not an NPE") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "a" else null,
+      i.toLong)) // nulls hold odd values 1..39, 'a' holds even 2..40
+    val out = Quality.decileBySlice(rows.toDF("doc_id", "src", "v"),
+      col("src"), col("v")).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(3)))).toMap
+    assert(out.size == 40)
+    // slice labels survive the round-trip (NULL stays NULL)
+    assert(out(2L)._1.contains("a") && out(1L)._1.isEmpty)
+    // per-slice JVM rank rule for the NULL slice
+    val nullVals = (1 to 39 by 2).map(_.toLong).sorted
+    val bounds = (1 until 10).map(b =>
+      nullVals(math.ceil(b.toDouble * nullVals.length / 10).toInt - 1))
+    (1 to 39 by 2).foreach { i =>
+      assert(out(i.toLong)._2 == bounds.count(_ <= i).toLong,
+        s"null-slice decile for v=$i")
+    }
   }
 
   test("train + scoreWith: separable corpus separates; filter keeps positives") {
