@@ -118,14 +118,15 @@ object ScaleProbe {
     val r11Only = args.length > 1 && args(1) == "r11"
     val r11bOnly = args.length > 1 && args(1) == "r11b"
     val r11cOnly = args.length > 1 && args(1) == "r11c"
+    val r12Only = args.length > 1 && args(1) == "r12"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
     if (!r10Only && !r10bOnly && !r11bOnly) { d1.count(); dN.count() } // r11 kn/r11c probes reuse d1/dN
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly) { dSkew.count(); dSkew1.count() }
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly) { e1.count(); eN.count() }
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only) { e1.count(); eN.count() }
     if (r9gOnly) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
@@ -144,7 +145,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly) { cent1; centN }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -475,7 +476,36 @@ object ScaleProbe {
           force(ext.Hygiene.sourceOverlap(dN, col("source"))) })
     }
 
-    val results = if (r9Only) r9Probes else if (r9bOnly) r9bProbes
+    // round-12 rewrites: source overlap/novelty via the per-gram source-set
+    // PATTERN table (one corpus pass → tiny (srcs, cnt) table → driver or
+    // plan-side fold) and the quantile-bounds small path (one windowed
+    // histogram query under the in-plan guard). The linear corpus grows
+    // gram volume REP× while the pattern table and the distinct-value
+    // histograms stay bounded, so both must hold a sub-linear wall ratio.
+    def r12Probes = {
+      if (true) { d1.count(); dN.count() }
+      Seq(
+        time("src_overlap2_1x") {
+          force(ext.Hygiene.sourceOverlap(d1, col("source"))) },
+        time(s"src_overlap2_${rep}x") {
+          force(ext.Hygiene.sourceOverlap(dN, col("source"))) },
+        time("src_novelty2_1x") {
+          force(ext.Hygiene.sourceNovelty(d1, col("source"))) },
+        time(s"src_novelty2_${rep}x") {
+          force(ext.Hygiene.sourceNovelty(dN, col("source"))) },
+        time("quality_ens2_1x") {
+          force(ext.Quality.qualityEnsemble(d1, Seq(
+            "len" -> size(split(col("text"), " ")),
+            "vocab" -> size(array_distinct(split(col("text"), " "))),
+            "chars" -> length(col("text"))))) },
+        time(s"quality_ens2_${rep}x") {
+          force(ext.Quality.qualityEnsemble(dN, Seq(
+            "len" -> size(split(col("text"), " ")),
+            "vocab" -> size(array_distinct(split(col("text"), " "))),
+            "chars" -> length(col("text"))))) })
+    }
+    val results = if (r12Only) r12Probes
+    else if (r9Only) r9Probes else if (r9bOnly) r9bProbes
     else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes
     else if (r10Only) r10Probes
     else if (r11Only) r11Probes

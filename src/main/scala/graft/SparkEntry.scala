@@ -95,10 +95,12 @@ object SparkEntry {
     // interval_join / zorder_key / weighted_sample / grouping variants sit
     // at the scan-time job floor and stay bench-excluded.
     "asof_join", "rollup_agg", "retrieval_rrf",
-    // fifth block: two-pass sketch+recount heavy hitters (real per-token
-    // compute twice over the corpus) and the SFT render window+concat
-    // (sft_spans shares sft_format's plan shape and stays excluded)
-    "heavy_hitters", "sft_format",
+    // fifth block: production (sketch-only) heavy hitters — one MG pass
+    // over the corpus; the exact-recount audit shape stays gate-only
+    // (heavy_hitters), mirroring the sliding_distinct split — and the SFT
+    // render window+concat (sft_spans shares sft_format's plan shape and
+    // stays excluded)
+    "heavy_hitters_prod", "sft_format",
     // winnowing (per-gram sha256 + per-window argmin is real per-doc
     // compute), its pair join, and the dual-ranker RBO table;
     // corpus_diff / exact_k_sample / corpus_checksums / zorder_key3 sit

@@ -877,27 +877,70 @@ object Hygiene {
           (col("__k") * col("__sx")).cast("double")).as("gini"))
   }
 
-  /** The per-gram SORTED source set — the shared statistic behind
-    * [[sourceNovelty]] and [[sourceOverlap]]. Source cardinality bounds
-    * each set (10s-100s of providers), so a gram's row is small no matter
-    * the corpus. ONE gram-keyed aggregation: `collect_set` dedups
-    * map-side (no separate distinct shuffle), and the key is the gram's
-    * xxhash64 — the gram text never reaches either consumer's output, so
-    * 8-byte keys replace ~25-byte strings on the only corpus-sized
-    * exchange (the [[graft.ext.Dedup]] hash-keyed-index precedent; a
-    * 64-bit collision would merge two grams' source sets — ~10⁻⁵ odds at
-    * 10⁹ distinct grams, and the driver oracle would catch it). */
-  private def gramSources(df: DataFrame, source: Column): DataFrame = {
-    val w = split(col("text"), " ")
-    df.select(source.as("grp"),
+  /** The corpus collapsed to per-gram SOURCE-SET PATTERN COUNTS — the
+    * shared statistic behind [[sourceNovelty]] and [[sourceOverlap]]:
+    * `(sorted source set, #grams with exactly that set)`. One corpus
+    * pass: grams key the only corpus-sized exchange by their xxhash64
+    * (8-byte keys instead of ~25-byte strings — the [[graft.ext.Dedup]]
+    * hash-keyed-index precedent; a 64-bit collision would merge two
+    * grams' source sets, ~10⁻⁵ odds at 10⁹ distinct grams, and the
+    * driver oracle would catch it), `collect_set` dedups map-side, and a
+    * second (tiny) exchange counts identical patterns. The pattern table
+    * has at most min(#grams, 2^K) rows for K sources — co-occurrence
+    * patterns repeat heavily, so realistically thousands — and BOTH
+    * consumers derive their full answer from it: nothing downstream of
+    * the one corpus pass scales with corpus size, and the per-gram
+    * C(|srcs|,2) pair explosion that carried a 27× constant against the
+    * columnar baseline never happens.
+    *
+    * The split is materialized ONCE as a projected attribute before the
+    * trigram HOF: lambda bodies are interpreted without common-
+    * subexpression elimination, so an inline `split(text)` re-runs per
+    * `element_at` call (measured 10× at sf0.1). */
+  private def gramPatternCounts(df: DataFrame, source: Column): DataFrame = {
+    val pre = df.select(source.cast("string").as("__s"),
+      split(col("text"), " ").as("__w"))
+    val w = col("__w")
+    pre.select(col("__s"),
         explode(when(size(w) >= 3,
           transform(sequence(lit(1), size(w) - 2), i =>
             xxhash64(concat_ws(" ", element_at(w, i), element_at(w, i + 1),
               element_at(w, i + 2)))))
           .otherwise(array().cast("array<long>"))).as("gram"))
       .groupBy("gram")
-      .agg(sort_array(collect_set(col("grp"))).as("srcs"))
+      .agg(sort_array(collect_set(col("__s"))).as("srcs"))
+      .groupBy("srcs").agg(count(lit(1)).as("cnt"))
   }
+
+  /** Distinct-pattern bound for the driver-side collect: below it, the
+    * source statistics finish on the driver in microseconds; above it,
+    * the plan-side explosion over the (still tiny) pattern table runs —
+    * same answer, no driver state. The guard is persist → count →
+    * collect-from-cache, ONE corpus pass either way (a `limit(n+1)`
+    * probe measured 5-10× slower here: CollectLimit scans result
+    * partitions in incremental rounds). */
+  private val MaxDriverPatterns = 1 << 16
+
+  private def collectPatterns(patternCounts: DataFrame)
+      : Option[Array[(Seq[String], Long)]] = {
+    val cached = patternCounts
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cached.count() > MaxDriverPatterns) None
+      else Some(cached.collect().map(r =>
+        (r.getSeq[String](0), r.getLong(1))))
+    } finally cached.unpersist()
+  }
+
+  /** Per-source `(source, n_grams, n_exclusive)` — the plan-side
+    * fallback shape: one narrow explosion of the tiny pattern table. */
+  private def perSourceGramCounts(patternCounts: DataFrame): DataFrame =
+    patternCounts
+      .select(col("cnt"), (size(col("srcs")) === 1).as("__ex"),
+        explode(col("srcs")).as("source"))
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("__ex"), col("cnt")).otherwise(0L)).as("n_exclusive"))
 
   /** Per-source content novelty: of each source's distinct word-trigrams,
     * how many appear in NO other source — the data-valuation signal for
@@ -906,20 +949,32 @@ object Hygiene {
     * licensing decisions). Exclusive share = exclusive / distinct, one
     * division of exact counts.
     *
-    * Scale: the corpus collapses to the per-gram source set ONCE; both
-    * the per-source gram counts and the exclusives are narrow explosions
-    * of that statistic aggregated to K rows — no gram-keyed join back
-    * (the join formulation re-shuffled the full (source, gram) table;
-    * this shape halved-and-more its cost at sf0.1). */
+    * Scale: the corpus collapses to the tiny source-set pattern table
+    * ONCE ([[gramPatternCounts]]); the per-source gram and exclusive
+    * counts fold over that — driver-side under the pattern bound,
+    * plan-side explosion above it. */
   def sourceNovelty(df: DataFrame, source: Column): DataFrame = {
-    val perGram = gramSources(df, source)
-    val counts = perGram
-      .select(explode(col("srcs")).as("source"), (size(col("srcs")) === 1)
-        .cast("long").as("__ex"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_grams"), sum(col("__ex")).as("n_exclusive"))
-    counts.withColumn("exclusive_share",
-      col("n_exclusive").cast("double") / col("n_grams").cast("double"))
+    val patterns = gramPatternCounts(df, source)
+    collectPatterns(patterns) match {
+      case Some(pc) =>
+        val nGrams = collection.mutable.Map.empty[String, Long]
+        val nExcl = collection.mutable.Map.empty[String, Long]
+        pc.foreach { case (srcs, cnt) =>
+          srcs.foreach(s => nGrams(s) = nGrams.getOrElse(s, 0L) + cnt)
+          if (srcs.size == 1)
+            nExcl(srcs.head) = nExcl.getOrElse(srcs.head, 0L) + cnt
+        }
+        val spark = df.sparkSession
+        import spark.implicits._
+        nGrams.keys.toSeq.sorted.map { s =>
+          val (g, e) = (nGrams(s), nExcl.getOrElse(s, 0L))
+          (s, g, e, e.toDouble / g.toDouble)
+        }.toDF("source", "n_grams", "n_exclusive", "exclusive_share")
+      case None =>
+        perSourceGramCounts(patterns.localCheckpoint(true))
+          .withColumn("exclusive_share",
+            col("n_exclusive").cast("double") / col("n_grams").cast("double"))
+    }
   }
 
   /** Pairwise source content overlap: Jaccard similarity of the distinct
@@ -928,32 +983,52 @@ object Hygiene {
     * much is mine alone"; this says WHICH other source shares the rest).
     * `J = inter / (nA + nB − inter)` — exact integers, one division.
     *
-    * Scale: a gram contributes its C(|srcs|, 2) source pairs through a
-    * NARROW per-row explosion of the bounded source set (never a gram-
-    * keyed self-join — the join formulation ran 30× slower at sf0.1 for
-    * the same answer), aggregated straight to the K² pair matrix;
-    * per-source sizes broadcast back. */
+    * Scale: NO per-gram pair explosion at all — the corpus collapses to
+    * the tiny pattern table ([[gramPatternCounts]], one corpus pass),
+    * and the K² intersection matrix folds over THAT: driver-side under
+    * the pattern bound, else a C(|srcs|,2) explosion per pattern row
+    * (|patterns|·C(K,2) rows — independent of corpus size). */
   def sourceOverlap(df: DataFrame, source: Column): DataFrame = {
-    val perGram = gramSources(df, source)
-    val pairCol = flatten(transform(col("srcs"), (a, i) =>
-      transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
-        struct(a.as("sa"), b.as("sb")))))
-    val inter = perGram.where(size(col("srcs")) >= 2)
-      .select(explode(pairCol).as("__p"))
-      .groupBy(col("__p.sa").as("source_a"), col("__p.sb").as("source_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val sizes = perGram.select(explode(col("srcs")).as("s"))
-      .groupBy("s").agg(count(lit(1)).as("n"))
-    inter
-      .join(broadcast(sizes.select(col("s").as("source_a"), col("n").as("n_a"))),
-        Seq("source_a"))
-      .join(broadcast(sizes.select(col("s").as("source_b"), col("n").as("n_b"))),
-        Seq("source_b"))
-      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-        col("n_inter"),
-        (col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-          .as("jaccard"))
+    val patterns = gramPatternCounts(df, source)
+    collectPatterns(patterns) match {
+      case Some(pc) =>
+        val nG = collection.mutable.Map.empty[String, Long]
+        val inter = collection.mutable.Map.empty[(String, String), Long]
+        pc.foreach { case (srcs, cnt) =>
+          srcs.foreach(s => nG(s) = nG.getOrElse(s, 0L) + cnt)
+          for (i <- srcs.indices; j <- (i + 1) until srcs.size) {
+            val k = (srcs(i), srcs(j))
+            inter(k) = inter.getOrElse(k, 0L) + cnt
+          }
+        }
+        val spark = df.sparkSession
+        import spark.implicits._
+        inter.toSeq.sortBy(_._1).map { case ((a, b), n) =>
+          (a, b, nG(a), nG(b), n,
+            n.toDouble / (nG(a) + nG(b) - n).toDouble)
+        }.toDF("source_a", "source_b", "n_a", "n_b", "n_inter", "jaccard")
+      case None =>
+        val checkpointed = patterns.localCheckpoint(true)
+        val pairCol = flatten(transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
+            struct(a.as("sa"), b.as("sb")))))
+        val inter = checkpointed.where(size(col("srcs")) >= 2)
+          .select(col("cnt"), explode(pairCol).as("__p"))
+          .groupBy(col("__p.sa").as("source_a"), col("__p.sb").as("source_b"))
+          .agg(sum(col("cnt")).as("n_inter"))
+        val sizes = perSourceGramCounts(checkpointed)
+          .select(col("source"), col("n_grams").as("n"))
+        inter
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("n").as("n_a"))), Seq("source_a"))
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("n").as("n_b"))), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            col("n_inter"),
+            (col("n_inter").cast("double") /
+              (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+              .as("jaccard"))
+    }
   }
 
   val queries: Map[String, Q] = Map(

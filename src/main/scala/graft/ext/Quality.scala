@@ -298,11 +298,74 @@ object Quality {
     * per-(sig, partition) totals + the boundary row. */
   private def quantileBoundsMulti(vals: DataFrame, nBuckets: Int)
       : Map[String, Seq[Long]] =
-    boundsFromCum(rangeCumCounts(vals), nBuckets)
+    boundsFromCounts(vals.groupBy("sig", "v").agg(count(lit(1)).as("n")),
+      nBuckets)
 
   private[graft] def quantileBoundsFromCounts(counts: DataFrame,
                                               nBuckets: Int): Map[String, Seq[Long]] =
-    boundsFromCum(rangeCumFromCounts(counts), nBuckets)
+    boundsFromCounts(counts, nBuckets)
+
+  /** Distinct-(signal, value) bound under which the histogram runs as
+    * ONE windowed query: integer quality signals (lengths, counts,
+    * scores) have bounded value domains, so the aggregated histogram is
+    * usually tiny even when the corpus is not. The small path shuffles
+    * the histogram once by sig, runs a per-sig running-count window, and
+    * reads every boundary out of one aggregate row — a single query
+    * (measured 11 job rounds → ~5 on the ensemble gate) instead of the
+    * sample + range-exchange + window + offset-collect chain. The bound
+    * is enforced IN-PLAN (`raise_error` when any sig's histogram
+    * overflows a window task) so no separate count pass runs; tripping
+    * it falls back to the two-phase prefix sum, which is unchanged. */
+  private val MaxDriverHistogram = 1 << 17
+  private val HistogramGuardMsg = "quantile histogram exceeds small-path bound"
+
+  private def boundsFromCounts(counts: DataFrame,
+                               nBuckets: Int): Map[String, Seq[Long]] = {
+    import org.apache.spark.sql.expressions.Window
+    val wcum = Window.partitionBy("sig").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wsig = Window.partitionBy("sig")
+    val aggs = (1 until nBuckets).map { b =>
+      // the same integer rank rule as the distributed path: boundary b =
+      // smallest v whose running count reaches ceil(b·total/k)
+      min(when(col("cum") >=
+          ceil(lit(b).cast("double") * col("total") / nBuckets).cast("long"),
+        col("v"))).as(s"b$b")
+    }
+    def isGuardTrip(e: Throwable): Boolean =
+      e != null && (Option(e.getMessage).exists(_.contains(HistogramGuardMsg))
+        || isGuardTrip(e.getCause))
+    val small: Option[Array[org.apache.spark.sql.Row]] =
+      try {
+        val fullAggs = aggs :+ max(col("__guard")).as("__g")
+        Some(counts
+          .withColumn("cum", sum(col("n")).over(wcum))
+          .withColumn("total", sum(col("n")).over(wsig))
+          // in-plan guard: the per-sig window is single-task, so refuse
+          // histograms that don't belong in one task (the max(__g) agg
+          // reference keeps column pruning from dropping the guard)
+          .withColumn("__guard",
+            when(count(lit(1)).over(wsig) > MaxDriverHistogram,
+              raise_error(lit(HistogramGuardMsg))).otherwise(lit(0)))
+          .groupBy("sig")
+          .agg(fullAggs.head, fullAggs.tail: _*)
+          .collect())
+      } catch {
+        case e: Exception if isGuardTrip(e) => None
+      }
+    small match {
+      case None => boundsFromCum(rangeCumFromCounts(counts), nBuckets)
+      case Some(rows) =>
+        require(rows.nonEmpty, "quantileBounds: value slice is empty")
+        require(!rows.exists(_.isNullAt(0)),
+          "quantileBounds: NULL signal/slice key — coalesce the slice " +
+            "column to a label before bucketing (decileBySlice does this)")
+        rows.map { r =>
+          require(!r.isNullAt(1), "quantileBounds: value slice is empty")
+          r.getString(0) -> (1 until nBuckets).map(b => r.getLong(b))
+        }.toMap
+    }
+  }
 
   /** Run `f` over the cum-stage frame extended with the exact GLOBAL
     * running count (`cum`): persists the per-range stage, collects the
@@ -1277,8 +1340,11 @@ object Quality {
     // long token (>= 8 chars) — both engines derive the vectors from the
     // corpus identically
     "windowdiff_eval" -> ((s, dir) => {
-      val w = split(col("text"), " ")
+      // split materialized once: the hb lambda's element_at would
+      // otherwise re-split per boundary slot
+      val w = col("__w")
       val d = SparkEntry.table(s, dir, "documents")
+        .withColumn("__w", split(col("text"), " "))
         .where(size(w) >= 2)
         .select(col("doc_id"),
           transform(sequence(lit(1), size(w) - 1), i => i % 10 === 0)

@@ -819,6 +819,20 @@ class PlanSpec extends AnyFunSuite {
       s"gini_sources has a cartesian product:\n$p")
   }
 
+  test("heavy_hitters production mode: sketch pass only, no recount scan") {
+    import org.apache.spark.sql.functions.col
+    val terms = ext.Freq.trigrams(SparkEntry.table(spark, sfDir, "documents"))
+    val p = ext.Freq.heavyHitters(terms, m = 64, audit = false)
+      .queryExecution.executedPlan
+    // the one corpus pass happened eagerly inside the sketch aggregation;
+    // the returned candidate table must not plan a recount scan or any
+    // join back against the corpus
+    assert(count(p) { case _: FileSourceScanExec => } == 0,
+      s"production shape must not rescan the corpus:\n$p")
+    assert(count(p) { case _: joins.BaseJoinExec => } == 0,
+      s"production shape must not join the corpus back:\n$p")
+  }
+
   test("approx_quantiles production mode: mergeable sketch, no exact pass") {
     import org.apache.spark.sql.functions.col
     val p = ext.Freq.approxQuantiles(

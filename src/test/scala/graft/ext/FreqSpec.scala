@@ -48,6 +48,21 @@ class FreqSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHitters production mode: bounds bracket exact counts, superset holds") {
+    val exact = Freq.heavyHitters(terms, m = 100)
+      .as[(String, Long)].collect().toMap
+    val prod = Freq.heavyHitters(terms, m = 100, audit = false)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, lo, hi) => t -> ((lo, hi)) }.toMap
+    // every true heavy hitter survives the one-pass threshold...
+    exact.foreach { case (t, cnt) =>
+      val (lo, hi) = prod.getOrElse(t,
+        fail(s"true heavy hitter $t missing from production candidates"))
+      // ...and its exact count sits inside the sketch's [cnt_min, cnt_max]
+      assert(lo <= cnt && cnt <= hi, s"$t: exact $cnt outside [$lo, $hi]")
+    }
+  }
+
   test("heavyHitters recount plan: candidate filter before ONE aggregation exchange") {
     // parquet-backed domain (a LocalRelation would fold the filter away at
     // plan time and hide what this test pins): the gate query's own shape
