@@ -57,7 +57,8 @@ object SparkEntry {
     * representative; correctness runs the full `queries` map. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "jmes_field", "jmes_filter_compare", "jmes_field_interp",
-    "jmes_filter_interp", "jmes_multicol", "jmes_pipeline", "jmes_wide", "variant_field",
+    "jmes_filter_interp", "jmes_multicol", "jmes_pipeline", "jmes_wide",
+    "jmes_wide_interp", "variant_field",
     "variant_multicol", "variant_wide", "cli_format_data",
     "text_stats", "top_terms", "dedup_exact", "dedup_jaccard_pairs",
     // round-8 real workloads: banded LSH, incremental (index-probe) dedup
@@ -150,7 +151,8 @@ object SparkEntry {
     * interpreted bench A/B, so the harness disables [[compile
     * .LowerJmesPathRule]] (`spark.graft.jmes.lower=false`) while running
     * them. Everything else auto-lowers where exactly translatable. */
-  val interpretedQueries: Set[String] = Set("jmes_field_interp", "jmes_filter_interp")
+  val interpretedQueries: Set[String] =
+    Set("jmes_field_interp", "jmes_filter_interp", "jmes_wide_interp")
 
   /** One entry per implemented operator from SURVEY.md §2 + north-star ext. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -280,6 +282,18 @@ object SparkEntry {
     "jmes_field_interp" -> ((s, dir) =>
       table(s, dir, "events")
         .select(col("event_id"), jmespathDouble(col("props"), "k").as("k"))),
+    // the wide-document interpreted control: at ~12 B/doc the job floor
+    // hides per-record engine cost, so the lowered-vs-interpreted A/B is
+    // only meaningful at jmes_wide's ~1 KB documents
+    "jmes_wide_interp" -> ((s, dir) =>
+      table(s, dir, "events")
+        .withColumn("doc", wideDoc)
+        .where(jmesTruthy(col("doc"), "k >= `50` && length(tags) == `2`"))
+        .select(col("event_id"),
+          jmespathDouble(col("doc"), "k").as("k"),
+          jmespath(col("doc"), "tags[0]").as("tag0"),
+          jmespathDouble(col("doc"), "meta.u").as("mu"),
+          jmespathDouble(col("doc"), "nums[-1]").as("nlast"))),
     "jmes_filter_interp" -> ((s, dir) =>
       table(s, dir, "events")
         .where(jmesTruthy(col("props"), "k > `50`"))
@@ -421,6 +435,13 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "jmes_field_interp" ->
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k FROM events",
+    "jmes_wide_interp" ->
+      """SELECT event_id,
+        |  CAST(event_id % 100 AS DOUBLE) AS k,
+        |  'a' || (event_id % 7) AS tag0,
+        |  CAST(user_id AS DOUBLE) AS mu,
+        |  CAST(user_id % 9 AS DOUBLE) AS nlast
+        |FROM events WHERE event_id % 100 >= 50""".stripMargin,
     "jmes_filter_interp" ->
       "SELECT event_id, props FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50",
     "cli_format_data" ->

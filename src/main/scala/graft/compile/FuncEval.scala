@@ -182,6 +182,40 @@ case class JsonSubInterp(child: Expression, prefix: Seq[PathStep],
     copy(child = newChild)
 }
 
+/** Whole-document interpreted evaluation of an already-parsed AST — the
+  * runtime fallback leg of [[Lowering]]'s general pipe composition for
+  * documents carrying NaN/Infinity tokens, which the intermediate
+  * serialize/reparse would pin to null ([[JValue.formatNumber]]).
+  * Conventions match [[graft.functions.JmesPathEval]] exactly: NULL or
+  * malformed document → NULL, JMESPath null → NULL, string results
+  * unquoted, runtime errors → NULL. */
+case class JsonFullInterp(child: Expression, ast: Ast)
+    extends JsonComputeExpr {
+  import graft.jmespath.Interpreter
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_fullinterp"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING (JSON) input, got ${child.dataType.sql}")
+
+  override def compute(doc: UTF8String): Any = {
+    if (doc == null) return null
+    JValue.parseOpt(doc.getBytes) match {
+      case None => null
+      case Some(jv) =>
+        JsonFunctionEval.convert(
+          try Interpreter.eval(ast, jv)
+          catch { case _: JmesRuntimeError => JNull },
+          JsonFunctionEval.Value)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonFullInterp =
+    copy(child = newChild)
+}
+
 object JsonSubInterp {
   import graft.jmespath.Interpreter
 

@@ -379,6 +379,34 @@ object Lowering {
     case other   => str(JValue.serializeOrdered(other))
   }
 
+  /** Any NaN/Infinity inside a literal of the subtree — such a value would
+    * not survive the general pipe composition's serialize/reparse
+    * (formatNumber pins it to null), and the document-token runtime probe
+    * cannot see plan-time literals. */
+  private def hasSpecialNumLiteral(ast: Ast): Boolean = {
+    def inVal(v: JValue): Boolean = v match {
+      case JNum(d)  => d.isNaN || d.isInfinite
+      case graft.jmespath.JArr(xs) => xs.exists(inVal)
+      case graft.jmespath.JObj(fs) => fs.exists(f => inVal(f._2))
+      case _        => false
+    }
+    def walk(a: Ast): Boolean = a match {
+      case Literal(v) => inVal(v)
+      case other: Product => other.productIterator.exists {
+        case c: Ast => walk(c)
+        case s: Seq[_] => s.exists {
+          case c: Ast => walk(c)
+          case (_, c: Ast) => walk(c)
+          case _ => false
+        }
+        case (_, c: Ast) => walk(c)
+        case _ => false
+      }
+      case _ => false
+    }
+    walk(ast)
+  }
+
   private def msItemsOf(items: Seq[Ast]): Option[Seq[MSItem]] = {
     val lowered = items.map {
       case Literal(v) => Some(MSConst(v))
@@ -446,8 +474,18 @@ object Lowering {
     // (filter-)projections: same traversal as the truthy COUNT lowering,
     // emitting the surviving `sub` values instead of counting them
     case Projection(Flatten(inner), rhs) =>
-      for (base <- pathOf(inner); sub <- pathOf(rhs))
-        yield JsonProjectionEmit(doc, base, None, sub, flatten = true)
+      (for (base <- pathOf(inner); sub <- pathOf(rhs))
+        yield JsonProjectionEmit(doc, base, None, sub, flatten = true))
+        .orElse(inner match {
+          // non-path lhs (e.g. `sort_by(...)[].field`): by the projection
+          // evaluation rule, Projection(Flatten(x), r) ≡
+          // Pipe(x, Projection(Flatten(@), r)) over x's VALUE — the
+          // general pipe composition takes it from there (with all its
+          // container/NaN/pinned-null soundness guards)
+          case Identity | CurrentNode => None // base arm already covers it
+          case _ =>
+            valueNative(doc, Pipe(inner, Projection(Flatten(CurrentNode), rhs)))
+        })
     // step 0 refused as in the truthy arm: interpreter aborts, Nil would lie
     case Projection(IndexExpr(lhs, Slice(a, b, st)), rhs) if !st.contains(0) =>
       for (base <- pathOf(lhs); sub <- pathOf(rhs))
@@ -474,12 +512,74 @@ object Lowering {
     case Subexpression(l, MultiSelectHash(pairs)) =>
       for (prefix <- pathOf(l); ms <- msItemsOf(pairs.map(_._2)))
         yield JsonMultiSelect(doc, prefix, ms, Some(pairs.map(_._1)))
-    case Pipe(l, MultiSelectList(items)) =>
-      for (prefix <- pathOf(l); ms <- msItemsOf(items))
-        yield JsonMultiSelect(doc, prefix, ms, None)
-    case Pipe(l, MultiSelectHash(pairs)) =>
-      for (prefix <- pathOf(l); ms <- msItemsOf(pairs.map(_._2)))
-        yield JsonMultiSelect(doc, prefix, ms, Some(pairs.map(_._1)))
+    // pipes: the specialized pure-path-prefix forms first (no reserialize
+    // roundtrip), then fn-call/path pipes as in the fallthrough arm, then
+    // the GENERAL composition — the serialized LHS value IS the document
+    // the lowered RHS consumes (our serialization is canonical JSON, and a
+    // NULL LHS flows through the RHS exactly like the interpreter's JNull
+    // context: raw extraction over a NULL doc is NULL, constants ignore
+    // it). Errors stay interpreter territory: an erroring side aborts the
+    // WHOLE expression there, which no per-side composition reproduces.
+    case p @ Pipe(l, r) =>
+      val specialized = r match {
+        case MultiSelectList(items) =>
+          for (prefix <- pathOf(l); ms <- msItemsOf(items))
+            yield JsonMultiSelect(doc, prefix, ms, None)
+        case MultiSelectHash(pairs) =>
+          for (prefix <- pathOf(l); ms <- msItemsOf(pairs.map(_._2)))
+            yield JsonMultiSelect(doc, prefix, ms, Some(pairs.map(_._1)))
+        case _ => None
+      }
+      specialized
+        .orElse(fnIROf(p).map(c => JsonFunctionEval(doc, c, JsonFunctionEval.Value)))
+        .orElse(pathOf(p).map(steps => JsonPathValue(doc, steps)))
+        .orElse {
+          // Soundness of the roundtrip, piece by piece:
+          //  - stage 1 must root a CONTAINER (multi-select/projection):
+          //    containers serialize to canonical JSON (strings quoted);
+          //    a bare JStr result serializes UNQUOTED and would not
+          //    re-parse as stage 2's document
+          //  - a NULL intermediate means the interpreter runs stage 2
+          //    over a JNull CONTEXT (not a null document), so that case
+          //    pins to the constant `eval(r, JNull)` — the subPinned rule
+          //  - formatNumber pins NaN/Infinity to null, so a document (or
+          //    a stage-1 literal) that could carry one through falls back
+          //    to full interpretation — the textual token probe
+          //    over-triggers on strings containing "NaN", which only
+          //    costs the interpreted path, never a wrong answer
+          //  - an erroring stage 1 aborts the WHOLE expression in the
+          //    interpreter (null) but surfaces here as a NULL
+          //    intermediate, indistinguishable from a legitimate null
+          //    context — composable only when both legs agree, i.e. the
+          //    pinned constant is itself null. An erroring stage 2 needs
+          //    no guard: every valueNative arm is interpreter-exact over
+          //    its own document, errors included
+          def containerRoot(a: Ast): Boolean = a match {
+            case MultiSelectList(_) | MultiSelectHash(_) => true
+            case Projection(_, _) | FilterProjection(_, _, _) |
+                 ValueProjection(_, _) | Flatten(_) => true
+            // functions whose spec return type is a container (or error →
+            // whole-expression null → the pinned-NULL leg) — never a bare
+            // string that would serialize unquoted
+            case FunctionCall(n, _) =>
+              Set("keys", "values", "map", "sort", "sort_by", "to_array",
+                "merge").contains(n)
+            case Subexpression(_, rr) => containerRoot(rr)
+            case Pipe(_, rr) => containerRoot(rr)
+            case _ => false
+          }
+          val pinnedJ =
+            try Interpreter.eval(r, JNull)
+            catch { case _: JmesRuntimeError => JNull }
+          if (!containerRoot(l) || hasSpecialNumLiteral(l) ||
+              (canError(l) && pinnedJ != JNull)) None
+          else for (lv <- valueNative(doc, l); rv <- valueNative(lv, r)) yield {
+            val special = Or(Contains(doc, str("NaN")),
+              Contains(doc, str("Infinity")))
+            If(special, JsonFullInterp(doc, p),
+              If(IsNull(lv), constValue(pinnedJ), rv))
+          }
+        }
 
     // function calls (possibly under a pure-path Pipe/Subexpression prefix)
     // and plain field/index chains (incl. identity: canonical whole document)
@@ -499,6 +599,15 @@ object Lowering {
     case a if constOf(a).isDefined => constOf(a).get != JNull
     case AndExpr(l, r) => valueMalformedSensitive(l) || valueMalformedSensitive(r)
     case OrExpr(l, r)  => valueMalformedSensitive(l) || valueMalformedSensitive(r)
+    // general pipe composition (neither a pure-path nor a fn-call pipe):
+    // a malformed doc makes stage 1 NULL, which the composition pins to
+    // eval(r, JNull) — sensitive whenever that pinned constant is non-null
+    // (plus the conservative per-stage checks; over-guarding only adds a
+    // parse-validity probe, never a wrong answer)
+    case Pipe(l, r) if fnIROf(ast).isEmpty && pathOf(ast).isEmpty =>
+      valueMalformedSensitive(l) || valueMalformedSensitive(r) ||
+        (try Interpreter.eval(r, JNull)
+         catch { case _: JmesRuntimeError => JNull }) != JNull
     case _ => fnIROf(ast) match {
       case Some(c) => FnCallIR.pinned(c) != JNull
       // prefix-streamed hybrid: sensitive iff the residual over a pinned-null
@@ -548,6 +657,12 @@ object Lowering {
             case other => other
           }
           pathOf(p).map(RCmp(_, flipped, v))
+        // ordering against a NON-number literal is JMESPath null (numbers-
+        // only ordering, Interpreter.scala Comparator arm) — falsy, so the
+        // element is always excluded regardless of the other operand's
+        // value (which, being error-free, need not be evaluated at all)
+        case (a, Literal(v)) if !ok(v) && !canError(a) => Some(RConst(false))
+        case (Literal(v), a) if !ok(v) && !canError(a) => Some(RConst(false))
         case (a, b) => // path-vs-path within the element
           for (pa <- pathOf(a); pb <- pathOf(b)) yield RCmpPath(pa, op, pb)
       }
