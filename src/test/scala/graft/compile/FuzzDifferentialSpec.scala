@@ -105,7 +105,11 @@ class FuzzDifferentialSpec extends AnyFunSuite {
   private def exprGen(depth: Int): Gen[String] = {
     val atom = Gen.frequency(
       4 -> pathGen, 2 -> callGen, 2 -> projGen, 1 -> msGen, 1 -> litGen,
-      1 -> Gen.zip(pathGen, Gen.oneOf(exprLeafForPipe)).map { case (p, r) => s"$p | $r" })
+      1 -> Gen.zip(pathGen, Gen.oneOf(exprLeafForPipe)).map { case (p, r) => s"$p | $r" },
+      // container-rooted pipes: the general serialize/reparse composition
+      // (round 12) — multi-select/projection stage 1, arbitrary stage 2
+      1 -> Gen.zip(Gen.oneOf(msGen, projGen), Gen.oneOf(containerPipeRhs))
+        .map { case (p, r) => s"$p | $r" })
     if (depth <= 0) atom
     else Gen.frequency(
       3 -> atom,
@@ -118,6 +122,11 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       1 -> exprGen(depth - 1).map(e => s"!($e)"))
   }
   private val exprLeafForPipe = Seq("[0]", "keys(@)", "length(@)", "@", "[x, k]")
+  // stage-2 shapes for container-rooted pipes: index/path access, nested
+  // containers, truthy-ish forms, and a NULL-pinned projection
+  private val containerPipeRhs = Seq(
+    "[0]", "[-1]", "x", "y", "@", "[*]", "[].x", "{v: [0]}", "[x, [1]]",
+    "keys(@)", "length(@)", "!@", "[0] > `1`", "[1:]", "sort(@)")
 
   private def forSamples[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
     // override for ad-hoc alternate-seed sweeps (env vars reach the forked
