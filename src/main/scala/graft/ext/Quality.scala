@@ -315,8 +315,15 @@ object Quality {
     * sample + range-exchange + window + offset-collect chain. The bound
     * is enforced IN-PLAN (`raise_error` when any sig's histogram
     * overflows a window task) so no separate count pass runs; tripping
-    * it falls back to the two-phase prefix sum, which is unchanged. */
-  private val MaxDriverHistogram = 1 << 17
+    * it falls back to the two-phase prefix sum, which is unchanged. The
+    * failure path costs one aborted window task over the oversized
+    * partition (external sort, spill-bounded — no OOM) plus the fallback
+    * re-aggregation: paid only in the huge-distinct-histogram regime the
+    * prefix sum exists for. Test hook: `graft.quantile.smallPathBound`
+    * system property overrides the bound so specs can force the trip. */
+  private def maxDriverHistogram: Int =
+    sys.props.get("graft.quantile.smallPathBound").map(_.toInt)
+      .getOrElse(1 << 17)
   private val HistogramGuardMsg = "quantile histogram exceeds small-path bound"
 
   private def boundsFromCounts(counts: DataFrame,
@@ -345,7 +352,7 @@ object Quality {
           // histograms that don't belong in one task (the max(__g) agg
           // reference keeps column pruning from dropping the guard)
           .withColumn("__guard",
-            when(count(lit(1)).over(wsig) > MaxDriverHistogram,
+            when(count(lit(1)).over(wsig) > maxDriverHistogram,
               raise_error(lit(HistogramGuardMsg))).otherwise(lit(0)))
           .groupBy("sig")
           .agg(fullAggs.head, fullAggs.tail: _*)

@@ -159,6 +159,20 @@ class QualitySpec extends AnyFunSuite {
       nullRow.getLong(3) == whole.getLong(2))
   }
 
+  test("quantile small-path guard: oversized histogram trips to the prefix sum") {
+    val docs = SparkEntry.table(spark, dir, "documents")
+    val want = Quality.exactQuantiles(docs, col("n_chars"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // force the in-plan raise_error trip: every boundary must then come
+    // from the two-phase prefix-sum fallback, bit-identically
+    System.setProperty("graft.quantile.smallPathBound", "4")
+    try {
+      val got = Quality.exactQuantiles(docs, col("n_chars"), k = 10).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, "fallback boundaries diverged from the small path")
+    } finally System.clearProperty("graft.quantile.smallPathBound")
+  }
+
   test("decileBySlice: NULL slice is its own bucket, not an NPE") {
     import spark.implicits._
     val rows = (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "a" else null,
