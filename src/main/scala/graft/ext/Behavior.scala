@@ -87,21 +87,27 @@ object Behavior {
     * diverge. */
   def volumeAnomalies(events: DataFrame, thresh: Double = 2.0,
                       typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    // a day with >3·10^9 events of one type overflows x² in int64 — the
+    // moments accumulate in decimal(38,0) (the DuckDB oracle's HUGEINT)
+    // and convert to double once, in the same places as before
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val daily = events
       .groupBy(col(typeCol).as("t"),
         floor(unix_micros(col(tsCol)) / 86400000000L).as("day"))
       .agg(count(lit(1)).as("x"))
     val stats = daily.groupBy("t").agg(
       count(lit(1)).as("nd"), sum(col("x")).as("sx"),
-      sum(col("x") * col("x")).as("sxx"))
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"))
     daily.join(stats, "t")
       .where(col("nd") > 1)
       .withColumn("__var",
-        (col("nd") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        (col("nd").cast(dec) * col("sxx") -
+          col("sx").cast(dec) * col("sx").cast(dec)).cast("double") /
           (col("nd") * (col("nd") - 1)).cast("double"))
       .where(col("__var") > 0)
       .withColumn("z",
-        (col("x") * col("nd") - col("sx")).cast("double") /
+        (col("x").cast(dec) * col("nd").cast(dec) - col("sx").cast(dec))
+          .cast("double") /
           (col("nd").cast("double") * sqrt(col("__var"))))
       .where(abs(col("z")) > thresh)
       .select(col("t").as("event_type"), col("day"), col("x").as("n_events"), col("z"))

@@ -405,9 +405,17 @@ object Dedup {
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
     val prefix = prefixRows(inv.join(dfreq, "h"), tau)
     // coalesce: an EMPTY corpus must report zeros, not NULL aggregates (a
-    // scheduled pipeline legitimately pre-flights empty partitions)
+    // scheduled pipeline legitimately pre-flights empty partitions).
+    // c² accumulates in decimal(38,0) and SATURATES at Long.MaxValue: a
+    // degenerate corpus puts ~every doc on one shingle, and an int64
+    // overflow would report a NEGATIVE volume to exactly the regime
+    // decision this preflight exists to inform (saturation still routes
+    // "beyond budget" correctly)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val pstats = prefix.groupBy("h").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("candidate_volume"),
+      .agg(least(coalesce(sum(col("c").cast(dec) * col("c").cast(dec)),
+            lit(0).cast(dec)), lit(Long.MaxValue).cast(dec))
+          .cast("long").as("candidate_volume"),
         coalesce(sum(col("c")), lit(0L)).as("prefix_rows"))
     val shape = dfreq.agg(count(lit(1)).as("distinct_shingles"),
       coalesce(max(col("df")), lit(0L)).as("max_df"),

@@ -38,7 +38,12 @@ object TimeSeries {
              queryIds: Seq[Long], k: Int = 5,
              grainSeconds: Long = 3600L): DataFrame = {
     val s = series(events, entity, tsCol, grainSeconds)
-    val norms = s.groupBy("ent").agg(sum(col("c") * col("c")).as("n2"))
+    // hot-bucket counts square: int64 gives out near c ≈ 3·10^9 per
+    // (entity, bucket) and sooner for the summed norms — decimal(38,0)
+    // moments, double once at the ranking score (the module discipline)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val norms = s.groupBy("ent")
+      .agg(sum(col("c").cast(dec) * col("c").cast(dec)).as("n2"))
     val q = s.where(col("ent").isInCollection(queryIds))
       .select(col("ent").as("q_ent"), col("bucket"), col("c").as("qc"))
     val qn = norms.where(col("ent").isInCollection(queryIds))
@@ -48,12 +53,13 @@ object TimeSeries {
     val cross = s.join(broadcast(q), Seq("bucket"))
       .where(col("ent") =!= col("q_ent"))
       .groupBy(col("q_ent"), col("ent"))
-      .agg(sum(col("c") * col("qc")).as("dot"))
+      .agg(sum(col("c").cast(dec) * col("qc").cast(dec)).as("dot"))
     val scored = norms.crossJoin(broadcast(qn))
       .where(col("ent") =!= col("q_ent"))
       .join(cross, Seq("q_ent", "ent"), "left")
       .select(col("q_ent"), col("ent"),
-        (col("qn2") + col("n2") - lit(2L) * coalesce(col("dot"), lit(0L))).as("d2"))
+        (col("qn2") + col("n2") -
+          lit(2).cast(dec) * coalesce(col("dot"), lit(0).cast(dec))).as("d2"))
     val topk = udaf(new TopKAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
     scored.groupBy("q_ent")
