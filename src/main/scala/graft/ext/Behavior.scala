@@ -140,22 +140,34 @@ object Behavior {
       .select(col("src"), col("dst"),
         (col("weight").cast("double") / col("__wout")).as("__p"))
       .localCheckpoint()
-    val sinks = nodes.join(out.select(col("src").as("id")), Seq("id"), "left_anti")
+    // the sink flag rides the node table so each iteration needs neither a
+    // sinks join nor a separate dangling-mass DRIVER job: the dangling
+    // scalar is a 1-row aggregate of the previous (checkpointed) ranks,
+    // broadcast-crossed into the update — the whole iteration is ONE
+    // materialized query (was 3 job rounds per iteration: collect + join
+    // + checkpoint)
+    val flagged = nodes
+      .join(out.select(col("src").as("id"), lit(false).as("__sink")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__sink"), lit(true)).as("__sink"))
       .localCheckpoint()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = flagged.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val dangling = sinks.join(ranks, Seq("id"))
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val contrib = norm.join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+      val dangling = ranks.where(col("__sink"))
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+      val contrib = norm
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("__p") * col("rank")).as("__c"))
-      ranks = nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"),
+      ranks = flagged.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("__sink"),
           (lit((1 - d) / n) +
-            lit(d) * (coalesce(col("__c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+            lit(d) * (coalesce(col("__c"), lit(0.0)) +
+              col("__dang") / lit(n))).as("rank"))
         .localCheckpoint()
     }
-    ranks
+    ranks.select("id", "rank")
   }
 
   /** Next-event-prediction training examples — the supervised dataset

@@ -897,6 +897,11 @@ object Hygiene {
     * trigram HOF: lambda bodies are interpreted without common-
     * subexpression elimination, so an inline `split(text)` re-runs per
     * `element_at` call (measured 10× at sf0.1). */
+  /** NULL sources are excluded from these statistics (`collect_set`
+    * drops them): a NULL-source doc's grams contribute no set membership,
+    * and a gram seen ONLY under NULL sources yields an empty pattern both
+    * consumers ignore. Coalesce the source column to a label first if
+    * "unattributed" should rank as a source of its own. */
   private def gramPatternCounts(df: DataFrame, source: Column): DataFrame = {
     val pre = df.select(source.cast("string").as("__s"),
       split(col("text"), " ").as("__w"))
