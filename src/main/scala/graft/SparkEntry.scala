@@ -144,7 +144,10 @@ object SparkEntry {
     // sliding distinct (one corpus collapse + W-sketch window unions).
     // bt_* / win_rates / kappa / ols / gini / brier / ab_ztest /
     // approx_quantiles / hll_maintained sit at the scan/job floor.
-    "bleu_corpus", "source_overlap", "sliding_distinct")
+    "bleu_corpus", "source_overlap", "sliding_distinct",
+    // round-12: ICP stream ordering — one broadcast assignment pass +
+    // per-cell greedy walks (real per-task compute over collected cells)
+    "icp_order")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

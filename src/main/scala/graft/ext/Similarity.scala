@@ -976,6 +976,40 @@ object Similarity {
       .select("vec_id", "cell_id", "rank_in_cell")
   }
 
+  /** In-Context Pretraining document ordering (Shi et al. 2023,
+    * arXiv:2310.10638 §2.2): order the training stream so semantically
+    * RELATED documents are ADJACENT — the paper's cluster-then-chain
+    * construction, where pretraining on such streams improves in-context
+    * learning. Output: one `(vec_id, chain_id, pos)` row per vector; a
+    * packing pass ([[graft.ext.Hygiene.packGreedy]] keyed on chain_id,
+    * ordered by pos) turns chains into context windows.
+    *
+    * Chain rule (deterministic cross-engine, shared with the SQL oracle):
+    * vectors assign to the id-seeded centroids by the IVF rule
+    * ([[nearestCell]]: quantized cosine DESC, cell ASC); each cell's walk
+    * starts at its smallest vec_id and repeatedly steps to the nearest
+    * UNVISITED member — argmax of `quant(cos)·2³² − vec_id` (the
+    * composite breaks quantized ties to the smallest id; a
+    * null/zero-norm cosine pins to −2·10⁹, walkable but last).
+    *
+    * Scale: one narrow broadcast assignment pass; each cell's O(m²)
+    * greedy walk runs INSIDE that cell's task over the collected cell
+    * population — bounded by the √n-cells operating rule
+    * ([[graft.ext.Tuning.suggestIvf]]), the lever trading per-task state
+    * and walk cost against chain quality. No corpus-wide sequential
+    * pass; nothing shuffles but the (vec, cell) assignment. */
+  def icpOrder(emb: DataFrame, nCells: Int = 16,
+               centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
+    val cents = centroids.map(cs => typedLit(cs)).getOrElse(centroidLit(emb, nCells))
+    emb.select(col("vec_id"), col("embedding"),
+        nearestCell(col("embedding"), cents).as("chain_id"))
+      .groupBy("chain_id")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("__m"))
+      .select(col("chain_id"),
+        posexplode(IcpWalk.walkUdf(col("__m"))).as(Seq("pos", "vec_id")))
+      .select(col("vec_id"), col("chain_id"), col("pos").cast("long").as("pos"))
+  }
+
   // Gate parameters, interpolated into BOTH the queries-map calls and the
   // oracle SQL below so they can never silently desync.
   private[ext] val GateK = 5
@@ -1166,6 +1200,9 @@ object Similarity {
     "cluster_balance" -> ((s, dir) =>
       clusterBalance(SparkEntry.table(s, dir, "embeddings"),
         cap = GateBalanceCap, nCells = GateIvfCells)),
+    // ICP stream ordering: the full chain table (every vector placed)
+    "icp_order" -> ((s, dir) =>
+      icpOrder(SparkEntry.table(s, dir, "embeddings"), nCells = GateIvfCells)),
     // PQ/ADC with the deterministic seed codebooks → full algorithm-mirror
     // SQL oracle (encode argmin, query distance tables, ordered-fold ADC);
     // trained codebooks are spec-gated like trainCentroids (Lloyd means are
@@ -1590,7 +1627,35 @@ object Similarity {
         |  FROM embeddings e, cents c GROUP BY e.vec_id),
         |cut AS (SELECT quantile_cont(cost, 0.99) AS q FROM cost)
         |SELECT vec_id, cost FROM cost, cut WHERE cost > q""".stripMargin,
-    // the shared deterministic assignment + the sha256-ranked per-cell cap
+    // the same assignment CTE, then the greedy walk as a recursive CTE:
+    // anchor = each cell's smallest id, step = the correlated argmax of
+    // the composite quant(cos)*2^32 - id key over unvisited members —
+    // bit-identical to IcpWalk by the shared cosine fold + floor rule
+    "icp_order" ->
+      s"""WITH RECURSIVE $assignedCellsSql,
+        |pairs AS (
+        |  SELECT a.cell_id, a.vec_id AS a, b.vec_id AS b,
+        |    COALESCE(CASE WHEN isnan(list_cosine_similarity(
+        |        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))
+        |      THEN 2000000000 ELSE CAST(floor(list_cosine_similarity(
+        |        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |        * 1e9 + 0.5) AS BIGINT) END, -2000000000)
+        |      * 4294967296 - b.vec_id AS key
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+        |walk(cell_id, cur, visited, pos) AS (
+        |  SELECT cell_id, min(vec_id), [min(vec_id)], CAST(0 AS BIGINT)
+        |  FROM assigned GROUP BY cell_id
+        |  UNION ALL
+        |  SELECT w.cell_id, p.b, list_append(w.visited, p.b), w.pos + 1
+        |  FROM walk w JOIN pairs p
+        |    ON p.cell_id = w.cell_id AND p.a = w.cur
+        |   AND NOT list_contains(w.visited, p.b)
+        |  WHERE p.key = (SELECT max(p2.key) FROM pairs p2
+        |                 WHERE p2.cell_id = w.cell_id AND p2.a = w.cur
+        |                   AND NOT list_contains(w.visited, p2.b)))
+        |SELECT cur AS vec_id, cell_id AS chain_id, pos FROM walk""".stripMargin,
+    // the same assignment CTE, then the sha256-ranked per-cell cap
     "cluster_balance" ->
       s"""WITH $assignedCellsSql,
         |r AS (
@@ -1636,4 +1701,67 @@ object Similarity {
         |      FROM sims)
         |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin,
   )
+}
+
+/** The per-cell greedy nearest-neighbor walk behind [[Similarity.icpOrder]]
+  * — plain JVM code running inside ONE task per cell (cell populations are
+  * the √n-bounded IVF state, so the O(m²) walk and the m-vector buffer are
+  * task-bounded by construction, never corpus-scale).
+  *
+  * Arithmetic is the exact [[graft.functions.CosineSim]] sequential fold
+  * (Float→Double, dot/(√na·√nb)) and the exact quantization rule
+  * `floor(cos·10⁹ + 0.5)` shared with every ANN oracle, so the walk is
+  * bit-identical to the DuckDB recursive-CTE oracle. A NaN cosine pins to
+  * +2·10⁹ (walkable — the generic Long.MaxValue pin would overflow the
+  * composite `quant·2³² − vec_id` step key on both engines), zero norms
+  * follow DuckDB's `list_cosine_similarity` convention of −1.0, and the
+  * by-construction-impossible empty/mismatched-length case ranks last. */
+private[ext] object IcpWalk {
+  private[ext] def quantCos(a: Seq[Float], b: Seq[Float]): Long = {
+    val n = a.length
+    if (n != b.length || n == 0) return -2000000000L
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    // DuckDB's list_cosine_similarity returns -1.0 for zero norms
+    // (measured), so the quantized walk key matches: quant(-1.0)
+    if (denom == 0.0) -1000000000L
+    else {
+      val c = dot / denom
+      if (c.isNaN) 2000000000L else math.floor(c * 1e9 + 0.5).toLong
+    }
+  }
+
+  /** Ordered member ids of one cell's chain. */
+  private[ext] def chain(ids: Array[Long],
+                         embs: Array[Seq[Float]]): Seq[Long] = {
+    val m = ids.length
+    if (m == 0) return Nil
+    val used = new Array[Boolean](m)
+    val out = new Array[Long](m)
+    var cur = 0
+    for (i <- 1 until m) if (ids(i) < ids(cur)) cur = i
+    used(cur) = true; out(0) = ids(cur)
+    for (step <- 1 until m) {
+      var best = -1; var bestKey = Long.MinValue
+      for (j <- 0 until m) if (!used(j)) {
+        val key = quantCos(embs(cur), embs(j)) * 4294967296L - ids(j)
+        if (key > bestKey) { bestKey = key; best = j }
+      }
+      used(best) = true; out(step) = ids(best); cur = best
+    }
+    out.toSeq
+  }
+
+  private[ext] val walkUdf =
+    org.apache.spark.sql.functions.udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val ids = members.map(_.getLong(0)).toArray
+      val embs = members.map(_.getSeq[Float](1)).toArray
+      chain(ids, embs)
+    })
 }

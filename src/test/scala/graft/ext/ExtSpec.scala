@@ -795,6 +795,53 @@ class ExtSpec extends AnyFunSuite {
     assert(a == b, "loaded centroids changed the ANN result")
   }
 
+  test("icpOrder: permutation, chain rule matches the brute-force greedy walk") {
+    val nCells = 8
+    val out = Similarity.icpOrder(emb, nCells = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a PERMUTATION of the corpus: every vector exactly once
+    val total = emb.count()
+    assert(out.length == total && out.map(_._1).distinct.length == total)
+    // chains agree with the independent assignment; positions contiguous
+    val cents = Similarity.centroidLit(emb, nCells)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+        Similarity.nearestCell(col("embedding"), cents).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+    val cellOf = assigned.map(a => a._1 -> a._3).toMap
+    assert(out.forall { case (id, chain, _) => cellOf(id) == chain })
+    val byChain = out.groupBy(_._2)
+    assert(byChain.values.forall(c =>
+      c.map(_._3).sorted.sameElements(0L until c.length.toLong)),
+      "positions must be contiguous from 0 within each chain")
+    // the walk IS the greedy rule: independent brute-force recompute
+    val embOf = assigned.map(a => a._1 -> a._2).toMap
+    for ((chain, members) <- assigned.groupBy(_._3)) {
+      val ids = members.map(_._1)
+      var cur = ids.min
+      val visited = collection.mutable.Set(cur)
+      val expect = collection.mutable.ArrayBuffer(cur)
+      while (visited.size < ids.length) {
+        val next = ids.filterNot(visited).maxBy(j =>
+          IcpWalk.quantCos(embOf(cur), embOf(j)) * 4294967296L - j)
+        visited += next; expect += next; cur = next
+      }
+      val got = byChain(chain).sortBy(_._3).map(_._1).toSeq
+      assert(got == expect.toSeq, s"chain $chain diverged from the greedy walk")
+    }
+    // adjacency beats a random (id-ordered) stream: mean adjacent cosine
+    // of the ICP order must exceed the id order's (the operator's point)
+    def meanAdjQ(order: Seq[Long]): Double = {
+      val qs = order.sliding(2).collect { case Seq(a, b) =>
+        IcpWalk.quantCos(embOf(a), embOf(b)).toDouble }.toSeq
+      qs.sum / qs.length
+    }
+    val icpAdj = byChain.values.map(c => meanAdjQ(c.sortBy(_._3).map(_._1).toSeq))
+      .sum / byChain.size
+    val idAdj = meanAdjQ(assigned.map(_._1).sorted.toSeq)
+    assert(icpAdj > idAdj,
+      s"ICP order must beat the id-ordered stream on adjacent similarity: $icpAdj vs $idAdj")
+  }
+
   test("clusterBalance: per-cell cap, deterministic sha rank, trained-centroid path") {
     val cap = 5; val nCells = 8
     val out = Similarity.clusterBalance(emb, cap = cap, nCells = nCells)
