@@ -126,7 +126,7 @@ object ScaleProbe {
     val e1 = emb1.cache(); val eN = embN.cache()
     if (!r10Only && !r10bOnly && !r11bOnly) { d1.count(); dN.count() } // r11 kn/r11c probes reuse d1/dN
     if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only) { dSkew.count(); dSkew1.count() }
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only) { e1.count(); eN.count() }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly) { e1.count(); eN.count() }
     if (r9gOnly) { e1.count(); eN.count() }
 
     val queries1 = e1.where(col("vec_id") < 10)
@@ -502,7 +502,15 @@ object ScaleProbe {
           force(ext.Quality.qualityEnsemble(dN, Seq(
             "len" -> size(split(col("text"), " ")),
             "vocab" -> size(array_distinct(split(col("text"), " "))),
-            "chars" -> length(col("text"))))) })
+            "chars" -> length(col("text"))))) },
+        // ICP ordering under the sqrt-N cells rule: cell populations (and
+        // so the per-task O(m^2) walk) stay ~flat as the corpus grows
+        time("icp_order_1x") {
+          force(ext.Similarity.icpOrder(
+            e1.select("vec_id", "embedding"), nCells = 16)) },
+        time(s"icp_order_${rep}x") {
+          force(ext.Similarity.icpOrder(eN.select("vec_id", "embedding"),
+            nCells = math.max(16, (16 * math.sqrt(rep)).toInt))) })
     }
     val results = if (r12Only) r12Probes
     else if (r9Only) r9Probes else if (r9bOnly) r9bProbes
