@@ -50,6 +50,41 @@ object TextAnalysis {
           lit(0.3) * col("stop_ratio") +
           lit(0.3) * least(col("avg_token_len") / lit(8.0), lit(1.0)))
 
+  /** GPT-2-shaped pretokenizer pattern (Radford et al. 2019's regex minus
+    * the RE2-incompatible `(?!\S)` lookahead), valid VERBATIM in both
+    * Java regex (Spark `regexp_count`) and RE2 (DuckDB
+    * `regexp_extract_all`) — match counts verified identical across
+    * engines on contractions, unicode letters, digits, runs of
+    * whitespace, and symbol clusters. */
+  val BpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Tokenizer fertility per language — the tokenizer-selection eval table
+    * (how many subword units a tokenizer spends per whitespace word and
+    * per byte, by language): whitespace words, BPE-ish pretokens
+    * ([[BpePretokenPattern]] match count — the unit count a byte-level BPE
+    * starts from), and UTF-8 bytes, rolled up per `langCol` with the two
+    * fertility ratios as single divisions of exact integer sums. High
+    * bytes-per-pretoken languages are where a shared tokenizer
+    * under-serves — the number this table exists to surface.
+    *
+    * Scale: three scan-time integer counters per row (regexp_count is
+    * codegen'd), one partial-agged groupBy to |langs| rows. */
+  def tokenFertility(df: DataFrame, langCol: Column): DataFrame =
+    df.select(langCol.as("lang"),
+        size(filter(toks, t => t =!= "")).cast("long").as("__w"),
+        regexp_count(col("text"), lit(BpePretokenPattern)).cast("long").as("__p"),
+        octet_length(col("text")).cast("long").as("__b"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__p")).as("n_pretokens"), sum(col("__b")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pretokens"),
+        col("n_bytes"),
+        (col("n_pretokens").cast("double") / col("n_words").cast("double"))
+          .as("pretokens_per_word"),
+        (col("n_bytes").cast("double") / col("n_pretokens").cast("double"))
+          .as("bytes_per_pretoken"))
+
   /** Pass-through quality gate: [[stats]]' quality score as a filter that
     * RETAINS the input columns (no doc_id self-join — at corpus scale the
     * gate must be a scan-time filter). Arithmetic is IDENTICAL to [[stats]]
@@ -696,6 +731,10 @@ object TextAnalysis {
     "vocab_growth" -> ((s, dir) =>
       vocabGrowth(SparkEntry.table(s, dir, "documents"))),
     "text_stats" -> ((s, dir) => stats(SparkEntry.table(s, dir, "documents"))),
+    // which languages a byte-level BPE under-serves: pretokens/word and
+    // bytes/pretoken per language, exact integer sums
+    "tokenizer_fertility" -> ((s, dir) =>
+      tokenFertility(SparkEntry.table(s, dir, "documents"), col("lang"))),
     "lang_id" -> ((s, dir) => langId(SparkEntry.table(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) => fingerprint(SparkEntry.table(s, dir, "documents"))),
     "winnow_fingerprints" -> ((s, dir) => winnow(SparkEntry.table(s, dir, "documents"))),
@@ -875,6 +914,21 @@ object TextAnalysis {
          |  0.3 * (CAST(n_stop AS DOUBLE) / n_tokens) +
          |  0.3 * least((CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 8.0, 1.0) AS quality
          |FROM u""".stripMargin,
+    // the same verbatim RE2/Java-shared pretokenizer pattern; strlen =
+    // UTF-8 bytes in DuckDB (octet_length's twin)
+    "tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+        |    len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS p,
+        |    strlen(text) AS b
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(p) AS BIGINT) AS n_pretokens,
+        |  CAST(sum(b) AS BIGINT) AS n_bytes,
+        |  CAST(sum(p) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS pretokens_per_word,
+        |  CAST(sum(b) AS DOUBLE) / CAST(sum(p) AS DOUBLE) AS bytes_per_pretoken
+        |FROM t GROUP BY lang""".stripMargin,
     "lang_id" -> {
       val scoreCols = LangMarkers.map { case (lang, markers) =>
         val lst = markers.map(w => s"'$w'").mkString(", ")

@@ -795,6 +795,25 @@ class ExtSpec extends AnyFunSuite {
     assert(a == b, "loaded centroids changed the ANN result")
   }
 
+  test("tokenFertility: hand counts per language, exact ratios") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "hello world"),         // 2 words, 2 pretokens, 11 bytes
+      (2L, "en", "it's 42 degrees!"),    // 3 words, 5 pretokens, 16 bytes
+      (3L, "fr", "café naïve")           // 2 words, 2 pretokens, 12 bytes
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenFertility(docs, col("lang"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(1) == 2 && en.getLong(2) == 5 && en.getLong(3) == 7)
+    assert(en.getLong(4) == 27)
+    assert(en.getDouble(5) == 7.0 / 5.0, "pretokens per word")
+    assert(en.getDouble(6) == 27.0 / 7.0, "bytes per pretoken")
+    val fr = out("fr")
+    // 'café naïve' = 2 pretokens; é/ï are 2 UTF-8 bytes each → 12 bytes
+    assert(fr.getLong(2) == 2 && fr.getLong(3) == 2 && fr.getLong(4) == 12)
+  }
+
   test("icpOrder: permutation, chain rule matches the brute-force greedy walk") {
     val nCells = 8
     val out = Similarity.icpOrder(emb, nCells = nCells)
