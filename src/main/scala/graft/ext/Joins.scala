@@ -154,8 +154,13 @@ object Joins {
                    tsCol: String, payload: Seq[String], prefix: String = "r_",
                    hotRowThreshold: Long = 2000000L,
                    grainSeconds: Long = 86400L): DataFrame = {
+    // null-preserving key render: concat_ws silently DROPS a NULL part,
+    // which would merge ("a", NULL) with ("a") shapes and overstate the
+    // hot key (a physical decision only, but no reason to measure wrong)
     val hot = Freq.skewReport(
-        left.select(concat_ws("|", keys.map(col): _*).as("k")), col("k"), topK = 1)
+        left.select(concat_ws("|", keys.map(k =>
+          coalesce(col(k).cast("string"), lit("\u0000<null>"))): _*).as("k")),
+        col("k"), topK = 1)
       .select("n").collect().headOption.map(_.getLong(0)).getOrElse(0L)
     if (hot > hotRowThreshold)
       asofJoinSalted(left, right, keys, tsCol, payload, prefix, grainSeconds)
