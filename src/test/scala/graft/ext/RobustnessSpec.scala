@@ -61,4 +61,42 @@ class RobustnessSpec extends AnyFunSuite {
     assert(Snapshot.readCurrent(spark, root).count() == 2,
       "published data untouched by the stage reap")
   }
+
+  test("source pattern ops: empty corpus and single-source edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Hygiene.sourceNovelty(empty, col("source")).collect().isEmpty)
+    assert(Hygiene.sourceOverlap(empty, col("source")).collect().isEmpty)
+    // one source: every gram exclusive, no pairs
+    val one = Seq((1L, "a b c d", "s"), (2L, "b c d e", "s"))
+      .toDF("doc_id", "text", "source")
+    val nov = Hygiene.sourceNovelty(one, col("source")).collect()
+    assert(nov.length == 1)
+    assert(nov.head.getLong(1) == nov.head.getLong(2), "all grams exclusive")
+    assert(nov.head.getDouble(3) == 1.0)
+    assert(Hygiene.sourceOverlap(one, col("source")).collect().isEmpty,
+      "a single source has no pairs")
+    // docs too short for a trigram contribute nothing but do not fail
+    val short = Seq((1L, "a b", "s1"), (2L, "x y z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val nv = Hygiene.sourceNovelty(short, col("source")).collect()
+    assert(nv.map(_.getString(0)).toSet == Set("s2"))
+  }
+
+  test("icpOrder: empty and single-vector corpora") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val one = Seq((7L, Seq.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.icpOrder(one, nCells = 4).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 7L && out.head.getLong(2) == 0L)
+  }
+
+  test("tokenFertility: empty-text docs count zero pretokens, not NULLs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq((1L, "en", ""), (2L, "en", "hi")).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.tokenFertility(docs, col("lang")).head()
+    assert(r.getLong(1) == 2 && r.getLong(3) == 1 && r.getLong(4) == 2)
+  }
 }
