@@ -819,6 +819,31 @@ class PlanSpec extends AnyFunSuite {
       s"gini_sources has a cartesian product:\n$p")
   }
 
+  test("source_overlap/source_novelty: one eager corpus pass, local result") {
+    // the round-12 pattern-table shape: the single corpus pass (gram
+    // collect_set -> pattern counts) runs EAGERLY inside the operator and
+    // both statistics fold on the driver under the pattern bound — the
+    // returned plan must reference no corpus scan, no shuffle, no join
+    for (name <- Seq("source_overlap", "source_novelty")) {
+      val p = physical(name)
+      assert(count(p) { case _: FileSourceScanExec => } == 0,
+        s"$name must not replan a corpus scan:\n$p")
+      assert(shuffles(p) == 0, s"$name result must be local:\n$p")
+      assert(count(p) { case _: joins.BaseJoinExec => } == 0,
+        s"$name must not join:\n$p")
+    }
+  }
+
+  test("quality_ensemble: decile map is scan-time — one scan, no exchange") {
+    // boundaries were computed eagerly (the windowed small path); the
+    // returned plan is the corpus scan + broadcast-literal decile compares
+    val p = physical("quality_ensemble")
+    assert(count(p) { case _: FileSourceScanExec => } == 1,
+      s"one documents scan:\n$p")
+    assert(shuffles(p) == 0,
+      s"the decile lookup must not exchange:\n$p")
+  }
+
   test("heavy_hitters production mode: sketch pass only, no recount scan") {
     import org.apache.spark.sql.functions.col
     val terms = ext.Freq.trigrams(SparkEntry.table(spark, sfDir, "documents"))
