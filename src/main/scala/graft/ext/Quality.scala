@@ -838,6 +838,37 @@ object Quality {
         (col("__ps") === col("__gs")).cast("long").as("exact"))
   }
 
+
+  /** ROUGE-L (Lin 2004 §3.1): LCS-based precision/recall/F1 over token
+    * arrays — the third leg of the eval triad beside [[tokenF1]] (multiset
+    * unigram overlap, order-blind) and [[bleuCorpus]] (clipped n-gram
+    * precision, corpus-pooled): ROUGE-L credits ORDER, so a shuffled
+    * candidate keeps its token-F1 but loses ROUGE-L. The LCS is a native
+    * codegen'd expression ([[graft.functions.LcsLength]] — the classic
+    * O(n·m) two-row DP with min(n,m)+1 longs of per-row state, a per-row
+    * bound a document-length cap keeps honest, never corpus-scale);
+    * everything after is three single divisions of exact integers. One
+    * narrow scan, nothing shuffles. Empty sides score 0.0 (the
+    * [[tokenF1]] convention), as does an empty union. */
+  def rougeL(pairs: DataFrame, id: Column, cand: Column,
+             ref: Column): DataFrame = {
+    val base = pairs.select(id.as("id"), cand.as("__c"), ref.as("__r"))
+      .withColumn("lcs", graft.functions.vectors.lcsLength(col("__c"), col("__r")))
+      .withColumn("n_cand", size(col("__c")).cast("long"))
+      .withColumn("n_ref", size(col("__r")).cast("long"))
+    base.select(col("id"), col("lcs"), col("n_cand"), col("n_ref"),
+        when(col("n_cand") === 0, lit(0.0))
+          .otherwise(col("lcs").cast("double") / col("n_cand").cast("double"))
+          .as("rouge_l_p"),
+        when(col("n_ref") === 0, lit(0.0))
+          .otherwise(col("lcs").cast("double") / col("n_ref").cast("double"))
+          .as("rouge_l_r"))
+      .withColumn("rouge_l_f",
+        when(col("rouge_l_p") + col("rouge_l_r") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("rouge_l_p") * col("rouge_l_r") /
+            (col("rouge_l_p") + col("rouge_l_r"))))
+  }
+
   /** Corpus-level BLEU-4 (Papineni et al. 2002 §2) over (candidate,
     * reference) text pairs: clipped n-gram precision `p_n = Σclip_n /
     * Σemit_n` for n = 1..4 pooled CORPUS-wide (the paper's micro pooling —
@@ -1309,6 +1340,18 @@ object Quality {
             array_join(slice(w, 1, 12), " ").as("gold")),
         col("doc_id"), col("pred"), col("gold"))
     }),
+    // synthetic summarization eval over the DUPLICATE-FREE token base
+    // (first-occurrence order): cand = a 2-shifted 12-token window of
+    // gold's region, so the true LCS equals the ordered-intersection count
+    // both engines can also derive set-wise — the gate checks the real DP
+    // against that closed form
+    "rouge_l" -> ((s, dir) => {
+      val base = array_distinct(filter(split(col("text"), " "), w => w =!= ""))
+      rougeL(SparkEntry.table(s, dir, "documents")
+          .select(col("doc_id"),
+            slice(base, 3, 12).as("pred"), slice(base, 1, 12).as("gold")),
+        col("doc_id"), col("pred"), col("gold"))
+    }),
     // synthetic MT eval: candidate = full text, reference = the text
     // minus its last two words — candidate corpus is the longer side, so
     // bp = 1 exactly and every output column is rational + sqrt
@@ -1621,6 +1664,39 @@ object Quality {
         |SELECT grp, n, CAST(rank AS BIGINT) AS rank,
         |  min(CASE WHEN cr >= rank THEN v END) AS threshold_cents
         |FROM k GROUP BY 1, 2, 3""".stripMargin,
+
+    // first-occurrence dedup via the list_position filter (DuckDB's
+    // list_distinct does NOT preserve order); on a duplicate-free base,
+    // two order-preserving slices have LCS = |intersection|
+    "rouge_l" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS w0
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    list_filter(w0, (x, i) -> list_position(w0, x) = i) AS base
+        |  FROM t),
+        |p AS (SELECT doc_id, base[3:14] AS pred, base[1:12] AS gold FROM d),
+        |m AS (SELECT doc_id,
+        |    CAST(len(list_intersect(pred, gold)) AS BIGINT) AS lcs,
+        |    CAST(len(pred) AS BIGINT) AS n_cand,
+        |    CAST(len(gold) AS BIGINT) AS n_ref
+        |  FROM p)
+        |SELECT doc_id AS id, lcs, n_cand, n_ref,
+        |  CASE WHEN n_cand = 0 THEN 0.0
+        |       ELSE CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS rouge_l_p,
+        |  CASE WHEN n_ref = 0 THEN 0.0
+        |       ELSE CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE) END AS rouge_l_r,
+        |  CASE WHEN (CASE WHEN n_cand = 0 THEN 0.0
+        |             ELSE CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE) END) +
+        |            (CASE WHEN n_ref = 0 THEN 0.0
+        |             ELSE CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE) END) = 0.0
+        |       THEN 0.0
+        |       ELSE 2.0 * (CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE)) *
+        |            (CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE)) /
+        |            ((CAST(lcs AS DOUBLE) / CAST(n_cand AS DOUBLE)) +
+        |             (CAST(lcs AS DOUBLE) / CAST(n_ref AS DOUBLE)))
+        |  END AS rouge_l_f
+        |FROM m""".stripMargin,
 
     // same boundary vectors, same k-slot window sums, one division/doc
     "windowdiff_eval" ->

@@ -272,6 +272,64 @@ case class BloomMightContain(bloomBytes: Array[Byte], child: Expression)
     copy(child = newChild)
 }
 
+
+/** Length of the longest common subsequence of two token arrays — the
+  * statistic behind ROUGE-L (Lin 2004 §3.1). Classic two-row O(n·m) DP in
+  * a static helper shared by interpreted eval and generated code (the
+  * [[SimHash]] pattern); per-row state is min(n,m)+1 ints. NULL elements
+  * match nothing (each is treated as unequal to everything, including
+  * another NULL — the conservative eval-metric reading). */
+case class LcsLength(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lcs_length"
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _                        => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING> inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LcsLength.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.LcsLength.compute($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsLength =
+    copy(left = l, right = r)
+}
+
+object LcsLength {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    // iterate the LONGER side outer so the DP rows are min(n, m)+1 wide
+    val (outer, inner, oLen, iLen) =
+      if (n >= m) (a, b, n, m) else (b, a, m, n)
+    var prev = new Array[Long](iLen + 1)
+    var cur = new Array[Long](iLen + 1)
+    var i = 0
+    while (i < oLen) {
+      val oNull = outer.isNullAt(i)
+      val ov = if (oNull) null else outer.getUTF8String(i)
+      var j = 0
+      while (j < iLen) {
+        val matches = !oNull && !inner.isNullAt(j) &&
+          ov.equals(inner.getUTF8String(j))
+        cur(j + 1) =
+          if (matches) prev(j) + 1L
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      cur(0) = 0L
+      i += 1
+    }
+    prev(iLen)
+  }
+}
+
 /** Column-API entry points. */
 object vectors {
   def cosineSim(a: Column, b: Column): Column =
@@ -284,4 +342,6 @@ object vectors {
     bridge.column(ShingleArray(bridge.expression(text), k))
   def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
     bridge.column(BloomMightContain(bloomBytes, bridge.expression(key)))
+  def lcsLength(a: Column, b: Column): Column =
+    bridge.column(LcsLength(bridge.expression(a), bridge.expression(b)))
 }

@@ -159,6 +159,41 @@ class QualitySpec extends AnyFunSuite {
       nullRow.getLong(3) == whole.getLong(2))
   }
 
+  test("rougeL: classic LCS values incl. repeats; order sensitivity; JVM differential") {
+    import spark.implicits._
+    def rl(c: Seq[String], r: Seq[String]): (Long, Double, Double, Double) = {
+      val row = Quality.rougeL(Seq((1L, c, r)).toDF("id", "c", "r"),
+        col("id"), col("c"), col("r")).head()
+      (row.getLong(1), row.getDouble(4), row.getDouble(5), row.getDouble(6))
+    }
+    // the textbook pair: LCS(ABCBDAB, BDCABA) = 4 (e.g. BCBA)
+    assert(rl("ABCBDAB".map(_.toString), "BDCABA".map(_.toString))._1 == 4L)
+    // identical → all ones; disjoint → zeros (incl. the 0/0 F guard)
+    assert(rl(Seq("x", "y"), Seq("x", "y")) == ((2L, 1.0, 1.0, 1.0)))
+    assert(rl(Seq("a"), Seq("b")) == ((0L, 0.0, 0.0, 0.0)))
+    assert(rl(Nil, Seq("a"))._1 == 0L && rl(Nil, Seq("a"))._4 == 0.0)
+    // ORDER sensitivity — the property token-F1 cannot see: a reversed
+    // candidate keeps the multiset but loses the subsequence
+    val gold = Seq("a", "b", "c", "d")
+    assert(rl(gold, gold)._1 == 4L)
+    assert(rl(gold.reverse, gold)._1 == 1L)
+    // differential vs an independent full-matrix JVM reference on
+    // deterministic pseudo-random arrays over a small alphabet (repeats)
+    def ref(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.ofDim[Long](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+                   else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(20260815)
+    for (_ <- 1 to 25) {
+      val a = Seq.fill(rnd.nextInt(12))(('a' + rnd.nextInt(3)).toChar.toString)
+      val b = Seq.fill(rnd.nextInt(12))(('a' + rnd.nextInt(3)).toChar.toString)
+      assert(rl(a, b)._1 == ref(a, b), s"LCS($a, $b)")
+    }
+  }
+
   test("quantile small-path guard: oversized histogram trips to the prefix sum") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val want = Quality.exactQuantiles(docs, col("n_chars"), k = 10).collect()
