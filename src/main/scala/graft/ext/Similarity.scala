@@ -941,8 +941,12 @@ object Similarity {
     val cost = emb.select(col("vec_id"),
       (lit(1.0) - array_max(transform(cents,
         c => vectors.cosineSim(col("embedding"), c.getField("_2"))))).as("cost"))
-    val cut = cost.agg(expr(s"percentile(cost, ${1.0 - frac})")).head().getDouble(0)
-    cost.where(col("cost") > cut)
+    val cutRow = cost.agg(expr(s"percentile(cost, ${1.0 - frac})")).head()
+    // a NULL percentile means an empty corpus — fail loudly, not with a
+    // bare unboxing NPE (centroidLit would already have produced an empty
+    // literal; this is the first aggregate that can observe it)
+    require(!cutRow.isNullAt(0), "embeddingOutliers: empty embedding corpus")
+    cost.where(col("cost") > cutRow.getDouble(0))
   }
 
   /** Cluster-balanced (diversity-preserving) corpus pruning — the
