@@ -944,6 +944,76 @@ object Quality {
         sqrt(sqrt(col("p1") * col("p2") * col("p3") * col("p4"))))
   }
 
+
+  /** chrF (Popović 2015, WMT's character-n-gram F-score): per (candidate,
+    * reference) pair, multiset precision/recall of character n-grams for
+    * n = 1..`maxN`, arithmetic-averaged over orders, combined as
+    * F_β = (1+β²)·P̄·R̄ / (β²·P̄ + R̄) with β = 2 (recall-weighted) — the
+    * fourth eval metric beside [[tokenF1]], [[bleuCorpus]], and
+    * [[rougeL]], and the character-level one that survives tokenization
+    * and morphology differences. Conventions (documented, oracle-mirrored):
+    * n-grams run over the RAW string including spaces; an order with zero
+    * candidate (reference) grams contributes precision (recall) 0.
+    *
+    * Exactness: per-order matched/total counts are exact integers pivoted
+    * to per-order columns (one conditional aggregation — never a float
+    * sum whose order a shuffle could pick), and P̄/R̄/F are a FIXED chain
+    * of IEEE ops over those integers — bit-identical cross-engine.
+    *
+    * Scale: the bleuCorpus explode shape — grams explode to (pair, n,
+    * gram-hash) counts (linear in total chars·maxN), the multiset
+    * intersection is one co-partitioned join of the two count tables, and
+    * everything aggregates straight back to one row per pair. */
+  def chrF(pairs: DataFrame, id: Column, cand: Column, ref: Column,
+           maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8 && beta > 0, "need 1 <= maxN <= 8, beta > 0")
+    val base = pairs.select(id.as("id"), cand.as("__c"), ref.as("__r"))
+    // sequence(1, m) DESCENDS when m < 1 — guard short strings (the
+    // bleuCorpus gram rule); substr consumes the projected ATTRIBUTE, so
+    // the lambda never re-evaluates the side expression
+    def grams(s: Column, n: Int): Column =
+      when(length(s) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(s) - (n - 1)),
+          i => substr(s, i, lit(n))))
+    // gram text never reaches the output — xxhash64 keys the exchanges
+    // (the bleuCorpus discipline; a collision only perturbs one count and
+    // the driver oracle would catch it)
+    def counts(src: String, out: String) = base.select(col("id"),
+        explode(array((1 to maxN).map(n =>
+          struct(lit(n).as("n"), grams(col(src), n).as("gs"))): _*)).as("__e"))
+      .select(col("id"), col("__e.n").as("n"), explode(col("__e.gs")).as("__g"))
+      .select(col("id"), col("n"), xxhash64(col("__g")).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as(out))
+    val cc = counts("__c", "cc")
+    val rc = counts("__r", "rc")
+    // Spark's least() SKIPS nulls (least(5, null) = 5), so the unmatched
+    // side must coalesce to 0 or every one-sided gram would count matched
+    val stats = cc.join(rc, Seq("id", "n", "g"), "full_outer")
+      .groupBy("id", "n")
+      .agg(sum(least(coalesce(col("cc"), lit(0L)),
+          coalesce(col("rc"), lit(0L)))).as("m"),
+        sum(col("cc")).as("ct"), sum(col("rc")).as("rt"))
+    // per-order integers pivot to columns; missing orders are zeros
+    val pivots = (1 to maxN).flatMap(n => Seq(
+      coalesce(sum(when(col("n") === n, col("m"))), lit(0L)).as(s"m$n"),
+      coalesce(sum(when(col("n") === n, col("ct"))), lit(0L)).as(s"ct$n"),
+      coalesce(sum(when(col("n") === n, col("rt"))), lit(0L)).as(s"rt$n")))
+    val wide = stats.groupBy("id").agg(pivots.head, pivots.tail: _*)
+    def ratio(num: String, den: String): Column =
+      when(col(den) > 0, col(num).cast("double") / col(den).cast("double"))
+        .otherwise(lit(0.0))
+    val pBar = (1 to maxN).map(n => ratio(s"m$n", s"ct$n"))
+      .reduce(_ + _) / lit(maxN.toDouble)
+    val rBar = (1 to maxN).map(n => ratio(s"m$n", s"rt$n"))
+      .reduce(_ + _) / lit(maxN.toDouble)
+    val b2 = beta * beta
+    wide.select(col("id"), pBar.as("chr_p"), rBar.as("chr_r"))
+      .withColumn("chrf",
+        when(lit(b2) * col("chr_p") + col("chr_r") === 0.0, lit(0.0))
+          .otherwise(lit(1.0 + b2) * col("chr_p") * col("chr_r") /
+            (lit(b2) * col("chr_p") + col("chr_r"))))
+  }
+
   /** Cohen's κ inter-annotator agreement (Cohen 1960) between two
     * categorical label columns — the data-QA gate for human-labeled
     * SFT/preference corpora (is annotator consistency above chance before
@@ -1363,6 +1433,16 @@ object Quality {
               .as("ref")),
         col("cand"), col("ref"))
     }),
+    // the bleu_corpus pair construction, scored per document at the
+    // character level
+    "chrf_eval" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      chrF(SparkEntry.table(s, dir, "documents")
+          .select(col("doc_id"), col("text").as("cand"),
+            array_join(slice(w, lit(1), greatest(size(w) - 2, lit(1))), " ")
+              .as("ref")),
+        col("doc_id"), col("cand"), col("ref"))
+    }),
     // synthetic 10-bin "forecast" (doc_id decile), lang='en' the outcome:
     // the full reliability/resolution/uncertainty table
     "brier_decomp" -> ((s, dir) =>
@@ -1664,6 +1744,49 @@ object Quality {
         |SELECT grp, n, CAST(rank AS BIGINT) AS rank,
         |  min(CASE WHEN cr >= rank THEN v END) AS threshold_cents
         |FROM k GROUP BY 1, 2, 3""".stripMargin,
+
+    // same raw-string char n-grams (substring by CHARACTER in both
+    // engines), same exact per-order integer pivots, same fixed-order
+    // double chain; β = 2
+    "chrf_eval" ->
+      """WITH t AS (SELECT doc_id, text AS cand,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS ref
+        |  FROM documents),
+        |ns AS (SELECT unnest(range(1, 7)) AS n),
+        |cg AS (SELECT doc_id, n, g, count(*) AS cc FROM (
+        |    SELECT t.doc_id, ns.n, t.cand[i.i:i.i + ns.n - 1] AS g
+        |    FROM t, ns, LATERAL unnest(range(1, length(t.cand) - ns.n + 2)) AS i(i))
+        |  GROUP BY 1, 2, 3),
+        |rg AS (SELECT doc_id, n, g, count(*) AS rc FROM (
+        |    SELECT t.doc_id, ns.n, t.ref[i.i:i.i + ns.n - 1] AS g
+        |    FROM t, ns, LATERAL unnest(range(1, length(t.ref) - ns.n + 2)) AS i(i))
+        |  GROUP BY 1, 2, 3),
+        |st AS (SELECT coalesce(cg.doc_id, rg.doc_id) AS doc_id,
+        |    coalesce(cg.n, rg.n) AS n,
+        |    least(coalesce(cc, 0), coalesce(rc, 0)) AS mm, cc, rc
+        |  FROM cg FULL OUTER JOIN rg
+        |    ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g),
+        |pern AS (SELECT doc_id, n, CAST(sum(mm) AS BIGINT) AS m,
+        |    CAST(coalesce(sum(cc), 0) AS BIGINT) AS ct,
+        |    CAST(coalesce(sum(rc), 0) AS BIGINT) AS rt
+        |  FROM st GROUP BY 1, 2),
+        |wide AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1, CAST(coalesce(sum(CASE WHEN n = 1 THEN ct END), 0) AS BIGINT) AS ct1, CAST(coalesce(sum(CASE WHEN n = 1 THEN rt END), 0) AS BIGINT) AS rt1,
+        |    CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2, CAST(coalesce(sum(CASE WHEN n = 2 THEN ct END), 0) AS BIGINT) AS ct2, CAST(coalesce(sum(CASE WHEN n = 2 THEN rt END), 0) AS BIGINT) AS rt2,
+        |    CAST(coalesce(sum(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3, CAST(coalesce(sum(CASE WHEN n = 3 THEN ct END), 0) AS BIGINT) AS ct3, CAST(coalesce(sum(CASE WHEN n = 3 THEN rt END), 0) AS BIGINT) AS rt3,
+        |    CAST(coalesce(sum(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4, CAST(coalesce(sum(CASE WHEN n = 4 THEN ct END), 0) AS BIGINT) AS ct4, CAST(coalesce(sum(CASE WHEN n = 4 THEN rt END), 0) AS BIGINT) AS rt4,
+        |    CAST(coalesce(sum(CASE WHEN n = 5 THEN m END), 0) AS BIGINT) AS m5, CAST(coalesce(sum(CASE WHEN n = 5 THEN ct END), 0) AS BIGINT) AS ct5, CAST(coalesce(sum(CASE WHEN n = 5 THEN rt END), 0) AS BIGINT) AS rt5,
+        |    CAST(coalesce(sum(CASE WHEN n = 6 THEN m END), 0) AS BIGINT) AS m6, CAST(coalesce(sum(CASE WHEN n = 6 THEN ct END), 0) AS BIGINT) AS ct6, CAST(coalesce(sum(CASE WHEN n = 6 THEN rt END), 0) AS BIGINT) AS rt6
+        |  FROM pern GROUP BY doc_id),
+        |f AS (SELECT doc_id AS id,
+        |    ((CASE WHEN ct1 > 0 THEN CAST(m1 AS DOUBLE) / CAST(ct1 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN ct2 > 0 THEN CAST(m2 AS DOUBLE) / CAST(ct2 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN ct3 > 0 THEN CAST(m3 AS DOUBLE) / CAST(ct3 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN ct4 > 0 THEN CAST(m4 AS DOUBLE) / CAST(ct4 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN ct5 > 0 THEN CAST(m5 AS DOUBLE) / CAST(ct5 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN ct6 > 0 THEN CAST(m6 AS DOUBLE) / CAST(ct6 AS DOUBLE) ELSE 0.0 END)) / 6.0 AS chr_p,
+        |    ((CASE WHEN rt1 > 0 THEN CAST(m1 AS DOUBLE) / CAST(rt1 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN rt2 > 0 THEN CAST(m2 AS DOUBLE) / CAST(rt2 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN rt3 > 0 THEN CAST(m3 AS DOUBLE) / CAST(rt3 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN rt4 > 0 THEN CAST(m4 AS DOUBLE) / CAST(rt4 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN rt5 > 0 THEN CAST(m5 AS DOUBLE) / CAST(rt5 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN rt6 > 0 THEN CAST(m6 AS DOUBLE) / CAST(rt6 AS DOUBLE) ELSE 0.0 END)) / 6.0 AS chr_r
+        |  FROM wide)
+        |SELECT id, chr_p, chr_r,
+        |  CASE WHEN 4.0 * chr_p + chr_r = 0.0 THEN 0.0
+        |       ELSE 5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r) END AS chrf
+        |FROM f""".stripMargin,
 
     // first-occurrence dedup via the list_position filter (DuckDB's
     // list_distinct does NOT preserve order); on a duplicate-free base,

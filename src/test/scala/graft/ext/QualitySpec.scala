@@ -159,6 +159,26 @@ class QualitySpec extends AnyFunSuite {
       nullRow.getLong(3) == whole.getLong(2))
   }
 
+  test("chrF: identical pair scores 1.0; hand value; zero-order conventions") {
+    import spark.implicits._
+    def cf(c: String, r: String): (Double, Double, Double) = {
+      val row = Quality.chrF(Seq((1L, c, r)).toDF("id", "c", "r"),
+        col("id"), col("c"), col("r")).head()
+      (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    }
+    assert(cf("abcdef", "abcdef") == ((1.0, 1.0, 1.0)))
+    assert(cf("ab", "xy") == ((0.0, 0.0, 0.0)))
+    // hand value: cand "abc" vs ref "abd" — unigrams m=2/3, bigrams
+    // m=1/2 ("ab"), n>=3 m=0 (ct3=1, rt3=1), orders 4..6 empty on both
+    val (p, r, f) = cf("abc", "abd")
+    val pExp = (2.0 / 3.0 + 1.0 / 2.0 + 0.0 + 0.0 + 0.0 + 0.0) / 6.0
+    assert(p == pExp && r == pExp)
+    assert(f == 5.0 * pExp * pExp / (4.0 * pExp + pExp))
+    // multiset (not set) counting: repeated grams cap at the other side
+    val (p2, _, _) = cf("aaa", "aa") // unigrams: m = 2, ct = 3
+    assert(math.abs(p2 - (2.0 / 3.0 + 1.0 / 2.0) / 6.0) < 1e-15)
+  }
+
   test("rougeL: classic LCS values incl. repeats; order sensitivity; JVM differential") {
     import spark.implicits._
     def rl(c: Seq[String], r: Seq[String]): (Long, Double, Double, Double) = {
