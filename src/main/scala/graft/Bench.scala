@@ -13,7 +13,16 @@ import org.apache.spark.sql.functions._
   *    expressions being benchmarked (a bare `.count()` would);
   *  - MEDIAN of 3 timed runs per query, so one host-contention spike (the
   *    round-2 driver run was ~5× inflated by a concurrent build) cannot
-  *    distort the gate.
+  *    distort the gate;
+  *  - a fixed-cost SENTINEL query is timed immediately before and after
+  *    the measured block; if the two disagree by >1.3× the whole run is
+  *    flagged `"contended":true` — medians within a run cannot catch a
+  *    uniformly loaded host (the round-11/12 driver runs were both
+  *    distorted this way, costing round 12 a false +29% headline);
+  *  - per-query values are rounded to 3 decimals and the JSON is printed
+  *    as the final stdout line AND written to `bench.json`: the round-12
+  *    full-precision 66-query line (~2.9 KB) outgrew the driver's 2 KB
+  *    tail-capture window and shipped `parsed: null`.
   */
 object Bench {
   /** Forces full computation of every column; returns a checksum. XOR
@@ -24,6 +33,12 @@ object Bench {
     val r = df.select(xxhash64(cols: _*).as("h")).agg(expr("bit_xor(h)")).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
+
+  /** Round trip-safe 3-decimal formatting (no scientific notation, no
+    * locale commas) — keeps the 68-query line well inside the driver's
+    * 2 KB tail window. */
+  private def fmt(v: Double): String =
+    if (v < 0) "-1" else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,23 +69,49 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench/warmup] $n: ${e.getMessage}") }
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = names.map { n =>
+    def timeOnce(n: String): Double = {
       lowerFor(n)
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { force(SparkEntry.queries(n)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          // a failed query must be visible as a failure, not a fast time
-          System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
-          -1.0
-        }
+      val t0 = System.nanoTime()
+      try { force(SparkEntry.queries(n)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        // a failed query must be visible as a failure, not a fast time
+        System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
+        -1.0
       }
-      if (times.contains(-1.0)) n -> -1.0
-      else n -> times.sorted.apply(times.size / 2) // median
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def median(n: String): Double = {
+      val times = (1 to runs).map(_ => timeOnce(n))
+      if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.size / 2)
+    }
+    // contention sentinel: the same fixed-cost probe before and after the
+    // measured block; a load change mid-run shows up as pre/post skew.
+    // Extra warm rounds first: without them residual JIT makes the PRE
+    // probe ~1.4× the post one and flags a healthy run (measured r13)
+    val sentinelName = "cli_format_data"
+    (1 to 3).foreach(_ => timeOnce(sentinelName))
+    val sentinelPre = median(sentinelName)
+    val results = names.map(n => n -> median(n))
+    val sentinelPost = median(sentinelName)
+    val contended = sentinelPre > 0 && sentinelPost > 0 &&
+      math.max(sentinelPre, sentinelPost) / math.min(sentinelPre, sentinelPost) > 1.3
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // short sf label ("0.1"), not the full path: every byte of this line
+    // competes with the driver's fixed-size tail window
+    val sfLabel = {
+      val m = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      m.map(_.group(1)).getOrElse(sfDir)
+    }
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended,""" +
+      s""""sentinel":[${fmt(sentinelPre)},${fmt(sentinelPost)}],"queries":$qs,"sf":"$sfLabel"}"""
+    // belt-and-braces: also persist to a file in case stdout gets clipped
+    try {
+      val w = new java.io.PrintWriter("bench.json"); w.println(json); w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     spark.stop()
+    // final line of stdout, after spark.stop(), so nothing can print below it
+    println(json)
   }
 }

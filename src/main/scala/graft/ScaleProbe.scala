@@ -504,13 +504,14 @@ object ScaleProbe {
             "vocab" -> size(array_distinct(split(col("text"), " "))),
             "chars" -> length(col("text"))))) },
         // ICP ordering under the sqrt-N cells rule: cell populations (and
-        // so the per-task O(m^2) walk) stay ~flat as the corpus grows
+        // so the per-task O(m^2) walk) stay ~flat as the corpus grows.
+        // DEFAULT-ARG path on purpose (round 13): icpOrder derives
+        // cells ≈ √n itself, so this pins that the automatic rule — not
+        // a hand-tuned nCells — is what scales
         time("icp_order_1x") {
-          force(ext.Similarity.icpOrder(
-            e1.select("vec_id", "embedding"), nCells = 16)) },
+          force(ext.Similarity.icpOrder(e1.select("vec_id", "embedding"))) },
         time(s"icp_order_${rep}x") {
-          force(ext.Similarity.icpOrder(eN.select("vec_id", "embedding"),
-            nCells = math.max(16, (16 * math.sqrt(rep)).toInt))) })
+          force(ext.Similarity.icpOrder(eN.select("vec_id", "embedding"))) })
     }
     val results = if (r12Only) r12Probes
     else if (r9Only) r9Probes else if (r9bOnly) r9bProbes

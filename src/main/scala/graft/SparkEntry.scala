@@ -21,7 +21,20 @@ object SparkEntry {
     "orders"   -> Seq("o_orderdate"),
     "lineitem" -> Seq("l_shipdate"))
 
-  private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame = {
+  /** Per-session logical-plan cache: `spark.read.parquet` fires a footer/
+    * schema-inference job on EVERY call, so without this each gate query
+    * re-pays a listing job per construction (visible as the leading
+    * "parquet at SparkEntry" job in JobProbe). The cached DataFrame is an
+    * immutable logical plan — reusing it is free and exact. Keyed by
+    * session identity so a restarted session never sees a stale plan. */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.computeIfAbsent((s, s"$dir/$name.parquet"),
+      _ => tableUncached(s, dir, name))
+
+  private def tableUncached(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     var df = s.read.parquet(s"$dir/$name.parquet")
     nanoTsCols.getOrElse(name, Nil).foreach { c =>
@@ -147,7 +160,12 @@ object SparkEntry {
     "bleu_corpus", "source_overlap", "sliding_distinct",
     // round-12: ICP stream ordering — one broadcast assignment pass +
     // per-cell greedy walks (real per-task compute over collected cells)
-    "icp_order")
+    "icp_order",
+    // round-13: the eval metrics with real per-doc compute — chrF (now
+    // the row-local native ChrfStats expression), chrF++ (char + word
+    // gram halves), and ROUGE-L's native two-row LCS DP. token_f1 still
+    // rides the scan floor.
+    "chrf_eval", "chrf_pp", "rouge_l")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-

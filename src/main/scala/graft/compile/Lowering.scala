@@ -407,6 +407,31 @@ object Lowering {
     walk(ast)
   }
 
+  /** Any sum()/avg() call inside the subtree — the only JMESPath functions
+    * that can PRODUCE a non-finite double from finite inputs (overflow
+    * near 1e308). Such a value would not survive the general pipe
+    * composition's serialize/reparse (formatNumber pins it to null
+    * mid-pipe), and the document-token probe cannot see it because the
+    * tokens themselves are finite. */
+  private def hasOverflowCapableFn(ast: Ast): Boolean = {
+    def walk(a: Ast): Boolean = a match {
+      case FunctionCall(n, args) =>
+        n == "sum" || n == "avg" || args.exists(walk)
+      case other: Product => other.productIterator.exists {
+        case c: Ast => walk(c)
+        case s: Seq[_] => s.exists {
+          case c: Ast => walk(c)
+          case (_, c: Ast) => walk(c)
+          case _ => false
+        }
+        case (_, c: Ast) => walk(c)
+        case _ => false
+      }
+      case _ => false
+    }
+    walk(ast)
+  }
+
   private def msItemsOf(items: Seq[Ast]): Option[Seq[MSItem]] = {
     val lowered = items.map {
       case Literal(v) => Some(MSConst(v))
@@ -546,7 +571,11 @@ object Lowering {
           //    a stage-1 literal) that could carry one through falls back
           //    to full interpretation — the textual token probe
           //    over-triggers on strings containing "NaN", which only
-          //    costs the interpreted path, never a wrong answer
+          //    costs the interpreted path, never a wrong answer; and a
+          //    stage 1 containing sum()/avg() (the only calls that can
+          //    PRODUCE a non-finite from finite tokens, by overflow)
+          //    falls back statically, since no token probe can see an
+          //    Infinity that doesn't exist until the fold runs
           //  - an erroring stage 1 aborts the WHOLE expression in the
           //    interpreter (null) but surfaces here as a NULL
           //    intermediate, indistinguishable from a legitimate null
@@ -572,6 +601,7 @@ object Lowering {
             try Interpreter.eval(r, JNull)
             catch { case _: JmesRuntimeError => JNull }
           if (!containerRoot(l) || hasSpecialNumLiteral(l) ||
+              hasOverflowCapableFn(l) ||
               (canError(l) && pinnedJ != JNull)) None
           else for (lv <- valueNative(doc, l); rv <- valueNative(lv, r)) yield {
             val special = Or(Contains(doc, str("NaN")),

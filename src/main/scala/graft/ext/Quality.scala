@@ -345,7 +345,7 @@ object Quality {
     val small: Option[Array[org.apache.spark.sql.Row]] =
       try {
         val fullAggs = aggs :+ max(col("__guard")).as("__g")
-        Some(counts
+        val q = counts
           .withColumn("cum", sum(col("n")).over(wcum))
           .withColumn("total", sum(col("n")).over(wsig))
           // in-plan guard: the per-sig window is single-task, so refuse
@@ -356,7 +356,15 @@ object Quality {
               raise_error(lit(HistogramGuardMsg))).otherwise(lit(0)))
           .groupBy("sig")
           .agg(fullAggs.head, fullAggs.tail: _*)
-          .collect())
+        // AQE splits this bounded-size 3-exchange query into one JOB per
+        // stage; with the histogram bound in-plan there is nothing for
+        // AQE to re-plan, so run it as a single job (measured: removes
+        // 2-3 job-submission rounds from every quantile-bounds consumer)
+        val spark = counts.sparkSession
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val prev = spark.conf.get(aqeKey)
+        spark.conf.set(aqeKey, "false")
+        try Some(q.collect()) finally spark.conf.set(aqeKey, prev)
       } catch {
         case e: Exception if isGuardTrip(e) => None
       }
@@ -539,7 +547,19 @@ object Quality {
     * production pipelines combine incommensurable signals (a length
     * count, a repetition fraction rank, a classifier rank) without unit
     * games; deciles make it one broadcastable literal per signal. All
-    * integers — exact on any engine. */
+    * integers — exact on any engine.
+    *
+    * Measured local floor (sf0.1, 5000 docs, local[32], round 13): the
+    * operator is exactly TWO corpus passes — one eager single-job
+    * boundary query (all signals' histograms in one explode, AQE-off so
+    * the 3 bounded exchanges stay one job; ~0.3 s of which ~0.25 s is
+    * the shared scan-floor) and the returned decile-map scan (~0.3 s +
+    * plan round). Both passes recompute the signal projection by design:
+    * persisting it would be a local-bench trick that materializes
+    * O(rows) state and breaks at 10^12 rows, while at real scale the
+    * second pass parallelizes freely (the single-task scan here is an
+    * artifact of one 594 KB parquet file). The job count is pinned in
+    * PlanSpec ("quality_ensemble: construction fires exactly one job"). */
   def qualityEnsemble(docs: DataFrame, signals: Seq[(String, Column)],
                       nBuckets: Int = 10): DataFrame = {
     require(signals.nonEmpty, "need at least one signal")
@@ -952,59 +972,51 @@ object Quality {
     * fourth eval metric beside [[tokenF1]], [[bleuCorpus]], and
     * [[rougeL]], and the character-level one that survives tokenization
     * and morphology differences. Conventions (documented, oracle-mirrored):
-    * n-grams run over the RAW string including spaces; an order with zero
-    * candidate (reference) grams contributes precision (recall) 0.
+    * by default ASCII whitespace is STRIPPED before gram extraction —
+    * Popović 2015 and sacrebleu's chrF both ignore whitespace by default,
+    * so scores from this chrF are comparable to the standard tool; pass
+    * `includeWhitespace = true` for raw-string grams (the pre-round-13
+    * behavior). An order with zero candidate (reference) grams
+    * contributes precision (recall) 0.
     *
-    * Exactness: per-order matched/total counts are exact integers pivoted
-    * to per-order columns (one conditional aggregation — never a float
-    * sum whose order a shuffle could pick), and P̄/R̄/F are a FIXED chain
-    * of IEEE ops over those integers — bit-identical cross-engine.
+    * Exactness: per-order matched/total counts are exact integers from
+    * the row-local [[graft.functions.ChrfStats]] expression, and P̄/R̄/F
+    * are a FIXED chain of IEEE ops over those integers — bit-identical
+    * cross-engine.
     *
-    * Scale: the bleuCorpus explode shape — grams explode to (pair, n,
-    * gram-hash) counts (linear in total chars·maxN), the multiset
-    * intersection is one co-partitioned join of the two count tables, and
-    * everything aggregates straight back to one row per pair. */
+    * Scale: candidate and reference live in the SAME row, so the whole
+    * metric is ONE scan with zero exchanges — the native expression
+    * sort-merges the per-order gram-hash multisets inside the row
+    * (unlike corpus BLEU, where clipping is also row-local but the
+    * corpus-level p_n sums genuinely aggregate). The round-12 explode +
+    * full-outer-join shape shuffled ~len·maxN rows per doc per side and
+    * measured 17 s vs the oracle's 1.2 s at sf0.1; this shape is
+    * scan-floor-bound. A row whose BOTH sides are NULL is dropped (the
+    * join shape's convention); a one-sided NULL scores as empty. */
   def chrF(pairs: DataFrame, id: Column, cand: Column, ref: Column,
-           maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+           maxN: Int = 6, beta: Double = 2.0,
+           includeWhitespace: Boolean = false): DataFrame = {
     require(maxN >= 1 && maxN <= 8 && beta > 0, "need 1 <= maxN <= 8, beta > 0")
-    val base = pairs.select(id.as("id"), cand.as("__c"), ref.as("__r"))
-    // sequence(1, m) DESCENDS when m < 1 — guard short strings (the
-    // bleuCorpus gram rule); substr consumes the projected ATTRIBUTE, so
-    // the lambda never re-evaluates the side expression
-    def grams(s: Column, n: Int): Column =
-      when(length(s) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), length(s) - (n - 1)),
-          i => substr(s, i, lit(n))))
-    // gram text never reaches the output — xxhash64 keys the exchanges
-    // (the bleuCorpus discipline; a collision only perturbs one count and
-    // the driver oracle would catch it)
-    def counts(src: String, out: String) = base.select(col("id"),
-        explode(array((1 to maxN).map(n =>
-          struct(lit(n).as("n"), grams(col(src), n).as("gs"))): _*)).as("__e"))
-      .select(col("id"), col("__e.n").as("n"), explode(col("__e.gs")).as("__g"))
-      .select(col("id"), col("n"), xxhash64(col("__g")).as("g"))
-      .groupBy("id", "n", "g").agg(count(lit(1)).as(out))
-    val cc = counts("__c", "cc")
-    val rc = counts("__r", "rc")
-    // Spark's least() SKIPS nulls (least(5, null) = 5), so the unmatched
-    // side must coalesce to 0 or every one-sided gram would count matched
-    val stats = cc.join(rc, Seq("id", "n", "g"), "full_outer")
-      .groupBy("id", "n")
-      .agg(sum(least(coalesce(col("cc"), lit(0L)),
-          coalesce(col("rc"), lit(0L)))).as("m"),
-        sum(col("cc")).as("ct"), sum(col("rc")).as("rt"))
-    // per-order integers pivot to columns; missing orders are zeros
-    val pivots = (1 to maxN).flatMap(n => Seq(
-      coalesce(sum(when(col("n") === n, col("m"))), lit(0L)).as(s"m$n"),
-      coalesce(sum(when(col("n") === n, col("ct"))), lit(0L)).as(s"ct$n"),
-      coalesce(sum(when(col("n") === n, col("rt"))), lit(0L)).as(s"rt$n")))
-    val wide = stats.groupBy("id").agg(pivots.head, pivots.tail: _*)
-    def ratio(num: String, den: String): Column =
-      when(col(den) > 0, col(num).cast("double") / col(den).cast("double"))
-        .otherwise(lit(0.0))
-    val pBar = (1 to maxN).map(n => ratio(s"m$n", s"ct$n"))
+    // the sacrebleu default strips whitespace before gram extraction; the
+    // explicit ASCII class (not \s — Java's matches \x0B, RE2's doesn't)
+    // keeps the oracle regex byte-identical cross-engine
+    def ws(c: Column): Column =
+      if (includeWhitespace) c else regexp_replace(c, "[ \\t\\r\\n\\f]+", "")
+    val base = pairs.select(id.as("id"), ws(cand).as("__c"), ws(ref).as("__r"))
+      // both-NULL rows are dropped (the old join shape had no row to emit);
+      // a one-sided NULL coalesces to "" → zero grams → p/r contribute 0
+      .where(col("__c").isNotNull || col("__r").isNotNull)
+    val wide = base.select(col("id"),
+      graft.functions.vectors.chrfStats(coalesce(col("__c"), lit("")),
+        coalesce(col("__r"), lit("")), maxN).as("__st"))
+    // element_at is 1-based; layout per order n is [m, ct, rt]
+    def st(n: Int, k: Int): Column = element_at(col("__st"), 3 * (n - 1) + k)
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    // the same fixed left-to-right IEEE chain as the oracle SQL
+    val pBar = (1 to maxN).map(n => ratio(st(n, 1), st(n, 2)))
       .reduce(_ + _) / lit(maxN.toDouble)
-    val rBar = (1 to maxN).map(n => ratio(s"m$n", s"rt$n"))
+    val rBar = (1 to maxN).map(n => ratio(st(n, 1), st(n, 3)))
       .reduce(_ + _) / lit(maxN.toDouble)
     val b2 = beta * beta
     wide.select(col("id"), pBar.as("chr_p"), rBar.as("chr_r"))
@@ -1012,6 +1024,52 @@ object Quality {
         when(lit(b2) * col("chr_p") + col("chr_r") === 0.0, lit(0.0))
           .otherwise(lit(1.0 + b2) * col("chr_p") * col("chr_r") /
             (lit(b2) * col("chr_p") + col("chr_r"))))
+  }
+
+  /** chrF++ (Popović 2017; sacrebleu's `chrF++` = chrF with word n-grams):
+    * [[chrF]]'s character 1..`maxN`-gram P/R averaged TOGETHER with word
+    * 1..`wordN`-gram P/R — P̄ = (Σ char ratios + Σ word ratios)/(maxN +
+    * wordN), F_β as in chrF. Word order enters through the word-gram half
+    * (a shuffled candidate keeps its char-gram profile but loses word
+    * bigrams), fixing chrF's blindness to it. Conventions: char grams
+    * over ASCII-whitespace-stripped strings (the chrF default), word
+    * grams over whitespace tokens of the RAW strings (empty tokens
+    * dropped) — sacrebleu's split() convention, documented.
+    *
+    * Scale: both gram statistics are row-local native expressions
+    * ([[graft.functions.ChrfStats]] + [[graft.functions.TokenGramStats]])
+    * — one scan, zero exchanges; P̄/R̄/F are a FIXED left-to-right IEEE
+    * chain (char orders then word orders) over exact integers, mirrored
+    * operation-for-operation by the SQL oracle. */
+  def chrfPP(pairs: DataFrame, id: Column, cand: Column, ref: Column,
+             maxN: Int = 6, wordN: Int = 2, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8 && wordN >= 1 && wordN <= 8 && beta > 0,
+      "need 1 <= maxN, wordN <= 8, beta > 0")
+    def ws(c: Column): Column = regexp_replace(c, "[ \\t\\r\\n\\f]+", "")
+    def toks(c: Column): Column =
+      filter(split(coalesce(c, lit("")), " "), t => t =!= "")
+    val wide = pairs.select(id.as("id"), cand.as("__c"), ref.as("__r"))
+      .where(col("__c").isNotNull || col("__r").isNotNull)
+      .select(col("id"),
+        graft.functions.vectors.chrfStats(ws(coalesce(col("__c"), lit(""))),
+          ws(coalesce(col("__r"), lit(""))), maxN).as("__cs"),
+        graft.functions.vectors.tokenGramStats(toks(col("__c")),
+          toks(col("__r")), wordN).as("__ws"))
+    def st(a: String, n: Int, k: Int): Column = element_at(col(a), 3 * (n - 1) + k)
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    val orders = (1 to maxN).map(n => ("__cs", n)) ++ (1 to wordN).map(n => ("__ws", n))
+    val denom = lit((maxN + wordN).toDouble)
+    val pBar = orders.map { case (a, n) => ratio(st(a, n, 1), st(a, n, 2)) }
+      .reduce(_ + _) / denom
+    val rBar = orders.map { case (a, n) => ratio(st(a, n, 1), st(a, n, 3)) }
+      .reduce(_ + _) / denom
+    val b2 = beta * beta
+    wide.select(col("id"), pBar.as("chrfpp_p"), rBar.as("chrfpp_r"))
+      .withColumn("chrf_pp",
+        when(lit(b2) * col("chrfpp_p") + col("chrfpp_r") === 0.0, lit(0.0))
+          .otherwise(lit(1.0 + b2) * col("chrfpp_p") * col("chrfpp_r") /
+            (lit(b2) * col("chrfpp_p") + col("chrfpp_r"))))
   }
 
   /** Cohen's κ inter-annotator agreement (Cohen 1960) between two
@@ -1443,6 +1501,15 @@ object Quality {
               .as("ref")),
         col("doc_id"), col("cand"), col("ref"))
     }),
+    // the same pair construction scored by chrF++ (char + word grams)
+    "chrf_pp" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      chrfPP(SparkEntry.table(s, dir, "documents")
+          .select(col("doc_id"), col("text").as("cand"),
+            array_join(slice(w, lit(1), greatest(size(w) - 2, lit(1))), " ")
+              .as("ref")),
+        col("doc_id"), col("cand"), col("ref"))
+    }),
     // synthetic 10-bin "forecast" (doc_id decile), lang='en' the outcome:
     // the full reliability/resolution/uncertainty table
     "brier_decomp" -> ((s, dir) =>
@@ -1745,14 +1812,18 @@ object Quality {
         |  min(CASE WHEN cr >= rank THEN v END) AS threshold_cents
         |FROM k GROUP BY 1, 2, 3""".stripMargin,
 
-    // same raw-string char n-grams (substring by CHARACTER in both
-    // engines), same exact per-order integer pivots, same fixed-order
-    // double chain; β = 2
+    // same whitespace-stripped char n-grams (the sacrebleu default;
+    // substring by CHARACTER in both engines), same exact per-order
+    // integer pivots, same fixed-order double chain; β = 2
     "chrf_eval" ->
-      """WITH t AS (SELECT doc_id, text AS cand,
+      """WITH t0 AS (SELECT doc_id, text AS cand0,
         |    array_to_string(list_slice(string_split(text, ' '), 1,
-        |      greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS ref
+        |      greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS ref0
         |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    regexp_replace(cand0, '[ \t\r\n\f]+', '', 'g') AS cand,
+        |    regexp_replace(ref0, '[ \t\r\n\f]+', '', 'g') AS ref
+        |  FROM t0),
         |ns AS (SELECT unnest(range(1, 7)) AS n),
         |cg AS (SELECT doc_id, n, g, count(*) AS cc FROM (
         |    SELECT t.doc_id, ns.n, t.cand[i.i:i.i + ns.n - 1] AS g
@@ -1786,6 +1857,85 @@ object Quality {
         |SELECT id, chr_p, chr_r,
         |  CASE WHEN 4.0 * chr_p + chr_r = 0.0 THEN 0.0
         |       ELSE 5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r) END AS chrf
+        |FROM f""".stripMargin,
+
+    // chrF++: the chrf_eval char pipeline + word 1-2-gram CTEs; the IEEE
+    // chain is char orders 1..6 then word orders 1..2, one division by 8
+    "chrf_pp" ->
+      """WITH t0 AS (SELECT doc_id, text AS cand0,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS ref0
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    regexp_replace(cand0, '[ \t\r\n\f]+', '', 'g') AS cand,
+        |    regexp_replace(ref0, '[ \t\r\n\f]+', '', 'g') AS ref
+        |  FROM t0),
+        |wt AS (SELECT doc_id,
+        |    list_filter(string_split(cand0, ' '), x -> x <> '') AS wc,
+        |    list_filter(string_split(ref0, ' '), x -> x <> '') AS wr
+        |  FROM t0),
+        |ns AS (SELECT unnest(range(1, 7)) AS n),
+        |wns AS (SELECT unnest(range(1, 3)) AS n),
+        |cg AS (SELECT doc_id, n, g, count(*) AS cc FROM (
+        |    SELECT t.doc_id, ns.n, t.cand[i.i:i.i + ns.n - 1] AS g
+        |    FROM t, ns, LATERAL unnest(range(1, length(t.cand) - ns.n + 2)) AS i(i))
+        |  GROUP BY 1, 2, 3),
+        |rg AS (SELECT doc_id, n, g, count(*) AS rc FROM (
+        |    SELECT t.doc_id, ns.n, t.ref[i.i:i.i + ns.n - 1] AS g
+        |    FROM t, ns, LATERAL unnest(range(1, length(t.ref) - ns.n + 2)) AS i(i))
+        |  GROUP BY 1, 2, 3),
+        |st AS (SELECT coalesce(cg.doc_id, rg.doc_id) AS doc_id,
+        |    coalesce(cg.n, rg.n) AS n,
+        |    least(coalesce(cc, 0), coalesce(rc, 0)) AS mm, cc, rc
+        |  FROM cg FULL OUTER JOIN rg
+        |    ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g),
+        |pern AS (SELECT doc_id, n, CAST(sum(mm) AS BIGINT) AS m,
+        |    CAST(coalesce(sum(cc), 0) AS BIGINT) AS ct,
+        |    CAST(coalesce(sum(rc), 0) AS BIGINT) AS rt
+        |  FROM st GROUP BY 1, 2),
+        |wide AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1, CAST(coalesce(sum(CASE WHEN n = 1 THEN ct END), 0) AS BIGINT) AS ct1, CAST(coalesce(sum(CASE WHEN n = 1 THEN rt END), 0) AS BIGINT) AS rt1,
+        |    CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2, CAST(coalesce(sum(CASE WHEN n = 2 THEN ct END), 0) AS BIGINT) AS ct2, CAST(coalesce(sum(CASE WHEN n = 2 THEN rt END), 0) AS BIGINT) AS rt2,
+        |    CAST(coalesce(sum(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3, CAST(coalesce(sum(CASE WHEN n = 3 THEN ct END), 0) AS BIGINT) AS ct3, CAST(coalesce(sum(CASE WHEN n = 3 THEN rt END), 0) AS BIGINT) AS rt3,
+        |    CAST(coalesce(sum(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4, CAST(coalesce(sum(CASE WHEN n = 4 THEN ct END), 0) AS BIGINT) AS ct4, CAST(coalesce(sum(CASE WHEN n = 4 THEN rt END), 0) AS BIGINT) AS rt4,
+        |    CAST(coalesce(sum(CASE WHEN n = 5 THEN m END), 0) AS BIGINT) AS m5, CAST(coalesce(sum(CASE WHEN n = 5 THEN ct END), 0) AS BIGINT) AS ct5, CAST(coalesce(sum(CASE WHEN n = 5 THEN rt END), 0) AS BIGINT) AS rt5,
+        |    CAST(coalesce(sum(CASE WHEN n = 6 THEN m END), 0) AS BIGINT) AS m6, CAST(coalesce(sum(CASE WHEN n = 6 THEN ct END), 0) AS BIGINT) AS ct6, CAST(coalesce(sum(CASE WHEN n = 6 THEN rt END), 0) AS BIGINT) AS rt6
+        |  FROM pern GROUP BY doc_id),
+        |wcg AS (SELECT doc_id, n, g, count(*) AS cc FROM (
+        |    SELECT wt.doc_id, wns.n,
+        |      array_to_string(list_slice(wt.wc, i.i, i.i + wns.n - 1), ' ') AS g
+        |    FROM wt, wns, LATERAL unnest(range(1, len(wt.wc) - wns.n + 2)) AS i(i))
+        |  GROUP BY 1, 2, 3),
+        |wrg AS (SELECT doc_id, n, g, count(*) AS rc FROM (
+        |    SELECT wt.doc_id, wns.n,
+        |      array_to_string(list_slice(wt.wr, i.i, i.i + wns.n - 1), ' ') AS g
+        |    FROM wt, wns, LATERAL unnest(range(1, len(wt.wr) - wns.n + 2)) AS i(i))
+        |  GROUP BY 1, 2, 3),
+        |wst AS (SELECT coalesce(wcg.doc_id, wrg.doc_id) AS doc_id,
+        |    coalesce(wcg.n, wrg.n) AS n,
+        |    least(coalesce(cc, 0), coalesce(rc, 0)) AS mm, cc, rc
+        |  FROM wcg FULL OUTER JOIN wrg
+        |    ON wcg.doc_id = wrg.doc_id AND wcg.n = wrg.n AND wcg.g = wrg.g),
+        |wpern AS (SELECT doc_id, n, CAST(sum(mm) AS BIGINT) AS m,
+        |    CAST(coalesce(sum(cc), 0) AS BIGINT) AS ct,
+        |    CAST(coalesce(sum(rc), 0) AS BIGINT) AS rt
+        |  FROM wst GROUP BY 1, 2),
+        |wwide AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS wm1, CAST(coalesce(sum(CASE WHEN n = 1 THEN ct END), 0) AS BIGINT) AS wct1, CAST(coalesce(sum(CASE WHEN n = 1 THEN rt END), 0) AS BIGINT) AS wrt1,
+        |    CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS wm2, CAST(coalesce(sum(CASE WHEN n = 2 THEN ct END), 0) AS BIGINT) AS wct2, CAST(coalesce(sum(CASE WHEN n = 2 THEN rt END), 0) AS BIGINT) AS wrt2
+        |  FROM wpern GROUP BY doc_id),
+        |j AS (SELECT w.doc_id, m1, ct1, rt1, m2, ct2, rt2, m3, ct3, rt3,
+        |    m4, ct4, rt4, m5, ct5, rt5, m6, ct6, rt6,
+        |    coalesce(wm1, 0) AS wm1, coalesce(wct1, 0) AS wct1, coalesce(wrt1, 0) AS wrt1,
+        |    coalesce(wm2, 0) AS wm2, coalesce(wct2, 0) AS wct2, coalesce(wrt2, 0) AS wrt2
+        |  FROM wide w LEFT JOIN wwide ww ON w.doc_id = ww.doc_id),
+        |f AS (SELECT doc_id AS id,
+        |    ((CASE WHEN ct1 > 0 THEN CAST(m1 AS DOUBLE) / CAST(ct1 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN ct2 > 0 THEN CAST(m2 AS DOUBLE) / CAST(ct2 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN ct3 > 0 THEN CAST(m3 AS DOUBLE) / CAST(ct3 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN ct4 > 0 THEN CAST(m4 AS DOUBLE) / CAST(ct4 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN ct5 > 0 THEN CAST(m5 AS DOUBLE) / CAST(ct5 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN ct6 > 0 THEN CAST(m6 AS DOUBLE) / CAST(ct6 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN wct1 > 0 THEN CAST(wm1 AS DOUBLE) / CAST(wct1 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN wct2 > 0 THEN CAST(wm2 AS DOUBLE) / CAST(wct2 AS DOUBLE) ELSE 0.0 END)) / 8.0 AS chrfpp_p,
+        |    ((CASE WHEN rt1 > 0 THEN CAST(m1 AS DOUBLE) / CAST(rt1 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN rt2 > 0 THEN CAST(m2 AS DOUBLE) / CAST(rt2 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN rt3 > 0 THEN CAST(m3 AS DOUBLE) / CAST(rt3 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN rt4 > 0 THEN CAST(m4 AS DOUBLE) / CAST(rt4 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN rt5 > 0 THEN CAST(m5 AS DOUBLE) / CAST(rt5 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN rt6 > 0 THEN CAST(m6 AS DOUBLE) / CAST(rt6 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN wrt1 > 0 THEN CAST(wm1 AS DOUBLE) / CAST(wrt1 AS DOUBLE) ELSE 0.0 END) + (CASE WHEN wrt2 > 0 THEN CAST(wm2 AS DOUBLE) / CAST(wrt2 AS DOUBLE) ELSE 0.0 END)) / 8.0 AS chrfpp_r
+        |  FROM j)
+        |SELECT id, chrfpp_p, chrfpp_r,
+        |  CASE WHEN 4.0 * chrfpp_p + chrfpp_r = 0.0 THEN 0.0
+        |       ELSE 5.0 * chrfpp_p * chrfpp_r / (4.0 * chrfpp_p + chrfpp_r) END AS chrf_pp
         |FROM f""".stripMargin,
 
     // first-occurrence dedup via the list_position filter (DuckDB's

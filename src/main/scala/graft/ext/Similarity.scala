@@ -1001,10 +1001,20 @@ object Similarity {
     * population — bounded by the √n-cells operating rule
     * ([[graft.ext.Tuning.suggestIvf]]), the lever trading per-task state
     * and walk cost against chain quality. No corpus-wide sequential
-    * pass; nothing shuffles but the (vec, cell) assignment. */
-  def icpOrder(emb: DataFrame, nCells: Int = 16,
+    * pass; nothing shuffles but the (vec, cell) assignment.
+    *
+    * `nCells <= 0` (the default) DERIVES cells ≈ √n from one count —
+    * the operating rule is the default, not advice (VERDICT r12 item 9):
+    * per-cell population ≈ √n keeps both the collected task state and
+    * the O(m²) walk sublinear in corpus size automatically. Pass an
+    * explicit positive nCells to pin the geometry (the gate does, so its
+    * oracle's centroid seeds never move). */
+  def icpOrder(emb: DataFrame, nCells: Int = 0,
                centroids: Option[Seq[(Long, Seq[Float])]] = None): DataFrame = {
-    val cents = centroids.map(cs => typedLit(cs)).getOrElse(centroidLit(emb, nCells))
+    val cells =
+      if (nCells > 0) nCells
+      else Tuning.suggestIvf(emb.count()).nCells
+    val cents = centroids.map(cs => typedLit(cs)).getOrElse(centroidLit(emb, cells))
     emb.select(col("vec_id"), col("embedding"),
         nearestCell(col("embedding"), cents).as("chain_id"))
       .groupBy("chain_id")
@@ -1718,10 +1728,16 @@ object Similarity {
   * bit-identical to the DuckDB recursive-CTE oracle. A NaN cosine pins to
   * +2·10⁹ (walkable — the generic Long.MaxValue pin would overflow the
   * composite `quant·2³² − vec_id` step key on both engines), zero norms
-  * follow DuckDB's `list_cosine_similarity` convention of −1.0, and the
-  * by-construction-impossible empty/mismatched-length case ranks last. */
+  * follow DuckDB's `list_cosine_similarity` convention of −1.0, and a
+  * NULL embedding (which `collect_list(struct(...))` keeps — only a NULL
+  * *struct* is dropped) or the by-construction-impossible empty/
+  * mismatched-length case pins to −2·10⁹: walkable but last, matching the
+  * oracle's `COALESCE(cos, -2e9)`. */
 private[ext] object IcpWalk {
   private[ext] def quantCos(a: Seq[Float], b: Seq[Float]): Long = {
+    // a NULL embedding survives collect_list(struct(...)) into the walk;
+    // pin it to the same walkable-but-last key the oracle COALESCEs to
+    if (a == null || b == null) return -2000000000L
     val n = a.length
     if (n != b.length || n == 0) return -2000000000L
     var dot = 0.0; var na = 0.0; var nb = 0.0

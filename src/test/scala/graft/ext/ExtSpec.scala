@@ -814,6 +814,38 @@ class ExtSpec extends AnyFunSuite {
     assert(fr.getLong(2) == 2 && fr.getLong(3) == 2 && fr.getLong(4) == 12)
   }
 
+  test("icpOrder: NULL embeddings pin walkable-but-last, no NPE (ADVICE r12)") {
+    import spark.implicits._
+    // collect_list(struct(...)) KEEPS a row whose embedding is NULL, so
+    // the walk must rank it by the oracle's COALESCE(cos, -2e9) rule
+    // instead of NPE-ing the task
+    assert(IcpWalk.quantCos(null, Seq(1.0f)) == -2000000000L)
+    assert(IcpWalk.quantCos(Seq(1.0f), null) == -2000000000L)
+    val mixed = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, null)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.icpOrder(mixed, nCells = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(3L) == 2L, "the null row must walk LAST, not crash")
+  }
+
+  test("icpOrder: default nCells derives the sqrt-n operating rule") {
+    // nCells <= 0 → cells from Tuning.suggestIvf(count): the task-bounding
+    // rule is the DEFAULT (VERDICT r12 item 9), and the output is still a
+    // permutation with contiguous per-chain positions
+    val out = Similarity.icpOrder(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = emb.count()
+    assert(out.length == total && out.map(_._1).distinct.length == total)
+    val cells = out.map(_._2).distinct.length
+    val expected = Tuning.suggestIvf(total).nCells
+    assert(cells <= expected,
+      s"observed $cells chains must not exceed the derived $expected cells")
+    assert(out.groupBy(_._2).values.forall(c =>
+      c.map(_._3).sorted.sameElements(0L until c.length.toLong)))
+  }
+
   test("icpOrder: permutation, chain rule matches the brute-force greedy walk") {
     val nCells = 8
     val out = Similarity.icpOrder(emb, nCells = nCells)

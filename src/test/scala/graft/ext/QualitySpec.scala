@@ -177,6 +177,14 @@ class QualitySpec extends AnyFunSuite {
     // multiset (not set) counting: repeated grams cap at the other side
     val (p2, _, _) = cf("aaa", "aa") // unigrams: m = 2, ct = 3
     assert(math.abs(p2 - (2.0 / 3.0 + 1.0 / 2.0) / 6.0) < 1e-15)
+    // whitespace convention: the default strips it (sacrebleu-comparable),
+    // so "abc def" ≡ "abcdef"; includeWhitespace = true restores raw grams
+    assert(cf("abc def", "abcdef") == ((1.0, 1.0, 1.0)))
+    assert(cf("ab\tcd\nef", "abcdef") == ((1.0, 1.0, 1.0)))
+    val rawRow = Quality.chrF(Seq((1L, "abc def", "abcdef")).toDF("id", "c", "r"),
+      col("id"), col("c"), col("r"), includeWhitespace = true).head()
+    assert(rawRow.getDouble(3) < 1.0,
+      "raw-string mode must see the space as a gram difference")
   }
 
   test("rougeL: classic LCS values incl. repeats; order sensitivity; JVM differential") {
@@ -212,6 +220,90 @@ class QualitySpec extends AnyFunSuite {
       val b = Seq.fill(rnd.nextInt(12))(('a' + rnd.nextInt(3)).toChar.toString)
       assert(rl(a, b)._1 == ref(a, b), s"LCS($a, $b)")
     }
+  }
+
+  test("ChrfStats: differential vs exact substring multisets; unicode windows") {
+    // independent reference: REAL substring multisets (no hashing) — any
+    // window/hash/merge defect in the native expression shows up here
+    def ref(c: String, r: String, maxN: Int): Seq[(Long, Long, Long)] =
+      (1 to maxN).map { n =>
+        def gs(s: String) = (0 to s.length - n).map(i => s.substring(i, i + n))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val (gc, gr) = (gs(c), gs(r))
+        val m = gc.map { case (g, k) => math.min(k, gr.getOrElse(g, 0L)) }.sum
+        (m, math.max(0, c.length - n + 1).toLong,
+          math.max(0, r.length - n + 1).toLong)
+      }
+    def native(c: String, r: String, maxN: Int): Seq[(Long, Long, Long)] = {
+      val arr = graft.functions.ChrfStats.compute(c, r, maxN)
+      (0 until maxN).map(n =>
+        (arr.getLong(3 * n), arr.getLong(3 * n + 1), arr.getLong(3 * n + 2)))
+    }
+    val rnd = new scala.util.Random(20260815)
+    for (_ <- 1 to 200) {
+      val c = Seq.fill(rnd.nextInt(24))(('a' + rnd.nextInt(4)).toChar).mkString
+      val r = Seq.fill(rnd.nextInt(24))(('a' + rnd.nextInt(4)).toChar).mkString
+      assert(native(c, r, 6) == ref(c, r, 6), s"ChrfStats($c, $r)")
+    }
+    // BMP unicode: windows count code points, not bytes
+    assert(native("héllo", "héllo", 3) == ref("héllo", "héllo", 3))
+    assert(native("", "ab", 2) == Seq((0L, 0L, 2L), (0L, 0L, 1L)))
+  }
+
+  test("chrfPP: word-order sensitivity chrF lacks; identity; differential word grams") {
+    import spark.implicits._
+    def pp(c: String, r: String): Double =
+      Quality.chrfPP(Seq((1L, c, r)).toDF("id", "c", "r"),
+        col("id"), col("c"), col("r")).head().getDouble(3)
+    def cf(c: String, r: String): Double =
+      Quality.chrF(Seq((1L, c, r)).toDF("id", "c", "r"),
+        col("id"), col("c"), col("r")).head().getDouble(3)
+    // identity scores 1.0 (all char orders present, both word orders)
+    assert(pp("hello brave new world", "hello brave new world") == 1.0)
+    // word order enters through the bigram term: reversing "a b" keeps
+    // BOTH word unigrams (m=2/2) and both stripped char unigrams, but
+    // zeroes the word bigram AND the char bigram —
+    // p = (1 + 0 + 0·4 + 1 + 0)/8 = 0.25, F_2 = 5p²/(4p+p) = p
+    val rev = pp("b a", "a b")
+    assert(rev == 0.25, s"reversed-pair hand value: got $rev")
+    assert(cf("b a", "a b") < 1.0 && pp("b a", "a b") < 1.0)
+    // hand value on a tiny pair: cand "a b", ref "a c" —
+    //   char grams (ws-stripped "ab" vs "ac"): n=1 m=1/2, n=2 m=0/1,
+    //   n>=3 empty (0); word grams: n=1 m=1/2, n=2 m=0/1
+    val got = pp("a b", "a c")
+    val p = (1.0 / 2.0 + 0.0 + 0.0 + 0.0 + 0.0 + 0.0 + 1.0 / 2.0 + 0.0) / 8.0
+    val exp = 5.0 * p * p / (4.0 * p + p)
+    assert(got == exp, s"hand value: got $got want $exp")
+    // TokenGramStats differential vs exact token-tuple multisets
+    def refStats(a: Seq[String], b: Seq[String], maxN: Int): Seq[(Long, Long, Long)] =
+      (1 to maxN).map { n =>
+        def gs(s: Seq[String]) = s.sliding(n).filter(_.size == n).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val (gc, gr) = (gs(a), gs(b))
+        val m = gc.map { case (g, k) => math.min(k, gr.getOrElse(g, 0L)) }.sum
+        (m, math.max(0, a.size - n + 1).toLong, math.max(0, b.size - n + 1).toLong)
+      }
+    val rnd = new scala.util.Random(20260816)
+    for (_ <- 1 to 100) {
+      val a = Seq.fill(rnd.nextInt(10))("w" + rnd.nextInt(3))
+      val b = Seq.fill(rnd.nextInt(10))("w" + rnd.nextInt(3))
+      val arr = graft.functions.TokenGramStats.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          a.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray),
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          b.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray), 3)
+      val got3 = (0 until 3).map(n =>
+        (arr.getLong(3 * n), arr.getLong(3 * n + 1), arr.getLong(3 * n + 2)))
+      assert(got3 == refStats(a, b, 3), s"TokenGramStats($a, $b)")
+    }
+    // tuple boundaries: ("ab","c") and ("a","bc") are DIFFERENT bigrams
+    val x = graft.functions.TokenGramStats.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array("ab", "c").map(org.apache.spark.unsafe.types.UTF8String.fromString)),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array("a", "bc").map(org.apache.spark.unsafe.types.UTF8String.fromString)), 2)
+    assert(x.getLong(0) == 0L && x.getLong(3) == 0L,
+      "token tuples must not alias across boundaries")
   }
 
   test("quantile small-path guard: oversized histogram trips to the prefix sum") {
