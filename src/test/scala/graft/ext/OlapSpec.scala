@@ -17,16 +17,45 @@ class OlapSpec extends AnyFunSuite {
   private def count(p: SparkPlan)(pf: PartialFunction[SparkPlan, Unit]): Int =
     p.collect { case n if pf.isDefinedAt(n) => n }.size
 
-  for (q <- Seq("rollup_agg", "cube_agg")) {
-    test(s"$q: one scan, one Expand, one aggregation exchange") {
-      val p = physical(q)
-      assert(count(p) { case _: FileSourceScanExec => } == 1,
-        s"$q must produce all levels from a single scan (no per-level UNION):\n$p")
-      assert(count(p) { case _: ExpandExec => } == 1, s"$q plans without Expand:\n$p")
-      // partial agg collapses before the one exchange
-      assert(count(p) { case _: ShuffleExchangeExec => } == 1,
-        s"$q should shuffle only pre-aggregated level rows:\n$p")
-    }
+  test("cube_agg: one scan, one Expand, one aggregation exchange") {
+    val p = physical("cube_agg")
+    assert(count(p) { case _: FileSourceScanExec => } == 1,
+      s"cube_agg must produce all levels from a single scan (no per-level UNION):\n$p")
+    assert(count(p) { case _: ExpandExec => } == 1, s"cube_agg plans without Expand:\n$p")
+    // partial agg collapses before the one exchange
+    assert(count(p) { case _: ShuffleExchangeExec => } == 1,
+      s"cube_agg should shuffle only pre-aggregated level rows:\n$p")
+  }
+
+  test("rollup_agg: two-phase — one un-replicated scan, NO Expand, reused base") {
+    // the round-13 shape: the fact table streams once (ReuseExchange dedupes
+    // the identical base aggregation under every level branch) and no Expand
+    // replicates the scan stream; re-aggregation exchanges carry only the
+    // tiny group table
+    val p = physical("rollup_agg")
+    assert(count(p) { case _: FileSourceScanExec => } == 1,
+      s"two-phase rollup must still scan the fact table exactly once:\n$p")
+    assert(count(p) { case _: ExpandExec => } == 0,
+      s"two-phase rollup must not replicate the scan stream via Expand:\n$p")
+  }
+
+  test("twoPhaseRollup: differential vs Spark's native rollup (values + flags)") {
+    val li = graft.SparkEntry.table(spark, sfDir, "lineitem")
+    val native = li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).as("__g_l_returnflag"),
+        grouping(col("l_linestatus")).as("__g_l_linestatus"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+    val two = Olap.twoPhaseRollup(li, Seq("l_returnflag", "l_linestatus"),
+      Seq(Olap.Measure.summed("n", org.apache.spark.sql.functions.count(lit(1))),
+        Olap.Measure.summed("sum_qty", sum(col("l_quantity"))),
+        Olap.Measure.summed("sum_cents",
+          sum(round(col("l_extendedprice") * 100).cast("long")))))
+      .select(native.columns.map(col): _*) // same column order
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(canon(two) == canon(native))
   }
 
   test("weightedSample: deterministic, monotone in scale, rate tracks weight") {
