@@ -387,6 +387,57 @@ object Similarity {
       .select(col("grp"), col("dim").cast("long").as("dim"),
         (col("__sum") / col("__n").cast("double")).as("mean"))
 
+  /** EMBEDDING distribution drift — the missing modality beside the
+    * scalar [[graft.ext.Quality.driftReport]] family: per-dimension
+    * centroid means of a reference slice vs a current slice (an embedding
+    * model upgrade, a re-crawl, a new provider) and the absolute per-dim
+    * shift. The monitoring question is "did the embedding space move",
+    * which scalar histograms cannot see — a space rotation keeps every
+    * norm histogram identical while every downstream ANN index silently
+    * degrades.
+    *
+    * Exactness: both centroids ride [[poolEmbeddings]]' ordered-fold
+    * discipline (per-(side, dim) values fold in id order — never an
+    * unordered float SUM), so means and shifts are bit-identical
+    * cross-engine. Scale: one union pass, the exchange carries
+    * (side × dim) keys; per-group state is the collected (id, v) list per
+    * dim — bounded by slice size; for 10^9-row slices swap in a fixed
+    * chunked pre-fold keyed on id ranges (same discipline, two levels). */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame,
+                     id: Column = col("vec_id")): DataFrame = {
+    val u = ref.select(lit("ref").as("__side"), id.as("__id"), col("embedding"))
+      .unionByName(
+        cur.select(lit("cur").as("__side"), id.as("__id"), col("embedding")))
+    poolEmbeddings(u, col("__side"), col("__id"))
+      .groupBy("dim")
+      .agg(max(when(col("grp") === "ref", col("mean"))).as("ref_mean"),
+        max(when(col("grp") === "cur", col("mean"))).as("cur_mean"))
+      .select(col("dim"), col("ref_mean"), col("cur_mean"),
+        abs(col("cur_mean") - col("ref_mean")).as("abs_shift"))
+  }
+
+  /** One-row summary of [[embeddingDrift]]: cosine between the two
+    * centroids (THE "did the space move" scalar — 1.0 = no directional
+    * drift) plus both centroid norms. Folds the per-dim table in dim
+    * order (64 rows — a fixed IEEE chain, never an unordered sum). */
+  def embeddingDriftSummary(ref: DataFrame, cur: DataFrame,
+                            id: Column = col("vec_id")): DataFrame = {
+    val perDim = embeddingDrift(ref, cur, id)
+    def fold(f: Column => Column): Column =
+      aggregate(array_sort(collect_list(struct(col("dim"), col("ref_mean"),
+          col("cur_mean")))),
+        lit(0.0), (acc, s) => acc + f(s))
+    perDim.agg(
+        fold(s => s.getField("ref_mean") * s.getField("cur_mean")).as("__dot"),
+        fold(s => s.getField("ref_mean") * s.getField("ref_mean")).as("__nr"),
+        fold(s => s.getField("cur_mean") * s.getField("cur_mean")).as("__nc"))
+      .select(
+        when(col("__nr") === 0.0 || col("__nc") === 0.0, lit(null).cast("double"))
+          .otherwise(col("__dot") / (sqrt(col("__nr")) * sqrt(col("__nc"))))
+          .as("centroid_cos"),
+        sqrt(col("__nr")).as("ref_norm"), sqrt(col("__nc")).as("cur_norm"))
+  }
+
   /** Deterministic Rademacher (±1) hyperplanes for sign-LSH: `tables` hash
     * tables × `bits` planes × `dim` components, drawn from a fixed-seed
     * java.util.Random (a specified, platform-stable LCG) — same corpus, same
@@ -1174,6 +1225,18 @@ object Similarity {
     "pool_embeddings" -> ((s, dir) =>
       poolEmbeddings(SparkEntry.table(s, dir, "embeddings"),
         pmod(col("vec_id"), lit(500L)))),
+    // embedding drift: even vec_ids are the "reference" slice, odd the
+    // "current" — per-dim centroid shift + the one-row centroid cosine
+    "embedding_drift" -> ((s, dir) => {
+      val e = SparkEntry.table(s, dir, "embeddings")
+      embeddingDrift(e.where(col("vec_id") % 2 === 0),
+        e.where(col("vec_id") % 2 === 1))
+    }),
+    "embedding_drift_summary" -> ((s, dir) => {
+      val e = SparkEntry.table(s, dir, "embeddings")
+      embeddingDriftSummary(e.where(col("vec_id") % 2 === 0),
+        e.where(col("vec_id") % 2 === 1))
+    }),
     // 64 → 16 dims; exploded to scalar rows for the cross-engine compare
     "jl_project" -> ((s, dir) =>
       jlProject(SparkEntry.table(s, dir, "embeddings"), outDim = 16)
@@ -1521,6 +1584,48 @@ object Similarity {
         |           (1.0 - 2.0 * (((i * 1103515245 + j * 12345 + 6789) // 65536) % 2)))),
         |    (a, b) -> a + b) / sqrt(16.0) AS value
         |FROM g""".stripMargin,
+    // the pool_embeddings ordered-fold discipline per (side, dim), then a
+    // dim-join pivot; abs() is one IEEE op on the deterministic means
+    "embedding_drift" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+        |    vec_id, g.d AS dim,
+        |    CAST(embedding[CAST(g.d + 1 AS INT)] AS DOUBLE) AS v
+        |  FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS g(d)),
+        |m AS (SELECT side, dim,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+        |      (a, b) -> a + b) / count(*) AS mean
+        |  FROM e GROUP BY side, dim)
+        |SELECT r.dim AS dim, r.mean AS ref_mean, c.mean AS cur_mean,
+        |  abs(c.mean - r.mean) AS abs_shift
+        |FROM m r JOIN m c ON r.dim = c.dim
+        |WHERE r.side = 'ref' AND c.side = 'cur'""".stripMargin,
+    // the per-dim table folded in dim order — a fixed 64-term IEEE chain
+    "embedding_drift_summary" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN vec_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+        |    vec_id, g.d AS dim,
+        |    CAST(embedding[CAST(g.d + 1 AS INT)] AS DOUBLE) AS v
+        |  FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS g(d)),
+        |m AS (SELECT side, dim,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+        |      (a, b) -> a + b) / count(*) AS mean
+        |  FROM e GROUP BY side, dim),
+        |j AS (SELECT r.dim AS dim, r.mean AS rm, c.mean AS cm
+        |  FROM m r JOIN m c ON r.dim = c.dim
+        |  WHERE r.side = 'ref' AND c.side = 'cur'),
+        |s AS (SELECT
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(rm * cm ORDER BY dim)), (a, b) -> a + b) AS dot,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(rm * rm ORDER BY dim)), (a, b) -> a + b) AS nr,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(cm * cm ORDER BY dim)), (a, b) -> a + b) AS nc
+        |  FROM j)
+        |SELECT CASE WHEN nr = 0.0 OR nc = 0.0 THEN NULL
+        |         ELSE dot / (sqrt(nr) * sqrt(nc)) END AS centroid_cos,
+        |  sqrt(nr) AS ref_norm, sqrt(nc) AS cur_norm
+        |FROM s""".stripMargin,
     // same ordered fold per (group, dim): list(… ORDER BY vec_id) then
     // list_reduce — never an unordered SUM of floats
     "pool_embeddings" ->

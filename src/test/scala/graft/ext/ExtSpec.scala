@@ -1640,6 +1640,29 @@ class ExtSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("embeddingDrift: identical slices are exactly zero-shift; direction shows in cos") {
+    val emb = SparkEntry.table(spark, dir, "embeddings")
+    // same slice on both sides: means are the SAME ordered fold, so every
+    // abs_shift is exactly 0.0 and the centroid cosine is ~1
+    val same = Similarity.embeddingDrift(emb, emb).collect()
+    assert(same.length == 64)
+    assert(same.forall(_.getDouble(3) == 0.0), "identical slices must be bit-zero shift")
+    val sum = Similarity.embeddingDriftSummary(emb, emb).head()
+    assert(math.abs(sum.getDouble(0) - 1.0) < 1e-12)
+    assert(sum.getDouble(1) == sum.getDouble(2), "identical slices share a norm")
+    // a hand-built rotation: ref along dim0, cur along dim1 → cos 0
+    import spark.implicits._
+    def mk(v: Seq[Float], ids: Seq[Long]) =
+      ids.map(i => (i, v)).toDF("vec_id", "embedding")
+    val refd = mk(Seq(1.0f, 0.0f), Seq(0L, 2L))
+    val curd = mk(Seq(0.0f, 1.0f), Seq(1L, 3L))
+    val s = Similarity.embeddingDriftSummary(refd, curd).head()
+    assert(s.getDouble(0) == 0.0 && s.getDouble(1) == 1.0 && s.getDouble(2) == 1.0)
+    val perDim = Similarity.embeddingDrift(refd, curd).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(perDim(0L) == ((1.0, 0.0, 1.0)) && perDim(1L) == ((0.0, 1.0, 1.0)))
+  }
+
   test("jlProject: JVM fold bit-equality; partition-invariant; distances roughly survive") {
     val emb = SparkEntry.table(spark, dir, "embeddings")
     val outDim = 16
