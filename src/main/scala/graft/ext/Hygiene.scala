@@ -917,7 +917,16 @@ object Hygiene {
     * artifact of the single 594 KB parquet file; at real scale the scan
     * parallelizes by file/row-group. */
   private def gramPatternCounts(df: DataFrame, source: Column): DataFrame = {
-    val pre = df.select(source.cast("string").as("__s"),
+    // the Dedup.shingled small-file spread: gram explode + hashing are
+    // CPU-bound relative to input bytes, so split-based parallelism
+    // underparallelizes small-file inputs (one 594 KB parquet split runs
+    // the whole corpus pass on ONE task — measured 0.8 → 0.45 s at
+    // sf0.1). At real scale the scan has ≥ defaultParallelism splits →
+    // no-op, and nothing downstream depends on physical layout.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val nFiles = df.inputFiles.length
+    val spread = if (nFiles > 0 && nFiles < par) df.repartition(par) else df
+    val pre = spread.select(source.cast("string").as("__s"),
       split(col("text"), " ").as("__w"))
     val w = col("__w")
     pre.select(col("__s"),

@@ -567,7 +567,10 @@ object Quality {
       signals.map { case (nm, c) => c.cast("long").as(s"__s_$nm") }: _*)
     // every signal's histogram in ONE corpus scan: the (sig, v) union
     // rides a single explode, and quantileBoundsMulti does one shared
-    // prefix-sum pass instead of one per signal
+    // prefix-sum pass instead of one per signal. (A Dedup.shingled-style
+    // small-file spread of this eager pass was probed in round 13 and
+    // measured flat — the boundary query is exchange/window-bound, not
+    // signal-compute-bound — so the plan stays minimal.)
     val longVals = withSignals.select(explode(array(
         signals.map { case (nm, _) =>
           struct(lit(nm).as("sig"), col(s"__s_$nm").as("v")) }: _*)).as("sv"))
