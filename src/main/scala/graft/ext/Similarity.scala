@@ -519,6 +519,39 @@ object Similarity {
         .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
   }
 
+  /** Truncated-dimension serving eval (Matryoshka representations,
+    * Kusupati et al. 2022): recall@k of the cosine top-k computed over
+    * only the FIRST `d` dimensions against the full-dimension exact
+    * top-k, per query per candidate `d` — the measurement behind "can we
+    * serve d of the D dims" (truncated embeddings cut index memory and
+    * bandwidth D/d-fold; whether neighborhoods survive is an empirical
+    * property of the embedding model this table answers). An MRL-trained
+    * model holds recall at small d; a conventional model decays — either
+    * way, measure before truncating (the annRecall discipline).
+    *
+    * Scale: each leg is [[annTopK]]'s broadcast-query shape (the corpus
+    * never shuffles; the truncated legs scan SLICED vectors, so
+    * bandwidth drops with d exactly as it would in serving); the fusion
+    * joins only nq·k result rows per d. Exactness: CosineSim over the
+    * prefix slice is the same bit-exact fold the oracle's
+    * `list_cosine_similarity(embedding[1:d])` computes; recall is one
+    * IEEE division of an exact integer count. */
+  def mrlRecall(emb: DataFrame, queries: DataFrame, k: Int = 5,
+                dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "need positive dims")
+    val exact = annTopK(emb, queries, k).select("query_id", "neighbor_id")
+    dims.map { d =>
+      def trunc(df: DataFrame): DataFrame =
+        df.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      val t = annTopK(trunc(emb), trunc(queries), k)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+      exact.join(t, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id").agg(count(col("hit")).as("n_hits"))
+        .select(lit(d.toLong).as("dim_kept"), col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** IVF-style ANN: centroids are the first `nCells` vectors by id
     * (deterministic stand-in for trained centroids).
     *
@@ -1089,6 +1122,7 @@ object Similarity {
   private[ext] val GateLshDim = 64 // embeddings table dim (TESTDATA.md)
   private[ext] val GatePqM = 8
   private[ext] val GatePqCodes = 16
+  private[ext] val GateMrlDims = Seq(8, 32)
 
   /** The gate's hyperplanes, shared by the queries entry and the SQL oracle
     * (the gate-constant pattern: one source of truth, no silent desync). */
@@ -1225,6 +1259,13 @@ object Similarity {
     "pool_embeddings" -> ((s, dir) =>
       poolEmbeddings(SparkEntry.table(s, dir, "embeddings"),
         pmod(col("vec_id"), lit(500L)))),
+    // truncated-serving eval: recall@k of 8-dim and 32-dim prefix cosine
+    // against the full 64-dim exact top-k
+    "mrl_recall" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      mrlRecall(emb, emb.where(col("vec_id") < GateQueryMaxId),
+        k = GateK, dims = GateMrlDims)
+    }),
     // embedding drift: even vec_ids are the "reference" slice, odd the
     // "current" — per-dim centroid shift + the one-row centroid cosine
     "embedding_drift" -> ((s, dir) => {
@@ -1439,6 +1480,19 @@ object Similarity {
       |      FROM s)
       |SELECT query_id, neighbor_id, rank, sim FROM r WHERE rank <= $GateK""".stripMargin
 
+  /** [[annTopkOracleSql]] with prefix-sliced vectors — the truncated legs
+    * of the mrl_recall oracle (same exact-cosine + (sim DESC, id) rank
+    * rule over `embedding[1:d]`). */
+  private def annTopkSlicedSql(d: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $GateQueryMaxId),
+      |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+      |        list_cosine_similarity(CAST(q.qe[1:$d] AS DOUBLE[]), CAST(e.embedding[1:$d] AS DOUBLE[])) AS sim
+      |      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+      |r AS (SELECT query_id, neighbor_id, sim,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, neighbor_id FROM r WHERE rank <= $GateK""".stripMargin
+
   /** The two corpus halves as src/tgt CTEs — shared by both bitext
     * oracles. */
   private val bitextSidesSql =
@@ -1584,6 +1638,17 @@ object Similarity {
         |           (1.0 - 2.0 * (((i * 1103515245 + j * 12345 + 6789) // 65536) % 2)))),
         |    (a, b) -> a + b) / sqrt(16.0) AS value
         |FROM g""".stripMargin,
+    // per dim d: the exact top-k leg LEFT JOINed with its [1:d]-sliced
+    // twin (both the proven exact-cosine rank rule), one UNION ALL branch
+    // per candidate dim; recall is one division of an exact count
+    "mrl_recall" -> GateMrlDims.map(d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim_kept, ex.query_id,
+        |  count(tr.neighbor_id) AS n_hits,
+        |  CAST(count(tr.neighbor_id) AS DOUBLE) / $GateK AS recall
+        |FROM ( $annTopkOracleSql ) ex
+        |LEFT JOIN ( ${annTopkSlicedSql(d)} ) tr
+        |  ON tr.query_id = ex.query_id AND tr.neighbor_id = ex.neighbor_id
+        |GROUP BY ex.query_id""".stripMargin).mkString("\nUNION ALL\n"),
     // the pool_embeddings ordered-fold discipline per (side, dim), then a
     // dim-join pivot; abs() is one IEEE op on the deterministic means
     "embedding_drift" ->

@@ -1640,6 +1640,27 @@ class ExtSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("mrlRecall: full-dim slice is recall 1; a prefix sign-flip is caught") {
+    val emb = SparkEntry.table(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 5)
+    // slicing to the FULL dimension is the exact query — recall must be 1
+    val full = Similarity.mrlRecall(emb, q, k = 5, dims = Seq(64)).collect()
+    assert(full.length == 5 && full.forall(_.getDouble(3) == 1.0))
+    // hand-built: the full-space neighbor has a NEGATIVE first coordinate,
+    // so 1-dim truncation ranks the other candidate first (recall@1 = 0)
+    // while 2-dim truncation is the full space (recall@1 = 1)
+    import spark.implicits._
+    val toy = Seq(
+      (0L, Seq(1.0f, 1.0f)),    // the query
+      (1L, Seq(-0.1f, 5.0f)),   // full-space top-1
+      (2L, Seq(1.0f, -0.5f))    // 1-dim-prefix top-1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mrlRecall(toy, toy.where(col("vec_id") === 0), k = 1,
+        dims = Seq(1, 2)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0), s"got $got")
+  }
+
   test("embeddingDrift: identical slices are exactly zero-shift; direction shows in cos") {
     val emb = SparkEntry.table(spark, dir, "embeddings")
     // same slice on both sides: means are the SAME ordered fold, so every

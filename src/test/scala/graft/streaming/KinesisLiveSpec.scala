@@ -218,6 +218,43 @@ class KinesisLiveSpec extends AnyFunSuite {
     assert(metrics.contains("millisBehindLatest"), s"missing lag metric: $metrics")
   }
 
+  test("BATCH replay: planInputPartitions over a WAL'd BATCH range re-reads it exactly") {
+    // the crash window the BATCH encoding exists for: a batch planned from
+    // an unresolved LATEST start is written to the WAL, the query dies
+    // before executing it, and the restart must read the SAME records even
+    // though a re-resolved LATEST iterator would now point elsewhere
+    val stream = freshName("live")
+    MockKinesis.createStream(stream, Seq("s"))
+    for (i <- 0 until 10)
+      MockKinesis.putRecord(stream, "s", f"s-$i%04d", s"pk-$i", "x".getBytes,
+        1700000000000L)
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("stream", stream,
+        "apiFactoryClass", "graft.sources.MockKinesisFactory"))
+    val mbs = new graft.sources.KinesisMicroBatchStream(opts)
+    val start = KinesisShardOffsets(Map("s" -> "LATEST"))
+    val end = KinesisShardOffsets(Map("s" -> "BATCH:s-0003:s-0006"))
+    val parts = mbs.planInputPartitions(start, end)
+    assert(parts.length == 1)
+    // more records arrive AFTER the WAL entry — the replay must ignore them
+    MockKinesis.putRecord(stream, "s", "s-0010", "pk", "x".getBytes, 1700000001000L)
+    val reader = new graft.sources.KinesisReaderFactory().createReader(parts.head)
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    while (reader.next()) got += reader.get().getUTF8String(2).toString
+    reader.close()
+    assert(got.toSeq == (3 to 6).map(i => f"s-$i%04d"),
+      s"BATCH range must replay [first, last] exactly, got $got")
+    // a plain AFTER end resumes from the start position instead
+    val parts2 = mbs.planInputPartitions(
+      KinesisShardOffsets(Map("s" -> "AFTER:s-0006")),
+      KinesisShardOffsets(Map("s" -> "AFTER:s-0008")))
+    val r2 = new graft.sources.KinesisReaderFactory().createReader(parts2.head)
+    val got2 = scala.collection.mutable.ArrayBuffer[String]()
+    while (r2.next()) got2 += r2.get().getUTF8String(2).toString
+    r2.close()
+    assert(got2.toSeq == Seq("s-0007", "s-0008"))
+  }
+
   test("offset encoding: JSON roundtrip and the BATCH replay pin") {
     val o = KinesisShardOffsets(Map(
       "a" -> "AFTER:0042", "b" -> "BATCH:b-0001:b-0007", "c" -> "LATEST"))
