@@ -402,7 +402,10 @@ object Similarity {
     * cross-engine. Scale: one union pass, the exchange carries
     * (side × dim) keys; per-group state is the collected (id, v) list per
     * dim — bounded by slice size; for 10^9-row slices swap in a fixed
-    * chunked pre-fold keyed on id ranges (same discipline, two levels). */
+    * chunked pre-fold keyed on id ranges (same discipline, two levels).
+    * An EMPTY side is a legitimate monitoring state ("no reference data
+    * yet"): its means surface as NULL (shift NULL, summary cosine NULL),
+    * never a crash — RobustnessSpec pins it. */
   def embeddingDrift(ref: DataFrame, cur: DataFrame,
                      id: Column = col("vec_id")): DataFrame = {
     val u = ref.select(lit("ref").as("__side"), id.as("__id"), col("embedding"))

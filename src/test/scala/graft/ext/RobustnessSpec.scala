@@ -90,6 +90,34 @@ class RobustnessSpec extends AnyFunSuite {
     val one = Seq((7L, Seq.fill(4)(1.0f))).toDF("vec_id", "embedding")
     val out = Similarity.icpOrder(one, nCells = 4).collect()
     assert(out.length == 1 && out.head.getLong(0) == 7L && out.head.getLong(2) == 0L)
+    // the default-arg path derives cells from the count — a 1-vector
+    // corpus must not trip the suggestIvf "empty corpus" require
+    assert(Similarity.icpOrder(one).collect().length == 1)
+  }
+
+  test("embeddingDrift: an empty side surfaces as NULL means, not a crash") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cur = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    // "no reference data yet" is a legitimate monitoring state: the
+    // per-dim table keeps the cur means and reports ref as NULL
+    val rows = Similarity.embeddingDrift(empty, cur).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.isNullAt(1) && !r.isNullAt(2) && r.isNullAt(3)))
+    val s = Similarity.embeddingDriftSummary(empty, cur).head()
+    assert(s.isNullAt(0), "centroid cosine vs nothing must be NULL")
+  }
+
+  test("chrfPP: null/empty sides score zero; both-null rows drop (the chrF rule)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pairs = Seq((1L, Some("abc def"), None: Option[String]),
+      (2L, None: Option[String], None: Option[String]),
+      (3L, Some(""), Some("abc"))).toDF("id", "c", "r")
+    val got = Quality.chrfPP(pairs, col("id"), col("c"), col("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 0.0, 3L -> 0.0), s"got $got")
   }
 
   test("tokenFertility: empty-text docs count zero pretokens, not NULLs") {
