@@ -261,6 +261,45 @@ object Dedup {
                    maxDocFreq: Option[Int] = None): DataFrame =
     jaccardPairsWhere(df, (_, _) => lit(true), k, tau, maxDocFreq)
 
+  /** Threshold-calibration report for near-dup removal: per candidate τ,
+    * how many pairs fire and how many documents are touched — the "what
+    * does each threshold cost" table consulted BEFORE committing a dedup
+    * threshold (τ = 0.9 removes near-identical copies; τ = 0.5 is
+    * aggressive and eats templated families; picking blind is how
+    * corpora lose whole domains). Output: (tau, n_pairs,
+    * n_docs_affected), exact integers.
+    *
+    * Scale: ONE pair pass at the LOOSEST τ (the [[jaccardPairs]]
+    * inverted-index shape — never re-run per threshold), a per-doc
+    * max-jaccard collapse of the pair table, then every threshold's two
+    * counts fold in ONE conditional aggregation each over those bounded
+    * tables. Jaccard values are single divisions of exact integers
+    * (bit-identical cross-engine), so the τ comparisons never straddle
+    * an engine-dependent rounding. */
+  def dedupThresholdReport(df: DataFrame,
+                           taus: Seq[Double] = Seq(0.5, 0.7, 0.9),
+                           k: Int = 3): DataFrame = {
+    require(taus.nonEmpty && taus.forall(t => t > 0.0 && t <= 1.0),
+      "need thresholds in (0, 1]")
+    val ts = taus.distinct.sorted
+    val pairs = jaccardPairs(df, k, ts.head)
+    val docMax = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"), col("jac"))
+      .groupBy("doc_id").agg(max(col("jac")).as("mx"))
+    val pairAggs = ts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("jac") >= t, 1L).otherwise(0L)).as(s"__np_$i") }
+    val docAggs = ts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("mx") >= t, 1L).otherwise(0L)).as(s"__nd_$i") }
+    pairs.agg(pairAggs.head, pairAggs.tail: _*)
+      .crossJoin(docMax.agg(docAggs.head, docAggs.tail: _*))
+      .select(explode(array(ts.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("tau"),
+          coalesce(col(s"__np_$i"), lit(0L)).as("n_pairs"),
+          coalesce(col(s"__nd_$i"), lit(0L)).as("n_docs_affected")) }: _*))
+        .as("__r"))
+      .select(col("__r.tau"), col("__r.n_pairs"), col("__r.n_docs_affected"))
+  }
+
   /** [[jaccardPairs]] restricted to pairs satisfying `pairCond(idA, idB)` —
     * the condition is pushed INTO the candidate equi-join, so pairs outside
     * the restriction are dropped before the (more expensive) exact-verify
@@ -1114,6 +1153,10 @@ object Dedup {
       substringDedup(SparkEntry.table(s, dir, "documents"))),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5)),
+    // threshold calibration off ONE pair pass at the loosest tau
+    "dedup_threshold_report" -> ((s, dir) =>
+      dedupThresholdReport(SparkEntry.table(s, dir, "documents"),
+        taus = Seq(0.5, 0.7, 0.9), k = 3)),
     // the auto-router on the (healthy) gate corpus: the preflight must pick
     // the exact route, so the oracle is the exact pair set — the LSH route
     // is exercised by ExtSpec's degenerate corpus
@@ -1370,6 +1413,23 @@ object Dedup {
     // same inverted-index co-occurrence formulation as the Spark plan (an
     // all-pairs cross join would be a pathological baseline: >1000s at sf0.1)
     "dedup_jaccard_pairs" -> jaccardPairsOracle,
+    // the factored pair oracle (already >= 0.5, the loosest tau) + a
+    // per-doc max collapse; one UNION ALL branch per threshold
+    "dedup_threshold_report" ->
+      ("WITH pairs AS (\n" + jaccardPairsOracle + "\n),\n" +
+        """dm AS (SELECT doc_id, max(jac) AS mx FROM (
+          |    SELECT id_a AS doc_id, jac FROM pairs
+          |    UNION ALL SELECT id_b AS doc_id, jac FROM pairs)
+          |  GROUP BY doc_id)
+          |SELECT 0.5 AS tau,
+          |  (SELECT count(*) FROM pairs WHERE jac >= 0.5) AS n_pairs,
+          |  (SELECT count(*) FROM dm WHERE mx >= 0.5) AS n_docs_affected
+          |UNION ALL SELECT 0.7,
+          |  (SELECT count(*) FROM pairs WHERE jac >= 0.7),
+          |  (SELECT count(*) FROM dm WHERE mx >= 0.7)
+          |UNION ALL SELECT 0.9,
+          |  (SELECT count(*) FROM pairs WHERE jac >= 0.9),
+          |  (SELECT count(*) FROM dm WHERE mx >= 0.9)""".stripMargin),
     // the healthy gate corpus routes to exact PPJoin, so the auto-router's
     // contract is the exact pair set
     "dedup_auto" -> jaccardPairsOracle,

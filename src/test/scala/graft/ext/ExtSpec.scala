@@ -290,6 +290,24 @@ class ExtSpec extends AnyFunSuite {
     assert(knn.count() > 0, "text-derived embeddings must drive ANN end-to-end")
   }
 
+  test("dedupThresholdReport: hand-built counts per threshold off one pair pass") {
+    import spark.implicits._
+    // shingles(k=3): d1 = d2 = {abc, bcd} (jac 1.0); d3 = {abc, bcd, cde}
+    // → jac(1,3) = jac(2,3) = 2/3; so at 0.5: 3 pairs / 3 docs,
+    // at 0.7: 1 pair (the identical one) / 2 docs, at 0.9: same
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupThresholdReport(docs, taus = Seq(0.9, 0.5, 0.7))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(0.5 -> ((3L, 3L)), 0.7 -> ((1L, 2L)), 0.9 -> ((1L, 2L))),
+      s"got $got")
+    // a pair-free corpus still reports zero rows per threshold, not nulls
+    val disjoint = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val zero = Dedup.dedupThresholdReport(disjoint, taus = Seq(0.5))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(zero.toSeq == Seq((0L, 0L)))
+  }
+
   test("jaccardPairs: seeded randomized differential vs brute force (random tau, k)") {
     // the PPJoin math under test: prefix length n − ⌈τ·n⌉ + 1 (the eps
     // guard at exact τ·n), the length filter, and the positional filter —
