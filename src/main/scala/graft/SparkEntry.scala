@@ -165,7 +165,12 @@ object SparkEntry {
     // the row-local native ChrfStats expression), chrF++ (char + word
     // gram halves), and ROUGE-L's native two-row LCS DP. token_f1 still
     // rides the scan floor.
-    "chrf_eval", "chrf_pp", "rouge_l")
+    "chrf_eval", "chrf_pp", "rouge_l",
+    // round-13 embedding workloads: the 64×-row pool-fold drift table and
+    // the three-leg (full + two truncated) top-k recall eval; the
+    // threshold report and drift summary ride their parents' shapes and
+    // stay bench-excluded
+    "embedding_drift", "mrl_recall")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-
