@@ -119,13 +119,14 @@ object ScaleProbe {
     val r11bOnly = args.length > 1 && args(1) == "r11b"
     val r11cOnly = args.length > 1 && args(1) == "r11c"
     val r12Only = args.length > 1 && args(1) == "r12"
+    val r13Only = args.length > 1 && args(1) == "r13"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
     if (!r10Only && !r10bOnly && !r11bOnly) { d1.count(); dN.count() } // r11 kn/r11c probes reuse d1/dN
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only) { dSkew.count(); dSkew1.count() }
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only && !r13Only) { dSkew.count(); dSkew1.count() }
     if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly) { e1.count(); eN.count() }
     if (r9gOnly) { e1.count(); eN.count() }
 
@@ -513,7 +514,40 @@ object ScaleProbe {
         time(s"icp_order_${rep}x") {
           force(ext.Similarity.icpOrder(eN.select("vec_id", "embedding"))) })
     }
-    val results = if (r12Only) r12Probes
+
+    // round-13 probes: the eval metrics are ROW-LOCAL native expressions
+    // (chrF++ char+word gram stats, zero exchanges) so they must grow
+    // ~linearly; embedding_drift's pool-fold exchange carries (side x dim)
+    // keys, so its growth is the scan, not the fold; the threshold report
+    // rides ONE jaccardPairs pass on the linear-control corpus
+    def r13Probes = {
+      if (true) { d1.count(); dN.count(); e1.count(); eN.count() }
+      def pairCols(df: org.apache.spark.sql.DataFrame) = {
+        val w = split(col("text"), " ")
+        df.select(col("doc_id"), col("text").as("cand"),
+          array_join(slice(w, lit(1), greatest(size(w) - 2, lit(1))), " ")
+            .as("ref"))
+      }
+      Seq(
+        time("chrf_pp_1x") {
+          force(ext.Quality.chrfPP(pairCols(d1), col("doc_id"),
+            col("cand"), col("ref"))) },
+        time(s"chrf_pp_${rep}x") {
+          force(ext.Quality.chrfPP(pairCols(dN), col("doc_id"),
+            col("cand"), col("ref"))) },
+        time("emb_drift_1x") {
+          force(ext.Similarity.embeddingDrift(
+            e1.where(col("vec_id") % 2 === 0), e1.where(col("vec_id") % 2 === 1))) },
+        time(s"emb_drift_${rep}x") {
+          force(ext.Similarity.embeddingDrift(
+            eN.where(col("vec_id") % 2 === 0), eN.where(col("vec_id") % 2 === 1))) },
+        time("dedup_threshold_1x") {
+          force(ext.Dedup.dedupThresholdReport(d1)) },
+        time(s"dedup_threshold_${rep}x") {
+          force(ext.Dedup.dedupThresholdReport(dN)) })
+    }
+    val results = if (r13Only) r13Probes
+    else if (r12Only) r12Probes
     else if (r9Only) r9Probes else if (r9bOnly) r9bProbes
     else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes
     else if (r10Only) r10Probes

@@ -1036,8 +1036,8 @@ object Quality {
     * (a shuffled candidate keeps its char-gram profile but loses word
     * bigrams), fixing chrF's blindness to it. Conventions: char grams
     * over ASCII-whitespace-stripped strings (the chrF default), word
-    * grams over whitespace tokens of the RAW strings (empty tokens
-    * dropped) — sacrebleu's split() convention, documented.
+    * grams over SPACE-split tokens of the RAW strings (empty tokens
+    * dropped) — the oracle mirrors `string_split(s, ' ')` exactly.
     *
     * Scale: both gram statistics are row-local native expressions
     * ([[graft.functions.ChrfStats]] + [[graft.functions.TokenGramStats]])
