@@ -844,6 +844,29 @@ class PlanSpec extends AnyFunSuite {
       s"the decile lookup must not exchange:\n$p")
   }
 
+  test("chrf_eval/chrf_pp: row-local native gram stats — one scan, zero exchanges") {
+    // the round-13 rewrite's whole point: candidate and reference live in
+    // the same row, so the metric must never explode grams into an
+    // exchange (the old shape shuffled ~len·maxN rows per doc per side)
+    for (name <- Seq("chrf_eval", "chrf_pp")) {
+      val p = physical(name)
+      assert(count(p) { case _: FileSourceScanExec => } == 1,
+        s"$name must be one documents scan:\n$p")
+      assert(shuffles(p) == 0, s"$name must not exchange:\n$p")
+    }
+  }
+
+  test("mrl_recall: corpus legs broadcast the queries, never a cartesian") {
+    val p = physical("mrl_recall")
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0,
+      s"mrl_recall has a cartesian product:\n$p")
+    // every ANN leg (full + one per candidate dim) joins corpus×queries
+    // via a broadcast of the bounded query side
+    assert(count(p) { case _: joins.BroadcastHashJoinExec |
+        _: joins.BroadcastNestedLoopJoinExec => } >= 3,
+      s"expected broadcast query legs:\n$p")
+  }
+
   test("quality_ensemble: construction fires exactly one eager job") {
     // the round-13 job-count pin (VERDICT r12 item 4): the eager side is
     // ONE job — the AQE-off boundary query (all signals' histograms in a
