@@ -295,7 +295,8 @@ class KinesisMicroBatchStream(options: CaseInsensitiveStringMap)
             val Array(first, last) = endPos.stripPrefix("BATCH:").split(':')
             (encodeAt(first), last)
           } else (startPos, endPos.stripPrefix("AFTER:"))
-        Some(KinesisInputPartition(stream, id, readFrom, stopAt, factory))
+        Some(KinesisInputPartition(stream, id, readFrom, stopAt, factory,
+          chaosFailFirstAttempt = options.getBoolean("chaosFailFirstAttempt", false)))
       }
     }.toArray
   }
@@ -324,7 +325,17 @@ class KinesisMicroBatchStream(options: CaseInsensitiveStringMap)
   * task retry is exactly-once. */
 case class KinesisInputPartition(stream: String, shardId: String,
                                  readFrom: String, stopAt: String,
-                                 factory: KinesisApiFactory) extends InputPartition
+                                 factory: KinesisApiFactory,
+                                 chaosFailFirstAttempt: Boolean = false)
+    extends InputPartition
+
+object KinesisReaderFactory {
+  /** S8 fault-injection telemetry for the LIVE reader (the
+    * [[ShardStream.chaosInjectedFailures]] twin): local mode shares the
+    * JVM, so KinesisLiveSpec can assert injected failures actually
+    * fired. */
+  val chaosInjectedFailures = new java.util.concurrent.atomic.AtomicLong()
+}
 
 class KinesisReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -346,9 +357,23 @@ class KinesisReaderFactory extends PartitionReaderFactory {
       private var done = false
       private var emptyPolls = 0
       private var current: KinesisRecord = _
+      private var emitted = 0L
+      // S8 fault injection: die after two emitted records on the first
+      // attempt of every task — the retry must re-read exactly the same
+      // [readFrom, stopAt] range (the reader is deterministic, so Spark's
+      // discard-and-retry is exactly-once, like the simulator's RetrySpec)
+      private val chaos = p.chaosFailFirstAttempt &&
+        org.apache.spark.TaskContext.get() != null &&
+        org.apache.spark.TaskContext.get().attemptNumber() == 0
 
       override def next(): Boolean = {
         if (done) return false
+        if (chaos && emitted == 2) {
+          KinesisReaderFactory.chaosInjectedFailures.incrementAndGet()
+          throw new java.io.IOException(
+            s"injected live-reader failure after $emitted records of " +
+              s"${p.shardId} [${p.readFrom}, ${p.stopAt}]")
+        }
         while (!buffer.hasNext) {
           iterator match {
             case None => // closed shard ended before stopAt — trimmed range
@@ -372,6 +397,7 @@ class KinesisReaderFactory extends PartitionReaderFactory {
           }
         }
         current = buffer.next()
+        emitted += 1
         if (current.sequenceNumber == p.stopAt) done = true
         true
       }

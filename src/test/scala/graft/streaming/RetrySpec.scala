@@ -65,4 +65,50 @@ class RetrySpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("live S8: injected first-attempt failures in the LIVE reader retry exactly-once") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4, 2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val stream = s"retrylive${System.nanoTime()}"
+      graft.sources.MockKinesis.createStream(stream, Seq("a", "b", "c"))
+      for (shard <- Seq("a", "b", "c"); i <- 0 until 20)
+        graft.sources.MockKinesis.putRecord(stream, shard, f"$shard-$i%04d",
+          s"pk-$i", "x".getBytes("UTF-8"), 1700000000000L + i * 1000L)
+      graft.sources.KinesisReaderFactory.chaosInjectedFailures.set(0L)
+      val name = s"t${System.nanoTime()}"
+      val q = spark.readStream.format("kinesiscat-live")
+        .option("stream", stream)
+        .option("apiFactoryClass", "graft.sources.MockKinesisFactory")
+        .option("startingPosition", ShardStream.TrimHorizon)
+        .option("batchSize", "7")
+        .option("chaosFailFirstAttempt", "true")
+        .load()
+        .select(col("shardId"), col("sequenceNumber"))
+        .writeStream.format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(graft.sources.KinesisReaderFactory.chaosInjectedFailures.get() > 0,
+        "no failure was injected")
+      // the live reader RE-FETCHES its [readFrom, stopAt] range through a
+      // fresh client on retry — exactly-once, still per-shard ordered
+      assert(got.size == 60, s"expected 60 exactly-once records, got ${got.size}")
+      assert(got.distinct.size == 60, "retry introduced duplicates")
+      for (s <- Seq("a", "b", "c")) {
+        val seqs = got.filter(_._1 == s).map(_._2)
+        assert(seqs == seqs.sorted, s"shard $s out of order after retries")
+      }
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }
