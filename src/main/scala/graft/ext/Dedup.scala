@@ -809,6 +809,31 @@ object Dedup {
     * same loop is the core of the large-star/small-star formulation.
     * Output: (doc_id, cluster_id = min doc_id of the component), one row per
     * document that appears in at least one pair. */
+  /** Duplicate-cluster SIZE distribution: `(cluster_size, n_clusters)`
+    * over the transitive closure of the near-dup pair graph, plus the
+    * size-1 row for unique documents — the shape question behind every
+    * dedup decision ("are my duplicates pairwise near-misses or massive
+    * templated families?"): a heavy tail means keep-one-per-cluster
+    * deletes most of a source, while all-pairs means dedup barely
+    * shrinks the corpus. Exact integers end to end.
+    *
+    * Scale: one [[jaccardPairs]] pass + the O(diameter) [[clusters]]
+    * closure (both gated/probed); the distribution folds over cluster
+    * ids, and the singleton row is two count aggregates — no extra
+    * corpus pass beyond the one total count. */
+  def dedupClusterSizes(df: DataFrame, k: Int = 3,
+                        tau: Double = 0.5): DataFrame = {
+    val cl = clusters(jaccardPairs(df, k, tau))
+    val dist = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    // clustered sizes are always >= 2, so the singleton row never collides
+    val singles = df.agg(count(lit(1)).as("__t"))
+      .crossJoin(cl.agg(count(lit(1)).as("__c")))
+      .select(lit(1L).as("cluster_size"),
+        (col("__t") - col("__c")).as("n_clusters"))
+    dist.unionByName(singles).where(col("n_clusters") > 0)
+  }
+
   def clusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -1238,6 +1263,9 @@ object Dedup {
     }),
     "dedup_clusters" -> ((s, dir) =>
       clusters(jaccardPairs(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5))),
+    // the closure's size histogram + the unique-doc singleton row
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      dedupClusterSizes(SparkEntry.table(s, dir, "documents"), k = 3, tau = 0.5)),
     "cdc_chunks" -> ((s, dir) =>
       cdcChunks(SparkEntry.table(s, dir, "documents"))),
     // pairs sharing >= 2 content-defined chunks of >= 4 tokens
@@ -1680,5 +1708,39 @@ object Dedup {
         |  UNION
         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+
+    // the same closure's size histogram; clustered sizes are >= 2 so the
+    // singleton row (total - clustered) never collides
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+        |      list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |co AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter,
+        |    any_value(x.n) AS na, any_value(y.n) AS nb
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id),
+        |p AS (SELECT id_a, id_b FROM co
+        |      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |       FROM reach GROUP BY a),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id),
+        |dist AS (SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size),
+        |singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+        |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM cl) AS n_clusters)
+        |SELECT cluster_size, n_clusters FROM dist
+        |UNION ALL SELECT cluster_size, n_clusters FROM singles WHERE n_clusters > 0""".stripMargin,
   )
 }

@@ -308,6 +308,21 @@ class ExtSpec extends AnyFunSuite {
     assert(zero.toSeq == Seq((0L, 0L)))
   }
 
+  test("dedupClusterSizes: hand-built distribution incl. the singleton row") {
+    import spark.implicits._
+    // d1=d2=d3 form one 3-cluster (jac 1.0 pairwise); d4, d5 unique
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"),
+      (4L, "x y z w"), (5L, "p q r s")).toDF("doc_id", "text")
+    val got = Dedup.dedupClusterSizes(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 1L, 1L -> 2L), s"got $got")
+    // a fully-unique corpus yields ONLY the singleton row
+    val uniq = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val g2 = Dedup.dedupClusterSizes(uniq)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(1L -> 2L))
+  }
+
   test("jaccardPairs: seeded randomized differential vs brute force (random tau, k)") {
     // the PPJoin math under test: prefix length n − ⌈τ·n⌉ + 1 (the eps
     // guard at exact τ·n), the length filter, and the positional filter —
