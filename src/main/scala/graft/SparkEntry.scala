@@ -30,9 +30,14 @@ object SparkEntry {
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    // entries keyed by DEAD sessions (test suites cycle contexts) would
+    // otherwise accumulate; a sweep on growth keeps the map tiny forever
+    if (tableCache.size > 64)
+      tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     tableCache.computeIfAbsent((s, s"$dir/$name.parquet"),
       _ => tableUncached(s, dir, name))
+  }
 
   private def tableUncached(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
