@@ -126,6 +126,61 @@ object TextAnalysis {
         col("s_en"), col("s_fr"), col("s_de"), col("s_es"))
   }
 
+  /** Code-switch detection: [[langId]]'s Latin-marker argmax applied to
+    * NON-OVERLAPPING `window`-token windows, reporting per document the
+    * window count, the number of adjacent-window language SWITCHES, the
+    * dominant window language, and its share — the cleanup signal doc-level
+    * language-ID cannot see (a half-English half-French page classifies
+    * "en" at doc level and then pollutes a monolingual corpus; switches > 0
+    * flags it for splitting or dropping). CJK stays doc-level territory
+    * ([[langId]]'s codepoint check): windows use the marker argmax only,
+    * with the same fixed en > fr > de > es tie order.
+    *
+    * Entirely NARROW (the [[winnow]] posture): windows, per-window marker
+    * counts, the switch fold, and the dominant argmax are HOFs over the
+    * per-document token array — zero exchanges, scales with tokens.
+    * dominant_share is ONE division of exact integers. */
+  def codeSwitchStats(df: DataFrame, window: Int = 16): DataFrame = {
+    require(window >= 1, "need a positive window")
+    val nw = floor((size(toks) + lit(window - 1)).cast("double") /
+      lit(window.toDouble)).cast("int")
+    val base = df.select(col("doc_id"), toks.as("__t"), nw.as("__nw"))
+    def winLang(i: Column): Column = {
+      val win = slice(col("__t"), i * window + 1, lit(window))
+      val s = LangMarkers.map { case (lang, markers) =>
+        lang -> size(filter(win, t => t.isInCollection(markers)))
+      }.toMap
+      when(s("en") >= greatest(s("fr"), s("de"), s("es")), lit("en"))
+        .when(s("fr") >= greatest(s("de"), s("es")), lit("fr"))
+        .when(s("de") >= s("es"), lit("de"))
+        .otherwise(lit("es"))
+    }
+    // sequence(0, m) DESCENDS when m < 0 — guard the empty-window case
+    val langs = when(col("__nw") >= 1,
+      transform(sequence(lit(0), col("__nw") - 1), winLang(_)))
+      .otherwise(array().cast("array<string>"))
+    val l = col("__l")
+    val switches = when(size(l) <= 1, lit(0L))
+      .otherwise(aggregate(sequence(lit(1), size(l) - 1), lit(0L),
+        (acc, i) => acc +
+          when(element_at(l, i + 1) =!= element_at(l, i), 1L).otherwise(0L)))
+    val counts = LangMarkers.map { case (lang, _) =>
+      lang -> size(filter(l, x => x === lang))
+    }.toMap
+    val dominant = when(size(l) === 0, lit(null).cast("string"))
+      .when(counts("en") >= greatest(counts("fr"), counts("de"), counts("es")), lit("en"))
+      .when(counts("fr") >= greatest(counts("de"), counts("es")), lit("fr"))
+      .when(counts("de") >= counts("es"), lit("de"))
+      .otherwise(lit("es"))
+    val share = when(size(l) === 0, lit(null).cast("double"))
+      .otherwise(greatest(counts("en"), counts("fr"), counts("de"), counts("es"))
+        .cast("double") / size(l).cast("double"))
+    base.select(col("doc_id"), langs.as("__l"), col("__nw"))
+      .select(col("doc_id"), col("__nw").cast("long").as("n_windows"),
+        switches.as("n_switches"), dominant.as("dominant_lang"),
+        share.as("dominant_share"))
+  }
+
   /** Polynomial rolling hash over characters, mod 1e9+7 (stays exact in both
     * long and double arithmetic — oracle-comparable). */
   def fingerprint(df: DataFrame): DataFrame =
@@ -736,6 +791,9 @@ object TextAnalysis {
     "tokenizer_fertility" -> ((s, dir) =>
       tokenFertility(SparkEntry.table(s, dir, "documents"), col("lang"))),
     "lang_id" -> ((s, dir) => langId(SparkEntry.table(s, dir, "documents"))),
+    // windowed language spans: switches + dominant share per doc (W = 16)
+    "code_switch_stats" -> ((s, dir) =>
+      codeSwitchStats(SparkEntry.table(s, dir, "documents"), window = 16)),
     "doc_fingerprint" -> ((s, dir) => fingerprint(SparkEntry.table(s, dir, "documents"))),
     "winnow_fingerprints" -> ((s, dir) => winnow(SparkEntry.table(s, dir, "documents"))),
     "top_terms" -> ((s, dir) => topTerms(SparkEntry.table(s, dir, "documents"))),
@@ -946,6 +1004,45 @@ object TextAnalysis {
          |       ELSE 'es' END AS lang_pred,
          |  s_en, s_fr, s_de, s_es
          |FROM u""".stripMargin
+    },
+    // the lang_id marker argmax per non-overlapping 16-token window,
+    // lag() for adjacent switches, conditional sums for the dominant pivot
+    "code_switch_stats" -> {
+      val scoreCols = LangMarkers.map { case (lang, markers) =>
+        val lst = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(win, x -> x IN ($lst))) AS s_$lang"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |        CAST(floor((len(toks) + 15) / 16.0) AS INT) AS nw FROM t),
+        |w AS (SELECT doc_id, nw, u.wi AS wi,
+        |        toks[u.wi * 16 + 1 : u.wi * 16 + 16] AS win
+        |      FROM n, LATERAL unnest(range(0, nw)) AS u(wi)),
+        |s AS (SELECT doc_id, nw, wi,
+        |  $scoreCols
+        |  FROM w),
+        |l AS (SELECT doc_id, nw, wi,
+        |        CASE WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+        |             WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+        |             WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang
+        |      FROM s),
+        |g AS (SELECT doc_id, nw, wi, lang,
+        |        lag(lang) OVER (PARTITION BY doc_id ORDER BY wi) AS lg
+        |      FROM l),
+        |a AS (SELECT doc_id, any_value(nw) AS nw,
+        |        CAST(coalesce(sum(CASE WHEN lg IS NOT NULL AND lang <> lg
+        |          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_switches,
+        |        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+        |        sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS c_fr,
+        |        sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS c_de,
+        |        sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS c_es
+        |      FROM g GROUP BY doc_id)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows, n_switches,
+        |  CASE WHEN c_en >= greatest(c_fr, c_de, c_es) THEN 'en'
+        |       WHEN c_fr >= greatest(c_de, c_es) THEN 'fr'
+        |       WHEN c_de >= c_es THEN 'de' ELSE 'es' END AS dominant_lang,
+        |  CAST(greatest(c_en, c_fr, c_de, c_es) AS DOUBLE) / nw AS dominant_share
+        |FROM a""".stripMargin
     },
     "doc_fingerprint" ->
       """SELECT doc_id,

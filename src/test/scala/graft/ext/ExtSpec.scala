@@ -828,6 +828,29 @@ class ExtSpec extends AnyFunSuite {
     assert(a == b, "loaded centroids changed the ANN result")
   }
 
+  test("codeSwitchStats: hand-built switching doc; monolingual and tie cases") {
+    import spark.implicits._
+    // 16 en-marker tokens then 16 fr-marker tokens: 2 windows, 1 switch,
+    // dominant ties 1-1 → 'en' by the fixed priority; share = 1/2
+    val mixed = (Seq.fill(16)("the") ++ Seq.fill(16)("table")).mkString(" ")
+    val mono = Seq.fill(16)("the").mkString(" ")
+    val docs = Seq((1L, mixed), (2L, mono), (3L, "slow fast"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeSwitchStats(docs, window = 16).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((2L, 1L, "en", 0.5)), s"mixed: ${got(1L)}")
+    assert(got(2L) == ((1L, 0L, "en", 1.0)))
+    assert(got(3L) == ((1L, 0L, "en", 1.0)), "a sub-window doc is one window")
+    // a 3-language alternation counts every adjacent change
+    val tri = (Seq.fill(16)("the") ++ Seq.fill(16)("table") ++
+      Seq.fill(16)("order") ++ Seq.fill(16)("the")).mkString(" ")
+    val g3 = TextAnalysis.codeSwitchStats(Seq((9L, tri)).toDF("doc_id", "text"))
+      .head()
+    assert(g3.getLong(1) == 4L && g3.getLong(2) == 3L &&
+      g3.getString(3) == "en" && g3.getDouble(4) == 0.5)
+  }
+
   test("tokenFertility: hand counts per language, exact ratios") {
     import spark.implicits._
     val docs = Seq(
