@@ -1075,6 +1075,43 @@ object Quality {
             (lit(b2) * col("chrfpp_p") + col("chrfpp_r"))))
   }
 
+  /** Sentence-level BLEU-4 (Papineni 2002 applied per pair): clipped
+    * word-n-gram precisions p₁..p₄ from the row-local
+    * [[graft.functions.TokenGramStats]] multiset intersection, brevity
+    * penalty `exp(1 − r/c)`, score `BP · ⁴√(p₁p₂p₃p₄)` — the per-example
+    * sibling of [[bleuCorpus]] (which pools counts corpus-wide), and the
+    * self-similarity measurement for synthetic-data diversity (Self-BLEU:
+    * pair each sample against its neighbors; high scores = mode
+    * collapse). Conventions: tokens are space-split with empty tokens
+    * dropped; an order with zero candidate grams contributes p = 0 (an
+    * unsmoothed sentence BLEU — any zero order zeroes the score, which is
+    * the honest per-sentence reading); an empty candidate scores 0.
+    *
+    * Exactness: per-order integers from the native expression; p-chain,
+    * BP, and the √√ geometric mean are a FIXED IEEE chain (sqrt is
+    * correctly rounded; exp matches the [[bleuCorpus]] precedent).
+    * Scale: ONE scan, zero exchanges — both sides live in the row. */
+  def sentenceBleu(pairs: DataFrame, id: Column, cand: Column,
+                   ref: Column): DataFrame = {
+    def tk(c: Column): Column = filter(split(coalesce(c, lit("")), " "), t => t =!= "")
+    val base = pairs.select(id.as("id"), tk(cand).as("__c"), tk(ref).as("__r"))
+      .where(col("__c").isNotNull || col("__r").isNotNull)
+    val wide = base.select(col("id"),
+      size(col("__c")).cast("long").as("c_len"),
+      size(col("__r")).cast("long").as("r_len"),
+      graft.functions.vectors.tokenGramStats(col("__c"), col("__r"), 4).as("__st"))
+    def st(n: Int, k: Int): Column = element_at(col("__st"), 3 * (n - 1) + k)
+    def p(n: Int): Column =
+      when(st(n, 2) > 0, st(n, 1).cast("double") / st(n, 2).cast("double"))
+        .otherwise(lit(0.0))
+    val bp = when(col("c_len") === 0, lit(0.0))
+      .when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("r_len").cast("double") / col("c_len").cast("double")))
+    wide.select(col("id"), col("c_len"), col("r_len"), bp.as("bp"),
+      (bp * sqrt(sqrt(p(1) * p(2) * p(3) * p(4)))).as("bleu"))
+  }
+
   /** Cohen's κ inter-annotator agreement (Cohen 1960) between two
     * categorical label columns — the data-QA gate for human-labeled
     * SFT/preference corpora (is annotator consistency above chance before
@@ -1504,6 +1541,15 @@ object Quality {
               .as("ref")),
         col("doc_id"), col("cand"), col("ref"))
     }),
+    // the same pair construction scored per-sentence (unsmoothed BLEU-4)
+    "sentence_bleu" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      sentenceBleu(SparkEntry.table(s, dir, "documents")
+          .select(col("doc_id"), col("text").as("cand"),
+            array_join(slice(w, lit(1), greatest(size(w) - 2, lit(1))), " ")
+              .as("ref")),
+        col("doc_id"), col("cand"), col("ref"))
+    }),
     // the same pair construction scored by chrF++ (char + word grams)
     "chrf_pp" -> ((s, dir) => {
       val w = split(col("text"), " ")
@@ -1860,6 +1906,57 @@ object Quality {
         |SELECT id, chr_p, chr_r,
         |  CASE WHEN 4.0 * chr_p + chr_r = 0.0 THEN 0.0
         |       ELSE 5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r) END AS chrf
+        |FROM f""".stripMargin,
+
+    // per-doc word 1-4-gram clipped precisions, the exp brevity penalty,
+    // and the sqrt(sqrt()) geometric mean — the bleuCorpus machinery at
+    // sentence granularity
+    "sentence_bleu" ->
+      """WITH t0 AS (SELECT doc_id, text AS cand0,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(len(string_split(text, ' ')) - 2, 1)), ' ') AS ref0
+        |  FROM documents),
+        |wt AS (SELECT doc_id,
+        |    list_filter(string_split(cand0, ' '), x -> x <> '') AS wc,
+        |    list_filter(string_split(ref0, ' '), x -> x <> '') AS wr
+        |  FROM t0),
+        |wns AS (SELECT unnest(range(1, 5)) AS n),
+        |wcg AS (SELECT doc_id, n, g, count(*) AS cc FROM (
+        |    SELECT wt.doc_id, wns.n,
+        |      array_to_string(list_slice(wt.wc, i.i, i.i + wns.n - 1), ' ') AS g
+        |    FROM wt, wns, LATERAL unnest(range(1, len(wt.wc) - wns.n + 2)) AS i(i))
+        |  GROUP BY 1, 2, 3),
+        |wrg AS (SELECT doc_id, n, g, count(*) AS rc FROM (
+        |    SELECT wt.doc_id, wns.n,
+        |      array_to_string(list_slice(wt.wr, i.i, i.i + wns.n - 1), ' ') AS g
+        |    FROM wt, wns, LATERAL unnest(range(1, len(wt.wr) - wns.n + 2)) AS i(i))
+        |  GROUP BY 1, 2, 3),
+        |wst AS (SELECT coalesce(wcg.doc_id, wrg.doc_id) AS doc_id,
+        |    coalesce(wcg.n, wrg.n) AS n,
+        |    least(coalesce(cc, 0), coalesce(rc, 0)) AS mm, cc
+        |  FROM wcg FULL OUTER JOIN wrg
+        |    ON wcg.doc_id = wrg.doc_id AND wcg.n = wrg.n AND wcg.g = wrg.g),
+        |wpern AS (SELECT doc_id, n, CAST(sum(mm) AS BIGINT) AS m,
+        |    CAST(coalesce(sum(cc), 0) AS BIGINT) AS ct
+        |  FROM wst GROUP BY 1, 2),
+        |wwide AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1, CAST(coalesce(sum(CASE WHEN n = 1 THEN ct END), 0) AS BIGINT) AS ct1,
+        |    CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2, CAST(coalesce(sum(CASE WHEN n = 2 THEN ct END), 0) AS BIGINT) AS ct2,
+        |    CAST(coalesce(sum(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3, CAST(coalesce(sum(CASE WHEN n = 3 THEN ct END), 0) AS BIGINT) AS ct3,
+        |    CAST(coalesce(sum(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4, CAST(coalesce(sum(CASE WHEN n = 4 THEN ct END), 0) AS BIGINT) AS ct4
+        |  FROM wpern GROUP BY doc_id),
+        |l AS (SELECT doc_id, CAST(len(wc) AS BIGINT) AS c_len,
+        |    CAST(len(wr) AS BIGINT) AS r_len FROM wt),
+        |f AS (SELECT l.doc_id AS id, c_len, r_len,
+        |    CASE WHEN c_len = 0 THEN 0.0
+        |         WHEN c_len >= r_len THEN 1.0
+        |         ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END AS bp,
+        |    (CASE WHEN coalesce(ct1, 0) > 0 THEN CAST(coalesce(m1, 0) AS DOUBLE) / CAST(ct1 AS DOUBLE) ELSE 0.0 END) AS p1,
+        |    (CASE WHEN coalesce(ct2, 0) > 0 THEN CAST(coalesce(m2, 0) AS DOUBLE) / CAST(ct2 AS DOUBLE) ELSE 0.0 END) AS p2,
+        |    (CASE WHEN coalesce(ct3, 0) > 0 THEN CAST(coalesce(m3, 0) AS DOUBLE) / CAST(ct3 AS DOUBLE) ELSE 0.0 END) AS p3,
+        |    (CASE WHEN coalesce(ct4, 0) > 0 THEN CAST(coalesce(m4, 0) AS DOUBLE) / CAST(ct4 AS DOUBLE) ELSE 0.0 END) AS p4
+        |  FROM l LEFT JOIN wwide w ON w.doc_id = l.doc_id)
+        |SELECT id, c_len, r_len, bp, bp * sqrt(sqrt(p1 * p2 * p3 * p4)) AS bleu
         |FROM f""".stripMargin,
 
     // chrF++: the chrf_eval char pipeline + word 1-2-gram CTEs; the IEEE

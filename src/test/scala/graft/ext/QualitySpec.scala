@@ -306,6 +306,26 @@ class QualitySpec extends AnyFunSuite {
       "token tuples must not alias across boundaries")
   }
 
+  test("sentenceBleu: identity, hand value, brevity penalty, zero-order collapse") {
+    import spark.implicits._
+    def sb(c: String, r: String): (Long, Long, Double, Double) = {
+      val row = Quality.sentenceBleu(Seq((1L, c, r)).toDF("id", "c", "r"),
+        col("id"), col("c"), col("r")).head()
+      (row.getLong(1), row.getLong(2), row.getDouble(3), row.getDouble(4))
+    }
+    assert(sb("a b c d e", "a b c d e") == ((5L, 5L, 1.0, 1.0)))
+    // hand value: p1 = 4/5, p2 = 3/4, p3 = 2/3, p4 = 1/2, bp = 1
+    val (c1, r1, bp1, bleu1) = sb("a b c d e", "a b c d")
+    assert((c1, r1, bp1) == ((5L, 4L, 1.0)))
+    assert(bleu1 == math.sqrt(math.sqrt(4.0 / 5.0 * (3.0 / 4.0) * (2.0 / 3.0) * 0.5)))
+    // a short candidate has no 3/4-grams: unsmoothed BLEU collapses to 0,
+    // and the brevity penalty is exp(1 - r/c)
+    val (c2, r2, bp2, bleu2) = sb("a b", "a b c d")
+    assert((c2, r2) == ((2L, 4L)) && bp2 == math.exp(1.0 - 2.0) && bleu2 == 0.0)
+    // empty candidate scores 0 with bp 0, row kept
+    assert(sb("", "a b") == ((0L, 2L, 0.0, 0.0)))
+  }
+
   test("quantile small-path guard: oversized histogram trips to the prefix sum") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val want = Quality.exactQuantiles(docs, col("n_chars"), k = 10).collect()
