@@ -1112,6 +1112,36 @@ object Quality {
       (bp * sqrt(sqrt(p(1) * p(2) * p(3) * p(4)))).as("bleu"))
   }
 
+  /** Self-BLEU diversity report (Zhu et al. 2018's texygen metric, the
+    * standard mode-collapse check for synthetic corpora): each document
+    * scored by [[sentenceBleu]] against the NEXT document of its group
+    * (id order — the deterministic neighbor pairing; a diverse corpus
+    * scores near 0, templated/regurgitated generations score high), then
+    * per-group `(n_pairs, mean_bleu)`. The per-group mean folds the
+    * (id, bleu) pairs in id order — the [[graft.ext
+    * .Similarity.poolEmbeddings]] ordered-fold discipline, never an
+    * unordered float SUM.
+    *
+    * Scale: one lead() window per group (groups partition the corpus),
+    * the row-local scorer, and a group-cardinality aggregation. */
+  def selfBleu(docs: DataFrame, group: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy("doc_id")
+    val paired = docs.select(group.as("grp"), col("doc_id"), col("text"))
+      .withColumn("__ref", lead(col("text"), 1).over(w))
+      .where(col("__ref").isNotNull)
+    val scored = sentenceBleu(paired, col("doc_id"), col("text"), col("__ref"))
+      .select(col("id"), col("bleu"))
+      .join(paired.select(col("doc_id").as("id"), col("grp")), Seq("id"))
+    scored.groupBy("grp")
+      .agg(count(lit(1)).as("n_pairs"),
+        (aggregate(
+          array_sort(collect_list(struct(col("id"), col("bleu")))),
+          lit(0.0), (acc, s) => acc + s.getField("bleu")) /
+          count(lit(1)).cast("double")).as("mean_bleu"))
+      .select(col("grp").as("source"), col("n_pairs"), col("mean_bleu"))
+  }
+
   /** Cohen's κ inter-annotator agreement (Cohen 1960) between two
     * categorical label columns — the data-QA gate for human-labeled
     * SFT/preference corpora (is annotator consistency above chance before
@@ -1541,6 +1571,9 @@ object Quality {
               .as("ref")),
         col("doc_id"), col("cand"), col("ref"))
     }),
+    // the diversity workflow end-to-end: adjacent-id pairing per source
+    "self_bleu" -> ((s, dir) =>
+      selfBleu(SparkEntry.table(s, dir, "documents"), col("source"))),
     // the same pair construction scored per-sentence (unsmoothed BLEU-4)
     "sentence_bleu" -> ((s, dir) => {
       val w = split(col("text"), " ")
@@ -1907,6 +1940,59 @@ object Quality {
         |  CASE WHEN 4.0 * chr_p + chr_r = 0.0 THEN 0.0
         |       ELSE 5.0 * chr_p * chr_r / (4.0 * chr_p + chr_r) END AS chrf
         |FROM f""".stripMargin,
+
+    // the sentence_bleu machinery over lead()-paired neighbors per source,
+    // then the ordered-fold per-group mean (never an unordered float SUM)
+    "self_bleu" ->
+      """WITH t0 AS (SELECT doc_id, source, text AS cand0,
+        |    lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref0
+        |  FROM documents),
+        |wt AS (SELECT doc_id, source,
+        |    list_filter(string_split(cand0, ' '), x -> x <> '') AS wc,
+        |    list_filter(string_split(ref0, ' '), x -> x <> '') AS wr
+        |  FROM t0 WHERE ref0 IS NOT NULL),
+        |wns AS (SELECT unnest(range(1, 5)) AS n),
+        |wcg AS (SELECT doc_id, n, g, count(*) AS cc FROM (
+        |    SELECT wt.doc_id, wns.n,
+        |      array_to_string(list_slice(wt.wc, i.i, i.i + wns.n - 1), ' ') AS g
+        |    FROM wt, wns, LATERAL unnest(range(1, len(wt.wc) - wns.n + 2)) AS i(i))
+        |  GROUP BY 1, 2, 3),
+        |wrg AS (SELECT doc_id, n, g, count(*) AS rc FROM (
+        |    SELECT wt.doc_id, wns.n,
+        |      array_to_string(list_slice(wt.wr, i.i, i.i + wns.n - 1), ' ') AS g
+        |    FROM wt, wns, LATERAL unnest(range(1, len(wt.wr) - wns.n + 2)) AS i(i))
+        |  GROUP BY 1, 2, 3),
+        |wst AS (SELECT coalesce(wcg.doc_id, wrg.doc_id) AS doc_id,
+        |    coalesce(wcg.n, wrg.n) AS n,
+        |    least(coalesce(cc, 0), coalesce(rc, 0)) AS mm, cc
+        |  FROM wcg FULL OUTER JOIN wrg
+        |    ON wcg.doc_id = wrg.doc_id AND wcg.n = wrg.n AND wcg.g = wrg.g),
+        |wpern AS (SELECT doc_id, n, CAST(sum(mm) AS BIGINT) AS m,
+        |    CAST(coalesce(sum(cc), 0) AS BIGINT) AS ct
+        |  FROM wst GROUP BY 1, 2),
+        |wwide AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1, CAST(coalesce(sum(CASE WHEN n = 1 THEN ct END), 0) AS BIGINT) AS ct1,
+        |    CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2, CAST(coalesce(sum(CASE WHEN n = 2 THEN ct END), 0) AS BIGINT) AS ct2,
+        |    CAST(coalesce(sum(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3, CAST(coalesce(sum(CASE WHEN n = 3 THEN ct END), 0) AS BIGINT) AS ct3,
+        |    CAST(coalesce(sum(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4, CAST(coalesce(sum(CASE WHEN n = 4 THEN ct END), 0) AS BIGINT) AS ct4
+        |  FROM wpern GROUP BY doc_id),
+        |l AS (SELECT doc_id, source, CAST(len(wc) AS BIGINT) AS c_len,
+        |    CAST(len(wr) AS BIGINT) AS r_len FROM wt),
+        |f AS (SELECT l.doc_id, l.source,
+        |    CASE WHEN c_len = 0 THEN 0.0
+        |         WHEN c_len >= r_len THEN 1.0
+        |         ELSE exp(1.0 - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE)) END AS bp,
+        |    (CASE WHEN coalesce(ct1, 0) > 0 THEN CAST(coalesce(m1, 0) AS DOUBLE) / CAST(ct1 AS DOUBLE) ELSE 0.0 END) AS p1,
+        |    (CASE WHEN coalesce(ct2, 0) > 0 THEN CAST(coalesce(m2, 0) AS DOUBLE) / CAST(ct2 AS DOUBLE) ELSE 0.0 END) AS p2,
+        |    (CASE WHEN coalesce(ct3, 0) > 0 THEN CAST(coalesce(m3, 0) AS DOUBLE) / CAST(ct3 AS DOUBLE) ELSE 0.0 END) AS p3,
+        |    (CASE WHEN coalesce(ct4, 0) > 0 THEN CAST(coalesce(m4, 0) AS DOUBLE) / CAST(ct4 AS DOUBLE) ELSE 0.0 END) AS p4
+        |  FROM l LEFT JOIN wwide w ON w.doc_id = l.doc_id),
+        |b AS (SELECT source, doc_id,
+        |    bp * sqrt(sqrt(p1 * p2 * p3 * p4)) AS bleu FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(bleu ORDER BY doc_id)),
+        |    (a, b) -> a + b) / count(*) AS mean_bleu
+        |FROM b GROUP BY source""".stripMargin,
 
     // per-doc word 1-4-gram clipped precisions, the exp brevity penalty,
     // and the sqrt(sqrt()) geometric mean — the bleuCorpus machinery at

@@ -326,6 +326,21 @@ class QualitySpec extends AnyFunSuite {
     assert(sb("", "a b") == ((0L, 2L, 0.0, 0.0)))
   }
 
+  test("selfBleu: collapsed group scores 1, diverse group scores 0, pairing is per-group") {
+    import spark.implicits._
+    // group A: three identical docs → 2 pairs, each BLEU 1 → mean 1.0
+    // group B: two disjoint docs → 1 pair, BLEU 0
+    // singleton group C: no pair → no row
+    val docs = Seq(
+      (1L, "a b c d e", "A"), (2L, "a b c d e", "A"), (3L, "a b c d e", "A"),
+      (4L, "a b c d e", "B"), (5L, "v w x y z", "B"),
+      (6L, "a b c d e", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = Quality.selfBleu(docs, col("source")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map("A" -> ((2L, 1.0)), "B" -> ((1L, 0.0))), s"got $got")
+  }
+
   test("quantile small-path guard: oversized histogram trips to the prefix sum") {
     val docs = SparkEntry.table(spark, dir, "documents")
     val want = Quality.exactQuantiles(docs, col("n_chars"), k = 10).collect()
