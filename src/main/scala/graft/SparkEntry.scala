@@ -175,7 +175,11 @@ object SparkEntry {
     // the three-leg (full + two truncated) top-k recall eval; the
     // threshold report and drift summary ride their parents' shapes and
     // stay bench-excluded
-    "embedding_drift", "mrl_recall")
+    "embedding_drift", "mrl_recall",
+    // the diversity workflow: per-source lead() pairing + the row-local
+    // BLEU scorer + ordered-fold means (sentence_bleu alone rides the
+    // chrf scan shape and stays excluded)
+    "self_bleu")
 
   /** The interpreted-execution control group: these queries exist to cover
     * the tree-walking evaluator itself and to anchor the lowered-vs-
