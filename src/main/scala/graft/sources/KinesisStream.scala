@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -57,10 +57,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * child records only after the parents close, so parent-first draining
   * preserves per-key order across resharding.
   *
-  * Deviations from the file simulator, documented: no
-  * SupportsTriggerAvailableNow (a live stream has no knowable "now" head
-  * without reading it) and lag telemetry is `millisBehindLatest` (the
-  * service's native signal) rather than a record count. */
+  * Deviations from the file simulator, documented: Trigger.AvailableNow
+  * uses drain-until-caught-up semantics (a live stream has no knowable
+  * "at-start" head without reading it, so the drain is a superset of the
+  * start frontier — see [[KinesisMicroBatchStream
+  * .prepareForTriggerAvailableNow]]), and lag telemetry is
+  * `millisBehindLatest` (the service's native signal) rather than a
+  * record count. */
 object KinesisStream {
   val PosTrimHorizon = "TRIM_HORIZON"
   val PosLatest = "LATEST"
@@ -121,7 +124,8 @@ object KinesisShardOffsets {
 }
 
 class KinesisMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl with ReportsSourceMetrics {
+    extends MicroBatchStream with SupportsAdmissionControl with ReportsSourceMetrics
+    with SupportsTriggerAvailableNow {
   import KinesisStream._
 
   private val stream = Option(options.get("stream"))
@@ -278,6 +282,16 @@ class KinesisMicroBatchStream(options: CaseInsensitiveStringMap)
     * consumed positions (a dedicated full-stream head read per progress
     * event would double the GetRecords budget for telemetry). */
   override def reportLatestOffset(): Offset = null
+
+  /** Trigger.AvailableNow, drain-until-caught-up semantics: a live stream
+    * has no knowable "head at query start" without reading it, so the
+    * query runs capped batches until a planning poll returns no records
+    * for every shard (latestOffset == start → Spark stops). Records
+    * written DURING the drain are included — a superset of the
+    * at-start frontier, the correct direction for "process everything
+    * available" (the simulator can snapshot its head exactly; a service
+    * cannot). */
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   /** S4: one partition per advanced shard; the reader re-fetches
     * [resume(start), stopAt] through its own client. */

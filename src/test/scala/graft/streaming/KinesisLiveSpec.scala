@@ -255,6 +255,20 @@ class KinesisLiveSpec extends AnyFunSuite {
     assert(got2.toSeq == Seq("s-0007", "s-0008"))
   }
 
+  test("live Trigger.AvailableNow: drains to the caught-up head, then terminates") {
+    val stream = mkStream()
+    val name = freshName("t")
+    val q = reader(stream, Map("batchSize" -> "9"))
+      .select(col("shardId"), col("sequenceNumber"))
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow must terminate once polls come back empty")
+    val got = spark.table(name).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.length == 60, s"drain must cover everything available, got ${got.length}")
+    assert(got.distinct.length == 60)
+  }
+
   test("offset encoding: JSON roundtrip and the BATCH replay pin") {
     val o = KinesisShardOffsets(Map(
       "a" -> "AFTER:0042", "b" -> "BATCH:b-0001:b-0007", "c" -> "LATEST"))
