@@ -43,6 +43,14 @@ case class KinesisShardInfo(shardId: String,
   def parents: Seq[String] = parentShardId.toSeq ++ adjacentParentShardId.toSeq
 }
 
+/** The failure shape of a stale iterator token (SDK
+  * `ExpiredIteratorException` — real GetShardIterator tokens expire after
+  * 5 minutes). An SDK-backed [[KinesisApi]] maps the SDK exception to
+  * this; the connector catches it at poll/reader level and fresh-seeks
+  * from the durable position (lossless for AT/AFTER/BATCH positions;
+  * an unresolved LATEST re-subscribes at "now", inherent to LATEST). */
+class ExpiredIteratorException(message: String) extends RuntimeException(message)
+
 /** One record (SDK `Record`): sequence numbers are opaque, totally
   * ordered strings per shard. */
 case class KinesisRecord(sequenceNumber: String, partitionKey: String,

@@ -80,18 +80,47 @@ class KinesisLiveSpec extends AnyFunSuite {
     assert(got.toSet == Set(("a", "a-9990"), ("b", "b-9990")))
   }
 
-  test("live S2: AT/AFTER_SEQUENCE_NUMBER seek within each shard") {
+  test("live S2: AT/AFTER_SEQUENCE_NUMBER seek with a per-shard map") {
+    // sequence numbers are PER-SHARD (the real service throws
+    // InvalidArgumentException for a seq owned by another shard), so a
+    // multi-shard AT/AFTER start takes a {shardId: seq} JSON map
     val stream = mkStream()
-    val at = drain(stream, Map("startingSequenceNumber" -> "a-0015"),
+    val starts = """{"a": "a-0015", "b": "b-0010", "c": "c-0018"}"""
+    val at = drain(stream, Map("startingSequenceNumbers" -> starts),
       ShardStream.AtSequenceNumber)
-    // shard a: 0015..0019 = 5; shards b, c: 'a-0015' precedes every 'b-'/'c-'
-    // sequence lexicographically, so AT reads them fully (20 each)
     assert(at.count(_._1 == "a") == 5)
     assert(at.filter(_._1 == "a").map(_._2).min == "a-0015")
-    val after = drain(stream, Map("startingSequenceNumber" -> "a-0015"),
+    assert(at.count(_._1 == "b") == 10)
+    assert(at.count(_._1 == "c") == 2)
+    val after = drain(stream, Map("startingSequenceNumbers" -> starts),
       ShardStream.AfterSequenceNumber)
     assert(after.count(_._1 == "a") == 4)
     assert(after.filter(_._1 == "a").map(_._2).min == "a-0016")
+    assert(after.count(_._1 == "b") == 9)
+    assert(after.count(_._1 == "c") == 1)
+  }
+
+  test("live S2: a scalar startingSequenceNumber on a multi-shard stream is rejected") {
+    val stream = mkStream()
+    val e = intercept[Exception] {
+      drain(stream, Map("startingSequenceNumber" -> "a-0015"),
+        ShardStream.AtSequenceNumber)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("per-shard")),
+      s"expected the per-shard guidance error, got: $e")
+  }
+
+  test("mock pins the real service: a seq owned by another shard is InvalidArgument") {
+    val stream = mkStream()
+    val api = new MockKinesis
+    val e = intercept[IllegalArgumentException] {
+      api.getShardIterator(stream, "b", ShardStream.AtSequenceNumber, Some("a-0015"))
+    }
+    assert(e.getMessage.contains("InvalidArgumentException"))
+    // a seq unobserved anywhere still seeks by order (between-values work)
+    api.getShardIterator(stream, "b", ShardStream.AtSequenceNumber, Some("b-0010x"))
   }
 
   test("live S2: numeric sequence numbers seek numerically") {
@@ -267,6 +296,135 @@ class KinesisLiveSpec extends AnyFunSuite {
     val got = spark.table(name).collect().map(r => (r.getString(0), r.getString(1)))
     assert(got.length == 60, s"drain must cover everything available, got ${got.length}")
     assert(got.distinct.length == 60)
+  }
+
+  test("planning poll fans out: a slow shard does not serialize latestOffset") {
+    // VERDICT r13 item 2: the per-shard planning GetRecords round-trips
+    // must overlap — 8 shards at 100 ms injected RTT is 800 ms serial,
+    // and the pin is the mock's in-flight high-water count (robust),
+    // with a generous wall-clock bound as a secondary signal
+    val stream = freshName("live")
+    val shardIds = (0 until 8).map(i => s"sh$i")
+    MockKinesis.createStream(stream, shardIds)
+    for (s <- shardIds; i <- 0 until 5)
+      MockKinesis.putRecord(stream, s, f"$s-$i%04d", "pk", "x".getBytes, 1700000000000L)
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("stream", stream,
+        "apiFactoryClass", "graft.sources.MockKinesisFactory",
+        "startingPosition", ShardStream.TrimHorizon))
+    val mbs = new graft.sources.KinesisMicroBatchStream(opts)
+    val start = mbs.initialOffset()
+    MockKinesis.setGetRecordsLatencyMillis(100)
+    MockKinesis.resetConcurrencyStats()
+    try {
+      val t0 = System.nanoTime()
+      val end = mbs.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(1000))
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(MockKinesis.maxConcurrentGetRecords >= 4,
+        s"planning polls did not overlap (max in-flight ${MockKinesis.maxConcurrentGetRecords})")
+      assert(elapsedMs < 600,
+        f"planning looks serialized: $elapsedMs%.0f ms for 8 shards x 100 ms RTT")
+      val pos = end.asInstanceOf[KinesisShardOffsets].positions
+      assert(shardIds.forall(s => pos(s) == s"BATCH:$s-0000:$s-0004"),
+        s"parallel planning changed the offsets: $pos")
+    } finally MockKinesis.setGetRecordsLatencyMillis(0)
+    // planningParallelism=1 restores the serial path byte-for-byte
+    val serialOpts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("stream", stream,
+        "apiFactoryClass", "graft.sources.MockKinesisFactory",
+        "startingPosition", ShardStream.TrimHorizon,
+        "planningParallelism", "1"))
+    val serialMbs = new graft.sources.KinesisMicroBatchStream(serialOpts)
+    MockKinesis.resetConcurrencyStats()
+    val serialEnd = serialMbs.latestOffset(serialMbs.initialOffset(),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(1000))
+    assert(MockKinesis.maxConcurrentGetRecords == 1)
+    assert(serialEnd.asInstanceOf[KinesisShardOffsets].positions ==
+      shardIds.map(s => s -> s"BATCH:$s-0000:$s-0004").toMap)
+  }
+
+  test("iterator expiry mid-read: the reader fresh-seeks and resumes lossless") {
+    val stream = freshName("live")
+    MockKinesis.createStream(stream, Seq("s"))
+    for (i <- 0 until 10)
+      MockKinesis.putRecord(stream, "s", f"s-$i%04d", s"pk-$i", "x".getBytes,
+        1700000000000L)
+    val part = graft.sources.KinesisInputPartition(
+      stream, "s", "AT:s-0000", "s-0009", new graft.sources.MockKinesisFactory)
+    val reader = new graft.sources.KinesisReaderFactory().createReader(part)
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    // 3 records, then every outstanding token dies (the service's 5-min
+    // expiry); the reader must fresh-seek AFTER its last emitted record
+    for (_ <- 0 until 3) { assert(reader.next()); got += reader.get().getUTF8String(2).toString }
+    MockKinesis.expireIterators(stream)
+    while (reader.next()) got += reader.get().getUTF8String(2).toString
+    reader.close()
+    assert(got.toSeq == (0 until 10).map(i => f"s-$i%04d"),
+      s"expiry resume must be lossless and dup-free, got $got")
+  }
+
+  test("iterator expiry between planning polls: AT/AFTER resumes lossless; LATEST re-subscribes") {
+    val stream = freshName("live")
+    MockKinesis.createStream(stream, Seq("s"))
+    for (i <- 0 until 8)
+      MockKinesis.putRecord(stream, "s", f"s-$i%04d", "pk", "x".getBytes, 1700000000000L)
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("stream", stream,
+        "apiFactoryClass", "graft.sources.MockKinesisFactory",
+        "startingPosition", ShardStream.TrimHorizon, "batchSize", "4"))
+    val mbs = new graft.sources.KinesisMicroBatchStream(opts)
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(1000)
+    val o1 = mbs.latestOffset(mbs.initialOffset(), limit)
+    assert(o1.asInstanceOf[KinesisShardOffsets].positions("s") == "BATCH:s-0000:s-0003")
+    MockKinesis.expireIterators(stream) // the cached chain token is now stale
+    val o2 = mbs.latestOffset(o1, limit)
+    assert(o2.asInstanceOf[KinesisShardOffsets].positions("s") == "AFTER:s-0007",
+      "a durable position must survive iterator expiry lossless")
+
+    // LATEST has no durable position: expiry re-subscribes at "now" —
+    // records that arrived between polls are skipped (inherent to LATEST,
+    // documented; matches the reference CLI's restart behavior)
+    val lStream = freshName("live")
+    MockKinesis.createStream(lStream, Seq("s"))
+    val lOpts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("stream", lStream,
+        "apiFactoryClass", "graft.sources.MockKinesisFactory",
+        "startingPosition", ShardStream.Latest))
+    val lMbs = new graft.sources.KinesisMicroBatchStream(lOpts)
+    val l0 = lMbs.initialOffset()
+    val l1 = lMbs.latestOffset(l0, limit) // caches the chain at the head
+    assert(l1.asInstanceOf[KinesisShardOffsets].positions("s") == "LATEST")
+    MockKinesis.putRecord(lStream, "s", "r1", "pk", "x".getBytes, 1700000001000L)
+    MockKinesis.expireIterators(lStream)
+    val l2 = lMbs.latestOffset(l1, limit) // re-subscribe lands past r1
+    assert(l2.asInstanceOf[KinesisShardOffsets].positions("s") == "LATEST")
+    MockKinesis.putRecord(lStream, "s", "r2", "pk", "x".getBytes, 1700000002000L)
+    val l3 = lMbs.latestOffset(l2, limit)
+    assert(l3.asInstanceOf[KinesisShardOffsets].positions("s") == "BATCH:r2:r2",
+      "post-expiry LATEST must pick up records written after the re-subscribe")
+  }
+
+  test("stopAt absent at read time: the reader refuses to emit past the WAL boundary") {
+    // trim race / SDK re-aggregation shape: the planned stopAt record is
+    // gone, the next record ORDERS past it — exact-equality would emit
+    // beyond the planned range and burn 100 empty polls; the ordered check
+    // fails fast and emits nothing past the boundary
+    val stream = freshName("live")
+    MockKinesis.createStream(stream, Seq("s"))
+    for (i <- 0 until 10)
+      MockKinesis.putRecord(stream, "s", f"s-$i%04d", "pk", "x".getBytes, 1700000000000L)
+    val part = graft.sources.KinesisInputPartition(
+      stream, "s", "AT:s-0000", "s-0005x", new graft.sources.MockKinesisFactory)
+    val reader = new graft.sources.KinesisReaderFactory().createReader(part)
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    val e = intercept[java.io.IOException] {
+      while (reader.next()) got += reader.get().getUTF8String(2).toString
+    }
+    reader.close()
+    assert(e.getMessage.contains("WAL"), s"unexpected failure shape: $e")
+    assert(got.toSeq == (0 to 5).map(i => f"s-$i%04d"),
+      s"must emit exactly the records ordered <= stopAt, got $got")
   }
 
   test("offset encoding: JSON roundtrip and the BATCH replay pin") {
