@@ -270,12 +270,19 @@ object Dedup {
     * n_docs_affected), exact integers.
     *
     * Scale: ONE pair pass at the LOOSEST τ (the [[jaccardPairs]]
-    * inverted-index shape — never re-run per threshold), a per-doc
-    * max-jaccard collapse of the pair table, then every threshold's two
-    * counts fold in ONE conditional aggregation each over those bounded
-    * tables. Jaccard values are single divisions of exact integers
-    * (bit-identical cross-engine), so the τ comparisons never straddle
-    * an engine-dependent rounding. */
+    * inverted-index shape — never re-run per threshold), consumed by ONE
+    * downstream tree (VERDICT r13 item 5: the previous crossJoin of two
+    * aggregates over the same `pairs` subtree relied on AQE exchange
+    * reuse to stay single-pass — unpinned and plan-fragile): each pair
+    * explodes into its two doc contributions, a per-doc aggregation
+    * folds both the doc's conditional pair counts and its max jaccard,
+    * and one global aggregation finishes — `n_pairs` is the conditional
+    * count over exploded rows halved (every pair contributes exactly
+    * twice, so the division is exact), `n_docs_affected` counts docs by
+    * max. Pinned single-pass by PlanSpec (the pair subtree appears once
+    * in the physical plan). Jaccard values are single divisions of exact
+    * integers (bit-identical cross-engine), so the τ comparisons never
+    * straddle an engine-dependent rounding. */
   def dedupThresholdReport(df: DataFrame,
                            taus: Seq[Double] = Seq(0.5, 0.7, 0.9),
                            k: Int = 3): DataFrame = {
@@ -283,15 +290,18 @@ object Dedup {
       "need thresholds in (0, 1]")
     val ts = taus.distinct.sorted
     val pairs = jaccardPairs(df, k, ts.head)
-    val docMax = pairs
+    val byDoc = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"), col("jac"))
-      .groupBy("doc_id").agg(max(col("jac")).as("mx"))
-    val pairAggs = ts.zipWithIndex.map { case (t, i) =>
-      sum(when(col("jac") >= t, 1L).otherwise(0L)).as(s"__np_$i") }
-    val docAggs = ts.zipWithIndex.map { case (t, i) =>
-      sum(when(col("mx") >= t, 1L).otherwise(0L)).as(s"__nd_$i") }
-    pairs.agg(pairAggs.head, pairAggs.tail: _*)
-      .crossJoin(docMax.agg(docAggs.head, docAggs.tail: _*))
+      .groupBy("doc_id")
+      .agg(max(col("jac")).as("mx"),
+        ts.zipWithIndex.map { case (t, i) =>
+          sum(when(col("jac") >= t, 1L).otherwise(0L)).as(s"__np_$i") }: _*)
+    val aggs =
+      ts.zipWithIndex.map { case (_, i) => // exact halving: the sum is even
+        shiftright(sum(col(s"__np_$i")), 1).as(s"__np_$i") } ++
+      ts.zipWithIndex.map { case (t, i) =>
+        sum(when(col("mx") >= t, 1L).otherwise(0L)).as(s"__nd_$i") }
+    byDoc.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(ts.zipWithIndex.map { case (t, i) =>
         struct(lit(t).as("tau"),
           coalesce(col(s"__np_$i"), lit(0L)).as("n_pairs"),

@@ -31,6 +31,39 @@ class TopKAgg(k: Int, minScoreExclusive: Double = Double.NegativeInfinity)
   override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
 }
 
+/** One candidate scored under several ranking LEGS at once (e.g. the same
+  * neighbor's cosine at each Matryoshka prefix length). */
+case class MultiScored(id: Long, scores: Seq[Double])
+
+/** [[TopKAgg]] for `legs` parallel rankings in ONE aggregation state: leg i
+  * maintains its own (score desc, id asc) top-k over `scores(i)`. Same
+  * map-side partial reduction (≤ legs·k rows per partition cross the wire),
+  * but one UDAF column, one buffer, one encoder stack — for queries that
+  * rank the same candidate stream several ways, N separate TopKAgg columns
+  * pay N object-hash buffers for no informational gain. A NaN score (the
+  * [[graft.functions.PrefixCosineSims]] zero-norm slot) fails the `> bound`
+  * guard and never enters its leg. */
+class MultiTopKAgg(k: Int, legs: Int,
+                   minScoreExclusive: Double = Double.NegativeInfinity)
+    extends Aggregator[MultiScored, Seq[Seq[Scored]], Seq[Seq[Scored]]] {
+  private val ord: Ordering[Scored] = Ordering.by(s => (-s.score, s.id))
+  override def zero: Seq[Seq[Scored]] = Seq.fill(legs)(Nil)
+  override def reduce(buf: Seq[Seq[Scored]], in: MultiScored): Seq[Seq[Scored]] = {
+    var i = -1
+    buf.map { b =>
+      i += 1
+      val sc = in.scores(i)
+      if (!(sc > minScoreExclusive)) b
+      else ((b :+ Scored(in.id, sc)).sorted(ord)).take(k)
+    }
+  }
+  override def merge(a: Seq[Seq[Scored]], b: Seq[Seq[Scored]]): Seq[Seq[Scored]] =
+    a.zip(b).map { case (x, y) => ((x ++ y).sorted(ord)).take(k) }
+  override def finish(buf: Seq[Seq[Scored]]): Seq[Seq[Scored]] = buf
+  override def bufferEncoder: Encoder[Seq[Seq[Scored]]] = ExpressionEncoder[Seq[Seq[Scored]]]()
+  override def outputEncoder: Encoder[Seq[Seq[Scored]]] = ExpressionEncoder[Seq[Seq[Scored]]]()
+}
+
 /** Approximate-nearest-neighbor search over an embedding column:
   *
   *  - [[annTopK]]: exact brute-force cosine top-k — broadcast the (small)
@@ -532,27 +565,46 @@ object Similarity {
     * model holds recall at small d; a conventional model decays — either
     * way, measure before truncating (the annRecall discipline).
     *
-    * Scale: each leg is [[annTopK]]'s broadcast-query shape (the corpus
-    * never shuffles; the truncated legs scan SLICED vectors, so
-    * bandwidth drops with d exactly as it would in serving); the fusion
-    * joins only nq·k result rows per d. Exactness: CosineSim over the
-    * prefix slice is the same bit-exact fold the oracle's
-    * `list_cosine_similarity(embedding[1:d])` computes; recall is one
-    * IEEE division of an exact integer count. */
+    * Scale: ONE corpus scan (VERDICT r13 item 3 — the leg-per-dim form
+    * re-scanned `emb` once per dim plus once for the exact leg): every
+    * pair row from the single broadcast-query join computes ALL legs'
+    * cosines in one [[graft.functions.PrefixCosineSims]] fold (each
+    * element touched once, checkpoints at each prefix — no sliced-array
+    * allocation, ~D flops per pair instead of Σd + D), and one groupBy
+    * carries ONE [[MultiTopKAgg]] maintaining every leg's top-k in a
+    * single partial-aggregating state (≤ legs·k rows per partition cross
+    * the wire). What the fusion removes is the 1+|dims| table scans,
+    * joins, and shuffles — at 100 TB the scan IS the cost. The recall
+    * intersection happens inside the grouped row (two ≤k id arrays), no
+    * result joins. Exactness: each checkpoint publishes the same partial
+    * sums the oracle's `list_cosine_similarity(embedding[1:d])` fold
+    * reaches, so every sim is bit-identical to the sliced form; the
+    * per-leg rank rule is the proven (sim DESC, id); recall is one IEEE
+    * division of an exact integer count. */
   def mrlRecall(emb: DataFrame, queries: DataFrame, k: Int = 5,
                 dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
     require(dims.nonEmpty && dims.forall(_ >= 1), "need positive dims")
-    val exact = annTopK(emb, queries, k).select("query_id", "neighbor_id")
-    dims.map { d =>
-      def trunc(df: DataFrame): DataFrame =
-        df.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
-      val t = annTopK(trunc(emb), trunc(queries), k)
-        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
-      exact.join(t, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id").agg(count(col("hit")).as("n_hits"))
-        .select(lit(d.toLong).as("dim_kept"), col("query_id"), col("n_hits"),
-          (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
-    }.reduce(_ unionByName _)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")))
+    // slot layout: dims in caller order, the full-length leg last
+    val nLegs = dims.length + 1
+    val pairs = emb.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vectors.prefixCosineSims(col("qe"), col("embedding"),
+          dims :+ Int.MaxValue).as("sims"))
+    val multiTopk = udaf(new MultiTopKAgg(k, nLegs), ExpressionEncoder[MultiScored]())
+    val grouped = pairs.groupBy("query_id")
+      .agg(multiTopk(col("vec_id"), col("sims")).as("nb"))
+    def ids(i: Int): Column = transform(col("nb").getItem(i), s => s.getField("id"))
+    val legs = dims.zipWithIndex.map { case (d, i) =>
+      struct(lit(d.toLong).as("dim_kept"),
+        size(array_intersect(ids(nLegs - 1), ids(i))).cast("long").as("n_hits"))
+    }
+    grouped
+      .select(col("query_id"), explode(array(legs: _*)).as("leg"))
+      .select(col("leg.dim_kept").as("dim_kept"), col("query_id"),
+        col("leg.n_hits").as("n_hits"),
+        (col("leg.n_hits").cast("double") / lit(k.toDouble)).as("recall"))
   }
 
   /** IVF-style ANN: centroids are the first `nCells` vectors by id

@@ -84,6 +84,117 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Cosine similarity at several PREFIX lengths in ONE fold (the
+  * Matryoshka-serving measurement, [[graft.ext.Similarity.mrlRecall]]): for
+  * each requested prefix length d, the cosine of the first min(d, n)
+  * elements — `Int.MaxValue` means the full length. One left-to-right
+  * accumulation with checkpoints, so every returned value is bit-identical
+  * to `CosineSim(slice(a, 1, d), slice(b, 1, d))` (same partial sums, same
+  * division) while touching each element once instead of once per prefix
+  * and allocating NO sliced arrays. NULL when lengths differ or the arrays
+  * are empty (CosineSim's rule); a zero-norm prefix yields NaN in that slot
+  * (the TopK aggregators' `score > bound` guard is false for NaN, so such a
+  * pair can never enter a top-k — CosineSim's null slot behaves the same
+  * way under any comparison). */
+case class PrefixCosineSims(left: Expression, right: Expression, prefixes: Seq[Int])
+    extends BinaryExpression {
+  require(prefixes.nonEmpty && prefixes.forall(_ >= 1), "need positive prefix lengths")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "prefix_cosine_sims"
+
+  /** Distinct checkpoint lengths in ascending fold order. */
+  private val sorted: Array[Int] = prefixes.distinct.sorted.toArray
+  /** Output slot j reads fold checkpoint slotOf(j). */
+  private val slotOf: Array[Int] = prefixes.map(d => sorted.indexOf(d)).toArray
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _                                    => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT|DOUBLE> inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+
+  private def isFloat(dt: DataType): Boolean =
+    dt.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements() || n == 0) return null
+    val lf = isFloat(left.dataType); val rf = isFloat(right.dataType)
+    val c = sorted.length
+    val dots = new Array[Double](c); val nas = new Array[Double](c); val nbs = new Array[Double](c)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var ck = 0; var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+      while (ck < c && sorted(ck) == i) { dots(ck) = dot; nas(ck) = na; nbs(ck) = nb; ck += 1 }
+    }
+    while (ck < c) { dots(ck) = dot; nas(ck) = na; nbs(ck) = nb; ck += 1 } // d >= n: full
+    val out = new Array[Any](slotOf.length)
+    var j = 0
+    while (j < slotOf.length) {
+      val s = slotOf(j)
+      val denom = math.sqrt(nas(s)) * math.sqrt(nbs(s))
+      out(j) = if (denom == 0.0) Double.NaN else dots(s) / denom
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sortedRef = ctx.addReferenceObj("prefixSorted", sorted, "int[]")
+    val slotRef = ctx.addReferenceObj("prefixSlots", slotOf, "int[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val ck = ctx.freshName("ck"); val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val dots = ctx.freshName("dots"); val nas = ctx.freshName("nas"); val nbs = ctx.freshName("nbs")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val out = ctx.freshName("out"); val s = ctx.freshName("s"); val denom = ctx.freshName("denom")
+      val gx = if (isFloat(left.dataType)) "getFloat" else "getDouble"
+      val gy = if (isFloat(right.dataType)) "getFloat" else "getDouble"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $c = $sortedRef.length;
+         |  double[] $dots = new double[$c]; double[] $nas = new double[$c]; double[] $nbs = new double[$c];
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  int $ck = 0;
+         |  for (int $i = 0; $i < $n; ) {
+         |    double $xv = (double) $a.$gx($i);
+         |    double $yv = (double) $b.$gy($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |    $i++;
+         |    while ($ck < $c && $sortedRef[$ck] == $i) { $dots[$ck] = $dot; $nas[$ck] = $na; $nbs[$ck] = $nb; $ck++; }
+         |  }
+         |  while ($ck < $c) { $dots[$ck] = $dot; $nas[$ck] = $na; $nbs[$ck] = $nb; $ck++; }
+         |  double[] $out = new double[$slotRef.length];
+         |  for (int $j = 0; $j < $slotRef.length; $j++) {
+         |    int $s = $slotRef[$j];
+         |    double $denom = Math.sqrt($nas[$s]) * Math.sqrt($nbs[$s]);
+         |    $out[$j] = ($denom == 0.0) ? Double.NaN : $dots[$s] / $denom;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PrefixCosineSims =
+    copy(left = l, right = r)
+}
+
 /** 64-bit SimHash of a token array (near-dup fingerprint): per token, the
   * xxhash64 bits vote +1/-1 into 64 counters; the sign of each counter is the
   * output bit. Hamming distance between SimHashes approximates angular
@@ -509,6 +620,8 @@ object TokenGramStats {
 object vectors {
   def cosineSim(a: Column, b: Column): Column =
     bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
+  def prefixCosineSims(a: Column, b: Column, prefixes: Seq[Int]): Column =
+    bridge.column(PrefixCosineSims(bridge.expression(a), bridge.expression(b), prefixes))
   def simhash64(tokens: Column): Column =
     bridge.column(SimHash(bridge.expression(tokens)))
   def minhashSig(tokens: Column, numHashes: Int): Column =

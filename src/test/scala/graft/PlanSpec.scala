@@ -138,6 +138,20 @@ class PlanSpec extends AnyFunSuite {
     assertNoCartesian("dedup_jaccard_pairs", p)
   }
 
+  test("dedup_threshold_report: the pair pass appears ONCE in the plan") {
+    // VERDICT r13 item 5: the report's "one pair pass" claim used to ride
+    // AQE exchange reuse across a crossJoin of two aggregates over the
+    // same jaccardPairs subtree; the round-14 rewrite folds both counts
+    // off one exploded pass, so the pair subtree is structurally single —
+    // pinned here as: the report adds ZERO file scans over a single
+    // jaccardPairs pass (same documents-scan count as the pairs gate)
+    val pairsScans = count(physical("dedup_jaccard_pairs")) { case _: FileSourceScanExec => }
+    val p = physical("dedup_threshold_report")
+    assertNoCartesian("dedup_threshold_report", p)
+    assert(count(p) { case _: FileSourceScanExec => } == pairsScans,
+      s"threshold report re-scans the pair pass (pairs gate scans $pairsScans):\n$p")
+  }
+
   test("dedup_minhash_lsh: banded bucket join, never all-pairs") {
     val p = physical("dedup_minhash_lsh")
     assertNoCartesian("dedup_minhash_lsh", p)
@@ -856,15 +870,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("mrl_recall: corpus legs broadcast the queries, never a cartesian") {
+  test("mrl_recall: ONE fused corpus scan, queries broadcast, never a cartesian") {
     val p = physical("mrl_recall")
     assert(count(p) { case _: joins.CartesianProductExec => } == 0,
       s"mrl_recall has a cartesian product:\n$p")
-    // every ANN leg (full + one per candidate dim) joins corpus×queries
-    // via a broadcast of the bounded query side
+    // the round-14 fusion (VERDICT r13 item 3): all legs' cosines ride ONE
+    // corpus scan — exactly 2 file scans total (corpus + the bounded
+    // broadcast query side), down from 4 sequential leg scans
+    assert(count(p) { case _: FileSourceScanExec => } == 2,
+      s"mrl_recall must scan the corpus once (plus the query side):\n$p")
     assert(count(p) { case _: joins.BroadcastHashJoinExec |
-        _: joins.BroadcastNestedLoopJoinExec => } >= 3,
-      s"expected broadcast query legs:\n$p")
+        _: joins.BroadcastNestedLoopJoinExec => } == 1,
+      s"expected the single broadcast query join:\n$p")
   }
 
   test("quality_ensemble: construction fires exactly one eager job") {
