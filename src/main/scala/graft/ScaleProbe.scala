@@ -120,13 +120,14 @@ object ScaleProbe {
     val r11cOnly = args.length > 1 && args(1) == "r11c"
     val r12Only = args.length > 1 && args(1) == "r12"
     val r13Only = args.length > 1 && args(1) == "r13"
+    val r14Only = args.length > 1 && args(1) == "r14"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
-    if (!r10Only && !r10bOnly && !r11bOnly) { d1.count(); dN.count() } // r11 kn/r11c probes reuse d1/dN
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only && !r13Only) { dSkew.count(); dSkew1.count() }
+    if (!r10Only && !r10bOnly && !r11bOnly && !r14Only) { d1.count(); dN.count() } // r11 kn/r11c probes reuse d1/dN
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only && !r13Only && !r14Only) { dSkew.count(); dSkew1.count() }
     if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly) { e1.count(); eN.count() }
     if (r9gOnly) { e1.count(); eN.count() }
 
@@ -146,7 +147,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only) { cent1; centN }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only && !r14Only) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -546,7 +547,43 @@ object ScaleProbe {
         time(s"dedup_threshold_${rep}x") {
           force(ext.Dedup.dedupThresholdReport(dN)) })
     }
-    val results = if (r13Only) r13Probes
+    def r14Probes = {
+      e1.count(); eN.count()
+      // per-task STATE pin (VERDICT r13 item 3): embeddingDrift's groups
+      // are two whole slices, so the old single-level pooled fold
+      // collected O(slice) (id, v) structs per (side, dim) — per-task
+      // state grew linearly with the corpus and OOMs at 10^9-row slices.
+      // The two-level fold bounds level-1 buffers at the fixed 4096-id
+      // chunk width; the pin is MAX task peak execution memory staying
+      // ~flat while rows grow REP× (wall time still grows ~linearly —
+      // that's throughput, not state).
+      val peak = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        }
+      })
+      def measured(label: String)(f: => Long): ((String, Double, Long), Double) = {
+        peak.set(0)
+        val r = time(label)(f)
+        Thread.sleep(1500) // listener bus drains asynchronously
+        (r, peak.get() / 1048576.0)
+      }
+      val (t1, p1) = measured("emb_drift_1x") {
+        force(ext.Similarity.embeddingDrift(
+          e1.where(col("vec_id") % 2 === 0), e1.where(col("vec_id") % 2 === 1))) }
+      val (tN, pN) = measured(s"emb_drift_${rep}x") {
+        force(ext.Similarity.embeddingDrift(
+          eN.where(col("vec_id") % 2 === 0), eN.where(col("vec_id") % 2 === 1))) }
+      // scalastyle:off println
+      println(f"# emb_drift peak task execution memory: 1x $p1%.1f MiB, ${rep}x $pN%.1f MiB")
+      // scalastyle:on println
+      Seq(t1, tN,
+        ("emb_drift_peak_mib_1x", p1, 0L), (s"emb_drift_peak_mib_${rep}x", pN, 0L))
+    }
+    val results = if (r14Only) r14Probes
+    else if (r13Only) r13Probes
     else if (r12Only) r12Probes
     else if (r9Only) r9Probes else if (r9bOnly) r9bProbes
     else if (r9cOnly) r9cProbes else if (r9dOnly) r9dProbes
