@@ -26,16 +26,27 @@ object SparkEntry {
     * re-pays a listing job per construction (visible as the leading
     * "parquet at SparkEntry" job in JobProbe). The cached DataFrame is an
     * immutable logical plan — reusing it is free and exact. Keyed by
-    * session identity so a restarted session never sees a stale plan. */
+    * (session identity, path, file mtime): a restarted session never sees
+    * a stale plan, and a REGENERATED testdata file (new mtime) misses the
+    * cache instead of silently serving the old file listing/schema
+    * (ADVICE r13 #5). [[invalidateTableCache]] is the explicit hook for
+    * mtime-granularity-defeating rewrites. */
   private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+
+  /** Drop every cached table plan (for data-regenerating tests). */
+  def invalidateTableCache(): Unit = tableCache.clear()
 
   private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    // entries keyed by DEAD sessions (test suites cycle contexts) would
-    // otherwise accumulate; a sweep on growth keeps the map tiny forever
+    val path = s"$dir/$name.parquet"
+    val mtime = new java.io.File(path).lastModified()
+    // entries keyed by DEAD sessions (test suites cycle contexts) or stale
+    // mtimes would otherwise accumulate; a sweep on growth keeps the map
+    // tiny forever
     if (tableCache.size > 64)
-      tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    tableCache.computeIfAbsent((s, s"$dir/$name.parquet"),
+      tableCache.keySet.removeIf(k => k._1.sparkContext.isStopped ||
+        new java.io.File(k._2).lastModified() != k._3)
+    tableCache.computeIfAbsent((s, path, mtime),
       _ => tableUncached(s, dir, name))
   }
 

@@ -31,9 +31,16 @@ object Olap {
   final case class Measure(alias: String, base: org.apache.spark.sql.Column,
                            merge: String => org.apache.spark.sql.Column)
   object Measure {
-    /** count/sum measures merge by summing the partial sums. */
+    /** sum measures merge by summing the partial sums (NULL over zero
+      * rows — native rollup's SUM semantics on an empty table). */
     def summed(alias: String, base: org.apache.spark.sql.Column): Measure =
       Measure(alias, base, a => sum(col(a)).as(a))
+    /** COUNT-like measures also merge by summing, but coalesce to 0: the
+      * native `.rollup` this operator is a drop-in for emits a grand-total
+      * row with count 0 on an EMPTY fact table, and a bare sum() over the
+      * empty base table would surface that count as NULL (ADVICE r13 #4). */
+    def counted(alias: String, base: org.apache.spark.sql.Column): Measure =
+      Measure(alias, base, a => coalesce(sum(col(a)), lit(0L)).as(a))
   }
 
   /** TWO-PHASE ROLLUP for low-cardinality hierarchies: aggregate the fact
@@ -67,7 +74,12 @@ object Olap {
         if (keptCount == keys.length) base // finest level IS the base table
         else {
           val merges = measures.map(m => m.merge(m.alias))
-          if (kept.isEmpty) base.agg(merges.head, merges.tail: _*)
+          // grand total as a GROUPED agg on a constant, not a global agg:
+          // native .rollup computes it as a grouping-id group, so an EMPTY
+          // fact table yields NO rows at every level — a global agg would
+          // fabricate a grand-total row with NULL merges (ADVICE r13 #4)
+          if (kept.isEmpty)
+            base.groupBy(lit(1).as("__all")).agg(merges.head, merges.tail: _*)
           else base.groupBy(kept.map(col): _*).agg(merges.head, merges.tail: _*)
         }
       src.select(keys.map(k =>
@@ -88,7 +100,7 @@ object Olap {
     "rollup_agg" -> ((s, dir) =>
       twoPhaseRollup(SparkEntry.table(s, dir, "lineitem"),
         Seq("l_returnflag", "l_linestatus"),
-        Seq(Measure.summed("n", count(lit(1))),
+        Seq(Measure.counted("n", count(lit(1))),
           Measure.summed("sum_qty", sum(col("l_quantity"))),
           Measure.summed("sum_cents",
             sum(round(col("l_extendedprice") * 100).cast("long")))))

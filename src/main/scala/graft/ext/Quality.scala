@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
 import graft.SparkEntry
 
 /** Model-based quality filtering — the CLASSIFIER stage of LLM data
@@ -296,6 +297,20 @@ object Quality {
   /** Equi-depth boundaries for SEVERAL signals in one histogram pass:
     * `vals` is (sig, v); returns sig → its k−1 boundaries. Driver state:
     * per-(sig, partition) totals + the boundary row. */
+  /** One AQE-off CLONE per base session (memoized — newSession builds a
+    * fresh SessionState, too heavy per call): shares the SparkContext,
+    * catalog and cache manager, owns its own SQLConf, so per-query
+    * conf overrides executed through it can never leak into concurrent
+    * planners on the base session. */
+  private val aqeOffSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def aqeOffSession(base: SparkSession): SparkSession =
+    aqeOffSessions.computeIfAbsent(base, b => {
+      val s = b.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s
+    })
+
   private def quantileBoundsMulti(vals: DataFrame, nBuckets: Int)
       : Map[String, Seq[Long]] =
     boundsFromCounts(vals.groupBy("sig", "v").agg(count(lit(1)).as("n")),
@@ -359,12 +374,13 @@ object Quality {
         // AQE splits this bounded-size 3-exchange query into one JOB per
         // stage; with the histogram bound in-plan there is nothing for
         // AQE to re-plan, so run it as a single job (measured: removes
-        // 2-3 job-submission rounds from every quantile-bounds consumer)
-        val spark = counts.sparkSession
-        val aqeKey = "spark.sql.adaptive.enabled"
-        val prev = spark.conf.get(aqeKey)
-        spark.conf.set(aqeKey, "false")
-        try Some(q.collect()) finally spark.conf.set(aqeKey, prev)
+        // 2-3 job-submission rounds from every quantile-bounds consumer).
+        // The AQE-off override is scoped to a CLONED session (same
+        // SparkContext, catalog and cache; independent SQLConf) — a
+        // session-wide set/restore would silently plan any concurrent
+        // query with AQE off, and racing restores could leave it off
+        // permanently (ADVICE r13 #1)
+        Some(bridge.ofRows(aqeOffSession(counts.sparkSession), q).collect())
       } catch {
         case e: Exception if isGuardTrip(e) => None
       }

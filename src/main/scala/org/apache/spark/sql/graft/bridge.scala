@@ -11,6 +11,17 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Re-bind a DataFrame's logical plan to another session of the SAME
+    * SparkContext (shared catalog/cache, independent SQLConf) — the
+    * per-query conf-scoping primitive: execute one query with e.g. AQE
+    * off without mutating the shared session's conf under concurrent
+    * planners. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.logical)
+
   /** Register native expression builders as temp functions on a live session
     * (the imperative twin of `spark.sql.extensions` injection). */
   def registerFunctions(

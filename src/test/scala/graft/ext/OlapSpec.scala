@@ -27,6 +27,32 @@ class OlapSpec extends AnyFunSuite {
       s"cube_agg should shuffle only pre-aggregated level rows:\n$p")
   }
 
+  test("twoPhaseRollup on an EMPTY fact table matches native rollup (no rows)") {
+    // ADVICE r13 #4 (corrected empirically): Spark's native .rollup
+    // computes the grand total as a grouping-id GROUP, so an empty fact
+    // table yields ZERO rows at every level — the old global-agg grand
+    // level fabricated one row with NULL merges; a drop-in consumer must
+    // see the native shape
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, Long)].toDF("a", "b", "v")
+    val nRows = org.apache.spark.sql.functions.count(lit(1))
+    val native = empty.rollup(col("a"), col("b"))
+      .agg(nRows.as("n"), sum(col("v")).as("s")).collect()
+    assert(native.isEmpty, s"native rollup semantics changed: ${native.toSeq}")
+    val got = Olap.twoPhaseRollup(empty, Seq("a", "b"),
+      Seq(Olap.Measure.counted("n", nRows),
+        Olap.Measure.summed("s", sum(col("v"))))).collect()
+    assert(got.isEmpty, s"expected native empty-table shape (no rows), got ${got.toSeq}")
+    // and on a NON-empty table the grand-total row is present with exact counts
+    val one = Seq(("x", "y", 5L)).toDF("a", "b", "v")
+    val rows = Olap.twoPhaseRollup(one, Seq("a", "b"),
+      Seq(Olap.Measure.counted("n", nRows),
+        Olap.Measure.summed("s", sum(col("v"))))).collect()
+    assert(rows.length == 3) // (a,b), (a), ()
+    val grand = rows.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getLong(4) == 1L && grand.getLong(5) == 5L)
+  }
+
   test("rollup_agg: two-phase — one un-replicated scan, NO Expand, reused base") {
     // the round-13 shape: the fact table streams once (ReuseExchange dedupes
     // the identical base aggregation under every level branch) and no Expand
