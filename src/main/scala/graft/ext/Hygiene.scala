@@ -903,7 +903,7 @@ object Hygiene {
     * consumers ignore. Coalesce the source column to a label first if
     * "unattributed" should rank as a source of its own.
     *
-    * Shape (settled by a round-13 A/B over 5 variants, OverlapProbe):
+    * Shape (settled by a round-13 A/B over 5 variants — probe deleted once settled, r13 verdict housekeeping):
     * the `collect_set` single collapse BEATS a two-level distinct →
     * collect_list rewrite (1.13 s vs 1.20 s median at sf0.1) — at
     * realistic source cardinality the sets are tiny and the extra

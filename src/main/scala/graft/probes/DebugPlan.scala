@@ -1,4 +1,6 @@
-package graft
+package graft.probes
+
+import graft.{ext, GraftExtensions, SparkEntry}
 import org.apache.spark.sql.SparkSession
 
 /** Scratch: dump the optimized LOGICAL plan of selected queries. */

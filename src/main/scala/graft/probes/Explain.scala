@@ -1,4 +1,6 @@
-package graft
+package graft.probes
+
+import graft.{ext, GraftExtensions, SparkEntry}
 import org.apache.spark.sql.SparkSession
 
 /** Plan-audit helper: prints the formatted physical plan of selected

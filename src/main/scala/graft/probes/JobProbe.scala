@@ -1,4 +1,6 @@
-package graft
+package graft.probes
+
+import graft.{ext, GraftExtensions, SparkEntry}
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession

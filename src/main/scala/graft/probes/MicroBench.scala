@@ -1,4 +1,6 @@
-package graft
+package graft.probes
+
+import graft.{ext, GraftExtensions, SparkEntry}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
