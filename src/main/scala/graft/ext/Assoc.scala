@@ -43,18 +43,46 @@ object Assoc {
       .agg(sort_array(collect_set(col("item"))).as("items"))
       .where(size(col("items")) <= maxBasketItems)
 
-  /** UNFILTERED pair counts from a capped basket table. */
-  private def pairCounts(baskets: DataFrame): DataFrame =
+  /** EVERY sufficient statistic in ONE corpus pass: per basket row, one
+    * explode emits its `{(a,b) : a < b}` pair structs, its item-marginal
+    * structs, and one basket-total marker; a single (kind, a, b) count
+    * aggregation (partial-agged map-side) produces the combined
+    * `(kind ∈ p/i/n, a, b, n)` table — the [[BatchState]] encoding
+    * [[absorbCoocBatch]] snapshots. The previous shape unioned three
+    * separate consumers of the basket table (pairs, marginals, total):
+    * ReuseExchange shared the basket shuffle but each branch re-ran the
+    * corpus-sized post-shuffle aggregation — 4 basket-table passes per
+    * query once the marginal table was joined twice (JobProbe r14). */
+  private def coocCounts(baskets: DataFrame): DataFrame = {
+    val itemType = baskets.schema("items").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val nullItem = lit(null).cast(itemType)
+    // kind rides as a BYTE through the explode/exchange (1=pair,
+    // 2=item marginal, 3=basket total) — a string tag measurably slows
+    // the 2M-struct stream — and maps to the BatchState letters at the end
+    def k(b: Int) = lit(b.toByte).as("kind")
     baskets
-      .select(explode(flatten(transform(col("items"), (a, i) =>
-        transform(slice(col("items"), i + 2, size(col("items"))), b =>
-          struct(a.as("item_a"), b.as("item_b")))))).as("p"))
-      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .select(explode(concat(
+        flatten(transform(col("items"), (a, i) =>
+          transform(slice(col("items"), i + 2, size(col("items"))), b =>
+            struct(k(1), a.as("a"), b.as("b"))))),
+        transform(col("items"), a =>
+          struct(k(2), a.as("a"), nullItem.as("b"))),
+        array(struct(k(3), nullItem.as("a"), nullItem.as("b")))
+      )).as("t"))
+      .groupBy(col("t.kind").as("k"), col("t.a").as("a"), col("t.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .select(element_at(typedLit(Map(1 -> "p", 2 -> "i", 3 -> "n")),
+        col("k").cast("int")).as("kind"), col("a"), col("b"), col("n"))
+  }
 
-  private def itemCounts(baskets: DataFrame): DataFrame =
-    baskets.select(explode(col("items")).as("item"))
-      .groupBy("item").agg(count(lit(1)).as("n_item"))
+  /** Slice the combined count table back into the metric inputs. */
+  private def countSlices(comp: DataFrame): (DataFrame, DataFrame, DataFrame) = (
+    comp.where(col("kind") === "p")
+      .select(col("a").as("item_a"), col("b").as("item_b"), col("n").as("n_pairs")),
+    comp.where(col("kind") === "i")
+      .select(col("a").as("item"), col("n").as("n_item")),
+    comp.where(col("kind") === "n").select(col("n").as("n_baskets")))
 
   /** The metric derivation over consistent (pairs, marginals, total)
     * inputs — see [[itemCooc]] for the arithmetic contract. */
@@ -87,18 +115,22 @@ object Assoc {
     * marginal counts, `support = n_ab / N`, directional confidences, and
     * `lift = n_ab·N / (n_a·n_b)` (N = retained-basket count).
     *
-    * The three consumers of the basket table (total, marginals, pairs)
-    * branch directly above its one (basket)-keyed exchange, so
-    * ReuseExchange shares the corpus-sized shuffle across them — a
-    * localCheckpoint here measured SLOWER (materialization I/O without
-    * saving a shuffle). */
+    * All statistics come from [[coocCounts]]' single corpus pass: the
+    * three metric branches filter the SAME (kind, a, b) aggregation
+    * subtree, so everything up to and including its exchange — scan,
+    * basket aggregation, pair explosion, partial agg — is deduplicated
+    * by ReuseExchange, and only the compact post-exchange final agg runs
+    * per branch. (Both materialization alternatives measured slower:
+    * checkpointing the basket table is corpus-sized I/O, and
+    * checkpointing the count table is NOT small when most pairs are
+    * unique — 1.2M rows at sf0.1, +1 s over exchange reuse.) */
   def itemCooc(rows: DataFrame, basket: Column, item: Column,
                minPairCount: Long = 2L, maxBasketItems: Int = 256): DataFrame = {
     require(minPairCount >= 1 && maxBasketItems >= 2,
       "minPairCount must be >= 1 and maxBasketItems >= 2")
     val baskets = cappedBaskets(rows, basket, item, maxBasketItems)
-    metrics(pairCounts(baskets), itemCounts(baskets),
-      baskets.agg(count(lit(1)).as("n_baskets")), minPairCount)
+    val (pairs, items, total) = countSlices(coocCounts(baskets))
+    metrics(pairs, items, total, minPairCount)
   }
 
   /** MAINTAINED co-occurrence over continuous basket ingest: pair counts,
@@ -125,25 +157,13 @@ object Assoc {
     val replay = lastId.exists(_ >= batchId)
     val base = if (replay) BatchState.load(spark, stateDir, Some(batchId))._1 else latest
     val bk = cappedBaskets(rows, basket, item, maxBasketItems)
-    val nulls = lit(null).cast("long")
-    val comp = pairCounts(bk)
-      .select(lit("p").as("kind"), col("item_a").as("a"), col("item_b").as("b"),
-        col("n_pairs").as("n"))
-      .unionByName(itemCounts(bk).select(lit("i").as("kind"), col("item").as("a"),
-        nulls.as("b"), col("n_item").as("n")))
-      .unionByName(bk.agg(count(lit(1)).as("n"))
-        .select(lit("n").as("kind"), nulls.as("a"), nulls.as("b"), col("n")))
+    val comp = coocCounts(bk) // the batch's statistics in one corpus pass
     val merged = base.map(_.unionByName(comp)).getOrElse(comp)
       .groupBy("kind", "a", "b").agg(sum(col("n")).as("n"))
       .localCheckpoint(true)
     if (!replay) BatchState.save(merged, stateDir, batchId)
-    metrics(
-      merged.where(col("kind") === "p")
-        .select(col("a").as("item_a"), col("b").as("item_b"), col("n").as("n_pairs")),
-      merged.where(col("kind") === "i")
-        .select(col("a").as("item"), col("n").as("n_item")),
-      merged.where(col("kind") === "n").select(col("n").as("n_baskets")),
-      minPairCount)
+    val (pairs, items, total) = countSlices(merged)
+    metrics(pairs, items, total, minPairCount)
   }
 
   /** Continuous co-occurrence maintenance over a streaming basket source. */
