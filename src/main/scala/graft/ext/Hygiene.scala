@@ -917,24 +917,18 @@ object Hygiene {
     * artifact of the single 594 KB parquet file; at real scale the scan
     * parallelizes by file/row-group. */
   private def gramPatternCounts(df: DataFrame, source: Column): DataFrame = {
-    // the Dedup.shingled small-file spread: gram explode + hashing are
-    // CPU-bound relative to input bytes, so split-based parallelism
-    // underparallelizes small-file inputs (one 594 KB parquet split runs
-    // the whole corpus pass on ONE task — measured 0.8 → 0.45 s at
-    // sf0.1). At real scale the scan has ≥ defaultParallelism splits →
-    // no-op, and nothing downstream depends on physical layout.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val nFiles = df.inputFiles.length
-    val spread = if (nFiles > 0 && nFiles < par) df.repartition(par) else df
-    val pre = spread.select(source.cast("string").as("__s"),
-      split(col("text"), " ").as("__w"))
-    val w = col("__w")
-    pre.select(col("__s"),
-        explode(array_distinct(when(size(w) >= 3,
-          transform(sequence(lit(1), size(w) - 2), i =>
-            xxhash64(element_at(w, i), element_at(w, i + 1),
-              element_at(w, i + 2))))
-          .otherwise(array().cast("array<long>")))).as("gram"))
+    // r14: the gram pass is ONE native byte scan per document
+    // (WordGramHashes — bit-compatible with the split + HOF-transform +
+    // multi-arg xxhash64 + array_distinct chain it replaces, which
+    // evaluated through interpreted lambdas: one closure call per word
+    // per gram was the measured constant on this corpus pass). The r13
+    // small-file repartition spread is GONE with it: that exchange paid
+    // off only while gram hashing was interpreter-bound (0.8 → 0.45 s);
+    // at native scan speed it inverts to a net cost (0.99 vs 1.35 s
+    // measured) — hashing now runs near input bandwidth, so split-level
+    // parallelism is enough at any real scale.
+    df.select(source.cast("string").as("__s"),
+        explode(graft.functions.vectors.wordGramHashes(col("text"), 3)).as("gram"))
       .groupBy("gram")
       .agg(sort_array(collect_set(col("__s"))).as("srcs"))
       .groupBy("srcs").agg(count(lit(1)).as("cnt"))

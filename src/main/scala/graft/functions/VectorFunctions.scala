@@ -351,6 +351,76 @@ object ShingleArray {
   }
 }
 
+/** Distinct word n-gram hashes of a text in ONE byte scan — the native
+  * twin of `array_distinct(transform(sequence(1, size(w) - (n-1)), i =>
+  * xxhash64(element_at(w, i), …, element_at(w, i+n-1))))` over
+  * `w = split(text, " ")`, which evaluates through INTERPRETED
+  * higher-order-function lambdas (no codegen, one closure call per word
+  * per gram — the measured constant on the source_overlap corpus pass).
+  * Bit-compatible by construction: tokens are the byte spans between
+  * 0x20 bytes (split-with-negative-limit semantics, empty tokens kept at
+  * both ends), each gram's hash is the chained XXH64 Spark's multi-arg
+  * `xxhash64` computes (seed 42, each word hashed with the previous
+  * hash as seed), distinct keeps first occurrence. Fewer than n tokens →
+  * empty array (the `when(size(w) >= n, …)` guard's shape). */
+case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${dt.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    WordGramHashes.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordGramHashes.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+}
+
+object WordGramHashes {
+  import org.apache.spark.unsafe.types.UTF8String
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val nBytes = text.numBytes()
+    // token start offsets (token i spans [starts(i), starts(i+1) - 1))
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < nBytes) {
+      if (text.getByte(i) == ' '.toByte) starts.add(i + 1)
+      i += 1
+    }
+    val nTokens = starts.size()
+    if (nTokens < n) return new GenericArrayData(new Array[Long](0))
+    // hash word byte-spans IN PLACE off the string's backing buffer
+    // (XXH64 only reads), chaining like Spark's multi-arg xxhash64 —
+    // hashUTF8String(s, seed) is hashUnsafeBytes over s's span
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    def tokenEnd(t: Int): Int = if (t + 1 < nTokens) starts.get(t + 1) - 1 else nBytes
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var t = 0
+    while (t + n <= nTokens) {
+      var h = 42L
+      var j = 0
+      while (j < n) {
+        val from = starts.get(t + j)
+        h = XXH64.hashUnsafeBytes(base, off + from, tokenEnd(t + j) - from, h)
+        j += 1
+      }
+      seen.add(h)
+      t += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Membership probe of a 64-bit key against a serialized
   * [[org.apache.spark.util.sketch.BloomFilter]] (the public sketch API —
   * `DataFrameStatFunctions.bloomFilter` builds one distributed). The filter
@@ -628,6 +698,8 @@ object vectors {
     bridge.column(MinHashSig(bridge.expression(tokens), numHashes))
   def shingleArray(text: Column, k: Int): Column =
     bridge.column(ShingleArray(bridge.expression(text), k))
+  def wordGramHashes(text: Column, n: Int): Column =
+    bridge.column(WordGramHashes(bridge.expression(text), n))
   def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
     bridge.column(BloomMightContain(bloomBytes, bridge.expression(key)))
   def lcsLength(a: Column, b: Column): Column =
