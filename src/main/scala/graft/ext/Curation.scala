@@ -165,7 +165,7 @@ object Curation {
         lit(0.3) * (nStop.cast("double") / nTok) +
         lit(0.3) * least(avgLen / lit(8.0), lit(1.0))
     docs.withColumn("__w", split(col("text"), " "))
-      .withColumn("__tri", Hygiene.ngramsOf(w, 3))
+      .withColumn("__tri", Hygiene.ngramsOf(col("text"), 3))
       .where(
         (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
           <= maxDupWordFrac &&

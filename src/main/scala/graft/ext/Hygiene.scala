@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.SparkEntry
+import graft.functions.vectors
 
 /** Corpus-hygiene & data-mixing operators for LLM-training-data pipelines:
   * the filters that sit between raw crawl and tokenizer in a real pretraining
@@ -39,22 +40,16 @@ object Hygiene {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Word k-grams of a MATERIALIZED token-array column, as space-joined
-    * strings; empty array when the document is shorter than k (the `when`
-    * guard also keeps `sequence` from producing a descending range).
-    *
-    * `w` must be a plain column reference, not the `split(...)` expression:
-    * the lambda body is evaluated once per sequence element, so an inline
-    * split would re-tokenize the document n times per row (and quadratically
-    * once this array feeds another higher-order lambda — measured 200×
-    * end-to-end on `repetition_stats`). CollapseProject keeps the producing
-    * projection separate because the array expressions are non-cheap and
-    * multi-referenced. */
-  private[ext] def ngramsOf(w: Column, k: Int): Column =
-    when(size(w) >= k,
-        transform(sequence(lit(1), size(w) - (k - 1)),
-          i => array_join(slice(w, i, lit(k)), " ")))
-      .otherwise(array().cast("array<string>"))
+  /** Word k-grams of the text column, one NATIVE byte scan per document
+    * ([[graft.functions.WordGrams]] — r14): until round 13 this was a
+    * `transform(sequence(…), i => array_join(slice(w, i, k), " "))` chain
+    * over a materialized split, evaluated through interpreted HOF lambdas
+    * (one closure call per gram per document, plus a join/slice
+    * allocation each). Bit-identical output — each gram string IS the
+    * original byte span between its end tokens. */
+  private[ext] def ngramsOf(text: Column, k: Int,
+                            distinct: Boolean = false): Column =
+    vectors.wordGrams(text, k, distinct)
 
   /** Gopher-style repetition metrics per document (Rae et al. 2021, §A1.1 —
     * fractions of duplicated words / n-grams; degenerate machine-generated
@@ -73,9 +68,8 @@ object Hygiene {
   def repetitionStats(df: DataFrame, maxDupWordFrac: Double = 0.55,
                       maxDup3GramFrac: Double = 0.01): DataFrame = {
     val w = col("__w"); val bi = col("__bi"); val tri = col("__tri")
-    df.select(col("doc_id"), toks.as("__w"))
-      .select(col("doc_id"), w,
-        ngramsOf(w, 2).as("__bi"), ngramsOf(w, 3).as("__tri"))
+    df.select(col("doc_id"), toks.as("__w"),
+        ngramsOf(col("text"), 2).as("__bi"), ngramsOf(col("text"), 3).as("__tri"))
       .select(
         col("doc_id"),
         (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
@@ -115,7 +109,7 @@ object Hygiene {
     val w = col("__rep_w")
     val tri = col("__rep_tri") // materialized: the predicate reads it twice
     df.withColumn("__rep_w", toks)
-      .withColumn("__rep_tri", ngramsOf(w, 3))
+      .withColumn("__rep_tri", ngramsOf(col("text"), 3))
       .where(
         (lit(1.0) - size(array_distinct(w)).cast("double") / size(w))
           <= maxDupWordFrac &&
@@ -177,10 +171,9 @@ object Hygiene {
     // adds a spurious hit (flags an extra document — conservative for
     // decontamination); the driver gate keys on strings so it stays exact.
     val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
-    def grams(df: DataFrame): DataFrame = // materialize tokens below the Generate
-      df.select(col("doc_id"), toks.as("w"))
-        .select(col("doc_id"),
-          explode(array_distinct(ngramsOf(col("w"), k))).as("g0"))
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+          explode(ngramsOf(col("text"), k, distinct = true)).as("g0"))
         .select(col("doc_id"), key(col("g0")).as("g"))
     val bench = grams(benchmark).select("g").distinct()
     grams(corpus)
@@ -207,8 +200,7 @@ object Hygiene {
                     hashKeys: Boolean = false): DataFrame = {
     val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
     def grams(df: DataFrame): DataFrame =
-      df.select(toks.as("w"))
-        .select(explode(array_distinct(ngramsOf(col("w"), k))).as("g0"))
+      df.select(explode(ngramsOf(col("text"), k, distinct = true)).as("g0"))
         .select(key(col("g0")).as("g")).distinct()
     grams(other)
       .join(grams(corpus).withColumn("__hit", lit(1)), Seq("g"), "left")
@@ -255,9 +247,8 @@ object Hygiene {
   def ngramNovelty(docs: DataFrame, k: Int = 13,
                    hashKeys: Boolean = false): DataFrame = {
     val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
-    val singles = docs.select(col("doc_id"), toks.as("w"))
-      .select(col("doc_id"),
-        array_distinct(ngramsOf(col("w"), k)).as("gs"))
+    val singles = docs
+      .select(col("doc_id"), ngramsOf(col("text"), k, distinct = true).as("gs"))
       .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
         posexplode(concat(col("gs"),
           array(concat(lit(":"), col("doc_id"))))).as(Seq("pos", "g0")))
@@ -322,8 +313,8 @@ object Hygiene {
     val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
     // per-doc distinct only; the set path dedups in the driver `.toSet`
     // (no global-distinct exchange), the join path adds `.distinct()`
-    val benchRaw = benchmark.select(col("doc_id"), toks.as("w"))
-      .select(explode(array_distinct(ngramsOf(col("w"), k))).as("g0"))
+    val benchRaw = benchmark
+      .select(explode(ngramsOf(col("text"), k, distinct = true)).as("g0"))
       .select(key(col("g0")).as("g"))
     // guard the driver collect: fetch at most `setSizeLimit`+1 grams in
     // ONE CollectLimit job (no separate count pass); a benchmark that
@@ -336,7 +327,7 @@ object Hygiene {
         if (rows.length <= setSizeLimit) Some(rows) else None
       } else None
     val useSet = probed.isDefined
-    val w = col("__w"); val st = col("__starts")
+    val w = col("__w"); val st = col("__starts"); val gr = col("__g")
     val starts =
       if (useSet) {
         // a hash set `InSet` built directly: `isin` would stay a linear
@@ -353,17 +344,19 @@ object Hygiene {
         // set, so short-circuit rather than build InSet(∅)
         if (hset.isEmpty) array().cast("array<int>")
         // match + span-start collection as one narrow lambda: position s
-        // (0-based) starts a hit iff its k-gram is in the benchmark set
-        else when(size(w) >= k,
-            filter(sequence(lit(0), size(w) - k),
-              s => inBench(key(array_join(slice(w, s + 1, lit(k)), " ")))))
+        // (0-based) starts a hit iff its k-gram is in the benchmark set —
+        // grams read from the materialized native array (r14), not a
+        // per-position join/slice re-build inside the interpreted lambda
+        else when(size(gr) > 0,
+            filter(sequence(lit(0), size(gr) - 1),
+              s => inBench(key(element_at(gr, s + 1)))))
           .otherwise(array().cast("array<int>"))
       } else col("starts")
     val base =
       if (useSet) corpus
       else {
-        val perDoc = corpus.select(col("doc_id"), toks.as("w"))
-          .select(col("doc_id"), posexplode(ngramsOf(col("w"), k)).as(Seq("pos", "g0")))
+        val perDoc = corpus
+          .select(col("doc_id"), posexplode(ngramsOf(col("text"), k)).as(Seq("pos", "g0")))
           .select(col("doc_id"), col("pos"), key(col("g0")).as("g"))
           .join(broadcast(benchRaw.distinct()), "g")
           .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
@@ -377,6 +370,7 @@ object Hygiene {
     // re-evaluate it once PER TOKEN (measured 10× on the gate corpus)
     base
       .withColumn("__w", toks)
+      .withColumn("__g", ngramsOf(col("text"), k))
       .withColumn("__starts", coalesce(starts, array().cast("array<int>")))
       .withColumn("__keep", array_except(
         sequence(lit(0), size(w) - 1),
@@ -408,7 +402,7 @@ object Hygiene {
     val w = col("__w"); val gr = col("__g"); val st = col("__starts")
     corpus
       .withColumn("__w", toks)
-      .withColumn("__g", ngramsOf(w, k))
+      .withColumn("__g", ngramsOf(col("text"), k))
       .withColumn("__starts",
         when(size(gr) > 0,
             filter(sequence(lit(0), size(gr) - 1),

@@ -351,6 +351,70 @@ object ShingleArray {
   }
 }
 
+/** Word k-grams of a text in ONE byte scan — the native twin of
+  * `transform(sequence(1, size(w) - (k-1)), i => array_join(slice(w, i, k),
+  * " "))` over `w = split(text, " ")` (Hygiene's `ngramsOf`), which
+  * evaluates through INTERPRETED higher-order-function lambdas. Each gram
+  * string equals the original BYTE SPAN from its first token's start to
+  * its last token's end: split is on the single space byte, so rejoining
+  * consecutive tokens with " " reproduces the span verbatim (empty tokens
+  * from doubled spaces included) — no per-gram join/slice allocation, the
+  * output strings are zero-copy views over one defensively-copied buffer.
+  * Fewer than k tokens → EMPTY array (the `when(size(w) >= k, …)` guard's
+  * shape — unlike [[ShingleArray]]'s whole-text fallback, and unsorted:
+  * grams keep occurrence order). `distinct = true` keeps first occurrences
+  * (the `array_distinct(ngramsOf(…))` composition). */
+case class WordGrams(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(k >= 1, "gram size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${dt.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    WordGrams.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordGrams.compute($c, $k, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
+object WordGrams {
+  import org.apache.spark.unsafe.types.UTF8String
+  def compute(text: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    val nBytes = text.numBytes()
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < nBytes) {
+      if (text.getByte(i) == ' '.toByte) starts.add(i + 1)
+      i += 1
+    }
+    val nTokens = starts.size()
+    if (nTokens < k) return new GenericArrayData(new Array[Any](0))
+    // Defensive copy, the ShingleArray discipline: the input may point into
+    // a reused row/page buffer and the output slices must not alias it.
+    val b0 = text.getBytes
+    val bytes = if (b0.asInstanceOf[AnyRef] eq text.getBaseObject) b0.clone() else b0
+    val out = new java.util.ArrayList[UTF8String]()
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var t = 0
+    while (t + k <= nTokens) {
+      val from = starts.get(t)
+      val until = if (t + k < nTokens) starts.get(t + k) - 1 else nBytes
+      val slice = UTF8String.fromBytes(bytes, from, until - from)
+      if (seen == null || seen.add(slice)) out.add(slice)
+      t += 1
+    }
+    new GenericArrayData(
+      out.toArray(new Array[UTF8String](out.size())).asInstanceOf[Array[AnyRef]])
+  }
+}
+
 /** Distinct word n-gram hashes of a text in ONE byte scan — the native
   * twin of `array_distinct(transform(sequence(1, size(w) - (n-1)), i =>
   * xxhash64(element_at(w, i), …, element_at(w, i+n-1))))` over
@@ -700,6 +764,8 @@ object vectors {
     bridge.column(ShingleArray(bridge.expression(text), k))
   def wordGramHashes(text: Column, n: Int): Column =
     bridge.column(WordGramHashes(bridge.expression(text), n))
+  def wordGrams(text: Column, k: Int, distinct: Boolean = false): Column =
+    bridge.column(WordGrams(bridge.expression(text), k, distinct))
   def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
     bridge.column(BloomMightContain(bloomBytes, bridge.expression(key)))
   def lcsLength(a: Column, b: Column): Column =
