@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.ProdSession
+
+/** Differential pins for the round-14 native text/vector expressions:
+  * each must be BIT-IDENTICAL to the interpreted higher-order-function
+  * chain it replaced (the whole point of the swap is speed, not new
+  * semantics), across the awkward token shapes — doubled/leading/trailing
+  * spaces (empty tokens), unicode, short documents, empty strings. */
+class NativeTextExprSpec extends AnyFunSuite {
+  private lazy val spark = ProdSession.spark
+  import spark.implicits._
+
+  /** Deterministic awkward corpus: spacing pathologies, unicode, repeats. */
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a a a a a",                       // heavy repeats (distinct matters)
+    "double  space  here",             // empty tokens between words
+    " leading and trailing ",          // empty tokens at both ends
+    "",                                // one empty token
+    " ",                               // two empty tokens
+    "one",                             // shorter than every k > 1
+    "héllo wörld ünïcode tökens ünïcode wörld", // multi-byte UTF-8
+    "x " * 200 + "y",                  // long doc
+    (0 until 50).map(i => s"w${i % 7}").mkString(" ")) // periodic repeats
+
+  private def df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    .toDF("id", "text")
+
+  /** The replaced HOF chain, verbatim (Hygiene.ngramsOf pre-r14). */
+  private def hofGrams(w: Column, k: Int): Column =
+    when(size(w) >= k,
+        transform(sequence(lit(1), size(w) - (k - 1)),
+          i => array_join(slice(w, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  test("WordGrams == split + transform/array_join/slice HOF chain") {
+    for (k <- Seq(1, 2, 3, 4, 13)) {
+      val got = df.select(col("id"),
+        vectors.wordGrams(col("text"), k).as("g"),
+        hofGrams(split(col("text"), " "), k).as("e")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"k=$k id=${r.getLong(0)}: native=${r.getSeq[String](1)} hof=${r.getSeq[String](2)}")
+      }
+      val gotD = df.select(col("id"),
+        vectors.wordGrams(col("text"), k, distinct = true).as("g"),
+        array_distinct(hofGrams(split(col("text"), " "), k)).as("e")).collect()
+      gotD.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"distinct k=$k id=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("WordGramHashes == distinct chained multi-arg xxhash64 over the HOF grams") {
+    for (n <- Seq(1, 2, 3, 4)) {
+      val w = split(col("text"), " ")
+      val hof = array_distinct(when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)), i =>
+            xxhash64((0 until n).map(j => element_at(w, i + j)): _*)))
+        .otherwise(array().cast("array<long>")))
+      val got = df.select(col("id"),
+        vectors.wordGramHashes(col("text"), n).as("g"), hof.as("e")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n id=${r.getLong(0)}: native=${r.getSeq[Long](1)} hof=${r.getSeq[Long](2)}")
+      }
+    }
+  }
+
+  test("PrefixCosineSims == CosineSim over prefix slices, bit-exact per checkpoint") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, -3.0f, 0.5f, 0.25f, -1.5f, 2.5f, 0.125f),
+            Seq(0.5f, -1.0f, 2.0f, 1.5f, -0.75f, 0.25f, -2.0f, 1.0f)),
+      (2L, Seq(0.1f, 0.2f, 0.3f, 0.4f, 0.5f, 0.6f, 0.7f, 0.8f),
+            Seq(0.8f, 0.7f, 0.6f, 0.5f, 0.4f, 0.3f, 0.2f, 0.1f)),
+      (3L, Seq.fill(8)(1.0f), Seq.fill(8)(-1.0f)))
+    val vdf = vecs.toDF("id", "a", "b")
+    val dims = Seq(2, 5, 8, 100) // 100 > len: full-length semantics
+    val got = vdf.select(col("id"),
+      vectors.prefixCosineSims(col("a"), col("b"), dims :+ Int.MaxValue).as("p"),
+      array((dims.map(d =>
+        vectors.cosineSim(slice(col("a"), 1, d), slice(col("b"), 1, d))) :+
+        vectors.cosineSim(col("a"), col("b"))): _*).as("e")).collect()
+    got.foreach { r =>
+      val p = r.getSeq[Double](1); val e = r.getSeq[Double](2)
+      assert(p.size == e.size)
+      p.zip(e).zipWithIndex.foreach { case ((pv, ev), i) =>
+        // bit-exact, not approximate — same partial sums, same division
+        assert(java.lang.Double.doubleToLongBits(pv) ==
+          java.lang.Double.doubleToLongBits(ev),
+          s"id=${r.getLong(0)} slot $i: native=$pv sliced=$ev")
+      }
+    }
+    // zero-norm prefix: the sliced CosineSim is NULL; the fused expression
+    // publishes NaN in that slot (documented — NaN fails every score
+    // comparison, so such a pair can never enter a top-k, same outcome)
+    val z = Seq((1L, Seq(0.0f, 1.0f), Seq(1.0f, 1.0f))).toDF("id", "a", "b")
+    val zr = z.select(vectors.prefixCosineSims(col("a"), col("b"), Seq(1, 2)).as("p"))
+      .head().getSeq[Double](0)
+    assert(zr(0).isNaN, s"zero-norm prefix must be NaN, got ${zr(0)}")
+    assert(!zr(1).isNaN)
+    // and the whole-array null rule matches CosineSim: length mismatch
+    val m = Seq((1L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("id", "a", "b")
+    assert(m.select(vectors.prefixCosineSims(col("a"), col("b"), Seq(1)).as("p"))
+      .head().isNullAt(0), "length mismatch must be NULL (CosineSim's rule)")
+  }
+}
