@@ -199,40 +199,20 @@ object TextAnalysis {
     * hash breaks on ONE edited character; winnowing degrades by one
     * window.
     *
-    * Entirely NARROW: grams, hashes, and the per-window argmin are HOFs
-    * over materialized per-document arrays (the [[Hygiene]] posture) —
-    * zero shuffles, scales with tokens like every scan-time op. The
-    * argmin key packs (hash, −pos) into one integer (`h·2²⁰ − pos`,
-    * < 2⁵³: exact), so "min hash, rightmost position" is a single
-    * comparison in BOTH dialects; gram hashes use the sha256-derived
-    * [[Hygiene.hashU64]] scheme (cross-engine exact, like every
-    * sampling/ranking op). */
-  def winnow(df: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val words = split(col("text"), " ")
-    val grams = when(size(col("__w")) >= k,
-      transform(sequence(lit(1), size(col("__w")) - (k - 1)), i =>
-        concat_ws(" ", (0 until k).map(o => element_at(col("__w"), i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-    val hv = transform(col("__g"), g =>
-      conv(substring(sha2(g, 256), 1, 8), 16, 10).cast("long"))
-    // pos is 0-based; the packed key prefers small hash, then LARGE pos
-    val keys = transform(col("__h"), (h, p) => h * lit(1048576L) - p)
-    val zero = struct(lit(Long.MaxValue).as("bk"), lit(-1).as("bp"))
-    val sel = when(size(col("__k")) >= w,
-      array_distinct(transform(sequence(lit(0), size(col("__k")) - w), i =>
-        aggregate(sequence(i, i + (w - 1)), zero, (acc, p) =>
-          when(element_at(col("__k"), p + 1) < acc.getField("bk"),
-            struct(element_at(col("__k"), p + 1).as("bk"), p.as("bp")))
-            .otherwise(acc)).getField("bp"))))
-      .otherwise(array().cast("array<int>"))
-    df.select(col("doc_id"), words.as("__w"))
-      .select(col("doc_id"), grams.as("__g"))
-      .select(col("doc_id"), hv.as("__h"))
-      .select(col("doc_id"), col("__h"), keys.as("__k"))
-      .select(col("doc_id"), col("__h"), explode(sel).as("pos"))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        element_at(col("__h"), col("pos") + 1).as("fp"))
-  }
+    * Entirely NARROW — and since r14 entirely NATIVE: one byte scan per
+    * document ([[graft.functions.WinnowFingerprints]], a monotonic-deque
+    * O(n) sliding min) replacing the interpreted HOF chain (per-gram
+    * sha256 through a 64-char hex string + `conv`, then an O(n·w)
+    * nested-aggregate argmin per window), bit-identical output
+    * (differential-pinned in NativeTextExprSpec). The argmin key packs
+    * (hash, −pos) into one integer (`h·2²⁰ − pos`, < 2⁵³: exact), so
+    * "min hash, rightmost position" is a single comparison in BOTH
+    * dialects; gram hashes use the sha256-derived [[Hygiene.hashU64]]
+    * scheme (cross-engine exact, like every sampling/ranking op). */
+  def winnow(df: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    df.select(col("doc_id"),
+        explode(graft.functions.vectors.winnowFingerprints(col("text"), k, w)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
 
   /** Global term frequencies, top 20 by (count desc, term asc) — the
     * tie-break makes the LIMIT cut deterministic. */

@@ -415,6 +415,101 @@ object WordGrams {
   }
 }
 
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003) in ONE
+  * native pass — the fused twin of [[graft.ext.TextAnalysis.winnow]]'s
+  * interpreted chain (word k-grams via HOF concat, per-gram
+  * `conv(substring(sha2(g, 256), 1, 8), 16, 10)` — a 64-char hex STRING
+  * allocated and re-parsed per gram — then an O(n·w) nested-aggregate
+  * argmin per window). Bit-compatible by construction: gram strings are
+  * the byte spans [[WordGrams]] proves equal to the joined-token form, the
+  * hash is the first 4 sha256 bytes as an unsigned 32-bit value (≡ first
+  * 8 hex chars parsed base-16), selection key `h·2²⁰ − pos` (min hash,
+  * rightmost on ties), windows of `w` keys, selected positions
+  * deduplicated in first-window order. The per-window argmin here is a
+  * monotonic deque — O(n) total, not O(n·w). Returns
+  * `array<struct<pos: bigint, fp: bigint>>`; fewer than w+k−1 tokens →
+  * empty (no full window exists). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, "gram size and window must be >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${dt.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowFingerprints.compute($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-256"))
+
+  def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val nBytes = text.numBytes()
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < nBytes) {
+      if (text.getByte(i) == ' '.toByte) starts.add(i + 1)
+      i += 1
+    }
+    val nTokens = starts.size()
+    val nGrams = nTokens - k + 1
+    if (nGrams < w) return new GenericArrayData(new Array[Any](0))
+    val bytes = text.getBytes // hashing only — aliasing a reused buffer is fine
+    val md = digests.get()
+    // h(g) = first 4 sha256 bytes unsigned (== conv(substring(hex,1,8),16,10));
+    // selection key packs (hash, −pos): h·2²⁰ − pos (< 2⁵³ — exact, unique)
+    val keys = new Array[Long](nGrams)
+    val hs = new Array[Long](nGrams)
+    var t = 0
+    while (t < nGrams) {
+      val from = starts.get(t)
+      val until = if (t + k < nTokens) starts.get(t + k) - 1 else nBytes
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      hs(t) = h
+      keys(t) = h * 1048576L - t
+      t += 1
+    }
+    // monotonic deque sliding-window min (keys are unique, so the min is
+    // the same element the left-to-right strict-< fold selected)
+    val deque = new java.util.ArrayDeque[Int]()
+    val selected = new java.util.LinkedHashSet[Integer]()
+    var p = 0
+    while (p < nGrams) {
+      while (!deque.isEmpty && keys(deque.peekLast()) > keys(p)) deque.pollLast()
+      deque.addLast(p)
+      if (deque.peekFirst() <= p - w) deque.pollFirst()
+      if (p >= w - 1) selected.add(deque.peekFirst())
+      p += 1
+    }
+    val out = new Array[Any](selected.size())
+    val it = selected.iterator()
+    var j = 0
+    while (it.hasNext) {
+      val pos = it.next().intValue()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(pos.toLong, hs(pos))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Distinct word n-gram hashes of a text in ONE byte scan — the native
   * twin of `array_distinct(transform(sequence(1, size(w) - (n-1)), i =>
   * xxhash64(element_at(w, i), …, element_at(w, i+n-1))))` over
@@ -766,6 +861,8 @@ object vectors {
     bridge.column(WordGramHashes(bridge.expression(text), n))
   def wordGrams(text: Column, k: Int, distinct: Boolean = false): Column =
     bridge.column(WordGrams(bridge.expression(text), k, distinct))
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    bridge.column(WinnowFingerprints(bridge.expression(text), k, w))
   def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
     bridge.column(BloomMightContain(bloomBytes, bridge.expression(key)))
   def lcsLength(a: Column, b: Column): Column =

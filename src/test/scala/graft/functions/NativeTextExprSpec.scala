@@ -72,6 +72,45 @@ class NativeTextExprSpec extends AnyFunSuite {
     }
   }
 
+  test("WinnowFingerprints == the interpreted winnowing chain (pre-r14 verbatim)") {
+    // the replaced chain, verbatim from TextAnalysis.winnow pre-r14
+    def hofWinnow(k: Int, w: Int) = {
+      val words = split(col("text"), " ")
+      val grams = when(size(col("__w")) >= k,
+        transform(sequence(lit(1), size(col("__w")) - (k - 1)), i =>
+          concat_ws(" ", (0 until k).map(o => element_at(col("__w"), i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+      val hv = transform(col("__g"), g =>
+        conv(substring(sha2(g, 256), 1, 8), 16, 10).cast("long"))
+      val keys = transform(col("__h"), (h, p) => h * lit(1048576L) - p)
+      val zero = struct(lit(Long.MaxValue).as("bk"), lit(-1).as("bp"))
+      val sel = when(size(col("__k")) >= w,
+        array_distinct(transform(sequence(lit(0), size(col("__k")) - w), i =>
+          aggregate(sequence(i, i + (w - 1)), zero, (acc, p) =>
+            when(element_at(col("__k"), p + 1) < acc.getField("bk"),
+              struct(element_at(col("__k"), p + 1).as("bk"), p.as("bp")))
+              .otherwise(acc)).getField("bp"))))
+        .otherwise(array().cast("array<int>"))
+      df.select(col("id"), words.as("__w"))
+        .select(col("id"), grams.as("__g"))
+        .select(col("id"), hv.as("__h"))
+        .select(col("id"), col("__h"), keys.as("__k"))
+        .select(col("id"), col("__h"), explode(sel).as("pos"))
+        .select(col("id"), col("pos").cast("long").as("pos"),
+          element_at(col("__h"), col("pos") + 1).as("fp"))
+    }
+    for ((k, w) <- Seq((3, 4), (2, 2), (1, 3), (4, 5))) {
+      val native = df.select(col("id"),
+          explode(vectors.winnowFingerprints(col("text"), k, w)).as("s"))
+        .select(col("id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hof = hofWinnow(k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(native == hof,
+        s"k=$k w=$w: native-only=${(native -- hof).take(5)} hof-only=${(hof -- native).take(5)}")
+    }
+  }
+
   test("PrefixCosineSims == CosineSim over prefix slices, bit-exact per checkpoint") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f, -3.0f, 0.5f, 0.25f, -1.5f, 2.5f, 0.125f),
