@@ -547,40 +547,22 @@ object TextAnalysis {
     * doubles as a within-document topic-drift profile.
     *
     * Determinism: window vectors are integer word counts, the dot and
-    * squared norms are integer folds over the window's distinct words,
-    * and the cosine is the fixed chain `dot / (√n1 · √n2)` — one
-    * division, two sqrts, one multiply, identical IEEE ops in identical
-    * order cross-engine. Narrow scan-time HOFs; nothing shuffles. */
+    * squared norms are INTEGER sums (order-independent — no fold
+    * discipline needed), and the cosine is the fixed chain
+    * `dot / (√n1 · √n2)` — one division, two sqrts, one multiply,
+    * identical IEEE ops in identical order cross-engine. Since r14 the
+    * per-joint count vectors and cosines come from ONE native byte scan
+    * per document ([[graft.functions.WindowBoundaryCos]]) — the previous
+    * HOF chain recounted each distinct word with a `size(filter(...))`
+    * scan, O(window²) interpreted closure calls per joint
+    * (differential-pinned in NativeTextExprSpec). Nothing shuffles. */
   def semanticBoundaries(docs: DataFrame, window: Int = 16,
                          tau: Double = 0.2): DataFrame = {
     require(window >= 2, "window must be at least 2 tokens")
-    val w = col("__w")
-    val nWin = ceil(size(w) / lit(window.toDouble)).cast("int")
-    val wins = transform(sequence(lit(0), nWin - 1),
-      j => slice(w, j * window + 1, lit(window)))
-    def cnt(f: Column, x: Column): Column =
-      size(filter(f, t => t === x)).cast("long")
-    val pairs = transform(sequence(lit(0), size(col("__wins")) - 2), j =>
-      struct(j.as("j"),
-        element_at(col("__wins"), j + 1).as("f1"),
-        element_at(col("__wins"), j + 2).as("f2")))
-    val f1 = col("p.f1"); val f2 = col("p.f2")
-    val dot = aggregate(array_distinct(f1), lit(0L),
-      (acc, x) => acc + cnt(f1, x) * cnt(f2, x))
-    def norm2(f: Column): Column = aggregate(array_distinct(f), lit(0L),
-      (acc, x) => acc + cnt(f, x) * cnt(f, x))
-    docs.select(col("doc_id"), split(col("text"), " ").as("__w"))
-      .where(size(col("__w")) > window)
-      .select(col("doc_id"), wins.as("__wins"))
-      .select(col("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"),
-        ((col("p.j") + 1) * window).cast("long").as("boundary_tok"),
-        dot.as("__dot"), norm2(f1).as("__n1"), norm2(f2).as("__n2"))
-      .select(col("doc_id"), col("boundary_tok"),
-        when(col("__n1") === 0L || col("__n2") === 0L, lit(0.0))
-          .otherwise(col("__dot").cast("double") /
-            (sqrt(col("__n1").cast("double")) * sqrt(col("__n2").cast("double"))))
-          .as("cos"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.vectors.windowBoundaryCos(col("text"), window)).as("b"))
+      .select(col("doc_id"), col("b.boundary_tok").as("boundary_tok"),
+        col("b.cos").as("cos"))
       .withColumn("is_boundary", col("cos") < tau)
   }
 
@@ -595,8 +577,10 @@ object TextAnalysis {
     * number, so the aggregated `weight_scaled` is an exact integer on any
     * engine and summation order — divide by `scale` at consumption time.
     *
-    * Shape: the pair explosion is narrow per-document compute (two nested
-    * HOFs over ONE materialized split; ~n·window rows per doc), then one
+    * Shape: the pair explosion is narrow per-document compute (since r14
+    * ONE native byte scan per document, [[graft.functions.CoocPairs]] —
+    * the nested HOF explosion it replaces ran interpreted closures with
+    * an element_at per pair; ~n·window rows per doc either way), then one
     * partial-aggregated groupBy on the canonicalized (a, b) key — the
     * exact df-table shape every term-statistics job here uses. At 100 TB
     * the explosion dominates; `window` bounds it linearly, and min-count
@@ -605,16 +589,9 @@ object TextAnalysis {
     require(window >= 1, "window must be positive")
     val scale = (1 to window).foldLeft(1L)((acc, d) =>
       acc * d / java.math.BigInteger.valueOf(acc).gcd(java.math.BigInteger.valueOf(d)).longValue())
-    val w = col("__w")
-    val pairs = flatten(transform(sequence(lit(0), size(w) - 2), i =>
-      transform(sequence(lit(1), least(lit(window), size(w) - 1 - i)), d => {
-        val x = element_at(w, i + 1); val y = element_at(w, i + d + 1)
-        struct(least(x, y).as("a"), greatest(x, y).as("b"),
-          (lit(scale) / d.cast("long")).cast("long").as("ws"))
-      })))
-    docs.select(split(col("text"), " ").as("__w"))
-      .where(size(col("__w")) >= 2)
-      .select(explode(pairs).as("p"))
+    docs
+      .select(explode(
+        graft.functions.vectors.coocPairs(col("text"), window, scale)).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_cooc"), sum(col("p.ws")).as("weight_scaled"))
       .where(col("n_cooc") >= minCount)

@@ -415,6 +415,167 @@ object WordGrams {
   }
 }
 
+/** GloVe windowed co-occurrence pairs ([[graft.ext.TextAnalysis
+  * .cooccurrence]]) in ONE native pass — replaces the nested
+  * flatten/transform HOF explosion (interpreted closures and an
+  * element_at per pair). For every token position i and distance
+  * d ∈ [1, window] with i+d in range: the canonically-ordered pair
+  * (min, max by binary UTF8 order — Spark's string comparison) and the
+  * integer-scaled GloVe weight `scale / d`. Output order is (i asc,
+  * d asc), exactly the flattened HOF order; strings are zero-copy views
+  * over one defensively-copied buffer. Fewer than 2 tokens → empty. */
+case class CoocPairs(child: Expression, window: Int, scale: Long)
+    extends UnaryExpression {
+  require(window >= 1, "window must be positive")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType, nullable = false),
+    StructField("b", StringType, nullable = false),
+    StructField("ws", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cooc_pairs"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${dt.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    CoocPairs.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], window, scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CoocPairs.compute($c, $window, ${scale}L)")
+  override protected def withNewChildInternal(newChild: Expression): CoocPairs =
+    copy(child = newChild)
+}
+
+object CoocPairs {
+  import org.apache.spark.unsafe.types.UTF8String
+  def compute(text: UTF8String, window: Int, scale: Long): ArrayData = {
+    val nBytes = text.numBytes()
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < nBytes) {
+      if (text.getByte(i) == ' '.toByte) starts.add(i + 1)
+      i += 1
+    }
+    val nTokens = starts.size()
+    if (nTokens < 2) return new GenericArrayData(new Array[Any](0))
+    val b0 = text.getBytes
+    val bytes = if (b0.asInstanceOf[AnyRef] eq text.getBaseObject) b0.clone() else b0
+    val toks = new Array[UTF8String](nTokens)
+    var t = 0
+    while (t < nTokens) {
+      val from = starts.get(t)
+      val until = if (t + 1 < nTokens) starts.get(t + 1) - 1 else nBytes
+      toks(t) = UTF8String.fromBytes(bytes, from, until - from)
+      t += 1
+    }
+    var nPairs = 0L
+    var p = 0
+    while (p < nTokens - 1) { nPairs += math.min(window, nTokens - 1 - p); p += 1 }
+    val out = new Array[Any](nPairs.toInt)
+    var j = 0
+    var a = 0
+    while (a < nTokens - 1) {
+      var d = 1
+      val dMax = math.min(window, nTokens - 1 - a)
+      while (d <= dMax) {
+        val x = toks(a); val y = toks(a + d)
+        val (lo, hi) = if (x.compareTo(y) <= 0) (x, y) else (y, x)
+        out(j) = org.apache.spark.sql.catalyst.InternalRow(lo, hi, scale / d)
+        j += 1; d += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Adjacent-window lexical cosines for semantic chunking
+  * ([[graft.ext.TextAnalysis.semanticBoundaries]]) in ONE native pass —
+  * replaces a per-joint interpreted HOF chain that recounted each distinct
+  * word with a `size(filter(...))` scan (O(window²) closure calls per
+  * joint). Windows are fixed `window`-token slices (last one may be
+  * short); for each adjacent pair the dot and squared norms are INTEGER
+  * sums of per-token counts (order-independent — bit-exactness needs no
+  * fold discipline) and the cosine is the fixed chain
+  * `dot / (√n1 · √n2)` with the zero-norm → 0.0 guard. Returns
+  * `array<struct<boundary_tok: bigint, cos: double>>`; documents of
+  * ≤ window tokens → empty (the `where(size(w) > window)` shape). */
+case class WindowBoundaryCos(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 2, "window must be at least 2 tokens")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("boundary_tok", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "window_boundary_cos"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${dt.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    WindowBoundaryCos.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WindowBoundaryCos.compute($c, $window)")
+  override protected def withNewChildInternal(newChild: Expression): WindowBoundaryCos =
+    copy(child = newChild)
+}
+
+object WindowBoundaryCos {
+  import org.apache.spark.unsafe.types.UTF8String
+  def compute(text: UTF8String, window: Int): ArrayData = {
+    val nBytes = text.numBytes()
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < nBytes) {
+      if (text.getByte(i) == ' '.toByte) starts.add(i + 1)
+      i += 1
+    }
+    val nTokens = starts.size()
+    if (nTokens <= window) return new GenericArrayData(new Array[Any](0))
+    // token views over one defensive copy (map keys outlive the loop)
+    val b0 = text.getBytes
+    val bytes = if (b0.asInstanceOf[AnyRef] eq text.getBaseObject) b0.clone() else b0
+    def token(t: Int): UTF8String = {
+      val from = starts.get(t)
+      val until = if (t + 1 < nTokens) starts.get(t + 1) - 1 else nBytes
+      UTF8String.fromBytes(bytes, from, until - from)
+    }
+    def countsOf(from: Int, until: Int): java.util.HashMap[UTF8String, Long] = {
+      val m = new java.util.HashMap[UTF8String, Long]()
+      var t = from
+      while (t < until) { m.merge(token(t), 1L, (a, b) => a + b); t += 1 }
+      m
+    }
+    val nWin = math.ceil(nTokens / window.toDouble).toInt
+    val out = new Array[Any](nWin - 1)
+    var prev = countsOf(0, math.min(window, nTokens))
+    var j = 1
+    while (j < nWin) {
+      val cur = countsOf(j * window, math.min((j + 1) * window, nTokens))
+      var dot = 0L; var n1 = 0L; var n2 = 0L
+      val it1 = prev.values().iterator()
+      while (it1.hasNext) { val c = it1.next(); n1 += c * c }
+      val it2 = cur.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        val c2 = e.getValue
+        n2 += c2 * c2
+        val c1 = prev.get(e.getKey)
+        if (c1 != null) dot += c1 * c2
+      }
+      val cos = if (n1 == 0L || n2 == 0L) 0.0
+        else dot.toDouble / (math.sqrt(n1.toDouble) * math.sqrt(n2.toDouble))
+      out(j - 1) = org.apache.spark.sql.catalyst.InternalRow((j.toLong) * window, cos)
+      prev = cur
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003) in ONE
   * native pass — the fused twin of [[graft.ext.TextAnalysis.winnow]]'s
   * interpreted chain (word k-grams via HOF concat, per-gram
@@ -863,6 +1024,10 @@ object vectors {
     bridge.column(WordGrams(bridge.expression(text), k, distinct))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     bridge.column(WinnowFingerprints(bridge.expression(text), k, w))
+  def windowBoundaryCos(text: Column, window: Int): Column =
+    bridge.column(WindowBoundaryCos(bridge.expression(text), window))
+  def coocPairs(text: Column, window: Int, scale: Long): Column =
+    bridge.column(CoocPairs(bridge.expression(text), window, scale))
   def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
     bridge.column(BloomMightContain(bloomBytes, bridge.expression(key)))
   def lcsLength(a: Column, b: Column): Column =

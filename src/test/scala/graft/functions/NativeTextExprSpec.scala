@@ -111,6 +111,50 @@ class NativeTextExprSpec extends AnyFunSuite {
     }
   }
 
+  test("WindowBoundaryCos == the interpreted window-cosine chain (pre-r14 verbatim)") {
+    def hofBoundaries(window: Int) = {
+      val w = col("__w")
+      val nWin = ceil(size(w) / lit(window.toDouble)).cast("int")
+      val wins = transform(sequence(lit(0), nWin - 1),
+        j => slice(w, j * window + 1, lit(window)))
+      def cnt(f: Column, x: Column): Column =
+        size(filter(f, t => t === x)).cast("long")
+      val pairs = transform(sequence(lit(0), size(col("__wins")) - 2), j =>
+        struct(j.as("j"),
+          element_at(col("__wins"), j + 1).as("f1"),
+          element_at(col("__wins"), j + 2).as("f2")))
+      val f1 = col("p.f1"); val f2 = col("p.f2")
+      val dot = aggregate(array_distinct(f1), lit(0L),
+        (acc, x) => acc + cnt(f1, x) * cnt(f2, x))
+      def norm2(f: Column): Column = aggregate(array_distinct(f), lit(0L),
+        (acc, x) => acc + cnt(f, x) * cnt(f, x))
+      df.select(col("id"), split(col("text"), " ").as("__w"))
+        .where(size(col("__w")) > window)
+        .select(col("id"), wins.as("__wins"))
+        .select(col("id"), explode(pairs).as("p"))
+        .select(col("id"),
+          ((col("p.j") + 1) * window).cast("long").as("boundary_tok"),
+          dot.as("__dot"), norm2(f1).as("__n1"), norm2(f2).as("__n2"))
+        .select(col("id"), col("boundary_tok"),
+          when(col("__n1") === 0L || col("__n2") === 0L, lit(0.0))
+            .otherwise(col("__dot").cast("double") /
+              (sqrt(col("__n1").cast("double")) * sqrt(col("__n2").cast("double"))))
+            .as("cos"))
+    }
+    for (window <- Seq(2, 3, 16)) {
+      val native = df.select(col("id"),
+          explode(vectors.windowBoundaryCos(col("text"), window)).as("b"))
+        .select(col("id"), col("b.boundary_tok"), col("b.cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      val hof = hofBoundaries(window)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      assert(native == hof,
+        s"window=$window: native-only=${(native -- hof).take(3)} hof-only=${(hof -- native).take(3)}")
+    }
+  }
+
   test("PrefixCosineSims == CosineSim over prefix slices, bit-exact per checkpoint") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f, -3.0f, 0.5f, 0.25f, -1.5f, 2.5f, 0.125f),
