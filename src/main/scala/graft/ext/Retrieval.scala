@@ -45,6 +45,52 @@ object Retrieval {
   private def toks(text: Column): Column =
     filter(split(text, " "), w => length(w) > 0)
 
+  /** Shared ranker base (r14): ONE native byte scan per document
+    * ([[graft.functions.TermCounts]]) yields every query term's tf plus
+    * dl — the per-(doc × query-term) `size(filter(toks, ===))`
+    * interpreted scan is gone, and the corpus-wide df pass collapses to
+    * one aggregation over the same vector (df(term) = docs with
+    * tf > 0, exactly the old distinct-explode count). */
+  private def termBase(docs: DataFrame,
+                       queries: Seq[(String, Seq[String])]): (Seq[String], DataFrame) = {
+    val terms = queries.flatMap(_._2).distinct
+    val d = docs.select(col("doc_id"),
+        graft.functions.vectors.termCounts(col("text"), terms).as("__tc"))
+      .withColumn("dl", element_at(col("__tc"), terms.length + 1).cast("double"))
+    (terms, d)
+  }
+
+  /** df table derived from the [[termBase]] vectors — (term, df) rows. */
+  private def dfreqOf(d: DataFrame, terms: Seq[String]): DataFrame = {
+    val aggs = terms.zipWithIndex.map { case (_, i) =>
+      sum(when(element_at(col("__tc"), i + 1) > 0L, 1.0).otherwise(0.0)).as(s"__df_$i") }
+    d.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(terms.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("term"), col(s"__df_$i").as("df")) }: _*)).as("s"))
+      .select(col("s.term").as("term"), col("s.df").as("df"))
+  }
+
+  /** Per-query fold table: (pos, term, df, ti) sorted by query position;
+    * `ti` is the term's 1-based [[TermCounts]] slot, so the scoring fold
+    * reads tf as one `element_at`. */
+  private def qtermsOf(spark: SparkSession, queries: Seq[(String, Seq[String])],
+                       terms: Seq[String], dfreq: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tiMap = typedLit(terms.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap)
+    queries.toDF("query_id", "terms")
+      .select(col("query_id"), posexplode(col("terms")).as(Seq("pos", "term")))
+      .join(dfreq, Seq("term"), "left")
+      .na.fill(0.0, Seq("df"))
+      .withColumn("ti", element_at(tiMap, col("term")))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("term"), col("df"), col("ti"))))
+        .as("qterms"))
+  }
+
+  /** tf of the fold row's term, off the native per-doc vector. */
+  private def tfOf(qt: Column): Column =
+    element_at(col("__tc"), qt.getField("ti")).cast("double")
+
   /** Inverted-index statistics: per term, document frequency `df` and
     * collection frequency `cf`. The per-(doc,term) stage and the per-term
     * stage both partial-aggregate before their shuffle. */
@@ -58,28 +104,15 @@ object Retrieval {
     * over `terms` runs in query order for determinism at any arity. */
   def bm25(docs: DataFrame, queries: Seq[(String, Seq[String])], k: Int = 10): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-
-    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
+    val (terms, d) = termBase(docs, queries)
 
     // 1-row corpus stats: N and avgdl's numerator. Broadcast below.
     val stats = d.agg(
       count(lit(1)).cast("double").as("n"),
-      sum(size(col("toks"))).cast("double").as("total"))
-
-    // Small per-term df table (|vocab| rows after two partial-agg stages).
-    val dfreq = d.select(explode(array_distinct(col("toks"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      sum(element_at(col("__tc"), terms.length + 1)).cast("double").as("total"))
 
     // Query set joined to df (absent terms score 0 via tf=0; df defaults 0).
-    val q = queries.toDF("query_id", "terms")
-      .select(col("query_id"), posexplode(col("terms")).as(Seq("pos", "term")))
-      .join(dfreq, Seq("term"), "left")
-      .na.fill(0.0, Seq("df"))
-      .groupBy("query_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("term"), col("df"))))
-        .as("qterms"))
+    val q = qtermsOf(spark, queries, terms, dfreqOf(d, terms))
 
     // Narrow per-(doc × query) scoring: fold the query's (term, df) pairs in
     // query order. Arithmetic shape mirrors the oracle exactly.
@@ -87,7 +120,7 @@ object Retrieval {
       .crossJoin(broadcast(q.crossJoin(stats)))
       .withColumn("score",
         aggregate(col("qterms"), lit(0.0), (acc, qt) => {
-          val tf  = size(filter(col("toks"), x => x === qt.getField("term"))).cast("double")
+          val tf  = tfOf(qt)
           val df  = qt.getField("df")
           val idf = (col("n") - df + lit(0.5)) / (df + lit(0.5))
           acc + idf * ((tf * lit(K1 + 1.0)) /
@@ -155,24 +188,16 @@ object Retrieval {
     * signal). */
   def bm25Indexed(docs: DataFrame, spark: SparkSession, path: String,
                   queries: Seq[(String, Seq[String])], k: Int = 10): DataFrame = {
-    import spark.implicits._
-    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
+    val (terms, d) = termBase(docs, queries)
     val stats = spark.read.parquet(s"$path/stats")
     val dfreq = spark.read.parquet(s"$path/dfreq")
-    val q = queries.toDF("query_id", "terms")
-      .select(col("query_id"), posexplode(col("terms")).as(Seq("pos", "term")))
-      .join(dfreq.where(col("term").isin(queries.flatMap(_._2).distinct: _*)),
-        Seq("term"), "left")
-      .na.fill(0.0, Seq("df"))
-      .groupBy("query_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("term"), col("df"))))
-        .as("qterms"))
+    val q = qtermsOf(spark, queries, terms,
+      dfreq.where(col("term").isin(terms: _*)))
     val scored = d
       .crossJoin(broadcast(q.crossJoin(stats)))
       .withColumn("score",
         aggregate(col("qterms"), lit(0.0), (acc, qt) => {
-          val tf  = size(filter(col("toks"), x => x === qt.getField("term"))).cast("double")
+          val tf  = tfOf(qt)
           val df  = qt.getField("df")
           val idf = (col("n") - df + lit(0.5)) / (df + lit(0.5))
           acc + idf * ((tf * lit(K1 + 1.0)) /
@@ -193,23 +218,14 @@ object Retrieval {
     * pushdown top-k. */
   def tfidfRank(docs: DataFrame, queries: Seq[(String, Seq[String])], k: Int = 10): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
+    val (terms, d) = termBase(docs, queries)
     val stats = d.agg(count(lit(1)).cast("double").as("n"))
-    val dfreq = d.select(explode(array_distinct(col("toks"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val q = queries.toDF("query_id", "terms")
-      .select(col("query_id"), posexplode(col("terms")).as(Seq("pos", "term")))
-      .join(dfreq, Seq("term"), "left")
-      .na.fill(0.0, Seq("df"))
-      .groupBy("query_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("term"), col("df"))))
-        .as("qterms"))
+    val q = qtermsOf(spark, queries, terms, dfreqOf(d, terms))
     val scored = d
       .crossJoin(broadcast(q.crossJoin(stats)))
       .withColumn("score",
         aggregate(col("qterms"), lit(0.0), (acc, qt) => {
-          val tf = size(filter(col("toks"), x => x === qt.getField("term"))).cast("double")
+          val tf = tfOf(qt)
           val df = qt.getField("df")
           acc + tf * ((col("n") - df + lit(0.5)) / (df + lit(0.5)))
         }))
@@ -243,28 +259,18 @@ object Retrieval {
   def rrfFusion(docs: DataFrame, queries: Seq[(String, Seq[String])],
                 k: Int = 10, depth: Int = 50, c: Int = 60): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    val d = docs.select(col("doc_id"), toks(col("text")).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
+    val (terms, d) = termBase(docs, queries)
     val stats = d.agg(
       count(lit(1)).cast("double").as("n"),
-      sum(size(col("toks"))).cast("double").as("total"))
-    val dfreq = d.select(explode(array_distinct(col("toks"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val q = queries.toDF("query_id", "terms")
-      .select(col("query_id"), posexplode(col("terms")).as(Seq("pos", "term")))
-      .join(dfreq, Seq("term"), "left")
-      .na.fill(0.0, Seq("df"))
-      .groupBy("query_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("term"), col("df"))))
-        .as("qterms"))
+      sum(element_at(col("__tc"), terms.length + 1)).cast("double").as("total"))
+    val q = qtermsOf(spark, queries, terms, dfreqOf(d, terms))
     // both arithmetic shapes EXACTLY as in bm25()/tfidfRank() — the
     // fused scores must stay bit-identical to the standalone rankers'
     val scored = d
       .crossJoin(broadcast(q.crossJoin(stats)))
       .withColumn("score_bm25",
         aggregate(col("qterms"), lit(0.0), (acc, qt) => {
-          val tf  = size(filter(col("toks"), x => x === qt.getField("term"))).cast("double")
+          val tf  = tfOf(qt)
           val df  = qt.getField("df")
           val idf = (col("n") - df + lit(0.5)) / (df + lit(0.5))
           acc + idf * ((tf * lit(K1 + 1.0)) /
@@ -272,7 +278,7 @@ object Retrieval {
         }))
       .withColumn("score_tfidf",
         aggregate(col("qterms"), lit(0.0), (acc, qt) => {
-          val tf = size(filter(col("toks"), x => x === qt.getField("term"))).cast("double")
+          val tf = tfOf(qt)
           val df = qt.getField("df")
           acc + tf * ((col("n") - df + lit(0.5)) / (df + lit(0.5)))
         }))

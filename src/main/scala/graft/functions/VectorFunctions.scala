@@ -415,6 +415,71 @@ object WordGrams {
   }
 }
 
+/** Per-document term-frequency vector over a FIXED term list, plus the
+  * document length, in ONE byte scan — the retrieval scoring primitive
+  * ([[graft.ext.Retrieval]]): slot i (1-based) counts occurrences of
+  * `terms(i-1)` among the NON-EMPTY whitespace tokens (the
+  * `filter(split(text, " "), length > 0)` tokenization), and the LAST
+  * slot is the non-empty token count (BM25's dl). Replaces a
+  * `size(filter(toks, x === term))` scan per query term per document —
+  * interpreted closures, O(tokens · terms) — with one tokenize +
+  * hash-lookup pass. */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "need at least one term")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "term_counts"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${dt.sql}")
+  }
+  @transient private lazy val termMap = TermCounts.buildMap(terms)
+  override def nullSafeEval(input: Any): Any =
+    TermCounts.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      termMap, terms.length)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("termMap", termMap,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Integer>")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TermCounts.compute($c, $mapRef, ${terms.length})")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  import org.apache.spark.unsafe.types.UTF8String
+  def buildMap(terms: Seq[String]): java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    terms.zipWithIndex.foreach { case (t, i) => m.put(UTF8String.fromString(t), i) }
+    m
+  }
+  def compute(text: UTF8String,
+              termMap: java.util.HashMap[UTF8String, Integer],
+              nTerms: Int): ArrayData = {
+    val nBytes = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val counts = new Array[Long](nTerms + 1)
+    var tokStart = 0
+    var i = 0
+    while (i <= nBytes) {
+      if (i == nBytes || text.getByte(i) == ' '.toByte) {
+        if (i > tokStart) { // non-empty token
+          counts(nTerms) += 1
+          // transient zero-copy view — used only for the map probe
+          val idx = termMap.get(UTF8String.fromAddress(base, off + tokStart, i - tokStart))
+          if (idx != null) counts(idx) += 1
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+}
+
 /** GloVe windowed co-occurrence pairs ([[graft.ext.TextAnalysis
   * .cooccurrence]]) in ONE native pass — replaces the nested
   * flatten/transform HOF explosion (interpreted closures and an
@@ -1028,6 +1093,8 @@ object vectors {
     bridge.column(WindowBoundaryCos(bridge.expression(text), window))
   def coocPairs(text: Column, window: Int, scale: Long): Column =
     bridge.column(CoocPairs(bridge.expression(text), window, scale))
+  def termCounts(text: Column, terms: Seq[String]): Column =
+    bridge.column(TermCounts(bridge.expression(text), terms))
   def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
     bridge.column(BloomMightContain(bloomBytes, bridge.expression(key)))
   def lcsLength(a: Column, b: Column): Column =
