@@ -870,6 +870,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("native text expressions: winnow/boundaries ride ONE scan, zero corpus exchanges") {
+    // the r14 native-expression sweep's plan contract: the per-document
+    // pass is a single codegen'd Generate over the scan — any regression
+    // back to HOF chains or an added exchange shows up here
+    for (name <- Seq("winnow_fingerprints", "semantic_boundaries")) {
+      val p = physical(name)
+      assert(count(p) { case _: FileSourceScanExec => } == 1,
+        s"$name must be one documents scan:\n$p")
+      assert(shuffles(p) == 0, s"$name must not exchange:\n$p")
+    }
+    // glove_cooc keeps exactly its one pair-count aggregation exchange
+    val g = physical("glove_cooc")
+    assert(count(g) { case _: FileSourceScanExec => } == 1)
+    assert(shuffles(g) == 1, s"glove_cooc should have only the count agg exchange:\n$g")
+  }
+
+  test("bm25_topk: corpus stats + df fold into aggregations of ONE scan shape") {
+    // TermCounts base: no more distinct-explode df pass over the corpus —
+    // the plan's scans are the scoring pass + the stats/df aggregation
+    // subtrees over the same native vector (ReuseExchange-deduped or
+    // trivially cheap); what must NEVER return is a per-term token filter
+    val p = physical("bm25_topk")
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0)
+    assert(p.toString.contains("term_counts"),
+      s"bm25 must score off the native term vector:\n${p.toString.take(2000)}")
+  }
+
   test("mrl_recall: ONE fused corpus scan, queries broadcast, never a cartesian") {
     val p = physical("mrl_recall")
     assert(count(p) { case _: joins.CartesianProductExec => } == 0,
