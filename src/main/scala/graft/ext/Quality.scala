@@ -926,12 +926,6 @@ object Quality {
     * exchange is the single-row final aggregate. */
   def bleuCorpus(pairs: DataFrame, cand: Column, ref: Column): DataFrame = {
     def toks(c: Column) = filter(split(c, " "), w => length(w) > 0)
-    // sequence(1, m) DESCENDS when m < 1 — guard short rows to an empty
-    // gram list instead
-    def grams(t: Column, n: Int): Column =
-      when(size(t) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws("\u0001", slice(t, i, lit(n)))))
     // a per-row HOF multiset fold here would be O(|distinct|*|tokens|)
     // per row per order — quadratic in document length and outside
     // whole-stage codegen (measured ~100x slower than columnar engines on
@@ -948,13 +942,15 @@ object Quality {
     // count/join key is the gram's xxhash64 — 8-byte keys on the
     // corpus-sized exchanges instead of strings (a 64-bit collision
     // would merge two gram counts; ~10⁻⁵ odds at 10⁹ grams, and the
-    // driver oracle would catch it)
+    // driver oracle would catch it). Hashes come straight off the token
+    // array in one native pass per order (r14,
+    // [[graft.functions.ArrayGramHashes]] — the HOF chain allocated the
+    // joined gram string per gram through interpreted lambdas)
     def gramCounts(side: Column, out: String) = tok
       .select(col("__id"),
         explode(array((1 to 4).map(n => struct(lit(n).as("n"),
-          grams(side, n).as("gs"))): _*)).as("__e"))
-      .select(col("__id"), col("__e.n").as("n"), explode(col("__e.gs")).as("__g"))
-      .select(col("__id"), col("n"), xxhash64(col("__g")).as("g"))
+          graft.functions.vectors.arrayGramHashes(side, n).as("gs"))): _*)).as("__e"))
+      .select(col("__id"), col("__e.n").as("n"), explode(col("__e.gs")).as("g"))
       .groupBy("__id", "n", "g").agg(count(lit(1)).as(out))
     val cc = gramCounts(col("__c"), "cc")
     val rc = gramCounts(col("__r"), "rc")

@@ -415,6 +415,70 @@ object WordGrams {
   }
 }
 
+/** xxhash64 of every n-gram of a token ARRAY in one pass — the native
+  * twin of `transform(sequence(1, size(t) - (n-1)), i =>
+  * xxhash64(concat_ws("", slice(t, i, n))))` ([[graft.ext.Quality
+  * .bleuCorpus]]'s gram keying), which allocated the joined gram STRING
+  * per gram through interpreted lambdas before hashing it. Bit-compatible:
+  * the hash input is the gram's tokens joined by 0x01 (built once in a
+  * reused scratch buffer), seed 42 (single-arg `xxhash64`). Fewer than n
+  * tokens → empty (the `when(size(t) < n, …)` guard); duplicates kept in
+  * order (the counts downstream need multiplicity). */
+case class ArrayGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "array_gram_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${dt.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    ArrayGramHashes.compute(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayGramHashes.compute($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ArrayGramHashes =
+    copy(child = newChild)
+}
+
+object ArrayGramHashes {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val scratch = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](1 << 12))
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(new Array[Long](0))
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Long](len - n + 1)
+    var buf = scratch.get()
+    var t = 0
+    while (t + n <= len) {
+      var need = n - 1
+      var j = 0
+      while (j < n) { need += toks(t + j).numBytes(); j += 1 }
+      if (buf.length < need) {
+        buf = new Array[Byte](Integer.highestOneBit(need) << 1)
+        scratch.set(buf)
+      }
+      var off = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(off) = 0x01; off += 1 }
+        val tok = toks(t + j)
+        tok.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+        off += tok.numBytes()
+        j += 1
+      }
+      out(t) = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, off, 42L)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-document term-frequency vector over a FIXED term list, plus the
   * document length, in ONE byte scan — the retrieval scoring primitive
   * ([[graft.ext.Retrieval]]): slot i (1-based) counts occurrences of
@@ -1095,6 +1159,8 @@ object vectors {
     bridge.column(CoocPairs(bridge.expression(text), window, scale))
   def termCounts(text: Column, terms: Seq[String]): Column =
     bridge.column(TermCounts(bridge.expression(text), terms))
+  def arrayGramHashes(arr: Column, n: Int): Column =
+    bridge.column(ArrayGramHashes(bridge.expression(arr), n))
   def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
     bridge.column(BloomMightContain(bloomBytes, bridge.expression(key)))
   def lcsLength(a: Column, b: Column): Column =
