@@ -123,6 +123,7 @@ object ScaleProbe {
     val r12Only = args.length > 1 && args(1) == "r12"
     val r13Only = args.length > 1 && args(1) == "r13"
     val r14Only = args.length > 1 && args(1) == "r14"
+    val r14bOnly = args.length > 1 && args(1) == "r14b"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
@@ -584,7 +585,25 @@ object ScaleProbe {
       Seq(t1, tN,
         ("emb_drift_peak_mib_1x", p1, 0L), (s"emb_drift_peak_mib_${rep}x", pN, 0L))
     }
-    val results = if (r14Only) r14Probes
+    def r14bProbes = {
+      // growth exponents of the round-14 native-expression operators: all
+      // are per-document byte scans feeding bounded aggregations, so wall
+      // time must grow ~linearly in rows (docsN keeps near-dup structure
+      // linear; bm25 holds the query set FIXED as a real serving workload
+      // does)
+      d1.count(); dN.count()
+      Seq(
+        time("winnow_pairs_1x") { ext.Dedup.winnowPairs(d1).count() },
+        time(s"winnow_pairs_${rep}x") { ext.Dedup.winnowPairs(dN).count() },
+        time("glove_cooc_1x") { force(ext.TextAnalysis.cooccurrence(d1)) },
+        time(s"glove_cooc_${rep}x") { force(ext.TextAnalysis.cooccurrence(dN)) },
+        time("sem_boundaries_1x") { force(ext.TextAnalysis.semanticBoundaries(d1)) },
+        time(s"sem_boundaries_${rep}x") { force(ext.TextAnalysis.semanticBoundaries(dN)) },
+        time("bm25_1x") { force(ext.Retrieval.bm25(d1, ext.Retrieval.GateQueries)) },
+        time(s"bm25_${rep}x") { force(ext.Retrieval.bm25(dN, ext.Retrieval.GateQueries)) })
+    }
+    val results = if (r14bOnly) r14bProbes
+    else if (r14Only) r14Probes
     else if (r13Only) r13Probes
     else if (r12Only) r12Probes
     else if (r9Only) r9Probes else if (r9bOnly) r9bProbes
