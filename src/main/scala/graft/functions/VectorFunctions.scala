@@ -458,8 +458,9 @@ object ArrayGramHashes {
       var need = n - 1
       var j = 0
       while (j < n) { need += toks(t + j).numBytes(); j += 1 }
-      if (buf.length < need) {
-        buf = new Array[Byte](Integer.highestOneBit(need) << 1)
+      if (buf.length < need) { // grow ≥2×, overflow-safe for huge grams
+        buf = new Array[Byte](math.max(need, math.min(buf.length.toLong * 2,
+          Int.MaxValue - 8L).toInt))
         scratch.set(buf)
       }
       var off = 0
