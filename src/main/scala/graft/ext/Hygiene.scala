@@ -78,17 +78,14 @@ object Hygiene {
         // O(n log n) per document, vs the naive per-distinct-gram recount
         // (O(distinct·n) interpreted lambda calls — HOFs never enter
         // whole-stage codegen — measured 2.5× slower end-to-end at sf0.1).
+        // r14: the sort+scan is one native expression
+        // ([[graft.functions.ModalRunLength]], same binary sort order) —
+        // the aggregate fold allocated a struct per gram interpreted.
         // Short docs (no 2-/3-grams): the fraction is 0.0 by definition —
         // no repeated n-gram evidence — and an unguarded /0 would abort the
         // job under Spark 4's default ANSI mode.
-        when(size(bi) === 0, lit(0.0)).otherwise(expr(
-          """aggregate(array_sort(__bi),
-            |  named_struct('prev', '', 'run', 0L, 'best', 0L),
-            |  (a, x) -> named_struct(
-            |    'prev', x,
-            |    'run',  IF(x = a.prev, a.run + 1L, 1L),
-            |    'best', GREATEST(a.best, IF(x = a.prev, a.run + 1L, 1L))),
-            |  a -> a.best)""".stripMargin).cast("double") / size(bi))
+        when(size(bi) === 0, lit(0.0)).otherwise(
+          vectors.modalRunLength(bi).cast("double") / size(bi))
           .as("top_2gram_frac"),
         when(size(tri) === 0, lit(0.0))
           .otherwise(lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri))

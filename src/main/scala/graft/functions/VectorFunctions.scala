@@ -415,6 +415,49 @@ object WordGrams {
   }
 }
 
+/** Length of the longest run of EQUAL strings after sorting — the modal
+  * multiplicity of an array (how many times its most frequent element
+  * appears), used by [[graft.ext.Hygiene.repetitionStats]]' modal-2-gram
+  * fraction. The HOF form it replaces (`aggregate(array_sort(arr),
+  * struct-fold)`) allocated a 3-field struct per element through an
+  * interpreted lambda; this sorts token views (binary UTF8 order, same as
+  * `array_sort`) and scans once. Empty array → 0 (the fold's zero). */
+case class ModalRunLength(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "modal_run_length"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${dt.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    ModalRunLength.compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ModalRunLength.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): ModalRunLength =
+    copy(child = newChild)
+}
+
+object ModalRunLength {
+  import org.apache.spark.unsafe.types.UTF8String
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val a = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { a(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(a, (x: UTF8String, y: UTF8String) => x.compareTo(y))
+    var best = 1L; var run = 1L
+    i = 1
+    while (i < n) {
+      if (a(i) == a(i - 1) || a(i).equals(a(i - 1))) { run += 1; if (run > best) best = run }
+      else run = 1L
+      i += 1
+    }
+    best
+  }
+}
+
 /** xxhash64 of every n-gram of a token ARRAY in one pass — the native
   * twin of `transform(sequence(1, size(t) - (n-1)), i =>
   * xxhash64(concat_ws("", slice(t, i, n))))` ([[graft.ext.Quality
@@ -1162,6 +1205,8 @@ object vectors {
     bridge.column(TermCounts(bridge.expression(text), terms))
   def arrayGramHashes(arr: Column, n: Int): Column =
     bridge.column(ArrayGramHashes(bridge.expression(arr), n))
+  def modalRunLength(arr: Column): Column =
+    bridge.column(ModalRunLength(bridge.expression(arr)))
   def bloomMightContain(bloomBytes: Array[Byte], key: Column): Column =
     bridge.column(BloomMightContain(bloomBytes, bridge.expression(key)))
   def lcsLength(a: Column, b: Column): Column =
