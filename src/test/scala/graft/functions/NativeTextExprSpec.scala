@@ -155,6 +155,39 @@ class NativeTextExprSpec extends AnyFunSuite {
     }
   }
 
+  test("ArrayGramHashes == xxhash64 over the concat_ws-joined HOF grams") {
+    for (n <- Seq(1, 2, 3, 4)) {
+      val t = filter(split(col("text"), " "), w => length(w) > 0)
+      val hof = when(size(t) < n, array().cast("array<long>"))
+        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+          i => xxhash64(concat_ws("", slice(t, i, lit(n))))))
+      val got = df.select(col("id"),
+        vectors.arrayGramHashes(t, n).as("g"), hof.as("e")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n id=${r.getLong(0)}: native=${r.getSeq[Long](1).take(5)} hof=${r.getSeq[Long](2).take(5)}")
+      }
+    }
+  }
+
+  test("ModalRunLength == the sorted-run aggregate fold") {
+    val hof = expr(
+      """aggregate(array_sort(__a),
+        |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+        |  (a, x) -> named_struct(
+        |    'prev', x,
+        |    'run',  IF(x = a.prev, a.run + 1L, 1L),
+        |    'best', GREATEST(a.best, IF(x = a.prev, a.run + 1L, 1L))),
+        |  a -> a.best)""".stripMargin)
+    val got = df.select(col("id"), split(col("text"), " ").as("__a"))
+      .select(col("id"), vectors.modalRunLength(col("__a")).as("g"), hof.as("e"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"id=${r.getLong(0)}: native=${r.getLong(1)} fold=${r.getLong(2)}")
+    }
+  }
+
   test("PrefixCosineSims == CosineSim over prefix slices, bit-exact per checkpoint") {
     val vecs = Seq(
       (1L, Seq(1.0f, 2.0f, -3.0f, 0.5f, 0.25f, -1.5f, 2.5f, 0.125f),
