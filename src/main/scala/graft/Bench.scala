@@ -46,13 +46,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // auto-lower + cross-column scan fusion, as a production session would
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.extensions", "graft.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -108,9 +108,19 @@ object Bench {
       group.foreach(n => timed += ((n, median(n), w)))
       sentinels += median(sentinelName)
     }
+    // retime trigger (VERDICT r14 #3): the r14 run had two windows whose
+    // ENDPOINT sentinels agreed with each other while both sat ~1.2× above
+    // the run's best sentinel — a sustained burst spanning a whole window
+    // is invisible to an endpoint-pair comparison. Judge each window
+    // against the RUN-MINIMUM sentinel instead (computable only after the
+    // full pass, hence retime-at-the-end), at a tighter 1.15× bound: a
+    // false positive merely re-times a window once and keeps the smaller
+    // median, while a false negative ships an inflated number.
+    val sMin = sentinels.filter(_ > 0).minOption.getOrElse(-1.0)
+    val sMax = sentinels.filter(_ > 0).maxOption.getOrElse(-1.0)
     def skewed(w: Int): Boolean = {
       val (a, b) = (sentinels(w), sentinels(w + 1))
-      a > 0 && b > 0 && math.max(a, b) / math.min(a, b) > 1.3
+      a > 0 && b > 0 && sMin > 0 && math.max(a, b) / sMin > 1.15
     }
     val retimed = scala.collection.mutable.ArrayBuffer[String]()
     val results = timed.toSeq.map { case (n, t, w) =>
@@ -120,8 +130,6 @@ object Bench {
         n -> (if (t2 >= 0) math.min(t, t2) else t)
       } else n -> t
     }
-    val sMin = sentinels.filter(_ > 0).minOption.getOrElse(-1.0)
-    val sMax = sentinels.filter(_ > 0).maxOption.getOrElse(-1.0)
     val contended = sMin > 0 && sMax / sMin > 1.3
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -63,11 +63,11 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val c = parse(args.toIndexedSeq)
-    val spark = SparkSession.builder()
+    val spark = graft.SessionTuning(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel(if (c.debug) "INFO" else "WARN")
     val q = toStream(c).start(spark, System.out)

@@ -469,8 +469,7 @@ object Hygiene {
     * score; equal ranks (hash collisions) break by ascending id on both
     * engines. */
   def exactKSample(df: DataFrame, stratum: Column, id: Column, k: Int): DataFrame = {
-    val topk = udaf(new TopKAgg(k),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+    val topk = graft.functions.topk.topK(k)
     df.select(stratum.as("stratum"), id.as("id"))
       .withColumn("r", hashU64(col("id")))
       .groupBy("stratum")

@@ -283,10 +283,8 @@ object Retrieval {
           acc + tf * ((col("n") - df + lit(0.5)) / (df + lit(0.5)))
         }))
       .select(col("query_id"), col("doc_id"), col("score_bm25"), col("score_tfidf"))
-    val topAll = udaf(new TopKAgg(depth),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
-    val topPos = udaf(new TopKAgg(depth, minScoreExclusive = 0.0),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+    val topAll = graft.functions.topk.topK(depth)
+    val topPos = graft.functions.topk.topK(depth, minScoreExclusive = 0.0)
     val agg = scored.groupBy("query_id").agg(
       topAll(col("doc_id"), col("score_bm25")).as("tb"),
       topPos(col("doc_id"), col("score_tfidf")).as("tt"))

@@ -77,7 +77,11 @@ class MultiTopKAgg(k: Int, legs: Int,
 object Similarity {
   private type Q = (SparkSession, String) => DataFrame
 
-  private def topkUdaf(k: Int) = udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
+  /** The native [[graft.functions.NativeTopK]] aggregate (primitive binary
+    * buffer, no per-row encoder round-trip); semantics pinned ≡ the typed
+    * [[TopKAgg]] UDAF by NativeTopKSpec. */
+  private def topkUdaf(k: Int): (Column, Column) => Column =
+    graft.functions.topk.topK(k)
 
   /** Centroid seed (first `nCells` vectors by id) collected to the driver and
     * shipped as a typed literal `array<struct<_1: cell id, _2: embedding>>` —
@@ -615,7 +619,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         vectors.prefixCosineSims(col("qe"), col("embedding"),
           dims :+ Int.MaxValue).as("sims"))
-    val multiTopk = udaf(new MultiTopKAgg(k, nLegs), ExpressionEncoder[MultiScored]())
+    val multiTopk = graft.functions.topk.multiTopK(k, nLegs)
     val grouped = pairs.groupBy("query_id")
       .agg(multiTopk(col("vec_id"), col("sims")).as("nb"))
     def ids(i: Int): Column = transform(col("nb").getItem(i), s => s.getField("id"))

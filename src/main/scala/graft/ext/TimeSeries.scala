@@ -60,8 +60,7 @@ object TimeSeries {
       .select(col("q_ent"), col("ent"),
         (col("qn2") + col("n2") -
           lit(2).cast(dec) * coalesce(col("dot"), lit(0).cast(dec))).as("d2"))
-    val topk = udaf(new TopKAgg(k),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+    val topk = graft.functions.topk.topK(k)
     scored.groupBy("q_ent")
       .agg(topk(col("ent"), -col("d2").cast("double")).as("nb"))
       .select(col("q_ent"), posexplode(col("nb")).as(Seq("pos", "s")))

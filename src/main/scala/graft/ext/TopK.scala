@@ -29,7 +29,7 @@ object TopK {
 
   def groupTopK(df: DataFrame, groupCols: Seq[String], id: Column, score: Column,
                 k: Int): DataFrame = {
-    val agg = udaf(new TopKAgg(k), ExpressionEncoder[Scored]())
+    val agg = graft.functions.topk.topK(k)
     df.groupBy(groupCols.map(col): _*)
       .agg(agg(id.cast("long"), score.cast("double")).as("__top"))
       .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__pos", "__s")): _*)

@@ -31,11 +31,11 @@ object ProdSession {
     if (cached == null || cached.sparkContext.isStopped) {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      cached = SparkSession.builder()
+      cached = SessionTuning(SparkSession.builder()
         .master("local[4]")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "false"))
         .withExtensions(new GraftExtensions()(_))
         .getOrCreate()
     }
