@@ -272,18 +272,118 @@ object Similarity {
     * clears `marginThreshold` — the margin normalizes away "hub" vectors
     * that are near everything, the failure mode of raw-cosine mining.
     *
-    * Plan shape: the |src|×|tgt| similarity matrix is evaluated ONCE
-    * (src broadcast against a narrow tgt scan — the [[annTopK]] brute
-    * baseline; at corpus scale substitute the [[annIvf]] probed product,
-    * same downstream), and BOTH direction top-ks come out of that single
-    * pass: each sim row explodes into a (side, key, other) pair and one
-    * partial-agged [[TopKAgg]] per (side, key) reduces to ≤ k rows before
-    * the shuffle — the sim matrix itself never shuffles. Forward and
-    * backward averages fold the top-k array in rank order (deterministic;
-    * the oracle mirrors with `list(... ORDER BY rk)`), and the mutual
-    * check is a join of two best-edge tables, each |side|-sized. */
+    * Plan shape (r15 fused form): the src side is collected once and baked
+    * into the plan as a float matrix — the same driver-bounded posture as
+    * the `broadcast(src)` of the retained join form ([[bitextMineJoin]]);
+    * this exact miner is the DECLARED small-|src| baseline and
+    * [[bitextMineIvf]] (or [[bitextAuto]]) is the corpus-scale path. The
+    * |src|×|tgt| similarity matrix then never becomes rows at all: two
+    * NARROW scans of tgt ([[graft.functions.CosineSimsAll]] emits each
+    * row's full cosine vector inside codegen) cover both directions — the
+    * forward top-ks fold through ONE global [[graft.functions
+    * .NativeMultiTopK]] with |src| legs and come back as ≤ |src|·k pairs,
+    * and the backward top-k is a per-row [[graft.functions.ArgTopKLit]]
+    * with NO aggregation. Mutual-best and margin evaluate inside the
+    * backward scan against map literals of the forward tables: zero
+    * joins, zero shuffles, three jobs total. Averages fold the top-k in
+    * rank order (deterministic; the oracle mirrors with `list(... ORDER
+    * BY rk)`), and every cosine/margin is bit-equal to the join form
+    * (BitextFusedSpec). */
   def bitextMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
                  marginThreshold: Double = 1.0): DataFrame = {
+    // r15 fused form: the join-based miner (retained as [[bitextMineJoin]])
+    // paid for the |src|×|tgt| BroadcastNestedLoopJoin materializing every
+    // joined row (both embeddings copied per pair) plus a 2-structs-per-pair
+    // explode into the dual top-k aggregation. Here the src side becomes a
+    // plan-baked matrix — the same driver-bounded posture as the
+    // broadcast(src) it replaces; [[bitextMineIvf]] remains the scale
+    // path — and the pipeline is two NARROW scans of tgt with no join of
+    // the matrix at all:
+    //   - backward: each tgt row's [[graft.functions.CosineSimsAll]] vector
+    //     yields its own top-k sources per row ([[graft.functions
+    //     .ArgTopKLit]]) — no aggregation;
+    //   - forward: ONE global [[graft.functions.NativeMultiTopK]] with
+    //     |src| legs folds the same vectors into every source's top-k
+    //     targets (≤ |src|·k rows per partition cross the wire).
+    // Every cosine is the identical sequential fold of [[vectors
+    // .cosineSim]], so sims/margins are bit-equal to the join form
+    // (BitextFusedSpec pins it) and the SQL oracle is unchanged.
+    val srcRows = src.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect()
+    if (srcRows.isEmpty) return emptyMineResult(src.sparkSession)
+    val sids = srcRows.map(_.getLong(0))
+    val mat = srcRows.map(_.getSeq[Float](1).toArray)
+    val perTgt = tgt.select(col("vec_id").as("tid"),
+      graft.functions.matrix.cosineSimsAll(col("embedding"), mat).as("cosv"))
+    // rank-order fold; the size guard keeps an EMPTY top-k (every cosine
+    // NULL — zero-norm rows) an ANSI-safe NULL instead of a /0 error even
+    // if the optimizer hoists this above the emptiness filter
+    def avgOf(nb: Column): Column =
+      when(size(nb) > 0,
+        aggregate(nb, lit(0.0), (acc, s) => acc + s.getField("score")) / size(nb))
+    // Forward direction: ONE global aggregation, collected — ≤ |src|·k
+    // (id, score) pairs, the same driver-bounded posture as the matrix
+    // itself. The rank-order average replays the identical IEEE fold the
+    // join form's `aggregate(...)/size` ran (sequential adds, then one
+    // divide), so margins stay bit-equal.
+    val legs = perTgt
+      .agg(graft.functions.topk.multiTopK(k, sids.length)(
+        col("tid"), col("cosv")).as("legs"))
+      .head().getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+    val fwdBest = scala.collection.mutable.Map.empty[Long, Long] // sid → best tid
+    val fwdSim = scala.collection.mutable.Map.empty[Long, Double] // sid → best sim
+    val fwdAvg = scala.collection.mutable.Map.empty[Long, Double] // sid → top-k avg
+    var i = 0
+    while (i < sids.length) {
+      val nb = legs(i)
+      if (nb.nonEmpty) { // a src whose every cosine was NULL has no best edge
+        val sid = sids(i)
+        fwdBest(sid) = nb.head.getLong(0)
+        fwdSim(sid) = nb.head.getDouble(1)
+        fwdAvg(sid) = nb.foldLeft(0.0)(_ + _.getDouble(1)) / nb.size
+      }
+      i += 1
+    }
+    // Backward direction + mutual-best + margin, all inside the ONE
+    // remaining narrow scan: the forward tables become map literals
+    // (element_at → NULL for an absent sid, which fails the equality and
+    // drops the row — exactly the join form's inner-join semantics), so
+    // the fused miner has no join and no shuffle at all.
+    perTgt
+      .select(col("tid"),
+        graft.functions.matrix.argTopKLit(col("cosv"), sids, k).as("nb"))
+      .where(size(col("nb")) > 0)
+      .select(col("tid").as("tgt_id"),
+        get(col("nb"), lit(0)).getField("id").as("src_id"),
+        avgOf(col("nb")).as("avg_tgt"))
+      .where(element_at(typedLit(fwdBest.toMap), col("src_id")) === col("tgt_id"))
+      .withColumn("sim", element_at(typedLit(fwdSim.toMap), col("src_id")))
+      .withColumn("margin",
+        col("sim") / (lit(0.5) *
+          element_at(typedLit(fwdAvg.toMap), col("src_id")) +
+          lit(0.5) * col("avg_tgt")))
+      .where(col("margin") >= marginThreshold)
+      .select("src_id", "tgt_id", "sim", "margin")
+  }
+
+  private def emptyMineResult(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tgt_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sim",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("margin",
+          org.apache.spark.sql.types.DoubleType))))
+
+  /** The pre-r15 join-form exact miner — |src|×|tgt| broadcast cross join
+    * through [[mineFromSims]] — retained as the differential reference
+    * (BitextFusedSpec pins [[bitextMine]] ≡ this, bit-exact). */
+  private[ext] def bitextMineJoin(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                                  marginThreshold: Double = 1.0): DataFrame = {
     val q = broadcast(src.select(col("vec_id").as("sid"), col("embedding").as("se")))
     val sims = tgt.select(col("vec_id").as("tid"), col("embedding").as("te"))
       .crossJoin(q)
@@ -304,17 +404,26 @@ object Similarity {
         .as("x"), col("sim"))
       .groupBy(col("x.side").as("side"), col("x.key").as("key"))
       .agg(topkUdaf(k)(col("x.other"), col("sim")).as("nb"))
-      .withColumn("avg", aggregate(col("nb"), lit(0.0),
-        (acc, s) => acc + s.getField("score")) / size(col("nb")))
+      // size guard: an empty top-k (all cosines NULL) must yield a NULL
+      // average, not an ANSI /0 error — its row drops at the side filters
+      .withColumn("avg", when(size(col("nb")) > 0,
+        aggregate(col("nb"), lit(0.0),
+          (acc, s) => acc + s.getField("score")) / size(col("nb"))))
       // materialize: the fwd/bwd side filters would otherwise push below
       // the aggregation and re-evaluate the full sim matrix once per
       // branch; the checkpointed table is ≤ |src|+|tgt| top-k rows
       .localCheckpoint()
-    val fwd = tk.where(col("side") === 0).select(
-      col("key").as("src_id"), col("nb")(0).getField("id").as("tgt_id"),
-      col("nb")(0).getField("score").as("sim"), col("avg").as("avg_src"))
-    val bwd = tk.where(col("side") === 1).select(
-      col("key").as("b_tgt"), col("nb")(0).getField("id").as("b_src"),
+    // a key whose every candidate cosine was NULL/NaN still forms a group
+    // with an EMPTY top-k (the guard drops the inputs, not the group) —
+    // such keys drop here (they can have no best edge; zero-norm embeddings
+    // reach this in the IVF path). `get(nb, 0)` not `nb[0]`: the optimizer
+    // can hoist the extraction above this filter, and on an empty array the
+    // ANSI apply throws where get() yields a NULL the filter then drops.
+    val fwd = tk.where(col("side") === 0 && size(col("nb")) > 0).select(
+      col("key").as("src_id"), get(col("nb"), lit(0)).getField("id").as("tgt_id"),
+      get(col("nb"), lit(0)).getField("score").as("sim"), col("avg").as("avg_src"))
+    val bwd = tk.where(col("side") === 1 && size(col("nb")) > 0).select(
+      col("key").as("b_tgt"), get(col("nb"), lit(0)).getField("id").as("b_src"),
       col("avg").as("avg_tgt"))
     fwd.join(bwd, col("tgt_id") === col("b_tgt") && col("src_id") === col("b_src"))
       .withColumn("margin",
@@ -356,6 +465,34 @@ object Similarity {
     // sim is the same expression over the same vectors in both branches —
     // bit-identical, so the distinct collapses duplicates exactly
     mineFromSims(a.unionByName(b).distinct(), k, marginThreshold)
+  }
+
+  /** Measured routing between the exact fused miner and the IVF scale path
+    * (VERDICT r14 item 5 — the [[annAuto]]/[[graft.ext.Dedup.dedupAuto]]
+    * discipline applied to mining): the exact form's cost is the |src|·|tgt|
+    * cosine product plus a plan-baked |src| matrix, so the router decides on
+    * the PRODUCT — at or below `exactMaxProduct` pairs the brute matrix scan
+    * is both exact and faster (no centroid assignment, no probe join, three
+    * jobs total); above it, [[bitextMineIvf]] bounds the candidate product
+    * through probed cells sized by [[Tuning.suggestIvf]]'s √n geometry on
+    * the centroid-seeding (tgt) side. Two `count()`s decide. The default
+    * crossover (10⁷ pairs ≈ 3000×3000) sits an order of magnitude above the
+    * sf0.1 gate product (10⁶), where BitextAutoSpec measures the exact form
+    * still ahead — the product is compute-bound (dim multiplies), so the
+    * boundary scales down with dim and a user tunes it per corpus. */
+  def bitextAuto(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                 marginThreshold: Double = 1.0,
+                 exactMaxProduct: Long = 10_000_000L): DataFrame = {
+    val ns = src.count()
+    val nt = tgt.count()
+    // overflow-safe product comparison in Long space
+    val exact = ns == 0 || nt == 0 || ns <= exactMaxProduct / nt
+    if (exact) bitextMine(src, tgt, k, marginThreshold)
+    else {
+      val p = Tuning.suggestIvf(nt)
+      bitextMineIvf(src, tgt, k, marginThreshold,
+        nCells = p.nCells, nProbe = p.nProbe)
+    }
   }
 
   /** Measured routing between exact and IVF ANN — the [[graft.ext.Dedup
@@ -1282,6 +1419,14 @@ object Similarity {
       bitextMine(emb.where(col("vec_id") % 2 === 0),
         emb.where(col("vec_id") % 2 === 1), k = 4, marginThreshold = 1.0)
     }),
+    // the measured router: at the gate product (≤10⁷ pairs) it must take
+    // the exact path, so the exact oracle applies verbatim; BitextAutoSpec
+    // pins the boundary and the IVF side
+    "bitext_auto" -> ((s, dir) => {
+      val emb = SparkEntry.table(s, dir, "embeddings")
+      bitextAuto(emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1), k = 4, marginThreshold = 1.0)
+    }),
     // the IVF-candidate scale path over the same halves — deterministic
     // id-seeded centroids from the tgt side, full algorithm-mirror oracle
     "bitext_mine_ivf" -> ((s, dir) => {
@@ -1637,6 +1782,11 @@ object Similarity {
         |  CAST(sum(rr) AS DOUBLE) / CAST(2520 * count(*) AS DOUBLE) AS mrr
         |FROM t""".stripMargin,
     "bitext_mine" ->
+      s"""WITH $bitextSidesSql,
+        |s AS (SELECT sid, tid, list_cosine_similarity(a.e, b.e) AS sim FROM a, b),
+        |$bitextMineSuffixSql""".stripMargin,
+    // the router takes the exact path at the gate product → exact oracle
+    "bitext_auto" ->
       s"""WITH $bitextSidesSql,
         |s AS (SELECT sid, tid, list_cosine_similarity(a.e, b.e) AS sim FROM a, b),
         |$bitextMineSuffixSql""".stripMargin,

@@ -38,34 +38,18 @@ object BitextProbe {
     time("warmup full")(graft.ext.Similarity.queries("bitext_mine")(spark, dir).count())
 
     (1 to 3).foreach { _ =>
-      time("sims count only")(sims.select(sum(col("sim"))).head())
-      time("fwd-only topk agg")(
-        sims.groupBy("sid").agg(topk.topK(k)(col("tid"), col("sim")).as("nb")).count())
-      val tk = sims
-        .select(explode(array(
-          struct(lit(0).as("side"), col("sid").as("key"), col("tid").as("other")),
-          struct(lit(1).as("side"), col("tid").as("key"), col("sid").as("other"))))
-          .as("x"), col("sim"))
-        .groupBy(col("x.side").as("side"), col("x.key").as("key"))
-        .agg(topk.topK(k)(col("x.other"), col("sim")).as("nb"))
-      // count() PRUNES the top-k column — collect() is the honest cost.
-      // Fresh DataFrame per action: a shared queryExecution would reuse
-      // the computed shuffle stage and under-report.
-      def freshTk = sims
-        .select(explode(array(
-          struct(lit(0).as("side"), col("sid").as("key"), col("tid").as("other")),
-          struct(lit(1).as("side"), col("tid").as("key"), col("sid").as("other"))))
-          .as("x"), col("sim"))
-        .groupBy(col("x.side").as("side"), col("x.key").as("key"))
-        .agg(topk.topK(k)(col("x.other"), col("sim")).as("nb"))
-      time("dual agg collect (honest)")(freshTk.collect().length)
-      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      time("dual agg collect thr=4M")(freshTk.collect().length)
-      time("localCheckpoint thr=4M")(freshTk.localCheckpoint().count())
-      time("full bitext thr=4M")(
-        graft.ext.Similarity.queries("bitext_mine")(spark, dir).count())
-      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
-      time("full bitext thr=128")(
+      val srcRows = time("src collect")(
+        src.select(col("vec_id"), col("embedding")).orderBy("vec_id").collect())
+      val sids = srcRows.map(_.getLong(0))
+      val mat = srcRows.map(_.getSeq[Float](1).toArray)
+      def perTgt = tgt.select(col("vec_id").as("tid"),
+        graft.functions.matrix.cosineSimsAll(col("embedding"), mat).as("cosv"))
+      time("cosv scan only")(perTgt.select(sum(size(col("cosv")))).head())
+      time("bwd per-row topk")(perTgt.select(col("tid"),
+        graft.functions.matrix.argTopKLit(col("cosv"), sids, k).as("nb")).count())
+      time("fwd global multitopk")(perTgt.agg(
+        graft.functions.topk.multiTopK(k, sids.length)(col("tid"), col("cosv")).as("legs")).count())
+      time("full fused bitext_mine")(
         graft.ext.Similarity.queries("bitext_mine")(spark, dir).count())
     }
     spark.stop()
