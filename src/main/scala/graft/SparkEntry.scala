@@ -219,6 +219,7 @@ object SparkEntry {
     * props docs are ~12 B, where Spark's job floor hides per-record engine
     * cost; this builds a realistic nested document per event so the A/B
     * measures the engines, not the scheduler. */
+  private[graft] def wideDocPublic: org.apache.spark.sql.Column = wideDoc
   private def wideDoc: org.apache.spark.sql.Column = {
     val pads = (1 to 20).flatMap(i => Seq(
       lit(s""", "f$i": "pad$i-abcdefghijklmnopqrstuvwxyz0123456789"""")))
@@ -275,9 +276,13 @@ object SparkEntry {
           jmespathDouble(col("doc"), "nums[-1]").as("nlast"))),
 
     // Variant twin of jmes_wide — the §1.2 representation A/B at realistic
-    // document width: parse_json once (subexpression elimination shares the
-    // Variant build across the filter and all four extractions), navigate
-    // the binary encoding with variant_get. Same outputs, same oracle shape.
+    // document width, retained as a TRACKING CONTROL with a recorded
+    // verdict (BASELINE.md §1.2, r15): for in-flight strings parsed within
+    // the query, parse_json's full binary-tree build per record is the
+    // cost class itself — a parse-once barrier form recovers only ~4%, and
+    // ONE variant_get over the parse already costs 1.5× the whole fused
+    // raw scan. Variant pays only when the parse amortizes across queries
+    // (a stored Variant column); the production path is the fused raw scan.
     "variant_wide" -> ((s, dir) =>
       table(s, dir, "events")
         .withColumn("doc", wideDoc)

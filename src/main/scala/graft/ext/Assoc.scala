@@ -61,15 +61,22 @@ object Assoc {
     // 2=item marginal, 3=basket total) — a string tag measurably slows
     // the 2M-struct stream — and maps to the BatchState letters at the end
     def k(b: Int) = lit(b.toByte).as("kind")
-    baskets
-      .select(explode(concat(
+    // BIGINT items (every gate) take the native [[graft.functions
+    // .CoocStructs]] generator — the HOF chain below evaluates its lambdas
+    // interpreted per element, which dominated the ~1.7M-struct explosion
+    // (r15 probe); AssocNativeSpec pins the two forms equal
+    val gen: Column =
+      if (itemType == org.apache.spark.sql.types.LongType)
+        graft.functions.CoocStructs.coocStructs(col("items"))
+      else concat(
         flatten(transform(col("items"), (a, i) =>
           transform(slice(col("items"), i + 2, size(col("items"))), b =>
             struct(k(1), a.as("a"), b.as("b"))))),
         transform(col("items"), a =>
           struct(k(2), a.as("a"), nullItem.as("b"))),
-        array(struct(k(3), nullItem.as("a"), nullItem.as("b")))
-      )).as("t"))
+        array(struct(k(3), nullItem.as("a"), nullItem.as("b"))))
+    baskets
+      .select(explode(gen).as("t"))
       .groupBy(col("t.kind").as("k"), col("t.a").as("a"), col("t.b").as("b"))
       .agg(count(lit(1)).as("n"))
       .select(element_at(typedLit(Map(1 -> "p", 2 -> "i", 3 -> "n")),
@@ -130,8 +137,14 @@ object Assoc {
       "minPairCount must be >= 1 and maxBasketItems >= 2")
     val baskets = cappedBaskets(rows, basket, item, maxBasketItems)
     val (pairs, items, total) = countSlices(coocCounts(baskets))
-    metrics(pairs, items, total, minPairCount)
+    sortAggScope(metrics(pairs, items, total, minPairCount))
   }
+
+  /** The ONLY ObjectHashAggregate in the cooc plans is the basket
+    * `collect_set` — growable buffers over many groups, the sort-path
+    * shape ([[ConfScope.sortBasedAgg]]; r15 CoocProbe A/B −0.4 s). */
+  private def sortAggScope(df: DataFrame): DataFrame =
+    ConfScope.sortBasedAgg(df)
 
   /** MAINTAINED co-occurrence over continuous basket ingest: pair counts,
     * item marginals, and the basket total are all ADDITIVE over
@@ -158,8 +171,8 @@ object Assoc {
     val base = if (replay) BatchState.load(spark, stateDir, Some(batchId))._1 else latest
     val bk = cappedBaskets(rows, basket, item, maxBasketItems)
     val comp = coocCounts(bk) // the batch's statistics in one corpus pass
-    val merged = base.map(_.unionByName(comp)).getOrElse(comp)
-      .groupBy("kind", "a", "b").agg(sum(col("n")).as("n"))
+    val merged = sortAggScope(base.map(_.unionByName(comp)).getOrElse(comp)
+      .groupBy("kind", "a", "b").agg(sum(col("n")).as("n")))
       .localCheckpoint(true)
     if (!replay) BatchState.save(merged, stateDir, batchId)
     val (pairs, items, total) = countSlices(merged)

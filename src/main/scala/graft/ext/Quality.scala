@@ -297,19 +297,10 @@ object Quality {
   /** Equi-depth boundaries for SEVERAL signals in one histogram pass:
     * `vals` is (sig, v); returns sig → its k−1 boundaries. Driver state:
     * per-(sig, partition) totals + the boundary row. */
-  /** One AQE-off CLONE per base session (memoized — newSession builds a
-    * fresh SessionState, too heavy per call): shares the SparkContext,
-    * catalog and cache manager, owns its own SQLConf, so per-query
-    * conf overrides executed through it can never leak into concurrent
-    * planners on the base session. */
-  private val aqeOffSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  /** AQE-off per-query scope, via the shared dead-session-sweeping
+    * [[ConfScope]] memo (ADVICE r14 #4). */
   private def aqeOffSession(base: SparkSession): SparkSession =
-    aqeOffSessions.computeIfAbsent(base, b => {
-      val s = b.newSession()
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s
-    })
+    ConfScope.session(base, Seq("spark.sql.adaptive.enabled" -> "false"))
 
   private def quantileBoundsMulti(vals: DataFrame, nBuckets: Int)
       : Map[String, Seq[Long]] =

@@ -770,6 +770,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one lineitem scan:\n$p")
   }
 
+  test("item_cooc: one collect fires exactly the broadcast + result jobs") {
+    // the r15 job-count pin (VERDICT r14 item 2): with AQE off the whole
+    // query is ONE result job plus the broadcast builds (the nBaskets
+    // scalar and the two AQE-independent marginal-side broadcasts) — the
+    // local floor is job-round-bound, not compute-bound (CoocProbe r15:
+    // basket agg ~0.85 s + pair agg ~0.8 s + tail; BASELINE.md floor
+    // note). More jobs means a hidden count/collect or a cache-build
+    // crept into the hot path.
+    SparkEntry.queries("item_cooc")(spark, sfDir).collect() // warm caches
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("item_cooc")(spark, sfDir).collect()
+      Thread.sleep(1500) // async listener bus drain (waitUntilEmpty is private)
+      assert(jobs.get() <= 4,
+        s"item_cooc must be broadcast builds + ONE result job, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("kn_bigram_lm: marginals aggregate the COLLAPSED pair table, one corpus scan") {
     val p = physical("kn_bigram_lm")
     // the single-row N1+(·,·) scalar broadcasts via nested loop BY DESIGN
