@@ -49,7 +49,12 @@ object Hygiene {
     * original byte span between its end tokens. */
   private[ext] def ngramsOf(text: Column, k: Int,
                             distinct: Boolean = false): Column =
-    vectors.wordGrams(text, k, distinct)
+    // NULL text yields an EMPTY gram array, not NULL (ADVICE r14 #1): the
+    // pre-r14 when(size(w) >= k, …).otherwise(array()) form did, and
+    // repetitionStats' fractions must stay 0.0 — not NULL — on NULL-text
+    // rows; WordGrams itself is null-intolerant like every UnaryExpression
+    coalesce(vectors.wordGrams(text, k, distinct),
+      array().cast("array<string>"))
 
   /** Gopher-style repetition metrics per document (Rae et al. 2021, §A1.1 —
     * fractions of duplicated words / n-grams; degenerate machine-generated

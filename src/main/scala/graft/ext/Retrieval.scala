@@ -60,8 +60,20 @@ object Retrieval {
     (terms, d)
   }
 
-  /** df table derived from the [[termBase]] vectors — (term, df) rows. */
+  /** df table derived from the [[termBase]] vectors — (term, df) rows.
+    * An EMPTY distinct term set (every query term list empty — ADVICE r14
+    * #5) yields an empty df table, and every ranker downstream falls
+    * through to its historical empty-result shape: no qterms rows → no
+    * scored rows → empty rankings. */
   private def dfreqOf(d: DataFrame, terms: Seq[String]): DataFrame = {
+    if (terms.isEmpty)
+      return d.sparkSession.createDataFrame(
+        d.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("df",
+            org.apache.spark.sql.types.DoubleType))))
     val aggs = terms.zipWithIndex.map { case (_, i) =>
       sum(when(element_at(col("__tc"), i + 1) > 0L, 1.0).otherwise(0.0)).as(s"__df_$i") }
     d.agg(aggs.head, aggs.tail: _*)

@@ -534,7 +534,9 @@ object ArrayGramHashes {
   * hash-lookup pass. */
 case class TermCounts(child: Expression, terms: Seq[String])
     extends UnaryExpression {
-  require(terms.nonEmpty, "need at least one term")
+  // terms MAY be empty (ADVICE r14 #5): the vector degenerates to the one
+  // dl slot, and the retrieval rankers fall through to their historical
+  // empty-result shape instead of an IllegalArgumentException
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "term_counts"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -757,9 +759,13 @@ object WindowBoundaryCos {
   * argmin per window). Bit-compatible by construction: gram strings are
   * the byte spans [[WordGrams]] proves equal to the joined-token form, the
   * hash is the first 4 sha256 bytes as an unsigned 32-bit value (≡ first
-  * 8 hex chars parsed base-16), selection key `h·2²⁰ − pos` (min hash,
-  * rightmost on ties), windows of `w` keys, selected positions
-  * deduplicated in first-window order. The per-window argmin here is a
+  * 8 hex chars parsed base-16), selection order (hash ASC, pos DESC) —
+  * min hash, rightmost on ties — as an explicit two-field comparison,
+  * exact at any document length (ADVICE r14 #2: the packed `h·2²⁰ − pos`
+  * key this replaces lost uniqueness past 2²⁰ grams; under that bound
+  * the two select identically, which keeps the SQL oracle's packed-key
+  * mirror valid on the gate corpora), windows of `w` keys, selected
+  * positions deduplicated in first-window order. The per-window argmin here is a
   * monotonic deque — O(n) total, not O(n·w). Returns
   * `array<struct<pos: bigint, fp: bigint>>`; fewer than w+k−1 tokens →
   * empty (no full window exists). */
@@ -803,9 +809,7 @@ object WinnowFingerprints {
     if (nGrams < w) return new GenericArrayData(new Array[Any](0))
     val bytes = text.getBytes // hashing only — aliasing a reused buffer is fine
     val md = digests.get()
-    // h(g) = first 4 sha256 bytes unsigned (== conv(substring(hex,1,8),16,10));
-    // selection key packs (hash, −pos): h·2²⁰ − pos (< 2⁵³ — exact, unique)
-    val keys = new Array[Long](nGrams)
+    // h(g) = first 4 sha256 bytes unsigned (== conv(substring(hex,1,8),16,10))
     val hs = new Array[Long](nGrams)
     var t = 0
     while (t < nGrams) {
@@ -814,19 +818,25 @@ object WinnowFingerprints {
       md.reset()
       md.update(bytes, from, until - from)
       val d = md.digest()
-      val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      hs(t) = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
         ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-      hs(t) = h
-      keys(t) = h * 1048576L - t
       t += 1
     }
+    // selection order: (hash ASC, pos DESC) as an explicit TWO-FIELD
+    // comparison — exact and unique at ANY document length (ADVICE r14
+    // #2: the replaced packed key h·2²⁰ − pos broke ordering once
+    // positions crossed the 2²⁰ stride, ~1M tokens; for documents under
+    // that bound the two forms select identically, so the SQL oracle's
+    // packed-key mirror is unchanged on the gate corpora)
+    @inline def less(a: Int, b: Int): Boolean =
+      hs(a) < hs(b) || (hs(a) == hs(b) && a > b)
     // monotonic deque sliding-window min (keys are unique, so the min is
     // the same element the left-to-right strict-< fold selected)
     val deque = new java.util.ArrayDeque[Int]()
     val selected = new java.util.LinkedHashSet[Integer]()
     var p = 0
     while (p < nGrams) {
-      while (!deque.isEmpty && keys(deque.peekLast()) > keys(p)) deque.pollLast()
+      while (!deque.isEmpty && less(p, deque.peekLast())) deque.pollLast()
       deque.addLast(p)
       if (deque.peekFirst() <= p - w) deque.pollFirst()
       if (p >= w - 1) selected.add(deque.peekFirst())

@@ -65,6 +65,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `millisBehindLatest` (the service's native signal) rather than a
   * record count. */
 object KinesisStream {
+  /** Connector operational log (slf4j, routed by Spark's log4j config). */
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger("graft.sources.KinesisStream")
   val PosTrimHorizon = "TRIM_HORIZON"
   val PosLatest = "LATEST"
 
@@ -316,6 +319,12 @@ class KinesisMicroBatchStream(options: CaseInsensitiveStringMap)
     } catch {
       case _: ExpiredIteratorException =>
         iterCache.remove(shardId)
+        // an operator must SEE an unresolved-LATEST re-seek: it skips
+        // whatever arrived between expiry and now (ADVICE r14 #3)
+        if (pos == PosLatest) KinesisStream.log.warn(
+          s"shard $shardId: iterator expired at unresolved LATEST — " +
+            "re-subscribing at 'now'; records that arrived since the expiry " +
+            "are skipped (slow trigger cadence loses LATEST records)")
         client.getRecords(freshSeek(), limit)
     }
     lagMillis.put(shardId, batch.millisBehindLatest)
@@ -530,7 +539,14 @@ class KinesisReaderFactory extends PartitionReaderFactory {
                   val fresh = lastEmitted match {
                     case Some(s) => client.getShardIterator(
                       p.stream, p.shardId, ShardStream.AfterSequenceNumber, Some(s))
-                    case None => client.getShardIterator(p.stream, p.shardId, itType, seq)
+                    case None =>
+                      // visible data-skip signal (ADVICE r14 #3): a LATEST
+                      // re-seek before any emit re-subscribes at 'now'
+                      if (itType == ShardStream.Latest) KinesisStream.log.warn(
+                        s"shard ${p.shardId}: reader iterator expired at " +
+                          "unresolved LATEST — re-subscribing at 'now'; records " +
+                          "arrived since expiry are skipped")
+                      client.getShardIterator(p.stream, p.shardId, itType, seq)
                   }
                   KinesisRecordBatch(Nil, Some(fresh), 0L)
               }

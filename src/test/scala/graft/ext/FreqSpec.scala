@@ -181,4 +181,35 @@ class FreqSpec extends AnyFunSuite {
     assert(p.toString.toLowerCase.contains("approx_count_distinct") ||
       p.toString.contains("hyperloglog"), s"expected the HLL aggregate:\n$p")
   }
+
+  test("heavy_hitters_prod vs exact at sf0.1: Misra-Gries error bound holds quantitatively") {
+    // VERDICT r14 #7(b): the one no_oracle gate carries a numeric
+    // self-check against its exact twin ON THE GATE CORPUS at bench scale.
+    // MG theorem: for every term the sketch undercounts by at most
+    // err = n/(m+1), so exact-heavy terms (cnt*m > n) must all survive the
+    // production threshold with exact in [cnt_min, cnt_min + err].
+    import spark.implicits._
+    // m = 16384, not the gate's 4096: the sf0.1 corpus' modal trigram has
+    // count 25 of ~260K (no term clears n/4096), while n/16385 ≈ 15.9
+    // leaves ~1.2K true heavy hitters to check the bound against
+    val docs = graft.SparkEntry.table(spark, "/root/testdata/sf0.1", "documents")
+    val tg = Freq.trigrams(docs)
+    val m = 16384
+    val exact = Freq.heavyHitters(tg, m)
+      .as[(String, Long)].collect().toMap
+    assert(exact.nonEmpty, "gate corpus must have heavy trigrams at m=4096")
+    val n = tg.count()
+    val err = n / (m + 1)
+    val prod = Freq.heavyHitters(tg, m, audit = false)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, lo, hi) => t -> ((lo, hi)) }.toMap
+    exact.foreach { case (t, cnt) =>
+      val (lo, hi) = prod.getOrElse(t,
+        fail(s"true heavy hitter $t missing from sf0.1 production candidates"))
+      assert(lo <= cnt && cnt <= hi, s"$t: exact $cnt outside [$lo, $hi]")
+      assert(cnt - lo <= err,
+        s"$t: sketch undercount ${cnt - lo} exceeds the MG bound $err (n=$n, m=$m)")
+      assert(hi - lo == err, s"$t: interval width ${hi - lo} != n/(m+1) = $err")
+    }
+  }
 }

@@ -41,13 +41,17 @@ class HygieneSpec extends AnyFunSuite {
     // fractions are 0.0 by definition, NOT a DIVIDE_BY_ZERO abort under
     // Spark 4's default ANSI mode (web crawls are full of such docs)
     import spark.implicits._
-    val df = Seq((1L, "hello"), (2L, "hello world"), (3L, "a b a b"))
+    val df = Seq((1L, "hello"), (2L, "hello world"), (3L, "a b a b"),
+        (4L, null: String)) // ADVICE r14 #1: NULL text → 0.0 fracs, not NULL
       .toDF("doc_id", "text")
     val rows = Hygiene.repetitionStats(df).orderBy("doc_id").collect()
     assert(rows(0).getDouble(2) == 0.0 && rows(0).getDouble(3) == 0.0)
     assert(rows(0).getBoolean(4), "a single unique word has no repetition evidence")
     assert(rows(1).getDouble(3) == 0.0 && rows(1).getBoolean(4))
     assert(rows(2).getDouble(1) == 0.5, "a b a b: 2 distinct of 4")
+    assert(!rows(3).isNullAt(2) && rows(3).getDouble(2) == 0.0 &&
+      rows(3).getDouble(3) == 0.0,
+      "NULL text must keep the empty-gram 0.0 fractions (ngramsOf coalesce)")
     // the pass-through gate agrees on the same input
     val gate = Hygiene.repetitionGate(df).select("doc_id")
       .collect().map(_.getLong(0)).sorted

@@ -259,4 +259,16 @@ class RetrievalSpec extends AnyFunSuite {
       rm(d)
     }
   }
+
+  test("empty query-term sets: rankers return EMPTY results, not an exception (ADVICE r14 #5)") {
+    // every query has an empty term list -> the distinct term set is empty;
+    // the pre-TermCounts shape returned empty frames and the native base
+    // must fall through identically
+    val qs = Seq(("q1", Seq.empty[String]), ("q2", Seq.empty[String]))
+    val b = Retrieval.bm25(docs, qs, k = 5)
+    assert(b.columns.toSeq == Seq("query_id", "doc_id", "rank", "score"))
+    assert(b.count() == 0)
+    assert(Retrieval.tfidfRank(docs, qs, k = 5).count() == 0)
+    assert(Retrieval.rrfFusion(docs, qs).count() == 0)
+  }
 }

@@ -344,6 +344,45 @@ class KinesisLiveSpec extends AnyFunSuite {
       shardIds.map(s => s -> s"BATCH:$s-0000:$s-0004").toMap)
   }
 
+  test("planning fan-out at 100 shards with per-shard latency jitter (VERDICT r14 #7)") {
+    // the single-slow-shard pin above exercises overlap, not SCALE: here
+    // 100 shards each carry a deterministic per-shard RTT in [0, 60) ms
+    // (hash-of-shard-id jitter — reproducible, no RNG flake). Serial
+    // planning would pay the SUM (~3 s expected); the bounded pool
+    // (default planningParallelism 16) pays ~ceil(100/16) waves of the
+    // per-wave max. Pins: the in-flight high-water actually reaches the
+    // pool width, wall-clock stays far under the serial sum, and every
+    // shard's offsets are exactly its batch range.
+    val stream = freshName("live")
+    val shardIds = (0 until 100).map(i => f"sh$i%03d")
+    MockKinesis.createStream(stream, shardIds)
+    for (s <- shardIds; i <- 0 until 3)
+      MockKinesis.putRecord(stream, s, f"$s-$i%04d", "pk", "x".getBytes, 1700000000000L)
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("stream", stream,
+        "apiFactoryClass", "graft.sources.MockKinesisFactory",
+        "startingPosition", ShardStream.TrimHorizon))
+    val mbs = new graft.sources.KinesisMicroBatchStream(opts)
+    val start = mbs.initialOffset()
+    MockKinesis.setGetRecordsJitterMillis(60)
+    MockKinesis.resetConcurrencyStats()
+    try {
+      val t0 = System.nanoTime()
+      val end = mbs.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(100000))
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(MockKinesis.maxConcurrentGetRecords >= 8,
+        s"jittered planning never filled the pool (max in-flight " +
+          s"${MockKinesis.maxConcurrentGetRecords})")
+      assert(elapsedMs < 1500,
+        f"planning looks serialized under jitter: $elapsedMs%.0f ms for 100 shards")
+      val pos = end.asInstanceOf[KinesisShardOffsets].positions
+      assert(pos.size == 100)
+      assert(shardIds.forall(s => pos(s) == s"BATCH:$s-0000:$s-0002"),
+        "jittered parallel planning changed an offset")
+    } finally MockKinesis.setGetRecordsJitterMillis(0)
+  }
+
   test("iterator expiry mid-read: the reader fresh-seeks and resumes lossless") {
     val stream = freshName("live")
     MockKinesis.createStream(stream, Seq("s"))
