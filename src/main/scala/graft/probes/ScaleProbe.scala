@@ -124,13 +124,14 @@ object ScaleProbe {
     val r13Only = args.length > 1 && args(1) == "r13"
     val r14Only = args.length > 1 && args(1) == "r14"
     val r14bOnly = args.length > 1 && args(1) == "r14b"
+    val r15Only = args.length > 1 && args(1) == "r15"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
-    if (!r10Only && !r10bOnly && !r11bOnly && !r14Only) { d1.count(); dN.count() } // r11 kn/r11c probes reuse d1/dN
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only && !r13Only && !r14Only) { dSkew.count(); dSkew1.count() }
+    if (!r10Only && !r10bOnly && !r11bOnly && !r14Only && !r15Only) { d1.count(); dN.count() } // r11 kn/r11c probes reuse d1/dN
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only && !r13Only && !r14Only && !r15Only) { dSkew.count(); dSkew1.count() }
     if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly) { e1.count(); eN.count() }
     if (r9gOnly) { e1.count(); eN.count() }
 
@@ -585,6 +586,28 @@ object ScaleProbe {
       Seq(t1, tN,
         ("emb_drift_peak_mib_1x", p1, 0L), (s"emb_drift_peak_mib_${rep}x", pN, 0L))
     }
+    // r15: the bitextAuto crossover at two sizes (the annAuto discipline):
+    // the exact fused miner (plan-baked matrix, product-bound compute) vs
+    // the IVF candidate path at 1× (|src|·|tgt| = 10⁶ pairs) and rep×
+    // (rep=10 → 10⁸). The measured pair justifies bitextAuto's default
+    // product bound (10⁷): exact wins decisively at 10⁶; IVF (√n cells)
+    // takes over before 10⁸ where the exact form pays rep² cosines.
+    def r15Probes = {
+      e1.count(); eN.count()
+      val s1 = e1.where(col("vec_id") % 2 === 0)
+      val t1 = e1.where(col("vec_id") % 2 === 1)
+      val sN = eN.where(col("vec_id") % 2 === 0)
+      val tN = eN.where(col("vec_id") % 2 === 1)
+      val pN = ext.Tuning.suggestIvf(tN.count())
+      Seq(
+        time("bitext_exact_1x") { ext.Similarity.bitextMine(s1, t1).count() },
+        time(s"bitext_exact_${rep}x") { ext.Similarity.bitextMine(sN, tN).count() },
+        time("bitext_ivf_1x") { ext.Similarity.bitextMineIvf(s1, t1).count() },
+        time(s"bitext_ivf_${rep}x") {
+          ext.Similarity.bitextMineIvf(sN, tN,
+            nCells = pN.nCells, nProbe = pN.nProbe).count()
+        })
+    }
     def r14bProbes = {
       // growth exponents of the round-14 native-expression operators: all
       // are per-document byte scans feeding bounded aggregations, so wall
@@ -602,7 +625,8 @@ object ScaleProbe {
         time("bm25_1x") { force(ext.Retrieval.bm25(d1, ext.Retrieval.GateQueries)) },
         time(s"bm25_${rep}x") { force(ext.Retrieval.bm25(dN, ext.Retrieval.GateQueries)) })
     }
-    val results = if (r14bOnly) r14bProbes
+    val results = if (r15Only) r15Probes
+    else if (r14bOnly) r14bProbes
     else if (r14Only) r14Probes
     else if (r13Only) r13Probes
     else if (r12Only) r12Probes
