@@ -330,25 +330,25 @@ object Similarity {
       .agg(graft.functions.topk.multiTopK(k, sids.length)(
         col("tid"), col("cosv")).as("legs"))
       .head().getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](0)
-    val fwdBest = scala.collection.mutable.Map.empty[Long, Long] // sid → best tid
-    val fwdSim = scala.collection.mutable.Map.empty[Long, Double] // sid → best sim
-    val fwdAvg = scala.collection.mutable.Map.empty[Long, Double] // sid → top-k avg
-    var i = 0
-    while (i < sids.length) {
+    // (sid, best tid, best sim, rank-order top-k average) per src with at
+    // least one defined cosine — a src whose every cosine was NaN has no
+    // best edge and drops, the join form's inner-join semantics
+    val fwdRows = sids.indices.iterator.flatMap { i =>
       val nb = legs(i)
-      if (nb.nonEmpty) { // a src whose every cosine was NULL has no best edge
-        val sid = sids(i)
-        fwdBest(sid) = nb.head.getLong(0)
-        fwdSim(sid) = nb.head.getDouble(1)
-        fwdAvg(sid) = nb.foldLeft(0.0)(_ + _.getDouble(1)) / nb.size
-      }
-      i += 1
-    }
-    // Backward direction + mutual-best + margin, all inside the ONE
-    // remaining narrow scan: the forward tables become map literals
-    // (element_at → NULL for an absent sid, which fails the equality and
-    // drops the row — exactly the join form's inner-join semantics), so
-    // the fused miner has no join and no shuffle at all.
+      if (nb.isEmpty) Iterator.empty
+      else Iterator.single((sids(i), nb.head.getLong(0), nb.head.getDouble(1),
+        nb.foldLeft(0.0)(_ + _.getDouble(1)) / nb.size))
+    }.toSeq
+    // Backward direction + mutual-best + margin off the ONE remaining
+    // narrow scan. The forward table is driver data (≤ |src| rows), so the
+    // mutual check is a broadcast-hash join against a LocalRelation — O(1)
+    // probes and no extra corpus scan. (An element_at(map-literal) lookup
+    // was measured here first: Catalyst's literal-map GetMapValue probes
+    // LINEARLY, turning the tail into O(|src|·|tgt|) — the r15 ScaleProbe
+    // 10× regression.)
+    val spark = tgt.sparkSession
+    import spark.implicits._
+    val fwd = broadcast(fwdRows.toDF("f_src", "f_tgt", "sim", "avg_src"))
     perTgt
       .select(col("tid"),
         graft.functions.matrix.argTopKLit(col("cosv"), sids, k).as("nb"))
@@ -356,12 +356,9 @@ object Similarity {
       .select(col("tid").as("tgt_id"),
         get(col("nb"), lit(0)).getField("id").as("src_id"),
         avgOf(col("nb")).as("avg_tgt"))
-      .where(element_at(typedLit(fwdBest.toMap), col("src_id")) === col("tgt_id"))
-      .withColumn("sim", element_at(typedLit(fwdSim.toMap), col("src_id")))
+      .join(fwd, col("src_id") === col("f_src") && col("tgt_id") === col("f_tgt"))
       .withColumn("margin",
-        col("sim") / (lit(0.5) *
-          element_at(typedLit(fwdAvg.toMap), col("src_id")) +
-          lit(0.5) * col("avg_tgt")))
+        col("sim") / (lit(0.5) * col("avg_src") + lit(0.5) * col("avg_tgt")))
       .where(col("margin") >= marginThreshold)
       .select("src_id", "tgt_id", "sim", "margin")
   }

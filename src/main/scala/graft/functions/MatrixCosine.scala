@@ -20,8 +20,14 @@ import org.apache.spark.sql.types._
   * Each slot is the IDENTICAL sequential fold of [[CosineSim]] (dot/normA/
   * normB accumulated per dimension, `sqrt(na)*sqrt(nb)` denominator) so
   * every value is bit-equal to the join-form's `cosine_sim` — the SQL
-  * oracle is unchanged. A slot is NULL when lengths differ, the row is
-  * empty, or a norm is zero (exactly [[CosineSim]]'s null cases).
+  * oracle is unchanged. An UNDEFINED slot (length mismatch, empty row,
+  * zero norm — exactly [[CosineSim]]'s null cases) is NaN, which every
+  * consumer's `score > bound` guard drops just as it dropped NULL; NaN
+  * instead of NULL lets the vector return as
+  * `UnsafeArrayData.fromPrimitiveArray` — at |src|=10⁴ legs the boxed
+  * `GenericArrayData` form allocated 10⁸ `java.lang.Double`s per scan
+  * (the r15 ScaleProbe constant) where this form allocates one primitive
+  * array per row.
   *
   * Scale bound: the matrix ships with the plan (|rows|·dim·4 bytes), the
   * same driver-bounded posture as the `broadcast(src)` it replaces — the
@@ -29,7 +35,7 @@ import org.apache.spark.sql.types._
   * the scale path. */
 case class CosineSimsAll(child: Expression, mat: Array[Array[Float]])
     extends UnaryExpression {
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sims_all"
 
@@ -41,11 +47,11 @@ case class CosineSimsAll(child: Expression, mat: Array[Array[Float]])
 
   def compute(x: ArrayData): ArrayData = {
     val n = x.numElements()
-    val out = new Array[Any](mat.length)
+    val out = new Array[Double](mat.length)
     var r = 0
     while (r < mat.length) {
       val row = mat(r)
-      if (row.length == n && n != 0) {
+      out(r) = if (row.length == n && n != 0) {
         var dot = 0.0; var na = 0.0; var nb = 0.0
         var i = 0
         while (i < n) {
@@ -55,11 +61,11 @@ case class CosineSimsAll(child: Expression, mat: Array[Array[Float]])
           i += 1
         }
         val denom = math.sqrt(na) * math.sqrt(nb)
-        out(r) = if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
-      } // else stays null
+        if (denom == 0.0) Double.NaN else dot / denom
+      } else Double.NaN
       r += 1
     }
-    new GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])

@@ -35,17 +35,21 @@ class BitextAutoSpec extends AnyFunSuite {
 
   test("the boundary is inclusive: product == bound stays exact, one more pair routes IVF") {
     val (s0, t0) = halves
-    val src = s0.limit(10)
-    val tgt = t0.limit(10)
+    // id filters, not limit(10): a GlobalLimit inserts its own exchange
+    // and would muddy the shuffle-count discriminator below
+    val src = s0.where(col("vec_id") < 20)  // even ids 0..18 → 10 rows
+    val tgt = t0.where(col("vec_id") < 20)  // odd ids 1..19 → 10 rows
     // product 100: bound 100 → exact; bound 99 → IVF. Distinguish by plan:
-    // the exact path has no joins at all, the IVF path joins probe cells.
-    def joins(df: DataFrame): Int =
+    // the exact path is shuffle-free (one narrow scan + a broadcast-hash
+    // join against the driver-built forward table), the IVF path shuffles
+    // through its dual top-k aggregation.
+    def shuffles(df: DataFrame): Int =
       df.queryExecution.executedPlan.collect {
-        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
       }.size
-    assert(joins(Similarity.bitextAuto(src, tgt, 2, 0.0, exactMaxProduct = 100L)) == 0,
-      "product == bound must route exact (join-free plan)")
-    assert(joins(Similarity.bitextAuto(src, tgt, 2, 0.0, exactMaxProduct = 99L)) > 0,
-      "product > bound must route IVF (probe joins present)")
+    assert(shuffles(Similarity.bitextAuto(src, tgt, 2, 0.0, exactMaxProduct = 100L)) == 0,
+      "product == bound must route exact (shuffle-free plan)")
+    assert(shuffles(Similarity.bitextAuto(src, tgt, 2, 0.0, exactMaxProduct = 99L)) > 0,
+      "product > bound must route IVF (aggregation shuffles present)")
   }
 }
