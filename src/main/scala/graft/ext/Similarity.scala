@@ -283,12 +283,19 @@ object Similarity {
     * forward top-ks fold through ONE global [[graft.functions
     * .NativeMultiTopK]] with |src| legs and come back as ≤ |src|·k pairs,
     * and the backward top-k is a per-row [[graft.functions.ArgTopKLit]]
-    * with NO aggregation. Mutual-best and margin evaluate inside the
-    * backward scan against map literals of the forward tables: zero
-    * joins, zero shuffles, three jobs total. Averages fold the top-k in
-    * rank order (deterministic; the oracle mirrors with `list(... ORDER
-    * BY rk)`), and every cosine/margin is bit-equal to the join form
-    * (BitextFusedSpec). */
+    * with NO aggregation. Mutual-best and margin then join the backward
+    * scan against the driver-built forward table — ≤ |src| rows in a
+    * `LocalRelation`, so it plans as a broadcast-hash join with O(1)
+    * probes and no shuffle of the corpus side (an `element_at` over a
+    * map LITERAL was measured first and abandoned: Catalyst's
+    * `GetMapValue` probes linearly). Net: one broadcast build plus the
+    * scans — zero shuffle exchanges, three jobs total. Averages fold the
+    * top-k in rank order (deterministic; the oracle mirrors with
+    * `list(... ORDER BY rk)`), and every cosine/margin is bit-equal to
+    * the join form (BitextFusedSpec). NULL hygiene: src rows with a NULL
+    * `vec_id` or `embedding` are dropped before the matrix bake — the
+    * join form's NULL-cosine rows silently fell out of its inner joins,
+    * and the fused form preserves those drop semantics (ADVICE r15 #1). */
   def bitextMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
                  marginThreshold: Double = 1.0): DataFrame = {
     // r15 fused form: the join-based miner (retained as [[bitextMineJoin]])
@@ -308,7 +315,11 @@ object Similarity {
     // Every cosine is the identical sequential fold of [[vectors
     // .cosineSim]], so sims/margins are bit-equal to the join form
     // (BitextFusedSpec pins it) and the SQL oracle is unchanged.
+    // NULL vec_id/embedding rows would NPE the matrix bake below; the join
+    // form dropped them via NULL-cosine inner-join semantics, so the fused
+    // form filters them up front to match (ADVICE r15 #1)
     val srcRows = src.select(col("vec_id"), col("embedding"))
+      .where(col("vec_id").isNotNull && col("embedding").isNotNull)
       .orderBy("vec_id").collect()
     if (srcRows.isEmpty) return emptyMineResult(src.sparkSession)
     val sids = srcRows.map(_.getLong(0))
@@ -349,10 +360,17 @@ object Similarity {
     val spark = tgt.sparkSession
     import spark.implicits._
     val fwd = broadcast(fwdRows.toDF("f_src", "f_tgt", "sim", "avg_src"))
-    perTgt
+    // NOTE: no `.where(size(nb) > 0)` guard here — it is semantically
+    // redundant (an empty backward top-k yields a NULL src_id via
+    // get(nb, 0), and NULL equi-join keys never match an inner join; the
+    // avgOf size-guard already NULLs avg_tgt), and it was MEASURED ~2×
+    // harmful: predicate pushdown inlines the alias all the way into the
+    // parquet scan's DataFilters, so arg_top_k_lit(cosine_sims_all(...))
+    // — the full |src|-cosine matrix row plus its top-k — evaluated TWICE
+    // per tgt row (r16 BitextPlanProbe; final-job 1.23 s → 0.4 s idle)
+    val mined = perTgt
       .select(col("tid"),
         graft.functions.matrix.argTopKLit(col("cosv"), sids, k).as("nb"))
-      .where(size(col("nb")) > 0)
       .select(col("tid").as("tgt_id"),
         get(col("nb"), lit(0)).getField("id").as("src_id"),
         avgOf(col("nb")).as("avg_tgt"))
@@ -361,6 +379,16 @@ object Similarity {
         col("sim") / (lit(0.5) * col("avg_src") + lit(0.5) * col("avg_tgt")))
       .where(col("margin") >= marginThreshold)
       .select("src_id", "tgt_id", "sim", "margin")
+    // constraint propagation scoped OFF for the final query (the item_cooc
+    // ConfScope discipline): the inner join's inferred isnotnull(src_id)/
+    // isnotnull(avg_tgt) constraints push through both projections and
+    // inline arg_top_k_lit(cosine_sims_all(...)) into the scan's filter —
+    // a SECOND full |src|-cosine matrix pass per tgt row, with the avg's
+    // `aggregate` HOF dragging it out of codegen (r16 BitextPlanProbe:
+    // final job 1.2 s → ~0.5 s idle at sf0.1, plan carries exactly ONE
+    // cosine_sims_all eval). The inference is semantically redundant here:
+    // a NULL src_id cannot match the inner join anyway.
+    ConfScope(mined, "spark.sql.constraintPropagation.enabled" -> "false")
   }
 
   private def emptyMineResult(spark: SparkSession): DataFrame =
@@ -476,15 +504,22 @@ object Similarity {
     * crossover (10⁷ pairs ≈ 3000×3000) sits an order of magnitude above the
     * sf0.1 gate product (10⁶), where BitextAutoSpec measures the exact form
     * still ahead — the product is compute-bound (dim multiplies), so the
-    * boundary scales down with dim and a user tunes it per corpus. */
+    * boundary scales down with dim and a user tunes it per corpus
+    * (default [[Tuning.BitextExactMaxProduct]]).
+    *
+    * COST NOTE (ADVICE r15 #4): the router's two `count()`s each execute
+    * the UPSTREAM plan once before the mine — two extra scans when the
+    * inputs are uncached expression pipelines. For trivial upstreams
+    * (a parquet read) the counts are footer-metadata cheap; for derived
+    * inputs, `cache()`/`localCheckpoint()` them first so the router's
+    * counts and the miner's own scans share one materialization. */
   def bitextAuto(src: DataFrame, tgt: DataFrame, k: Int = 4,
                  marginThreshold: Double = 1.0,
-                 exactMaxProduct: Long = 10_000_000L): DataFrame = {
+                 exactMaxProduct: Long = Tuning.BitextExactMaxProduct): DataFrame = {
     val ns = src.count()
     val nt = tgt.count()
-    // overflow-safe product comparison in Long space
-    val exact = ns == 0 || nt == 0 || ns <= exactMaxProduct / nt
-    if (exact) bitextMine(src, tgt, k, marginThreshold)
+    if (bitextRoutesExact(ns, nt, exactMaxProduct))
+      bitextMine(src, tgt, k, marginThreshold)
     else {
       val p = Tuning.suggestIvf(nt)
       bitextMineIvf(src, tgt, k, marginThreshold,
@@ -492,14 +527,28 @@ object Similarity {
     }
   }
 
+  /** [[bitextAuto]]'s routing predicate, factored out so the exact
+    * boundary arithmetic is unit-testable at corpus sizes a spec cannot
+    * materialize (BitextAutoSpec pins the 10⁷ default boundary with
+    * non-square |src|≠|tgt| shapes): exact iff |src|·|tgt| ≤ bound,
+    * compared as `ns ≤ bound/nt` so the product can never overflow Long.
+    * The floor division loses nothing: for integer ns,
+    * `ns·nt ≤ bound ⟺ ns ≤ ⌊bound/nt⌋`, so the predicate is EXACTLY the
+    * product comparison, boundary inclusive. */
+  private[ext] def bitextRoutesExact(ns: Long, nt: Long,
+                                     exactMaxProduct: Long): Boolean =
+    ns == 0 || nt == 0 || ns <= exactMaxProduct / nt
+
   /** Measured routing between exact and IVF ANN — the [[graft.ext.Dedup
     * .dedupAuto]] discipline applied to search: below `exactMax` vectors
     * brute force is both exact AND faster (no assignment pass, no
     * centroid training to amortize), above it route to [[annIvf]] with
-    * [[Tuning.suggestIvf]]'s √n geometry. One `count()` decides; the
-    * thresholds come from [[Tuning]], not constants. */
+    * [[Tuning.suggestIvf]]'s √n geometry. One `count()` decides (one
+    * extra upstream execution when `emb` is an uncached derived plan —
+    * cache it first in that case); the threshold defaults to
+    * [[Tuning.AnnExactMax]], not an inline constant. */
   def annAuto(emb: DataFrame, queries: DataFrame, k: Int = 5,
-              exactMax: Long = 10000L): DataFrame = {
+              exactMax: Long = Tuning.AnnExactMax): DataFrame = {
     val n = emb.count()
     if (n <= exactMax) annTopK(emb, queries, k)
     else {
@@ -668,10 +717,24 @@ object Similarity {
     * side), queries broadcast, candidates come from per-table bucket
     * equality, and survivors get an exact cosine + partial top-k. Scans only
     * colliding buckets; recall is governed by (tables, bits) — measured in
-    * ExtSpec. A pair colliding in several tables is deduped (distinct)
-    * before scoring. */
-  def annLsh(emb: DataFrame, queries: DataFrame, k: Int = 5, tables: Int = 4,
-             bits: Int = 8, seed: Long = 42L, dim: Option[Int] = None): DataFrame = {
+    * ExtSpec; defaults come from [[Tuning.LshDefaultTables]] /
+    * [[Tuning.LshDefaultBits]] (the [[Tuning.suggestSignLshBits]] solution
+    * at the ~10⁶-vector calibration corpus — pass `suggestSignLshBits(n)`
+    * for larger corpora). A pair colliding in several tables is deduped by
+    * a FIRST-SHARED-TABLE predicate (r16, VERDICT r15 item 1): each
+    * exploded row carries its side's full per-table signature array (a
+    * `tables`-element narrow recompute), and only the row whose `t` is the
+    * first index where the two arrays agree survives — a pure per-row
+    * filter, replacing the `distinct()` that exchanged the whole candidate
+    * stream a second time (the [[Joins.overlapJoin]] first-shared-bucket
+    * trick). The surviving pair SET is provably identical to the distinct
+    * form — every colliding pair keeps exactly one row and `sim` is the
+    * same expression on every copy — so the SQL oracle's `SELECT DISTINCT`
+    * candidate step still mirrors it exactly. */
+  def annLsh(emb: DataFrame, queries: DataFrame, k: Int = 5,
+             tables: Int = Tuning.LshDefaultTables,
+             bits: Int = Tuning.LshDefaultBits,
+             seed: Long = 42L, dim: Option[Int] = None): DataFrame = {
     // prefer the caller-supplied dimension: probing it from the data costs a
     // Spark job at plan-CONSTRUCTION time and throws on an empty input
     // (ADVICE r7 #4)
@@ -683,17 +746,41 @@ object Similarity {
       probe(0).getInt(0)
     }
     val planes = hyperplanes(d, tables, bits, seed)
-    def buckets(df: DataFrame, idAs: String, embAs: String): DataFrame =
+    // each exploded row keeps its side's FULL signature array (`tables`
+    // BIGINTs — cheap narrow recompute) so multi-table collisions can be
+    // deduped by a per-row predicate instead of a distinct() exchange.
+    // The generator explodes a LITERAL index range and the bucket is an
+    // element_at above the Generate — exploding the signature attribute
+    // itself was measured ~1.25× slower: InferFiltersFromGenerate infers
+    // `size(sig) > 0` below the Generate and predicate pushdown inlines
+    // the alias, evaluating the full 32-cosine signature array TWICE per
+    // row (the literal range folds that inferred filter to a constant)
+    def buckets(df: DataFrame, idAs: String, embAs: String,
+                sigAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
-        posexplode(array(planes.map(tp => lshBucket(col("embedding"), tp)): _*))
-          .as(Seq("t", "bucket")))
-    val data = buckets(emb, "vec_id", "embedding")
-    val q = broadcast(buckets(queries, "query_id", "qe"))
+          array(planes.map(tp => lshBucket(col("embedding"), tp)): _*).as(sigAs))
+        .select(col(idAs), col(embAs), col(sigAs),
+          explode(sequence(lit(0), lit(tables - 1))).as("t"))
+        .select(col(idAs), col(embAs), col(sigAs), col("t"),
+          element_at(col(sigAs), col("t") + 1).as("bucket"))
+    val data = buckets(emb, "vec_id", "embedding", "sig")
+    val q = broadcast(buckets(queries, "query_id", "qe", "qsig"))
+    // first-shared-table dedup: the joined row already agrees at index t,
+    // so the first agreeing index always exists and is ≤ t; keeping only
+    // t == that index leaves exactly one row per colliding pair. Built as
+    // a CASE chain over literal indices (table count is a plan-time
+    // constant), NOT zip_with/array_position: higher-order functions have
+    // no codegen, and one in the join condition drops the whole broadcast
+    // join out of whole-stage codegen (measured +25% on the sf0.1 gate)
+    val firstShared = (0 until tables).foldRight(lit(-1): Column) {
+      case (i, acc) =>
+        when(col("sig").getItem(i) === col("qsig").getItem(i), lit(i))
+          .otherwise(acc)
+    }
     val sims = data.join(q, Seq("t", "bucket"))
-      .where(col("vec_id") =!= col("query_id"))
+      .where(col("vec_id") =!= col("query_id") && col("t") === firstShared)
       .select(col("query_id"), col("vec_id"),
         vectors.cosineSim(col("qe"), col("embedding")).as("sim"))
-      .distinct()
     explodeTopK(
       sims.groupBy("query_id")
         .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))

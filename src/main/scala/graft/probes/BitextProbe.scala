@@ -51,6 +51,41 @@ object BitextProbe {
         graft.functions.topk.multiTopK(k, sids.length)(col("tid"), col("cosv")).as("legs")).count())
       time("full fused bitext_mine")(
         graft.ext.Similarity.queries("bitext_mine")(spark, dir).count())
+      // split the full call: construction (src collect + fwd agg, 2 jobs)
+      // vs the final backward+join job — locates the unaccounted tail
+      val dfc = time("construct (collect+fwd)")(
+        graft.ext.Similarity.bitextMine(src, tgt, k, 1.0))
+      time("final bwd+join job")(dfc.count())
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          println(f"[stage] id=${si.stageId} tasks=${si.numTasks} " +
+            f"time=${(si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3}%.3f s name=${si.name.take(60)}")
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      time("final again (same DF)")(dfc.count())
+      org.apache.spark.sql.graft.bridge.waitListenerBus(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+      // decompose the final job: backward scan + project, then + join
+      def bwdProj = perTgt
+        .select(col("tid"),
+          graft.functions.matrix.argTopKLit(col("cosv"), sids, k).as("nb"))
+        .select(col("tid").as("tgt_id"),
+          get(col("nb"), lit(0)).getField("id").as("src_id"),
+          when(size(col("nb")) > 0,
+            aggregate(col("nb"), lit(0.0),
+              (acc, s) => acc + s.getField("score")) / size(col("nb")))
+            .as("avg_tgt"))
+      time("bwd+project only")(bwdProj.count())
+      import spark.implicits._
+      val fwdLocal = sids.indices.map(i =>
+        (sids(i), sids(i) + 1, 0.5, 0.5)).toDF("f_src", "f_tgt", "sim", "avg_src")
+      time("bwd+project+join")(bwdProj
+        .join(broadcast(fwdLocal),
+          col("src_id") === col("f_src") && col("tgt_id") === col("f_tgt"))
+        .count())
     }
     spark.stop()
   }

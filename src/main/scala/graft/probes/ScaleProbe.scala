@@ -125,13 +125,14 @@ object ScaleProbe {
     val r14Only = args.length > 1 && args(1) == "r14"
     val r14bOnly = args.length > 1 && args(1) == "r14b"
     val r15Only = args.length > 1 && args(1) == "r15"
+    val r16Only = args.length > 1 && args(1) == "r16"
 
     // materialize inputs once so generation cost isn't attributed to operators
     val d1 = docs1.cache(); val dN = docsN.cache()
     val dSkew = docsSkew.cache(); val dSkew1 = docsSkew1.cache()
     val e1 = emb1.cache(); val eN = embN.cache()
-    if (!r10Only && !r10bOnly && !r11bOnly && !r14Only && !r15Only) { d1.count(); dN.count() } // r11 kn/r11c probes reuse d1/dN
-    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only && !r13Only && !r14Only && !r15Only) { dSkew.count(); dSkew1.count() }
+    if (!r10Only && !r10bOnly && !r11bOnly && !r14Only && !r15Only && !r16Only) { d1.count(); dN.count() } // r11 kn/r11c probes reuse d1/dN
+    if (!r9Only && !r9bOnly && !r9cOnly && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only && !r13Only && !r14Only && !r15Only && !r16Only) { dSkew.count(); dSkew1.count() }
     if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly) { e1.count(); eN.count() }
     if (r9gOnly) { e1.count(); eN.count() }
 
@@ -151,7 +152,7 @@ object ScaleProbe {
     // first probe to touch the lazy centroids (ann_ivf in the full run,
     // cluster_balance in r9b) gets training cost attributed to its label,
     // and the same label measures different work depending on the mode
-    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only && !r14Only) { cent1; centN }
+    if (!r9Only && !r9dOnly && !r9eOnly && !r9fOnly && !r9gOnly && !r10Only && !r10bOnly && !r11Only && !r11bOnly && !r11cOnly && !r12Only && !r14Only && !r16Only) { cent1; centN }
 
     def r9Probes = Seq(
       // round-9 operators: substring dedup's sliding-gram count is the
@@ -608,6 +609,28 @@ object ScaleProbe {
             nCells = pN.nCells, nProbe = pN.nProbe).count()
         })
     }
+    // r16: growth exponents of the r15 NATIVE machinery in its hot
+    // aggregations (VERDICT r15 item 6) — `NativeTopK` (ann_topk: corpus
+    // grows REP×, query set fixed → work and wall time ~linear),
+    // `CoocStructs` (item_cooc: baskets/pairs grow ~REP×), and the bm25
+    // serving path (`TermCounts` + NativeTopK, fixed query set). Exponent
+    // = log(tN/t1)/log(rep), expected ~1.0 (sub-linear readings mean the
+    // 1× time is job-floor-bound, not compute-bound).
+    def r16Probes = {
+      e1.count(); eN.count(); d1.count(); dN.count()
+      val queries1 = e1.where(col("vec_id") < 10)
+      val li1 = SparkEntry.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      val liN = li1.crossJoin(broadcast(reps))
+        .select((col("b") + col("r") * 100000000L).as("b"), col("i"))
+      Seq(
+        time("ann_topk_1x") { ext.Similarity.annTopK(e1, queries1).count() },
+        time(s"ann_topk_${rep}x") { ext.Similarity.annTopK(eN, queries1).count() },
+        time("item_cooc_1x") { force(ext.Assoc.itemCooc(li1, col("b"), col("i"))) },
+        time(s"item_cooc_${rep}x") { force(ext.Assoc.itemCooc(liN, col("b"), col("i"))) },
+        time("bm25_topk_1x") { force(ext.Retrieval.bm25(d1, ext.Retrieval.GateQueries)) },
+        time(s"bm25_topk_${rep}x") { force(ext.Retrieval.bm25(dN, ext.Retrieval.GateQueries)) })
+    }
     def r14bProbes = {
       // growth exponents of the round-14 native-expression operators: all
       // are per-document byte scans feeding bounded aggregations, so wall
@@ -625,7 +648,8 @@ object ScaleProbe {
         time("bm25_1x") { force(ext.Retrieval.bm25(d1, ext.Retrieval.GateQueries)) },
         time(s"bm25_${rep}x") { force(ext.Retrieval.bm25(dN, ext.Retrieval.GateQueries)) })
     }
-    val results = if (r15Only) r15Probes
+    val results = if (r16Only) r16Probes
+    else if (r15Only) r15Probes
     else if (r14bOnly) r14bProbes
     else if (r14Only) r14Probes
     else if (r13Only) r13Probes

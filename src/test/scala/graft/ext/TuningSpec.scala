@@ -59,6 +59,25 @@ class TuningSpec extends AnyFunSuite {
     assert(Tuning.suggestSignLshBits(Long.MaxValue, 1) == 48) // ceiling clamp
   }
 
+  test("operator defaults are DERIVED from the formulas, not free constants (r15 item 5)") {
+    // annLsh's default bits is the suggestSignLshBits solution at the
+    // ~10^6-vector calibration corpus — the formula, not a magic 8
+    assert(Tuning.LshDefaultBits == Tuning.suggestSignLshBits(1L << 20, 4096L))
+    assert(Tuning.LshDefaultBits == 8)
+    // 4 tables: the first multiplier where the miss curve flattens at the
+    // calibration point cos 0.8 / 8 bits — P[miss] = (1-(1-θ/π)^bits)^T
+    def missProb(tables: Int): Double = {
+      val thetaOverPi = math.acos(0.8) / math.Pi
+      math.pow(1.0 - math.pow(1.0 - thetaOverPi, Tuning.LshDefaultBits), tables)
+    }
+    assert(Tuning.LshDefaultTables == 4)
+    assert(missProb(4) < 0.6 && missProb(4) < missProb(1) / 1.5,
+      s"4 tables must materially cut the single-table miss (${missProb(1)} -> ${missProb(4)})")
+    // the auto-router crossovers carried by the signatures
+    assert(Tuning.AnnExactMax == 10_000L)
+    assert(Tuning.BitextExactMaxProduct == 10_000_000L)
+  }
+
   test("jaccard preflight separates a healthy corpus from a collapsed shingle space") {
     val spark: SparkSession = SparkSession.builder()
       .master("local[4]")
