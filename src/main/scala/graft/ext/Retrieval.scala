@@ -60,26 +60,56 @@ object Retrieval {
     (terms, d)
   }
 
-  /** df table derived from the [[termBase]] vectors — (term, df) rows.
-    * An EMPTY distinct term set (every query term list empty — ADVICE r14
-    * #5) yields an empty df table, and every ranker downstream falls
-    * through to its historical empty-result shape: no qterms rows → no
-    * scored rows → empty rankings. */
-  private def dfreqOf(d: DataFrame, terms: Seq[String]): DataFrame = {
-    if (terms.isEmpty)
-      return d.sparkSession.createDataFrame(
-        d.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("term",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("df",
-            org.apache.spark.sql.types.DoubleType))))
-    val aggs = terms.zipWithIndex.map { case (_, i) =>
-      sum(when(element_at(col("__tc"), i + 1) > 0L, 1.0).otherwise(0.0)).as(s"__df_$i") }
+  /** ONE corpus pass for BOTH the 1-row corpus stats (n, total token
+    * count) and every query term's df (r16): the rankers previously ran a
+    * stats aggregate and a per-term df aggregate as two separate corpus
+    * scans — and simply branching the two off one shared lazy aggregate
+    * does NOT merge them (column pruning specializes each branch's
+    * aggregate, so ReuseExchange sees two different exchanges; measured
+    * in Bm25PlanProbe). This single-row aggregate carries n, total, and
+    * one df column per distinct query term, and has exactly ONE consumer
+    * ([[qtermsWithStats]] cross-joins it into the query fold table), so
+    * the plan keeps one corpus scan for all ranking statistics and stays
+    * fully lazy. Arithmetic is unchanged: identical count/sum/when
+    * shapes, so every df/n/total double is bit-equal to the two-pass
+    * form and the SQL oracles hold. An empty corpus yields
+    * n=0/total=0/df=0 (SUM's NULL coalesced — no ranker can score a row
+    * of an empty corpus anyway, so the historical empty shape holds). */
+  private def combinedStats(d: DataFrame, terms: Seq[String]): DataFrame = {
+    val statAggs = Seq(
+      count(lit(1)).cast("double").as("n"),
+      coalesce(sum(element_at(col("__tc"), terms.length + 1)).cast("double"),
+        lit(0.0)).as("total"))
+    val dfAggs = terms.zipWithIndex.map { case (_, i) =>
+      coalesce(sum(when(element_at(col("__tc"), i + 1) > 0L, 1.0)
+        .otherwise(0.0)), lit(0.0)).as(s"__df_$i") }
+    val aggs = statAggs ++ dfAggs
     d.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(terms.zipWithIndex.map { case (t, i) =>
-        struct(lit(t).as("term"), col(s"__df_$i").as("df")) }: _*)).as("s"))
-      .select(col("s.term").as("term"), col("s.df").as("df"))
+  }
+
+  /** Per-query fold table WITH the corpus stats riding along (r16): the
+    * (pos, term, df, ti) fold structs of [[qtermsOf]] plus `n`/`total`
+    * columns, all derived from the ONE [[combinedStats]] row — so the
+    * rankers' entire broadcast side consumes a single corpus aggregate.
+    * The df lookup is an `element_at` over the df column array at the
+    * term's literal slot (terms are a plan-time list), replacing the df
+    * broadcast join. A query with an empty term list explodes to no rows
+    * and disappears from the rankings — the historical empty shape. */
+  private def qtermsWithStats(spark: SparkSession,
+                              queries: Seq[(String, Seq[String])],
+                              terms: Seq[String], base: DataFrame): DataFrame = {
+    import spark.implicits._
+    val tiMap = typedLit(terms.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap)
+    val dfArr = array(terms.indices.map(i => col(s"__df_$i")): _*)
+    queries.toDF("query_id", "terms")
+      .select(col("query_id"), posexplode(col("terms")).as(Seq("pos", "term")))
+      .crossJoin(base)
+      .withColumn("ti", element_at(tiMap, col("term")))
+      .withColumn("df", element_at(dfArr, col("ti")))
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("term"), col("df"), col("ti"))))
+          .as("qterms"),
+        first(col("n")).as("n"), first(col("total")).as("total"))
   }
 
   /** Per-query fold table: (pos, term, df, ti) sorted by query position;
@@ -118,18 +148,17 @@ object Retrieval {
     val spark = docs.sparkSession
     val (terms, d) = termBase(docs, queries)
 
-    // 1-row corpus stats: N and avgdl's numerator. Broadcast below.
-    val stats = d.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(element_at(col("__tc"), terms.length + 1)).cast("double").as("total"))
-
-    // Query set joined to df (absent terms score 0 via tf=0; df defaults 0).
-    val q = qtermsOf(spark, queries, terms, dfreqOf(d, terms))
+    // corpus stats (N, avgdl numerator) AND every term's df from ONE
+    // single-row corpus aggregate riding the broadcast side (r16 — see
+    // qtermsWithStats; the old separate stats + df aggregates cost two
+    // extra corpus scans, and branching them off one lazy aggregate is
+    // pruned apart by Catalyst into two again).
+    val q = qtermsWithStats(spark, queries, terms, combinedStats(d, terms))
 
     // Narrow per-(doc × query) scoring: fold the query's (term, df) pairs in
     // query order. Arithmetic shape mirrors the oracle exactly.
     val scored = d
-      .crossJoin(broadcast(q.crossJoin(stats)))
+      .crossJoin(broadcast(q))
       .withColumn("score",
         aggregate(col("qterms"), lit(0.0), (acc, qt) => {
           val tf  = tfOf(qt)
@@ -231,10 +260,11 @@ object Retrieval {
   def tfidfRank(docs: DataFrame, queries: Seq[(String, Seq[String])], k: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     val (terms, d) = termBase(docs, queries)
-    val stats = d.agg(count(lit(1)).cast("double").as("n"))
-    val q = qtermsOf(spark, queries, terms, dfreqOf(d, terms))
+    // shared single-pass stats+df broadcast side (r16); tfidf reads only
+    // n of the stats columns
+    val q = qtermsWithStats(spark, queries, terms, combinedStats(d, terms))
     val scored = d
-      .crossJoin(broadcast(q.crossJoin(stats)))
+      .crossJoin(broadcast(q))
       .withColumn("score",
         aggregate(col("qterms"), lit(0.0), (acc, qt) => {
           val tf = tfOf(qt)
@@ -268,18 +298,24 @@ object Retrieval {
     * Determinism: each contribution is one double division with integer
     * inputs and the sum runs in fixed system order (bm25 + tfidf), so the
     * oracle reproduces the score bit-exactly; ties break on doc_id. */
-  def rrfFusion(docs: DataFrame, queries: Seq[(String, Seq[String])],
-                k: Int = 10, depth: Int = 50, c: Int = 60): DataFrame = {
+  /** The dual-ranker top-`depth` aggregation shared by [[rrfFusion]] and
+    * [[rbo]] (r16): ONE scored corpus pass computes BOTH scores (the
+    * arithmetic shapes EXACTLY as in bm25()/tfidfRank() — list
+    * membership and order must stay bit-identical to the standalone
+    * rankers'), and each ranking reduces through a partial top-k
+    * aggregate — ≤ depth rows per query per system cross the wire. The
+    * tfidf leg ranks only positive scores (`minScoreExclusive` — a zero
+    * score matches no query term), which preserves ranks because
+    * positives always sort before zeros. Output: one row per query_id
+    * with `tb`/`tt` = the two ranked (id, score) lists. */
+  private def dualTopK(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                       depth: Int): DataFrame = {
     val spark = docs.sparkSession
     val (terms, d) = termBase(docs, queries)
-    val stats = d.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(element_at(col("__tc"), terms.length + 1)).cast("double").as("total"))
-    val q = qtermsOf(spark, queries, terms, dfreqOf(d, terms))
-    // both arithmetic shapes EXACTLY as in bm25()/tfidfRank() — the
-    // fused scores must stay bit-identical to the standalone rankers'
+    // shared single-pass stats+df broadcast side (r16 — see qtermsWithStats)
+    val q = qtermsWithStats(spark, queries, terms, combinedStats(d, terms))
     val scored = d
-      .crossJoin(broadcast(q.crossJoin(stats)))
+      .crossJoin(broadcast(q))
       .withColumn("score_bm25",
         aggregate(col("qterms"), lit(0.0), (acc, qt) => {
           val tf  = tfOf(qt)
@@ -297,9 +333,14 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score_bm25"), col("score_tfidf"))
     val topAll = graft.functions.topk.topK(depth)
     val topPos = graft.functions.topk.topK(depth, minScoreExclusive = 0.0)
-    val agg = scored.groupBy("query_id").agg(
+    scored.groupBy("query_id").agg(
       topAll(col("doc_id"), col("score_bm25")).as("tb"),
       topPos(col("doc_id"), col("score_tfidf")).as("tt"))
+  }
+
+  def rrfFusion(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                k: Int = 10, depth: Int = 50, c: Int = 60): DataFrame = {
+    val agg = dualTopK(docs, queries, depth)
     // columnar fusion — NOT a full-outer self-join of the agg subtree,
     // which would execute the corpus scoring twice (the duplicated-subtree
     // trap): rank maps from each list, the doc union exploded once
@@ -341,18 +382,23 @@ object Retrieval {
   def rbo(docs: DataFrame, queries: Seq[(String, Seq[String])],
           k: Int = 10, depth: Int = 50, p: Double = 0.9): DataFrame = {
     val w = typedLit(rboWeights(k, p))
-    def arr(df: DataFrame, rankCol: String) = df.groupBy("query_id")
-      .agg(transform(array_sort(collect_list(struct(col(rankCol), col("doc_id")))),
-        x => x.getField("doc_id")).as("arr"))
-    val a = arr(bm25(docs, queries, depth), "rank").withColumnRenamed("arr", "aa")
-    val b = arr(tfidfRank(docs, queries, depth), "rank").withColumnRenamed("arr", "bb")
-    a.join(b, Seq("query_id"), "full_outer")
+    // r16: both rankings come out of the SHARED dual-score corpus pass
+    // ([[dualTopK]] — the rrfFusion machinery), not two standalone ranker
+    // pipelines: one corpus scan instead of two scoring passes + their
+    // stats, and the full-outer query_id join disappears because both
+    // lists land in the same aggregated row. The partial top-k lists are
+    // ordered (score desc, id asc) — identical membership and order to
+    // the window-ranked bm25()/tfidfRank() outputs the oracle mirrors.
+    dualTopK(docs, queries, depth)
+      .select(col("query_id"),
+        transform(col("tb"), s => s.getField("id")).as("aa"),
+        transform(col("tt"), s => s.getField("id")).as("bb"))
       .select(col("query_id"),
         aggregate(sequence(lit(1), lit(k)), lit(0.0), (acc, d) =>
           acc + element_at(w, d) *
             size(array_intersect(
-              slice(coalesce(col("aa"), array().cast("array<long>")), lit(1), d),
-              slice(coalesce(col("bb"), array().cast("array<long>")), lit(1), d)))
+              slice(col("aa"), lit(1), d),
+              slice(col("bb"), lit(1), d)))
               .cast("double")).as("rbo"))
   }
 

@@ -619,10 +619,21 @@ object ScaleProbe {
     def r16Probes = {
       e1.count(); eN.count(); d1.count(); dN.count()
       val queries1 = e1.where(col("vec_id") < 10)
+      // BOTH keys shift per replica (the default-set construction): shared
+      // items across replicas would multiply every pair's count REP×,
+      // pushing sub-threshold pairs over min-support and exploding the
+      // OUTPUT super-linearly — a measurement artifact, not operator growth
       val li1 = SparkEntry.table(spark, sfDir, "lineitem")
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).cache()
       val liN = li1.crossJoin(broadcast(reps))
-        .select((col("b") + col("r") * 100000000L).as("b"), col("i"))
+        .select((col("b") + col("r") * 100000000L).as("b"),
+          (col("i") + col("r") * 10000000L).as("i")).cache()
+      li1.count(); liN.count()
+      // warm-up pass: first-call codegen/JIT otherwise lands entirely on
+      // the 1× cell and fakes a sub-linear exponent
+      ext.Similarity.annTopK(e1, queries1).count()
+      force(ext.Assoc.itemCooc(li1, col("b"), col("i")))
+      force(ext.Retrieval.bm25(d1, ext.Retrieval.GateQueries))
       Seq(
         time("ann_topk_1x") { ext.Similarity.annTopK(e1, queries1).count() },
         time(s"ann_topk_${rep}x") { ext.Similarity.annTopK(eN, queries1).count() },

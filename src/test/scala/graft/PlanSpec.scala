@@ -565,17 +565,19 @@ class PlanSpec extends AnyFunSuite {
     val p = physical("bm25_topk")
     assert(count(p) { case _: joins.CartesianProductExec => } == 0)
     // the only shuffle the SCORED corpus crosses is the top-k exchange
-    // (df/stats/query-set aggregations shuffle |vocab|-bounded rows on
-    // their own subtrees feeding broadcasts): exactly one exchange sits
-    // above the scoring broadcast join, and it must have a WindowGroupLimit
-    // BELOW it — each task ships ≤ k rows per query
-    val topkExchanges = p.collect {
-      case e: ShuffleExchangeExec
-        if e.collectFirst { case _: BroadcastNestedLoopJoinExec => () }.nonEmpty => e
+    // (stats/query-set aggregations shuffle single-row/|terms|-bounded
+    // rows on the broadcast subtree): exactly one exchange carries the
+    // corpus scan (the one reading doc_id — the combined-stats scan reads
+    // text only, r16), and it must have a WindowGroupLimit BELOW it —
+    // each task ships ≤ k rows per query
+    val corpusExchanges = p.collect {
+      case e: ShuffleExchangeExec if e.collectFirst {
+        case s: FileSourceScanExec if s.output.exists(_.name == "doc_id") => ()
+      }.nonEmpty => e
     }
-    assert(topkExchanges.size == 1,
-      s"expected exactly one shuffle above the scoring join (the top-k):\n$p")
-    assert(topkExchanges.head.collectFirst {
+    assert(corpusExchanges.size == 1,
+      s"expected exactly one shuffle above the scored corpus (the top-k):\n$p")
+    assert(corpusExchanges.head.collectFirst {
       case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
     }.nonEmpty, s"rank limit not pushed below the top-k exchange:\n$p")
     // the corpus scan streams into the scoring join with no shuffle before it
@@ -600,10 +602,11 @@ class PlanSpec extends AnyFunSuite {
     val p = physical("retrieval_rrf")
     assert(count(p) { case _: joins.CartesianProductExec => } == 0)
     // the one-pass design: the corpus is scanned for the shared scored
-    // projection plus the two stats aggregations (df table, corpus stats)
-    // — NOT once per ranker (the two-job form paid 6 scans)
-    assert(count(p) { case _: FileSourceScanExec => } == 3,
-      s"expected 3 corpus scans (scoring + df + stats):\n$p")
+    // projection plus ONE combined stats aggregation (n + total + every
+    // term's df in a single row, r16) — NOT once per ranker and not one
+    // scan per statistic (the two-job form paid 6 scans; the r15 form 3)
+    assert(count(p) { case _: FileSourceScanExec => } == 2,
+      s"expected 2 corpus scans (scoring + combined stats):\n$p")
     // both rankings reduce through ONE partial-then-final TopKAgg
     // aggregate pair (≤ depth rows per query per system cross the wire);
     // the second pair is the tiny query-set collect_list (qterms)
@@ -615,6 +618,22 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.size == 1, s"expected exactly one (tiny) fusion window:\n$p")
     assert(wins.head.collectFirst { case _: ObjectHashAggregateExec => () }.nonEmpty,
       s"fusion window must sit above the aggregated top-k lists:\n$p")
+  }
+
+  test("retrieval_rbo: shares the dual-score pass — 2 scans, no ranker self-join") {
+    // r16: rbo rides the same dualTopK aggregation as rrf instead of two
+    // standalone ranker pipelines (which paid 2 scoring scans + stats and
+    // a full-outer query_id join of the two rankings)
+    val p = physical("retrieval_rbo")
+    assert(count(p) { case _: joins.CartesianProductExec => } == 0)
+    assert(count(p) { case _: FileSourceScanExec => } == 2,
+      s"expected 2 corpus scans (scoring + combined stats):\n$p")
+    // both ranked lists land in ONE aggregated row — the full-outer
+    // join of the two-pipeline form must never come back
+    assert(count(p) { case j: joins.SortMergeJoinExec => } == 0,
+      s"rbo must not join the two rankings:\n$p")
+    assert(count(p) { case _: ObjectHashAggregateExec => } == 4,
+      s"expected the dual top-k pair + the qterms collect_list pair:\n$p")
   }
 
   test("ann_sq8: query side broadcast, corpus narrow, partial top-k") {
