@@ -46,4 +46,29 @@ object ConfScope {
     * here, not a session knob. */
   def sortBasedAgg(df: DataFrame): DataFrame =
     apply(df, graft.SessionTuning.ObjectHashFallbackKey -> "128")
+
+  /** The two filter-INFERENCE rules whose inferred predicates are
+    * semantically redundant by construction (a Generate drops null/empty
+    * generator inputs itself; an inner join drops null keys itself) but
+    * can inline a HEAVY aliased expression below the Project that defines
+    * it — `explode(sh)` over a shingle/signature column infers
+    * `size(sh) > 0 AND isnotnull(sh)` and predicate pushdown substitutes
+    * the alias into the scan's filter, so shingle_array/simhash64/
+    * arg_top_k_lit evaluate 2-3× per row (the r16 ann_lsh/bitext_mine
+    * trap, then found across the dedup family by PlanAuditSpec). */
+  val RedundantInferRules: String =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate," +
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints"
+
+  /** Scope a query whose hot path computes an expensive native per row
+    * and then explodes/joins on it: the redundant inferred filters (see
+    * [[RedundantInferRules]]) are excluded, so the expression evaluates
+    * exactly once per row. Measured at sf0.1 (InferProbe, min-of-5, one
+    * JVM): leakage_split −62%, dedup_incremental −53%, dedup_simhash
+    * −46%, dedup_minhash_lsh −31%, dedup_jaccard_pairs −15%. The
+    * inference being off also drops inferred IsNotNull parquet pushdowns
+    * for the whole query — cheap-column early-drops the measurement
+    * already nets against. */
+  def noInferredFilters(df: DataFrame): DataFrame =
+    apply(df, "spark.sql.optimizer.excludedRules" -> RedundantInferRules)
 }

@@ -139,9 +139,15 @@ object Curation {
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .where(!held(col("doc_id")))
       .distinct()
-    docs.select(col("doc_id"),
-        when(held(col("doc_id")), lit("heldout")).otherwise(lit("train")).as("split"))
-      .join(broadcast(leakyTrain), Seq("doc_id"), "left_anti")
+    // redundant-inference scope (r16): the final frame chains from `docs`
+    // (base session), so the PPJoin subtree's scope from jaccardPairsWhere
+    // would NOT govern this query's optimization — re-scope the returned
+    // frame (InferProbe measured −62% at sf0.1: the inferred
+    // size(shingle_array) filters were the dominant leakage_split cost)
+    ConfScope.noInferredFilters(
+      docs.select(col("doc_id"),
+          when(held(col("doc_id")), lit("heldout")).otherwise(lit("train")).as("split"))
+        .join(broadcast(leakyTrain), Seq("doc_id"), "left_anti"))
   }
 
   /** [[Hygiene.repetitionGate]] ∧ [[TextAnalysis.qualityGate]] as ONE

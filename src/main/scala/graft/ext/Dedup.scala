@@ -345,9 +345,13 @@ object Dedup {
           .join(hot, Seq("h", "s"), "left_anti").drop("s")
       case None => prefixRows(inv.join(dfreq, "h"), tau)
     }
-    verifyPairs(
+    // redundant-inference scope (r16): InferFiltersFromGenerate turns the
+    // invRows explode into `size(shingle_array(text)) > 0 AND isnotnull(
+    // shingle_array(text))` scan filters — 2 extra shingle passes per row
+    // (PlanAuditSpec; InferProbe measured −15% here, more downstream)
+    ConfScope.noInferredFilters(verifyPairs(
       candidates(prefix, prefix, tau, pairCond(col("x.doc_id"), col("y.doc_id"))),
-      d, tau)
+      d, tau))
   }
 
   // ——— shared internals of the PPJoin family ———
@@ -578,7 +582,11 @@ object Dedup {
     val prefNew = prefixRows(withDf, tau).withColumn("is_new", lit(true))
     val all = index.prefix.withColumn("is_new", lit(false)).unionByName(prefNew)
     val cand = candidates(all, all, tau, col("x.is_new") || col("y.is_new"))
-    verifyPairs(cand, index.arrays.unionByName(dNew), tau)
+    // redundant-inference scope (r16): the incremental probe pays the same
+    // inferred shingle_array scan filters as the batch form (InferProbe
+    // measured −53% at sf0.1)
+    ConfScope.noInferredFilters(
+      verifyPairs(cand, index.arrays.unionByName(dNew), tau))
   }
 
   /** Persist a [[JaccardIndex]] (three parquet dirs under `dir`). */
@@ -663,7 +671,11 @@ object Dedup {
     val cand = candidates(index.prefix, prefNew, tau, lit(true))
       .unionByName(candidates(prefNew, index.prefix, tau, lit(true)))
       .unionByName(candidates(prefNew, prefNew, tau, lit(true)))
-    verifyPairs(cand, index.arrays.unionByName(dNew), tau)
+    // redundant-inference scope (r16): the incremental probe pays the same
+    // inferred shingle_array scan filters as the batch form (InferProbe
+    // measured −53% at sf0.1)
+    ConfScope.noInferredFilters(
+      verifyPairs(cand, index.arrays.unionByName(dNew), tau))
   }
 
   /** Grow a persisted index with `newDocs` under the index's FROZEN
@@ -783,7 +795,10 @@ object Dedup {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    cand
+    // redundant-inference scope (r16): the verify joins' key constraints
+    // otherwise inline shingle_array + minhash_sig into the scan filters
+    // (InferProbe measured −31% at sf0.1)
+    ConfScope.noInferredFilters(cand
       .join(d.as("da"), col("id_a") === col("da.doc_id"))
       .join(d.as("db"), col("id_b") === col("db.doc_id"))
       .select(col("id_a"), col("id_b"),
@@ -792,7 +807,7 @@ object Dedup {
           .cast("double") / numHashes).as("est_jac"),
         (size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
           size(array_union(col("da.sh"), col("db.sh")))).as("jac"))
-      .where(col("jac") >= tau)
+      .where(col("jac") >= tau))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming. Blocking on
@@ -803,12 +818,16 @@ object Dedup {
     val banded = d.select(col("doc_id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535)")).as(Seq("band", "key")))
-    banded.as("x").join(banded.as("y"), Seq("band", "key"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
+    // redundant-inference scope (r16): join-key constraints otherwise
+    // inline simhash64(split(text)) into the scan filter — the signature
+    // computed twice per row (InferProbe measured −46% at sf0.1)
+    ConfScope.noInferredFilters(
+      banded.as("x").join(banded.as("y"), Seq("band", "key"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= maxHamming))
   }
 
   /** Near-dup CLUSTERS from a pair list: connected components via iterative

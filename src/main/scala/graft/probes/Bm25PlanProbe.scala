@@ -14,10 +14,11 @@ object Bm25PlanProbe {
       .config("spark.sql.extensions", "graft.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (name <- Seq("bm25_topk", "retrieval_rrf")) {
-      val ps = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
-      val scans = "FileScan".r.findAllIn(ps).size
-      println(s"[p] $name scans=$scans")
+    for (name <- Seq("dedup_jaccard_pairs", "dedup_simhash")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val ps = df.queryExecution.executedPlan.toString
+      println(s"[p] $name")
+      ps.linesIterator.filter(l => l.contains("Filter") || l.contains("FileScan") || l.contains("shingle_array") || l.contains("simhash")).take(12).foreach(l => println("[l] " + l.take(600)))
     }
     spark.stop()
   }

@@ -411,33 +411,32 @@ class ExtSpec extends AnyFunSuite {
       // the plan claim, with broadcasts disabled so every join keys on
       // real partitioning: the plain (parquet, unbucketed) probe shuffles
       // the index side into every candidate join; the bucketed probe reads
-      // its on-disk h-buckets — strictly fewer exchanges
-      val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      // static plans: AQE wraps the tree in stages collect() can't see
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        // count on the initial physical plan (bucketing removes exchanges
-        // statically; executing first would hide them inside AQE stages)
-        def nShuffles(df: org.apache.spark.sql.DataFrame): Int =
-          df.queryExecution.executedPlan.collect {
+      // its on-disk h-buckets — strictly fewer exchanges. The overrides go
+      // through ConfScope rather than mutating the base session: the probe
+      // DF is itself ConfScope-bound since r16 (noInferredFilters), so
+      // base-session conf mutations never reach its planner — stacking a
+      // second scope (same SparkContext/catalog, fresh SQLConf with these
+      // overrides) is the supported way to re-plan it under test confs.
+      // count on the initial physical plan (bucketing removes exchanges
+      // statically; executing first would hide them inside AQE stages —
+      // hence adaptive off in the scope)
+      def nShuffles(df: org.apache.spark.sql.DataFrame): Int =
+        ConfScope(df,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.enabled" -> "false")
+          .queryExecution.executedPlan.collect {
             case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
           }.size
-        val plainIdx = Dedup.JaccardIndex(
-          spark.read.parquet(s"$dir/prefix"),
-          spark.read.parquet(s"$dir/arrays"),
-          spark.read.parquet(s"$dir/dfreq"))
-        val plain = nShuffles(
-          Dedup.jaccardPairsIncrementalBucketed(plainIdx, incoming, k = 3, tau = 0.5))
-        val bucketed = nShuffles(
-          Dedup.jaccardPairsIncrementalBucketed(loaded, incoming, k = 3, tau = 0.5))
-        assert(bucketed < plain,
-          s"bucketed probe must avoid index-side exchanges ($bucketed vs $plain)")
-      } finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
-        spark.conf.set("spark.sql.adaptive.enabled", aqe)
-      }
+      val plainIdx = Dedup.JaccardIndex(
+        spark.read.parquet(s"$dir/prefix"),
+        spark.read.parquet(s"$dir/arrays"),
+        spark.read.parquet(s"$dir/dfreq"))
+      val plain = nShuffles(
+        Dedup.jaccardPairsIncrementalBucketed(plainIdx, incoming, k = 3, tau = 0.5))
+      val bucketed = nShuffles(
+        Dedup.jaccardPairsIncrementalBucketed(loaded, incoming, k = 3, tau = 0.5))
+      assert(bucketed < plain,
+        s"bucketed probe must avoid index-side exchanges ($bucketed vs $plain)")
     } finally {
       Dedup.dropJaccardIndexBucketed(spark, dir)
       TmpIo.deleteRecursively(dir)
