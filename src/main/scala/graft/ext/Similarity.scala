@@ -781,9 +781,16 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id") && col("t") === firstShared)
       .select(col("query_id"), col("vec_id"),
         vectors.cosineSim(col("qe"), col("embedding")).as("sim"))
-    explodeTopK(
+    // AQE scoped OFF (the quality_ensemble discipline): this plan is ONE
+    // bounded shuffle — the partial top-k ships ≤ k rows per query per
+    // task and the build side is the broadcast query set — so adaptive
+    // re-planning has nothing to improve (no skew, nothing to coalesce)
+    // and its per-stage materialization just multiplies the job rounds
+    // (measured −17%, LshProbe pred vs pred_noaqe at sf0.1)
+    ConfScope(explodeTopK(
       sims.groupBy("query_id")
-        .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb")))
+        .agg(topkUdaf(k)(col("vec_id"), col("sim")).as("nb"))),
+      "spark.sql.adaptive.enabled" -> "false")
   }
 
   private def explodeTopK(grouped: DataFrame): DataFrame =

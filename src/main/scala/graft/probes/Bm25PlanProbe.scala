@@ -14,7 +14,7 @@ object Bm25PlanProbe {
       .config("spark.sql.extensions", "graft.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (name <- Seq("dedup_jaccard_pairs", "dedup_simhash")) {
+    for (name <- Seq("fuzzy_join")) {
       val df = SparkEntry.queries(name)(spark, dir)
       val ps = df.queryExecution.executedPlan.toString
       println(s"[p] $name")

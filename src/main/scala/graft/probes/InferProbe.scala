@@ -23,7 +23,7 @@ object InferProbe {
       .config("spark.sql.extensions", "graft.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = Seq("dedup_minhash_lsh", "dedup_lsh_recall")
+    val names = Seq("leakage_split", "dedup_incremental", "dedup_jaccard_pairs")
     def force(name: String): Long = {
       val df = SparkEntry.queries(name)(spark, dir)
       val h = xxhash64(df.columns.map(c => col(c).cast("string")): _*)

@@ -73,6 +73,10 @@ object LshProbe {
     lshDistinct().collect(); lshPred().collect()
     time("distinct", () => lshDistinct())
     time("pred", () => lshPred())
+    def lshNoAqe(): org.apache.spark.sql.DataFrame =
+      graft.ext.ConfScope(lshPred(), "spark.sql.adaptive.enabled" -> "false")
+    lshNoAqe().collect()
+    time("pred_noaqe", () => lshNoAqe())
     spark.stop()
   }
 }
