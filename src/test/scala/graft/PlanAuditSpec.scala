@@ -63,6 +63,29 @@ class PlanAuditSpec extends AnyFunSuite {
     flags.distinct.toSeq
   }
 
+  test("ConfScope optimizer scopes never change results (rules are redundancy-only)") {
+    // the r16 scopes (noInferredFilters on the dedup family, constraint
+    // propagation off in bitext_mine, AQE off in annLsh) all claim their
+    // excluded machinery is semantically redundant. Pin it: re-enabling
+    // the default optimizer on the SAME logical plan (a stacked ConfScope
+    // with empty exclusions and defaults restored) must produce identical
+    // rows. This differential survives Spark upgrades that change what
+    // the excluded rules infer.
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    for (name <- Seq("dedup_jaccard_pairs", "dedup_simhash", "bitext_mine",
+        "ann_lsh", "leakage_split")) {
+      val scoped = SparkEntry.queries(name)(spark, sfDir)
+      val unscoped = ext.ConfScope(scoped,
+        "spark.sql.optimizer.excludedRules" -> "",
+        "spark.sql.constraintPropagation.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "true")
+      assert(rows(scoped) == rows(unscoped),
+        s"$name: scoped and default-optimizer results diverge")
+    }
+  }
+
   test("no gate query re-evaluates a heavy native in a filter or carries a HOF join condition") {
     val bad = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, mk) =>
