@@ -14,7 +14,7 @@ object Bm25PlanProbe {
       .config("spark.sql.extensions", "graft.GraftExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (name <- Seq("fuzzy_join")) {
+    for (name <- Seq("bm25_topk", "retrieval_rrf", "retrieval_rbo")) {
       val df = SparkEntry.queries(name)(spark, dir)
       val ps = df.queryExecution.executedPlan.toString
       println(s"[p] $name")
