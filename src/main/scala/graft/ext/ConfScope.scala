@@ -18,19 +18,38 @@ import org.apache.spark.sql.graft.bridge
 object ConfScope {
   private val sessions =
     new ConcurrentHashMap[(SparkSession, Seq[(String, String)]), SparkSession]()
+  // clone -> (root base session, flattened overrides) so STACKED scopes
+  // compose instead of silently dropping the inner scope (ADVICE r16 #3):
+  // newSession() starts from initial confs, not the clone's runtime confs,
+  // so re-scoping must re-apply the inherited overrides explicitly
+  private val scopeOf =
+    new ConcurrentHashMap[SparkSession, (SparkSession, Seq[(String, String)])]()
 
   def session(base: SparkSession, confs: Seq[(String, String)]): SparkSession = {
-    val it = sessions.keySet.iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    sessions.computeIfAbsent((base, confs), { key =>
+    val it = sessions.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) { scopeOf.remove(e.getValue); it.remove() }
+    }
+    // flatten: scoping an already-scoped clone starts from its ROOT with
+    // the union of overrides, the OUTER scope winning on a shared key —
+    // e.g. PlanAuditSpec's differential restores a default over
+    // noInferredFilters while any unrelated inner override survives
+    val (root, inherited) = Option(scopeOf.get(base)).getOrElse((base, Nil))
+    val merged =
+      inherited.filterNot { case (k, _) => confs.exists(_._1 == k) } ++ confs
+    sessions.computeIfAbsent((root, merged), { key =>
       val s = key._1.newSession()
       key._2.foreach { case (k, v) => s.conf.set(k, v) }
+      scopeOf.put(s, (key._1, key._2))
       s
     })
   }
 
   /** Re-bind `df`'s logical plan to the scoped clone: actions on the
-    * returned frame plan and execute under `confs`. */
+    * returned frame plan and execute under `confs`. Stacking on an
+    * already-scoped frame composes — the plan re-binds to a clone of the
+    * ROOT session carrying both scopes' overrides (outer wins per key). */
   def apply(df: DataFrame, confs: (String, String)*): DataFrame =
     bridge.ofRows(session(df.sparkSession, confs.toSeq), df)
 

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.SparkEntry
 
@@ -187,13 +187,25 @@ object Multimodal {
     val banded = h.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .withColumn("bv", expr(s"shiftright(phash, CAST(b * $width AS INT)) & 65535"))
+    // first-shared-band dedup (r17, the simhashPairs form): both band
+    // values are bit-slices of the phash each row already carries, so a
+    // pair colliding in several bands keeps exactly the row whose `b` is
+    // the first agreeing band — a pure per-row predicate, no distinct()
+    // exchange of the candidate stream
+    def bandVal(p: Column, i: Int): Column =
+      shiftright(p, i * width).bitwiseAND(lit(65535L))
+    val firstShared = (0 until bands).foldRight(lit(-1): Column) {
+      case (i, acc) =>
+        when(bandVal(col("x.phash"), i) === bandVal(col("y.phash"), i), lit(i))
+          .otherwise(acc)
+    }
     banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
+      .where(col("x.b") === firstShared)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   // ---- REAL uncompressed-container codecs (pure JVM — no external libs)

@@ -3,8 +3,9 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution._
 
-/** Whole-surface standing audit for the two optimizer traps round 16
-  * caught and fixed by hand in ann_lsh and bitext_mine:
+/** Whole-surface standing audit for the three optimizer/plan traps rounds
+  * 16-17 caught and fixed by hand in ann_lsh, bitext_mine, and the
+  * minhash/simhash pair joins:
   *
   *  1. a pushdown / constraint-inference rule inlining an aliased HEAVY
   *     native expression (matrix cosine, gram hashes, JMESPath eval, …)
@@ -14,13 +15,26 @@ import org.apache.spark.sql.execution._
   *
   *  2. a lambda higher-order function inside a JOIN condition — HOFs have
   *     no codegen, and one in the condition drops the entire join out of
-  *     whole-stage codegen (measured +25% on ann_lsh's bucket join).
+  *     whole-stage codegen (measured +25% on ann_lsh's bucket join);
+  *
+  *  3. a DISTINCT (grouping-only aggregate) over a bucket-equality join
+  *     BOTH of whose sides are exploded (each row lands in several
+  *     buckets, so a pair can collide more than once) — the candidate-
+  *     dedup shape that exchanges the whole candidate stream a second
+  *     time, eliminated from ann_lsh (r16) and from minhashLsh /
+  *     simhashPairs / imagePhashPairs / embeddingPairs(Incremental)
+  *     (r17) by the first-shared-bucket per-row predicate. Joins with
+  *     only one exploded side (inverted-index probes), aggregates WITH
+  *     aggregate functions (groupBy.agg over joins), and distincts over
+  *     non-exploded joins (e.g. retention's user-period join) cannot
+  *     produce the multi-collision stream and pass.
   *
   * Every [[SparkEntry.queries]] entry is planned (sf0.001, the PlanSpec
-  * scale — plan shapes are statistics-driven and scale-stable) and both
-  * invariants asserted. A NEW legitimate use (e.g. a verify-on-candidates
-  * join that deliberately filters on the metric) belongs in the
-  * documented whitelist below, not silently in the plan. */
+  * scale — plan shapes are statistics-driven and scale-stable) and all
+  * three invariants asserted. A NEW legitimate use (e.g. a verify-on-
+  * candidates join that deliberately filters on the metric, or PPJoin's
+  * variable-length-prefix dedup-by-aggregation) belongs in the documented
+  * whitelist below, not silently in the plan. */
 class PlanAuditSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
   lazy val spark = ProdSession.spark
@@ -42,9 +56,48 @@ class PlanAuditSpec extends AnyFunSuite {
   // be excluded without losing pushdown for the whole query. The inline
   // was A/B'd at sf0.1 (InferProbe `nopush` phase): ≤5%, inside noise —
   // accepted and pinned here so any NEW heavy-in-filter shape still fails.
-  private val whitelist: Map[String, Seq[String]] = Map(
-    "dedup_minhash_lsh" -> Seq("shingle_array"),
-    "dedup_lsh_recall" -> Seq("shingle_array"))
+  // Invariant-3 whitelist — ONE adjudicated pattern: PPJoin's candidate
+  // distinct (the single `candidates()` site in Dedup.scala). Its
+  // prefixes are VARIABLE-LENGTH exploded rows under a per-doc window
+  // order, so dedup-by-aggregation is the standard PPJoin shape: a
+  // first-shared-bucket predicate would require carrying each side's
+  // full prefix array on every exploded row, bloating the very exchange
+  // the distinct avoids (VERDICT r16 adjudication of Dedup.scala:420).
+  // Every gate listed reaches exactly that code site (directly or via
+  // jaccardPairs composition).
+  private val ppjoinGates = Seq("dedup_jaccard_pairs", "dedup_auto",
+    "dedup_edit_verify", "dedup_incremental", "dedup_lsh_recall",
+    "dedup_threshold_report", "leakage_split")
+
+  private val whitelist: Map[String, Seq[String]] =
+    (Seq("dedup_minhash_lsh" -> "shingle_array",
+         "dedup_lsh_recall" -> "shingle_array") ++
+      ppjoinGates.map(_ -> "candidate-distinct-over-exploded-join"))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+
+  /** Walk through multiplicity-preserving unary nodes to the first
+    * "shape" node below a distinct: an aggregate means the distinct sits
+    * over an already-reduced stream (fine); a join means the candidate-
+    * distinct pattern (invariant 3). */
+  @annotation.tailrec
+  private def firstShapeBelow(p: SparkPlan): SparkPlan = p match {
+    case _: aggregate.BaseAggregateExec => p
+    case u: UnaryExecNode => firstShapeBelow(u.child)
+    case x => x
+  }
+
+  /** True when the subtree explodes rows (a Generate) before any
+    * aggregate re-reduces them — the side shape that makes a pair able
+    * to collide more than once in a bucket join. */
+  private def explodedSide(p: SparkPlan): Boolean = p match {
+    case _: aggregate.BaseAggregateExec => false
+    case _: GenerateExec => true
+    // a reused exchange is a LEAF wrapper over the original exchange —
+    // a self-join's second side hides its Generate behind one
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      explodedSide(r.child)
+    case x => x.children.exists(explodedSide)
+  }
 
   private def flagsOf(p: SparkPlan): Seq[String] = {
     val flags = scala.collection.mutable.ArrayBuffer[String]()
@@ -58,6 +111,13 @@ class PlanAuditSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
         if (j.condition.exists(_.toString.contains("lambdafunction")))
           flags += "hof-in-join-condition"
+      case a: aggregate.BaseAggregateExec if a.aggregateExpressions.isEmpty =>
+        firstShapeBelow(a.child) match {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+              if explodedSide(j.left) && explodedSide(j.right) =>
+            flags += "candidate-distinct-over-exploded-join"
+          case _ =>
+        }
       case _ =>
     }
     flags.distinct.toSeq
@@ -71,9 +131,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // with empty exclusions and defaults restored) must produce identical
     // rows. This differential survives Spark upgrades that change what
     // the excluded rules infer.
-    import org.apache.spark.sql.functions.col
-    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
-      df.collect().map(_.mkString("|")).toSet
+    // compare as row-count MULTISETS, not sets (ADVICE r16 #2): an
+    // excluded-rule divergence that duplicates or drops copies of an
+    // already-present row must fail too
+    def rows(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+      df.collect().map(_.mkString("|")).groupBy(identity)
+        .map { case (k, v) => (k, v.length) }
     for (name <- Seq("dedup_jaccard_pairs", "dedup_simhash", "bitext_mine",
         "ann_lsh", "leakage_split")) {
       val scoped = SparkEntry.queries(name)(spark, sfDir)
@@ -84,6 +147,41 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(rows(scoped) == rows(unscoped),
         s"$name: scoped and default-optimizer results diverge")
     }
+  }
+
+  test("ConfScope excluded-rule names exist in this Spark build's optimizer (rename guard)") {
+    // spark.sql.optimizer.excludedRules matches rule names as STRINGS — a
+    // Spark upgrade that renames InferFiltersFromGenerate/-Constraints
+    // would silently re-enable the heavy-inline trap everywhere the scope
+    // is applied (VERDICT r16 item 7). Pin that every excluded name is a
+    // rule the session optimizer actually carries.
+    val optimizerRules = spark.sessionState.optimizer.batches
+      .flatMap(_.rules).map(_.ruleName).toSet
+    ext.ConfScope.RedundantInferRules.split(",").foreach { rn =>
+      assert(optimizerRules.contains(rn),
+        s"excluded rule '$rn' is not in this Spark build's optimizer — " +
+          "the exclusion is dead and the inline trap is re-enabled")
+    }
+  }
+
+  test("invariant-3 detector control: the old distinct-over-banded-join shape DOES flag") {
+    // the r16 ann_lsh anti-pattern rebuilt in miniature — if the detector
+    // ever stops seeing it (e.g. a plan wrapper like ReusedExchangeExec
+    // hiding the Generate, which silently blinded the first r17 draft),
+    // this control fails before the audit goes quietly green
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val banded = Seq((1L, Seq(10L, 20L)), (2L, Seq(10L, 20L)), (3L, Seq(30L, 40L)))
+      .toDF("id", "bhs")
+      .select(col("id"), col("bhs"), posexplode(col("bhs")).as(Seq("band", "bh")))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    assert(flagsOf(cand.queryExecution.executedPlan)
+        .contains("candidate-distinct-over-exploded-join"),
+      s"detector no longer sees the candidate-distinct pattern:\n" +
+        cand.queryExecution.executedPlan)
   }
 
   test("no gate query re-evaluates a heavy native in a filter or carries a HOF join condition") {

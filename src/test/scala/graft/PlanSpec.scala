@@ -39,10 +39,33 @@ class PlanSpec extends AnyFunSuite {
       s"$name has a broadcast nested-loop join:\n$p")
   }
 
-  test("dedup_embedding_pairs: no cartesian, exactly one shuffle (the pair distinct)") {
+  test("dedup_embedding_pairs: no cartesian, ZERO shuffles (first-shared-cell, no distinct)") {
+    // r17 (VERDICT r16 items 1-2): the pair distinct's exchange is gone —
+    // multi-cell collisions dedup by the first-shared-cell per-row
+    // predicate inside the bucket join, so at gate scale the whole plan
+    // is broadcast joins with no exchange of the candidate stream
     val p = physical("dedup_embedding_pairs")
     assertNoCartesian("dedup_embedding_pairs", p)
-    assert(shuffles(p) == 1, s"expected 1 shuffle, got ${shuffles(p)}:\n$p")
+    assert(shuffles(p) == 0, s"expected 0 shuffles, got ${shuffles(p)}:\n$p")
+    assert(count(p) { case a: aggregate.BaseAggregateExec
+        if a.aggregateExpressions.isEmpty => } == 0,
+      s"candidate distinct crept back:\n$p")
+  }
+
+  test("minhash/simhash/phash candidate streams: first-shared-band predicate, no distinct exchange") {
+    // r17 (VERDICT r16 item 1): the three banded pair joins dedup
+    // multi-band collisions with the per-row first-shared-band predicate
+    // — no grouping-only aggregate (distinct) may appear anywhere in
+    // these plans, so the candidate stream is never exchanged a second
+    // time. (The exact-Jaccard/hamming verification is pure projection
+    // + filter — these queries have NO aggregates at all.)
+    for (name <- Seq("dedup_minhash_lsh", "dedup_simhash", "image_phash_pairs")) {
+      val p = physical(name)
+      assertNoCartesian(name, p)
+      assert(count(p) { case a: aggregate.BaseAggregateExec
+          if a.aggregateExpressions.isEmpty => } == 0,
+        s"$name: candidate distinct crept back:\n$p")
+    }
   }
 
   test("ann_ivf: narrow cell assignment — the only shuffle is the top-k partial agg") {

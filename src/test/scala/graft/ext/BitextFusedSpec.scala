@@ -81,6 +81,29 @@ class BitextFusedSpec extends AnyFunSuite {
       collectMine(Similarity.bitextMine(srcClean, tgt, k = 3, 0.0)))
   }
 
+  test("EVERY src row NULL-keyed hits the empty-matrix early return (VERDICT r16 item 7)") {
+    // a NON-empty src whose every row fails the NULL guard must take the
+    // srcRows.isEmpty early return (Similarity.scala matrix bake) — the
+    // shape a corrupt upstream batch produces: no NPE, no zero-column
+    // matrix literal, the empty correctly-shaped result
+    import org.apache.spark.sql.types._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toFloat)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = true),
+      StructField("embedding", ArrayType(FloatType), nullable = true)))
+    val allNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(null, vec(1)), Row(Long.box(2L), null), Row(null, null)), 2), schema)
+    val tgt = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 9L by 2).map(i => Row(Long.box(i), vec(i.toInt))), 2), schema)
+    assert(allNull.count() == 3, "src must be non-empty (the guard, not count, drops it)")
+    val r = Similarity.bitextMine(allNull, tgt, k = 3, 0.0)
+    assert(r.columns.toSeq == Seq("src_id", "tgt_id", "sim", "margin"))
+    assert(r.count() == 0)
+  }
+
   test("empty src or tgt yields an empty, correctly-shaped result") {
     val emb = SparkEntry.table(spark, "/root/testdata/sf0.001", "embeddings")
     val none = emb.where(lit(false))

@@ -71,8 +71,13 @@ class ExtSpec extends AnyFunSuite {
   test("minhash-LSH near-dup pairs: exact precision, high recall vs brute force") {
     val truth = Dedup.jaccardPairs(docs, k = 3, tau = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.minhashLsh(docs, tau = 0.5)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshRows = Dedup.minhashLsh(docs, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = lshRows.toSet
+    // the first-shared-band predicate must keep EXACTLY one row per
+    // colliding pair (r17 — the distinct() it replaced guaranteed this)
+    assert(lshRows.length == lsh.size,
+      s"duplicate pair rows: ${lshRows.length} rows over ${lsh.size} pairs")
     assert(truth.nonEmpty, "testdata should contain planted near-dups")
     assert(lsh.subsetOf(truth), "exact-Jaccard verification must kill false positives")
     val recall = lsh.size.toDouble / truth.size
@@ -86,8 +91,12 @@ class ExtSpec extends AnyFunSuite {
       (ida, sa) <- sigs; (idb, sb) <- sigs
       if ida < idb && java.lang.Long.bitCount(sa ^ sb) <= 3
     } yield (ida, idb)).toSet
-    val blocked = Dedup.simhashPairs(docs, maxHamming = 3)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blockedRows = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val blocked = blockedRows.toSet
+    // first-shared-band keeps exactly one row per multi-band collision (r17)
+    assert(blockedRows.length == blocked.size,
+      s"duplicate pair rows: ${blockedRows.length} rows over ${blocked.size} pairs")
     assert(blocked == brute, s"blocking must be exact: got ${blocked.size} vs ${brute.size}")
   }
 
