@@ -367,12 +367,30 @@ object Dedup {
     * uses set ops only. Detects underparallelized FILE inputs from the
     * driver-side listing — unlike df.rdd.getNumPartitions this never
     * materializes an RDD lineage just to read a number. */
-  private def shingled(df: DataFrame, k: Int): DataFrame = {
+  private def shingled(df: DataFrame, k: Int): DataFrame =
+    spread(df).select(col("doc_id"), shingles(col("text"), k).as("sh"))
+
+  /** Spread a few-files input across the cores before a heavy narrow
+    * stage (a one-file parquet corpus otherwise computes single-task). */
+  private[ext] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val nFiles = df.inputFiles.length
-    val spread = if (nFiles > 0 && nFiles < par) df.repartition(par) else df
-    spread.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    if (nFiles > 0 && nFiles < par) df.repartition(par) else df
   }
+
+  /** Shared-stage reuse point: a heavy derived table consumed by SEVERAL
+    * plan branches (both self-join sides, verify joins) is lazily
+    * checkpointed so the pipeline computes ONCE — Spark's exchange/stage
+    * reuse does not dedup independent broadcast builds (measured on
+    * minhashLsh: three serialized single-task builds each re-deriving the
+    * full signature pipeline, ~0.8 s apiece at sf0.1; checkpointed gate
+    * 1.84 → 0.95 s on the same window). Spread the INPUT before the
+    * heavy projection (an exchange after it would compute single-task
+    * first). Lazy, never eager: plan construction must not fire jobs
+    * (ADVICE r7 #4). At scale, persisting the shared stage beats N corpus
+    * scans + N recomputes — the dedupBatch pairs-cache precedent. */
+  private[ext] def sharedStage(derived: DataFrame): DataFrame =
+    derived.localCheckpoint(false)
 
   /** Exploded inverted-index rows (doc_id, n, s, h). Everything from here
     * to verification keys on h = xxhash64(shingle), not the shingle string:
@@ -799,9 +817,12 @@ object Dedup {
                  tau: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val d = df.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    // (doc_id, sh, sig) is consumed FOUR times (both banded join sides +
+    // both verify sides) — see [[sharedStage]]
+    val d = sharedStage(spread(df)
+      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", vectors.minhashSig(col("sh"), numHashes))
+      .withColumn("sig", vectors.minhashSig(col("sh"), numHashes)))
     // each exploded row keeps its side's FULL band-hash array (`bands`
     // BIGINTs — a bounded narrow recompute) so multi-band collisions dedup
     // by the per-row predicate below instead of a distinct() exchange.
@@ -859,7 +880,9 @@ object Dedup {
     * committed fixture oracle is unchanged. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band blocking is only exact for hamming <= 3")
-    val d = df.select(col("doc_id"), vectors.simhash64(split(col("text"), " ")).as("sig"))
+    // the signature table feeds BOTH self-join sides — see [[sharedStage]]
+    val d = sharedStage(spread(df)
+      .select(col("doc_id"), vectors.simhash64(split(col("text"), " ")).as("sig")))
     val banded = d.select(col("doc_id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535)")).as(Seq("band", "key")))
@@ -967,9 +990,10 @@ object Dedup {
       .getOrElse(Similarity.centroidLit(df, nCells))
     // each exploded row carries its FULL cell-assignment array (nAssign
     // longs) so multi-cell collisions dedup by the first-shared-cell
-    // predicate instead of a distinct() exchange (r17)
-    val cells = df.select(col("vec_id"),
-        Similarity.nearestCells(col("embedding"), cents, nAssign).as("cells"))
+    // predicate instead of a distinct() exchange (r17); the assignment
+    // table feeds both self-join sides — see [[sharedStage]]
+    val cells = sharedStage(spread(df).select(col("vec_id"),
+        Similarity.nearestCells(col("embedding"), cents, nAssign).as("cells")))
       .select(col("vec_id"), col("cells"), explode(col("cells")).as("cell_id"))
     val cand = cells.as("x").join(cells.as("y"),
         col("x.cell_id") === col("y.cell_id") && col("x.vec_id") < col("y.vec_id") &&

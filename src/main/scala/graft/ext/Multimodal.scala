@@ -183,7 +183,10 @@ object Multimodal {
   def imagePhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
     val width = 16 // 4 bands × 16 bits cover the 63-bit signature
-    val h = imageHashes(docs).toDF()
+    // the decode+hash table feeds BOTH self-join sides — the Dedup
+    // sharedStage reuse point (decoding every image twice is the single
+    // dominant cost here)
+    val h = Dedup.sharedStage(imageHashes(docs).toDF())
     val banded = h.select(col("doc_id"), col("phash"),
         explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .withColumn("bv", expr(s"shiftright(phash, CAST(b * $width AS INT)) & 65535"))
