@@ -162,7 +162,9 @@ object Freq {
     * array (the [[Hygiene]] HOF posture — never re-split inside a lambda). */
   private[graft] def trigrams(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
-    docs
+    // spread first (r17): a one-file corpus otherwise runs the whole
+    // gram explosion + sketch partial-aggregation single-task
+    Dedup.spread(docs)
       .select(w.as("w"))
       .select(explode(when(size(col("w")) >= 3,
         transform(sequence(lit(1), size(col("w")) - 2), i =>

@@ -249,7 +249,9 @@ object Hygiene {
   def ngramNovelty(docs: DataFrame, k: Int = 13,
                    hashKeys: Boolean = false): DataFrame = {
     val key: Column => Column = if (hashKeys) g => xxhash64(g) else identity
-    val singles = docs
+    // spread first (r17): the gram explosion over a one-file corpus
+    // otherwise runs single-task (no-op on many-files inputs)
+    val singles = Dedup.spread(docs)
       .select(col("doc_id"), ngramsOf(col("text"), k, distinct = true).as("gs"))
       .select(col("doc_id"), size(col("gs")).cast("long").as("ng"),
         posexplode(concat(col("gs"),

@@ -925,7 +925,10 @@ object Quality {
     // inner join of the candidate/reference count tables (a gram missing
     // from the reference clips to 0 and needs no row). The pair id is
     // checkpointed so both count subtrees see identical ids.
-    val tok = pairs
+    // spread before the checkpoint (r17): a one-file input checkpoints as
+    // ONE partition and every downstream gram-hash map side then runs
+    // single-task — the two ~1 s 1-task stages in the r17 job profile
+    val tok = Dedup.spread(pairs)
       .select(monotonically_increasing_id().as("__id"),
         toks(cand).as("__c"), toks(ref).as("__r"))
       .localCheckpoint(true)
@@ -1008,7 +1011,9 @@ object Quality {
     // keeps the oracle regex byte-identical cross-engine
     def ws(c: Column): Column =
       if (includeWhitespace) c else regexp_replace(c, "[ \\t\\r\\n\\f]+", "")
-    val base = pairs.select(id.as("id"), ws(cand).as("__c"), ws(ref).as("__r"))
+    // spread first (r17): a one-file input runs the whole native gram
+    // pass single-task otherwise (no-op on many-files inputs at scale)
+    val base = Dedup.spread(pairs).select(id.as("id"), ws(cand).as("__c"), ws(ref).as("__r"))
       // both-NULL rows are dropped (the old join shape had no row to emit);
       // a one-sided NULL coalesces to "" → zero grams → p/r contribute 0
       .where(col("__c").isNotNull || col("__r").isNotNull)
@@ -1054,7 +1059,7 @@ object Quality {
     def ws(c: Column): Column = regexp_replace(c, "[ \\t\\r\\n\\f]+", "")
     def toks(c: Column): Column =
       filter(split(coalesce(c, lit("")), " "), t => t =!= "")
-    val wide = pairs.select(id.as("id"), cand.as("__c"), ref.as("__r"))
+    val wide = Dedup.spread(pairs).select(id.as("id"), cand.as("__c"), ref.as("__r"))
       .where(col("__c").isNotNull || col("__r").isNotNull)
       .select(col("id"),
         graft.functions.vectors.chrfStats(ws(coalesce(col("__c"), lit(""))),
@@ -1097,7 +1102,7 @@ object Quality {
   def sentenceBleu(pairs: DataFrame, id: Column, cand: Column,
                    ref: Column): DataFrame = {
     def tk(c: Column): Column = filter(split(coalesce(c, lit("")), " "), t => t =!= "")
-    val base = pairs.select(id.as("id"), tk(cand).as("__c"), tk(ref).as("__r"))
+    val base = Dedup.spread(pairs).select(id.as("id"), tk(cand).as("__c"), tk(ref).as("__r"))
       .where(col("__c").isNotNull || col("__r").isNotNull)
     val wide = base.select(col("id"),
       size(col("__c")).cast("long").as("c_len"),

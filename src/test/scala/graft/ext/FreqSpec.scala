@@ -71,9 +71,16 @@ class FreqSpec extends AnyFunSuite {
       .queryExecution.executedPlan
     def cnt(pf: PartialFunction[SparkPlan, Unit]): Int =
       p.collect { case n if pf.isDefinedAt(n) => n }.size
-    // one shuffle: the candidate-only groupBy (plus nothing corpus-wide)
-    assert(cnt { case _: ShuffleExchangeExec => } == 1,
-      s"expected exactly the recount exchange:\n$p")
+    // one HASH exchange: the candidate-only groupBy (plus nothing
+    // corpus-wide). The r17 input spread adds a ROUND-ROBIN exchange on
+    // few-files inputs — allowed; any extra hash exchange would mean a
+    // corpus-wide aggregation crept back.
+    val hashEx = p.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.size == 1,
+      s"expected exactly the recount hash exchange:\n$p")
     assert(cnt { case _: HashAggregateExec => } == 2,
       s"expected partial+final recount HashAggregate:\n$p")
     // the scan-time candidate-membership filter keeps non-candidates off
