@@ -420,7 +420,9 @@ object Freq {
                       audit: Boolean = false): DataFrame = {
     require(windowDays >= 1, "window must be at least one day")
     val day = floor(unix_micros(tsCol) / lit(86400000000L))
-    val base = df.select(group.as("grp"), day.as("day"), key.as("__k"))
+    // spread first (r17): the daily-sketch map side over a one-file event
+    // log otherwise runs single-task
+    val base = Dedup.spread(df).select(group.as("grp"), day.as("day"), key.as("__k"))
     val daily = base.groupBy("grp", "day").agg(hll_sketch_agg(col("__k")).as("sk"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy(col("day").asc)

@@ -210,7 +210,9 @@ object TextAnalysis {
     * dialects; gram hashes use the sha256-derived [[Hygiene.hashU64]]
     * scheme (cross-engine exact, like every sampling/ranking op). */
   def winnow(df: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
-    df.select(col("doc_id"),
+    // spread first (r17): the per-gram sha256 + per-window argmin is the
+    // heavy stage, single-task on a one-file corpus otherwise
+    Dedup.spread(df).select(col("doc_id"),
         explode(graft.functions.vectors.winnowFingerprints(col("text"), k, w)).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
 
@@ -446,7 +448,9 @@ object TextAnalysis {
   def embedTfidf(docs: DataFrame, dim: Int = 64): DataFrame = {
     require(dim > 0, "dim must be positive")
     val n = docs.count()
-    val words = docs.select(col("doc_id"),
+    // spread first (r17): the word explosion + tf map side over a
+    // one-file corpus otherwise runs single-task
+    val words = Dedup.spread(docs).select(col("doc_id"),
       explode(filter(toks, w => length(w) > 0)).as("w"))
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val lex = tf.groupBy("w").agg(count(lit(1)).as("df"))
