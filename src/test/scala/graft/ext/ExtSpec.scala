@@ -20,6 +20,18 @@ class ExtSpec extends AnyFunSuite {
   private def docs = SparkEntry.table(spark, dir, "documents")
   private def emb = SparkEntry.table(spark, dir, "embeddings")
 
+  test("spread: repartitions a one-file input to the core count, no-ops otherwise") {
+    import spark.implicits._
+    // one-file parquet input → spread to defaultParallelism partitions
+    // (the r17 single-task-stage fix); a non-file input (no inputFiles)
+    // must pass through UNTOUCHED — the cluster-scale / in-memory no-op
+    val par = spark.sparkContext.defaultParallelism
+    assert(Dedup.spread(docs).rdd.getNumPartitions == par,
+      "one-file corpus should spread to the core count")
+    val mem = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.spread(mem) eq mem, "non-file input must pass through")
+  }
+
   test("quantSim: shared integer quantization, NaN pinned to Long.MaxValue") {
     import spark.implicits._
     val rows = Seq(0.5, -0.5, 0.0, 1e-17, -1e-17, Double.NaN).toDF("c")
