@@ -763,7 +763,13 @@ object Similarity {
           explode(sequence(lit(0), lit(tables - 1))).as("t"))
         .select(col(idAs), col(embAs), col(sigAs), col("t"),
           element_at(col(sigAs), col("t") + 1).as("bucket"))
-    val data = buckets(emb, "vec_id", "embedding", "sig")
+    // spread the DATA side first (r17): a one-file corpus computes the
+    // tables×bits cosine signature single-task otherwise. This is a
+    // round-robin redistribution, NOT a join-key shuffle — co-location
+    // is irrelevant here (the query side broadcasts) and it no-ops at
+    // cluster scale (files ≥ cores); the PlanSpec pin still forbids any
+    // HASH exchange on the data side.
+    val data = buckets(Dedup.spread(emb), "vec_id", "embedding", "sig")
     val q = broadcast(buckets(queries, "query_id", "qe", "qsig"))
     // first-shared-table dedup: the joined row already agrees at index t,
     // so the first agreeing index always exists and is ≤ t; keeping only

