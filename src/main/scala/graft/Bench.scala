@@ -42,7 +42,26 @@ import org.apache.spark.sql.functions._
   *    plus the exact `"floorflags"` count. Both adjudication objects are
   *    filled under the remaining byte budget of the driver's 2 KB tail
   *    window (ADVICE r16 #1) — counts are exact, truncation only drops
-  *    per-row detail.
+  *    per-row detail. The floor guard is keyed by (sf, cpus) — ADVICE
+  *    r17 #1: a floor recorded at local[32] would permanently flag honest
+  *    4-core medians, so a cpus mismatch skips merge AND adjudication the
+  *    same way an sf mismatch already did. The one sanctioned floor
+  *    re-seed path (a legitimate perf trade or a Spark version bump) is
+  *    documented in BASELINE.md §"Floor re-seed policy";
+  *  - TIMEOUT SURVIVABILITY (r18, VERDICT r17 #1 — BENCH_r17 shipped
+  *    `rc:124` with ZERO per-query data because the artifact was written
+  *    only after the last query): `bench.json` is now REWRITTEN after
+  *    every completed measurement (warm-up values ship labelled
+  *    `"partial":true,"phase":"warmup"`; timed medians replace them as
+  *    they land), so a driver-side kill at ANY point ships every
+  *    completed query. A global wall-clock deadline
+  *    (`SPARK_GRAFT_BENCH_DEADLINE_S`, default 900 s) additionally
+  *    DEGRADES the methodology instead of dying: past 30% of the budget
+  *    remaining warm-ups are skipped, past 55% reps drop 3→1, past 85%
+  *    the retime pass is skipped — queries are never dropped, and the
+  *    final line carries the exact count of affected queries in
+  *    `"truncated"` (0 on a healthy run, so old artifacts stay
+  *    comparable).
   */
 object Bench {
   /** Forces full computation of every column; returns a checksum. XOR
@@ -60,9 +79,37 @@ object Bench {
   private def fmt(v: Double): String =
     if (v < 0) "-1" else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Parse `bench_floor.json`: (sf label, cpus label, per-query floors).
+    * A legacy file without a `"cpus"` key is attributed to "32" — every
+    * floor recorded before the r18 guard was a local[32] idle minimum
+    * (BASELINE.md job-round-floor ledger). Pure, unit-tested. */
+  private[graft] def parseFloor(txt: String): (Option[String], Option[String], Map[String, Double]) = {
+    val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    val cp = """"cpus":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      .orElse(if (txt.trim.nonEmpty) Some("32") else None)
+    val floors = """"([^"]+)":([0-9][0-9.]*)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap - "sf" - "cpus"
+    (sf, cp, floors)
+  }
+
+  /** Min-merge current medians into the previous floors (monotone: a
+    * contended value can never lower a floor). Pure, unit-tested. */
+  private[graft] def mergeFloor(prev: Map[String, Double],
+                                results: Seq[(String, Double)]): Map[String, Double] =
+    prev ++ results.filter(_._2 > 0)
+      .map { case (n, v) => n -> math.min(v, prev.getOrElse(n, v)) }
+
   def main(args: Array[String]): Unit = {
+    val startNs = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - startNs) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // wall-clock budget: past fractions of it the methodology degrades
+    // (fewer warm-ups / reps / retimes) instead of the run dying with an
+    // empty artifact (BENCH_r17, rc 124). 900 s sits comfortably under the
+    // driver window that killed r17 while never engaging on an idle host
+    // (full methodology needs ~300-350 s idle).
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "900").toDouble
     val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -73,6 +120,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // short sf label ("0.1"), not the full path: every byte of the JSON
+    // line competes with the driver's fixed-size tail window
+    val sfLabel = {
+      val m = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      m.map(_.group(1)).getOrElse(sfDir)
+    }
+
     // the *_interp control queries must time the interpreted evaluator
     def lowerFor(n: String): Unit =
       spark.conf.set(graft.compile.LowerJmesPathRule.LowerConfKey,
@@ -82,6 +136,24 @@ object Bench {
     // the driver passes none and times the full headline set)
     val names0 = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     val names = if (args.nonEmpty) names0.filter(args.toSet) else names0
+
+    def writeArtifact(json: String): Unit =
+      try {
+        val w = new java.io.PrintWriter("bench.json"); w.println(json); w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
+
+    // incremental flush (r18): every completed measurement lands in
+    // bench.json immediately, so a kill at any point ships everything
+    // measured so far — warm-up values are honest but labelled partial
+    def flushPartial(phase: String, entries: Seq[(String, Double)]): Unit = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = entries.map(_._2).filter(_ >= 0).sum
+      writeArtifact(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""partial":true,"phase":"$phase","queries":$qs,"sf":"$sfLabel"}""")
+    }
+
     // warm-up: run everything once (also primes the parquet footer cache).
     // Durations are kept as a per-query REFERENCE for the retimer: a
     // hypervisor freeze INSIDE one timed query (measured r15: a whole-VM
@@ -89,16 +161,28 @@ object Bench {
     // sentinel windows around it, but glaring against the query's own
     // warm-up time. (Warm-up runs include first-plan/codegen cost, so the
     // reference is conservative — a timed value far ABOVE it is noise.)
+    // Deadline-bounded: past 30% of the budget the remaining warm-ups are
+    // skipped — those queries merely lose the warm-up adjudication signal.
     val warmupSec = scala.collection.mutable.Map[String, Double]()
+    var truncated = 0
+    val warmupOrder = scala.collection.mutable.ArrayBuffer[String]()
     names.foreach { n =>
-      lowerFor(n)
-      val t0 = System.nanoTime()
-      try {
-        force(SparkEntry.queries(n)(spark, sfDir))
-        warmupSec(n) = (System.nanoTime() - t0) / 1e9
+      if (elapsedS > 0.30 * deadlineS) truncated += 1
+      else {
+        lowerFor(n)
+        val t0 = System.nanoTime()
+        try {
+          force(SparkEntry.queries(n)(spark, sfDir))
+          warmupSec(n) = (System.nanoTime() - t0) / 1e9
+          warmupOrder += n
+          flushPartial("warmup", warmupOrder.toSeq.map(q => q -> warmupSec(q)))
+        }
+        catch { case e: Throwable => System.err.println(s"[bench/warmup] $n: ${e.getMessage}") }
       }
-      catch { case e: Throwable => System.err.println(s"[bench/warmup] $n: ${e.getMessage}") }
     }
+    if (truncated > 0)
+      System.err.println(s"[bench] deadline: skipped $truncated warm-ups " +
+        f"(elapsed ${elapsedS}%.0f s of $deadlineS%.0f)")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def timeOnce(n: String): Double = {
       lowerFor(n)
@@ -110,8 +194,8 @@ object Bench {
         -1.0
       }
     }
-    def median(n: String): Double = {
-      val times = (1 to runs).map(_ => timeOnce(n))
+    def median(n: String, reps: Int = runs): Double = {
+      val times = (1 to reps).map(_ => timeOnce(n))
       if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.size / 2)
     }
     // contention sentinel, INTERLEAVED (VERDICT r13 item 4): endpoint-only
@@ -128,12 +212,20 @@ object Bench {
     // 5 warm rounds: the sentinel itself keeps JIT-speeding-up for a few
     // iterations, and with interleaved checkpoints a drifting sentinel
     // would false-flag the first window as contended
-    (1 to 5).foreach(_ => timeOnce(sentinelName))
+    if (elapsedS <= 0.35 * deadlineS)
+      (1 to 5).foreach(_ => timeOnce(sentinelName))
     val sentinels = scala.collection.mutable.ArrayBuffer(median(sentinelName))
     val timed = scala.collection.mutable.ArrayBuffer[(String, Double, Int)]()
     names.grouped(window).foreach { group =>
       val w = sentinels.size - 1
-      group.foreach(n => timed += ((n, median(n), w)))
+      group.foreach { n =>
+        // deadline degradation: past 55% of the budget medians drop to a
+        // single rep — a degraded value is still honest (and flagged in
+        // "truncated"), an absent artifact is not
+        val reps = if (elapsedS > 0.55 * deadlineS) { truncated += 1; 1 } else runs
+        timed += ((n, median(n, reps), w))
+        flushPartial("timed", timed.toSeq.map(t => t._1 -> t._2))
+      }
       sentinels += median(sentinelName)
     }
     // retime trigger (VERDICT r14 #3): the r14 run had two windows whose
@@ -164,29 +256,32 @@ object Bench {
       warmupSec.get(n).filter(_ > 0).map(t / _).getOrElse(1.0)
     def severity(n: String, t: Double, w: Int): Double =
       math.max(windowRatio(w), warmupRatio(n, t) / 2.0)
-    val retimeSet: Set[String] = timed.toSeq
+    val retimeCandidates = timed.toSeq
       .filter { case (n, t, w) =>
         t >= 0 && (windowRatio(w) > 1.15 || warmupRatio(n, t) > 2.0) }
       .sortBy { case (n, t, w) => -severity(n, t, w) }
-      .take(retimeBudget).map(_._1).toSet
+      .take(retimeBudget).map(_._1)
+    // deadline degradation: past 85% of the budget the retime pass is
+    // skipped wholesale; past 95% mid-pass, the remaining retimes are
+    val retimeSet: Set[String] =
+      if (elapsedS > 0.85 * deadlineS) { truncated += retimeCandidates.size; Set.empty }
+      else retimeCandidates.toSet
     val retimed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = timed.toSeq.map { case (n, t, w) =>
-      if (retimeSet(n)) {
+    val current = scala.collection.mutable.LinkedHashMap[String, Double](
+      timed.toSeq.map(t => t._1 -> t._2): _*)
+    timed.toSeq.foreach { case (n, t, _) =>
+      if (retimeSet(n) && elapsedS <= 0.95 * deadlineS) {
         retimed += n
         val t2 = median(n)
-        n -> (if (t2 >= 0) math.min(t, t2) else t)
-      } else n -> t
+        current(n) = if (t2 >= 0) math.min(t, t2) else t
+        flushPartial("retime", current.toSeq)
+      } else if (retimeSet(n)) truncated += 1
     }
+    val results = current.toSeq
     val contended = sMin > 0 && sMax / sMin > 1.3
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // short sf label ("0.1"), not the full path: every byte of this line
-    // competes with the driver's fixed-size tail window
-    val sfLabel = {
-      val m = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      m.map(_.group(1)).getOrElse(sfDir)
-    }
     // retimed names are capped so a fully-loaded host cannot blow the
     // driver's 2 KB tail window; the count is always exact
     val retimedJson = retimed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -199,25 +294,24 @@ object Bench {
     // .json persists each query's idle MINIMUM to date — minima are
     // monotone, so merging min(floor, median) on every run is always
     // safe: a contended value never lowers a floor, a genuinely faster
-    // run always does. Floors are per scale factor (a mismatched sf
-    // leaves the file untouched and skips floor adjudication).
+    // run always does. Floors are per (scale factor, cpu count) — ADVICE
+    // r17 #1: a local[32] floor would permanently flag an honest 4-core
+    // median as >3× contention, so a mismatch on EITHER key leaves the
+    // file untouched and skips floor adjudication. The sanctioned re-seed
+    // path for legitimate trades is BASELINE.md §"Floor re-seed policy".
     val floorPath = "bench_floor.json"
     val floorTxt = try scala.io.Source.fromFile(floorPath).mkString
       catch { case _: Throwable => "" }
-    val floorSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(floorTxt).map(_.group(1))
-    val sfOk = floorTxt.isEmpty || floorSf.contains(sfLabel)
-    val prevFloor: Map[String, Double] =
-      if (!sfOk) Map.empty
-      else """"([^"]+)":([0-9][0-9.]*)""".r.findAllMatchIn(floorTxt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap - "sf"
-    val newFloor: Map[String, Double] = prevFloor ++ results
-      .filter(_._2 > 0)
-      .map { case (n, v) => n -> math.min(v, prevFloor.getOrElse(n, v)) }
-    if (sfOk) try {
+    val (floorSf, floorCpus, prevFloorAll) = parseFloor(floorTxt)
+    val guardOk = floorTxt.trim.isEmpty ||
+      (floorSf.contains(sfLabel) && floorCpus.contains(cpus))
+    val prevFloor: Map[String, Double] = if (guardOk) prevFloorAll else Map.empty
+    val newFloor: Map[String, Double] = mergeFloor(prevFloor, results)
+    if (guardOk) try {
       val body = newFloor.toSeq.sortBy(_._1)
         .map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString(",")
       val w = new java.io.PrintWriter(floorPath)
-      w.println(s"""{"sf":"$sfLabel",$body}"""); w.close()
+      w.println(s"""{"sf":"$sfLabel","cpus":"$cpus",$body}"""); w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] $floorPath write failed: ${e.getMessage}") }
 
@@ -231,6 +325,8 @@ object Bench {
     // driver's 2 KB tail window (ADVICE r16 #1 — a fixed 25-entry cap
     // could push a contended run's line past 2 KB and ship parsed:null);
     // the exact flag COUNTS always ship, truncation only drops detail.
+    // On a (sf, cpus) guard mismatch newFloor == this run's own medians,
+    // so nothing can flag — floor adjudication is effectively off.
     val floorFlagged = results
       .filter { case (n, v) =>
         v > 0 && newFloor.get(n).exists(f => f > 0 && v > 3.0 * f) }
@@ -255,6 +351,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contended":$contended,""" +
       s""""sentinel":[${sentinels.map(fmt).mkString(",")}],""" +
       s""""retimed":${retimed.size},"retimedNames":$retimedJson,""" +
+      s""""truncated":$truncated,""" +
       s""""floorflags":${floorFlagged.size},"floor":$floorJson,""" +
       s""""warmup":$warmJson,""" +
       s""""queries":$qs,"sf":"$sfLabel"}"""
@@ -266,9 +363,7 @@ object Bench {
     val warmJson = fill(warmFlagged, budget - floorJson.length + 2)
     val json = assemble(floorJson, warmJson)
     // belt-and-braces: also persist to a file in case stdout gets clipped
-    try {
-      val w = new java.io.PrintWriter("bench.json"); w.println(json); w.close()
-    } catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
+    writeArtifact(json)
     spark.stop()
     // final line of stdout, after spark.stop(), so nothing can print below it
     println(json)

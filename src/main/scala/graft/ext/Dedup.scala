@@ -371,10 +371,33 @@ object Dedup {
     spread(df).select(col("doc_id"), shingles(col("text"), k).as("sh"))
 
   /** Spread a few-files input across the cores before a heavy narrow
-    * stage (a one-file parquet corpus otherwise computes single-task). */
+    * stage (a one-file parquet corpus otherwise computes single-task).
+    *
+    * Contract: call on a SINGLE-SOURCE frame, before composition (every
+    * call site does; Fuzzy spreads each join side separately). The
+    * decision keys on the per-leaf MINIMUM file count, not the aggregate
+    * listing (ADVICE r17 #3): a composed frame whose heavy side is ONE
+    * file but which references ≥ cores files in total would otherwise
+    * silently skip the spread and the single-task-stage class returns.
+    * For a contract-violating multi-leaf frame the min rule degrades to
+    * the safe side — one extra round-robin exchange — instead of that
+    * silent perf cliff. Driver-side listing only (never materializes an
+    * RDD lineage just to read a partition count); in-memory frames (no
+    * file leaves) pass through untouched, and at real scale every leaf
+    * has ≥ defaultParallelism files → provable no-op. */
   private[ext] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val nFiles = df.inputFiles.length
+    val leafFiles = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.length
+          // non-file relation: no listing to reason about — never the
+          // single-row-group parquet shape this helper exists for
+          case _ => Int.MaxValue
+        }
+    }
+    val nFiles = if (leafFiles.isEmpty) 0 else leafFiles.min
     if (nFiles > 0 && nFiles < par) df.repartition(par) else df
   }
 
@@ -388,9 +411,40 @@ object Dedup {
     * heavy projection (an exchange after it would compute single-task
     * first). Lazy, never eager: plan construction must not fire jobs
     * (ADVICE r7 #4). At scale, persisting the shared stage beats N corpus
-    * scans + N recomputes — the dedupBatch pairs-cache precedent. */
+    * scans + N recomputes — the dedupBatch pairs-cache precedent.
+    *
+    * Storage/recovery tradeoff (ADVICE r17 #2), accepted deliberately:
+    * localCheckpoint blocks are NON-REPLICATED and truncate lineage, so
+    * (a) at cluster scale an executor loss makes the checkpointed RDD
+    * unrecoverable — the job fails and retries from the source, where the
+    * pre-r17 plans recomputed the branch 4× every run; a deployment that
+    * cannot retry should swap this for `spark.sparkContext
+    * .setCheckpointDir` + reliable `checkpoint()` at the cost of one
+    * write to fault-tolerant storage; and (b) the persisted blocks are
+    * freed by the ContextCleaner only when the driver GCs the DataFrame —
+    * a long session looping banded gates holds one signature table per
+    * in-flight gate (bounded: these tables are a projection of the
+    * corpus, and each gate's reference dies with its query). Explicit
+    * unpersist is not possible here — the helper RETURNS the plan; the
+    * consuming action happens in caller/driver code that must not know
+    * about persistence. */
   private[ext] def sharedStage(derived: DataFrame): DataFrame =
     derived.localCheckpoint(false)
+
+  /** The first index i < n where `eq(i)` holds, else -1 — the shared
+    * first-shared-band/table dedup predicate of the banded families
+    * (VERDICT r17 #4: one definition instead of four hand-rolled copies).
+    * A pair colliding in several bands/tables keeps exactly the exploded
+    * row whose band equals this index, replacing the `distinct()` that
+    * exchanged the whole candidate stream. Built as a CASE chain over
+    * LITERAL indices, never zip_with/array_position: higher-order
+    * functions have no codegen, and one in a join condition drops the
+    * whole join out of whole-stage codegen (measured +25% on the sf0.1
+    * ann_lsh gate). n is a plan-time constant, so the chain is bounded. */
+  private[graft] def firstSharedIndex(n: Int)(eq: Int => Column): Column =
+    (0 until n).foldRight(lit(-1): Column) {
+      case (i, acc) => when(eq(i), lit(i)).otherwise(acc)
+    }
 
   /** Exploded inverted-index rows (doc_id, n, s, h). Everything from here
     * to verification keys on h = xxhash64(shingle), not the shingle string:
@@ -845,11 +899,8 @@ object Dedup {
     // first-shared-band dedup: the joined row already agrees at index
     // `band`, so the first agreeing index always exists and is <= band;
     // keeping only band == that index leaves exactly one row per pair
-    val firstShared = (0 until bands).foldRight(lit(-1): Column) {
-      case (i, acc) =>
-        when(col("x.bhs").getItem(i) === col("y.bhs").getItem(i), lit(i))
-          .otherwise(acc)
-    }
+    val firstShared = firstSharedIndex(bands)(i =>
+      col("x.bhs").getItem(i) === col("y.bhs").getItem(i))
     val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .where(col("x.doc_id") < col("y.doc_id") && col("band") === firstShared)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -888,11 +939,8 @@ object Dedup {
         "transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535)")).as(Seq("band", "key")))
     def bandKey(sig: Column, i: Int): Column =
       shiftright(sig, i * 16).bitwiseAND(lit(65535L))
-    val firstShared = (0 until 4).foldRight(lit(-1): Column) {
-      case (i, acc) =>
-        when(bandKey(col("x.sig"), i) === bandKey(col("y.sig"), i), lit(i))
-          .otherwise(acc)
-    }
+    val firstShared = firstSharedIndex(4)(i =>
+      bandKey(col("x.sig"), i) === bandKey(col("y.sig"), i))
     // redundant-inference scope (r16): join-key constraints otherwise
     // inline simhash64(split(text)) into the scan filter — the signature
     // computed twice per row (InferProbe measured −46% at sf0.1)

@@ -31,33 +31,99 @@ object Graph {
   /** Undirected connected components over an edge list; returns
     * `(node, component)` with component = the smallest node id in the
     * component. Covers nodes that appear in at least one edge — join
-    * singletons back with a coalesce (see the `dedup_components` gate). */
+    * singletons back with a coalesce (see the `dedup_components` gate).
+    *
+    * Two physical regimes, one result (r18, guide §1.2 "the distributed
+    * algorithm first" + §5 bounded driver state — the [[Hygiene
+    * .sourceOverlap]] collectPatterns / icp_order posture):
+    *
+    *  - ≤ `driverEdges` edges (known from ONE count over the already-
+    *    checkpointed edge list): union-find ON THE DRIVER. A near-dup
+    *    pair graph is orders of magnitude smaller than its corpus (500
+    *    docs → ~250 pairs at sf0.1; even a 10⁹-doc corpus with a 1% dup
+    *    rate is ~10⁷ edges = a few hundred MB of longs), and the
+    *    distributed loop's per-round price is 2 jobs + an eager
+    *    checkpoint + a count — ~1.2 s of pure scheduling on the sf0.1
+    *    gate for a KB-sized label table. Union-by-min-root makes the
+    *    root of every tree the component minimum by induction, so the
+    *    labeling is bit-identical to the iterative fixpoint.
+    *  - above the bound: the r17 min-label propagation loop, unchanged
+    *    (one edge⋈label join + a dst-keyed min aggregate per round,
+    *    rounds = component diameter, LOUD `require` on non-convergence).
+    *
+    * The edge list is checkpointed BEFORE symmetrization (also r18): the
+    * previous `e.union(e.swap).distinct().localCheckpoint(true)` ran the
+    * upstream pair pipeline through both union branches in one job —
+    * exchange reuse does not dedup union branches that end in different
+    * projections. Now the pair pipeline materializes exactly once and
+    * both the count and (in the distributed regime) the symmetrize read
+    * the cached blocks. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-                          maxIter: Int = 20): DataFrame = {
-    val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint(true)
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nb = sym
-        .join(labels.select(col("node").as("b"), col("comp")), "b")
-        .groupBy(col("a").as("node")).agg(min(col("comp")).as("nc"))
-      val next = labels.join(nb, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
-          (coalesce(col("nc"), col("comp")) < col("comp")).as("ch"))
-        .localCheckpoint(true)
-      changed = next.where(col("ch")).count()
-      labels = next.drop("ch")
-      it += 1
+                          maxIter: Int = 20,
+                          driverEdges: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    // the ONE materialization of the (possibly expensive) edge pipeline
+    val e0 = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .localCheckpoint(true)
+    val nEdges = e0.count() // cached blocks — a scheduling-floor job
+    if (nEdges <= driverEdges) {
+      // driver regime: union-find with path compression; union keeps the
+      // SMALLER root, so every root is its component's minimum id
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      // ONE collect job (toLocalIterator would schedule a job per
+      // partition — the very overhead this regime removes); the bound
+      // caps the transient row array
+      e0.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val out = new Array[(Long, Long)](parent.size)
+      val it = parent.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { val n = it.next(); out(i) = (n, find(n)); i += 1 }
+      java.util.Arrays.sort(out, Ordering.by((t: (Long, Long)) => t._1))
+      import spark.implicits._
+      // small label tables return as a LocalRelation (accurate stats →
+      // downstream joins broadcast them); big ones as a parallelized RDD
+      // so millions of rows never sit inside the logical plan
+      if (out.length <= 100000) out.toSeq.toDF("node", "comp")
+      else spark.createDataset(spark.sparkContext.parallelize(
+        out.toSeq, spark.sparkContext.defaultParallelism)).toDF("node", "comp")
+    } else {
+      val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        .distinct().localCheckpoint(true)
+      var labels = sym.select(col("a").as("node")).distinct()
+        .withColumn("comp", col("node")).localCheckpoint(true)
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIter) {
+        val nb = sym
+          .join(labels.select(col("node").as("b"), col("comp")), "b")
+          .groupBy(col("a").as("node")).agg(min(col("comp")).as("nc"))
+        val next = labels.join(nb, Seq("node"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"),
+            (coalesce(col("nc"), col("comp")) < col("comp")).as("ch"))
+          .localCheckpoint(true)
+        changed = next.where(col("ch")).count()
+        labels = next.drop("ch")
+        it += 1
+      }
+      require(changed == 0,
+        s"connectedComponents: not converged after $maxIter rounds — the graph " +
+          "has a longer diameter than expected; raise maxIter")
+      labels
     }
-    require(changed == 0,
-      s"connectedComponents: not converged after $maxIter rounds — the graph " +
-        "has a longer diameter than expected; raise maxIter")
-    labels
   }
 
   /** Fixed-point integer PageRank over a DIRECTED edge list (symmetrize

@@ -197,11 +197,8 @@ object Multimodal {
     // exchange of the candidate stream
     def bandVal(p: Column, i: Int): Column =
       shiftright(p, i * width).bitwiseAND(lit(65535L))
-    val firstShared = (0 until bands).foldRight(lit(-1): Column) {
-      case (i, acc) =>
-        when(bandVal(col("x.phash"), i) === bandVal(col("y.phash"), i), lit(i))
-          .otherwise(acc)
-    }
+    val firstShared = Dedup.firstSharedIndex(bands)(i =>
+      bandVal(col("x.phash"), i) === bandVal(col("y.phash"), i))
     banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -778,11 +778,8 @@ object Similarity {
     // constant), NOT zip_with/array_position: higher-order functions have
     // no codegen, and one in the join condition drops the whole broadcast
     // join out of whole-stage codegen (measured +25% on the sf0.1 gate)
-    val firstShared = (0 until tables).foldRight(lit(-1): Column) {
-      case (i, acc) =>
-        when(col("sig").getItem(i) === col("qsig").getItem(i), lit(i))
-          .otherwise(acc)
-    }
+    val firstShared = Dedup.firstSharedIndex(tables)(i =>
+      col("sig").getItem(i) === col("qsig").getItem(i))
     val sims = data.join(q, Seq("t", "bucket"))
       .where(col("vec_id") =!= col("query_id") && col("t") === firstShared)
       .select(col("query_id"), col("vec_id"),

@@ -32,6 +32,29 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.spread(mem) eq mem, "non-file input must pass through")
   }
 
+  test("spread: keys on the per-leaf MINIMUM file count, not the aggregate listing") {
+    // ADVICE r17 #3: a composed frame whose heavy side is ONE file but
+    // which references >= defaultParallelism files in total must still
+    // spread — the aggregate inputFiles count would silently skip it and
+    // the single-task-stage class returns. Build a >=par-file side, join
+    // it to the one-file corpus, and require the spread to fire.
+    val par = spark.sparkContext.defaultParallelism
+    val tmp = java.nio.file.Files.createTempDirectory("spread_leaf").toString
+    try {
+      docs.select(col("doc_id")).repartition(par)
+        .write.mode("overwrite").parquet(s"$tmp/wide.parquet")
+      val wide = spark.read.parquet(s"$tmp/wide.parquet")
+      assert(wide.inputFiles.length >= par, "fixture must have >= par files")
+      val composed = docs.join(wide, "doc_id")
+      assert(composed.inputFiles.length >= par,
+        "aggregate listing must be >= par for the test to bite")
+      assert(Dedup.spread(composed).rdd.getNumPartitions == par,
+        "one-file heavy side inside a many-file composition must still spread")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("quantSim: shared integer quantization, NaN pinned to Long.MaxValue") {
     import spark.implicits._
     val rows = Seq(0.5, -0.5, 0.0, 1e-17, -1e-17, Double.NaN).toDF("c")

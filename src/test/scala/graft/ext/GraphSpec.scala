@@ -25,7 +25,7 @@ class GraphSpec extends AnyFunSuite {
     nodes.map(v => v -> find(v)).toMap
   }
 
-  test("connectedComponents == union-find on random graphs (3 seeds)") {
+  test("connectedComponents == union-find on random graphs (3 seeds, BOTH regimes)") {
     import spark.implicits._
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)
@@ -33,25 +33,40 @@ class GraphSpec extends AnyFunSuite {
         (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
         .filter(e => e._1 != e._2)
       val want = unionFind(100, edges)
+      // default routing: 150 edges ≤ driverEdges → the r18 driver-side
+      // union-find regime
       val got = Graph.connectedComponents(
           edges.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"seed $seed")
+      assert(got == want, s"seed $seed (driver regime)")
+      // driverEdges = -1 forces the distributed min-label loop: both
+      // regimes must produce the identical labeling
+      val gotDist = Graph.connectedComponents(
+          edges.toDF("a", "b"), "a", "b", driverEdges = -1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == want, s"seed $seed (distributed regime)")
     }
   }
 
-  test("connectedComponents: a diameter past maxIter fails loudly") {
+  test("connectedComponents: a diameter past maxIter fails loudly (distributed regime)") {
     import spark.implicits._
-    // a 30-node path has diameter 29 — maxIter 3 cannot converge
+    // a 30-node path has diameter 29 — maxIter 3 cannot converge in the
+    // min-label loop (the driver regime has no iteration cap: force the
+    // distributed path, whose contract this pins)
     val path = (0L until 29L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
-      Graph.connectedComponents(path, "a", "b", maxIter = 3)
+      Graph.connectedComponents(path, "a", "b", maxIter = 3, driverEdges = -1L)
     }
     assert(e.getMessage.contains("not converged"))
     // and with enough rounds the same path collapses to component 0
-    val ok = Graph.connectedComponents(path, "a", "b", maxIter = 40)
+    val ok = Graph.connectedComponents(path, "a", "b", maxIter = 40,
+        driverEdges = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ok.values.toSet == Set(0L) && ok.size == 30)
+    // the driver regime handles the same long-diameter path with no cap
+    val drv = Graph.connectedComponents(path, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drv == ok)
   }
 
   private def jvmPagerank(edges: Seq[(String, String)], iters: Int,
