@@ -220,6 +220,22 @@ object SparkEntry {
     * cost; this builds a realistic nested document per event so the A/B
     * measures the engines, not the scheduler. */
   private[graft] def wideDocPublic: org.apache.spark.sql.Column = wideDoc
+
+  /** [[compile.FusedGate]] barrier around the constructed document (r18):
+    * with the one-file-corpus spread in place, predicate pushdown would
+    * otherwise push the gate Filter BELOW the round-robin exchange by
+    * inlining the doc alias — re-creating the double-parse plan (gate
+    * parses ALL rows on the pre-spread single task, extraction parses
+    * survivors again; the round-7 class) and defeating both the spread and
+    * the one-scan fusion pin. FusedGate is the identity on its
+    * (deterministic) child flagged non-deterministic, the same wall the
+    * fusion rule itself plants under `_jmes_scan`: the Filter stays above
+    * the doc-defining Project, where FuseProjectScans merges gate +
+    * extractions into ONE scan per record above the exchange. */
+  private def docBarrier(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = org.apache.spark.sql.graft.bridge
+    b.column(compile.FusedGate(b.expression(c)))
+  }
   private def wideDoc: org.apache.spark.sql.Column = {
     val pads = (1 to 20).flatMap(i => Seq(
       lit(s""", "f$i": "pad$i-abcdefghijklmnopqrstuvwxyz0123456789"""")))
@@ -266,8 +282,8 @@ object SparkEntry {
     // extraction. The oracle computes every output arithmetically from the
     // same derived columns (JmesCoverage pattern).
     "jmes_wide" -> ((s, dir) =>
-      table(s, dir, "events")
-        .withColumn("doc", wideDoc)
+      ext.Dedup.spread(table(s, dir, "events"))
+        .withColumn("doc", docBarrier(wideDoc))
         .where(jmesTruthy(col("doc"), "k >= `50` && length(tags) == `2`"))
         .select(col("event_id"),
           jmespathDouble(col("doc"), "k").as("k"),
@@ -284,8 +300,8 @@ object SparkEntry {
     // raw scan. Variant pays only when the parse amortizes across queries
     // (a stored Variant column); the production path is the fused raw scan.
     "variant_wide" -> ((s, dir) =>
-      table(s, dir, "events")
-        .withColumn("doc", wideDoc)
+      ext.Dedup.spread(table(s, dir, "events"))
+        .withColumn("doc", docBarrier(wideDoc))
         .withColumn("v", expr("parse_json(doc)"))
         .where(expr("variant_get(v, '$.k', 'double') >= 50 AND " +
           "array_size(variant_get(v, '$.tags', 'array<string>')) = 2"))
@@ -302,7 +318,7 @@ object SparkEntry {
     // reference parses once per record regardless of output count,
     // main.go:89-90)
     "jmes_multicol" -> ((s, dir) =>
-      table(s, dir, "events")
+      ext.Dedup.spread(table(s, dir, "events"))
         .select(col("event_id"),
           jmespathDouble(col("props"), "k").as("k"),
           jmesTruthy(col("props"), "k > `50`").as("big"),
@@ -321,7 +337,7 @@ object SparkEntry {
     // (Spark's subexpression elimination shares the Variant build, the
     // binary-encoded analogue of our fused scan) — the §1.2 A/B pair
     "variant_multicol" -> ((s, dir) =>
-      table(s, dir, "events")
+      ext.Dedup.spread(table(s, dir, "events"))
         .select(col("event_id"),
           expr("variant_get(parse_json(props), '$.k', 'double')").as("k"),
           expr("variant_get(parse_json(props), '$.k', 'double') > 50").as("big"),
@@ -337,8 +353,8 @@ object SparkEntry {
     // hides per-record engine cost, so the lowered-vs-interpreted A/B is
     // only meaningful at jmes_wide's ~1 KB documents
     "jmes_wide_interp" -> ((s, dir) =>
-      table(s, dir, "events")
-        .withColumn("doc", wideDoc)
+      ext.Dedup.spread(table(s, dir, "events"))
+        .withColumn("doc", docBarrier(wideDoc))
         .where(jmesTruthy(col("doc"), "k >= `50` && length(tags) == `2`"))
         .select(col("event_id"),
           jmespathDouble(col("doc"), "k").as("k"),

@@ -385,7 +385,7 @@ object Dedup {
     * RDD lineage just to read a partition count); in-memory frames (no
     * file leaves) pass through untouched, and at real scale every leaf
     * has ≥ defaultParallelism files → provable no-op. */
-  private[ext] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val leafFiles = df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -624,6 +624,15 @@ object Dedup {
   /** Build the persistable [[JaccardIndex]] of a corpus (same k/tau must be
     * used for the incremental probes against it). */
   def buildJaccardIndex(corpus: DataFrame, k: Int = 3, tau: Double = 0.5): JaccardIndex = {
+    // Deliberately NOT sharedStage'd despite the multi-consumer static
+    // plan (12 scans in dedup_incremental's r18 before-plan): every
+    // duplicated subtree here ends in a SHUFFLE (the df aggregation, the
+    // prefix window sort), and AQE's runtime stage reuse dedups
+    // canonically-equal shuffle stages — unlike the BROADCAST-side builds
+    // sharedStage exists for (minhashLsh, winnowPairs). Measured r18 A/B
+    // at sf0.1 (min-of-5, sentinel-matched subset runs): checkpointing
+    // d/dfreq/prefix made dedup_incremental 1.61 → 2.86 s — four serial
+    // materialization barriers replaced one AQE DAG with stage reuse.
     val d = shingled(corpus, k)
     val inv = invRows(d)
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
@@ -647,6 +656,9 @@ object Dedup {
     * orders are exact; asserted in ExtSpec). */
   def jaccardPairsIncremental(index: JaccardIndex, incoming: DataFrame,
                               k: Int = 3, tau: Double = 0.5): DataFrame = {
+    // NOT sharedStage'd — the [[buildJaccardIndex]] measurement: the
+    // duplicated consumers end in shuffles AQE stage-reuse dedups at
+    // runtime, and checkpoint barriers measured net-negative here
     val dNew = shingled(incoming, k)
     val withDf = invRows(dNew)
       .join(index.dfreq, Seq("h"), "left")
@@ -1170,8 +1182,15 @@ object Dedup {
     * 8-byte fingerprints, never text. */
   def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
                   minShared: Int = 2, maxFpFreq: Int = 100): DataFrame = {
-    val fps = TextAnalysis.winnow(docs, k, w)
-      .select(col("doc_id"), col("fp")).distinct()
+    // the fingerprint table feeds THREE plan branches (the hot-fp cap agg
+    // + both self-join sides) that each re-ran the winnow pass — per-gram
+    // sha256 + per-window argmin, the query's dominant cost — from
+    // parquet (4 scans in the r18 before-plan; AQE stage reuse dedups
+    // shuffle stages, not these broadcast-side builds) — see
+    // [[sharedStage]]. Measured r18 A/B at sf0.1 (min-of-5,
+    // sentinel-matched subset runs): 1.59 → 1.30 s.
+    val fps = sharedStage(TextAnalysis.winnow(docs, k, w)
+      .select(col("doc_id"), col("fp")).distinct())
     val cold = fps.groupBy("fp")
       .agg(count(lit(1)).as("__dfp")).where(col("__dfp") <= maxFpFreq)
       .select("fp")

@@ -473,6 +473,12 @@ object Similarity {
                     marginThreshold: Double = 1.0,
                     nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = centroidLit(tgt, nCells)
+    // NOT spread (r18 A/B, min-of-5, sentinel-matched subset runs):
+    // per-side spreads before the assignment/probe joins measured
+    // 1.17 → 1.49 s — the 2-task sim-matrix stage the TaskSkewProbe
+    // flags here is stage-setup overhead, not compute (4k vectors × 16
+    // cells ≈ 4M flops), so the extra round-robin exchanges inside
+    // mineFromSims' eager checkpoint only add serial AQE stage rounds.
     val srcA = src.select(col("vec_id").as("sid"), col("embedding").as("se"),
       nearestCell(col("embedding"), cents).as("cell"))
     val tgtA = tgt.select(col("vec_id").as("tid"), col("embedding").as("te"),

@@ -58,7 +58,6 @@ class SpreadPinSpec extends AnyFunSuite {
     "heavy_hitters_prod",  // MG sketch partial-aggregation map side
     "embed_tfidf",         // tokenize + hash featurizer
     "dedup_jaccard_pairs", // shingle + inverted-index build
-    "dedup_winnow_pairs",  // winnow fingerprint pass
     "ann_lsh",             // tables×bits cosine signature (data side)
     "self_bleu",           // per-pair BLEU scorer
     "sliding_distinct")    // per-day sketch build
@@ -68,7 +67,8 @@ class SpreadPinSpec extends AnyFunSuite {
   private val checkpointGates = Seq(
     "bleu_corpus",         // eager pair-id checkpoint (Quality.bleuCorpus)
     "dedup_minhash_lsh",   // sharedStage'd (doc_id, sh, sig) table
-    "dedup_simhash")       // sharedStage'd signature table
+    "dedup_simhash",       // sharedStage'd signature table
+    "dedup_winnow_pairs")  // sharedStage'd fingerprint table (r18)
 
   for (name <- exchangeGates)
     test(s"$name: one-file corpus is round-robin spread before the heavy stage") {
