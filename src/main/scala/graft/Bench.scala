@@ -170,6 +170,7 @@ object Bench {
       if (elapsedS > 0.30 * deadlineS) truncated += 1
       else {
         lowerFor(n)
+        spark.sparkContext.setJobDescription(s"bench:warmup:$n")
         val t0 = System.nanoTime()
         try {
           force(SparkEntry.queries(n)(spark, sfDir))
@@ -186,6 +187,9 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def timeOnce(n: String): Double = {
       lowerFor(n)
+      // guide §1.5: label the jobs so a UI/event-log reader can attribute
+      // every stage to its query (thread-local, no perf effect)
+      spark.sparkContext.setJobDescription(s"bench:$n")
       val t0 = System.nanoTime()
       try { force(SparkEntry.queries(n)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>

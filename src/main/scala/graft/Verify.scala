@@ -20,6 +20,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle_sql.json FIRST (r18, the bench timeout-survivability
+    // discipline): it is a pure function of SparkEntry.oracleSql, and
+    // writing it after the dump loop meant a driver-side timeout shipped
+    // hundreds of result dirs with NO oracle mapping — the compare loop
+    // would fail wholesale instead of checking every completed query.
+    writeOracleSql(outDir)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -35,6 +41,10 @@ object Verify {
       }
     }
     spark.conf.set(graft.compile.LowerJmesPathRule.LowerConfKey, "true")
+    spark.stop()
+  }
+
+  private def writeOracleSql(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -50,6 +60,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
