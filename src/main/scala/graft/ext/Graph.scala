@@ -137,11 +137,81 @@ object Graph {
                   iters: Int = 5, scale: Long = 1000000000L,
                   dampNum: Long = 85, dampDen: Long = 100,
                   broadcastNodes: Long = 10000000L,
-                  checkpointEvery: Int = 10): DataFrame = {
+                  checkpointEvery: Int = 10,
+                  driverEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen >= dampNum, "bad damping")
     // the ONE edge materialization; everything downstream reads the cache
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
       .localCheckpoint(true)
+    val teleport0 = scale * (dampDen - dampNum) / dampDen
+    // two physical regimes, one result (r18 — the connectedComponents
+    // posture applied to the second iterative operator): the fixpoint is
+    // PURE INTEGER arithmetic (truncating div, sums of longs — addition
+    // is order-independent), so a driver loop over a collected edge array
+    // is bit-identical to the distributed iteration by construction
+    // (GraphSpec runs both regimes against the same JVM mirror). Below
+    // `driverEdges` (2M edges ≈ tens of MB transient) the distributed
+    // loop's price is ~3 stage-jobs per iteration over a |nodes|-sized
+    // rank table — ~1.7 s of scheduling on the sf0.1 gate — while the
+    // driver loop is microseconds; above the bound the web-graph regime
+    // runs unchanged.
+    // the driver regime keys on 8-byte ids (the production regime — the
+    // gate comment above `pagerank` spells out why ids should be longs at
+    // web scale); any other key type routes to the distributed loop,
+    // which is type-agnostic
+    val longKeys = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val nEdges = e.count() // cached blocks — a scheduling-floor job
+    if (longKeys && nEdges <= driverEdges) {
+      val rows = e.collect() // ONE job; bounded by driverEdges
+      val m = rows.length
+      // dense-int node remap ONCE, then every iteration is primitive
+      // array arithmetic: the first cut used boxed Long maps and spent
+      // ~2 s driver-side on the 1.1M-edge gate graph (5 iterations ×
+      // 3 boxed map ops per edge) — more than the Spark loop it replaced
+      val idOf = new java.util.HashMap[java.lang.Long, Integer]()
+      val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      def idx(x: Long): Int = {
+        val got = idOf.get(x)
+        if (got != null) got.intValue
+        else { val nid = ids.length; idOf.put(x, nid); ids += x; nid }
+      }
+      val srcI = new Array[Int](m); val dstI = new Array[Int](m)
+      var i = 0
+      while (i < m) {
+        srcI(i) = idx(rows(i).getLong(0)); dstI(i) = idx(rows(i).getLong(1))
+        i += 1
+      }
+      val n = ids.length
+      val deg = new Array[Long](n)
+      i = 0; while (i < m) { deg(srcI(i)) += 1L; i += 1 }
+      var r = Array.fill(n)(scale)
+      for (_ <- 1 to iters) {
+        val acc = new Array[Long](n)
+        i = 0
+        while (i < m) {
+          // r div deg: truncating division of non-negative longs — the
+          // same value Spark's `div` produces
+          acc(dstI(i)) += r(srcI(i)) / deg(srcI(i))
+          i += 1
+        }
+        var j = 0
+        while (j < n) {
+          acc(j) = acc(j) * dampNum / dampDen + teleport0
+          j += 1
+        }
+        r = acc
+      }
+      val out = Array.tabulate(n)(j => (ids(j), r(j)))
+      java.util.Arrays.sort(out, Ordering.by((t: (Long, Long)) => t._1))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      // small rank tables as a LocalRelation (accurate stats → broadcast
+      // downstream); big ones parallelized so the plan stays small
+      return if (out.length <= 100000) out.toSeq.toDF("node", "r")
+      else spark.createDataset(spark.sparkContext.parallelize(
+        out.toSeq, spark.sparkContext.defaultParallelism)).toDF("node", "r")
+    }
     // the degree table is |nodes|-sized: broadcast once, ReuseExchange
     // dedups it across every iteration inside the final action
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -263,6 +333,10 @@ object Graph {
     // times cheaper than a tagged string at web-graph scale
     "pagerank" -> ((s, dir) => {
       val orders = SparkEntry.table(s, dir, "orders")
+      // NOT spread (r18 A/B: 1.565 vs 1.510 across two windows — noise;
+      // the 3-task edge-build stage is split-bound but its per-task work
+      // is one broadcast probe + partial distinct, too cheap to beat the
+      // added exchange)
       val lineitem = SparkEntry.table(s, dir, "lineitem")
       val ok = broadcast(orders.select(col("o_orderkey"), col("o_custkey")))
       val e0 = lineitem.join(ok,

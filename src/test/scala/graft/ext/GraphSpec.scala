@@ -101,6 +101,26 @@ class GraphSpec extends AnyFunSuite {
     assert(reparted == got)
   }
 
+  test("pagerankInt long-keyed: driver and distributed regimes are bit-identical") {
+    import spark.implicits._
+    // long ids route to the r18 driver regime by default; driverEdges=-1
+    // forces the distributed loop — both must match the JVM mirror bit
+    // for bit (pure integer arithmetic)
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).distinct
+      .filter(e => e._1 != e._2)
+    val want = jvmPagerank(edges.map { case (a, b) => (a.toString, b.toString) },
+      iters = 5).map { case (k, v) => k.toLong -> v }
+    val df = edges.toDF("s", "d")
+    val drv = Graph.pagerankInt(df, "s", "d", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drv == want, "driver regime vs JVM mirror")
+    val dist = Graph.pagerankInt(df, "s", "d", iters = 5, driverEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == drv, "distributed regime must match the driver regime")
+  }
+
   test("pagerank gate: a source-less node earns exactly the teleport mass") {
     import spark.implicits._
     val df = Seq(("a", "b"), ("b", "c")).toDF("s", "d") // nothing points at a
