@@ -40,7 +40,6 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    spark.conf.set(graft.compile.LowerJmesPathRule.LowerConfKey, "true")
     spark.stop()
   }
 

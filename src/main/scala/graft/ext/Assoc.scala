@@ -35,7 +35,13 @@ object Assoc {
   private type Q = (SparkSession, String) => DataFrame
 
   /** The capped, deduplicated, sorted basket table — the shared root of
-    * the one-shot and maintained forms. */
+    * the one-shot and maintained forms. NOT spread (r19 A/B, min-of-7 in
+    * one JVM, cross-checked against the old code on a comparable window):
+    * `Dedup.spread(rows)` made item_cooc 1.48 → 2.30 s — the sort-scoped
+    * partial collect_set is NOT single-task-bound here, and the keyless
+    * round-robin exchange pays a full local sort of the 600 K input rows
+    * (sortBeforeRepartition) to buy parallelism the basket exchange
+    * already provides. */
   private def cappedBaskets(rows: DataFrame, basket: Column, item: Column,
                             maxBasketItems: Int): DataFrame =
     rows.select(basket.as("basket"), item.as("item"))

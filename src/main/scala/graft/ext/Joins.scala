@@ -118,23 +118,39 @@ object Joins {
     val u = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__b", bucketOf(col("__ts")))
     // same (ts, side, payload) tiebreak as the plain form, so the
-    // within-bucket pick agrees with rSum's max(struct(ts, rv)) carry rule
+    // within-bucket pick agrees with the carry's max(struct(ts, rv)) rule
     // on tied right timestamps — the two regimes cannot diverge
     val wB = Window.partitionBy((keys :+ "__b").map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val within = u.withColumn("__m", last(col("__rv"), ignoreNulls = true).over(wB))
-    // one row per (key, bucket) holding the bucket's LATEST right payload;
-    // bucket order == time order, so the latest payload across all earlier
-    // buckets is the last summary row before this bucket
-    val rSum = r.withColumn("__b", bucketOf(col("__ts")))
-      .groupBy((keys :+ "__b").map(col): _*)
-      .agg(max(struct(col("__ts"), col("__rv"))).as("__s"))
-      .select(keys.map(col) ++ Seq(col("__b"), col("__s.__rv").as("__brv")): _*)
-    val allB = u.select((keys :+ "__b").map(col): _*).distinct()
+    // Per-bucket statistics as WINDOWS over the same (keys, bucket)
+    // partitioning instead of separate aggregation branches (r19, guide
+    // §2.4): the previous shape re-derived `u` for an allB distinct and
+    // `r` for an rSum aggregate — two more full exchanges and two more
+    // source scans; every per-bucket fact is computable inside the one
+    // exchange the running window already pays. `__brv` (the bucket's
+    // latest right payload, max over the same (ts, rv) struct order) and
+    // `__rn` share wB's sort, so the stage stays one exchange + one sort.
+    val wBAll = Window.partitionBy((keys :+ "__b").map(col): _*)
+    val within = u
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__brv", max(when(col("__side") === 0,
+        struct(col("__ts"), col("__rv")))).over(wBAll))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy((keys :+ "__b").map(col): _*)
+          .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)))
+    // one row per (key, bucket) — exactly the buckets present in u (the
+    // old allB set), each holding the bucket's latest right payload (the
+    // old rSum value; NULL when the bucket has no right rows, exactly as
+    // the old left join produced); bucket order == time order, so the
+    // latest payload across all earlier buckets is the last non-null
+    // summary before this bucket
+    val summaries = within.where(col("__rn") === 1)
+      .select(keys.map(col) ++
+        Seq(col("__b"), col("__brv.__rv").as("__brv")): _*)
     val wK = Window.partitionBy(keys.map(col): _*).orderBy(col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = allB.join(rSum, keys :+ "__b", "left")
+    val carry = summaries
       .withColumn("__carry", last(col("__brv"), ignoreNulls = true).over(wK))
       .select(keys.map(col) ++ Seq(col("__b"), col("__carry")): _*)
     within.join(carry, keys :+ "__b", "left")

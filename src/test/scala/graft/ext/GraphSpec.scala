@@ -154,6 +154,26 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.triangleCount(k5).collect().head.getLong(2) == 10L)
   }
 
+  test("null edge endpoints are dropped identically in BOTH regimes (r19)") {
+    import spark.implicits._
+    // ADVICE r18 #1: a null endpoint used to NPE the driver regime while
+    // the distributed loop silently carried it — both must now agree
+    val edges = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(2L), None))
+      .toDF("a", "b")
+    val drv = Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.connectedComponents(edges, "a", "b", driverEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drv == Map(1L -> 1L, 2L -> 1L))
+    assert(dist == drv)
+    val prDrv = Graph.pagerankInt(edges.toDF("s", "d"), "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prDist = Graph.pagerankInt(edges.toDF("s", "d"), "s", "d", iters = 2,
+        driverEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prDrv.keySet == Set(1L, 2L) && prDist == prDrv)
+  }
+
   test("cooccurrenceEdges: distinct pairs within group only") {
     import spark.implicits._
     val df = Seq((1L, 10L), (1L, 20L), (1L, 20L), (1L, 30L),

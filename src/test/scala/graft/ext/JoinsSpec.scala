@@ -121,12 +121,17 @@ class JoinsSpec extends AnyFunSuite {
     val wins = p.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(wins.nonEmpty)
     // the window over the FULL data must salt by bucket; only the
-    // summary-sized carry window (its subtree aggregates the distinct
-    // (key, bucket) set first) may key alone
+    // summary-sized carry window may key alone — its subtree first
+    // reduces to ONE row per (key, bucket), either via an aggregate
+    // (pre-r19 allB distinct) or via the r19 `__rn = 1` row_number
+    // filter over the bucket-salted window (same one-row-per-bucket
+    // guarantee, no extra exchange)
     val dataWins = wins.filter(_.child.collect {
       case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
       case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.references.exists(_.name == "__rn") => f
     }.isEmpty)
     assert(dataWins.nonEmpty, s"expected the running window over the raw union:\n$p")
     dataWins.foreach(w => assert(w.partitionSpec.size == 2,
