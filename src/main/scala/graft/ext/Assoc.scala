@@ -63,10 +63,12 @@ object Assoc {
     val itemType = baskets.schema("items").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     val nullItem = lit(null).cast(itemType)
-    // kind rides as a BYTE through the explode/exchange (1=pair,
-    // 2=item marginal, 3=basket total) — a string tag measurably slows
-    // the 2M-struct stream — and maps to the BatchState letters at the end
-    def k(b: Int) = lit(b.toByte).as("kind")
+    // the row KIND (pair / item marginal / basket total) is a bijection of
+    // the (a, b) null pattern — items are non-null by construction
+    // (collect_set drops nulls) — so it is DERIVED after the aggregation
+    // instead of shuffled: the former tinyint tag cost a full 8-byte
+    // UnsafeRow slot and a third grouping column on the ~1.7M-row
+    // mostly-unique pair exchange (r19, guide §2.3 narrower shuffle keys)
     // BIGINT items (every gate) take the native [[graft.functions
     // .CoocStructs]] generator — the HOF chain below evaluates its lambdas
     // interpreted per element, which dominated the ~1.7M-struct explosion
@@ -77,16 +79,16 @@ object Assoc {
       else concat(
         flatten(transform(col("items"), (a, i) =>
           transform(slice(col("items"), i + 2, size(col("items"))), b =>
-            struct(k(1), a.as("a"), b.as("b"))))),
+            struct(a.as("a"), b.as("b"))))),
         transform(col("items"), a =>
-          struct(k(2), a.as("a"), nullItem.as("b"))),
-        array(struct(k(3), nullItem.as("a"), nullItem.as("b"))))
+          struct(a.as("a"), nullItem.as("b"))),
+        array(struct(nullItem.as("a"), nullItem.as("b"))))
     baskets
       .select(explode(gen).as("t"))
-      .groupBy(col("t.kind").as("k"), col("t.a").as("a"), col("t.b").as("b"))
+      .groupBy(col("t.a").as("a"), col("t.b").as("b"))
       .agg(count(lit(1)).as("n"))
-      .select(element_at(typedLit(Map(1 -> "p", 2 -> "i", 3 -> "n")),
-        col("k").cast("int")).as("kind"), col("a"), col("b"), col("n"))
+      .select(when(col("a").isNull, "n").when(col("b").isNull, "i")
+        .otherwise("p").as("kind"), col("a"), col("b"), col("n"))
   }
 
   /** Slice the combined count table back into the metric inputs. */

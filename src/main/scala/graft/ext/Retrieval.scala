@@ -134,12 +134,18 @@ object Retrieval {
     element_at(col("__tc"), qt.getField("ti")).cast("double")
 
   /** Inverted-index statistics: per term, document frequency `df` and
-    * collection frequency `cf`. The per-(doc,term) stage and the per-term
-    * stage both partial-aggregate before their shuffle. */
+    * collection frequency `cf`. Per-doc term frequencies are computed
+    * ROW-LOCALLY by the native [[graft.functions.TermTfEntries]] generator
+    * (r19, guide §2.4): the previous `groupBy(doc_id, term)` stage
+    * shuffled corpus-sized token pairs even though every group lives
+    * inside one source row — partial aggregation had already finished the
+    * counts before the exchange moved them. One per-term aggregation
+    * remains, partial-aggregating to |vocab| rows per task. */
   def index(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    docs.select(explode(
+        graft.functions.TermTfEntries.termTfEntries(toks(col("text")))).as("e"))
+      .groupBy(col("e.term").as("term"))
+      .agg(count(lit(1)).as("df"), sum(col("e.tf")).as("cf"))
 
   /** BM25 top-`k` documents per query. `queries` = (query_id, terms).
     * Driver-gate invocations use two-term queries (see class doc); the fold

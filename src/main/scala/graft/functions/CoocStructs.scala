@@ -11,15 +11,20 @@ import org.apache.spark.sql.types._
 
 /** The per-basket sufficient-statistic structs of `Assoc.coocCounts` in one
   * native pass: for a sorted distinct BIGINT item array, emits
-  * `array<struct<kind: tinyint, a: bigint, b: bigint>>` holding every
-  * `{(a,b) : a < b}` pair (kind 1), one marginal per item (kind 2, b NULL),
-  * and the basket marker (kind 3, both NULL) — the exact rows the previous
+  * `array<struct<a: bigint, b: bigint>>` holding every `{(a,b) : a < b}`
+  * pair, one marginal per item (b NULL), and the basket marker (both
+  * NULL) — the exact rows the previous
   * `concat(flatten(transform(…, transform(slice(…)))), …)` chain produced,
-  * in the same order (AssocNativeSpec pins equality). Higher-order
-  * functions evaluate their lambdas interpreted per element; at ~1.7M
-  * emitted structs over the sf0.1 lineitem baskets the lambda machinery
-  * was the explosion's dominant cost. Long items only — [[graft.ext
-  * .Assoc]] routes non-BIGINT item types through the HOF form. */
+  * in the same order (AssocNativeSpec pins equality). The row KIND is a
+  * bijection of the null pattern (items are non-null by construction —
+  * collect_set drops nulls), so it is derived AFTER the count aggregation
+  * instead of riding the ~1.7M-row exchange: the former tinyint tag
+  * occupied a full 8-byte UnsafeRow slot and a third grouping column
+  * (r19, guide §2.3 narrower shuffle keys). Higher-order functions
+  * evaluate their lambdas interpreted per element; at ~1.7M emitted
+  * structs over the sf0.1 lineitem baskets the lambda machinery was the
+  * explosion's dominant cost. Long items only — [[graft.ext.Assoc]]
+  * routes non-BIGINT item types through the HOF form. */
 case class CoocStructs(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(CoocStructs.elementType,
     containsNull = false)
@@ -42,17 +47,17 @@ case class CoocStructs(child: Expression) extends UnaryExpression {
       val a = arr.getLong(i)
       var j = i + 1
       while (j < n) {
-        out(idx) = InternalRow(1.toByte, a, arr.getLong(j)); idx += 1
+        out(idx) = InternalRow(a, arr.getLong(j)); idx += 1
         j += 1
       }
       i += 1
     }
     i = 0
     while (i < n) {
-      out(idx) = InternalRow(2.toByte, arr.getLong(i), null); idx += 1
+      out(idx) = InternalRow(arr.getLong(i), null); idx += 1
       i += 1
     }
-    out(idx) = InternalRow(3.toByte, null, null)
+    out(idx) = InternalRow(null, null)
     new GenericArrayData(out)
   }
 
@@ -69,7 +74,6 @@ case class CoocStructs(child: Expression) extends UnaryExpression {
 
 object CoocStructs {
   val elementType: StructType = StructType(Seq(
-    StructField("kind", ByteType, nullable = false),
     StructField("a", LongType, nullable = true),
     StructField("b", LongType, nullable = true)))
 

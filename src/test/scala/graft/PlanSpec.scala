@@ -552,6 +552,32 @@ class PlanSpec extends AnyFunSuite {
     assertSingleSharedScan("jmes_wide")
   }
 
+  test("wide controls: the gate parses ABOVE the round-robin spread, never below (r19 pin)") {
+    // VERDICT r18 #7: with the r18 spread in place, predicate pushdown once
+    // inlined the doc alias into the gate Filter and pushed it BELOW the
+    // exchange — the gate parsed ALL rows on the pre-spread single task and
+    // the extraction re-parsed survivors (the round-7 double-parse class).
+    // The FusedGate barrier keeps the doc-defining Project above the
+    // exchange; this pin turns a future re-push into a red test instead of
+    // a silent bench regression.
+    for (n <- Seq("jmes_wide", "jmes_wide_interp", "variant_wide")) {
+      val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
+      val rr = p.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
+      }
+      assert(rr.nonEmpty, s"$n: expected the round-robin spread exchange:\n$p")
+      rr.foreach { e =>
+        assert(e.child.collect { case f: FilterExec => f }.isEmpty,
+          s"$n: gate Filter was pushed below the spread exchange:\n$p")
+        val childStr = e.child.toString
+        assert(!childStr.contains("json_fused") && !childStr.contains("jmes_")
+            && !childStr.contains("parse_json"),
+          s"$n: document parse sits below the spread exchange:\n$p")
+      }
+    }
+  }
+
   test("optimizer reaches a true fixpoint on every fused shape (no pushdown ping-pong)") {
     // Round-7 regression: FuseProjectScans + PushPredicateThroughNonJoin
     // ping-ponged to the 100-iteration cap in the production config and
@@ -630,11 +656,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("bm25_index: two partial-then-final aggregations, nothing else") {
+  test("bm25_index: row-local tf generator + ONE per-term aggregation (r19)") {
+    // the old (doc_id, term) pre-aggregation shuffled corpus-sized token
+    // pairs even though every group lives inside one source row; per-doc
+    // tf is now emitted row-locally by the native term_tf_entries
+    // generator, leaving one |vocab|-bounded partial+final aggregation
     val p = physical("bm25_index")
-    assert(shuffles(p) == 2, s"expected 2 shuffles (doc-term, term), got ${shuffles(p)}:\n$p")
-    assert(count(p) { case _: aggregate.HashAggregateExec => } == 4,
-      s"expected 2× partial+final HashAggregate:\n$p")
+    assert(shuffles(p) == 1, s"expected ONE shuffle (per-term agg), got ${shuffles(p)}:\n$p")
+    assert(count(p) { case _: aggregate.HashAggregateExec => } == 2,
+      s"expected 1× partial+final HashAggregate:\n$p")
+    assert(p.toString.contains("term_tf_entries"),
+      s"expected the native per-doc tf generator:\n$p")
   }
 
   test("retrieval_rrf: ONE scoring pass over the corpus, both legs partial top-k") {
