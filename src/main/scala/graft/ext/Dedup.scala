@@ -1259,6 +1259,14 @@ object Dedup {
       .agg(count(lit(1)).as("__dfp")).where(col("__dfp") <= maxFpFreq)
       .select("fp")
     val pruned = fps.join(cold, "fp")
+    // Self-join kept over the per-fp collect+generate alternative (r19
+    // A/B, two paired min-of-7 windows): replacing the self-join with
+    // groupBy(fp).collect_list + the CoocStructs pair generator measured
+    // 1.08 → 1.10/1.15 s — the fp-keyed ObjectHashAggregate's buffering
+    // cost matches what the removed exchange+join machinery saved, and
+    // both self-join sides read the checkpointed fps blocks in parallel
+    // where the agg serializes. Re-measure if maxFpFreq or the
+    // fingerprint density changes materially.
     pruned.as("x").join(pruned.as("y"), "fp")
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))

@@ -449,10 +449,16 @@ object TextAnalysis {
     require(dim > 0, "dim must be positive")
     val n = docs.count()
     // spread first (r17): the word explosion + tf map side over a
-    // one-file corpus otherwise runs single-task
-    val words = Dedup.spread(docs).select(col("doc_id"),
-      explode(filter(toks, w => length(w) > 0)).as("w"))
-    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // one-file corpus otherwise runs single-task.
+    // Per-doc tf is emitted ROW-LOCALLY by the native TermTfEntries
+    // generator (r19, the bm25_index change applied here): the previous
+    // groupBy(doc_id, w) shuffled corpus-sized word pairs even though
+    // every group lives inside one source row, and the df aggregation
+    // below now partial-aggregates to |vocab| rows per task.
+    val tf = Dedup.spread(docs).select(col("doc_id"),
+        explode(graft.functions.TermTfEntries.termTfEntries(
+          filter(toks, w => length(w) > 0))).as("te"))
+      .select(col("doc_id"), col("te.term").as("w"), col("te.tf").as("tf"))
     val lex = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val h = pmod(aggregate(split(col("w"), ""), lit(7L),
       (acc, c) => (acc * 31 + ascii(c)) % Quality.HashMod), lit(dim.toLong))
