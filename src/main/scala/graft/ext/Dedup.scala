@@ -700,6 +700,14 @@ object Dedup {
     val d = shingled(corpus, k)
     val inv = invRows(d)
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    // The dfreq-join shape is KEPT here even though jaccardPairsWhere
+    // moved to withDfRows (r19 paired A/B: withDfRows made
+    // dedup_incremental 1.78 → 2.02 s on a better window): unlike the
+    // batch path, dfreq must exist separately anyway — it is part of the
+    // persisted index contract the probes join against — so the old
+    // shape's single dfreq aggregation is stage-reused by BOTH the prefix
+    // join and the probe join, while withDfRows adds a second h-keyed
+    // aggregation of the exploded stream next to it.
     JaccardIndex(prefixRows(inv.join(dfreq, "h"), tau), d, dfreq)
   }
 
