@@ -32,15 +32,23 @@ class PlanSpec extends AnyFunSuite {
     p.collect { case n if pf.isDefinedAt(n) => n }.size
 
   /** Data-movement exchanges the plan pins care about: HASH/RANGE
-    * partitioned shuffles. The r17 `Dedup.spread` ROUND-ROBIN exchange
-    * (a conditional few-files-input parallelizer, no-op at cluster
-    * scale) is excluded — it moves the input once by design, and
-    * counting it would make every "zero/N exchanges" pin depend on the
-    * test corpus's file count. */
+    * partitioned shuffles. The `Dedup.spread` exchange (a conditional
+    * few-files-input parallelizer, no-op at cluster scale; round-robin
+    * pre-r19, full-row xxhash64 hash since) is excluded — it moves the
+    * input once by design, and counting it would make every "zero/N
+    * exchanges" pin depend on the test corpus's file count. */
+  private def isSpread(
+      part: org.apache.spark.sql.catalyst.plans.physical.Partitioning): Boolean =
+    part.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] ||
+      (part match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.XxHash64])
+        case _ => false
+      })
   private def shuffles(p: SparkPlan): Int = count(p) {
-    case e: ShuffleExchangeExec
-      if !e.outputPartitioning.isInstanceOf[
-        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] =>
+    case e: ShuffleExchangeExec if !isSpread(e.outputPartitioning) =>
   }
   private def assertNoCartesian(name: String, p: SparkPlan): Unit = {
     assert(count(p) { case _: joins.CartesianProductExec => } == 0,
@@ -496,14 +504,13 @@ class PlanSpec extends AnyFunSuite {
       case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.right
       case _ => bhj.head.left
     }
-    // the data side must never HASH-shuffle before the bucket join (the
-    // r17 round-robin spread of a few-files input is not a key exchange
-    // and no-ops at scale — the shared shuffles() convention)
+    // the data side must never KEY-shuffle before the bucket join (the
+    // spread of a few-files input is not a key exchange and no-ops at
+    // scale — the shared shuffles()/isSpread convention)
     assert(streamed.collect {
-      case s: ShuffleExchangeExec if !s.outputPartitioning.isInstanceOf[
-        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => s
+      case s: ShuffleExchangeExec if !isSpread(s.outputPartitioning) => s
     }.isEmpty,
-      s"data side must not hash-shuffle before the bucket join:\n$p")
+      s"data side must not key-shuffle before the bucket join:\n$p")
     // r16 (VERDICT r15 item 1): multi-table collisions dedup via the
     // first-shared-table per-row predicate, NOT a distinct() — the whole
     // plan carries exactly ONE shuffle (the final top-k groupBy) and
@@ -563,10 +570,9 @@ class PlanSpec extends AnyFunSuite {
     for (n <- Seq("jmes_wide", "jmes_wide_interp", "variant_wide")) {
       val p = SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan
       val rr = p.collect {
-        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[
-          org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
+        case e: ShuffleExchangeExec if isSpread(e.outputPartitioning) => e
       }
-      assert(rr.nonEmpty, s"$n: expected the round-robin spread exchange:\n$p")
+      assert(rr.nonEmpty, s"$n: expected the spread exchange:\n$p")
       rr.foreach { e =>
         assert(e.child.collect { case f: FilterExec => f }.isEmpty,
           s"$n: gate Filter was pushed below the spread exchange:\n$p")

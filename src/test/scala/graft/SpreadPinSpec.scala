@@ -2,16 +2,18 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan, exchange}
-import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RoundRobinPartitioning}
 
 /** Standing regression gate for the r17 single-task-stage class
   * (VERDICT r17 #3 — promote the TaskSkewProbe finding into the suite):
   * every test corpus table is ONE single-row-group parquet file, so an
   * operator whose first heavy stage is narrow would run it on ONE task
   * (`maxPartitionBytes` cannot split a row group). The fix is
-  * [[graft.ext.Dedup.spread]] — a conditional ROUND-ROBIN repartition
-  * to the core count, provably a no-op at cluster scale (inputs with
-  * ≥ cores files skip it).
+  * [[graft.ext.Dedup.spread]] — a conditional repartition to the core
+  * count (r19: a full-row xxhash64 HASH exchange — deterministic by
+  * value, no sortBeforeRepartition local sort; round-robin before that),
+  * provably a no-op at cluster scale (inputs with ≥ cores files skip
+  * it).
   *
   * This spec pins the plan-level consequence on a one-file corpus
   * (sf0.001, 1 file < 4 cores), one of two ways:
@@ -39,10 +41,18 @@ class SpreadPinSpec extends AnyFunSuite {
   private def plan(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
 
-  private def roundRobins(p: SparkPlan): Int =
+  /** The spread's exchange: round-robin (pre-r19) or the r19 full-row
+    * xxhash64 hash partitioning — either way a non-key, content-spread
+    * exchange, never a join/agg key exchange. */
+  private def spreads(p: SparkPlan): Int =
     p.collect {
       case e: exchange.ShuffleExchangeExec
-        if e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
+        if e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] ||
+          (e.outputPartitioning match {
+            case h: HashPartitioning => h.expressions.forall(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.XxHash64])
+            case _ => false
+          }) => e
     }.size
 
   private def maxRddScanPartitions(p: SparkPlan): Int =
@@ -71,10 +81,10 @@ class SpreadPinSpec extends AnyFunSuite {
     "dedup_winnow_pairs")  // sharedStage'd fingerprint table (r18)
 
   for (name <- exchangeGates)
-    test(s"$name: one-file corpus is round-robin spread before the heavy stage") {
+    test(s"$name: one-file corpus is spread before the heavy stage") {
       val p = plan(name)
-      assert(roundRobins(p) >= 1,
-        s"$name: expected the Dedup.spread round-robin exchange on a " +
+      assert(spreads(p) >= 1,
+        s"$name: expected the Dedup.spread exchange on a " +
           s"one-file corpus (the r17 single-task-stage fix) — was a spread " +
           s"call removed?\n$p")
     }

@@ -71,13 +71,18 @@ class FreqSpec extends AnyFunSuite {
       .queryExecution.executedPlan
     def cnt(pf: PartialFunction[SparkPlan, Unit]): Int =
       p.collect { case n if pf.isDefinedAt(n) => n }.size
-    // one HASH exchange: the candidate-only groupBy (plus nothing
-    // corpus-wide). The r17 input spread adds a ROUND-ROBIN exchange on
-    // few-files inputs — allowed; any extra hash exchange would mean a
-    // corpus-wide aggregation crept back.
+    // one KEY exchange: the candidate-only groupBy (plus nothing
+    // corpus-wide). The input spread adds a non-key exchange on few-files
+    // inputs (round-robin pre-r19, full-row xxhash64 hash since) —
+    // allowed; any extra KEY exchange would mean a corpus-wide
+    // aggregation crept back.
     val hashEx = p.collect {
-      case e: ShuffleExchangeExec if e.outputPartitioning
-        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      case e: ShuffleExchangeExec if (e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          !h.expressions.forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.XxHash64])
+        case _ => false
+      }) => e
     }
     assert(hashEx.size == 1,
       s"expected exactly the recount hash exchange:\n$p")
