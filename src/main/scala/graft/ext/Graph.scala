@@ -368,10 +368,12 @@ object Graph {
     // times cheaper than a tagged string at web-graph scale
     "pagerank" -> ((s, dir) => {
       val orders = SparkEntry.table(s, dir, "orders")
-      // NOT spread (r18 A/B: 1.565 vs 1.510 across two windows — noise;
-      // the 3-task edge-build stage is split-bound but its per-task work
-      // is one broadcast probe + partial distinct, too cheap to beat the
-      // added exchange)
+      // NOT spread — twice measured: r18 round-robin spread flat (1.565
+      // vs 1.510), and the r19 no-sort hash spread re-try split across
+      // two paired windows (1.75@0.107 vs 1.80@0.085, then 1.77@0.093 vs
+      // 1.30@0.110 favoring UNSPREAD) — the 3-task edge-build stage's
+      // per-task work (one broadcast probe + partial distinct) is too
+      // cheap to reliably beat the added exchange
       val lineitem = SparkEntry.table(s, dir, "lineitem")
       val ok = broadcast(orders.select(col("o_orderkey"), col("o_custkey")))
       val e0 = lineitem.join(ok,
